@@ -1,0 +1,146 @@
+"""Core operator tests (topk/botk/unique/stats/count/search) with
+hand-computed goldens on tiny in-line corpora + DuckDB cross-checks on
+the driver's documents table.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from wimbd_spark.operators.count import (
+    count_sequences,
+    search_regex_counts,
+    search_regex_locations,
+)
+from wimbd_spark.operators.keycount import key_count, normalize_distribution
+from wimbd_spark.operators.stats import corpus_stats, extreme_token_docs
+from wimbd_spark.operators.topk import (
+    botk_ngrams,
+    ngram_counts,
+    topk_ngrams,
+    unique_ngrams,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (1, "a b a b c"),
+        (2, "a b x"),
+        (3, "z"),
+        (4, None),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngram_counts_exact(spark, tiny):
+    got = {
+        r["ngram"]: r["count"] for r in ngram_counts(tiny, 2).collect()
+    }
+    assert got == {"a b": 3, "b a": 1, "b c": 1, "b x": 1}
+
+
+def test_topk_rank_and_ties(spark, tiny):
+    rows = topk_ngrams(tiny, 2, 3).orderBy("rank").collect()
+    assert [(r["ngram"], r["count"], r["rank"]) for r in rows] == [
+        ("a b", 3, 1),
+        ("b a", 1, 2),  # ties broken by ngram asc → deterministic
+        ("b c", 1, 3),
+    ]
+
+
+def test_botk(spark, tiny):
+    rows = botk_ngrams(tiny, 1, 2).orderBy("rank").collect()
+    assert [(r["ngram"], r["count"]) for r in rows] == [("c", 1), ("x", 1)]
+
+
+def test_unique_exact_and_approx(spark, tiny):
+    assert unique_ngrams(tiny, 1).collect()[0]["unique_count"] == 5
+    approx = unique_ngrams(tiny, 1, approx=True).collect()[0]["unique_count"]
+    assert abs(approx - 5) <= 1
+
+
+def test_corpus_stats(spark, tiny):
+    r = corpus_stats(tiny).collect()[0]
+    assert r["total_documents"] == 4
+    assert r["total_tokens"] == 5 + 3 + 1  # null text → 0 tokens
+    assert r["document_max_tokens"] == 5
+    assert r["document_min_tokens"] == 1
+    assert r["total_bytes"] == len("a b a b c") + len("a b x") + len("z")
+
+
+def test_extreme_docs_keeps_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c d"), (3, "e")], ["doc_id", "text"]
+    )
+    rows = extreme_token_docs(df, which="max").collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
+    assert all(r["num_tokens"] == 2 for r in rows)
+
+
+def test_count_sequences_overlapping(spark):
+    # overlapping matches counted: "a a a" has two "a a" windows
+    df = spark.createDataFrame([(1, "a a a b a a")], ["doc_id", "text"])
+    got = {
+        r["pattern"]: r["count"]
+        for r in count_sequences(df, ["a a", "a a a", "zz"]).collect()
+    }
+    assert got == {"a a": 3, "a a a": 1, "zz": 0}
+
+
+def test_search_regex_counts(spark, tiny):
+    got = {
+        r["pattern"]: r["count"]
+        for r in search_regex_counts(tiny, ["a", "[xz]"]).collect()
+    }
+    assert got == {"a": 3, "[xz]": 2}
+
+
+def test_search_regex_locations(spark):
+    df = spark.createDataFrame([(1, "foo bar foo")], ["doc_id", "text"])
+    rows = search_regex_locations(df, ["foo", "bar"]).collect()
+    by_pat = {}
+    for r in rows:
+        by_pat.setdefault(r["pattern"], []).append((r["match"], r["start_col"]))
+    assert by_pat["bar"] == [("bar", 5)]
+    assert len(by_pat["foo"]) == 2  # both occurrences emitted
+
+
+def test_key_count_against_duckdb(documents):
+    got = {r["key"]: r["count"] for r in key_count(documents, "lang").collect()}
+    expect = dict(
+        duckdb.sql(
+            "SELECT lang, count(*) FROM '/root/testdata/sf0.001/documents.parquet' GROUP BY lang"
+        ).fetchall()
+    )
+    assert got == expect
+
+
+def test_normalize_distribution(spark):
+    df = spark.createDataFrame([("a", 3), ("b", 1)], ["key", "count"])
+    got = {r["key"]: r["p"] for r in normalize_distribution(df).collect()}
+    assert got == {"a": 0.75, "b": 0.25}
+
+
+def test_topk_against_duckdb_on_documents(documents):
+    got = [
+        (r["ngram"], r["count"])
+        for r in topk_ngrams(documents, 3, 20).orderBy("rank").collect()
+    ]
+    expect = duckdb.sql(
+        """
+        WITH toks AS (
+          SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM '/root/testdata/sf0.001/documents.parquet'
+          WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT array_to_string(list_slice(t, i, i+2), ' ') AS ngram
+          FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)
+          WHERE len(t) >= 3
+        )
+        SELECT ngram, count(*) AS count FROM grams
+        GROUP BY ngram ORDER BY count DESC, ngram ASC LIMIT 20
+        """
+    ).fetchall()
+    assert got == expect

@@ -1,0 +1,116 @@
+"""Unit tests for the scalar text functions, mirroring the reference's
+Rust unit tests (src/tokens.rs:50-133, src/ngrams/mod.rs:114-174) per
+FIXTURES.md §6.
+"""
+
+from pyspark.sql import functions as F
+
+from wimbd_spark.functions.text import (
+    char_ngrams,
+    doc_hash,
+    hash32,
+    ngram_strings,
+    ngrams,
+    tokenize,
+    tokenize_words,
+    url_ext_bucket,
+    url_host,
+    url_scheme,
+    year_of,
+)
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_tokenize_golden(spark):
+    # src/tokens.rs:56-76 golden: 13 tokens, "RSS" and "2.0" intact.
+    s = "You can follow any responses to this entry through the RSS 2.0 feed"
+    toks = one(spark, tokenize(F.lit(s)))
+    assert len(toks) == 13
+    assert "RSS" in toks and "2.0" in toks
+
+
+def test_tokenize_edge_cases(spark):
+    assert one(spark, tokenize(F.lit("  a  b\tc \n"))) == ["a", "b", "c"]
+    assert one(spark, tokenize(F.lit(""))) == []
+    assert one(spark, tokenize(F.lit("   "))) == []
+    assert one(spark, tokenize(F.lit(None).cast("string"))) is None
+
+
+def test_tokenize_words_golden(spark):
+    s = "You can follow any responses to this entry through the RSS 2.0 feed."
+    toks = one(spark, tokenize_words(F.lit(s)))
+    assert len(toks) == 13  # trailing '.' dropped, "2.0" kept whole
+    assert "2.0" in toks
+
+
+def test_ngrams_windows(spark):
+    # src/ngrams/mod.rs:120-140: "one two three four five" 4-grams → 2 windows
+    toks = tokenize(F.lit("one two three four five"))
+    grams = one(spark, ngrams(toks, 4))
+    assert grams == [
+        ["one", "two", "three", "four"],
+        ["two", "three", "four", "five"],
+    ]
+    assert one(spark, ngram_strings(toks, 4)) == [
+        "one two three four",
+        "two three four five",
+    ]
+
+
+def test_ngrams_unigram_and_short(spark):
+    toks = tokenize(F.lit("a b"))
+    assert one(spark, ngram_strings(toks, 1)) == ["a", "b"]
+    assert one(spark, ngram_strings(toks, 3)) == []  # only full windows
+
+
+def test_char_ngrams(spark):
+    # src/ngrams/mod.rs:150-173 char case on "test string"
+    grams = one(spark, char_ngrams(F.lit("test string"), 4))
+    assert grams[0] == "test" and grams[-1] == "ring"
+    assert len(grams) == len("test string") - 4 + 1
+
+
+def test_doc_hash_none_convention(spark):
+    # helper_scripts/get_text_hashes.py:11-17
+    import hashlib
+
+    assert one(spark, doc_hash(F.lit("abc"))) == hashlib.md5(b"abc").hexdigest()
+    assert one(spark, doc_hash(F.lit(None).cast("string"))) == "None"
+
+
+def test_hash32_matches_duckdb(spark):
+    import duckdb
+
+    for s in ["abc", "hello world", ""]:
+        expect = duckdb.sql(
+            f"SELECT ('0x' || substr(md5('{s}'),1,8))::BIGINT"
+        ).fetchone()[0]
+        assert one(spark, hash32(F.lit(s))) == expect
+    # salted variant
+    expect = duckdb.sql(
+        "SELECT ('0x' || substr(md5('7:abc'),1,8))::BIGINT"
+    ).fetchone()[0]
+    assert one(spark, hash32(F.lit("abc"), salt="7")) == expect
+
+
+def test_url_functions(spark):
+    u = F.lit("https://sub.example.co.uk/path/img.JPG?x=1")
+    assert one(spark, url_host(u)) == "sub.example.co.uk"
+    assert one(spark, url_scheme(u)) == "https"
+    assert one(spark, url_ext_bucket(u)) == "jpg"
+    assert one(spark, url_ext_bucket(F.lit("http://a.com/x.pdf"))) == "other"
+    assert one(spark, url_ext_bucket(F.lit("http://a.com/"))) == "other"
+
+
+def test_year_of(spark):
+    assert one(spark, year_of(F.lit("2019-03-04T10:00:00"))) == 2019
+    assert (
+        one(
+            spark,
+            year_of(F.lit(None).cast("string"), F.lit("2021-01-01")),
+        )
+        == 2021
+    )

@@ -1,0 +1,135 @@
+"""Exact sequence counting and regex search.
+
+Parity targets:
+- count  src/cmd/count.rs:66-208 — total occurrences of each search
+  token-sequence across the corpus (token-aligned sliding window,
+  overlapping matches counted).
+- search src/cmd/search.rs:74-330 — per-pattern regex match counts,
+  optionally with match locations (text, provenance, span).
+
+Spark-first: needles are a tiny dimension → independent aggregate
+columns over ONE corpus scan (no per-needle passes); per-document
+occurrence counting is a pure SQL expression over the token array
+(no UDF), so the whole plan is scan → project → partial agg → final agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wimbd_spark.functions.text import ngram_strings, tokenize
+
+
+def _unpivot_counts(row: DataFrame, patterns: list[str]) -> DataFrame:
+    pairs = F.array(
+        *[
+            F.struct(F.lit(p).alias("pattern"), F.col(f"_c{i}").alias("count"))
+            for i, p in enumerate(patterns)
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("p"))
+        .select("p.pattern", "p.count")
+        .orderBy("pattern")
+    )
+
+
+def count_sequences(
+    df: DataFrame, needles: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Total occurrences of each needle (a token sequence given as a
+    space-joined string) → (pattern, count), ordered by pattern.
+
+    Token-aligned and overlapping, like count_occurences
+    (src/cmd/count.rs:191-208): occurrences of a needle = number of
+    n-gram windows (n = needle token length) equal to the needle.
+    """
+    if not needles:
+        raise ValueError("count_sequences: needles must be non-empty")
+    toks = tokenize(F.col(text_col))
+
+    def _eq(needle):
+        # NB: F.filter introspects lambda arity (2 args = element,index),
+        # so bind the needle via closure, single-arg lambda only.
+        return lambda g: g == F.lit(needle)
+
+    aggs = [
+        F.sum(
+            F.coalesce(
+                F.size(
+                    F.filter(ngram_strings(toks, len(needle.split())), _eq(needle))
+                ),
+                F.lit(0),
+            )
+        ).alias(f"_c{i}")
+        for i, needle in enumerate(needles)
+    ]
+    return _unpivot_counts(df.agg(*aggs), needles)
+
+
+def search_regex_counts(
+    df: DataFrame, patterns: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Total regex match count per pattern → (pattern, count).
+
+    Parity: src/cmd/search.rs:180-218 (find_iter count per pattern).
+    `regexp_count` stays inside whole-stage codegen.
+    """
+    if not patterns:
+        raise ValueError("search_regex_counts: patterns must be non-empty")
+    aggs = [
+        F.sum(
+            F.coalesce(F.regexp_count(F.col(text_col), F.lit(p)), F.lit(0))
+        ).alias(f"_c{i}")
+        for i, p in enumerate(patterns)
+    ]
+    return _unpivot_counts(df.agg(*aggs), patterns)
+
+
+def search_regex_locations(
+    df: DataFrame,
+    patterns: list[str],
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    limit_per_pattern: int | None = None,
+) -> DataFrame:
+    """Match locations per pattern → (pattern, *id_cols, match, start_col).
+
+    Parity: src/cmd/search.rs:248-330 (MatchLocation with submatch
+    spans and a global per-pattern cap). start_col is the 1-based
+    position of the FIRST occurrence of the matched string (SQL locate)
+    — per-occurrence byte spans of repeated identical matches collapse.
+    """
+    if not patterns:
+        raise ValueError("search_regex_locations: patterns must be non-empty")
+    base = df.select(*id_cols, F.col(text_col).alias("_text"))
+    # regexp must be foldable → one literal-pattern branch per pattern,
+    # unioned. Catalyst still reads the source once per branch; patterns
+    # lists are tiny (the reference caps them the same way).
+    parts = [
+        base.select(
+            F.lit(p).alias("pattern"),
+            *id_cols,
+            F.explode(
+                F.regexp_extract_all(F.col("_text"), F.lit(p), 0)
+            ).alias("match"),
+            F.col("_text"),
+        )
+        for p in patterns
+    ]
+    exploded = parts[0]
+    for part in parts[1:]:
+        exploded = exploded.unionAll(part)
+    exploded = exploded.withColumn(
+        "start_col", F.expr("locate(match, _text)")
+    ).drop("_text")
+    if limit_per_pattern is not None:
+        w = Window.partitionBy("pattern").orderBy(*[F.col(c) for c in id_cols])
+        exploded = (
+            exploded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= limit_per_pattern)
+            .drop("_rn")
+        )
+    return exploded

@@ -1,0 +1,115 @@
+"""Top-k / bottom-k / unique n-gram operators.
+
+Parity targets (file:line relative to /root/reference):
+- topk   src/cmd/topk.rs:106-343  (counting-Bloom approx top-k)
+- botk   src/cmd/botk.rs:103-359  (two-pass inverse-count bottom-k)
+- unique src/cmd/unique.rs:65-161 (Bloom nonzero-cell distinct count)
+
+Spark-first design: the reference's sketches exist only to bound a
+single machine's memory. A distributed hash aggregation with partial
+(map-side) combine + shuffle + TakeOrderedAndProject computes the EXACT
+answer with bounded memory per task and no custom code, at any scale:
+
+    explode(ngrams) → groupBy(ngram).count() → orderBy().limit(k)
+
+`orderBy(...).limit(k)` compiles to TakeOrderedAndProject — each task
+keeps a k-row heap and the driver merges heaps, which is exactly the
+reference's per-worker top-k + channel merge (src/cmd/topk.rs:244-287),
+minus the approximation error. An approximate path (count-min /
+HLL-style) is still exposed for memory-constrained interactive use.
+
+Tie-break: (count, ngram) so results are deterministic — the reference
+leaves ties in hash order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wimbd_spark.functions.text import ngram_strings, tokenize
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    tokens: Column | None = None,
+    threshold: int | None = None,
+) -> DataFrame:
+    """Exact n-gram frequency table: (ngram string, count).
+
+    ``threshold`` reproduces the reference's `--threshold` prefilter
+    (src/cmd/topk.rs:226-235) as a HAVING — an optimization, not a
+    correctness requirement here.
+    """
+    toks = tokens if tokens is not None else tokenize(F.col(text_col))
+    out = (
+        df.select(F.explode(ngram_strings(toks, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if threshold is not None:
+        out = out.filter(F.col("count") >= threshold)
+    return out
+
+
+def _ranked(counts: DataFrame, k: int, ascending: bool) -> DataFrame:
+    order = [
+        F.col("count").asc() if ascending else F.col("count").desc(),
+        F.col("ngram").asc(),
+    ]
+    # orderBy+limit => TakeOrderedAndProject (bounded driver memory, k<=10k
+    # per the reference's production runs, runs/run_analysis.sh:15-23).
+    top = counts.orderBy(*order).limit(k)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )
+
+
+def topk_ngrams(
+    df: DataFrame,
+    n: int,
+    k: int,
+    text_col: str = "text",
+    threshold: int | None = None,
+) -> DataFrame:
+    """Top-k most frequent n-grams → (ngram, count, rank).
+
+    Exact where the reference (src/cmd/topk.rs) is approximate
+    ("count ≤ true count"); SURVEY.md §7.4(3) makes the oracle, not the
+    reference binary, the correctness target.
+    """
+    return _ranked(ngram_counts(df, n, text_col, threshold=threshold), k, False)
+
+
+def botk_ngrams(df: DataFrame, n: int, k: int, text_col: str = "text") -> DataFrame:
+    """Bottom-k least frequent n-grams → (ngram, count, rank).
+
+    The reference needs two passes with inverted u32 counters
+    (src/cmd/botk.rs:169-302) purely as a memory trick; a distributed
+    exact agg + ascending TakeOrdered replaces both passes.
+    """
+    return _ranked(ngram_counts(df, n, text_col), k, True)
+
+
+def unique_ngrams(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Distinct n-gram count → single row (unique_count).
+
+    approx=True uses HyperLogLog++ (`approx_count_distinct`) — the
+    honest version of the reference's Bloom nonzero-cell estimate
+    (src/cmd/unique.rs:65-161); default is exact.
+    """
+    toks = tokenize(F.col(text_col))
+    exploded = df.select(F.explode(ngram_strings(toks, n)).alias("ngram"))
+    agg = (
+        F.approx_count_distinct("ngram", rsd) if approx else F.countDistinct("ngram")
+    )
+    return exploded.agg(agg.alias("unique_count"))

@@ -1,0 +1,115 @@
+"""SparkSession factory + catalog helpers.
+
+Parity: wimbd/es/__init__.py:20-86 (`es_init` session setup, `get_indices`
+listing) — our "cluster connection" is a SparkSession and our "indices"
+are catalog tables/views.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def get_spark(
+    app_name: str = "wimbd-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for corpus analytics.
+
+    Scale-minded defaults:
+    - AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+      broadcast conversion) — replaces the reference's hand-tuned worker
+      counts (src/cmd/util.rs:127-134).
+    - Arrow enabled for the pandas_udf slow path.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions if shuffle_partitions is not None else int(cpus)
+        ),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # pandas-written parquet uses TIMESTAMP(NANOS); read as long and
+        # rebuild timestamps in load_tables (Spark has no ns timestamps).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        # local-mode quality of life; harmless on a cluster
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str] | None = None,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables from ``sf_dir``; optionally
+    register them as temp views so ``spark.sql`` works on them.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # TIMESTAMP(NANOS) read as long under nanosAsLong → rebuild a
+            # microsecond timestamp (floor). DuckDB keeps ns precision, so
+            # oracle-checked queries must not emit raw ts values — emit
+            # date_trunc'ed buckets or epoch seconds instead.
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def table_summary(spark: SparkSession) -> list[dict]:
+    """List catalog tables with row counts + schemas.
+
+    Parity: wimbd/es/__init__.py:55-86 (`get_indices`).
+    """
+    rows = []
+    for t in spark.catalog.listTables():
+        df = spark.table(t.name)
+        rows.append(
+            {
+                "name": t.name,
+                "count": df.count(),
+                "columns": {f.name: f.dataType.simpleString() for f in df.schema},
+            }
+        )
+    return rows
