@@ -1,0 +1,99 @@
+"""Dedup / decontaminate / overlap tests (J1-J4, A11)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wimbd_spark.operators.dedup import (
+    contamination_rate,
+    decontaminate,
+    dedup_keep_first,
+    duplicate_stats,
+    find_examples,
+    mark_duplicates,
+    multi_overlap,
+    overlap,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "alpha beta", "ds1"),
+        (2, "gamma", "ds1"),
+        (3, "alpha beta", "ds1"),  # dup of 1
+        (4, "alpha beta", "ds2"),  # cross-dataset dup
+        (5, "delta", "ds2"),
+        (6, None, "ds2"),
+        (7, None, "ds2"),  # null texts hash to "None" → dups
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_dedup_keep_first(corpus):
+    kept = sorted(r["doc_id"] for r in dedup_keep_first(corpus).collect())
+    assert kept == [1, 2, 5, 6]
+
+
+def test_mark_duplicates(corpus):
+    flags = {
+        r["doc_id"]: r["duplicate"] for r in mark_duplicates(corpus).collect()
+    }
+    assert flags == {1: False, 2: False, 3: True, 4: True, 5: False, 6: False, 7: True}
+
+
+def test_decontaminate(spark, corpus):
+    evalset = spark.createDataFrame([("alpha beta",)], ["text"])
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(corpus, evalset).collect()
+    )
+    assert kept == [2, 5, 6, 7]
+
+
+def test_overlap(corpus):
+    a = corpus.filter("source = 'ds1'")
+    b = corpus.filter("source = 'ds2'")
+    hashes = [r["hash"] for r in overlap(a, b).collect()]
+    assert len(hashes) == 1  # only "alpha beta" is shared
+
+
+def test_multi_overlap(corpus):
+    rows = multi_overlap(corpus).collect()
+    by_n = {}
+    for r in rows:
+        by_n.setdefault(r["n_datasets"], 0)
+        by_n[r["n_datasets"]] += 1
+    # "alpha beta" in both; gamma/delta/None-hash in one dataset each
+    assert by_n == {1: 3, 2: 1}
+
+
+def test_duplicate_stats(corpus):
+    r = duplicate_stats(corpus).collect()[0]
+    assert r["total"] == 7
+    assert r["uniq_total"] == 4
+    assert r["duplicates"] == 3 + 2  # alpha-beta×3 + None×2
+    assert r["uniq_duplicates"] == 2
+
+
+def test_duplicate_stats_grouped(corpus):
+    rows = {
+        r["source"]: r for r in duplicate_stats(corpus, "source").collect()
+    }
+    assert rows["ds1"]["duplicates"] == 2 and rows["ds1"]["total"] == 3
+    assert rows["ds2"]["duplicates"] == 2 and rows["ds2"]["uniq_duplicates"] == 1
+
+
+def test_find_examples(spark, corpus):
+    import hashlib
+
+    h = hashlib.md5(b"alpha beta").hexdigest()
+    rows = find_examples(corpus, [h], k=2).collect()
+    assert [r["doc_id"] for r in rows] == [1, 3]
+
+
+def test_contamination_rate(spark, corpus):
+    evalset = spark.createDataFrame(
+        [("alpha",), ("gamma",), ("nothere",)], ["phrase"]
+    )
+    r = contamination_rate(evalset, corpus, "phrase").collect()[0]
+    assert r["contaminated"] == 2 and r["total"] == 3
+    assert abs(r["rate"] - 2 / 3) < 1e-12

@@ -1,0 +1,222 @@
+"""ES-parity interactive search surface.
+
+Reimplements the reference's Elasticsearch wrapper API
+(wimbd/es/__init__.py) as DataFrame predicates — same signatures and
+semantics, no cluster:
+
+- build_phrase_predicate        ≙ _query_documents_contain_phrases (:89-128)
+- count_documents_containing_phrases        (:131-184)
+- get_documents_containing_phrases          (:187-266)
+- count_documents_for_each_phrase           (:269-345)
+- count_total_occurrences_of_unigrams       (:348-426)
+
+Semantics notes:
+- ES `match_phrase` is TOKEN-aligned. The default matcher here is
+  token-aligned too (phrase tokens must appear as a contiguous token
+  window); ``slop`` allows the phrase tokens to appear in order within
+  a window of len(phrase)+slop tokens, matching the documented intent
+  ("I like" slop=1 matches "I really like",
+  wimbd/es/__init__.py:150-153).
+- all_phrases=True ≙ ES bool.filter (AND); False ≙ bool.should with
+  minimum_should_match=1 (OR).
+- is_regexp=True uses case-insensitive regex on the raw text, like the
+  ES `regexp` fallback (:109-118).
+- The c4 implicit `subset=="en"` filter (:170-181) generalizes to
+  ``filters={col: value}``.
+
+Scale: phrase lists are tiny → every phrase predicate is a pure Column
+expression evaluated in one corpus scan; no join, no shuffle for
+counts (aggregate only). Per-phrase counts build one boolean aggregate
+per phrase over a single scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wimbd_spark.functions.text import tokenize
+
+
+def _phrase_window_match(tokens: Column, phrase: str, slop: int = 0) -> Column:
+    """True iff phrase tokens appear in order within some window of
+    len(phrase)+slop consecutive tokens (ES match_phrase+slop intent).
+
+    Pure SQL: for each window start, scan the window with `aggregate`,
+    advancing a matched-prefix counter — no UDF, codegen-friendly.
+    """
+    ptoks = phrase.split()
+    L = len(ptoks)
+    W = L + slop
+    if L == 0:
+        return F.lit(False)
+    phrase_arr = F.array(*[F.lit(t) for t in ptoks])
+
+    # Subsequence check on slice(tokens, i, W): acc counts phrase
+    # tokens matched in order so far; window matches iff acc == L.
+    # slice() past the array end just yields a shorter window, so one
+    # exists() over all candidate starts covers the tail.
+    def window_ok(i):
+        return (
+            F.aggregate(
+                F.slice(tokens, i, W),
+                F.lit(0),
+                lambda acc, x: F.when(
+                    (acc < L) & (x == F.element_at(phrase_arr, acc + 1)),
+                    acc + 1,
+                ).otherwise(acc),
+            )
+            == L
+        )
+
+    nstart = F.size(tokens) - F.lit(L - 1)
+    return F.coalesce(
+        F.when(nstart >= 1, F.exists(F.sequence(F.lit(1), nstart), window_ok)),
+        F.lit(False),
+    )
+
+
+def build_phrase_predicate(
+    phrases: list[str],
+    text_col: str = "text",
+    all_phrases: bool = False,
+    slop: int = 0,
+    is_regexp: bool = False,
+    token_aligned: bool = True,
+) -> Column:
+    """Compile a phrase list into one boolean Column.
+
+    token_aligned=False degrades to raw substring `contains` — cheaper,
+    and what several reference Python analyses actually do.
+    """
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    text = F.col(text_col)
+    if is_regexp:
+        preds = [text.rlike("(?i)" + p) for p in phrases]
+    elif token_aligned:
+        toks = tokenize(text)
+        preds = [_phrase_window_match(toks, p, slop) for p in phrases]
+    else:
+        preds = [text.contains(p) for p in phrases]
+    out = preds[0]
+    for p in preds[1:]:
+        out = (out & p) if all_phrases else (out | p)
+    return F.coalesce(out, F.lit(False))
+
+
+def count_documents_containing_phrases(
+    df: DataFrame,
+    phrases: list[str],
+    all_phrases: bool = False,
+    slop: int = 0,
+    is_regexp: bool = False,
+    filters: dict[str, str] | None = None,
+    text_col: str = "text",
+    token_aligned: bool = True,
+) -> int:
+    """Count docs matching the phrase query (ES es.count parity)."""
+    pred = build_phrase_predicate(
+        phrases, text_col, all_phrases, slop, is_regexp, token_aligned
+    )
+    out = df
+    for col, val in (filters or {}).items():
+        out = out.filter(F.col(col) == val)
+    return out.filter(pred).count()
+
+
+def get_documents_containing_phrases(
+    df: DataFrame,
+    phrases: list[str],
+    num_documents: int | None = 10,
+    all_phrases: bool = False,
+    slop: int = 0,
+    is_regexp: bool = False,
+    filters: dict[str, str] | None = None,
+    sort_field: str | None = None,
+    text_col: str = "text",
+    token_aligned: bool = True,
+) -> DataFrame:
+    """Retrieve matching docs; num_documents=None returns all hits
+    (≙ the PIT + search_after pagination loop, which Spark replaces
+    with plain partition streaming via toLocalIterator)."""
+    pred = build_phrase_predicate(
+        phrases, text_col, all_phrases, slop, is_regexp, token_aligned
+    )
+    out = df
+    for col, val in (filters or {}).items():
+        out = out.filter(F.col(col) == val)
+    out = out.filter(pred)
+    if sort_field:
+        out = out.orderBy(F.col(sort_field).asc())
+    if num_documents is not None:
+        out = out.limit(num_documents)
+    return out
+
+
+def count_documents_for_each_phrase(
+    df: DataFrame,
+    phrases: list[str] | list[list[str]],
+    slop: int = 0,
+    filters: dict[str, str] | None = None,
+    text_col: str = "text",
+    token_aligned: bool = True,
+) -> DataFrame:
+    """Per-phrase (or per AND-group) doc counts → (phrase, count).
+
+    The reference batches 500 ES msearch count queries per round trip
+    (:308-344); here every phrase is one conditional-count aggregate
+    over a SINGLE corpus scan — no batching protocol at any corpus
+    size, and no shuffle (final agg of partial counts only).
+    """
+    out = df
+    for col, val in (filters or {}).items():
+        out = out.filter(F.col(col) == val)
+    aggs, names = [], []
+    for i, p in enumerate(phrases):
+        group = p if isinstance(p, list) else [p]
+        pred = build_phrase_predicate(
+            group, text_col, True, slop, False, token_aligned
+        )
+        names.append(" AND ".join(group))
+        aggs.append(F.count_if(pred).alias(f"_c{i}"))
+    row = out.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(n).alias("phrase"), F.col(f"_c{i}").alias("count"))
+            for i, n in enumerate(names)
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("p"))
+        .select("p.phrase", "p.count")
+        .orderBy("phrase")
+    )
+
+
+def count_total_occurrences_of_unigrams(
+    df: DataFrame,
+    unigrams: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Total term frequency per unigram → (unigram, count).
+
+    Exact in one explode+filter+count pass, replacing the reference's
+    per-shard term-vector ttf summation (:348-426). Includes zero rows
+    for unigrams absent from the corpus (ES reports 0 too).
+    """
+    if not unigrams:
+        raise ValueError("unigrams must be non-empty")
+    spark = df.sparkSession
+    toks = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("unigram"))
+        .filter(F.col("unigram").isin(unigrams))
+        .groupBy("unigram")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    wanted = spark.createDataFrame([(u,) for u in unigrams], ["unigram"])
+    return (
+        wanted.join(toks, "unigram", "left")
+        .select("unigram", F.coalesce("count", F.lit(0)).alias("count"))
+        .orderBy("unigram")
+    )
