@@ -3,8 +3,16 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Conventions keeping Spark and DuckDB hash-identical:
+- every computed column aliased the same on both sides
+- integer outputs cast to BIGINT on both sides (DuckDB SUM(BIGINT)
+  would otherwise widen to HUGEINT; Spark size() returns INT)
+- money aggregates: SUM over DECIMAL(18,2) (exact), then CAST TO
+  DOUBLE — same value bit-for-bit on both engines
+- LIMIT/top-k queries carry a full deterministic ORDER BY tie-break
+- no raw `ts` values emitted (parquet is ns; Spark truncates to µs)
 """
 
 from __future__ import annotations
@@ -12,27 +20,430 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wimbd_spark.functions.text import (
+    doc_hash,
+    hash32,
+    ngram_strings,
+    tokenize,
+)
+from wimbd_spark.operators.count import count_sequences, search_regex_counts
+from wimbd_spark.operators.dedup import (
+    dedup_keep_first,
+    duplicate_stats,
+    overlap,
+)
+from wimbd_spark.operators.keycount import key_count
+from wimbd_spark.operators.stats import corpus_stats
+from wimbd_spark.operators.topk import botk_ngrams, topk_ngrams, unique_ngrams
+from wimbd_spark.search import (
+    build_phrase_predicate,
+    count_documents_for_each_phrase,
+    count_total_occurrences_of_unigrams,
+    get_documents_containing_phrases,
+)
+
+# ---------------------------------------------------------------- helpers
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from wimbd_spark.session import load_tables
+
+    return load_tables(spark, sf_dir, names=[name], register_views=False)[name]
+
+
+# DuckDB token/ngram CTE template (mirrors wimbd_spark.functions.text
+# tokenize/ngram_strings semantics exactly).
+def _sql_grams(n: int) -> str:
+    return f"""
+      toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), grams AS (
+        SELECT doc_id, array_to_string(list_slice(t, i, i+{n - 1}), ' ') AS ngram
+        FROM toks, unnest(generate_series(1, len(t)-{n - 1})) AS u(i)
+        WHERE len(t) >= {n}
+      )
+    """
+
+
+SEARCH_PATTERNS = [r"qu[ae]ry", r"\bjoin\b", r"sc[a-z]n"]
+COUNT_NEEDLES = ["table scan", "the", "hash join probe"]
+PHRASES = ["table scan", "merge", "no such phrase"]
+UNIGRAMS = ["the", "scan", "zzz"]
+
+
+# ---------------------------------------------------------------- queries
+
+def q_topk_ngrams(spark, sf_dir):
+    return topk_ngrams(_docs(spark, sf_dir), n=3, k=20).select(
+        "ngram", F.col("count").cast("long").alias("count"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def o_topk_ngrams():
+    return f"""
+      WITH {_sql_grams(3)}, counted AS (
+        SELECT ngram, CAST(count(*) AS BIGINT) AS count FROM grams GROUP BY ngram
+      )
+      SELECT ngram, count,
+             CAST(row_number() OVER (ORDER BY count DESC, ngram ASC) AS BIGINT) AS rank
+      FROM counted ORDER BY count DESC, ngram ASC LIMIT 20
+    """
+
+
+def q_botk_ngrams(spark, sf_dir):
+    return botk_ngrams(_docs(spark, sf_dir), n=1, k=20).select(
+        "ngram", F.col("count").cast("long").alias("count"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def o_botk_ngrams():
+    return f"""
+      WITH {_sql_grams(1)}, counted AS (
+        SELECT ngram, CAST(count(*) AS BIGINT) AS count FROM grams GROUP BY ngram
+      )
+      SELECT ngram, count,
+             CAST(row_number() OVER (ORDER BY count ASC, ngram ASC) AS BIGINT) AS rank
+      FROM counted ORDER BY count ASC, ngram ASC LIMIT 20
+    """
+
+
+def q_unique_ngrams(spark, sf_dir):
+    return unique_ngrams(_docs(spark, sf_dir), n=2).select(
+        F.col("unique_count").cast("long").alias("unique_count")
+    )
+
+
+def o_unique_ngrams():
+    return f"""
+      WITH {_sql_grams(2)}
+      SELECT CAST(count(DISTINCT ngram) AS BIGINT) AS unique_count FROM grams
+    """
+
+
+def q_count_sequences(spark, sf_dir):
+    return count_sequences(_docs(spark, sf_dir), COUNT_NEEDLES).select(
+        "pattern", F.col("count").cast("long").alias("count")
+    )
+
+
+def o_count_sequences():
+    parts = []
+    for needle in COUNT_NEEDLES:
+        n = len(needle.split())
+        parts.append(
+            f"""
+        SELECT '{needle}' AS pattern,
+               CAST(coalesce(sum(CASE WHEN ngram = '{needle}' THEN 1 ELSE 0 END), 0) AS BIGINT) AS count
+        FROM (WITH {_sql_grams(n)} SELECT ngram FROM grams)
+        """
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_search_regex(spark, sf_dir):
+    return search_regex_counts(_docs(spark, sf_dir), SEARCH_PATTERNS).select(
+        "pattern", F.col("count").cast("long").alias("count")
+    )
+
+
+def o_search_regex():
+    # NB: standard SQL single-quoted strings pass backslashes through
+    # literally, so regex patterns are inserted verbatim.
+    parts = [
+        "SELECT '" + p + "' AS pattern, "
+        "CAST(coalesce(sum(len(regexp_extract_all(text, '" + p + "'))), 0) AS BIGINT) AS count "
+        "FROM documents WHERE text IS NOT NULL"
+        for p in SEARCH_PATTERNS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_corpus_stats(spark, sf_dir):
+    out = corpus_stats(_docs(spark, sf_dir))
+    return out.select(
+        F.col("total_documents").cast("long").alias("total_documents"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.col("document_max_tokens").cast("long").alias("document_max_tokens"),
+        F.col("document_min_tokens").cast("long").alias("document_min_tokens"),
+    )
+
+
+def o_corpus_stats():
+    return """
+      WITH pertok AS (
+        SELECT CASE WHEN text IS NULL THEN 0
+               ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) END AS ntok,
+               CASE WHEN text IS NULL THEN 0 ELSE octet_length(encode(text)) END AS nbytes
+        FROM documents
+      )
+      SELECT CAST(count(*) AS BIGINT) AS total_documents,
+             CAST(sum(ntok) AS BIGINT) AS total_tokens,
+             CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+             CAST(max(ntok) AS BIGINT) AS document_max_tokens,
+             CAST(min(ntok) AS BIGINT) AS document_min_tokens
+      FROM pertok
+    """
+
+
+def q_lang_counts(spark, sf_dir):
+    return key_count(_docs(spark, sf_dir), "lang", key_name="lang").select(
+        "lang", F.col("count").cast("long").alias("count")
+    )
+
+
+def o_lang_counts():
+    return """
+      SELECT lang, CAST(count(*) AS BIGINT) AS count
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    """
+
+
+def q_source_counts(spark, sf_dir):
+    return key_count(_docs(spark, sf_dir), "source", key_name="source").select(
+        "source", F.col("count").cast("long").alias("count")
+    )
+
+
+def o_source_counts():
+    return """
+      SELECT source, CAST(count(*) AS BIGINT) AS count
+      FROM documents WHERE source IS NOT NULL GROUP BY source
+    """
+
+
+def q_token_length_dist(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return (
+        docs.select(F.size(tokenize(F.col("text"))).cast("long").alias("num_tokens"))
+        .groupBy("num_tokens")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+
+
+def o_token_length_dist():
+    return """
+      SELECT CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS num_tokens,
+             CAST(count(*) AS BIGINT) AS count
+      FROM documents WHERE text IS NOT NULL GROUP BY 1
+    """
+
+
+def q_char_length_dist(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.col("n_chars").cast("long").alias("n_chars"))
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+
+
+def o_char_length_dist():
+    return """
+      SELECT CAST(n_chars AS BIGINT) AS n_chars, CAST(count(*) AS BIGINT) AS count
+      FROM documents GROUP BY 1
+    """
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    kept = dedup_keep_first(_docs(spark, sf_dir))
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
+def o_dedup_keep_first():
+    return """
+      WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY coalesce(md5(text), 'None') ORDER BY doc_id) AS rn
+        FROM documents
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM ranked WHERE rn = 1
+    """
+
+
+def q_duplicate_stats(spark, sf_dir):
+    return duplicate_stats(_docs(spark, sf_dir), group_col="source").select(
+        "source",
+        F.col("duplicates").cast("long").alias("duplicates"),
+        F.col("uniq_duplicates").cast("long").alias("uniq_duplicates"),
+        F.col("total").cast("long").alias("total"),
+        F.col("uniq_total").cast("long").alias("uniq_total"),
+    )
+
+
+def o_duplicate_stats():
+    return """
+      WITH counts AS (
+        SELECT source, coalesce(md5(text), 'None') AS h, count(*) AS c
+        FROM documents GROUP BY source, h
+      )
+      SELECT source,
+             CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT) AS duplicates,
+             CAST(count(CASE WHEN c > 1 THEN 1 END) AS BIGINT) AS uniq_duplicates,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS uniq_total
+      FROM counts GROUP BY source
+    """
+
+
+def q_word_overlap(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = docs.filter(F.col("source") == "src0").select(
+        F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    b = docs.filter(F.col("source") == "src1").select(
+        F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    return a.intersect(b)
+
+
+def o_word_overlap():
+    return """
+      WITH words AS (
+        SELECT source, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS word
+        FROM documents WHERE text IS NOT NULL
+      )
+      SELECT DISTINCT word FROM words WHERE source = 'src0'
+      INTERSECT
+      SELECT DISTINCT word FROM words WHERE source = 'src1'
+    """
+
+
+def q_decontaminate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    blocklist = docs.filter(F.col("source") == "src0")
+    from wimbd_spark.operators.dedup import decontaminate
+
+    kept = decontaminate(docs.filter(F.col("source") != "src0"), blocklist)
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def o_decontaminate():
+    return """
+      SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+      WHERE source <> 'src0'
+        AND coalesce(md5(text), 'None') NOT IN (
+          SELECT coalesce(md5(text), 'None') FROM documents WHERE source = 'src0'
+        )
+    """
+
+
+def _sql_phrase_match(phrase: str) -> str:
+    """DuckDB boolean: phrase tokens appear as a contiguous token window."""
+    ptoks = phrase.split()
+    L = len(ptoks)
+    conds = " AND ".join(
+        f"t[i+{j}] = '{tok}'" for j, tok in enumerate(ptoks)
+    )
+    return (
+        f"(len(t) >= {L} AND len(list_filter(generate_series(1, len(t)-{L - 1}),"
+        f" i -> {conds})) > 0)"
+    )
+
+
+def q_phrase_doc_counts(spark, sf_dir):
+    return count_documents_for_each_phrase(_docs(spark, sf_dir), PHRASES).select(
+        "phrase", F.col("count").cast("long").alias("count")
+    )
+
+
+def o_phrase_doc_counts():
+    parts = [
+        f"""
+        SELECT '{p}' AS phrase,
+               CAST(count_if({_sql_phrase_match(p)}) AS BIGINT) AS count
+        FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+              FROM documents WHERE text IS NOT NULL)
+        """
+        for p in PHRASES
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_phrase_retrieval(spark, sf_dir):
+    hits = get_documents_containing_phrases(
+        _docs(spark, sf_dir),
+        ["table scan"],
+        num_documents=10,
+        sort_field="doc_id",
+    )
+    return hits.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+def o_phrase_retrieval():
+    return f"""
+      WITH tok AS (
+        SELECT doc_id, lang, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM tok
+      WHERE {_sql_phrase_match("table scan")}
+      ORDER BY doc_id ASC LIMIT 10
+    """
+
+
+def q_unigram_ttf(spark, sf_dir):
+    return count_total_occurrences_of_unigrams(
+        _docs(spark, sf_dir), UNIGRAMS
+    ).select("unigram", F.col("count").cast("long").alias("count"))
+
+
+def o_unigram_ttf():
+    wanted = ", ".join(f"('{u}')" for u in UNIGRAMS)
+    return f"""
+      WITH words AS (
+        SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+        FROM documents WHERE text IS NOT NULL
+      ), counts AS (
+        SELECT w, count(*) AS c FROM words GROUP BY w
+      )
+      SELECT u.unigram, CAST(coalesce(c.c, 0) AS BIGINT) AS count
+      FROM (VALUES {wanted}) u(unigram) LEFT JOIN counts c ON c.w = u.unigram
+    """
+
+
+# ------------------------------------------------------------ registry
+
+_REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
+    "topk_ngrams_n3_k20": (q_topk_ngrams, o_topk_ngrams),
+    "botk_ngrams_n1_k20": (q_botk_ngrams, o_botk_ngrams),
+    "unique_ngrams_n2": (q_unique_ngrams, o_unique_ngrams),
+    "count_sequences": (q_count_sequences, o_count_sequences),
+    "search_regex_counts": (q_search_regex, o_search_regex),
+    "corpus_stats": (q_corpus_stats, o_corpus_stats),
+    "lang_counts": (q_lang_counts, o_lang_counts),
+    "source_counts": (q_source_counts, o_source_counts),
+    "token_length_dist": (q_token_length_dist, o_token_length_dist),
+    "char_length_dist": (q_char_length_dist, o_char_length_dist),
+    "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
+    "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
+    "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
+    "decontaminate_src0": (q_decontaminate, o_decontaminate),
+    "phrase_doc_counts": (q_phrase_doc_counts, o_phrase_doc_counts),
+    "phrase_retrieval_top10": (q_phrase_retrieval, o_phrase_retrieval),
+    "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: top-20 trigrams."""
+    return q_topk_ngrams(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: osql().strip()
+        for name, (_, osql) in _REGISTRY.items()
+        if osql is not None
+    }
