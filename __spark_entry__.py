@@ -48,7 +48,11 @@ from wimbd_spark.search import (
 # ---------------------------------------------------------------- helpers
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from wimbd_spark.session import rebalance_small_input
+
+    return rebalance_small_input(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

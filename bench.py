@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark headline queries; prints ONE JSON line for the driver.
+
+Runs each headline query from __spark_entry__.queries() at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], timing full execution (noop sink — every
+operator runs, nothing collected to the driver beyond agg results).
+
+Output: {"metric": "...", "value": total_sec, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": float}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of SURVEY.md §2: ngram aggs (A7/A8/A9), scalar
+# stats (A4), sequence/regex search (A5/A6), keycount family (A1),
+# dedup joins (J2/J3/A11), ES-parity phrase surface (E4/E6/E7).
+HEADLINE = [
+    "topk_ngrams_n3_k20",
+    "botk_ngrams_n1_k20",
+    "unique_ngrams_n2",
+    "count_sequences",
+    "search_regex_counts",
+    "corpus_stats",
+    "lang_counts",
+    "token_length_dist",
+    "dedup_exact_keepfirst",
+    "duplicate_stats_by_source",
+    "decontaminate_src0",
+    "phrase_doc_counts",
+    "unigram_ttf",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from wimbd_spark.session import get_spark
+
+    spark = get_spark(app_name="wimbd-spark-bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sorted(qs) if n.startswith("bench_") and n not in HEADLINE
+    ]
+
+    # Warm up JVM/codegen paths (parquet reader, higher-order function
+    # codegen, shuffle machinery) on a 100-doc slice so per-query
+    # timings measure the workload, not first-call JIT.
+    from wimbd_spark.operators.topk import topk_ngrams
+
+    warm = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    topk_ngrams(warm, 3, 5).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -48,25 +48,31 @@ def count_sequences(
     """
     if not needles:
         raise ValueError("count_sequences: needles must be non-empty")
-    toks = tokenize(F.col(text_col))
 
     def _eq(needle):
         # NB: F.filter introspects lambda arity (2 args = element,index),
         # so bind the needle via closure, single-arg lambda only.
         return lambda g: g == F.lit(needle)
 
+    # Materialize tokens once, then each distinct needle length's
+    # n-gram array once — Catalyst does not CSE across higher-order
+    # function lambdas, so without this every needle re-tokenizes.
+    lengths = sorted({len(n.split()) for n in needles})
+    grams = df.select(tokenize(F.col(text_col)).alias("_t")).select(
+        *[ngram_strings(F.col("_t"), n).alias(f"_g{n}") for n in lengths]
+    )
     aggs = [
         F.sum(
             F.coalesce(
                 F.size(
-                    F.filter(ngram_strings(toks, len(needle.split())), _eq(needle))
+                    F.filter(F.col(f"_g{len(needle.split())}"), _eq(needle))
                 ),
                 F.lit(0),
             )
         ).alias(f"_c{i}")
         for i, needle in enumerate(needles)
     ]
-    return _unpivot_counts(df.agg(*aggs), needles)
+    return _unpivot_counts(grams.agg(*aggs), needles)
 
 
 def search_regex_counts(

@@ -83,11 +83,21 @@ def build_phrase_predicate(
     slop: int = 0,
     is_regexp: bool = False,
     token_aligned: bool = True,
+    tokens: Column | None = None,
 ) -> Column:
     """Compile a phrase list into one boolean Column.
 
     token_aligned=False degrades to raw substring `contains` — cheaper,
     and what several reference Python analyses actually do.
+
+    Pass ``tokens`` (a precomputed token-array Column) when evaluating
+    many phrases over one scan — Catalyst does not CSE tokenize()
+    across lambda-bearing expressions.
+
+    Perf: the token-window scan is guarded by a cheap substring
+    `contains` on the phrase's longest token — a necessary condition
+    (token equality ⇒ substring presence) that short-circuits the
+    O(len·window) scan for most non-matching docs.
     """
     if not phrases:
         raise ValueError("phrases must be non-empty")
@@ -95,8 +105,14 @@ def build_phrase_predicate(
     if is_regexp:
         preds = [text.rlike("(?i)" + p) for p in phrases]
     elif token_aligned:
-        toks = tokenize(text)
-        preds = [_phrase_window_match(toks, p, slop) for p in phrases]
+        toks = tokens if tokens is not None else tokenize(text)
+        preds = []
+        for p in phrases:
+            longest = max(p.split(), key=len, default="")
+            preds.append(
+                F.coalesce(text.contains(longest), F.lit(False))
+                & _phrase_window_match(toks, p, slop)
+            )
     else:
         preds = [text.contains(p) for p in phrases]
     out = preds[0]
@@ -172,11 +188,22 @@ def count_documents_for_each_phrase(
     out = df
     for col, val in (filters or {}).items():
         out = out.filter(F.col(col) == val)
+    # Tokenize once for all phrases (projected column, not re-derived
+    # inside each predicate).
+    out = out.select(
+        F.col(text_col), tokenize(F.col(text_col)).alias("_toks")
+    )
     aggs, names = [], []
     for i, p in enumerate(phrases):
         group = p if isinstance(p, list) else [p]
         pred = build_phrase_predicate(
-            group, text_col, True, slop, False, token_aligned
+            group,
+            text_col,
+            True,
+            slop,
+            False,
+            token_aligned,
+            tokens=F.col("_toks"),
         )
         names.append(" AND ".join(group))
         aggs.append(F.count_if(pred).alias(f"_c{i}"))
@@ -201,13 +228,45 @@ def count_total_occurrences_of_unigrams(
 ) -> DataFrame:
     """Total term frequency per unigram → (unigram, count).
 
-    Exact in one explode+filter+count pass, replacing the reference's
-    per-shard term-vector ttf summation (:348-426). Includes zero rows
-    for unigrams absent from the corpus (ES reports 0 too).
+    Exact, replacing the reference's per-shard term-vector ttf
+    summation (:348-426). Includes zero rows for unigrams absent from
+    the corpus (ES reports 0 too).
+
+    Physical strategy by term-list size:
+    - small (≤100): one conditional-count aggregate per term over a
+      single scan — zero shuffles, zero joins.
+    - large: explode tokens → semi-filter → groupBy → broadcast-join
+      back to the term list (one shuffle, scales to any #terms).
     """
     if not unigrams:
         raise ValueError("unigrams must be non-empty")
     spark = df.sparkSession
+    if len(unigrams) <= 100:
+        toksed = df.select(tokenize(F.col(text_col)).alias("_t"))
+
+        def _eq(u):
+            return lambda x: x == F.lit(u)
+
+        aggs = [
+            F.sum(
+                F.coalesce(F.size(F.filter(F.col("_t"), _eq(u))), F.lit(0))
+            ).alias(f"_c{i}")
+            for i, u in enumerate(unigrams)
+        ]
+        row = toksed.agg(*aggs)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(u).alias("unigram"), F.col(f"_c{i}").alias("count")
+                )
+                for i, u in enumerate(unigrams)
+            ]
+        )
+        return (
+            row.select(F.explode(pairs).alias("p"))
+            .select("p.unigram", "p.count")
+            .orderBy("unigram")
+        )
     toks = (
         df.select(F.explode(tokenize(F.col(text_col))).alias("unigram"))
         .filter(F.col("unigram").isin(unigrams))

@@ -66,11 +66,26 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def rebalance_small_input(df: DataFrame) -> DataFrame:
+    """Spread a tiny input (fewer partitions than cores) across the
+    cluster. CPU-bound text operators (tokenize/ngram explode) are
+    otherwise serialized on one core when the source is a single small
+    file. At real scale (many files / large row groups) the scan
+    already yields >= defaultParallelism partitions and this is a
+    no-op — no shuffle is added on the 100 TB path.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,
     names: list[str] | None = None,
     register_views: bool = True,
+    rebalance: bool = True,
 ) -> dict[str, DataFrame]:
     """Load the driver's parquet tables from ``sf_dir``; optionally
     register them as temp views so ``spark.sql`` works on them.
@@ -81,6 +96,8 @@ def load_tables(
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
+        if rebalance:
+            df = rebalance_small_input(df)
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             # TIMESTAMP(NANOS) read as long under nanosAsLong → rebuild a
             # microsecond timestamp (floor). DuckDB keeps ns precision, so
