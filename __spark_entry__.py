@@ -413,6 +413,305 @@ def o_unigram_ttf():
     """
 
 
+# ----------------------------------------------- relational (TPC-H-ish)
+# The reference has no general join surface (SURVEY.md §2.4 "missing
+# entirely"); these exercise the engine's native relational algebra on
+# the driver's star schema: multi-way joins, broadcast dims, decimal-
+# exact money aggregation.
+
+def _dec_sum(col, scale=2):
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity").alias("sum_qty"),
+            _dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+def o_pricing_summary():
+    return """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             CAST(COUNT(*) AS BIGINT) AS count_order,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q_top_orders_by_revenue(spark, sf_dir):
+    cust = _tbl(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"], "inner"
+        )
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("o_orderkey").cast("long").alias("o_orderkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def o_top_orders_by_revenue():
+    return """
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderkey
+      ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """
+
+
+def q_nation_revenue(spark, sf_dir):
+    region = _tbl(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _tbl(spark, sf_dir, "nation")
+    cust = _tbl(spark, sf_dir, "customer")
+    supp = _tbl(spark, sf_dir, "supplier")
+    orders = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def o_nation_revenue():
+    return """
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND c_nationkey = s_nationkey
+      GROUP BY n_name
+    """
+
+
+def q_top_customers(spark, sf_dir):
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    totals = orders.groupBy("o_custkey").agg(
+        _dec_sum("o_totalprice").alias("total_spent"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    return (
+        totals.join(
+            F.broadcast(cust), totals["o_custkey"] == cust["c_custkey"]
+        )
+        .select("c_name", "total_spent", "n_orders")
+        .orderBy(F.col("total_spent").desc(), F.col("c_name").asc())
+        .limit(10)
+    )
+
+
+def o_top_customers():
+    return """
+      SELECT c_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_name
+      ORDER BY total_spent DESC, c_name ASC LIMIT 10
+    """
+
+
+def q_orders_by_year_priority(spark, sf_dir):
+    orders = _tbl(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).cast("long").alias("count"))
+
+
+def o_orders_by_year_priority():
+    return """
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+             o_orderpriority, CAST(COUNT(*) AS BIGINT) AS count
+      FROM orders GROUP BY 1, 2
+    """
+
+
+# ------------------------------------------------------- events (batch)
+
+def q_events_tumbling(spark, sf_dir):
+    from wimbd_spark.operators.windows import tumbling_agg
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev, duration_s=3600, keys=("event_type",), value_col="value"
+    )
+    return out.select(
+        "window_start_s",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )
+
+
+def o_events_tumbling():
+    return """
+      SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600 AS window_start_s,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    """
+
+
+def q_events_sliding(spark, sf_dir):
+    from wimbd_spark.operators.windows import sliding_agg
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = sliding_agg(ev, duration_s=3600, slide_s=1800)
+    return out.select(
+        "window_start_s", F.col("n_events").cast("long").alias("n_events")
+    )
+
+
+def o_events_sliding():
+    return """
+      SELECT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) * 1800
+               - k * 1800 AS window_start_s,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events, unnest([0, 1]) AS t(k)
+      GROUP BY 1
+    """
+
+
+def q_session_stats(spark, sf_dir):
+    from wimbd_spark.operators.windows import session_stats
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = session_stats(ev, gap_s=1800)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "start_s",
+        "end_s",
+        "duration_s",
+    )
+
+
+def o_session_stats():
+    return """
+      WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id, us,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+      )
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(session_id AS BIGINT) AS session_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(floor(MIN(us) / 1000000) AS BIGINT) AS start_s,
+             CAST(floor(MAX(us) / 1000000) AS BIGINT) AS end_s,
+             CAST(floor(MAX(us) / 1000000) - floor(MIN(us) / 1000000) AS BIGINT) AS duration_s
+      FROM sessions GROUP BY user_id, session_id
+    """
+
+
+def q_events_json_stats(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long"))
+        .cast("long")
+        .alias("sum_k"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+def o_events_json_stats():
+    return """
+      SELECT event_type,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    """
+
+
+def q_top_purchase_users(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(_dec_sum("value").alias("total_value"))
+        .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+def o_top_purchase_users():
+    return """
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+      ORDER BY total_value DESC, user_id ASC LIMIT 10
+    """
+
+
 # ------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
@@ -433,6 +732,16 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "phrase_doc_counts": (q_phrase_doc_counts, o_phrase_doc_counts),
     "phrase_retrieval_top10": (q_phrase_retrieval, o_phrase_retrieval),
     "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
+    "pricing_summary": (q_pricing_summary, o_pricing_summary),
+    "top_orders_by_revenue": (q_top_orders_by_revenue, o_top_orders_by_revenue),
+    "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
+    "top_customers": (q_top_customers, o_top_customers),
+    "orders_by_year_priority": (q_orders_by_year_priority, o_orders_by_year_priority),
+    "events_tumbling_1h": (q_events_tumbling, o_events_tumbling),
+    "events_sliding_1h_30m": (q_events_sliding, o_events_sliding),
+    "session_stats_30m_gap": (q_session_stats, o_session_stats),
+    "events_json_stats": (q_events_json_stats, o_events_json_stats),
+    "top_purchase_users": (q_top_purchase_users, o_top_purchase_users),
 }
 
 
