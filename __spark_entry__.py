@@ -712,6 +712,349 @@ def o_top_purchase_users():
     """
 
 
+# ------------------------------------- beyond-reference: near-dup stack
+
+def _docs_with_neardups(spark, sf_dir):
+    """documents ∪ mutated copies (first token dropped, id+1000000) —
+    guarantees the near-dup operators have true positives to find.
+    Same construction in the oracle SQL."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+    )
+    return docs.unionAll(mutated)
+
+
+_SQL_NEARDUP_BASE = r"""
+      base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '')
+        FROM documents
+      )
+"""
+
+
+def _sql_base_grams(n: int = 3) -> str:
+    return f"""
+      {_SQL_NEARDUP_BASE},
+      toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> '') AS t
+        FROM base WHERE text IS NOT NULL
+      ), grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, i, i+{n - 1}), ' ') AS g
+        FROM toks, unnest(generate_series(1, len(t)-{n - 1})) AS u(i)
+        WHERE len(t) >= {n}
+      )
+    """
+
+
+def _sql_hash32(expr: str, salt: str | None = None) -> str:
+    inner = f"'{salt}:' || {expr}" if salt is not None else expr
+    return f"('0x' || substr(md5({inner}), 1, 8))::BIGINT"
+
+
+def _sql_minhash_sigs(num_hashes: int = 4) -> str:
+    mins = ", ".join(
+        f"min({_sql_hash32('g', str(j))}) AS mh{j}" for j in range(num_hashes)
+    )
+    return f"""
+      {_sql_base_grams(3)},
+      sigs AS (
+        SELECT doc_id, {mins} FROM grams GROUP BY doc_id
+      )
+    """
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from wimbd_spark.operators.neardup import minhash_signatures
+
+    out = minhash_signatures(
+        _docs_with_neardups(spark, sf_dir), num_hashes=4
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[F.col(f"mh{j}") for j in range(4)],
+    )
+
+
+def o_minhash_signatures():
+    return f"""
+      WITH {_sql_minhash_sigs(4)}
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, mh0, mh1, mh2, mh3 FROM sigs
+    """
+
+
+def q_lsh_neardup_pairs(spark, sf_dir):
+    from wimbd_spark.operators.neardup import minhash_dedup_pairs
+
+    out = minhash_dedup_pairs(
+        _docs_with_neardups(spark, sf_dir),
+        num_hashes=4,
+        bands=2,
+        threshold=0.5,
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def o_lsh_neardup_pairs():
+    bh0 = _sql_hash32("mh0::VARCHAR || ':' || mh1::VARCHAR")
+    bh1 = _sql_hash32("mh2::VARCHAR || ':' || mh3::VARCHAR")
+    return f"""
+      WITH {_sql_minhash_sigs(4)},
+      bands AS (
+        SELECT doc_id, 0 AS band, {bh0} AS bh FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band, {bh1} AS bh FROM sigs
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      ),
+      sets AS (SELECT doc_id, list_sort(list(g)) AS sh FROM grams GROUP BY doc_id)
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             len(list_distinct(list_intersect(x.sh, y.sh)))
+               / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+      FROM cand
+      JOIN sets x ON x.doc_id = id_a
+      JOIN sets y ON y.doc_id = id_b
+      WHERE len(list_distinct(list_intersect(x.sh, y.sh)))
+              / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+    """
+
+
+def q_simhash(spark, sf_dir):
+    from wimbd_spark.operators.neardup import simhash16
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.size(tokenize(F.col("text"))) > 0)
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        simhash16(F.col("text")).alias("simhash"),
+    )
+
+
+def o_simhash():
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(16)
+    )
+    total = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END" for i in range(16)
+    )
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, list_sort(list_distinct(
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS t
+        FROM documents
+        WHERE text IS NOT NULL
+          AND len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) > 0
+      ),
+      words AS (
+        SELECT doc_id, {_sql_hash32("w")} AS h FROM toks, unnest(t) AS u(w)
+      ),
+      votes AS (SELECT doc_id, {votes} FROM words GROUP BY doc_id)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({total} AS BIGINT) AS simhash
+      FROM votes
+    """
+
+
+# ------------------------------- beyond-reference: similarity search
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from wimbd_spark.operators.similarity import cosine_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=3)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+    )
+
+
+def o_ann_cosine_topk():
+    return """
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 5),
+           c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                 FROM embeddings),
+           scored AS (
+             SELECT query_id, neighbor_id,
+                    list_cosine_similarity(qv, cv) AS cos
+             FROM q, c WHERE query_id <> neighbor_id
+           ),
+           ranked AS (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+             FROM scored
+           )
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 3
+    """
+
+
+# ------------------------------------ beyond-reference: text analysis
+
+_STOP_EN = "'the','a','of','and','to','in','is','it'"
+
+
+def q_quality_scores(spark, sf_dir):
+    from wimbd_spark.operators.textqc import quality_scores
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return quality_scores(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_chars",
+        "n_tokens",
+        "mean_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "digit_ratio",
+        "repetition_ratio",
+    )
+
+
+def o_quality_scores():
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             list_aggregate(list_transform(t, x -> length(x)), 'sum')
+               / (CASE WHEN len(t) > 0 THEN len(t)::DOUBLE END) AS mean_token_len,
+             len(list_filter(t, x -> lower(x) IN ({_STOP_EN})))
+               / (CASE WHEN len(t) > 0 THEN len(t)::DOUBLE END) AS stopword_ratio,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               / (CASE WHEN length(text) > 0 THEN length(text)::DOUBLE END) AS punct_ratio,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / (CASE WHEN length(text) > 0 THEN length(text)::DOUBLE END) AS digit_ratio,
+             1.0 - len(list_distinct(t))
+               / (CASE WHEN len(t) > 0 THEN len(t)::DOUBLE END) AS repetition_ratio
+      FROM toks
+    """
+
+
+def q_langid_counts(spark, sf_dir):
+    from wimbd_spark.operators.textqc import langid_heuristic
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return (
+        docs.select(langid_heuristic(F.col("text")).alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+
+
+def o_langid_counts():
+    from wimbd_spark.operators.textqc import STOPWORDS
+
+    score = {
+        lang: f"len(list_filter(t, x -> lower(x) IN ({', '.join(chr(39) + w + chr(39) for w in words)})))"
+        for lang, words in STOPWORDS.items()
+    }
+    mx = "greatest(" + ", ".join(score.values()) + ")"
+    case = f"CASE WHEN {mx} <= 0 THEN 'un' " + " ".join(
+        f"WHEN {score[lang]} = {mx} THEN '{lang}'" for lang in STOPWORDS
+    ) + " ELSE 'un' END"
+    return f"""
+      WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      )
+      SELECT {case} AS predicted_lang, CAST(count(*) AS BIGINT) AS count
+      FROM toks GROUP BY 1
+    """
+
+
+def q_fingerprints(spark, sf_dir):
+    from wimbd_spark.operators.textqc import doc_fingerprint
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def o_fingerprints():
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), grams AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i+2), ' ') AS g
+        FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+      ), fps AS (
+        SELECT doc_id, bit_xor({_sql_hash32("g")}) AS fp FROM grams GROUP BY doc_id
+      )
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             CAST(coalesce(f.fp, 0) AS BIGINT) AS fingerprint
+      FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id
+      WHERE d.text IS NOT NULL
+    """
+
+
+def q_token_counts(spark, sf_dir):
+    from wimbd_spark.operators.textqc import token_count, token_count_bpe_ish
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        token_count_bpe_ish(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def o_token_counts():
+    return r"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpe_tokens
+      FROM documents WHERE text IS NOT NULL
+    """
+
+
+# --------------------------------- beyond-reference: multimodal plumbing
+
+def q_multimodal_bytes_meta(spark, sf_dir):
+    from wimbd_spark.operators.multimodal import attach_fake_payload, bytes_meta
+
+    media = attach_fake_payload(_docs(spark, sf_dir))
+    return bytes_meta(media).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bytes",
+        "first_byte_hex",
+    )
+
+
+def o_multimodal_bytes_meta():
+    return """
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+             lower(substr(hex(encode(coalesce(text, ''))), 1, 2)) AS first_byte_hex
+      FROM documents
+    """
+
+
 # ------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
@@ -742,6 +1085,15 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "session_stats_30m_gap": (q_session_stats, o_session_stats),
     "events_json_stats": (q_events_json_stats, o_events_json_stats),
     "top_purchase_users": (q_top_purchase_users, o_top_purchase_users),
+    "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
+    "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
+    "simhash16": (q_simhash, o_simhash),
+    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
+    "quality_scores": (q_quality_scores, o_quality_scores),
+    "langid_counts": (q_langid_counts, o_langid_counts),
+    "doc_fingerprints": (q_fingerprints, o_fingerprints),
+    "token_counts": (q_token_counts, o_token_counts),
+    "multimodal_bytes_meta": (q_multimodal_bytes_meta, o_multimodal_bytes_meta),
 }
 
 

@@ -1,0 +1,117 @@
+"""MinHash/LSH, SimHash, Jaccard near-dup tests."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from wimbd_spark.operators.neardup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash16,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    far = "completely different words in this one entirely unrelated text"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base), (5, "tiny")],
+        ["doc_id", "text"],
+    )
+
+
+def test_minhash_identical_docs_equal_signatures(corpus):
+    sigs = {r["doc_id"]: tuple(r[f"mh{j}"] for j in range(8))
+            for r in minhash_signatures(corpus).collect()}
+    assert sigs[1] == sigs[4]          # identical text → identical signature
+    assert sigs[1] != sigs[3]          # unrelated text → different
+    assert 5 not in sigs               # no 3-gram shingles → dropped
+
+
+def test_minhash_matches_duckdb(corpus):
+    rows = minhash_signatures(corpus, num_hashes=2).collect()
+    got = {r["doc_id"]: (r["mh0"], r["mh1"]) for r in rows}
+    pdf = corpus.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    expect = dict(
+        (r[0], (r[1], r[2]))
+        for r in con.sql(
+            """
+        WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+          FROM docs WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT doc_id, array_to_string(list_slice(t, i, i+2), ' ') AS g
+          FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i) WHERE len(t) >= 3
+        )
+        SELECT doc_id,
+               min(('0x' || substr(md5('0:' || g), 1, 8))::BIGINT) AS mh0,
+               min(('0x' || substr(md5('1:' || g), 1, 8))::BIGINT) AS mh1
+        FROM grams GROUP BY doc_id
+        """
+        ).fetchall()
+    )
+    assert got == expect
+
+
+def test_lsh_finds_near_dups(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(corpus).collect()
+    }
+    assert (1, 4) in pairs             # exact dup always collides
+    # near-dup (1,2) likely collides on >=1 of 4 bands; far (3) never with 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_exact(spark, corpus):
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], ["id_a", "id_b"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(corpus, pairs).collect()
+    }
+    assert got[(1, 4)] == 1.0
+    # base/near share 12-token docs differing in 1 token: 10 3-gram
+    # shingles each, 7 shared (3 windows touch the changed token)
+    assert got[(1, 2)] == pytest.approx(7 / 13)
+
+
+def test_minhash_dedup_pipeline(corpus):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(corpus, threshold=0.5).collect()
+    }
+    assert (1, 4) in out
+    assert all(j >= 0.5 for j in out.values())
+
+
+def test_simhash_properties(spark, corpus):
+    vals = {
+        r["doc_id"]: r["sh"]
+        for r in corpus.select(
+            "doc_id", simhash16(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert vals[1] == vals[4]
+    assert 0 <= vals[1] <= 65535
+    # near-dup hamming distance < far-pair hamming distance
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(vals[1], vals[2]) < ham(vals[1], vals[3])
+
+
+def test_simhash_pairs(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(corpus, max_hamming=2).collect()
+    }
+    assert pairs.get((1, 4)) == 0
+
+
+def test_lsh_rejects_bad_band_config(corpus):
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(corpus, num_hashes=8, bands=3)

@@ -1,0 +1,74 @@
+"""ANN similarity search tests on the driver's embeddings table."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wimbd_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    cosine_topk_lsh,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(tables):
+    return tables["embeddings"]
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [2.0, 3.0])], ["a", "b"]
+    )
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    expect = (1 * 2 + 2 * 3) / (math.sqrt(5) * math.sqrt(13))
+    assert got == pytest.approx(expect, rel=1e-12)
+
+
+def test_brute_force_topk_matches_numpy(embeddings):
+    import numpy as np
+
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    got = cosine_topk(embeddings, queries, k=3).collect()
+    pdf = embeddings.orderBy("vec_id").toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    for q in range(3):
+        order = [
+            ids[j]
+            for j in np.lexsort((ids, -sims[q]))
+            if ids[j] != ids[q]
+        ][:3]
+        mine = [
+            r["neighbor_id"]
+            for r in sorted(
+                (r for r in got if r["query_id"] == q),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert mine == order
+
+
+def test_lsh_recall_reasonable(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(embeddings, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_lsh(
+            embeddings, queries, k=3, nbits=4, multiprobe=True
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # 4-bit sketch + multiprobe on random vectors
+
+
+def test_lsh_self_excluded(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    rows = cosine_topk_lsh(embeddings, queries, k=3, nbits=4).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)

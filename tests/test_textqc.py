@@ -1,0 +1,53 @@
+"""Text QC tests: langid heuristic, quality features, token counts,
+fingerprints."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wimbd_spark.operators.textqc import (
+    doc_fingerprint,
+    langid_heuristic,
+    quality_scores,
+    token_count,
+    token_count_bpe_ish,
+)
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_langid(spark):
+    assert one(spark, langid_heuristic(F.lit("the cat sat on the mat and slept"))) == "en"
+    assert one(spark, langid_heuristic(F.lit("der Hund und die Katze ist da"))) == "de"
+    assert one(spark, langid_heuristic(F.lit("el perro y la casa es grande"))) == "es"
+    assert one(spark, langid_heuristic(F.lit("le chien et les chats dans une maison"))) == "fr"
+    assert one(spark, langid_heuristic(F.lit("xyzzy plugh"))) == "un"
+    assert one(spark, langid_heuristic(F.lit(""))) == "un"
+
+
+def test_token_counts(spark):
+    assert one(spark, token_count(F.lit("a b  c"))) == 3
+    assert one(spark, token_count_bpe_ish(F.lit("don't stop, world!"))) == 7
+    assert one(spark, token_count_bpe_ish(F.lit(""))) == 0
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat, the cat! 42")], ["doc_id", "text"]
+    )
+    r = quality_scores(df).collect()[0]
+    assert r["n_tokens"] == 5
+    assert r["n_chars"] == 20
+    # tokens: the cat, the cat! 42 → "the","cat,","the","cat!","42"
+    assert r["repetition_ratio"] == pytest.approx(1 - 4 / 5)
+    assert r["digit_ratio"] == pytest.approx(2 / 20)
+    assert r["punct_ratio"] == pytest.approx(2 / 20)
+    assert r["stopword_ratio"] == pytest.approx(2 / 5)
+
+
+def test_fingerprint_deterministic_and_order_free(spark):
+    a = one(spark, doc_fingerprint(F.lit("one two three four")))
+    b = one(spark, doc_fingerprint(F.lit("one two three four")))
+    assert a == b and a != 0
+    assert one(spark, doc_fingerprint(F.lit("xx"))) == 0  # no shingles

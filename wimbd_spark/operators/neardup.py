@@ -1,0 +1,236 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference operators (the reference only does exact md5 dedup,
+deduplicate_by_hash.py) — these are the standard near-dup stack for
+training-data pipelines at corpus scale.
+
+Design for 100 TB:
+- Signatures are computed per-row as pure Column expressions over the
+  document's own shingle array (array_min/transform/aggregate) — ZERO
+  shuffle; the only shuffles are the LSH band groupBy (keyed on small
+  band hashes) and the candidate-pair self-join (bounded by bucket
+  sizes, the whole point of LSH).
+- All hashes derive from md5 (hash32) so a DuckDB oracle reproduces
+  signatures bit-for-bit.
+- Jaccard verification joins the two shingle arrays only for CANDIDATE
+  pairs (post-LSH), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wimbd_spark.functions.text import hash32, ngram_strings, tokenize
+
+
+def shingle_set(text: Column | str, n: int = 3) -> Column:
+    """Sorted distinct token n-gram strings of a document."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_sort(F.array_distinct(ngram_strings(tokenize(c), n)))
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 8, shingle_n: int = 3
+) -> list[Column]:
+    """MinHash signature as ``num_hashes`` BIGINT columns mh0..mhK.
+
+    mh_j(doc) = min over shingles s of hash32(j ':' s) — a salted-hash
+    family, reproducible in SQL. NULL when the doc has no shingles.
+    """
+    sh = shingle_set(text, shingle_n)
+
+    def _salted(j):
+        # single-arg lambda only: F.transform treats 2-arg lambdas as
+        # (element, index) — bind the salt via closure.
+        return lambda s: hash32(s, salt=str(j))
+
+    return [
+        F.array_min(F.transform(sh, _salted(j))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh0..mhK) per document — one narrow projection, no shuffle."""
+    return df.select(
+        F.col(id_col), *minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    ).filter(F.col("mh0").isNotNull())
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Band hash = hash32 of ':'-joined minhashes in the band. Docs are
+    exploded to (band_idx, band_hash) rows — `bands` rows per doc —
+    then self-joined within buckets. Bucket-size skew is the classic
+    LSH risk; AQE skew-join handles moderate cases, and `bands`/`rows`
+    tune the candidate volume.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be a multiple of bands")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                hash32(F.concat_ws(":", *parts)).alias("bh"),
+            )
+        )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "b.band", "b.bh")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bh") == F.col(f"b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (id_a, id_b) pairs →
+    (id_a, id_b, jaccard). Joins shingle arrays only for the pairs."""
+    sh = df.select(
+        F.col(id_col), shingle_set(F.col(text_col), shingle_n).alias("sh")
+    )
+    out = (
+        pairs.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0.0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → banded buckets →
+    candidate pairs → exact-Jaccard verification ≥ threshold."""
+    cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    return jaccard_pairs(df, cand, id_col, text_col, shingle_n, threshold)
+
+
+def simhash16(text: Column | str, shingle_n: int = 1) -> Column:
+    """16-bit SimHash over distinct token shingles → BIGINT in [0, 65535].
+
+    bit_i = 1 iff Σ over shingles of (bit_i(hash32(s)) ? +1 : -1) > 0.
+    Pure per-row expression (no shuffle); reproducible in SQL.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    sh = (
+        F.array_sort(F.array_distinct(tokenize(c)))
+        if shingle_n == 1
+        else shingle_set(c, shingle_n)
+    )
+    hashes = F.transform(sh, lambda s: hash32(s))
+
+    def _vote(i):
+        # closure-bound bit index; aggregate lambdas must be exactly
+        # (acc, x)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for i in range(16):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote(i))
+        bits.append(F.when(vote > 0, F.lit(2**i)).otherwise(F.lit(0)))
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total.cast("long")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Scale path: block on the top byte of the simhash (docs differing
+    only in low bits still collide) and compare within blocks —
+    all-pairs only inside blocks, not globally.
+    """
+    s = df.select(
+        F.col(id_col), simhash16(F.col(text_col)).alias("sh")
+    ).filter(F.col("sh").isNotNull())
+    s = s.withColumn("blk", F.shiftright(F.col("sh"), 8))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+    )

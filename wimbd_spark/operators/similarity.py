@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference: approximate-nearest-neighbor for training-data
+curation (near-dup by embedding, retrieval audits).
+
+Two paths:
+- cosine_topk: exact brute force — broadcast the (small) query set
+  against the corpus scan, rank per query. The baseline and the
+  correctness oracle.
+- cosine_topk_lsh: random-hyperplane LSH — corpus and queries bucketed
+  by sign-bit sketch; candidates only within matching buckets (with
+  multiprobe on 1-bit flips). The 100 TB path: the corpus side is a
+  narrow (id, bucket, vec) table that can be written bucketed/sorted,
+  so a query probes O(corpus/2^bits) rows.
+
+All dot products run in DOUBLE via zip_with+aggregate (JVM codegen,
+no UDF, no shuffle for scoring — the only shuffle is the top-k rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wimbd_spark.functions.text import hash32
+
+
+def _to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query →
+    (query_id, neighbor_id, rank).
+
+    queries is broadcast (small); scoring is a map-side projection over
+    the corpus; the per-query top-k is a window rank — at scale,
+    replace with groupBy(query).agg(max_by-style heap) if k is tiny.
+    """
+    qid = query_id_col or id_col
+    q = F.broadcast(
+        queries.select(
+            F.col(qid).alias("query_id"), _to_double(F.col(vec_col)).alias("_qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("_cv"),
+    )
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    derived from md5 so tests / remote executors agree with no RNG
+    state. (Python-side constant folding — becomes a literal array.)
+    """
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(
+            hashlib.md5(f"plane:{plane}:{d}".encode()).hexdigest()[:8], 16
+        )
+        out.append(h / float(2**31) - 1.0)
+    return out
+
+
+def sign_sketch(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit_p = sign(vec · plane_p)."""
+    total = F.lit(0)
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec, arr) > 0, F.lit(2**p)).otherwise(F.lit(0))
+        total = total + bit
+    return total.cast("long")
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 6,
+    dim: int = 64,
+    multiprobe: bool = True,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share a sign-sketch bucket (or a
+    1-bit flip with multiprobe), then exact cosine rank within
+    candidates. Recall rises with multiprobe; cost drops ~2^nbits."""
+    planes = [_hyperplane(p, dim) for p in range(nbits)]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("bucket", sign_sketch(F.col("_cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_b0", sign_sketch(F.col("_qv"), planes))
+    if multiprobe:
+        probes = F.array(
+            F.col("_b0"),
+            *[
+                F.col("_b0").bitwiseXOR(F.lit(2**p)).cast("long")
+                for p in range(nbits)
+            ],
+        )
+    else:
+        probes = F.array(F.col("_b0"))
+    q = q.select(
+        "query_id", "_qv", F.explode(probes).alias("bucket")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+    )

@@ -1,0 +1,124 @@
+"""Text analysis: language-ID heuristic, quality scoring, token
+counting, document fingerprinting.
+
+Beyond-reference versions of the reference's model-backed analyses
+(wimbd/language/map_count.py pycld2, wimbd/profanity, …) re-expressed
+as deterministic, dependency-free column expressions so they run
+JVM-side at corpus scale and are oracle-checkable. The model-backed
+variants (real langid/profanity classifiers) plug in as pandas_udfs —
+see wimbd_spark.operators.models.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wimbd_spark.functions.text import hash32, ngram_strings, tokenize
+
+# Tiny per-language stopword profiles (public, common function words).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+    "es": ["el", "la", "de", "y", "es", "un", "una", "en"],
+    "fr": ["le", "la", "et", "les", "est", "un", "une", "dans"],
+}
+
+TOKEN_REGEX = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (fast path)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(tokenize(c)).cast("long")
+
+
+def token_count_bpe_ish(text: Column | str) -> Column:
+    """BPE-ish token count: word pieces + individual punctuation marks
+    (a closer proxy for subword tokenizer counts than whitespace)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.coalesce(F.regexp_count(c, F.lit(TOKEN_REGEX)), F.lit(0)).cast(
+        "long"
+    )
+
+
+def stopword_count(tokens: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(tokens, lambda t: F.lower(t).isin(*[F.lit(w) for w in words]))
+    )
+
+
+def quality_features(text: Column | str) -> list[Column]:
+    """Deterministic per-doc quality signals (all pure expressions):
+
+    - n_chars, n_tokens
+    - mean_token_len
+    - stopword_ratio (en profile)
+    - punct_ratio — non-alnum-non-space chars / chars
+    - digit_ratio
+    - repetition_ratio — 1 - distinct_tokens/tokens (near-1 = spam)
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(c)
+    n_chars = F.length(c).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    nz = F.when(n_tokens > 0, n_tokens.cast("double"))
+    nzc = F.when(n_chars > 0, n_chars.cast("double"))
+    return [
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            )
+            / nz
+        ).alias("mean_token_len"),
+        (stopword_count(toks, "en") / nz).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+            / nzc
+        ).alias("punct_ratio"),
+        (F.length(F.regexp_replace(c, r"[^0-9]", "")) / nzc).alias(
+            "digit_ratio"
+        ),
+        (1.0 - F.size(F.array_distinct(toks)) / nz).alias("repetition_ratio"),
+    ]
+
+
+def quality_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality feature table."""
+    return df.select(F.col(id_col), *quality_features(F.col(text_col)))
+
+
+def langid_heuristic(text: Column | str) -> Column:
+    """Stopword-profile language guess → lang code or 'un'.
+
+    Mirrors the shape of wimbd/language/map_count.py:7-16 ('un' when
+    no profile fires) with a deterministic tie-break (profile order).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(c)
+    scores = {lang: stopword_count(toks, lang) for lang in STOPWORDS}
+    best_score = F.greatest(*scores.values())
+    # first language (fixed profile order) achieving the max = ties
+    # break deterministically
+    out = F.when(best_score <= 0, F.lit("un"))
+    for lang in STOPWORDS:
+        out = out.when(scores[lang] == best_score, F.lit(lang))
+    return F.coalesce(out, F.lit("un"))
+
+
+def doc_fingerprint(text: Column | str, shingle_n: int = 3) -> Column:
+    """Order-independent 32-bit document fingerprint: XOR of hash32
+    over distinct token shingles. Stable under shard order; portable
+    to SQL (unnest + xor aggregate). NULL-safe (empty → 0)."""
+    c = F.col(text) if isinstance(text, str) else text
+    sh = F.array_distinct(ngram_strings(tokenize(c), shingle_n))
+    return F.aggregate(
+        F.transform(sh, lambda s: hash32(s)),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc.bitwiseXOR(h),
+    )
