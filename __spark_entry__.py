@@ -1055,6 +1055,180 @@ def o_multimodal_bytes_meta():
     """
 
 
+# ------------------------------------------- PII / taxonomy / sentiment
+
+def _docs_with_pii(spark, sf_dir):
+    """documents ∪ synthetic PII-bearing copies — gives the extractor
+    true positives AND context-rule rejections to prove on. Mirrored
+    in SQL by the oracle."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    with_email = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call 555-123-4567"),
+        ).alias("text"),
+    )
+    with_isbn = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("ISBN 555-123-4567 and host 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" here: "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return docs.unionAll(with_email).unionAll(with_isbn)
+
+
+_SQL_PII_BASE = """
+      base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               text || ' reach me at user' || doc_id::VARCHAR
+                    || '@mail.example.com or call 555-123-4567'
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 2000000,
+               'ISBN 555-123-4567 and host 10.0.0.' || (doc_id % 256)::VARCHAR
+                    || ' here: ' || text
+        FROM documents WHERE doc_id % 11 = 0
+      )
+"""
+
+
+def q_pii_extraction(spark, sf_dir):
+    from wimbd_spark.operators.pii import extract_pii
+
+    out = extract_pii(_docs_with_pii(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "kind",
+        "match",
+        F.col("position").cast("long").alias("position"),
+    )
+
+
+def o_pii_extraction():
+    pats = {
+        "email": r"[\w.+-]+@[\w-]+\.[\w.-]+",
+        "phone": r"\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+        "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    }
+    eligible = (
+        "text IS NOT NULL AND trim(text) <> '' AND length(text) <= 500000 "
+        "AND NOT contains(text, '....................') "
+        "AND length(text) - length(regexp_replace(text, '%', '', 'g')) <= 1000"
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, '{k}' AS kind, "
+        f"unnest(regexp_extract_all(text, '{p}')) AS match, text "
+        f"FROM base WHERE {eligible}"
+        for k, p in pats.items()
+    )
+    return f"""
+      WITH {_SQL_PII_BASE},
+      matches AS ({unions}),
+      located AS (
+        SELECT doc_id, kind, match, strpos(text, match) AS position,
+               substr(text, greatest(strpos(text, match) - 25, 1), 75) AS w
+        FROM matches
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, kind, match,
+             CAST(position AS BIGINT) AS position
+      FROM located
+      WHERE CASE kind
+              WHEN 'email' THEN TRUE
+              WHEN 'ip' THEN NOT regexp_matches(upper(w), 'ISBN|DOI')
+              ELSE NOT (regexp_matches(upper(w), 'ISBN|DOI') OR contains(w, '#'))
+            END
+    """
+
+
+def q_pii_kind_counts(spark, sf_dir):
+    from wimbd_spark.operators.pii import pii_counts
+
+    return pii_counts(_docs_with_pii(spark, sf_dir)).select(
+        "kind", F.col("count").cast("long").alias("count")
+    )
+
+
+def o_pii_kind_counts():
+    return f"""
+      WITH hits AS ({o_pii_extraction()})
+      SELECT kind, CAST(count(*) AS BIGINT) AS count FROM hits GROUP BY kind
+    """
+
+
+TAXONOMY = [
+    ("slow", "negative"),
+    ("bad", "negative"),
+    ("fast", "positive"),
+    ("small", "neutral"),
+    ("big", "neutral"),
+]
+
+
+def q_taxonomy_counts(spark, sf_dir):
+    from wimbd_spark.operators.pii import taxonomy_counts
+
+    wordlist = spark.createDataFrame(TAXONOMY, ["word", "categorization"])
+    return taxonomy_counts(_docs(spark, sf_dir), wordlist).select(
+        "categorization", F.col("count").cast("long").alias("count")
+    )
+
+
+def o_taxonomy_counts():
+    by_cat: dict[str, list[str]] = {}
+    for w, c in TAXONOMY:
+        by_cat.setdefault(c, []).append(w)
+    parts = []
+    for cat in sorted(by_cat):
+        alt = "|".join(sorted(by_cat[cat]))
+        parts.append(
+            f"SELECT '{cat}' AS categorization, "
+            f"CAST(coalesce(sum(len(regexp_extract_all(text, '(?i)\\b(?:{alt})\\b'))), 0) AS BIGINT) AS count "
+            "FROM documents WHERE text IS NOT NULL"
+        )
+    return " UNION ALL ".join(parts)
+
+
+DEMO_TERMS = ["customer", "order", "the", "zebra"]
+
+
+def q_demographic_cooccurrence(spark, sf_dir):
+    from wimbd_spark.operators.pii import demographic_cooccurrence
+
+    out = demographic_cooccurrence(_docs(spark, sf_dir), DEMO_TERMS)
+    return out.select(
+        "term",
+        F.col("count").cast("long").alias("count"),
+        "polarity_sum",
+        "mean_polarity",
+    )
+
+
+def o_demographic_cooccurrence():
+    # testdata text has no [.!?] → one sentence per doc on both sides
+    # (verified in-round); unigram terms match token-wise.
+    parts = []
+    for t in DEMO_TERMS:
+        hit = f"list_contains(regexp_split_to_array(lower(sentence), '\\s+'), '{t.lower()}')"
+        parts.append(
+            f"""
+        SELECT '{t}' AS term,
+               CAST(count_if({hit}) AS BIGINT) AS count,
+               0.0 AS polarity_sum,
+               CASE WHEN count_if({hit}) > 0 THEN 0.0 END AS mean_polarity
+        FROM (SELECT text AS sentence FROM documents WHERE text IS NOT NULL)
+        """
+        )
+    return " UNION ALL ".join(parts)
+
+
 # ------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
@@ -1094,6 +1268,10 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "doc_fingerprints": (q_fingerprints, o_fingerprints),
     "token_counts": (q_token_counts, o_token_counts),
     "multimodal_bytes_meta": (q_multimodal_bytes_meta, o_multimodal_bytes_meta),
+    "pii_extraction": (q_pii_extraction, o_pii_extraction),
+    "pii_kind_counts": (q_pii_kind_counts, o_pii_kind_counts),
+    "taxonomy_counts": (q_taxonomy_counts, o_taxonomy_counts),
+    "demographic_cooccurrence": (q_demographic_cooccurrence, o_demographic_cooccurrence),
 }
 
 

@@ -1,0 +1,144 @@
+"""PII extraction, taxonomy counts, corpus IO tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wimbd_spark.corpus import (
+    expand_dirs,
+    load_jsonl,
+    split_files,
+    split_train_valid_test,
+    to_parquet_corpus,
+)
+from wimbd_spark.operators.pii import (
+    demographic_cooccurrence,
+    extract_pii,
+    pii_counts,
+    pii_doc_filter,
+    sentence_split,
+    taxonomy_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "contact me at john.doe@example.com or call 555-123-4567"),
+        (2, "server at 192.168.1.1 responded"),
+        (3, "ISBN 555-123-4567 is a book number, not a phone"),
+        (4, "DOI 10.1.1.1 is a doi not an ip"),
+        (5, "." * 30 + " garbage doc with dots"),
+        (6, None),
+        (7, "nothing sensitive here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pii_extraction_with_context_rules(pii_docs):
+    rows = extract_pii(pii_docs).collect()
+    found = {(r["doc_id"], r["kind"]) for r in rows}
+    assert (1, "email") in found
+    assert (1, "phone") in found
+    assert (2, "ip") in found
+    assert (3, "phone") not in found  # ISBN context rejects
+    assert (4, "ip") not in found     # DOI context rejects
+    assert all(r["doc_id"] != 5 for r in rows)  # garbage doc filtered
+
+
+def test_pii_counts(pii_docs):
+    got = {r["kind"]: r["count"] for r in pii_counts(pii_docs).collect()}
+    assert got == {"email": 1, "phone": 1, "ip": 1}
+
+
+def test_pii_doc_filter(spark):
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, "." * 25), (3, "%" * 1500), (4, "  ")],
+        ["doc_id", "text"],
+    )
+    kept = [
+        r["doc_id"]
+        for r in df.filter(pii_doc_filter(F.col("text"))).collect()
+    ]
+    assert kept == [1]
+
+
+def test_taxonomy_counts(spark):
+    wordlist = spark.createDataFrame(
+        [("bad", "offensive"), ("awful", "offensive"), ("kind", "harmless")],
+        ["word", "categorization"],
+    )
+    docs = spark.createDataFrame(
+        [(1, "a bad and awful day, but bad people can be kind"),
+         (2, "badly is not the word bad alone")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["categorization"]: r["count"]
+        for r in taxonomy_counts(docs, wordlist).collect()
+    }
+    # \b-bounded: "badly" does not count, "bad" thrice, "awful" once
+    assert got == {"offensive": 4, "harmless": 1}
+
+
+def test_sentence_split(spark):
+    r = (
+        spark.range(1)
+        .select(
+            sentence_split(F.lit("One two. Three four! Five? end")).alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    assert r == ["One two.", "Three four!", "Five?", "end"]
+
+
+def test_demographic_cooccurrence(spark):
+    docs = spark.createDataFrame(
+        [(1, "He went home. She stayed here. He and she talked.")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["term"]: r["count"]
+        for r in demographic_cooccurrence(docs, ["he", "she", "muslim"]).collect()
+    }
+    assert got == {"he": 2, "she": 2, "muslim": 0}
+
+
+def test_load_jsonl_roundtrip(spark, tmp_path):
+    import gzip, json
+
+    shard = tmp_path / "part-00.jsonl.gz"
+    with gzip.open(shard, "wt") as f:
+        for i in range(5):
+            f.write(json.dumps({"id": str(i), "text": f"doc {i}"}) + "\n")
+    df = load_jsonl(spark, [str(tmp_path)])
+    rows = df.orderBy("id").collect()
+    assert len(rows) == 5
+    assert rows[0]["text"] == "doc 0"
+    assert rows[0]["_file"].endswith("part-00.jsonl.gz")
+    # per-file line limit (S4)
+    assert load_jsonl(spark, [str(tmp_path)], line_limit=2).count() == 2
+
+
+def test_expand_dirs_errors_on_empty(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        expand_dirs([str(tmp_path)])
+
+
+def test_split_train_valid_test(documents):
+    out = split_train_valid_test(documents)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert counts.get("train", 0) >= 0.99 * documents.count()
+
+
+def test_split_files(documents):
+    assert split_files(documents, 7).rdd.getNumPartitions() == 7
+
+
+def test_to_parquet_corpus_roundtrip(documents, tmp_path):
+    p = str(tmp_path / "corpus")
+    to_parquet_corpus(documents, p, partition_by=["lang"])
+    back = documents.sparkSession.read.parquet(p)
+    assert back.count() == documents.count()
+    assert os.path.isdir(os.path.join(p, "lang=en"))

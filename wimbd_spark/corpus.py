@@ -1,0 +1,168 @@
+"""Corpus loading/writing — the scan/sink surface (SURVEY.md §2.1).
+
+Parity map (file:line relative to /root/reference):
+- S1/S2  gzip JSONL scan + dir glob   src/io.rs:13-59; src/cmd/util.rs:318-339
+- S3     smart_open (s3://)           wimbd/utils/utils.py:6-10
+- S4     per-file line limit          src/cmd/util.rs:72-81
+- S5     file-list truncation         src/cmd/topk.rs:122-124
+- S9     index sink (curated corpus)  wimbd/indexing/index_json_files.py:60-112
+- S10    JSONL result sink            src/cmd/topk.rs:303-328; src/util.rs:6-25
+- S12    train/valid/test splitter    wimbd/utils/split_files.py:24-41
+- S13    file splitter                wimbd/utils/file_split.py:17-33
+
+Spark-first: gzip jsonl shards are non-splittable, so parallelism is
+per-file — identical to the reference's model. `to_parquet_corpus`
+(≙ S9's ES index build) is the one-extra-pass that converts a corpus
+to a splittable, column-pruned, predicate-pushdown-able table, which
+is what makes repeated 100 TB queries cheap.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Canonical union document schema (SURVEY.md §1.1; ES mapping
+# wimbd/es/README.md "Indices Mapping" + observed optional fields).
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("text", StringType()),
+        StructField("url", StringType()),
+        StructField("timestamp", StringType()),
+        StructField("date", TimestampType()),
+        StructField("subset", StringType()),
+        StructField("source", StringType()),
+        StructField("lang", StringType()),
+        StructField("metadata", MapType(StringType(), StringType())),
+    ]
+)
+
+
+def expand_dirs(paths: list[str], pattern: str = "**/*.json*.gz") -> list[str]:
+    """Glob shard files under each path; error if nothing matches.
+
+    Parity: src/cmd/util.rs:318-339 (expand_dirs, incl. the empty-result
+    error). Files given directly pass through untouched.
+    """
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            found = sorted(_glob.glob(os.path.join(p, pattern), recursive=True))
+            if not found:
+                raise FileNotFoundError(f"no files matching {pattern} under {p}")
+            out.extend(found)
+        else:
+            out.append(p)
+    if not out:
+        raise FileNotFoundError("no input files")
+    return out
+
+
+def load_jsonl(
+    spark: SparkSession,
+    paths: list[str],
+    schema: StructType | None = DOCUMENT_SCHEMA,
+    file_limit: int | None = None,
+    line_limit: int | None = None,
+    with_provenance: bool = True,
+) -> DataFrame:
+    """Read (gzip) JSONL shards into the canonical document frame.
+
+    - schema=None infers (schema-on-read like the reference's serde);
+      the default fixed union schema skips inference's extra pass.
+    - file_limit ≙ --file-limit (S5): truncate the shard list.
+    - line_limit ≙ -l/--limit (S4): at most N rows PER FILE, via a
+      window over input_file_name (the reference takes the first N of
+      each reader; file order within a shard is preserved by Spark's
+      line reader, but row_number needs an explicit order → we use the
+      on-disk order surrogate monotonically_increasing_id).
+    - provenance: _file (shard path) for stats/search locations
+      (src/cmd/stats.rs:250-255 doc pointers).
+    """
+    files = expand_dirs(paths)
+    if file_limit is not None:
+        files = files[:file_limit]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(files)
+    if with_provenance:
+        df = df.withColumn("_file", F.input_file_name())
+    if line_limit is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(F.input_file_name()).orderBy(
+            F.monotonically_increasing_id()
+        )
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= line_limit)
+            .drop("_rn")
+        )
+    return df
+
+
+def to_parquet_corpus(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a corpus as a partitioned Parquet table (≙ the ES
+    index build S9 — the derived structure interactive queries hit).
+    Partition on low-cardinality filter columns (subset, lang, date
+    buckets) so partition pruning replaces ES routing."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_jsonl(df: DataFrame, path: str, force: bool = False) -> None:
+    """JSONL result sink (S10). force ≙ --force overwrite
+    (src/util.rs:6-25)."""
+    df.write.mode("overwrite" if force else "error").json(path)
+
+
+def split_train_valid_test(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic split by the first 3 hex chars of sha1(text):
+    fff/ffe → test, ffd/ffc → valid, else train (~0.05% each).
+
+    Parity: wimbd/utils/split_files.py:24-41 — same prefix convention,
+    so splits agree with the reference on identical text.
+    """
+    prefix = F.substring(F.sha1(F.coalesce(F.col(text_col), F.lit(""))), 1, 3)
+    return df.withColumn(
+        "split",
+        F.when(prefix.isin("fff", "ffe"), "test")
+        .when(prefix.isin("ffd", "ffc"), "valid")
+        .otherwise("train"),
+    )
+
+
+def write_split(df: DataFrame, path: str, text_col: str = "text") -> None:
+    """Materialize the S12 splitter as split-partitioned parquet."""
+    split_train_valid_test(df, text_col).write.mode("overwrite").partitionBy(
+        "split"
+    ).parquet(path)
+
+
+def split_files(df: DataFrame, n: int) -> DataFrame:
+    """≙ S13 file splitter: rebalance into n output files
+    (wimbd/utils/file_split.py:17-33 chunked each shard; a repartition
+    is the distributed equivalent)."""
+    return df.repartition(n)

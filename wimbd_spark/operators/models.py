@@ -1,0 +1,139 @@
+"""Model-backed per-document analyses as Pandas-UDF slots (P13, P16,
+P17, P19, P21 — the reference's pluggable mapper functions).
+
+Each factory import-gates its optional dependency: if the library is
+present the UDF wraps it (iterator form — model loads ONCE per
+executor task, broadcast-friendly); if absent it either falls back to
+the deterministic heuristic twin in operators.textqc or raises with a
+clear message. The Spark-side dataflow is identical either way, so
+pipelines are testable in this container and model-accurate in one
+that has the deps.
+
+Parity:
+- language_id        wimbd/language/map_count.py:7-16  (pycld2, 'un' fallback)
+- profanity_prob     wimbd/profanity/map_count.py:30-43 (alt-profanity-check)
+- sentiment_polarity wimbd/sentiment_coocurrence/map_count.py:19-22 (TextBlob)
+- hf_tokenize        src/tokens.rs:21-48 (HuggingFace tokenizer)
+- link_alive         wimbd/link_exists/map_count.py:7-22 (HTTP 200 probe)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _have(mod: str) -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec(mod) is not None
+
+
+def language_id(text: Column) -> Column:
+    """cld2/fasteText language ID when available; falls back to the
+    stopword heuristic (operators.textqc.langid_heuristic)."""
+    if _have("pycld2"):
+
+        @pandas_udf("string")
+        def _lid(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            import pycld2  # noqa — loaded once per task
+
+            def one(t):
+                if not t:
+                    return "un"
+                reliable, _, details = pycld2.detect(t)
+                return details[0][1] if reliable else "un"
+
+            for s in it:
+                yield s.map(one)
+
+        return _lid(text)
+    from wimbd_spark.operators.textqc import langid_heuristic
+
+    return langid_heuristic(text)
+
+
+def profanity_prob(text: Column) -> Column:
+    """alt-profanity-check probability; raises if the model package is
+    absent (no honest heuristic twin exists)."""
+    if not _have("profanity_check"):
+        raise NotImplementedError(
+            "profanity_prob needs alt-profanity-check; use "
+            "pii.taxonomy_counts (word-list regexes) in this container"
+        )
+
+    @pandas_udf("double")
+    def _prof(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from profanity_check import predict_prob  # once per task
+
+        for s in it:
+            yield pd.Series(predict_prob(s.fillna("").tolist()))
+
+    return _prof(text)
+
+
+def sentiment_polarity(text: Column) -> Column:
+    """TextBlob polarity in [-1, 1]; neutral 0.0 fallback keeps the
+    co-occurrence pipeline runnable without the dep."""
+    if _have("textblob"):
+
+        @pandas_udf("double")
+        def _pol(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            from textblob import TextBlob
+
+            for s in it:
+                yield s.map(
+                    lambda t: TextBlob(t).sentiment.polarity if t else 0.0
+                )
+
+        return _pol(text)
+    return F.lit(0.0)
+
+
+def hf_tokenize(text: Column, tokenizer_name: str = "gpt2") -> Column:
+    """Pretrained subword tokenization (token strings)."""
+    if not _have("tokenizers"):
+        raise NotImplementedError(
+            "hf_tokenize needs the `tokenizers` package; use "
+            "functions.text.tokenize / textqc.token_count_bpe_ish here"
+        )
+
+    @pandas_udf("array<string>")
+    def _tok(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from tokenizers import Tokenizer
+
+        tok = Tokenizer.from_pretrained(tokenizer_name)  # once per task
+        for s in it:
+            yield s.map(lambda t: tok.encode(t).tokens if t else [])
+
+    return _tok(text)
+
+
+def link_alive(url: Column, timeout_s: float = 5.0) -> Column:
+    """HTTP liveness probe (side-effecting, non-deterministic — marked
+    so Spark won't collapse/reorder it; P21)."""
+    if not _have("requests"):
+        raise NotImplementedError("link_alive needs `requests`")
+
+    @pandas_udf("boolean")
+    def _alive(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import requests
+
+        sess = requests.Session()  # one session per task
+        def one(u):
+            if not u:
+                return False
+            try:
+                return sess.get(u, timeout=timeout_s).status_code == 200
+            except Exception:
+                return False
+
+        for s in it:
+            yield s.map(one)
+
+    return _alive(url).alias("alive")
