@@ -758,13 +758,19 @@ def _sql_hash32(expr: str, salt: str | None = None) -> str:
 
 
 def _sql_minhash_sigs(num_hashes: int = 4) -> str:
-    mins = ", ".join(
-        f"min({_sql_hash32('g', str(j))}) AS mh{j}" for j in range(num_hashes)
-    )
+    from wimbd_spark.operators.neardup import MINHASH_P, minhash_coeffs
+
+    mins = []
+    for j in range(num_hashes):
+        a, b = minhash_coeffs(j)
+        mins.append(f"min((h * {a} + {b}) % {MINHASH_P}) AS mh{j}")
     return f"""
       {_sql_base_grams(3)},
+      hashed AS (
+        SELECT doc_id, {_sql_hash32("g")} AS h FROM grams
+      ),
       sigs AS (
-        SELECT doc_id, {mins} FROM grams GROUP BY doc_id
+        SELECT doc_id, {", ".join(mins)} FROM hashed GROUP BY doc_id
       )
     """
 

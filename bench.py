@@ -39,6 +39,18 @@ HEADLINE = [
     "decontaminate_src0",
     "phrase_doc_counts",
     "unigram_ttf",
+    # relational + events
+    "pricing_summary",
+    "top_orders_by_revenue",
+    "nation_revenue_europe",
+    "events_tumbling_1h",
+    "session_stats_30m_gap",
+    # beyond-reference stack
+    "lsh_neardup_pairs",
+    "simhash16",
+    "ann_cosine_topk",
+    "quality_scores",
+    "pii_extraction",
 ]
 
 

@@ -1,0 +1,52 @@
+"""CLI verb tests (in-process main(), shared SparkSession not reused —
+the CLI owns its session lifecycle, so these run it for real)."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from wimbd_spark.cli import main
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def shard_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("shards")
+    with gzip.open(d / "s0.json.gz", "wt") as f:
+        for i in range(20):
+            f.write(json.dumps({"text": f"a b c {'d' if i % 2 else 'e'}"}) + "\n")
+    return str(d)
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    assert rc == 0
+    return [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+
+
+def test_cli_topk(capsys):
+    rows = _run(capsys, ["topk", DOCS, "-n", "3", "-k", "2"])
+    assert rows[0]["rank"] == 1 and rows[0]["count"] >= rows[1]["count"]
+
+
+def test_cli_stats_jsonl(capsys, shard_dir):
+    rows = _run(capsys, ["stats", shard_dir])
+    assert rows[0]["total_documents"] == 20
+    assert rows[0]["total_tokens"] == 80
+
+
+def test_cli_count_and_unique(capsys, shard_dir):
+    rows = _run(capsys, ["count", shard_dir, "-s", "a b", "-s", "zz"])
+    assert {r["pattern"]: r["count"] for r in rows} == {"a b": 20, "zz": 0}
+    rows = _run(capsys, ["unique", shard_dir, "-n", "1"])
+    assert rows[0]["unique_count"] == 5
+
+
+def test_cli_output_file(tmp_path, shard_dir):
+    out = str(tmp_path / "res.jsonl")
+    assert main(["search", shard_dir, "-p", "[de]$", "-o", out]) == 0
+    rows = [json.loads(line) for line in open(out)]
+    assert rows[0]["count"] == 20

@@ -51,8 +51,8 @@ def test_minhash_matches_duckdb(corpus):
           FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i) WHERE len(t) >= 3
         )
         SELECT doc_id,
-               min(('0x' || substr(md5('0:' || g), 1, 8))::BIGINT) AS mh0,
-               min(('0x' || substr(md5('1:' || g), 1, 8))::BIGINT) AS mh1
+               min((('0x' || substr(md5(g), 1, 8))::BIGINT * 1 + 13) % 4294967311) AS mh0,
+               min((('0x' || substr(md5(g), 1, 8))::BIGINT * 3 + 7932) % 4294967311) AS mh1
         FROM grams GROUP BY doc_id
         """
         ).fetchall()

@@ -1,0 +1,152 @@
+"""Structured Streaming tests: file-source micro-batches through
+windowed aggs, session windows, and custom state — results cross-checked
+against the batch twins in operators.windows.
+"""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_batch(path, rows, name):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _ev(event_id, minute, user_id, event_type="click", second=0):
+    return {
+        "event_id": event_id,
+        "ts": f"2024-01-01T00:{minute:02d}:{second:02d}.000Z",
+        "user_id": user_id,
+        "event_type": event_type,
+        "value": 1.0,
+        "props": "{}",
+    }
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = str(tmp_path / "events_in")
+    _write_batch(
+        d,
+        [
+            _ev(1, 0, 1),
+            _ev(2, 10, 1, "view"),
+            _ev(3, 45, 1),
+            _ev(4, 50, 2),
+        ],
+        "batch-0.json",
+    )
+    return d
+
+
+def _run_to_memory(df, name, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark, stream_dir):
+    from wimbd_spark.streaming import read_event_stream, tumbling_counts_stream
+
+    ev = read_event_stream(spark, stream_dir)
+    assert ev.isStreaming
+    q = _run_to_memory(
+        tumbling_counts_stream(ev, duration="30 minutes"),
+        "tumble_test",
+        "update",
+    )
+    try:
+        got = {
+            (r["window_start_s"], r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM tumble_test").collect()
+        }
+        base = int(
+            dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+        )
+        assert got[(base, "click")] == 1
+        assert got[(base, "view")] == 1
+        assert got[(base + 1800, "click")] == 2
+    finally:
+        q.stop()
+
+
+def test_incremental_microbatches(spark, stream_dir):
+    from wimbd_spark.streaming import read_event_stream, tumbling_counts_stream
+
+    ev = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = _run_to_memory(
+        tumbling_counts_stream(ev, duration="30 minutes", keys=()),
+        "incr_test",
+        "update",
+    )
+    try:
+        first = {
+            r["window_start_s"]: r["n_events"]
+            for r in spark.sql("SELECT * FROM incr_test").collect()
+        }
+        # second micro-batch arrives: one more event in the first window
+        _write_batch(stream_dir, [_ev(5, 5, 3)], "batch-1.json")
+        q.processAllAvailable()
+        latest = {}
+        for r in spark.sql("SELECT * FROM incr_test").collect():
+            latest[r["window_start_s"]] = max(
+                latest.get(r["window_start_s"], 0), r["n_events"]
+            )
+        base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+        assert first[base] == 2
+        assert latest[base] == 3  # updated count after late file
+    finally:
+        q.stop()
+
+
+def test_session_window_stream(spark, stream_dir):
+    from wimbd_spark.streaming import read_event_stream, session_window_stream
+
+    ev = read_event_stream(spark, stream_dir)
+    # session windows support append (watermark-gated) or complete, not
+    # update; complete shows the merged sessions immediately
+    q = _run_to_memory(
+        session_window_stream(ev, gap="30 minutes"), "sess_test", "complete"
+    )
+    try:
+        rows = spark.sql("SELECT * FROM sess_test").collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        # user 1: events at 0,10 (one session) and 45 (another)
+        assert sorted(len(s) for s in by_user.values()) == [1, 2]
+        sess_u1 = sorted(by_user[1], key=lambda r: r["session_start_s"])
+        assert sess_u1[0]["n_events"] == 2
+        assert sess_u1[1]["n_events"] == 1
+    finally:
+        q.stop()
+
+
+def test_stateful_user_counts(spark, stream_dir):
+    from wimbd_spark.streaming import read_event_stream, stateful_user_counts
+
+    ev = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = _run_to_memory(stateful_user_counts(ev), "state_test", "update")
+    try:
+        _write_batch(stream_dir, [_ev(6, 55, 1)], "batch-2.json")
+        q.processAllAvailable()
+        totals = {}
+        for r in spark.sql("SELECT * FROM state_test").collect():
+            totals[r["user_id"]] = max(
+                totals.get(r["user_id"], 0), r["total_events"]
+            )
+        assert totals[1] == 4  # 3 initial + 1 late, accumulated in state
+        assert totals[2] == 1
+    finally:
+        q.stop()

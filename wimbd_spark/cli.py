@@ -1,0 +1,130 @@
+"""wimbd-compatible CLI: topk / botk / count / search / stats / unique.
+
+Verb + flag parity with the Rust CLI (src/main.rs:23-82), executed on
+Spark. Input paths may be jsonl(.gz) shards/dirs or parquet tables;
+results print as JSONL (the reference's output convention,
+src/cmd/topk.rs:303-328) or write to --output.
+
+Usage examples (mirroring README.md:48-66 of the reference):
+    python -m wimbd_spark.cli topk data/*.json.gz -n 3 -k 20
+    python -m wimbd_spark.cli count data/ -s "natural language processing"
+    python -m wimbd_spark.cli stats data/ --json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load(spark, paths: list[str], limit: int | None, file_limit: int | None):
+    from wimbd_spark.corpus import load_jsonl
+    from wimbd_spark.session import rebalance_small_input
+
+    if all(p.endswith(".parquet") for p in paths):
+        df = spark.read.parquet(*paths)
+        if limit:
+            df = df.limit(limit)
+        return rebalance_small_input(df)
+    return rebalance_small_input(
+        load_jsonl(
+            spark, paths, schema=None, file_limit=file_limit, line_limit=limit
+        )
+    )
+
+
+def _emit(rows: list[dict], output: str | None) -> None:
+    out = open(output, "w") if output else sys.stdout
+    try:
+        for r in rows:
+            out.write(json.dumps(r, default=str) + "\n")
+    finally:
+        if output:
+            out.close()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="wimbd-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("paths", nargs="+")
+        sp.add_argument("--limit", "-l", type=int, default=None,
+                        help="max lines per file (S4)")
+        sp.add_argument("--file-limit", type=int, default=None)
+        sp.add_argument("--output", "-o", default=None)
+        sp.add_argument("--text-field", default="text")
+
+    for verb, help_ in [
+        ("topk", "top-k most frequent n-grams"),
+        ("botk", "bottom-k least frequent n-grams"),
+    ]:
+        sp = sub.add_parser(verb, help=help_)
+        common(sp)
+        sp.add_argument("-n", "--ngram", type=int, default=3)
+        sp.add_argument("-k", "--topk", type=int, default=20)
+        sp.add_argument("--threshold", type=int, default=None)
+
+    sp = sub.add_parser("count", help="exact token-sequence counts")
+    common(sp)
+    sp.add_argument("-s", "--sequence", action="append", required=True)
+
+    sp = sub.add_parser("search", help="regex match counts")
+    common(sp)
+    sp.add_argument("-p", "--pattern", action="append", required=True)
+
+    sp = sub.add_parser("stats", help="corpus summary stats")
+    common(sp)
+    sp.add_argument("--json", action="store_true", default=True)
+
+    sp = sub.add_parser("unique", help="distinct n-gram count")
+    common(sp)
+    sp.add_argument("-n", "--ngram", type=int, default=1)
+    sp.add_argument("--approx", action="store_true",
+                    help="HyperLogLog++ instead of exact")
+
+    args = p.parse_args(argv)
+
+    from wimbd_spark.session import get_spark
+
+    spark = get_spark(app_name=f"wimbd-spark-{args.cmd}")
+    try:
+        df = _load(spark, args.paths, args.limit, args.file_limit)
+        t = args.text_field
+        if args.cmd in ("topk", "botk"):
+            from wimbd_spark.operators.topk import botk_ngrams, topk_ngrams
+
+            fn = topk_ngrams if args.cmd == "topk" else botk_ngrams
+            kw = {"threshold": args.threshold} if args.cmd == "topk" else {}
+            res = fn(df, args.ngram, args.topk, text_col=t, **kw)
+            _emit([r.asDict() for r in res.orderBy("rank").collect()], args.output)
+        elif args.cmd == "count":
+            from wimbd_spark.operators.count import count_sequences
+
+            res = count_sequences(df, args.sequence, text_col=t)
+            _emit([r.asDict() for r in res.collect()], args.output)
+        elif args.cmd == "search":
+            from wimbd_spark.operators.count import search_regex_counts
+
+            res = search_regex_counts(df, args.pattern, text_col=t)
+            _emit([r.asDict() for r in res.collect()], args.output)
+        elif args.cmd == "stats":
+            from wimbd_spark.operators.stats import corpus_stats
+
+            row = corpus_stats(df, text_col=t).collect()[0]
+            _emit([row.asDict()], args.output)
+        elif args.cmd == "unique":
+            from wimbd_spark.operators.topk import unique_ngrams
+
+            row = unique_ngrams(
+                df, args.ngram, text_col=t, approx=args.approx
+            ).collect()[0]
+            _emit([row.asDict()], args.output)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

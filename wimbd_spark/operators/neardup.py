@@ -30,25 +30,59 @@ def shingle_set(text: Column | str, n: int = 3) -> Column:
     return F.array_sort(F.array_distinct(ngram_strings(tokenize(c), n)))
 
 
+def shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """Sorted distinct hash32 values of a document's shingles.
+
+    The near-dup pipeline runs on these instead of shingle strings:
+    one md5 per shingle here, then every downstream op (minhash
+    permutations, band hashes, Jaccard intersections) is integer
+    arithmetic. Hash collisions would fold two shingles — at 32 bits
+    and ≤10^4 shingles/doc the per-doc collision odds are ~1e-2 of a
+    single shingle pair, shifting Jaccard by <1/|set|; both engines
+    fold identically so oracles still match exactly.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(ngram_strings(tokenize(c), n), lambda s: hash32(s))
+        )
+    )
+
+
+# Universal-hash MinHash family over a prime > 2^32. Base hash is one
+# md5-derived hash32 per shingle; permutations are integer arithmetic
+# (a_j·h + b_j) mod P — coefficients < 2^20 keep products < 2^52 (exact
+# in BIGINT on both engines). One md5 per shingle instead of one per
+# (shingle × hash) — ~num_hashes× cheaper.
+MINHASH_P = 4_294_967_311
+
+
+def minhash_coeffs(j: int) -> tuple[int, int]:
+    return 2 * j + 1, (j * 7919 + 13) % 1_048_576
+
+
+def _minhash_from_hashes(hashes: Column, num_hashes: int) -> list[Column]:
+    def _perm(j):
+        a, b = minhash_coeffs(j)
+        # single-arg lambda only: F.transform treats 2-arg lambdas as
+        # (element, index) — bind coefficients via closure.
+        return lambda h: (h * a + b) % MINHASH_P
+
+    return [
+        F.array_min(F.transform(hashes, _perm(j))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+
+
 def minhash_signature(
     text: Column | str, num_hashes: int = 8, shingle_n: int = 3
 ) -> list[Column]:
     """MinHash signature as ``num_hashes`` BIGINT columns mh0..mhK.
 
-    mh_j(doc) = min over shingles s of hash32(j ':' s) — a salted-hash
-    family, reproducible in SQL. NULL when the doc has no shingles.
+    mh_j(doc) = min over shingles s of (a_j·hash32(s) + b_j) mod P.
+    NULL when the doc has no shingles. Reproducible in SQL.
     """
-    sh = shingle_set(text, shingle_n)
-
-    def _salted(j):
-        # single-arg lambda only: F.transform treats 2-arg lambdas as
-        # (element, index) — bind the salt via closure.
-        return lambda s: hash32(s, salt=str(j))
-
-    return [
-        F.array_min(F.transform(sh, _salted(j))).alias(f"mh{j}")
-        for j in range(num_hashes)
-    ]
+    return _minhash_from_hashes(shingle_hashes(text, shingle_n), num_hashes)
 
 
 def minhash_signatures(
@@ -64,26 +98,20 @@ def minhash_signatures(
     ).filter(F.col("mh0").isNotNull())
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 8,
-    bands: int = 4,
-    shingle_n: int = 3,
+def _shingle_table(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+    return df.select(
+        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("hs")
+    ).filter(F.size("hs") > 0)
 
-    Band hash = hash32 of ':'-joined minhashes in the band. Docs are
-    exploded to (band_idx, band_hash) rows — `bands` rows per doc —
-    then self-joined within buckets. Bucket-size skew is the classic
-    LSH risk; AQE skew-join handles moderate cases, and `bands`/`rows`
-    tune the candidate volume.
-    """
+
+def _pairs_from_sigs(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be a multiple of bands")
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     band_cols = []
     for b in range(bands):
         parts = [
@@ -116,6 +144,52 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Band hash = hash32 of ':'-joined minhashes in the band. Docs are
+    exploded to (band_idx, band_hash) rows — `bands` rows per doc —
+    then self-joined within buckets. Bucket-size skew is the classic
+    LSH risk; AQE skew-join handles moderate cases, and `bands`/`rows`
+    tune the candidate volume.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    return _pairs_from_sigs(sigs, id_col, num_hashes, bands)
+
+
+def _jaccard_from_shingle_table(
+    sh: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    out = (
+        pairs.join(
+            sh.select(F.col(sh.columns[0]).alias("id_a"), F.col("hs").alias("hs_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(sh.columns[0]).alias("id_b"), F.col("hs").alias("hs_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("hs_a", "hs_b"))
+                / F.size(F.array_union("hs_a", "hs_b"))
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0.0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -125,31 +199,10 @@ def jaccard_pairs(
     threshold: float = 0.0,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given (id_a, id_b) pairs →
-    (id_a, id_b, jaccard). Joins shingle arrays only for the pairs."""
-    sh = df.select(
-        F.col(id_col), shingle_set(F.col(text_col), shingle_n).alias("sh")
-    )
-    out = (
-        pairs.join(
-            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
-            "id_a",
-        )
-        .join(
-            sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
-        )
-    )
-    if threshold > 0.0:
-        out = out.filter(F.col("jaccard") >= threshold)
-    return out
+    (id_a, id_b, jaccard). Operates on hashed shingle sets (see
+    shingle_hashes) and joins them only for the candidate pairs."""
+    sh = _shingle_table(df, id_col, text_col, shingle_n)
+    return _jaccard_from_shingle_table(sh, pairs, threshold)
 
 
 def minhash_dedup_pairs(
@@ -162,9 +215,25 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → banded buckets →
-    candidate pairs → exact-Jaccard verification ≥ threshold."""
-    cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
-    return jaccard_pairs(df, cand, id_col, text_col, shingle_n, threshold)
+    candidate pairs → exact-Jaccard verification ≥ threshold.
+
+    The per-doc shingle-hash table is computed ONCE and persisted
+    (memory-and-disk) — it feeds both the signature pass and the two
+    sides of the verification join; without the persist, Spark would
+    re-tokenize + re-hash the corpus three times. At cluster scale,
+    materializing this table (parquet) instead of caching gives the
+    same reuse across repeated runs.
+    """
+    from pyspark import StorageLevel
+
+    sh = _shingle_table(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = sh.select(
+        F.col(id_col), *_minhash_from_hashes(F.col("hs"), num_hashes)
+    )
+    cand = _pairs_from_sigs(sigs, id_col, num_hashes, bands)
+    return _jaccard_from_shingle_table(sh, cand, threshold)
 
 
 def simhash16(text: Column | str, shingle_n: int = 1) -> Column:
