@@ -1061,6 +1061,56 @@ def o_multimodal_bytes_meta():
     """
 
 
+# --------------------------------- sampling / lookup / distributions
+
+LOOKUP_IDS = [1, 5, 10, 100, 250, 499]
+
+
+def q_sample_by_hash(spark, sf_dir):
+    from wimbd_spark.operators.keycount import sample_by_hash
+
+    out = sample_by_hash(_docs(spark, sf_dir), "doc_id", 0.2)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+def o_sample_by_hash():
+    return """
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < 200000
+    """
+
+
+def q_id_lookup(spark, sf_dir):
+    from wimbd_spark.operators.keycount import id_lookup
+
+    out = id_lookup(_docs(spark, sf_dir), LOOKUP_IDS)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "lang"
+    )
+
+
+def o_id_lookup():
+    ids = ", ".join(str(i) for i in LOOKUP_IDS)
+    return f"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang
+      FROM documents WHERE doc_id IN ({ids})
+    """
+
+
+def q_length_dist_normalized(spark, sf_dir):
+    from wimbd_spark.operators.keycount import normalize_distribution
+
+    dist = q_token_length_dist(spark, sf_dir)
+    return normalize_distribution(dist).select("num_tokens", "count", "p")
+
+
+def o_length_dist_normalized():
+    return f"""
+      WITH dist AS ({o_token_length_dist()})
+      SELECT num_tokens, count, count / SUM(count) OVER () AS p FROM dist
+    """
+
+
 # ------------------------------------------- PII / taxonomy / sentiment
 
 def _docs_with_pii(spark, sf_dir):
@@ -1278,6 +1328,9 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "pii_kind_counts": (q_pii_kind_counts, o_pii_kind_counts),
     "taxonomy_counts": (q_taxonomy_counts, o_taxonomy_counts),
     "demographic_cooccurrence": (q_demographic_cooccurrence, o_demographic_cooccurrence),
+    "sample_by_hash": (q_sample_by_hash, o_sample_by_hash),
+    "id_lookup": (q_id_lookup, o_id_lookup),
+    "length_dist_normalized": (q_length_dist_normalized, o_length_dist_normalized),
 }
 
 

@@ -1,0 +1,102 @@
+"""Physical-plan property tests — the 100 TB guarantees.
+
+These pin the *plan shape*, not results: column pruning reaches the
+parquet scan, filters push down, and operators don't add unexpected
+shuffles. A regression here is a 100× cost at scale even when results
+stay correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wimbd_spark.plans import (
+    assert_column_pruning,
+    explain_str,
+    has_pushed_filters,
+    shuffle_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def raw_docs(spark):
+    # no rebalance: pruning assertions need the bare scan
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_topk_prunes_to_text_only(raw_docs):
+    from wimbd_spark.operators.topk import topk_ngrams
+
+    assert_column_pruning(topk_ngrams(raw_docs, 3, 20), {"text"})
+
+
+def test_corpus_stats_prunes(raw_docs):
+    from wimbd_spark.operators.stats import corpus_stats
+
+    assert_column_pruning(corpus_stats(raw_docs), {"text"})
+
+
+def test_keycount_prunes_and_pushes(raw_docs):
+    from wimbd_spark.operators.keycount import key_count
+
+    q = key_count(raw_docs, "lang")
+    assert_column_pruning(q, {"lang"})
+    assert has_pushed_filters(q)  # isNotNull reaches the scan
+
+
+def test_id_lookup_pushes_filter(raw_docs):
+    from wimbd_spark.operators.keycount import id_lookup
+
+    q = id_lookup(raw_docs, [1, 2, 3]).select("doc_id")
+    assert has_pushed_filters(q)
+    assert_column_pruning(q, {"doc_id"})
+
+
+def test_ngram_counts_single_shuffle(raw_docs):
+    from wimbd_spark.operators.topk import ngram_counts
+
+    # explode → partial agg → ONE exchange → final agg
+    assert shuffle_count(ngram_counts(raw_docs, 3)) == 1
+
+
+def test_count_sequences_zero_shuffle(raw_docs):
+    from wimbd_spark.operators.count import count_sequences
+
+    # conditional aggregates over one scan: single-stage final agg only
+    # (global agg exchanges a single row; no data-volume shuffle)
+    assert shuffle_count(count_sequences(raw_docs, ["a b"])) <= 1
+
+
+def test_broadcast_join_in_decontaminate(spark, raw_docs):
+    from wimbd_spark.operators.dedup import decontaminate
+
+    block = raw_docs.filter("doc_id < 10")
+    plan = explain_str(decontaminate(raw_docs, block))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_minhash_signatures_no_shuffle(raw_docs):
+    from wimbd_spark.operators.neardup import minhash_signatures
+
+    assert shuffle_count(minhash_signatures(raw_docs)) == 0
+
+
+def test_ann_broadcast_no_corpus_shuffle(spark, tables):
+    from wimbd_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = cosine_topk(emb, emb.filter("vec_id < 3"), k=3)
+    plan = explain_str(q)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_whole_stage_codegen_in_hot_path(raw_docs):
+    from wimbd_spark.operators.topk import ngram_counts
+
+    # '*(n)' node prefixes in the executed plan mark whole-stage-codegen
+    # stages (AQE hides them pre-execution)
+    q = ngram_counts(raw_docs, 3)
+    q.collect()
+    final = q._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in final

@@ -136,6 +136,40 @@ def write_jsonl(df: DataFrame, path: str, force: bool = False) -> None:
     df.write.mode("overwrite" if force else "error").json(path)
 
 
+def standardize_corpus(
+    df: DataFrame,
+    text_field: str = "text",
+    id_field: str | None = None,
+    lang_field: str | None = None,
+    source: str | None = None,
+) -> DataFrame:
+    """Rename a foreign table's fields into the canonical document
+    shape and pack all remaining columns into `metadata`.
+
+    Parity: preparation/stack/download_url.py:11-41 (S8: parquet →
+    {text, id, lang, metadata{...}}) and preparation/mc4/mc4.py:70-77's
+    canonical doc emission.
+    """
+    known = {text_field, id_field, lang_field} - {None}
+    rest = [c for c in df.columns if c not in known]
+    meta = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in rest]),
+        F.array(*[F.col(c).cast("string") for c in rest]),
+    )
+    cols = [
+        (
+            F.col(id_field).cast("string")
+            if id_field
+            else F.monotonically_increasing_id().cast("string")
+        ).alias("id"),
+        F.col(text_field).cast("string").alias("text"),
+        (F.col(lang_field).cast("string") if lang_field else F.lit(None).cast("string")).alias("lang"),
+        F.lit(source).cast("string").alias("source"),
+        meta.alias("metadata"),
+    ]
+    return df.select(*cols)
+
+
 def split_train_valid_test(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -37,6 +37,40 @@ def key_count(
     )
 
 
+def sample_by_hash(
+    df: DataFrame,
+    key: Column | str,
+    fraction: float,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows where
+    hash32(key) mod denom < fraction·denom.
+
+    The reference samples with `random() < fraction`
+    (wimbd/random_sample/map_count.py:10-14); a hash-gate gives the
+    same marginal rate but is reproducible across runs, engines, and
+    retries — the property a 100 TB pipeline actually needs (and what
+    makes the DuckDB oracle able to agree exactly). For true
+    randomness use df.sample(fraction, seed).
+    """
+    from wimbd_spark.functions.text import hash32
+
+    k = F.col(key) if isinstance(key, str) else key
+    return df.filter(hash32(k) % denom < int(fraction * denom))
+
+
+def id_lookup(
+    df: DataFrame, ids: list, id_col: str = "doc_id"
+) -> DataFrame:
+    """Random access by id list (≙ es.mget, wimbd/es/random_access.py:
+    7-23). Small id lists fold into an `isin` scan predicate (pushed
+    to parquet); large ones should broadcast-semi-join instead."""
+    if len(ids) <= 1000:
+        return df.filter(F.col(id_col).isin(ids))
+    wanted = df.sparkSession.createDataFrame([(i,) for i in ids], [id_col])
+    return df.join(F.broadcast(wanted.distinct()), id_col, "left_semi")
+
+
 def normalize_distribution(counts: DataFrame, count_col: str = "count") -> DataFrame:
     """counts → probability distribution (count / Σcount).
 
