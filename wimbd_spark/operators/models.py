@@ -114,6 +114,22 @@ def hf_tokenize(text: Column, tokenizer_name: str = "gpt2") -> Column:
     return _tok(text)
 
 
+def ftfy_fix(text: Column) -> Column:
+    """Mojibake repair (≙ P22, preparation/mc4/mc4.py:72 prep-time
+    ftfy). Identity passthrough when ftfy is absent."""
+    if _have("ftfy"):
+
+        @pandas_udf("string")
+        def _fix(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            import ftfy
+
+            for s in it:
+                yield s.map(lambda t: ftfy.fix_text(t) if t else t)
+
+        return _fix(text)
+    return text
+
+
 def link_alive(url: Column, timeout_s: float = 5.0) -> Column:
     """HTTP liveness probe (side-effecting, non-deterministic — marked
     so Spark won't collapse/reorder it; P21)."""

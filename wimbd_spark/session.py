@@ -114,6 +114,27 @@ def load_tables(
     return out
 
 
+def union_tables(spark: SparkSession, pattern: str) -> DataFrame:
+    """UNION ALL view over catalog tables matching a glob pattern
+    (≙ E8 multi-index queries like `re_laion2b-en-*`,
+    wimbd/es/README.md). Schemas are aligned by name (missing columns
+    null-filled) so heterogeneous shards union cleanly."""
+    import fnmatch
+
+    names = [
+        t.name
+        for t in spark.catalog.listTables()
+        if fnmatch.fnmatch(t.name, pattern)
+    ]
+    if not names:
+        raise ValueError(f"no tables match {pattern!r}")
+    dfs = [spark.table(n) for n in names]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def table_summary(spark: SparkSession) -> list[dict]:
     """List catalog tables with row counts + schemas.
 
