@@ -1061,6 +1061,153 @@ def o_multimodal_bytes_meta():
     """
 
 
+# ---------------------------------------- remaining reference operators
+
+LOC_PATTERNS = ["table scan", "qu[ae]ry"]
+
+
+def q_search_locations(spark, sf_dir):
+    from wimbd_spark.operators.count import search_regex_locations
+
+    out = search_regex_locations(
+        _docs(spark, sf_dir).filter(F.col("text").isNotNull()), LOC_PATTERNS
+    )
+    return out.select(
+        "pattern",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "match",
+        F.col("start_col").cast("long").alias("start_col"),
+    )
+
+
+def o_search_locations():
+    parts = [
+        "SELECT '" + p + "' AS pattern, doc_id, "
+        "unnest(regexp_extract_all(text, '" + p + "')) AS match, text "
+        "FROM documents WHERE text IS NOT NULL"
+        for p in LOC_PATTERNS
+    ]
+    return f"""
+      WITH m AS ({" UNION ALL ".join(parts)})
+      SELECT pattern, CAST(doc_id AS BIGINT) AS doc_id, match,
+             CAST(strpos(text, match) AS BIGINT) AS start_col
+      FROM m
+    """
+
+
+def q_extreme_docs(spark, sf_dir):
+    from wimbd_spark.operators.stats import extreme_token_docs
+
+    out = extreme_token_docs(
+        _docs(spark, sf_dir).filter(F.col("text").isNotNull()), which="max"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("num_tokens").cast("long").alias("num_tokens"),
+    )
+
+
+def o_extreme_docs():
+    ntok = (
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))"
+    )
+    return f"""
+      WITH t AS (
+        SELECT doc_id, {ntok} AS ntok FROM documents WHERE text IS NOT NULL
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(ntok AS BIGINT) AS num_tokens
+      FROM t WHERE ntok = (SELECT max(ntok) FROM t)
+    """
+
+
+def q_contamination_rate(spark, sf_dir):
+    from wimbd_spark.operators.dedup import contamination_rate
+
+    docs = _docs(spark, sf_dir)
+    evalset = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias("phrase"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("source") != "src0")
+    out = contamination_rate(evalset, corpus, "phrase")
+    return out.select(
+        F.col("contaminated").cast("long").alias("contaminated"),
+        F.col("total").cast("long").alias("total"),
+        "rate",
+    )
+
+
+def o_contamination_rate():
+    return """
+      WITH phrases AS (
+        SELECT DISTINCT array_to_string(list_slice(t, i, i+3), ' ') AS phrase
+        FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+              FROM documents WHERE source = 'src0' AND text IS NOT NULL),
+             unnest(generate_series(1, len(t)-3)) AS u(i)
+        WHERE len(t) >= 4
+      ),
+      hits AS (
+        SELECT DISTINCT p.phrase FROM phrases p
+        JOIN documents d ON d.source <> 'src0' AND contains(d.text, p.phrase)
+      )
+      SELECT CAST((SELECT count(*) FROM hits) AS BIGINT) AS contaminated,
+             CAST((SELECT count(*) FROM phrases) AS BIGINT) AS total,
+             (SELECT count(*) FROM hits) / (SELECT count(*)::DOUBLE FROM phrases) AS rate
+    """
+
+
+def q_multi_overlap(spark, sf_dir):
+    from wimbd_spark.operators.dedup import multi_overlap
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "grp", F.concat(F.lit("g"), (F.col("doc_id") % 3).cast("string"))
+    )
+    # overlap on shared TOKENS across 3 artificial dataset groups (texts
+    # are unique in the testdata; tokens overlap heavily)
+    words = docs.select(
+        "grp", F.explode(tokenize(F.col("text"))).alias("w")
+    ).withColumn("text", F.col("w")).select("grp", "text")
+    return multi_overlap(words, dataset_col="grp").select(
+        "hash", "datasets", F.col("n_datasets").cast("long").alias("n_datasets")
+    )
+
+
+def o_multi_overlap():
+    return """
+      WITH words AS (
+        SELECT 'g' || (doc_id % 3)::VARCHAR AS grp,
+               unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+        FROM documents WHERE text IS NOT NULL
+      )
+      SELECT md5(w) AS hash,
+             list_sort(list(DISTINCT grp)) AS datasets,
+             CAST(len(list(DISTINCT grp)) AS BIGINT) AS n_datasets
+      FROM words GROUP BY w
+    """
+
+
+def q_find_examples(spark, sf_dir):
+    from wimbd_spark.operators.dedup import find_examples
+
+    docs = _docs(spark, sf_dir)
+    wanted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.md5("text").alias("h")
+    )
+    out = find_examples(docs, wanted, k=5)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
+def o_find_examples():
+    return """
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents
+      WHERE coalesce(md5(text), 'None') IN (
+        SELECT md5(text) FROM documents WHERE doc_id % 50 = 0
+      )
+      ORDER BY doc_id ASC LIMIT 5
+    """
+
+
 # --------------------------------------------------- URL analysis family
 
 _TLD_BY_LANG = {"en": ".com", "de": ".de", "fr": ".fr", "es": ".es"}
@@ -1437,6 +1584,11 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "length_dist_normalized": (q_length_dist_normalized, o_length_dist_normalized),
     "url_analysis": (q_url_analysis, o_url_analysis),
     "url_host_counts": (q_url_host_counts, o_url_host_counts),
+    "search_locations": (q_search_locations, o_search_locations),
+    "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
+    "contamination_rate": (q_contamination_rate, o_contamination_rate),
+    "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
+    "find_examples": (q_find_examples, o_find_examples),
 }
 
 
