@@ -10,18 +10,65 @@ from wimbd_spark.operators.count import (
     search_regex_counts,
     search_regex_locations,
 )
-from wimbd_spark.operators.keycount import key_count, normalize_distribution
+from wimbd_spark.operators.keycount import (
+    id_lookup,
+    key_count,
+    normalize_distribution,
+    sample_by_hash,
+)
+from wimbd_spark.operators.dedup import (
+    contamination_rate,
+    decontaminate,
+    dedup_keep_first,
+    duplicate_stats,
+    find_examples,
+    mark_duplicates,
+    multi_overlap,
+    overlap,
+)
+from wimbd_spark.operators.neardup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash16,
+    simhash_pairs,
+)
+from wimbd_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from wimbd_spark.operators.textqc import (
+    doc_fingerprint,
+    langid_heuristic,
+    quality_scores,
+    token_count,
+    token_count_bpe_ish,
+)
+from wimbd_spark.operators.windows import (
+    session_stats,
+    sessionize,
+    sliding_agg,
+    tumbling_agg,
+)
+from wimbd_spark.operators.pii import (
+    demographic_cooccurrence,
+    extract_pii,
+    pii_counts,
+    taxonomy_counts,
+)
 
 __all__ = [
-    "botk_ngrams",
-    "ngram_counts",
-    "topk_ngrams",
-    "unique_ngrams",
-    "corpus_stats",
-    "extreme_token_docs",
-    "count_sequences",
-    "search_regex_counts",
-    "search_regex_locations",
-    "key_count",
-    "normalize_distribution",
+    "botk_ngrams", "ngram_counts", "topk_ngrams", "unique_ngrams",
+    "corpus_stats", "extreme_token_docs",
+    "count_sequences", "search_regex_counts", "search_regex_locations",
+    "id_lookup", "key_count", "normalize_distribution", "sample_by_hash",
+    "contamination_rate", "decontaminate", "dedup_keep_first",
+    "duplicate_stats", "find_examples", "mark_duplicates", "multi_overlap",
+    "overlap",
+    "jaccard_pairs", "lsh_candidate_pairs", "minhash_dedup_pairs",
+    "minhash_signatures", "simhash16", "simhash_pairs",
+    "cosine_topk", "cosine_topk_lsh",
+    "doc_fingerprint", "langid_heuristic", "quality_scores",
+    "token_count", "token_count_bpe_ish",
+    "session_stats", "sessionize", "sliding_agg", "tumbling_agg",
+    "demographic_cooccurrence", "extract_pii", "pii_counts",
+    "taxonomy_counts",
 ]
