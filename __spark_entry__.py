@@ -1063,6 +1063,39 @@ def o_multimodal_bytes_meta():
 
 # ---------------------------------------- remaining reference operators
 
+def q_phrase_slop_count(spark, sf_dir):
+    """Docs matching phrase "the scan" with slop=1 (ES match_phrase
+    slop semantics: one intervening token allowed)."""
+    docs = _docs(spark, sf_dir)
+    pred = build_phrase_predicate(["the scan"], slop=1)
+    return docs.agg(F.count_if(pred).cast("long").alias("count"))
+
+
+def o_phrase_slop_count():
+    # ordered pair (the, scan) within distance 1+slop: j in (i+1 .. i+2)
+    return """
+      SELECT CAST(count_if(
+        len(list_filter(generate_series(1, len(t)), i ->
+          t[i] = 'the' AND
+          len(list_filter(generate_series(i+1, least(i+2, len(t))), j ->
+            t[j] = 'scan')) > 0
+        )) > 0
+      ) AS BIGINT) AS count
+      FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+            FROM documents WHERE text IS NOT NULL)
+    """
+
+
+def q_unique_ngrams_approx(spark, sf_dir):
+    """HLL++ distinct trigrams — the honest twin of the reference's
+    Bloom nonzero-cell estimate (src/cmd/unique.rs). No oracle: HLL
+    implementations differ across engines by design; the driver's
+    rows-only check applies, and the exact twin (unique_ngrams_n2) is
+    fully oracle-gated."""
+    return unique_ngrams(_docs(spark, sf_dir), n=3, approx=True).select(
+        F.col("unique_count").cast("long").alias("unique_count")
+    )
+
 LOC_PATTERNS = ["table scan", "qu[ae]ry"]
 
 
@@ -1589,6 +1622,8 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "contamination_rate": (q_contamination_rate, o_contamination_rate),
     "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
     "find_examples": (q_find_examples, o_find_examples),
+    "phrase_slop_count": (q_phrase_slop_count, o_phrase_slop_count),
+    "unique_ngrams_approx": (q_unique_ngrams_approx, None),
 }
 
 

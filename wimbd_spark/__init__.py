@@ -13,7 +13,12 @@ Design rules (see SURVEY.md §7):
   window functions for per-key order; no driver-side loops.
 """
 
-from wimbd_spark.session import get_spark, load_tables, table_summary
+from wimbd_spark.session import (
+    get_spark,
+    load_tables,
+    table_summary,
+    union_tables,
+)
 
-__all__ = ["get_spark", "load_tables", "table_summary"]
+__all__ = ["get_spark", "load_tables", "table_summary", "union_tables"]
 __version__ = "0.1.0"
