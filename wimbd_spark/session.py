@@ -90,6 +90,10 @@ def load_tables(
     """Load the driver's parquet tables from ``sf_dir``; optionally
     register them as temp views so ``spark.sql`` works on them.
     """
+    # Defensive: callers may pass a session built elsewhere (the
+    # driver's) without our builder conf; nanos parquet reads fail
+    # without this and it is runtime-settable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name in names or TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
