@@ -1,0 +1,152 @@
+"""Property-style tests: Spark operators vs pure-Python reference
+implementations over seeded random inputs, evaluated in ONE Spark job
+per property (per-example round-trips would be prohibitively slow).
+
+Alphabet stays ASCII: Java's \\s is ASCII-only while Python's
+str.split() handles Unicode whitespace — a documented divergence, not
+a bug (the canonical tokenizer is defined by the Spark semantics).
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from wimbd_spark.functions.text import ngram_strings, tokenize
+from wimbd_spark.search import _phrase_window_match
+
+SEED = 20260813
+WORDS = ["a", "bb", "ccc", "the", "scan", "x1", "zz"]
+WS = [" ", "  ", "\t", "\n"]
+
+
+def _random_texts(n, max_tokens=12):
+    rng = random.Random(SEED)
+    out = []
+    for _ in range(n):
+        k = rng.randint(0, max_tokens)
+        toks = [rng.choice(WORDS) for _ in range(k)]
+        text = rng.choice(["", " "]) + rng.choice(WS).join(toks) + rng.choice(["", " "])
+        out.append((text, toks))
+    return out
+
+
+def test_tokenize_matches_python_split(spark):
+    cases = _random_texts(300)
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], ["i", "text"]
+    )
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", tokenize(F.col("text")).alias("toks")).collect()
+    }
+    for i, (text, _) in enumerate(cases):
+        assert got[i] == text.split(), repr(text)
+
+
+def test_ngrams_match_python_windows(spark):
+    cases = _random_texts(200)
+    for n in (1, 2, 3):
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(cases)], ["i", "text"]
+        )
+        got = {
+            r["i"]: r["g"]
+            for r in df.select(
+                "i", ngram_strings(tokenize(F.col("text")), n).alias("g")
+            ).collect()
+        }
+        for i, (text, _) in enumerate(cases):
+            toks = text.split()
+            expect = [
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            ]
+            assert got[i] == expect, (n, text)
+
+
+def _py_slop_match(tokens, phrase, slop):
+    ptoks = phrase.split()
+    L, W = len(ptoks), len(ptoks) + slop
+    for i in range(len(tokens)):
+        window = tokens[i : i + W]
+        it = iter(window)
+        if all(any(w == p for w in it) for p in ptoks):
+            return True
+    return False
+
+
+def test_phrase_slop_matches_python(spark):
+    cases = _random_texts(300, max_tokens=8)
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], ["i", "text"]
+    )
+    for phrase in ["the scan", "a bb ccc", "zz"]:
+        for slop in (0, 1, 2):
+            got = {
+                r["i"]: r["m"]
+                for r in df.select(
+                    "i",
+                    F.coalesce(
+                        _phrase_window_match(
+                            tokenize(F.col("text")), phrase, slop
+                        ),
+                        F.lit(False),
+                    ).alias("m"),
+                ).collect()
+            }
+            for i, (text, _) in enumerate(cases):
+                expect = _py_slop_match(text.split(), phrase, slop)
+                assert got[i] == expect, (text, phrase, slop)
+
+
+def test_sessionize_properties(spark):
+    rng = random.Random(SEED)
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for user in range(20):
+        t = dt.datetime(2024, 1, 1)
+        for _ in range(rng.randint(0, 30)):
+            t += dt.timedelta(seconds=rng.choice([10, 100, 1000, 5000]))
+            rows.append((eid, t, user))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    from wimbd_spark.operators.windows import sessionize
+
+    out = sessionize(df, gap_s=1800).collect()
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["ts"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, rs in by_user.items():
+        prev = None
+        for r in rs:
+            if prev is not None:
+                gap = (r["ts"] - prev["ts"]).total_seconds()
+                if gap > 1800:
+                    assert r["session_id"] == prev["session_id"] + 1
+                else:
+                    assert r["session_id"] == prev["session_id"]
+            else:
+                assert r["session_id"] == 1
+            prev = r
+
+
+def test_minhash_jaccard_unbiased(spark):
+    """MinHash collision rate ≈ true Jaccard (within generous CI)."""
+    base = [f"tok{i}" for i in range(40)]
+    a = " ".join(base)
+    b = " ".join(base[:30] + [f"other{i}" for i in range(10)])
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    from wimbd_spark.operators.neardup import (
+        jaccard_pairs,
+        minhash_signatures,
+    )
+
+    K = 64
+    sigs = {r["doc_id"]: [r[f"mh{j}"] for j in range(K)]
+            for r in minhash_signatures(df, num_hashes=K, shingle_n=2).collect()}
+    est = sum(x == y for x, y in zip(sigs[1], sigs[2])) / K
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    true_j = jaccard_pairs(df, pairs, shingle_n=2).collect()[0]["jaccard"]
+    assert abs(est - true_j) < 0.2  # 64 hashes → σ ≈ 0.06
