@@ -962,8 +962,15 @@ def q_langid_counts(spark, sf_dir):
     from wimbd_spark.operators.textqc import langid_heuristic
 
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toksed = docs.select(
+        F.col("text"), tokenize(F.col("text")).alias("_toks")
+    )
     return (
-        docs.select(langid_heuristic(F.col("text")).alias("predicted_lang"))
+        toksed.select(
+            langid_heuristic(F.col("text"), tokens=F.col("_toks")).alias(
+                "predicted_lang"
+            )
+        )
         .groupBy("predicted_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("count"))
     )

@@ -49,7 +49,9 @@ def stopword_count(tokens: Column, lang: str) -> Column:
     )
 
 
-def quality_features(text: Column | str) -> list[Column]:
+def quality_features(
+    text: Column | str, tokens: Column | None = None
+) -> list[Column]:
     """Deterministic per-doc quality signals (all pure expressions):
 
     - n_chars, n_tokens
@@ -58,9 +60,12 @@ def quality_features(text: Column | str) -> list[Column]:
     - punct_ratio — non-alnum-non-space chars / chars
     - digit_ratio
     - repetition_ratio — 1 - distinct_tokens/tokens (near-1 = spam)
+
+    Pass a precomputed ``tokens`` column when scoring a corpus —
+    Catalyst does not CSE tokenize() across these expressions.
     """
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokenize(c)
+    toks = tokens if tokens is not None else tokenize(c)
     n_chars = F.length(c).cast("long")
     n_tokens = F.size(toks).cast("long")
     nz = F.when(n_tokens > 0, n_tokens.cast("double"))
@@ -89,18 +94,29 @@ def quality_features(text: Column | str) -> list[Column]:
 def quality_scores(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-doc quality feature table."""
-    return df.select(F.col(id_col), *quality_features(F.col(text_col)))
+    """Per-doc quality feature table (tokenizes once per row)."""
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        tokenize(F.col(text_col)).alias("_toks"),
+    )
+    return base.select(
+        F.col(id_col),
+        *quality_features(F.col("_text"), tokens=F.col("_toks")),
+    )
 
 
-def langid_heuristic(text: Column | str) -> Column:
+def langid_heuristic(
+    text: Column | str, tokens: Column | None = None
+) -> Column:
     """Stopword-profile language guess → lang code or 'un'.
 
     Mirrors the shape of wimbd/language/map_count.py:7-16 ('un' when
     no profile fires) with a deterministic tie-break (profile order).
+    Pass precomputed ``tokens`` to avoid re-tokenizing per profile.
     """
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokenize(c)
+    toks = tokens if tokens is not None else tokenize(c)
     scores = {lang: stopword_count(toks, lang) for lang in STOPWORDS}
     best_score = F.greatest(*scores.values())
     # first language (fixed profile order) achieving the max = ties
