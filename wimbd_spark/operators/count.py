@@ -111,26 +111,32 @@ def search_regex_locations(
     if not patterns:
         raise ValueError("search_regex_locations: patterns must be non-empty")
     base = df.select(*id_cols, F.col(text_col).alias("_text"))
-    # regexp must be foldable → one literal-pattern branch per pattern,
-    # unioned. Catalyst still reads the source once per branch; patterns
-    # lists are tiny (the reference caps them the same way).
-    parts = [
-        base.select(
-            F.lit(p).alias("pattern"),
+    # ONE scan for all patterns: regexps must be foldable, so build a
+    # per-pattern struct of (pattern, matches) in a single projection,
+    # then explode twice. A per-pattern union would re-scan the source
+    # k times.
+    per_pattern = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("pattern"),
+                F.regexp_extract_all(F.col("_text"), F.lit(p), 0).alias(
+                    "matches"
+                ),
+            )
+            for p in patterns
+        ]
+    )
+    exploded = (
+        base.select(*id_cols, F.col("_text"), F.explode(per_pattern).alias("pm"))
+        .select(
+            F.col("pm.pattern").alias("pattern"),
             *id_cols,
-            F.explode(
-                F.regexp_extract_all(F.col("_text"), F.lit(p), 0)
-            ).alias("match"),
+            F.explode("pm.matches").alias("match"),
             F.col("_text"),
         )
-        for p in patterns
-    ]
-    exploded = parts[0]
-    for part in parts[1:]:
-        exploded = exploded.unionAll(part)
-    exploded = exploded.withColumn(
-        "start_col", F.expr("locate(match, _text)")
-    ).drop("_text")
+        .withColumn("start_col", F.expr("locate(match, _text)"))
+        .drop("_text")
+    )
     if limit_per_pattern is not None:
         w = Window.partitionBy("pattern").orderBy(*[F.col(c) for c in id_cols])
         exploded = (
