@@ -86,8 +86,13 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from wimbd_spark.session import get_spark
 
+    # Only stop the session on exit if we created it — embedding hosts
+    # (tests, notebooks) keep theirs alive.
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"wimbd-spark-{args.cmd}")
     try:
         df = _load(spark, args.paths, args.limit, args.file_limit)
@@ -123,7 +128,8 @@ def main(argv: list[str] | None = None) -> int:
             _emit([row.asDict()], args.output)
         return 0
     finally:
-        spark.stop()
+        if not preexisting:
+            spark.stop()
 
 
 if __name__ == "__main__":
