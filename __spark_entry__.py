@@ -585,6 +585,79 @@ def o_orders_by_year_priority():
     """
 
 
+def q_orders_rollup(spark, sf_dir):
+    """ROLLUP over (year, priority) — grouping-sets surface the
+    reference lacks entirely (SURVEY §2.7)."""
+    orders = _tbl(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+
+
+def o_orders_rollup():
+    return """
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+             o_orderpriority, CAST(COUNT(*) AS BIGINT) AS count
+      FROM orders
+      GROUP BY ROLLUP (1, 2)
+    """
+
+
+def q_phrase_count_filtered(spark, sf_dir):
+    """E4 with a term filter: docs in lang='en' containing 'merge'
+    (token-aligned) — the c4 implicit subset filter generalized."""
+    docs = _docs(spark, sf_dir)
+    pred = build_phrase_predicate(["merge"])
+    return (
+        docs.filter(F.col("lang") == "en")
+        .agg(F.count_if(pred).cast("long").alias("count"))
+    )
+
+
+def o_phrase_count_filtered():
+    return f"""
+      SELECT CAST(count_if({_sql_phrase_match("merge")}) AS BIGINT) AS count
+      FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+            FROM documents WHERE lang = 'en' AND text IS NOT NULL)
+    """
+
+
+def q_top2_orders_per_customer(spark, sf_dir):
+    """General window-function surface: rank within partition."""
+    orders = _tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def o_top2_orders_per_customer():
+    return """
+      WITH ranked AS (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+      )
+      SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+             CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             CAST(rn AS BIGINT) AS rn
+      FROM ranked WHERE rn <= 2
+    """
+
+
 # ------------------------------------------------------- events (batch)
 
 def q_events_tumbling(spark, sf_dir):
@@ -1631,6 +1704,9 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "find_examples": (q_find_examples, o_find_examples),
     "phrase_slop_count": (q_phrase_slop_count, o_phrase_slop_count),
     "unique_ngrams_approx": (q_unique_ngrams_approx, None),
+    "orders_rollup": (q_orders_rollup, o_orders_rollup),
+    "phrase_count_filtered": (q_phrase_count_filtered, o_phrase_count_filtered),
+    "top2_orders_per_customer": (q_top2_orders_per_customer, o_top2_orders_per_customer),
 }
 
 
