@@ -45,6 +45,19 @@ def test_cli_count_and_unique(capsys, shard_dir):
     assert rows[0]["unique_count"] == 5
 
 
+def test_cli_dedup_and_decontaminate(capsys, tmp_path, shard_dir):
+    out = str(tmp_path / "deduped")
+    rows = _run(capsys, ["dedup", shard_dir, "--out", out])
+    # 20 docs, only 2 distinct texts ("a b c d" / "a b c e")
+    assert rows[0] == {"input": 20, "kept": 2, "dropped": 18}
+    out2 = str(tmp_path / "clean")
+    rows = _run(
+        capsys,
+        ["decontaminate", shard_dir, "--blocklist", out, "--out", out2],
+    )
+    assert rows[0]["kept"] == 0  # blocklist covers every text
+
+
 def test_cli_output_file(tmp_path, shard_dir):
     out = str(tmp_path / "res.jsonl")
     assert main(["search", shard_dir, "-p", "[de]$", "-o", out]) == 0

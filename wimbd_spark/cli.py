@@ -18,11 +18,23 @@ import json
 import sys
 
 
+def _is_parquet(p: str) -> bool:
+    import glob
+    import os
+
+    if p.endswith(".parquet"):
+        return True
+    return os.path.isdir(p) and (
+        bool(glob.glob(os.path.join(p, "*.parquet")))
+        or os.path.exists(os.path.join(p, "_SUCCESS"))
+    )
+
+
 def _load(spark, paths: list[str], limit: int | None, file_limit: int | None):
     from wimbd_spark.corpus import load_jsonl
     from wimbd_spark.session import rebalance_small_input
 
-    if all(p.endswith(".parquet") for p in paths):
+    if all(_is_parquet(p) for p in paths):
         df = spark.read.parquet(*paths)
         if limit:
             df = df.limit(limit)
@@ -84,6 +96,22 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--approx", action="store_true",
                     help="HyperLogLog++ instead of exact")
 
+    sp = sub.add_parser(
+        "dedup", help="drop exact-duplicate texts (keep first)"
+    )
+    common(sp)
+    sp.add_argument("--out", required=True, help="output parquet path")
+    sp.add_argument("--order-col", default=None,
+                    help="column defining 'first' (default: _file or first column)")
+
+    sp = sub.add_parser(
+        "decontaminate", help="remove docs whose text hash is in a blocklist"
+    )
+    common(sp)
+    sp.add_argument("--blocklist", required=True,
+                    help="eval-set path (jsonl.gz dir or parquet)")
+    sp.add_argument("--out", required=True, help="output parquet path")
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -126,6 +154,30 @@ def main(argv: list[str] | None = None) -> int:
                 df, args.ngram, text_col=t, approx=args.approx
             ).collect()[0]
             _emit([row.asDict()], args.output)
+        elif args.cmd == "dedup":
+            from wimbd_spark.operators.dedup import dedup_keep_first
+
+            order = args.order_col or ("_file" if "_file" in df.columns else df.columns[0])
+            before = df.count()
+            kept = dedup_keep_first(df, text_col=t, order_cols=(order,))
+            kept.write.mode("overwrite").parquet(args.out)
+            after = spark.read.parquet(args.out).count()
+            _emit(
+                [{"input": before, "kept": after, "dropped": before - after}],
+                args.output,
+            )
+        elif args.cmd == "decontaminate":
+            from wimbd_spark.operators.dedup import decontaminate
+
+            bl = _load(spark, [args.blocklist], None, None)
+            before = df.count()
+            kept = decontaminate(df, bl, text_col=t)
+            kept.write.mode("overwrite").parquet(args.out)
+            after = spark.read.parquet(args.out).count()
+            _emit(
+                [{"input": before, "kept": after, "removed": before - after}],
+                args.output,
+            )
         return 0
     finally:
         if not preexisting:
