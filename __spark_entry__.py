@@ -464,11 +464,15 @@ def q_top_orders_by_revenue(spark, sf_dir):
     )
     orders = _tbl(spark, sf_dir, "orders")
     li = _tbl(spark, sf_dir, "lineitem")
+    # Join order matters without CBO stats: apply the selective
+    # customer filter to orders FIRST (1/5 selectivity), so the
+    # lineitem join sees the reduced order set — AQE then broadcasts
+    # it and lineitem never shuffles.
+    sel_orders = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey")
     return (
-        li.join(
-            orders, li["l_orderkey"] == orders["o_orderkey"], "inner"
-        )
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        li.join(sel_orders, li["l_orderkey"] == F.col("o_orderkey"), "inner")
         .groupBy(F.col("o_orderkey").cast("long").alias("o_orderkey"))
         .agg(
             F.sum(
@@ -504,15 +508,22 @@ def q_nation_revenue(spark, sf_dir):
     supp = _tbl(spark, sf_dir, "supplier")
     orders = _tbl(spark, sf_dir, "orders")
     li = _tbl(spark, sf_dir, "lineitem")
+    # Selective dims first: EUROPE restricts nations to 1/5, which
+    # restricts suppliers before lineitem is touched — the li⋈supp
+    # broadcast join prunes ~80% of lineitem ahead of the orders join.
     dims = F.broadcast(
         nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
     )
+    euro_supp = F.broadcast(
+        supp.join(dims, supp["s_nationkey"] == F.col("n_nationkey")).select(
+            "s_suppkey", "s_nationkey", "n_name"
+        )
+    )
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(euro_supp, li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
             F.sum(
