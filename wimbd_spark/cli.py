@@ -77,6 +77,11 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("-n", "--ngram", type=int, default=3)
         sp.add_argument("-k", "--topk", type=int, default=20)
         sp.add_argument("--threshold", type=int, default=None)
+        # reference sketch-sizing flags (src/main.rs:43-57): accepted
+        # for drop-in compatibility, ignored — results here are exact
+        sp.add_argument("--size", default=None, help=argparse.SUPPRESS)
+        sp.add_argument("--hashes", default=None, help=argparse.SUPPRESS)
+        sp.add_argument("--seed", default=None, help=argparse.SUPPRESS)
 
     sp = sub.add_parser("count", help="exact token-sequence counts")
     common(sp)
