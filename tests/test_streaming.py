@@ -133,6 +133,51 @@ def test_session_window_stream(spark, stream_dir):
         q.stop()
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append mode + tight watermark: an event arriving after the
+    watermark passed its window is DROPPED (bounded state guarantee)."""
+    from wimbd_spark.streaming import read_event_stream, tumbling_counts_stream
+
+    d = str(tmp_path / "wm_events")
+    _write_batch(d, [_ev(1, 5, 1)], "b0.json")  # window [00:00, 00:30)
+    ev = read_event_stream(spark, d, max_files_per_trigger=1)
+    q = _run_to_memory(
+        tumbling_counts_stream(
+            ev, duration="30 minutes", watermark="0 seconds", keys=()
+        ),
+        "wm_test",
+        "append",
+    )
+    try:
+        # advance event time well past the first window...
+        _write_batch(d, [{**_ev(2, 0, 1), "ts": "2024-01-01T02:00:00.000Z"}], "b1.json")
+        q.processAllAvailable()
+        # ...then a LATE arrival for the first window + a fresh event
+        _write_batch(
+            d,
+            [
+                _ev(3, 10, 1),  # late: watermark is already 02:00
+                {**_ev(4, 0, 1), "ts": "2024-01-01T03:00:00.000Z"},
+            ],
+            "b2.json",
+        )
+        q.processAllAvailable()
+        _write_batch(
+            d, [{**_ev(5, 0, 1), "ts": "2024-01-01T04:00:00.000Z"}], "b3.json"
+        )
+        q.processAllAvailable()
+        got = {
+            r["window_start_s"]: r["n_events"]
+            for r in spark.sql("SELECT * FROM wm_test").collect()
+        }
+        base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+        # first window emitted with ONE event — the late event_id=3 was
+        # dropped, not merged
+        assert got[base] == 1
+    finally:
+        q.stop()
+
+
 def test_stateful_user_counts(spark, stream_dir):
     from wimbd_spark.streaming import read_event_stream, stateful_user_counts
 
