@@ -119,6 +119,27 @@ def o_botk_ngrams():
     """
 
 
+def q_topk_ngrams_n10(spark, sf_dir):
+    """Long-n path (production runs use n up to 100,
+    runs/run_analysis.sh:23) — windows nearly as long as documents."""
+    return topk_ngrams(_docs(spark, sf_dir), n=10, k=10).select(
+        "ngram",
+        F.col("count").cast("long").alias("count"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def o_topk_ngrams_n10():
+    return f"""
+      WITH {_sql_grams(10)}, counted AS (
+        SELECT ngram, CAST(count(*) AS BIGINT) AS count FROM grams GROUP BY ngram
+      )
+      SELECT ngram, count,
+             CAST(row_number() OVER (ORDER BY count DESC, ngram ASC) AS BIGINT) AS rank
+      FROM counted ORDER BY count DESC, ngram ASC LIMIT 10
+    """
+
+
 def q_unique_ngrams(spark, sf_dir):
     return unique_ngrams(_docs(spark, sf_dir), n=2).select(
         F.col("unique_count").cast("long").alias("unique_count")
@@ -1664,6 +1685,7 @@ def o_demographic_cooccurrence():
 
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "topk_ngrams_n3_k20": (q_topk_ngrams, o_topk_ngrams),
+    "topk_ngrams_n10_k10": (q_topk_ngrams_n10, o_topk_ngrams_n10),
     "botk_ngrams_n1_k20": (q_botk_ngrams, o_botk_ngrams),
     "unique_ngrams_n2": (q_unique_ngrams, o_unique_ngrams),
     "count_sequences": (q_count_sequences, o_count_sequences),

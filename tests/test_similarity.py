@@ -68,6 +68,24 @@ def test_lsh_recall_reasonable(embeddings):
     assert recall >= 0.5  # 4-bit sketch + multiprobe on random vectors
 
 
+def test_ivf_recall_reasonable(embeddings):
+    from wimbd_spark.operators.similarity import cosine_topk_ivf
+
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(embeddings, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(
+            embeddings, queries, k=3, n_centroids=8, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4  # probing half the lists on random vectors
+
+
 def test_lsh_self_excluded(embeddings):
     queries = embeddings.filter(F.col("vec_id") < 5)
     rows = cosine_topk_lsh(embeddings, queries, k=3, nbits=4).collect()

@@ -119,6 +119,102 @@ def sign_sketch(vec: Column, planes: list[list[float]]) -> Column:
     return total.cast("long")
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are assigned to
+    their nearest centroid (the inverted-file "list"); each query
+    probes only its ``n_probe`` nearest centroids' lists.
+
+    Centroids are deterministic samples of the corpus itself (hash-
+    gated — reproducible, no k-means iterations; one refinement pass
+    can be added identically on both the build and query side). The
+    corpus-side assignment is a map-only projection, so at scale the
+    lists can be written as a `centroid`-partitioned table and a query
+    batch touches ~n_probe/n_centroids of the data.
+    """
+    from wimbd_spark.functions.text import hash32
+
+    # deterministic centroid sample ≈ n_centroids rows
+    total = corpus.count()
+    denom = max(total // n_centroids, 1)
+    cents = (
+        corpus.filter(hash32(F.col(id_col)) % denom == 0)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            _to_double(F.col(vec_col)).alias("_cent"),
+        )
+        .collect()
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["centroid_id"]).alias("cid"),
+                F.array(*[F.lit(x) for x in r["_cent"]]).alias("v"),
+            )
+            for r in cents
+        ]
+    )
+
+    def top_centroids(vec: Column, n: int) -> Column:
+        scored = F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                (-cosine(vec, c["v"])).alias("neg"), c["cid"].alias("cid")
+            ),
+        )
+        return F.slice(F.array_sort(scored), 1, n)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("centroid", top_centroids(F.col("_cv"), 1)[0]["cid"])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _to_double(F.col(vec_col)).alias("_qv"),
+        )
+        .withColumn(
+            "centroid",
+            F.explode(
+                F.transform(
+                    top_centroids(F.col("_qv"), n_probe), lambda s: s["cid"]
+                )
+            ),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "centroid")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
