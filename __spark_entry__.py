@@ -1313,8 +1313,12 @@ def q_multi_overlap(spark, sf_dir):
     words = docs.select(
         "grp", F.explode(tokenize(F.col("text"))).alias("w")
     ).withColumn("text", F.col("w")).select("grp", "text")
+    # datasets is array<string>; flatten to a comma-joined scalar so the
+    # driver's pandas canonicalizer (sorts columns by value) can hash it.
     return multi_overlap(words, dataset_col="grp").select(
-        "hash", "datasets", F.col("n_datasets").cast("long").alias("n_datasets")
+        "hash",
+        F.array_join("datasets", ",").alias("datasets"),
+        F.col("n_datasets").cast("long").alias("n_datasets"),
     )
 
 
@@ -1326,7 +1330,7 @@ def o_multi_overlap():
         FROM documents WHERE text IS NOT NULL
       )
       SELECT md5(w) AS hash,
-             list_sort(list(DISTINCT grp)) AS datasets,
+             array_to_string(list_sort(list(DISTINCT grp)), ',') AS datasets,
              CAST(len(list(DISTINCT grp)) AS BIGINT) AS n_datasets
       FROM words GROUP BY w
     """

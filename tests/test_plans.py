@@ -100,3 +100,13 @@ def test_whole_stage_codegen_in_hot_path(raw_docs):
     q.collect()
     final = q._jdf.queryExecution().executedPlan().toString()
     assert "*(" in final
+
+
+def test_extreme_docs_no_global_window(raw_docs):
+    from wimbd_spark.operators.stats import extreme_token_docs
+
+    # scalar-agg + broadcast filter, never an unpartitioned Window
+    # (which ships the whole corpus to one task — 100×-fatal)
+    plan = explain_str(extreme_token_docs(raw_docs))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan

@@ -57,17 +57,16 @@ def extreme_token_docs(
     `min_token_documents`, schema {path,line,num_tokens} ≙ id cols +
     num_tokens).
 
-    Implemented as rank()==1 over a global order — one shuffle, keeps
-    every tied document like the reference does.
+    Scale-safe plan: compute the extreme with a scalar aggregate
+    (partial+final agg, fully parallel), broadcast the 1-row result,
+    and filter docs equal to it — keeps every tied document like the
+    reference does, with NO unpartitioned window (which would shuffle
+    the whole corpus into a single task).
     """
-    from pyspark.sql.window import Window
-
     ntok = F.size(tokenize(F.col(text_col))).alias("num_tokens")
     base = df.select(*id_cols, ntok)
-    order = F.col("num_tokens").desc() if which == "max" else F.col("num_tokens").asc()
-    w = Window.orderBy(order)
-    return (
-        base.withColumn("_r", F.rank().over(w))
-        .filter(F.col("_r") == 1)
-        .drop("_r")
-    )
+    agg_fn = F.max if which == "max" else F.min
+    extreme = base.agg(agg_fn("num_tokens").alias("_ext"))
+    return base.join(
+        F.broadcast(extreme), on=F.col("num_tokens") == F.col("_ext"), how="inner"
+    ).drop("_ext")
