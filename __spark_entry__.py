@@ -1536,7 +1536,28 @@ def _docs_with_pii(spark, sf_dir):
             F.col("text"),
         ).alias("text"),
     )
-    return docs.unionAll(with_email).unionAll(with_isbn)
+    with_url_phone = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.lit("see https://spam.example.com/deals or call 555-123-4567 "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    with_clean_ip = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat(
+            F.lit("server 10.11.12."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" responded ok "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return (
+        docs.unionAll(with_email)
+        .unionAll(with_isbn)
+        .unionAll(with_url_phone)
+        .unionAll(with_clean_ip)
+    )
 
 
 _SQL_PII_BASE = """
@@ -1552,6 +1573,15 @@ _SQL_PII_BASE = """
                'ISBN 555-123-4567 and host 10.0.0.' || (doc_id % 256)::VARCHAR
                     || ' here: ' || text
         FROM documents WHERE doc_id % 11 = 0
+        UNION ALL
+        SELECT doc_id + 3000000,
+               'see https://spam.example.com/deals or call 555-123-4567 ' || text
+        FROM documents WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id + 4000000,
+               'server 10.11.12.' || (doc_id % 256)::VARCHAR
+                    || ' responded ok ' || text
+        FROM documents WHERE doc_id % 17 = 0
       )
 """
 
@@ -1576,9 +1606,18 @@ def o_pii_extraction():
     }
     eligible = (
         "text IS NOT NULL AND trim(text) <> '' AND length(text) <= 500000 "
-        "AND NOT contains(text, '....................') "
-        "AND length(text) - length(regexp_replace(text, '%', '', 'g')) <= 1000"
+        "AND NOT contains(text, repeat('.', 45)) "
+        "AND len(regexp_extract_all(text, '\\.{11}')) <= 50 "
+        "AND NOT contains(text, repeat('!', 99)) "
+        "AND NOT contains(text, '# # # # # # #') "
+        "AND NOT contains(text, '???????') "
+        "AND len(regexp_extract_all(text, '/ / / / /')) <= 50 "
+        "AND NOT contains(text, repeat(',', 76)) "
+        "AND NOT contains(text, repeat(':)', 52)) "
+        "AND length(text) - length(regexp_replace(text, '%', '', 'g')) <= 1000 "
+        "AND NOT contains(text, repeat(';', 121))"
     )
+    url_re = r"(https?://|www\.)[a-zA-Z0-9]+\.[^\s]{2,}"
     unions = " UNION ALL ".join(
         f"SELECT doc_id, '{k}' AS kind, "
         f"unnest(regexp_extract_all(text, '{p}')) AS match, text "
@@ -1590,7 +1629,9 @@ def o_pii_extraction():
       matches AS ({unions}),
       located AS (
         SELECT doc_id, kind, match, strpos(text, match) AS position,
-               substr(text, greatest(strpos(text, match) - 25, 1), 75) AS w
+               lower(substr(text, greatest(strpos(text, match) - 50, 1),
+                     strpos(text, match) + length(match) + 50
+                       - greatest(strpos(text, match) - 50, 1))) AS w
         FROM matches
       )
       SELECT CAST(doc_id AS BIGINT) AS doc_id, kind, match,
@@ -1598,8 +1639,9 @@ def o_pii_extraction():
       FROM located
       WHERE CASE kind
               WHEN 'email' THEN TRUE
-              WHEN 'ip' THEN NOT regexp_matches(upper(w), 'ISBN|DOI')
-              ELSE NOT (regexp_matches(upper(w), 'ISBN|DOI') OR contains(w, '#'))
+              WHEN 'ip' THEN NOT (regexp_matches(w, 'isbn|doi') OR contains(w, '#'))
+              ELSE NOT (regexp_matches(w, 'isbn|doi') OR contains(w, '#')
+                        OR regexp_matches(w, '{url_re}'))
             END
     """
 

@@ -53,15 +53,56 @@ def test_pii_counts(pii_docs):
 
 
 def test_pii_doc_filter(spark):
+    # reference garbage rules (wimbd/pii/map_count.py:129-142): the
+    # literals are 45 dots / 99 bangs / 76 commas / 121 semicolons etc.;
+    # shorter runs are NOT garbage.
     df = spark.createDataFrame(
-        [(1, "ok"), (2, "." * 25), (3, "%" * 1500), (4, "  ")],
+        [
+            (1, "ok"),
+            (2, "." * 25),          # kept: short dot run
+            (3, "%" * 1500),        # rejected: count('%') > 1000
+            (4, "  "),              # rejected: blank
+            (5, "." * 45),          # rejected: 45-dot literal
+            (6, "!" * 99 + " hi"),  # rejected: 99-bang literal
+            (7, "x " + "# # # # # # #"),  # rejected
+            (8, "what??????? " * 1),      # rejected: ???????
+            (9, ("..........." + " x ") * 51),  # rejected: >50 runs of 11 dots
+            (10, ":)" * 52),        # rejected: smiley run
+            (11, ";" * 121),        # rejected
+            (12, "," * 76),         # rejected
+            (13, ("/ / / / / x ") * 51),  # rejected: >50 slash runs
+        ],
         ["doc_id", "text"],
     )
     kept = [
         r["doc_id"]
         for r in df.filter(pii_doc_filter(F.col("text"))).collect()
     ]
-    assert kept == [1]
+    assert kept == [1, 2]
+
+
+def test_pii_phone_url_context_rejects(spark):
+    # reference rule (wimbd/pii/map_count.py:44-54): a phone whose
+    # 50-chars-each-side window contains a URL is rejected; ip keeps
+    # the '#' rejection; window extends past 25 chars before the match.
+    df = spark.createDataFrame(
+        [
+            (1, "visit https://spam.example.com now, call 555-123-4567"),
+            (2, "visit www.spam.example.com now, call 555-123-4567"),
+            (3, "plain phone 555-123-4567 no url"),
+            (4, "ticket #42 mentioned ip 10.1.2.3 today"),
+            (5, "ISBN 0000 is " + "x" * 30 + " far 555-123-4567"),  # isbn 43 chars before → in 50-window
+            (6, "ISBN 0000 is " + "x" * 60 + " far 555-123-4567"),  # isbn beyond 50 → kept
+        ],
+        ["doc_id", "text"],
+    )
+    found = {(r["doc_id"], r["kind"]) for r in extract_pii(df).collect()}
+    assert (1, "phone") not in found
+    assert (2, "phone") not in found
+    assert (3, "phone") in found
+    assert (4, "ip") not in found
+    assert (5, "phone") not in found
+    assert (6, "phone") in found
 
 
 def test_taxonomy_counts(spark):

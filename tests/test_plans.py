@@ -110,3 +110,14 @@ def test_extreme_docs_no_global_window(raw_docs):
     plan = explain_str(extreme_token_docs(raw_docs))
     assert "Window" not in plan
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_extract_pii_single_scan(raw_docs):
+    from wimbd_spark.operators.pii import extract_pii
+
+    # all PII kinds extracted in one projection: exactly one FileScan,
+    # not one scan per kind unioned
+    plan = explain_str(extract_pii(raw_docs))
+    # formatted explain prints each scan once in the tree and once in the
+    # numbered details — count the per-node Location lines instead
+    assert plan.count("Location: InMemoryFileIndex") == 1

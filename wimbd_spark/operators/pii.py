@@ -28,46 +28,76 @@ PII_PATTERNS = {
 }
 
 MAX_PII_DOC_CHARS = 500_000  # wimbd/pii/map_count.py:129
-GARBAGE_PERCENT_MAX = 1000  # wimbd/pii/map_count.py:140-142
+
+# The reference's pathological-repeat garbage literals
+# (wimbd/pii/map_count.py:137-142), reproduced as data constants.
+GARBAGE_SUBSTRINGS = (
+    "." * 45,
+    "!" * 99,
+    "# # # # # # #",
+    "???????",
+    "," * 76,
+    ":)" * 52,
+    ";" * 121,
+)
+GARBAGE_COUNTED = (  # (regex-escaped pattern, max allowed occurrences)
+    (r"\.{11}", 50),  # input.count("...........") > 50
+    (r"/ / / / /", 50),  # input.count("/ / / / /") > 50
+)
+GARBAGE_PERCENT_MAX = 1000  # input.count("%") > 1000
 
 
 def pii_doc_filter(text: Column) -> Column:
     """Docs eligible for PII scanning: non-null, not huge, not
-    pathological-repeat garbage (P3/P4)."""
-    not_garbage = (
-        ~F.coalesce(text.contains("." * 20), F.lit(False))
-    ) & (
-        F.coalesce(
-            F.length(text) - F.length(F.regexp_replace(text, r"%", "")),
-            F.lit(0),
-        )
-        <= GARBAGE_PERCENT_MAX
-    )
-    return (
+    pathological-repeat garbage (P3/P4, wimbd/pii/map_count.py:129-142).
+    All nine reference garbage patterns are enforced."""
+    ok = (
         text.isNotNull()
         & (F.trim(text) != "")
         & (F.length(text) <= MAX_PII_DOC_CHARS)
-        & not_garbage
     )
+    for lit in GARBAGE_SUBSTRINGS:
+        ok = ok & ~text.contains(lit)
+    for pat, cap in GARBAGE_COUNTED:
+        ok = ok & (F.regexp_count(text, F.lit(pat)) <= cap)
+    ok = ok & (
+        F.length(text) - F.length(F.regexp_replace(text, r"%", ""))
+        <= GARBAGE_PERCENT_MAX
+    )
+    return ok
+
+
+# Lookahead-free equivalent of the reference's contains_url regex
+# (wimbd/pii/map_count.py:13-24): the four alternation branches reduce,
+# for match-exists purposes, to scheme-or-www followed by an
+# alnum-starting label and a dotted suffix. (Divergence: the reference's
+# (?!www) lookahead rejects e.g. "https://wwwfoo.com"; we accept it.
+# RE2 — the oracle engine — has no lookahead, so both sides use this.)
+URL_CONTEXT_REGEX = r"(https?://|www\.)[a-zA-Z0-9]+\.[^\s]{2,}"
+
+
+def _context_window(match: Column, text: Column, pos: Column) -> Column:
+    """Lowercased window of 50 chars each side of the match span —
+    text[max(0, start-50) : end+50], wimbd/pii/map_count.py:49,61."""
+    start = F.greatest(pos - 50, F.lit(1))
+    length = pos + F.length(match) + 50 - start
+    return F.lower(text.substr(start.cast("int"), length.cast("int")))
 
 
 def _context_ok(kind: str, match: Column, text: Column, pos: Column) -> Column:
     """Reference context rules (wimbd/pii/map_count.py:29-66):
 
-    - email: domain part must contain a '.' (pattern enforces).
-    - ip: reject if a 50-char window around the match mentions
-      ISBN/DOI — version-number look-alikes.
-    - phone: reject if the window contains ISBN/DOI/'#' or the match
-      sits inside a URL-ish token.
+    - email: addressee must not be '(' and domain must contain '.' —
+      both already enforced by PII_PATTERNS['email'].
+    - ip: reject if the window mentions isbn/doi/'#'.
+    - phone: same as ip, plus reject if the window contains a URL.
     """
-    window = F.substring(
-        text, F.greatest(pos - 25, F.lit(1)).cast("int"), 50 + 25
-    )
-    has_isbn_doi = F.upper(window).rlike("ISBN|DOI")
+    window = _context_window(match, text, pos)
+    has_marker = window.rlike("isbn|doi") | window.contains("#")
     if kind == "ip":
-        return ~has_isbn_doi
+        return ~has_marker
     if kind == "phone":
-        return ~(has_isbn_doi | window.contains("#"))
+        return ~(has_marker | window.rlike(URL_CONTEXT_REGEX))
     return F.lit(True)
 
 
@@ -79,33 +109,45 @@ def extract_pii(
 ) -> DataFrame:
     """Per-match PII rows → (*id_cols, kind, match, position) after
     context filtering. position is 1-based char offset of the first
-    occurrence of the matched string."""
+    occurrence of the matched string (text.find(match),
+    wimbd/pii/map_count.py:95).
+
+    Single scan: all kinds are extracted in one projection (an array of
+    per-kind match-list structs, double-exploded) instead of one
+    pass-per-kind union — one FileScan regardless of len(kinds).
+    """
     eligible = df.filter(pii_doc_filter(F.col(text_col))).select(
         *id_cols, F.col(text_col).alias("_text")
     )
-    parts = []
-    for kind in kinds:
-        pat = PII_PATTERNS[kind]
-        p = (
-            eligible.select(
-                *id_cols,
+    per_kind = F.array(
+        *[
+            F.struct(
                 F.lit(kind).alias("kind"),
-                F.explode(
-                    F.regexp_extract_all(F.col("_text"), F.lit(pat), 0)
-                ).alias("match"),
-                F.col("_text"),
+                F.regexp_extract_all(
+                    F.col("_text"), F.lit(PII_PATTERNS[kind]), 0
+                ).alias("matches"),
             )
-            .withColumn("position", F.expr("locate(match, _text)"))
-            .filter(
-                _context_ok(kind, F.col("match"), F.col("_text"), F.col("position"))
-            )
-            .drop("_text")
+            for kind in kinds
+        ]
+    )
+    hits = (
+        eligible.select(*id_cols, "_text", F.explode(per_kind).alias("_k"))
+        .select(
+            *id_cols,
+            F.col("_k.kind").alias("kind"),
+            F.explode("_k.matches").alias("match"),
+            "_text",
         )
-        parts.append(p)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        .withColumn("position", F.expr("locate(match, _text)"))
+    )
+    ctx = None
+    for kind in kinds:
+        rule = _context_ok(
+            kind, F.col("match"), F.col("_text"), F.col("position")
+        )
+        branch = (F.col("kind") == kind) & rule
+        ctx = branch if ctx is None else (ctx | branch)
+    return hits.filter(ctx).drop("_text")
 
 
 def pii_counts(
