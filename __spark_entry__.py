@@ -1359,7 +1359,8 @@ def o_find_examples():
 
 # --------------------------------------------------- URL analysis family
 
-_TLD_BY_LANG = {"en": ".com", "de": ".de", "fr": ".fr", "es": ".es"}
+# de/fr map to multi-label suffixes to prove full-PSL matching
+_TLD_BY_LANG = {"en": ".com", "de": ".github.io", "fr": ".com.tr", "es": ".es"}
 
 
 def _docs_with_urls(spark, sf_dir):
@@ -1394,8 +1395,8 @@ _SQL_URL_BASE = """
         SELECT doc_id, lang, source,
                (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
                || '://www.' || source
-               || (CASE lang WHEN 'en' THEN '.com' WHEN 'de' THEN '.de'
-                             WHEN 'fr' THEN '.fr' WHEN 'es' THEN '.es'
+               || (CASE lang WHEN 'en' THEN '.com' WHEN 'de' THEN '.github.io'
+                             WHEN 'fr' THEN '.com.tr' WHEN 'es' THEN '.es'
                              ELSE '.co.uk' END)
                || '/docs/' || doc_id::VARCHAR
                || (CASE doc_id % 4 WHEN 0 THEN '.jpg' WHEN 1 THEN '.png'
@@ -1430,12 +1431,12 @@ def o_url_analysis():
       WITH {_SQL_URL_BASE}
       SELECT CAST(doc_id AS BIGINT) AS doc_id,
              'www.' || source
-               || (CASE lang WHEN 'en' THEN '.com' WHEN 'de' THEN '.de'
-                             WHEN 'fr' THEN '.fr' WHEN 'es' THEN '.es'
+               || (CASE lang WHEN 'en' THEN '.com' WHEN 'de' THEN '.github.io'
+                             WHEN 'fr' THEN '.com.tr' WHEN 'es' THEN '.es'
                              ELSE '.co.uk' END) AS host,
              CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END AS scheme,
-             CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'de'
-                       WHEN 'fr' THEN 'fr' WHEN 'es' THEN 'es'
+             CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'github.io'
+                       WHEN 'fr' THEN 'com.tr' WHEN 'es' THEN 'es'
                        ELSE 'co.uk' END AS suffix,
              CASE doc_id % 4 WHEN 0 THEN 'jpg' WHEN 1 THEN 'png'
                              WHEN 2 THEN 'jpeg' ELSE 'other' END AS ext_bucket

@@ -40,10 +40,56 @@ def test_tokenize_edge_cases(spark):
 
 
 def test_tokenize_words_golden(spark):
-    s = "You can follow any responses to this entry through the RSS 2.0 feed."
+    # src/tokens.rs:56-76 golden, verbatim: the exact token vector of
+    # the reference's unicode-segmentation tokenizer.
+    s = "You can follow any responses to this entry through the RSS 2.0 feed"
     toks = one(spark, tokenize_words(F.lit(s)))
-    assert len(toks) == 13  # trailing '.' dropped, "2.0" kept whole
-    assert "2.0" in toks
+    assert toks == [
+        "You", "can", "follow", "any", "responses", "to", "this",
+        "entry", "through", "the", "RSS", "2.0", "feed",
+    ]
+
+
+def test_tokenize_words_golden_ngrams(spark):
+    # src/tokens.rs:78-131: 10-grams over the golden tokens → 4 windows,
+    # first ["You"... "the"], last ["any"..."feed"].
+    s = "You can follow any responses to this entry through the RSS 2.0 feed"
+    # UDF output must be materialized before use in a higher-order
+    # lambda (Catalyst restriction), hence the two-step select
+    toks_df = spark.range(1).select(tokenize_words(F.lit(s)).alias("toks"))
+    grams = toks_df.select(ngrams(F.col("toks"), 10).alias("v")).collect()[0]["v"]
+    assert len(grams) == 4
+    assert grams[0] == [
+        "You", "can", "follow", "any", "responses", "to", "this",
+        "entry", "through", "the",
+    ]
+    assert grams[3] == [
+        "any", "responses", "to", "this", "entry", "through", "the",
+        "RSS", "2.0", "feed",
+    ]
+
+
+def test_tokenize_words_uax29_behavior(spark):
+    # split_word_bounds keeps punctuation as its own token (only
+    # whitespace segments are dropped — src/tokens.rs:9-16)
+    assert one(spark, tokenize_words(F.lit("Hi, there."))) == [
+        "Hi", ",", "there", ".",
+    ]
+    # MidNumLet joins letters and numbers; MidNum joins numbers
+    assert one(spark, tokenize_words(F.lit("don't stop"))) == ["don't", "stop"]
+    assert one(spark, tokenize_words(F.lit("U.S.A. is"))) == [
+        "U.S.A", ".", "is",
+    ]
+    assert one(spark, tokenize_words(F.lit("1,000.5!"))) == ["1,000.5", "!"]
+    # ExtendNumLet underscores join; ellipsis breaks per char
+    assert one(spark, tokenize_words(F.lit("foo_bar..."))) == [
+        "foo_bar", ".", ".", ".",
+    ]
+    # Han segments per ideograph; Katakana runs join (UAX-29 WB13)
+    assert one(spark, tokenize_words(F.lit("汉字 カタカナ abc"))) == [
+        "汉", "字", "カタカナ", "abc",
+    ]
+    assert one(spark, tokenize_words(F.lit(None).cast("string"))) is None
 
 
 def test_ngrams_windows(spark):
@@ -114,3 +160,32 @@ def test_year_of(spark):
         )
         == 2021
     )
+
+
+def test_url_suffix_full_psl(spark):
+    from wimbd_spark.functions.text import url_suffix
+
+    cases = {
+        "https://www.example.com/x": "com",
+        "https://foo.co.uk/": "co.uk",
+        "https://user.github.io/page": "github.io",
+        "http://shop.example.com.tr/": "com.tr",
+        "https://x.co.kr/": "co.kr",
+        "https://a.s3.cn-north-1.amazonaws.com.cn/": "s3.cn-north-1.amazonaws.com.cn",
+        # wildcard rule *.bd
+        "http://foo.anything.bd/": "anything.bd",
+        # exception rule !www.ck (suffix = rule minus leftmost label)
+        "http://www.ck/": "ck",
+        "http://shop.www.ck/": "ck",
+        # unlisted TLD → NULL (tldextract yields empty suffix)
+        "http://host.notarealtld12345/": None,
+        "not a url": None,
+    }
+    rows = [(u,) for u in cases]
+    out = (
+        spark.createDataFrame(rows, ["url"])
+        .select("url", url_suffix("url").alias("s"))
+        .collect()
+    )
+    got = {r["url"]: r["s"] for r in out}
+    assert got == cases

@@ -39,22 +39,109 @@ def tokenize(text: Column | str) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != F.lit(""))
 
 
-def tokenize_words(text: Column | str) -> Column:
-    """Unicode-ish word tokenizer (Pandas UDF, Arrow-batched).
+# UAX-29 mid-character sets (subset of the UCD Word_Break property
+# values the reference's unicode-segmentation crate uses):
+_WB_MID_LETTER = {":", "·", "‧", "״", "﹕", "："}
+_WB_MID_NUMLET = {".", "'", "’", "․", "﹒", "．", "＇"}
+_WB_MID_NUM = {",", ";", "٬", "﹐", "﹔", "，", "；"}
 
-    Approximates UAX-29 word boundaries the way src/tokens.rs:8-17 does:
-    keeps "2.0", "RSS", "don't" as single tokens, drops pure whitespace
-    and isolated punctuation. Slow path — prefer ``tokenize`` unless the
-    workload needs word-boundary semantics.
+
+def _uax29_words(t: str) -> list[str]:
+    """UAX-29 word segmentation (subset), matching the behavior of
+    Rust's unicode-segmentation ``split_word_bounds`` with whitespace
+    segments dropped (src/tokens.rs:8-17):
+
+    - letter/digit/underscore runs join (WB5/8/9/10/13a/b);
+    - MidLetter/MidNumLet between letters, MidNum/MidNumLet between
+      digits join ("don't", "U.S.A", "2.0", "1,000" — WB6/7/11/12);
+    - Katakana joins Katakana (WB13); Han and Hiragana have
+      Word_Break=Other → one segment per character;
+    - every other non-whitespace char is its own single-char token
+      (punctuation IS a token, exactly like the reference).
+    """
+    import unicodedata
+
+    def cls(ch: str) -> str:
+        if ch.isspace():
+            return "WS"
+        if ch == "_":
+            return "EX"  # ExtendNumLet
+        o = ord(ch)
+        if 0x30A0 <= o <= 0x30FF or 0x31F0 <= o <= 0x31FF or 0xFF66 <= o <= 0xFF9D:
+            return "KA"  # Katakana (joins)
+        if (
+            0x3040 <= o <= 0x309F  # Hiragana
+            or 0x3400 <= o <= 0x4DBF  # Han ext A
+            or 0x4E00 <= o <= 0x9FFF  # Han
+            or 0xF900 <= o <= 0xFAFF  # Han compat
+        ):
+            return "IDEO"  # Word_Break=Other → break every char
+        cat = unicodedata.category(ch)
+        if cat == "Nd":
+            return "NU"
+        if cat[0] == "L" or cat in ("Mn", "Mc", "Nl"):
+            return "AL"
+        return "O"
+
+    def joins(a: str, b: str) -> bool:
+        word = ("AL", "NU", "KA", "EX")
+        if a == "EX" or b == "EX":
+            return a in word and b in word
+        if a in ("AL", "NU") and b in ("AL", "NU"):
+            return True
+        return a == "KA" and b == "KA"
+
+    out: list[str] = []
+    i, n = 0, len(t)
+    while i < n:
+        k = cls(t[i])
+        if k == "WS":
+            i += 1
+            continue
+        if k in ("AL", "NU", "KA", "EX"):
+            j, last = i + 1, k
+            while j < n:
+                cj = cls(t[j])
+                if joins(last, cj):
+                    last = cj
+                    j += 1
+                    continue
+                if j + 1 < n:
+                    cn = cls(t[j + 1])
+                    ch = t[j]
+                    if last == "AL" and cn == "AL" and (
+                        ch in _WB_MID_LETTER or ch in _WB_MID_NUMLET
+                    ):
+                        last, j = "AL", j + 2
+                        continue
+                    if last == "NU" and cn == "NU" and (
+                        ch in _WB_MID_NUM or ch in _WB_MID_NUMLET
+                    ):
+                        last, j = "NU", j + 2
+                        continue
+                break
+            out.append(t[i:j])
+            i = j
+        else:
+            out.append(t[i])
+            i += 1
+    return out
+
+
+def tokenize_words(text: Column | str) -> Column:
+    """Unicode word-boundary tokenizer (Pandas UDF, Arrow-batched).
+
+    UAX-29 word segmentation matching src/tokens.rs:8-17
+    (split_word_bounds + drop whitespace-only segments): "2.0", "RSS",
+    "don't" stay single tokens, standalone punctuation is kept as its
+    own token, CJK ideographs segment per-character. Slow path — prefer
+    ``tokenize`` unless the workload needs word-boundary semantics.
     """
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
     def _tok(s: pd.Series) -> pd.Series:
-        import re
-
-        pat = re.compile(r"\w+(?:[.'’\-/]\w+)*", re.UNICODE)
-        return s.map(lambda t: pat.findall(t) if t is not None else None)
+        return s.map(lambda t: _uax29_words(t) if t is not None else None)
 
     return _tok(_col(text))
 
@@ -146,49 +233,82 @@ def url_scheme(url: Column | str) -> Column:
     return F.regexp_extract(_col(url), r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
 
 
-# Compact public-suffix subset (full PSL is ~9k entries; swap in the
-# complete list as a broadcast table for production parity with
-# tldextract). Multi-label suffixes must precede their single-label
-# parents in match priority — handled by longest-match below.
-PUBLIC_SUFFIXES = [
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
-    "co.nz", "co.za", "com", "org", "net", "edu", "gov", "mil", "int",
-    "io", "ai", "dev", "app", "uk", "de", "fr", "jp", "cn", "ru", "br",
-    "in", "au", "ca", "us", "es", "it", "nl", "se", "no", "ch", "at",
-]
+# Full Mozilla Public Suffix List (vendored snapshot of the
+# publicsuffix.org dat file — ICANN + private sections, ~9.5k rules),
+# parsed once per process into exact / wildcard / exception sets.
+_PSL_CACHE: tuple[frozenset, frozenset, frozenset] | None = None
+_PSL_MAX_LABELS = 5  # longest exact rule; wildcard tails are ≤4 (+1)
+
+
+def _load_psl() -> tuple[frozenset, frozenset, frozenset]:
+    global _PSL_CACHE
+    if _PSL_CACHE is None:
+        import os
+
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "data", "public_suffix_list.dat"
+        )
+        exact, wc, exc = set(), set(), set()
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("//"):
+                    continue
+                rule = line.split()[0].lower()
+                if rule.startswith("!"):
+                    exc.add(rule[1:])
+                elif rule.startswith("*."):
+                    wc.add(rule[2:])
+                else:
+                    exact.add(rule)
+        _PSL_CACHE = (frozenset(exact), frozenset(wc), frozenset(exc))
+    return _PSL_CACHE
 
 
 def url_suffix(url: Column | str) -> Column:
-    """Public-suffix (TLD+) of the URL host, longest match wins; empty
-    host/no match → NULL.
+    """Public-suffix (TLD+) of the URL host via the FULL public-suffix
+    list; longest matching rule wins; no match → NULL.
 
     Parity: wimbd/high_level_domain_counts/map_count.py:17-21
-    (tldextract.extract(url).suffix, empty dropped). Pure expression:
-    candidate label-suffixes of the host intersected with the PSL
-    subset, longest taken.
+    (tldextract.extract(url).suffix, empty dropped — so an unlisted TLD
+    yields NULL here, like tldextract's '' suffix). Implements the PSL
+    algorithm: exact rules, wildcard rules (*.bd), exception rules
+    (!www.ck → suffix is the rule minus its leftmost label).
+
+    Pure JVM expression: per candidate depth k (5..1) a set-membership
+    probe — Catalyst converts each large isin to an O(1) InSet hash
+    lookup, so the scan stays whole-stage-codegen'd with no UDF and no
+    join. (A broadcast-join variant would also work but puts a shuffle
+    boundary where a scalar is enough.)
     """
+    exact, wc, exc = _load_psl()
+    # a rule with j labels can only match the j-label candidate — bucket
+    # the sets by depth so each probe's InSet holds only same-depth rules
+    by_depth = lambda s: {
+        k: [r for r in s if r.count(".") + 1 == k]
+        for k in range(1, _PSL_MAX_LABELS + 1)
+    }
+    exact_k, wc_k, exc_k = by_depth(exact), by_depth(wc), by_depth(exc)
+
     host = F.lower(F.try_parse_url(_col(url), F.lit("HOST")))
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    # last 1..3 labels joined back = candidate suffixes
-    cands = F.array(
-        *[
-            F.when(n >= k, F.array_join(F.slice(labels, n - k + 1, k), "."))
-            for k in (3, 2, 1)
-        ]
-    )
-    matches = F.filter(
-        cands, lambda c: c.isin(*[F.lit(s) for s in PUBLIC_SUFFIXES])
-    )
-    # F.get is null-safe out-of-bounds (element_at throws under ANSI)
-    return F.get(
-        F.sort_array(
-            F.transform(matches, lambda m: F.struct(F.length(m).alias("l"), m.alias("s"))),
-            asc=False,
-        ),
-        0,
-    )["s"]
+
+    def tail(k: int) -> Column:
+        return F.array_join(F.slice(labels, n - k + 1, k), ".")
+
+    branches = []
+    for k in range(_PSL_MAX_LABELS, 0, -1):
+        tk = tail(k)
+        is_exc = tk.isin(*exc_k[k]) if exc_k[k] else F.lit(False)
+        valid = tk.isin(*exact_k[k]) if exact_k[k] else F.lit(False)
+        if k >= 2 and wc_k[k - 1]:
+            valid = valid | tail(k - 1).isin(*wc_k[k - 1])
+        hit = F.when(is_exc, tail(k - 1) if k >= 2 else F.lit(None)).otherwise(
+            F.when(valid, tk)
+        )
+        branches.append(F.when(n >= k, hit))
+    return F.coalesce(*branches)
 
 
 def url_ext_bucket(url: Column | str) -> Column:
