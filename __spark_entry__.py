@@ -907,6 +907,7 @@ def q_lsh_neardup_pairs(spark, sf_dir):
         num_hashes=4,
         bands=2,
         threshold=0.5,
+        max_bucket_size=64,  # skew guard active in the checked path
     )
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -920,10 +921,14 @@ def o_lsh_neardup_pairs():
     bh1 = _sql_hash32("mh2::VARCHAR || ':' || mh3::VARCHAR")
     return f"""
       WITH {_sql_minhash_sigs(4)},
-      bands AS (
+      bands_all AS (
         SELECT doc_id, 0 AS band, {bh0} AS bh FROM sigs
         UNION ALL
         SELECT doc_id, 1 AS band, {bh1} AS bh FROM sigs
+      ),
+      bands AS (
+        SELECT doc_id, band, bh FROM bands_all
+        QUALIFY count(*) OVER (PARTITION BY band, bh) <= 64
       ),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

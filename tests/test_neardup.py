@@ -115,3 +115,51 @@ def test_simhash_pairs(corpus):
 def test_lsh_rejects_bad_band_config(corpus):
     with pytest.raises(ValueError):
         lsh_candidate_pairs(corpus, num_hashes=8, bands=3)
+
+
+def test_simhash_pairs_complete_across_segments(spark):
+    # Property: every pair at hamming <= max_hamming is found, even when
+    # the differing bits fall in the HIGH bits (the old top-byte blocking
+    # silently missed those). Signatures injected via sig_col.
+    base = 0b1010_0101_1100_0011
+    rows = [
+        (1, base),
+        (2, base ^ 0x8000),            # differs in bit 15 only (high)
+        (3, base ^ 0xC000),            # bits 15+14 (both high)
+        (4, base ^ 0x0001),            # bit 0 (low)
+        (5, base ^ 0x4002),            # bits 14+1 (split high/low)
+        (6, base ^ 0x7000),            # hamming 3 → excluded at max=2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "sh"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, sig_col="sh", max_hamming=2).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    expect = {
+        (i, j): ham(si, sj)
+        for (i, si) in rows
+        for (j, sj) in rows
+        if i < j and ham(si, sj) <= 2
+    }
+    assert got == expect
+    assert (1, 2) in got and (1, 3) in got and (1, 5) in got  # high-bit pairs
+
+
+def test_lsh_bucket_cap_bounds_skew(spark):
+    # Pathological fixture: 300 identical docs → every band bucket holds
+    # all 300 → uncapped join would make 300*299/2 ≈ 45k pairs in ONE
+    # task. With the cap, the degenerate bucket is dropped entirely.
+    rows = [(i, "exact same boilerplate text repeated") for i in range(300)]
+    rows += [(1000, "a unique document about gardens"),
+             (1001, "a unique document about gardens !")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = lsh_candidate_pairs(
+        df, num_hashes=4, bands=2, max_bucket_size=64
+    )
+    got = capped.collect()
+    ids = {r["id_a"] for r in got} | {r["id_b"] for r in got}
+    assert not any(i < 300 for i in ids)  # boilerplate bucket dropped
+    # sanity: uncapped finds the boilerplate pairs
+    uncapped = lsh_candidate_pairs(df, num_hashes=4, bands=2)
+    assert uncapped.filter("id_a = 0").count() == 299

@@ -128,7 +128,11 @@ def _shingle_table(
 
 
 def _pairs_from_sigs(
-    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be a multiple of bands")
@@ -148,6 +152,22 @@ def _pairs_from_sigs(
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "b.band", "b.bh")
+    if max_bucket_size is not None:
+        # Skew guard: a degenerate bucket (e.g. the empty-text band
+        # hash, or boilerplate shared by millions of docs) turns the
+        # self-join below into one task owning O(n²) work. Drop whole
+        # buckets over the cap — a bucket that big is boilerplate, not
+        # near-dup signal; members usually still pair via other bands.
+        # The window count shuffles on (band, bh) — the same key the
+        # self-join uses, so it adds no extra exchange of the big side.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bh")
+        buckets = (
+            buckets.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -172,17 +192,19 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
     Band hash = hash32 of ':'-joined minhashes in the band. Docs are
     exploded to (band_idx, band_hash) rows — `bands` rows per doc —
     then self-joined within buckets. Bucket-size skew is the classic
-    LSH risk; AQE skew-join handles moderate cases, and `bands`/`rows`
-    tune the candidate volume.
+    LSH risk; AQE skew-join handles moderate cases, `bands`/`rows`
+    tune the candidate volume, and ``max_bucket_size`` hard-caps
+    degenerate buckets (see _pairs_from_sigs).
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    return _pairs_from_sigs(sigs, id_col, num_hashes, bands)
+    return _pairs_from_sigs(sigs, id_col, num_hashes, bands, max_bucket_size)
 
 
 def _jaccard_from_shingle_table(
@@ -234,6 +256,7 @@ def minhash_dedup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → banded buckets →
     candidate pairs → exact-Jaccard verification ≥ threshold.
@@ -253,7 +276,7 @@ def minhash_dedup_pairs(
     sigs = sh.select(
         F.col(id_col), *_minhash_from_hashes(F.col("hs"), num_hashes)
     )
-    cand = _pairs_from_sigs(sigs, id_col, num_hashes, bands)
+    cand = _pairs_from_sigs(sigs, id_col, num_hashes, bands, max_bucket_size)
     return _jaccard_from_shingle_table(sh, cand, threshold)
 
 
@@ -300,34 +323,63 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 2,
+    sig_col: str | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    """ALL pairs at SimHash Hamming distance ≤ max_hamming — complete,
+    not a lossy candidate generator.
 
-    Scale path: block on the top byte of the simhash (docs differing
-    only in low bits still collide) and compare within blocks —
-    all-pairs only inside blocks, not globally.
+    Multi-segment blocking (pigeonhole): the 16 bits split into
+    max_hamming+1 contiguous segments; a pair with ≤ max_hamming
+    differing bits must agree on at least one full segment, so the
+    union of per-segment equality blockings has perfect recall.
+    All-pairs comparison happens only inside (segment, value) blocks —
+    never globally; `distinct` folds pairs found via several segments.
+
+    Pass ``sig_col`` to block on a precomputed signature column
+    instead of hashing ``text_col``.
     """
-    s = df.select(
-        F.col(id_col), simhash16(F.col(text_col)).alias("sh")
-    ).filter(F.col("sh").isNotNull())
-    s = s.withColumn("blk", F.shiftright(F.col("sh"), 8))
-    a, b = s.alias("a"), s.alias("b")
+    nseg = max_hamming + 1
+    base, rem = divmod(16, nseg)
+    widths = [base + (1 if i < rem else 0) for i in range(nseg)]
+    shifts = [sum(widths[:i]) for i in range(nseg)]
+
+    sig = (
+        F.col(sig_col).cast("long")
+        if sig_col
+        else simhash16(F.col(text_col))
+    )
+    s = df.select(F.col(id_col), sig.alias("sh")).filter(
+        F.col("sh").isNotNull()
+    )
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftright(F.col("sh"), shifts[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("sv"),
+            )
+            for i in range(nseg)
+        ]
+    )
+    blocks = s.select(F.col(id_col), "sh", F.explode(segs).alias("b")).select(
+        id_col, "sh", "b.seg", "b.sv"
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk"))
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.sv") == F.col("b.sv"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
-            ).cast("long"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            "hamming",
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+            .cast("long")
+            .alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
