@@ -63,3 +63,14 @@ def test_cli_output_file(tmp_path, shard_dir):
     assert main(["search", shard_dir, "-p", "[de]$", "-o", out]) == 0
     rows = [json.loads(line) for line in open(out)]
     assert rows[0]["count"] == 20
+
+
+def test_cli_parquet_limit_is_per_file(capsys, tmp_path, spark):
+    # --limit on parquet inputs caps rows PER FILE (S4), not globally
+    d = tmp_path / "pq"
+    for name, n in [("a", 10), ("b", 10)]:
+        spark.createDataFrame(
+            [(i, f"{name} doc {i}") for i in range(n)], ["doc_id", "text"]
+        ).coalesce(1).write.parquet(str(d / name))
+    rows = _run(capsys, ["stats", str(d / "a"), str(d / "b"), "--limit", "3"])
+    assert rows[0]["total_documents"] == 6  # 3 from each file

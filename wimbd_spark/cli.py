@@ -37,7 +37,19 @@ def _load(spark, paths: list[str], limit: int | None, file_limit: int | None):
     if all(_is_parquet(p) for p in paths):
         df = spark.read.parquet(*paths)
         if limit:
-            df = df.limit(limit)
+            # per-file cap (S4 semantics), same as load_jsonl's
+            # line_limit — not a global row cap
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            w = Window.partitionBy(F.input_file_name()).orderBy(
+                F.monotonically_increasing_id()
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= limit)
+                .drop("_rn")
+            )
         return rebalance_small_input(df)
     return rebalance_small_input(
         load_jsonl(

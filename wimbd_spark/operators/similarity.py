@@ -142,16 +142,20 @@ def cosine_topk_ivf(
     """
     from wimbd_spark.functions.text import hash32
 
-    # deterministic centroid sample ≈ n_centroids rows
-    total = corpus.count()
-    denom = max(total // n_centroids, 1)
+    # Deterministic centroid sample: the n_centroids rows with the
+    # smallest (hash32(id), id) — a total order, so the pick is
+    # identical across partition layouts and cluster sizes (a bare
+    # .limit() is layout-dependent). orderBy+limit compiles to
+    # TakeOrderedAndProject: per-partition top-k then a driver merge of
+    # n_centroids rows — no full sort, no extra count() pass.
     cents = (
-        corpus.filter(hash32(F.col(id_col)) % denom == 0)
-        .limit(n_centroids)
-        .select(
+        corpus.select(
             F.col(id_col).alias("centroid_id"),
             _to_double(F.col(vec_col)).alias("_cent"),
+            hash32(F.col(id_col)).alias("_hk"),
         )
+        .orderBy("_hk", "centroid_id")
+        .limit(n_centroids)
         .collect()
     )
     cent_arr = F.array(
