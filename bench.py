@@ -51,6 +51,14 @@ HEADLINE = [
     "ann_cosine_topk",
     "quality_scores",
     "pii_extraction",
+    # r2 additions (appended so r1 names keep their positions —
+    # apples-to-apples round deltas): queries newly driver-checked
+    "find_examples",
+    "phrase_slop_count",
+    "unique_ngrams_approx",
+    "orders_rollup",
+    "phrase_count_filtered",
+    "top2_orders_per_customer",
 ]
 
 
