@@ -1227,21 +1227,31 @@ def q_search_locations(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         "match",
         F.col("start_col").cast("long").alias("start_col"),
+        F.col("end_col").cast("long").alias("end_col"),
     )
 
 
 def o_search_locations():
+    # Per-occurrence spans: k-th match starts at 1 + Σ len(segs ≤ k)
+    # + Σ len(matches < k), mirroring operators/count.py:_match_spans.
     parts = [
         "SELECT '" + p + "' AS pattern, doc_id, "
-        "unnest(regexp_extract_all(text, '" + p + "')) AS match, text "
+        "regexp_extract_all(text, '" + p + "') AS ms, "
+        "str_split_regex(text, '" + p + "') AS segs "
         "FROM documents WHERE text IS NOT NULL"
         for p in LOC_PATTERNS
     ]
     return f"""
       WITH m AS ({" UNION ALL ".join(parts)})
-      SELECT pattern, CAST(doc_id AS BIGINT) AS doc_id, match,
-             CAST(strpos(text, match) AS BIGINT) AS start_col
-      FROM m
+      SELECT pattern, CAST(doc_id AS BIGINT) AS doc_id, u.match,
+             CAST(u.start_col AS BIGINT) AS start_col,
+             CAST(u.start_col + length(u.match) AS BIGINT) AS end_col
+      FROM m, unnest(list_transform(ms, (mm, i) -> struct_pack(
+             match := mm,
+             start_col := 1
+               + coalesce(list_sum(list_transform(segs[1:i], s -> length(s))), 0)
+               + coalesce(list_sum(list_transform(ms[1:i-1], x -> length(x))), 0)
+           ))) AS t(u)
     """
 
 

@@ -101,9 +101,22 @@ def test_search_regex_locations(spark):
     rows = search_regex_locations(df, ["foo", "bar"]).collect()
     by_pat = {}
     for r in rows:
-        by_pat.setdefault(r["pattern"], []).append((r["match"], r["start_col"]))
-    assert by_pat["bar"] == [("bar", 5)]
-    assert len(by_pat["foo"]) == 2  # both occurrences emitted
+        by_pat.setdefault(r["pattern"], []).append(
+            (r["match"], r["start_col"], r["end_col"])
+        )
+    assert by_pat["bar"] == [("bar", 5, 8)]
+    # per-occurrence spans: identical matches get their own positions
+    assert sorted(by_pat["foo"]) == [("foo", 1, 4), ("foo", 9, 12)]
+
+
+def test_search_regex_locations_span_not_first_occurrence(spark):
+    # the matched string also occurs at a NON-match site earlier in the
+    # text — a locate()-chain would report 2; the true match is at 6.
+    df = spark.createDataFrame([(1, "xfoo  foo bar")], ["doc_id", "text"])
+    rows = search_regex_locations(df, [r"\bfoo\b"]).collect()
+    assert [(r["match"], r["start_col"], r["end_col"]) for r in rows] == [
+        ("foo", 7, 10)
+    ]
 
 
 def test_key_count_against_duckdb(documents):

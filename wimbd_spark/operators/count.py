@@ -94,6 +94,47 @@ def search_regex_counts(
     return _unpivot_counts(df.agg(*aggs), patterns)
 
 
+def _match_spans(ms, segs):
+    """Per-occurrence (match, start_col) structs from the match array and
+    the between-match segments of ``split(text, pattern, -1)``.
+
+    Exact positions without re-searching the text: the k-th
+    non-overlapping match starts at 1 + Σ len(seg_j, j≤k) +
+    Σ len(match_j, j<k). A single left fold carries the running
+    position — O(n) in the number of matches, pure JVM expressions.
+    (A locate()-chain would mis-position matches whose string also
+    occurs at a non-match site, e.g. word-boundary patterns.)
+    """
+    pairs = F.zip_with(
+        F.slice(segs, 1, F.size(ms)),
+        ms,
+        lambda s, m: F.struct(s.alias("s"), m.alias("m")),
+    )
+    zero = F.struct(
+        F.lit(1).cast("int").alias("pos"),
+        F.array().cast("array<struct<match:string,start_col:int>>").alias(
+            "acc"
+        ),
+    )
+    return F.aggregate(
+        pairs,
+        zero,
+        lambda acc, p: F.struct(
+            (acc["pos"] + F.length(p["s"]) + F.length(p["m"])).alias("pos"),
+            F.array_append(
+                acc["acc"],
+                F.struct(
+                    p["m"].alias("match"),
+                    (acc["pos"] + F.length(p["s"]))
+                    .cast("int")
+                    .alias("start_col"),
+                ),
+            ).alias("acc"),
+        ),
+        lambda acc: acc["acc"],
+    )
+
+
 def search_regex_locations(
     df: DataFrame,
     patterns: list[str],
@@ -101,41 +142,47 @@ def search_regex_locations(
     id_cols: tuple[str, ...] = ("doc_id",),
     limit_per_pattern: int | None = None,
 ) -> DataFrame:
-    """Match locations per pattern → (pattern, *id_cols, match, start_col).
+    """Match locations per pattern → (pattern, *id_cols, match,
+    start_col, end_col), one row PER OCCURRENCE with its exact span.
 
-    Parity: src/cmd/search.rs:248-330 (MatchLocation with submatch
-    spans and a global per-pattern cap). start_col is the 1-based
-    position of the FIRST occurrence of the matched string (SQL locate)
-    — per-occurrence byte spans of repeated identical matches collapse.
+    Parity: src/cmd/search.rs:248-330 (MatchLocation [start, end) and a
+    global per-pattern cap). Spans here are 1-based character offsets
+    (end exclusive: end_col = start_col + len(match)); the reference
+    reports 0-based byte offsets — same occurrences, shifted units.
     """
     if not patterns:
         raise ValueError("search_regex_locations: patterns must be non-empty")
     base = df.select(*id_cols, F.col(text_col).alias("_text"))
     # ONE scan for all patterns: regexps must be foldable, so build a
-    # per-pattern struct of (pattern, matches) in a single projection,
-    # then explode twice. A per-pattern union would re-scan the source
-    # k times.
+    # per-pattern struct of (pattern, match spans) in a single
+    # projection, then explode twice. A per-pattern union would
+    # re-scan the source k times.
     per_pattern = F.array(
         *[
             F.struct(
                 F.lit(p).alias("pattern"),
-                F.regexp_extract_all(F.col("_text"), F.lit(p), 0).alias(
-                    "matches"
-                ),
+                _match_spans(
+                    F.regexp_extract_all(F.col("_text"), F.lit(p), 0),
+                    F.split(F.col("_text"), p, -1),
+                ).alias("spans"),
             )
             for p in patterns
         ]
     )
     exploded = (
-        base.select(*id_cols, F.col("_text"), F.explode(per_pattern).alias("pm"))
+        base.select(*id_cols, F.explode(per_pattern).alias("pm"))
         .select(
             F.col("pm.pattern").alias("pattern"),
             *id_cols,
-            F.explode("pm.matches").alias("match"),
-            F.col("_text"),
+            F.explode("pm.spans").alias("sp"),
         )
-        .withColumn("start_col", F.expr("locate(match, _text)"))
-        .drop("_text")
+        .select(
+            "pattern",
+            *id_cols,
+            F.col("sp.match").alias("match"),
+            F.col("sp.start_col").alias("start_col"),
+            (F.col("sp.start_col") + F.length("sp.match")).alias("end_col"),
+        )
     )
     if limit_per_pattern is not None:
         w = Window.partitionBy("pattern").orderBy(*[F.col(c) for c in id_cols])
