@@ -97,3 +97,37 @@ def test_contamination_rate(spark, corpus):
     r = contamination_rate(evalset, corpus, "phrase").collect()[0]
     assert r["contaminated"] == 2 and r["total"] == 3
     assert abs(r["rate"] - 2 / 3) < 1e-12
+
+
+def test_contamination_rate_prefilter(spark):
+    """Anchored-token prefilter returns the same answer as the BNLJ.
+
+    Covers: hit via interior-token anchor, candidate whose anchor
+    matches but full phrase doesn't (contains-verify must reject),
+    <3-token phrases on the direct path, and substring-across-token
+    boundaries ("xb c dy" contains "b c d").
+    """
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "xb c dy"),
+            (3, "brown bear"),  # shares anchor "brown", phrase absent
+        ],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame(
+        [
+            ("quick brown fox",),   # hit, anchored on "brown"
+            ("b c d",),             # hit inside "xb c dy"
+            ("slow brown snail",),  # anchor "brown" matches, phrase absent
+            ("bear",),              # 1 token → direct path, hit
+            ("no hit",),            # 2 tokens → direct path, miss
+        ],
+        ["phrase"],
+    )
+    expect = (3, 5, 3 / 5)
+    for pf in (False, True):
+        r = contamination_rate(evalset, corpus, "phrase", prefilter=pf)
+        row = r.collect()[0]
+        assert (row["contaminated"], row["total"]) == expect[:2], pf
+        assert abs(row["rate"] - expect[2]) < 1e-12

@@ -185,21 +185,10 @@ def find_examples(
     )
 
 
-def contamination_rate(
-    eval_df: DataFrame,
-    corpus: DataFrame,
-    phrase_col: str,
-    text_col: str = "text",
-) -> DataFrame:
-    """Fraction of eval rows whose phrase appears (substring) in ≥1
-    corpus doc → single row (contaminated, total, rate).
-
-    Parity: wimbd/es/corpus_contamination.py:28-58 (per-row phrase
-    count > 0, then mean). Eval side is small → broadcast it against
-    the corpus scan, count distinct hit phrases, divide.
-    """
-    phrases = eval_df.select(F.col(phrase_col).alias("_p")).distinct()
-    hits = (
+def _contains_hits(corpus, phrases, text_col):
+    """Distinct phrases substring-contained in ≥1 corpus doc — direct
+    broadcast nested-loop (O(|corpus| × |phrases|) contains checks)."""
+    return (
         corpus.join(
             F.broadcast(phrases),
             on=F.col(text_col).contains(F.col("_p")),
@@ -208,8 +197,136 @@ def contamination_rate(
         .select("_p")
         .distinct()
     )
-    n_hit = hits.count()
+
+
+def _anchored_hits(corpus, phrases_tok, text_col):
+    """Distinct hit phrases via the rare-token prefilter (SURVEY §7 J6).
+
+    Semantics-preserving: if a phrase (with its whitespace separators)
+    is a substring of a doc, every INTERIOR token of the phrase is
+    whitespace-delimited inside the doc, so it appears verbatim in the
+    doc's whitespace token set. Hash-joining exploded corpus tokens
+    against one chosen interior token per phrase therefore has perfect
+    recall; `contains` verifies the candidates. The anchor is the
+    RAREST interior token by corpus document frequency (ties broken by
+    token string), so candidate volume is the minimum the token-level
+    signal allows — a length heuristic picks stopword-adjacent anchors
+    and floods the verify join.
+
+    Plan shape at 100 TB: three linear corpus scans, ZERO corpus
+    shuffles — scan 1 counts document frequency for interior tokens
+    only (broadcast semi-join before the agg, so the DF table is
+    eval-vocabulary-sized); scan 2 emits (md5, token) pairs into a
+    broadcast hash join with the per-phrase rare anchors; scan 3
+    verifies candidates with `contains`. The verify join carries no
+    broadcast hint: AQE converts it to broadcast when the candidate
+    set is small (the common case with rare anchors) and falls back to
+    a shuffle join when an adversarial eval set makes it large —
+    never an OOM, and only candidates ever shuffle with it.
+
+    ``phrases_tok``: (_p, _toks) rows with size(_toks) >= 3.
+    """
+    from wimbd_spark.functions.text import tokenize
+
+    interior = phrases_tok.select(
+        "_p",
+        F.explode(
+            F.slice(F.col("_toks"), 2, F.size("_toks") - 2)
+        ).alias("_tok"),
+    ).distinct()
+    doc_toks = corpus.select(
+        doc_hash(F.col(text_col)).alias("_k"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("_tok"),
+    )
+    tok_df = (
+        doc_toks.join(
+            F.broadcast(interior.select("_tok").distinct()), "_tok"
+        )
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    # rarest interior token per phrase; a phrase whose interior tokens
+    # all have DF=0 cannot be contained anywhere → correctly drops out
+    anchors = (
+        interior.join(F.broadcast(tok_df), "_tok")
+        .groupBy("_p")
+        .agg(F.min(F.struct(F.col("_df"), F.col("_tok"))).alias("_m"))
+        .select("_p", F.col("_m._tok").alias("_anchor"))
+    )
+    cand = doc_toks.join(
+        F.broadcast(anchors),
+        on=F.col("_tok") == F.col("_anchor"),
+        how="inner",
+    ).select("_k", "_p")  # unique already: 1 anchor/phrase, distinct toks
+    return (
+        corpus.select(F.col(text_col), doc_hash(F.col(text_col)).alias("_k"))
+        .join(cand, on="_k", how="inner")  # no hint: AQE sizes it
+        .filter(F.col(text_col).contains(F.col("_p")))
+        .select("_p")
+        .distinct()
+    )
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's static size estimate for a plan (decompressed bytes),
+    or None if the internal accessor moves in a future Spark."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return None
+
+
+def contamination_rate(
+    eval_df: DataFrame,
+    corpus: DataFrame,
+    phrase_col: str,
+    text_col: str = "text",
+    prefilter: bool | None = None,
+    prefilter_threshold: int = 64,
+    bnlj_budget: float = 5e11,
+) -> DataFrame:
+    """Fraction of eval rows whose phrase appears (substring) in ≥1
+    corpus doc → single row (contaminated, total, rate).
+
+    Parity: wimbd/es/corpus_contamination.py:28-58 (per-row phrase
+    count > 0, then mean). Two physical strategies, same answer:
+
+    - direct: broadcast the phrases into the corpus scan, nested-loop
+      `contains`. Work ~ corpus_bytes × n_phrases char ops — unbeatable
+      on small corpora (one scan, zero joins), catastrophic at 100 TB.
+    - prefilter: rare-interior-token candidate join (_anchored_hits),
+      ~3 linear corpus scans regardless of phrase count. Phrases too
+      short to carry an interior token always take the direct path.
+
+    ``prefilter=None`` picks by the cost model: direct while
+    corpus_bytes × n_phrases ≤ ``bnlj_budget`` (Catalyst's static size
+    estimate; ~1e10 contains-char-ops/s on 32 cores ⇒ 5e11 ≈ under a
+    minute of scan work) or when n_phrases < ``prefilter_threshold``,
+    else prefilter.
+    """
+    from wimbd_spark.functions.text import tokenize
+
+    phrases = eval_df.select(F.col(phrase_col).alias("_p")).distinct()
     n_tot = phrases.count()
+    if prefilter is None:
+        sz = _plan_size_bytes(corpus)
+        prefilter = n_tot >= prefilter_threshold and (
+            sz is None or sz * n_tot > bnlj_budget
+        )
+    if not prefilter:
+        hits = _contains_hits(corpus, phrases, text_col)
+    else:
+        pt = phrases.withColumn("_toks", tokenize(F.col("_p")))
+        anchorable = pt.filter(F.size("_toks") >= 3)
+        rest = pt.filter(
+            F.col("_toks").isNull() | (F.size("_toks") < 3)
+        ).drop("_toks")
+        hits = _anchored_hits(corpus, anchorable, text_col).union(
+            _contains_hits(corpus, rest, text_col)
+        ).distinct()
+    n_hit = hits.count()
     spark = eval_df.sparkSession
     return spark.createDataFrame(
         [(n_hit, n_tot, float(n_hit) / n_tot if n_tot else 0.0)],
