@@ -67,3 +67,90 @@ def test_hf_missing_split_raises(spark, tmp_path, table):
     d.mkdir()
     with pytest.raises(FileNotFoundError):
         load_hf_dataset(spark, str(d), split="train")
+
+
+# ---- S7: TFRecord ----
+
+from wimbd_spark.corpus import load_tfrecords, standardize_corpus
+from wimbd_spark.sources.tfrecord import (
+    decode_example,
+    infer_features,
+    iter_tfrecord_payloads,
+    write_tfrecord,
+)
+
+
+@pytest.fixture
+def tfrec_dir(tmp_path):
+    d = tmp_path / "tfr"
+    d.mkdir()
+    write_tfrecord(
+        str(d / "part-0.tfrecord"),
+        [
+            {"text": "hello world", "doc_id": "x1", "n": 7, "score": 0.5},
+            {"text": "negative int", "doc_id": "x2", "n": -3, "score": 1.25},
+        ],
+    )
+    write_tfrecord(
+        str(d / "part-1.tfrecord"),
+        [{"text": "second shard", "doc_id": "x3", "n": 0, "score": -2.0}],
+    )
+    return d
+
+
+def test_tfrecord_roundtrip(spark, tfrec_dir):
+    df = load_tfrecords(spark, [str(tfrec_dir)])
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert set(rows) == {"x1", "x2", "x3"}
+    assert rows["x1"]["text"] == "hello world"
+    assert rows["x2"]["n"] == -3  # int64 sign-extension
+    assert abs(rows["x3"]["score"] + 2.0) < 1e-6
+    # inferred spark types
+    assert dict(df.dtypes)["n"] == "bigint"
+    assert dict(df.dtypes)["score"] == "double"
+
+
+def test_tfrecord_explicit_spec_prunes_and_nulls(spark, tfrec_dir):
+    df = load_tfrecords(
+        spark,
+        [str(tfrec_dir / "part-*.tfrecord")],
+        features={"text": "string", "missing": "bigint"},
+    )
+    assert df.columns == ["text", "missing"]
+    assert all(r["missing"] is None for r in df.collect())
+
+
+def test_tfrecord_list_features(spark, tmp_path):
+    p = str(tmp_path / "lists.tfrecord")
+    write_tfrecord(p, [{"toks": ["a", "b", "c"], "ids": [1, 2, 3]}])
+    assert infer_features(p) == {
+        "toks": "array<string>",
+        "ids": "array<bigint>",
+    }
+    r = load_tfrecords(spark, [p]).collect()[0]
+    assert r["toks"] == ["a", "b", "c"] and r["ids"] == [1, 2, 3]
+
+
+def test_tfrecord_crc_detects_corruption(spark, tmp_path):
+    p = str(tmp_path / "c.tfrecord")
+    write_tfrecord(p, [{"text": "payload to corrupt"}])
+    list(iter_tfrecord_payloads(p, verify_crc=True))  # clean file passes
+    raw = bytearray(open(p, "rb").read())
+    raw[14] ^= 0xFF  # flip a payload byte
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(IOError):
+        list(iter_tfrecord_payloads(p, verify_crc=True))
+
+
+def test_tfrecord_to_canonical_corpus(spark, tfrec_dir):
+    """End-to-end S7: TFRecord shards → standardize_corpus → canonical
+    document schema (the reference's mc4 prep result)."""
+    df = standardize_corpus(
+        load_tfrecords(spark, [str(tfrec_dir)]),
+        text_field="text",
+        id_field="doc_id",
+        source="mc4",
+    )
+    assert df.columns == ["id", "text", "lang", "source", "metadata"]
+    r = {x["id"]: x for x in df.collect()}
+    assert r["x2"]["metadata"]["n"] == "-3"

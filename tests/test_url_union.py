@@ -42,9 +42,10 @@ def test_gated_loaders_raise_clearly(spark, tmp_path):
     from wimbd_spark.corpus import load_hf_dataset, load_tfrecords
 
     with pytest.raises(NotImplementedError):
-        load_hf_dataset(spark, "c4")
+        load_hf_dataset(spark, "c4")  # hub name without `datasets`
     with pytest.raises(NotImplementedError):
-        load_tfrecords(spark, [str(tmp_path)])
+        # connector jar not on this classpath
+        load_tfrecords(spark, [str(tmp_path)], use_connector=True)
 
 
 def test_ftfy_fix_passthrough(spark):

@@ -349,18 +349,32 @@ def load_hf_dataset(
     return standardize_corpus(df, text_field=text_field, source=dataset)
 
 
-def load_tfrecords(spark: SparkSession, paths: list[str]) -> DataFrame:
+def load_tfrecords(
+    spark: SparkSession,
+    paths: list[str],
+    features: dict[str, str] | None = None,
+    use_connector: bool = False,
+    verify_crc: bool = False,
+) -> DataFrame:
     """TFRecord ingest (≙ S7 mC4 prep, preparation/mc4/mc4.py:36-84).
-    Requires the spark-tensorflow-connector jar on the cluster; gated
-    here (one-time prep in the reference too)."""
-    try:
-        return spark.read.format("tfrecord").load(paths)  # pragma: no cover
-    except Exception as e:  # connector jar absent
-        raise NotImplementedError(
-            "TFRecord reads need the spark-tensorflow-connector jar; "
-            "pre-convert to jsonl.gz (as the reference's one-time mc4 "
-            "prep does) and use load_jsonl"
-        ) from e
+
+    Default path is the dependency-free distributed reader in
+    sources/tfrecord.py (framing + tf.train.Example decoded in pure
+    Python inside mapInPandas). ``use_connector=True`` opts into the
+    spark-tensorflow-connector jar when it is on the cluster classpath
+    (JVM-side decode, faster)."""
+    if use_connector:
+        try:
+            return spark.read.format("tfrecord").load(paths)  # pragma: no cover
+        except Exception as e:  # connector jar absent
+            raise NotImplementedError(
+                "use_connector=True needs the spark-tensorflow-connector "
+                "jar on the classpath; call without it for the built-in "
+                "reader"
+            ) from e
+    from wimbd_spark.sources.tfrecord import read_tfrecords
+
+    return read_tfrecords(spark, paths, features=features, verify_crc=verify_crc)
 
 
 def split_files(df: DataFrame, n: int) -> DataFrame:
