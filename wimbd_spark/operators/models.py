@@ -96,11 +96,22 @@ def sentiment_polarity(text: Column) -> Column:
 
 
 def hf_tokenize(text: Column, tokenizer_name: str = "gpt2") -> Column:
-    """Pretrained subword tokenization (token strings)."""
+    """Pretrained subword tokenization (token strings).
+
+    A LOCAL tokenizer directory (vocab.json + merges.txt, or
+    tokenizer.json) needs no packages — the pure-Python byte-level BPE
+    in functions/bpe.py runs it. Hub names need `tokenizers`."""
+    import os
+
+    if os.path.isdir(tokenizer_name):
+        from wimbd_spark.functions.bpe import bpe_tokenize
+
+        return bpe_tokenize(text, tokenizer_name, emit="tokens")
     if not _have("tokenizers"):
         raise NotImplementedError(
-            "hf_tokenize needs the `tokenizers` package; use "
-            "functions.text.tokenize / textqc.token_count_bpe_ish here"
+            "hf_tokenize needs the `tokenizers` package for hub names; "
+            "pass a local tokenizer directory (vocab.json + merges.txt) "
+            "for the built-in BPE, or use functions.text.tokenize"
         )
 
     @pandas_udf("array<string>")
