@@ -48,8 +48,27 @@ def test_gated_loaders_raise_clearly(spark, tmp_path):
         load_tfrecords(spark, [str(tmp_path)], use_connector=True)
 
 
-def test_ftfy_fix_passthrough(spark):
+def test_ftfy_fix_repairs_mojibake(spark):
     from wimbd_spark.operators.models import ftfy_fix
 
-    df = spark.createDataFrame([("ok text",)], ["text"])
-    assert df.select(ftfy_fix(F.col("text")).alias("t")).collect()[0]["t"] == "ok text"
+    rows = [
+        ("ok text", "ok text"),            # ASCII untouched
+        ("café déjà", "café déjà"),        # clean accents untouched
+        ("cafÃ©", "café"),                 # utf-8 read as latin-1
+        ("donâ€™t", "don’t"),              # cp1252 smart quote
+        ("ÃƒÂ©", "é"),                     # double-encoded, two passes
+        (None, None),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in rows], ["text"])
+    got = [r["t"] for r in df.select(ftfy_fix(F.col("text")).alias("t")).collect()]
+    assert got == [b for _, b in rows]
+
+
+def test_fix_mojibake_pure():
+    from wimbd_spark.operators.models import fix_mojibake
+
+    assert fix_mojibake("Ã©") == "é"
+    assert fix_mojibake("â‚¬100") == "€100"
+    # mixed genuine unicode is left alone (outside the cp1252 subset)
+    assert fix_mojibake("Ã© 日本") == "Ã© 日本"
+    assert fix_mojibake("") == ""

@@ -125,20 +125,53 @@ def hf_tokenize(text: Column, tokenizer_name: str = "gpt2") -> Column:
     return _tok(text)
 
 
+def fix_mojibake(t: str | None) -> str | None:
+    """ftfy's core repair, dependency-free: mojibake is UTF-8 bytes
+    mis-decoded as cp1252/latin-1, so re-encoding the text that way and
+    UTF-8-decoding it reverses the damage. A fix is accepted only when
+    the round-trip decodes cleanly — random single-byte text almost
+    never forms valid multi-byte UTF-8, so clean text passes through
+    untouched. Iterates to unwind double-encoding ("ÃƒÂ©" → "é").
+    Subset limits vs real ftfy: mixed mojibake + genuine non-latin text
+    is left alone (the cp1252 encode fails), and no HTML-entity /
+    curly-quote normalization is attempted."""
+    if not t:
+        return t
+    for _ in range(3):
+        try:
+            raw = t.encode("cp1252")
+        except UnicodeEncodeError:
+            try:
+                raw = t.encode("latin-1")
+            except UnicodeEncodeError:
+                return t
+        try:
+            fixed = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return t
+        if fixed == t:
+            return t
+        t = fixed
+    return t
+
+
 def ftfy_fix(text: Column) -> Column:
     """Mojibake repair (≙ P22, preparation/mc4/mc4.py:72 prep-time
-    ftfy). Identity passthrough when ftfy is absent."""
-    if _have("ftfy"):
+    ftfy). Uses the ftfy package when present; otherwise the built-in
+    encode/decode round-trip subset (fix_mojibake)."""
 
-        @pandas_udf("string")
-        def _fix(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    @pandas_udf("string")
+    def _fix(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        if _have("ftfy"):
             import ftfy
 
-            for s in it:
-                yield s.map(lambda t: ftfy.fix_text(t) if t else t)
+            fn = lambda t: ftfy.fix_text(t) if t else t  # noqa: E731
+        else:
+            fn = fix_mojibake
+        for s in it:
+            yield s.map(fn)
 
-        return _fix(text)
-    return text
+    return _fix(text)
 
 
 def link_alive(url: Column, timeout_s: float = 5.0) -> Column:
