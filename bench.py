@@ -59,6 +59,8 @@ HEADLINE = [
     "orders_rollup",
     "phrase_count_filtered",
     "top2_orders_per_customer",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs_lsh",
 ]
 
 

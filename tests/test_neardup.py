@@ -163,3 +163,39 @@ def test_lsh_bucket_cap_bounds_skew(spark):
     # sanity: uncapped finds the boilerplate pairs
     uncapped = lsh_candidate_pairs(df, num_hashes=4, bands=2)
     assert uncapped.filter("id_a = 0").count() == 299
+
+
+def test_ngram_jaccard_pairs_exact(spark):
+    from wimbd_spark.operators.neardup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "a completely different sentence altogether here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, shingle_n=3, threshold=0.2).collect()
+    }
+    assert got[(1, 4)] == 1.0  # identical shingle sets
+    # 1 vs 2: 7 trigrams each, 6 shared → 6/8
+    assert got[(1, 2)] == pytest.approx(6 / 8)
+    assert (2, 4) in got and (1, 3) not in got
+
+
+def test_ngram_jaccard_shingle_freq_guard(spark):
+    from wimbd_spark.operators.neardup import ngram_jaccard_pairs
+
+    # 50 docs all sharing one boilerplate trigram; two real near-dups
+    rows = [(i, f"standard header line unique{i} tail{i} x{i}") for i in range(50)]
+    rows += [(100, "real duplicated content body here now"),
+             (101, "real duplicated content body here too")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = ngram_jaccard_pairs(
+        df, shingle_n=3, threshold=0.2, max_shingle_freq=10
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100, 101) in pairs  # rare-shingle pair survives
+    assert not any(a < 50 and b < 50 for a, b in pairs)  # boilerplate-only dropped

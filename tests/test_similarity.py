@@ -90,3 +90,35 @@ def test_lsh_self_excluded(embeddings):
     queries = embeddings.filter(F.col("vec_id") < 5)
     rows = cosine_topk_lsh(embeddings, queries, k=3, nbits=4).collect()
     assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+
+def test_cosine_pairs_threshold(spark):
+    from wimbd_spark.operators.similarity import cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.01]),   # ~same direction as 1
+            (3, [0.0, 1.0]),      # orthogonal
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {(r["id_a"], r["id_b"]) for r in cosine_pairs(df, threshold=0.9).collect()}
+    assert got == {(1, 2)}
+
+
+def test_cosine_pairs_lsh_recall(embeddings):
+    from wimbd_spark.operators.similarity import cosine_pairs, cosine_pairs_lsh
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(embeddings, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_lsh(embeddings, threshold=0.4, nbits=4).collect()
+    }
+    assert approx <= exact  # verification keeps no false positives
+    assert exact  # fixture actually has pairs at this threshold
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4  # 4-bit sketch + 1-bit multiprobe, random vectors

@@ -152,35 +152,31 @@ def _pairs_from_sigs(
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "b.band", "b.bh")
+    # ONE exchange: gather each bucket's member ids, then emit the
+    # bucket's id<id pairs as a per-row combination explode. This
+    # replaces the bucket self-join (which computed the banded table
+    # twice and needed a window-count skew guard): here the skew guard
+    # is a free size() filter, and a capped bucket emits at most
+    # C(cap, 2) pairs from one row — no task ever owns O(n²) work.
+    # Dropped over-cap buckets are boilerplate, not near-dup signal;
+    # members usually still pair via their other bands.
+    grouped = buckets.groupBy("band", "bh").agg(
+        F.array_sort(F.collect_set(F.col(id_col))).alias("_ids")
+    )
     if max_bucket_size is not None:
-        # Skew guard: a degenerate bucket (e.g. the empty-text band
-        # hash, or boilerplate shared by millions of docs) turns the
-        # self-join below into one task owning O(n²) work. Drop whole
-        # buckets over the cap — a bucket that big is boilerplate, not
-        # near-dup signal; members usually still pair via other bands.
-        # The window count shuffles on (band, bh) — the same key the
-        # self-join uses, so it adds no extra exchange of the big side.
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band", "bh")
-        buckets = (
-            buckets.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+        grouped = grouped.filter(F.size("_ids") <= max_bucket_size)
+    ids = F.col("_ids")
+    pair_lists = F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2), F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    )
     return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.bh") == F.col(f"b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        grouped.filter(F.size("_ids") >= 2)
+        .select(F.explode(F.flatten(pair_lists)).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
         .distinct()
     )
 
@@ -246,6 +242,77 @@ def jaccard_pairs(
     shingle_hashes) and joins them only for the candidate pairs."""
     sh = _shingle_table(df, id_col, text_col, shingle_n)
     return _jaccard_from_shingle_table(sh, pairs, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs, self-contained: every pair
+    with shingle-set Jaccard ≥ ``threshold`` → (id_a, id_b, jaccard).
+
+    Candidates come from an inverted-index self-join on shingle hashes
+    (pairs sharing ≥1 shingle) — complete recall for any threshold > 0,
+    no minhash approximation, no all-pairs cross join. Scale shape: one
+    shuffle of (id, shingle-hash) pairs keyed on the hash; ubiquitous
+    shingles ("of the X") create quadratic bucket blowup, so
+    ``max_shingle_freq`` optionally drops shingles appearing in more
+    than that many docs before the join — a pair is then missed ONLY if
+    every shared shingle is that common, which at sane thresholds means
+    boilerplate, not duplication (same tradeoff as the LSH bucket cap
+    in _pairs_from_sigs). AQE skew-join covers moderate skew.
+    """
+    sh = _shingle_table(df, id_col, text_col, shingle_n)
+    ex = sh.select(
+        F.col(id_col).alias("_id"),
+        F.size("hs").alias("_n"),
+        F.explode("hs").alias("_h"),
+    )
+    if max_shingle_freq is not None:
+        # drop ubiquitous shingles, then recompute sizes over the
+        # surviving shingle space so intersection and union measure the
+        # same sets (Jaccard restricted to sub-boilerplate shingles)
+        from pyspark.sql.window import Window
+
+        ex = (
+            ex.drop("_n")
+            .withColumn(
+                "_f", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+            )
+            .filter(F.col("_f") <= max_shingle_freq)
+            .withColumn(
+                "_n", F.count(F.lit(1)).over(Window.partitionBy("_id"))
+            )
+            .drop("_f")
+        )
+    a = ex.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_h"
+    )
+    b = ex.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_h"
+    )
+    # each shared shingle contributes exactly one join row, so the
+    # per-pair row count IS |A∩B| — sets and sizes ride along, no
+    # array columns ever cross a shuffle and no second pass over sh
+    return (
+        a.join(b, "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_i"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_i")
+                / (F.col("_na") + F.col("_nb") - F.col("_i"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_dedup_pairs(

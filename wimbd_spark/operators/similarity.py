@@ -219,6 +219,85 @@ def cosine_topk_ivf(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs: every (id_a < id_b) pair
+    with cosine ≥ ``threshold``. O(n²) dot products — the correctness
+    oracle / small-collection path; at corpus scale use
+    cosine_pairs_lsh, which replaces the cross join with a bucketed
+    self-join."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        _to_double(F.col(vec_col)).alias("_va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        _to_double(F.col(vec_col)).alias("_vb"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 6,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate embedding near-dup pairs at scale: candidates share
+    a sign-sketch bucket (plus 1-bit-flip probes), exact cosine
+    verifies. The self-join keys on bucket id, so cost is
+    sum(bucket²) ≈ n²/2^nbits instead of n²; recall is the standard
+    hyperplane-LSH bound (rises with multiprobe and falls with angle),
+    measured against cosine_pairs in tests."""
+    planes = [_hyperplane(p, dim) for p in range(nbits)]
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _to_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_b0", sign_sketch(F.col("_v"), planes))
+    if multiprobe:
+        probes = F.array(
+            F.col("_b0"),
+            *[
+                F.col("_b0").bitwiseXOR(F.lit(2**p)).cast("long")
+                for p in range(nbits)
+            ],
+        )
+    else:
+        probes = F.array(F.col("_b0"))
+    exp = base.select(
+        "_id", "_v", F.col("_b0"), F.explode(probes).alias("bucket")
+    )
+    # a-side keeps its home bucket only, b-side probes: every candidate
+    # pair meets exactly where a's home bucket equals one of b's probes,
+    # without duplicating both sides' probe fan-out
+    a = exp.filter(F.col("bucket") == F.col("_b0")).select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "bucket"
+    )
+    b = exp.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
