@@ -1818,10 +1818,25 @@ def o_taxonomy_counts():
 DEMO_TERMS = ["customer", "order", "the", "zebra"]
 
 
-def q_demographic_cooccurrence(spark, sf_dir):
-    from wimbd_spark.operators.pii import demographic_cooccurrence
+SENT_POS = ["fast", "big"]
+SENT_NEG = ["slow", "small"]
 
-    out = demographic_cooccurrence(_docs(spark, sf_dir), DEMO_TERMS)
+
+def q_demographic_cooccurrence(spark, sf_dir):
+    """P19+P20 together: sentence split, REAL lexicon sentiment (not a
+    neutral constant), per-term co-occurrence sums. Polarity is
+    1e-6-quantized and decimal-summed, so the double outputs are
+    partitioning- and engine-independent."""
+    from wimbd_spark.operators.pii import demographic_cooccurrence
+    from wimbd_spark.operators.textqc import lexicon_polarity
+
+    out = demographic_cooccurrence(
+        _docs(spark, sf_dir),
+        DEMO_TERMS,
+        polarity=lexicon_polarity(
+            F.col("sentence"), pos=SENT_POS, neg=SENT_NEG
+        ),
+    )
     return out.select(
         "term",
         F.col("count").cast("long").alias("count"),
@@ -1833,16 +1848,31 @@ def q_demographic_cooccurrence(spark, sf_dir):
 def o_demographic_cooccurrence():
     # testdata text has no [.!?] → one sentence per doc on both sides
     # (verified in-round); unigram terms match token-wise.
+    pos = ", ".join(f"'{w}'" for w in SENT_POS)
+    neg = ", ".join(f"'{w}'" for w in SENT_NEG)
     parts = []
     for t in DEMO_TERMS:
-        hit = f"list_contains(regexp_split_to_array(lower(sentence), '\\s+'), '{t.lower()}')"
+        hit = f"list_contains(toks, '{t.lower()}')"
         parts.append(
             f"""
         SELECT '{t}' AS term,
                CAST(count_if({hit}) AS BIGINT) AS count,
-               0.0 AS polarity_sum,
-               CASE WHEN count_if({hit}) > 0 THEN 0.0 END AS mean_polarity
-        FROM (SELECT text AS sentence FROM documents WHERE text IS NOT NULL)
+               coalesce(CAST(sum(CASE WHEN {hit}
+                   THEN CAST(pol AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)
+                 AS polarity_sum,
+               CASE WHEN count_if({hit}) > 0 THEN
+                   CAST(sum(CASE WHEN {hit}
+                       THEN CAST(pol AS DECIMAL(18,6)) END) AS DOUBLE)
+                     / count_if({hit}) END AS mean_polarity
+        FROM (
+          SELECT toks,
+                 round((len(list_filter(toks, x -> x IN ({pos})))
+                        - len(list_filter(toks, x -> x IN ({neg}))))
+                       / greatest(len(toks), 1), 6) AS pol
+          FROM (SELECT list_filter(regexp_split_to_array(
+                         trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL)
+        )
         """
         )
     return " UNION ALL ".join(parts)

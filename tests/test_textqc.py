@@ -51,3 +51,34 @@ def test_fingerprint_deterministic_and_order_free(spark):
     b = one(spark, doc_fingerprint(F.lit("one two three four")))
     assert a == b and a != 0
     assert one(spark, doc_fingerprint(F.lit("xx"))) == 0  # no shingles
+
+
+def test_lexicon_polarity(spark):
+    from wimbd_spark.operators.textqc import lexicon_polarity
+
+    df = spark.createDataFrame(
+        [
+            ("good good bad here",),   # (2-1)/4
+            ("all neutral words",),    # 0
+            ("Slow day",),             # case-folded neg → -1/2
+        ],
+        ["t"],
+    )
+    got = [
+        r["p"] for r in df.select(lexicon_polarity("t").alias("p")).collect()
+    ]
+    assert got == [0.25, 0.0, -0.5]
+    # custom lexicon overrides defaults
+    got2 = df.select(
+        lexicon_polarity("t", pos=["neutral"], neg=["words"]).alias("p")
+    ).collect()[1]["p"]
+    assert got2 == 0.0  # 1 pos, 1 neg → net zero
+
+
+def test_sentiment_polarity_fallback_is_lexicon(spark):
+    """P19 model slot degrades to the real lexicon twin, not 0.0."""
+    from wimbd_spark.operators.models import sentiment_polarity
+
+    df = spark.createDataFrame([("good stuff",)], ["t"])
+    v = df.select(sentiment_polarity(F.col("t")).alias("p")).collect()[0]["p"]
+    assert v == 0.5

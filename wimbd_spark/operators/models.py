@@ -78,8 +78,9 @@ def profanity_prob(text: Column) -> Column:
 
 
 def sentiment_polarity(text: Column) -> Column:
-    """TextBlob polarity in [-1, 1]; neutral 0.0 fallback keeps the
-    co-occurrence pipeline runnable without the dep."""
+    """TextBlob polarity in [-1, 1] when the dep is present; otherwise
+    the deterministic lexicon twin (textqc.lexicon_polarity) — a real
+    signal, not a neutral constant, and SQL-reproducible."""
     if _have("textblob"):
 
         @pandas_udf("double")
@@ -92,7 +93,9 @@ def sentiment_polarity(text: Column) -> Column:
                 )
 
         return _pol(text)
-    return F.lit(0.0)
+    from wimbd_spark.operators.textqc import lexicon_polarity
+
+    return lexicon_polarity(text)
 
 
 def hf_tokenize(text: Column, tokenizer_name: str = "gpt2") -> Column:

@@ -243,7 +243,14 @@ def demographic_cooccurrence(
         else:
             hit = F.array_contains(F.col("_toks"), term.lower())
         aggs.append(F.count_if(hit).alias(f"_n{i}"))
-        aggs.append(F.sum(F.when(hit, F.col("_pol"))).alias(f"_s{i}"))
+        # decimal-sum: double addition is order-dependent across
+        # partitions; summing 1e-6-quantized decimals is exact, so the
+        # result is engine- and partitioning-independent
+        aggs.append(
+            F.sum(F.when(hit, F.col("_pol")).cast("decimal(18,6)"))
+            .cast("double")
+            .alias(f"_s{i}")
+        )
     row = sentences.agg(*aggs)
     pairs = F.array(
         *[

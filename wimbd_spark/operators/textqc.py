@@ -138,3 +138,41 @@ def doc_fingerprint(text: Column | str, shingle_n: int = 3) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: acc.bitwiseXOR(h),
     )
+
+
+# Deterministic sentiment twin of operators.models.sentiment_polarity
+# (P19's model slot). General-purpose defaults; pass a domain lexicon
+# for specialized corpora.
+DEFAULT_POS = [
+    "good", "great", "excellent", "amazing", "wonderful", "best",
+    "love", "happy", "positive", "success", "beautiful", "perfect",
+    "nice", "win", "enjoy", "helpful", "friendly", "strong", "fast",
+    "easy", "safe", "improved", "clean", "reliable",
+]
+DEFAULT_NEG = [
+    "bad", "worst", "terrible", "awful", "hate", "poor", "negative",
+    "fail", "failure", "ugly", "broken", "slow", "wrong", "unsafe",
+    "sad", "angry", "problem", "crash", "error", "loss", "weak",
+    "dirty", "hard", "unreliable",
+]
+
+
+def lexicon_polarity(
+    text: Column | str,
+    pos: list[str] | None = None,
+    neg: list[str] | None = None,
+) -> Column:
+    """Lexicon sentiment in [-1, 1]: (pos hits − neg hits) / tokens,
+    rounded to 6 decimals so decimal-sum aggregation is cross-engine
+    exact (integer counts + one division + one round — every engine
+    computing this on the same text produces the same double). Pure
+    JVM expressions, no UDF; repeated words count each occurrence."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(F.lower(c))
+    p = [w.lower() for w in (pos if pos is not None else DEFAULT_POS)]
+    n = [w.lower() for w in (neg if neg is not None else DEFAULT_NEG)]
+    npos = F.size(F.filter(toks, lambda t: t.isin(*p)))
+    nneg = F.size(F.filter(toks, lambda t: t.isin(*n)))
+    return F.round(
+        (npos - nneg) / F.greatest(F.size(toks), F.lit(1)), 6
+    )
