@@ -59,3 +59,132 @@ def test_frame_sample(media):
     # reassembling frames gives back the payload
     joined = b"".join(bytes(r["frame"]) for r in sorted(by_doc[1], key=lambda r: r["frame_idx"]))
     assert joined == b"hello world"
+
+
+# ---- real header/pixel/sample decode (stdlib-only) ----
+
+import struct
+import zlib
+
+from wimbd_spark.operators.multimodal import (
+    decode_png,
+    decode_wav,
+    parse_media_header,
+    sniff_media_meta,
+)
+
+
+def _png_chunk(typ, data):
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(rows, color_type=2, filters=None):
+    """Independent PNG writer (filters applied forward so the reader
+    must invert them): rows = list of per-row flat byte lists."""
+    h, stride = len(rows), len(rows[0])
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    w = stride // nch
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = bytes(stride)
+    for f, row in zip(filters, rows):
+        row = bytes(row)
+        if f == 0:
+            enc = row
+        elif f == 2:  # Up: store cur - prev
+            enc = bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
+        else:
+            raise ValueError("test writer supports filters 0 and 2")
+        raw += bytes([f]) + enc
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_wav(samples, rate=8000):
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_parse_media_header_formats():
+    png = make_png([[255, 0, 0, 0, 255, 0]])  # 2x1 RGB
+    assert parse_media_header(png) == ("image", "png", 2, 1, None)
+    gif = b"GIF89a" + struct.pack("<HH", 7, 9) + b"\x00" * 10
+    assert parse_media_header(gif) == ("image", "gif", 7, 9, None)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 11, -13) + b"\x00" * 10
+    assert parse_media_header(bmp) == ("image", "bmp", 11, 13, None)
+    # minimal JPEG: SOI + SOF0 segment
+    jpeg = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 31, 42) + b"\x03" + b"\x00" * 20
+    assert parse_media_header(jpeg) == ("image", "jpeg", 42, 31, None)
+    wav = make_wav([0] * 8000)  # exactly 1 s at 8 kHz
+    assert parse_media_header(wav) == ("audio", "wav", None, None, 1000)
+    assert parse_media_header(b"garbage bytes here") is None
+    assert parse_media_header(None) is None
+
+
+def test_decode_png_filters_roundtrip():
+    rows = [[10, 20, 30, 40, 50, 60], [11, 22, 33, 44, 55, 66]]
+    for filters in ([0, 0], [0, 2]):
+        w, h, nch, pix = decode_png(make_png(rows, filters=filters))
+        assert (w, h, nch) == (2, 2, 3)
+        assert list(pix) == rows[0] + rows[1]
+
+
+def test_decode_wav_roundtrip():
+    rate, samples, nch = decode_wav(make_wav([-100, 0, 100, 200], rate=4000))
+    assert rate == 4000 and nch == 1
+    assert list(samples) == [-100, 0, 100, 200]
+
+
+def test_sniff_media_meta_df(spark):
+    png = make_png([[0, 0, 0, 255, 255, 255]])
+    wav = make_wav([0] * 4000)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav)), (3, b"junk"), (4, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in sniff_media_meta(df).collect()}
+    assert rows[1]["format"] == "png" and rows[1]["width"] == 2
+    assert rows[2]["format"] == "wav" and rows[2]["duration_ms"] == 500
+    assert rows[3]["format"] is None and rows[3]["n_bytes"] == 4
+    assert rows[4]["n_bytes"] == 0
+
+
+def test_extract_features_real_decode(spark):
+    from wimbd_spark.operators.multimodal import extract_features
+
+    black = make_png([[0, 0, 0] * 4] * 4)          # 4x4 black RGB
+    white = make_png([[255, 255, 255] * 4] * 4)    # 4x4 white RGB
+    tone = make_wav([16384] * 1000)                # constant amplitude
+    df = spark.createDataFrame(
+        [(1, bytearray(black)), (2, bytearray(white)), (3, bytearray(tone))],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r["features"]
+        for r in extract_features(df, dim=4, deterministic_fake=False).collect()
+    }
+    assert out[1] == [0.0] * 4
+    assert out[2] == [1.0] * 4
+    assert all(abs(v - 0.5) < 1e-3 for v in out[3])
