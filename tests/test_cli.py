@@ -74,3 +74,62 @@ def test_cli_parquet_limit_is_per_file(capsys, tmp_path, spark):
         ).coalesce(1).write.parquet(str(d / name))
     rows = _run(capsys, ["stats", str(d / "a"), str(d / "b"), "--limit", "3"])
     assert rows[0]["total_documents"] == 6  # 3 from each file
+
+
+def test_cli_neardup_jaccard(spark, tmp_path, capsys):
+    from wimbd_spark.cli import main
+
+    import pandas as pd
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",
+                "something entirely different in this row",
+            ],
+        }
+    ).to_parquet(tmp_path / "docs.parquet")
+    rc = main(
+        [
+            "neardup",
+            str(tmp_path / "docs.parquet"),
+            "--method",
+            "jaccard",
+            "--threshold",
+            "0.4",
+            "--id-col",
+            "doc_id",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"id_a": 1' in out and '"id_b": 2' in out
+    assert '"id_b": 3' not in out
+
+
+def test_cli_ingest_tfrecord(spark, tmp_path, capsys):
+    from wimbd_spark.cli import main
+    from wimbd_spark.sources.tfrecord import write_tfrecord
+
+    write_tfrecord(
+        str(tmp_path / "a.tfrecord"),
+        [{"text": "one doc", "doc_id": "d1"}],
+    )
+    out_dir = tmp_path / "corpus"
+    rc = main(
+        [
+            "ingest",
+            str(tmp_path / "a.tfrecord"),
+            "--format",
+            "tfrecord",
+            "--id-field",
+            "doc_id",
+            "--out",
+            str(out_dir),
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(str(out_dir))
+    assert got.columns == ["id", "text", "lang", "source", "metadata"]
+    assert got.collect()[0]["text"] == "one doc"

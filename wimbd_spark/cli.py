@@ -129,6 +129,33 @@ def main(argv: list[str] | None = None) -> int:
                     help="eval-set path (jsonl.gz dir or parquet)")
     sp.add_argument("--out", required=True, help="output parquet path")
 
+    sp = sub.add_parser(
+        "neardup", help="near-duplicate pairs (minhash-LSH or exact jaccard)"
+    )
+    common(sp)
+    sp.add_argument("--method", choices=["minhash", "jaccard"],
+                    default="minhash")
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--shingle-n", type=int, default=3)
+    sp.add_argument("--id-col", default=None,
+                    help="doc id column (default: first column)")
+    sp.add_argument("--max-bucket-size", type=int, default=None)
+    sp.add_argument("--out", default=None, help="output parquet path")
+
+    sp = sub.add_parser(
+        "ingest",
+        help="foreign dataset → canonical parquet corpus "
+        "(HF dir: parquet/arrow shards; TFRecord files)",
+    )
+    sp.add_argument("paths", nargs="+")
+    sp.add_argument("--format", choices=["hf", "tfrecord"], required=True)
+    sp.add_argument("--split", default="train", help="HF split name")
+    sp.add_argument("--text-field", default="text")
+    sp.add_argument("--id-field", default=None)
+    sp.add_argument("--source", default=None)
+    sp.add_argument("--out", required=True, help="output parquet path")
+    sp.add_argument("--output", "-o", default=None)
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -140,6 +167,33 @@ def main(argv: list[str] | None = None) -> int:
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"wimbd-spark-{args.cmd}")
     try:
+        if args.cmd == "ingest":
+            from wimbd_spark.corpus import (
+                load_hf_dataset,
+                load_tfrecords,
+                standardize_corpus,
+            )
+
+            if args.format == "hf":
+                out = load_hf_dataset(
+                    spark,
+                    args.paths[0],
+                    split=args.split,
+                    text_field=args.text_field,
+                    id_field=args.id_field,
+                    source=args.source,
+                )
+            else:
+                out = standardize_corpus(
+                    load_tfrecords(spark, args.paths),
+                    text_field=args.text_field,
+                    id_field=args.id_field,
+                    source=args.source or "tfrecord",
+                )
+            out.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            _emit([{"rows": n, "out": args.out}], args.output)
+            return 0
         df = _load(spark, args.paths, args.limit, args.file_limit)
         t = args.text_field
         if args.cmd in ("topk", "botk"):
@@ -195,6 +249,40 @@ def main(argv: list[str] | None = None) -> int:
                 [{"input": before, "kept": after, "removed": before - after}],
                 args.output,
             )
+        elif args.cmd == "neardup":
+            from wimbd_spark.operators.neardup import (
+                minhash_dedup_pairs,
+                ngram_jaccard_pairs,
+            )
+
+            idc = args.id_col or df.columns[0]
+            if args.method == "minhash":
+                pairs = minhash_dedup_pairs(
+                    df,
+                    id_col=idc,
+                    text_col=t,
+                    shingle_n=args.shingle_n,
+                    threshold=args.threshold,
+                    max_bucket_size=args.max_bucket_size,
+                )
+            else:
+                pairs = ngram_jaccard_pairs(
+                    df,
+                    id_col=idc,
+                    text_col=t,
+                    shingle_n=args.shingle_n,
+                    threshold=args.threshold,
+                    max_shingle_freq=args.max_bucket_size,
+                )
+            if args.out:
+                pairs.write.mode("overwrite").parquet(args.out)
+                n = spark.read.parquet(args.out).count()
+                _emit([{"pairs": n, "out": args.out}], args.output)
+            else:
+                _emit(
+                    [r.asDict() for r in pairs.orderBy("id_a", "id_b").collect()],
+                    args.output,
+                )
         return 0
     finally:
         if not preexisting:
