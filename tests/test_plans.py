@@ -121,3 +121,55 @@ def test_extract_pii_single_scan(raw_docs):
     # formatted explain prints each scan once in the tree and once in the
     # numbered details — count the per-node Location lines instead
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_lsh_buckets_single_exchange_no_join(raw_docs):
+    from wimbd_spark.operators.neardup import (
+        _pairs_from_sigs,
+        _shingle_table,
+        _minhash_from_hashes,
+    )
+
+    sh = _shingle_table(raw_docs, "doc_id", "text", 3)
+    sigs = sh.select(F.col("doc_id"), *_minhash_from_hashes(F.col("hs"), 4))
+    pairs = _pairs_from_sigs(sigs, "doc_id", 4, 2, max_bucket_size=64)
+    plan = explain_str(pairs)
+    # bucket pairs come from one groupBy+explode, not a bucket self-join:
+    # exchanges = shingle groupBy + bucket groupBy + final distinct
+    assert plan.count("Join") == 0
+    assert shuffle_count(pairs) <= 3
+
+
+def test_ngram_jaccard_no_array_shuffle(raw_docs):
+    from wimbd_spark.operators.neardup import ngram_jaccard_pairs
+
+    plan = explain_str(ngram_jaccard_pairs(raw_docs, threshold=0.2))
+    # intersections are join-row counts; the collected shingle arrays
+    # (collect_set) must never be a join/shuffle payload
+    assert "array_intersect" not in plan and "array_union" not in plan
+
+
+def test_contamination_prefilter_corpus_never_shuffles(spark, raw_docs):
+    from wimbd_spark.operators.dedup import _anchored_hits
+    from wimbd_spark.functions.text import tokenize
+
+    phrases = spark.createDataFrame(
+        [("alpha beta gamma",), ("one two three four",)], ["_p"]
+    ).withColumn("_toks", tokenize(F.col("_p")))
+    hits = _anchored_hits(raw_docs, phrases, "text")
+    plan = explain_str(hits)
+    # every join against the corpus broadcasts the small side; corpus
+    # rows cross no hash-partitioning exchange (only the tiny distinct
+    # phrase agg shuffles, plus AQE's final-stage bookkeeping)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cosine_pairs_lsh_joins_on_bucket(spark):
+    from wimbd_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = explain_str(cosine_pairs_lsh(emb, threshold=0.4, nbits=4))
+    # candidate join keyed on bucket id — never a cross/nested-loop join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
