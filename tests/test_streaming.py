@@ -195,3 +195,71 @@ def test_stateful_user_counts(spark, stream_dir):
         assert totals[2] == 1
     finally:
         q.stop()
+
+
+# ---- dedupe/decontaminate on ingest ----
+
+def _doc(doc_id, text, minute=0, source="s0"):
+    return {
+        "doc_id": doc_id,
+        "ts": f"2024-01-01T00:{minute:02d}:00.000Z",
+        "text": text,
+        "source": source,
+    }
+
+
+def test_streaming_dedup_exact_across_microbatches(spark, tmp_path):
+    from wimbd_spark.streaming import read_doc_stream, streaming_dedup_exact
+
+    d = str(tmp_path / "docs_in")
+    _write_batch(d, [_doc(1, "alpha"), _doc(2, "beta"), _doc(3, "alpha")], "b0.json")
+    stream = read_doc_stream(spark, d)
+    out = streaming_dedup_exact(stream).select("doc_id", "text")
+    q = _run_to_memory(out, "dedup_stream", "append")
+    # second micro-batch: one new text, one dup of an earlier batch
+    _write_batch(d, [_doc(4, "gamma"), _doc(5, "beta")], "b1.json")
+    q.processAllAvailable()
+    rows = spark.sql("select * from dedup_stream").collect()
+    q.stop()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha", "beta", "gamma"]  # dups 3 & 5 dropped
+    # batch twin agrees on the surviving text set
+    from wimbd_spark.operators.dedup import dedup_keep_first
+
+    batch = spark.createDataFrame(
+        [(i, t) for i, t in [(1, "alpha"), (2, "beta"), (3, "alpha"),
+                             (4, "gamma"), (5, "beta")]],
+        ["doc_id", "text"],
+    )
+    assert sorted(
+        r["text"] for r in dedup_keep_first(batch).collect()
+    ) == texts
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from wimbd_spark.streaming import read_doc_stream, streaming_dedup_exact
+
+    d = str(tmp_path / "docs_wm")
+    _write_batch(d, [_doc(1, "alpha", 0), _doc(2, "alpha", 1)], "b0.json")
+    stream = read_doc_stream(spark, d)
+    out = streaming_dedup_exact(stream, ts_col="ts", watermark="10 minutes")
+    q = _run_to_memory(out.select("doc_id"), "dedup_wm", "append")
+    rows = spark.sql("select * from dedup_wm").collect()
+    q.stop()
+    assert [r["doc_id"] for r in rows] == [1]  # dup inside horizon dropped
+
+
+def test_streaming_decontaminate(spark, tmp_path):
+    from wimbd_spark.streaming import read_doc_stream, streaming_decontaminate
+
+    d = str(tmp_path / "docs_dc")
+    _write_batch(
+        d, [_doc(1, "keep me"), _doc(2, "eval leak"), _doc(3, "also kept")],
+        "b0.json",
+    )
+    evalset = spark.createDataFrame([("eval leak",)], ["text"])
+    out = streaming_decontaminate(read_doc_stream(spark, d), evalset)
+    q = _run_to_memory(out.select("doc_id"), "decon_stream", "append")
+    rows = spark.sql("select * from decon_stream").collect()
+    q.stop()
+    assert sorted(r["doc_id"] for r in rows) == [1, 3]

@@ -1,3 +1,8 @@
+from wimbd_spark.streaming.dedup import (
+    read_doc_stream,
+    streaming_decontaminate,
+    streaming_dedup_exact,
+)
 from wimbd_spark.streaming.windows import (
     read_event_stream,
     session_window_stream,
@@ -7,9 +12,12 @@ from wimbd_spark.streaming.windows import (
 )
 
 __all__ = [
+    "read_doc_stream",
     "read_event_stream",
     "session_window_stream",
     "sliding_counts_stream",
     "stateful_user_counts",
+    "streaming_decontaminate",
+    "streaming_dedup_exact",
     "tumbling_counts_stream",
 ]

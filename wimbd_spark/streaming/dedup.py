@@ -1,0 +1,96 @@
+"""Streaming twins of the dedup family: dedupe-on-ingest and
+decontaminate-on-ingest for document streams.
+
+The reference runs dedup/decontamination as batch jobs over finished
+corpora (wimbd/es/decontamination.py); a training-data pipeline at
+100 TB wants the same semantics applied while data ARRIVES. These reuse
+the exact expressions of operators.dedup (doc_hash = md5 of text), so a
+batch backfill and the streaming path agree row-for-row.
+
+State/scale notes:
+- exact dedup keys state on the 32-hex md5 — one state row per distinct
+  document ever seen; with an event-time column + watermark,
+  `dropDuplicatesWithinWatermark` bounds that state to the watermark
+  horizon (the right call when duplicates cluster in time, e.g. crawl
+  re-fetches).
+- decontamination is a stream-static broadcast anti-join: the eval-set
+  hash list broadcasts once per micro-batch plan, the stream never
+  shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from wimbd_spark.functions.text import doc_hash
+
+DOC_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def read_doc_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "json",
+    schema: StructType = DOC_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source document stream (each new file = one micro-batch of
+    crawled/ingested docs)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(path)
+
+
+def streaming_dedup_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keep the first-arriving copy of each distinct text.
+
+    Without ``ts_col`` the dedup state grows with distinct documents
+    (exact global dedup — fine when the distinct count fits the state
+    store, e.g. hash-only rows). With ``ts_col``, state is bounded to
+    the watermark horizon via dropDuplicatesWithinWatermark.
+    """
+    out = docs.withColumn("hash", doc_hash(F.col(text_col)))
+    if ts_col is not None:
+        return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["hash"]
+        )
+    return out.dropDuplicates(["hash"])
+
+
+def streaming_decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Drop stream docs whose exact text appears in a STATIC eval set
+    (stream-static left-anti join on md5, eval side broadcast)."""
+    bl = F.broadcast(
+        eval_df.select(doc_hash(F.col(eval_text_col)).alias("hash")).distinct()
+    )
+    return (
+        docs.withColumn("hash", doc_hash(F.col(text_col)))
+        .join(bl, "hash", "left_anti")
+        .drop("hash")
+    )
