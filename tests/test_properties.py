@@ -150,3 +150,101 @@ def test_minhash_jaccard_unbiased(spark):
     pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     true_j = jaccard_pairs(df, pairs, shingle_n=2).collect()[0]["jaccard"]
     assert abs(est - true_j) < 0.2  # 64 hashes → σ ≈ 0.06
+
+
+def test_tfrecord_roundtrip_property(tmp_path):
+    """Writer→reader round-trip over randomized feature dicts: every
+    kind (bytes/str incl. non-ASCII, int64 full range, float lists),
+    scalar and list shapes, CRC-verified framing. No Spark needed —
+    this pins the codec pair itself."""
+    from wimbd_spark.sources.tfrecord import (
+        decode_example,
+        iter_tfrecord_payloads,
+        write_tfrecord,
+    )
+
+    rng = random.Random(SEED)
+    words = ["", "a", "héllo", "日本語", "x" * 300]
+    examples = []
+    for _ in range(50):
+        ex = {}
+        for f in range(rng.randint(1, 5)):
+            kind = rng.choice(["s", "i", "f", "ls", "li", "lf", "b"])
+            name = f"f{f}_{kind}"
+            if kind == "s":
+                ex[name] = rng.choice(words)
+            elif kind == "b":
+                ex[name] = bytes(rng.randrange(256) for _ in range(rng.randint(0, 20)))
+            elif kind == "i":
+                ex[name] = rng.randint(-(2**63), 2**63 - 1)
+            elif kind == "f":
+                ex[name] = rng.uniform(-1e6, 1e6)
+            elif kind == "ls":
+                ex[name] = [rng.choice(words) for _ in range(rng.randint(1, 4))]
+            elif kind == "li":
+                ex[name] = [rng.randint(-(2**31), 2**31) for _ in range(rng.randint(1, 6))]
+            else:
+                ex[name] = [rng.uniform(-10, 10) for _ in range(rng.randint(1, 6))]
+        examples.append(ex)
+
+    p = str(tmp_path / "prop.tfrecord")
+    write_tfrecord(p, examples)
+    payloads = list(iter_tfrecord_payloads(p, verify_crc=True))
+    assert len(payloads) == len(examples)
+    import struct as _s
+
+    for ex, payload in zip(examples, payloads):
+        feats = decode_example(payload)
+        assert set(feats) == set(ex)
+        for name, want in ex.items():
+            kind, got = feats[name]
+            wants = want if isinstance(want, list) else [want]
+            if kind == "bytes":
+                got = [
+                    g.decode("utf-8") if isinstance(wants[0], str) else g
+                    for g in got
+                ]
+                assert got == wants
+            elif kind == "int64":
+                assert got == wants
+            else:  # float32 round-trips through single precision
+                assert got == [
+                    _s.unpack("<f", _s.pack("<f", w))[0] for w in wants
+                ]
+
+
+def test_bpe_cache_and_determinism(tmp_path):
+    """Encoding is deterministic, cache-independent, and concatenation
+    of pre-token pieces reconstructs the original bytes."""
+    import json as _json
+
+    from wimbd_spark.functions.bpe import (
+        _bytes_to_unicode,
+        load_bpe_assets,
+        make_encoder,
+    )
+
+    (tmp_path / "merges.txt").write_text("#version: 0.2\nh e\nhe l\nl o")
+    (tmp_path / "vocab.json").write_text(_json.dumps({}))
+    ranks, vocab = load_bpe_assets(str(tmp_path))
+    rng = random.Random(SEED)
+    alphabet = "helo hxy!\t日"
+    u2b = {v: k for k, v in _bytes_to_unicode().items()}
+    for _ in range(100):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        t1, _ = make_encoder(ranks, vocab)(text)   # fresh cache
+        enc = make_encoder(ranks, vocab)
+        t2, t3 = enc(text)[0], enc(text)[0]        # warm cache
+        assert t1 == t2 == t3
+        rebuilt = bytes(u2b[ch] for tok in t1 for ch in tok)
+        assert rebuilt == text.encode("utf-8")
+
+
+def test_fix_mojibake_never_corrupts_clean_ascii():
+    from wimbd_spark.operators.models import fix_mojibake
+
+    rng = random.Random(SEED)
+    chars = "abc XYZ 0123 .,!?-_'\"\n\t"
+    for _ in range(200):
+        s = "".join(rng.choice(chars) for _ in range(rng.randint(0, 40)))
+        assert fix_mojibake(s) == s
