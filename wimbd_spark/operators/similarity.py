@@ -219,6 +219,15 @@ def cosine_topk_ivf(
     )
 
 
+def _unit(vec: Column) -> Column:
+    """Vector scaled to unit norm — paid once per ROW so every pair
+    comparison is a single dot product instead of dot + two norms
+    (3× less interpreted higher-order-function work on the O(n²) or
+    candidate stage)."""
+    n = norm(vec)
+    return F.transform(vec, lambda x: x / n)
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.45,
@@ -232,15 +241,15 @@ def cosine_pairs(
     self-join."""
     a = df.select(
         F.col(id_col).alias("id_a"),
-        _to_double(F.col(vec_col)).alias("_va"),
+        _unit(_to_double(F.col(vec_col))).alias("_va"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
-        _to_double(F.col(vec_col)).alias("_vb"),
+        _unit(_to_double(F.col(vec_col))).alias("_vb"),
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn("cosine", dot(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -264,7 +273,7 @@ def cosine_pairs_lsh(
     planes = [_hyperplane(p, dim) for p in range(nbits)]
     base = df.select(
         F.col(id_col).alias("_id"),
-        _to_double(F.col(vec_col)).alias("_v"),
+        _unit(_to_double(F.col(vec_col))).alias("_v"),
     ).withColumn("_b0", sign_sketch(F.col("_v"), planes))
     if multiprobe:
         probes = F.array(
@@ -279,9 +288,12 @@ def cosine_pairs_lsh(
     exp = base.select(
         "_id", "_v", F.col("_b0"), F.explode(probes).alias("bucket")
     )
-    # a-side keeps its home bucket only, b-side probes: every candidate
-    # pair meets exactly where a's home bucket equals one of b's probes,
-    # without duplicating both sides' probe fan-out
+    # a-side keeps its home bucket only, b-side probes: a pair meets
+    # exactly where a's home bucket equals one of b's probes, and since
+    # b's probe values are pairwise distinct that's AT MOST ONE join
+    # row per pair — no dedup needed, so no shuffle ever carries the
+    # vector arrays (the candidate join broadcasts/shuffles on the
+    # narrow bucket key and the ≥τ filter runs in the same stage)
     a = exp.filter(F.col("bucket") == F.col("_b0")).select(
         F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "bucket"
     )
@@ -291,8 +303,7 @@ def cosine_pairs_lsh(
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn("cosine", dot(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
