@@ -48,6 +48,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _unit(vec: Column) -> Column:
+    """Vector scaled to unit norm — paid once per ROW so every pair
+    comparison is a single dot product instead of dot + two norms
+    (3× less interpreted higher-order-function work on the O(n²) or
+    candidate stage)."""
+    n = norm(vec)
+    return F.transform(vec, lambda x: x / n)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -67,17 +76,18 @@ def cosine_topk(
     qid = query_id_col or id_col
     q = F.broadcast(
         queries.select(
-            F.col(qid).alias("query_id"), _to_double(F.col(vec_col)).alias("_qv")
+            F.col(qid).alias("query_id"),
+            _unit(_to_double(F.col(vec_col))).alias("_qv"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        _to_double(F.col(vec_col)).alias("_cv"),
+        _unit(_to_double(F.col(vec_col))).alias("_cv"),
     )
     scored = q.crossJoin(c).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        dot(F.col("_qv"), F.col("_cv")).alias("cosine"),
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -177,14 +187,16 @@ def cosine_topk_ivf(
         )
         return F.slice(F.array_sort(scored), 1, n)
 
+    # unit vectors: centroid assignment via cosine() is scale-invariant,
+    # and the pairwise score below reduces to a single dot product
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        _to_double(F.col(vec_col)).alias("_cv"),
+        _unit(_to_double(F.col(vec_col))).alias("_cv"),
     ).withColumn("centroid", top_centroids(F.col("_cv"), 1)[0]["cid"])
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
-            _to_double(F.col(vec_col)).alias("_qv"),
+            _unit(_to_double(F.col(vec_col))).alias("_qv"),
         )
         .withColumn(
             "centroid",
@@ -201,7 +213,7 @@ def cosine_topk_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+            dot(F.col("_qv"), F.col("_cv")).alias("cosine"),
         )
     )
     if exclude_self:
@@ -217,15 +229,6 @@ def cosine_topk_ivf(
             "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
         )
     )
-
-
-def _unit(vec: Column) -> Column:
-    """Vector scaled to unit norm — paid once per ROW so every pair
-    comparison is a single dot product instead of dot + two norms
-    (3× less interpreted higher-order-function work on the O(n²) or
-    candidate stage)."""
-    n = norm(vec)
-    return F.transform(vec, lambda x: x / n)
 
 
 def cosine_pairs(
@@ -326,11 +329,11 @@ def cosine_topk_lsh(
     planes = [_hyperplane(p, dim) for p in range(nbits)]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        _to_double(F.col(vec_col)).alias("_cv"),
+        _unit(_to_double(F.col(vec_col))).alias("_cv"),
     ).withColumn("bucket", sign_sketch(F.col("_cv"), planes))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _to_double(F.col(vec_col)).alias("_qv"),
+        _unit(_to_double(F.col(vec_col))).alias("_qv"),
     ).withColumn("_b0", sign_sketch(F.col("_qv"), planes))
     if multiprobe:
         probes = F.array(
@@ -351,7 +354,7 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+            dot(F.col("_qv"), F.col("_cv")).alias("cosine"),
         )
     )
     if exclude_self:
