@@ -947,6 +947,64 @@ def o_lsh_neardup_pairs():
     """
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition signals per doc (Rae et al. 2021
+    §A1.1): duplicate-2/3-gram char fractions + dominant-2-gram char
+    fraction. Pure projections — no shuffle, no UDF."""
+    from wimbd_spark.operators.textqc import (
+        dupe_ngram_char_fraction,
+        top_ngram_char_fraction,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = tokenize(F.col("text"))
+    return (
+        docs.filter(F.size(tokenize(F.col("text"))) >= 3)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(dupe_ngram_char_fraction(toks, 2), 6).alias("dupe2"),
+            F.round(top_ngram_char_fraction(toks, 2), 6).alias("top2"),
+            F.round(dupe_ngram_char_fraction(toks, 3), 6).alias("dupe3"),
+        )
+    )
+
+
+def o_repetition_scores():
+    def agg(n):
+        return f"""
+      (SELECT doc_id, g, count(*) AS c, len(g) AS lg
+       FROM (SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS g
+             FROM toks, unnest(generate_series(1, len(t)-{n - 1})) AS u(i))
+       GROUP BY doc_id, g)
+        """
+
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), base AS (
+        SELECT doc_id FROM toks WHERE len(t) >= 3
+      ), g2 AS (
+        SELECT doc_id,
+               round(sum(CASE WHEN c >= 2 THEN c*lg ELSE 0 END)
+                     / sum(c*lg)::DOUBLE, 6) AS dupe2,
+               round(max(c*lg) / sum(c*lg)::DOUBLE, 6) AS top2
+        FROM {agg(2)} GROUP BY doc_id
+      ), g3 AS (
+        SELECT doc_id,
+               round(sum(CASE WHEN c >= 2 THEN c*lg ELSE 0 END)
+                     / sum(c*lg)::DOUBLE, 6) AS dupe3
+        FROM {agg(3)} GROUP BY doc_id
+      )
+      SELECT CAST(base.doc_id AS BIGINT) AS doc_id,
+             coalesce(dupe2, 0.0) AS dupe2,
+             coalesce(top2, 0.0) AS top2,
+             coalesce(dupe3, 0.0) AS dupe3
+      FROM base LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+    """
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (no minhash approximation):
     inverted-index candidates on shared shingle hashes, exact
@@ -1896,7 +1954,6 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "token_length_dist": (q_token_length_dist, o_token_length_dist),
     "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
     "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
-    "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
     "decontaminate_src0": (q_decontaminate, o_decontaminate),
     "phrase_doc_counts": (q_phrase_doc_counts, o_phrase_doc_counts),
     "phrase_retrieval_top10": (q_phrase_retrieval, o_phrase_retrieval),
@@ -1915,6 +1972,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
     "embedding_cosine_pairs": (q_embedding_cosine_pairs, o_embedding_cosine_pairs),
     "quality_scores": (q_quality_scores, o_quality_scores),
+    "repetition_scores": (q_repetition_scores, o_repetition_scores),
     "langid_counts": (q_langid_counts, o_langid_counts),
     "doc_fingerprints": (q_fingerprints, o_fingerprints),
     "token_counts": (q_token_counts, o_token_counts),
@@ -1948,6 +2006,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         q_embedding_cosine_pairs_lsh,
         o_embedding_cosine_pairs_lsh,
     ),
+    "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
 }
 
 

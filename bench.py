@@ -60,6 +60,7 @@ HEADLINE = [
     "phrase_count_filtered",
     "top2_orders_per_customer",
     "ngram_jaccard_pairs",
+    "repetition_scores",
     "embedding_cosine_pairs_lsh",
 ]
 

@@ -82,3 +82,28 @@ def test_sentiment_polarity_fallback_is_lexicon(spark):
     df = spark.createDataFrame([("good stuff",)], ["t"])
     v = df.select(sentiment_polarity(F.col("t")).alias("p")).collect()[0]["p"]
     assert v == 0.5
+
+
+def test_repetition_signals(spark):
+    from wimbd_spark.functions.text import tokenize
+    from wimbd_spark.operators.textqc import (
+        dupe_ngram_char_fraction,
+        top_ngram_char_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a b a b a b",),   # 2-grams: "a b"×3, "b a"×2 — all duplicated
+            ("x y z w v u",),   # all distinct
+            ("spam spam spam spam",),
+        ],
+        ["t"],
+    )
+    toks = tokenize(F.col("t"))
+    rows = df.select(
+        F.round(dupe_ngram_char_fraction(toks, 2), 4).alias("d2"),
+        F.round(top_ngram_char_fraction(toks, 2), 4).alias("t2"),
+    ).collect()
+    assert [r["d2"] for r in rows] == [1.0, 0.0, 1.0]
+    # "a b"×3 covers 9 of 15 chars; "spam spam"×3 covers all
+    assert [r["t2"] for r in rows] == [0.6, 0.2, 1.0]

@@ -176,3 +176,89 @@ def lexicon_polarity(
     return F.round(
         (npos - nneg) / F.greatest(F.size(toks), F.lit(1)), 6
     )
+
+
+def dupe_ngram_char_fraction(
+    tokens: Column, n: int = 2
+) -> Column:
+    """Fraction of n-gram characters covered by n-grams occurring ≥2
+    times in the document (the Gopher/Dolma "duplicate n-gram"
+    repetition signal, Rae et al. 2021 §A1.1): Σ count(g)·len(g) over
+    duplicated g, divided by Σ len over all n-gram occurrences.
+
+    Pure expression, no shuffle: sort the n-gram array, mark elements
+    equal to a neighbor (every occurrence of any repeated n-gram),
+    aggregate lengths. O(m log m) per doc via array_sort.
+    """
+    grams = F.array_sort(ngram_strings(tokens, n))
+    m = F.size(grams)
+    idx = F.sequence(F.lit(0), F.greatest(m - 1, F.lit(0)))
+    flags = F.when(
+        m > 1,
+        F.transform(
+            idx,
+            lambda i: (
+                (i > 0) & (grams[i] == grams[i - 1])
+            )
+            | ((i < m - 1) & (grams[i] == grams[i + 1])),
+        ),
+    ).otherwise(F.array(F.lit(False)))
+    dup_chars = F.aggregate(
+        F.zip_with(
+            grams,
+            flags,
+            lambda g, f: F.when(f, F.length(g)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    tot_chars = F.aggregate(
+        F.transform(grams, lambda g: F.length(g)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return F.when(tot_chars > 0, dup_chars / tot_chars).otherwise(F.lit(0.0))
+
+
+def top_ngram_char_fraction(tokens: Column, n: int = 2) -> Column:
+    """Max characters covered by any SINGLE n-gram's occurrences, as a
+    fraction of total n-gram characters — the Gopher "top n-gram"
+    repetition signal (Rae et al. 2021 §A1.1), with the dominant
+    n-gram chosen by covered chars (count·len) rather than raw count:
+    covered chars is the quantity the filter thresholds. Run-length
+    scan over the sorted n-gram array with a struct accumulator — one
+    pass, no shuffle.
+    """
+    grams = F.array_sort(ngram_strings(tokens, n))
+    state = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    scan = F.aggregate(
+        grams,
+        state,
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                (
+                    F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1)
+                    )
+                )
+                * F.length(g),
+            ).alias("best"),
+        ),
+    )
+    tot_chars = F.aggregate(
+        F.transform(grams, lambda g: F.length(g)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return F.when(tot_chars > 0, scan["best"] / tot_chars).otherwise(
+        F.lit(0.0)
+    )
