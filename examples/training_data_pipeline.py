@@ -1,0 +1,75 @@
+"""Training-data curation pipeline: foreign ingest → quality/repetition
+filtering → exact + near dedup → eval-set decontamination → canonical
+parquet. Every stage is a pure DataFrame transformation, so the whole
+pipeline is ONE lazily-planned job per materialization.
+
+Run: python examples/training_data_pipeline.py [sf_dir]
+"""
+
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from wimbd_spark import get_spark, load_tables
+from wimbd_spark.corpus import load_tfrecords, standardize_corpus
+from wimbd_spark.functions.text import tokenize
+from wimbd_spark.operators.dedup import decontaminate, dedup_keep_first
+from wimbd_spark.operators.neardup import ngram_jaccard_pairs
+from wimbd_spark.operators.textqc import (
+    dupe_ngram_char_fraction,
+    quality_features,
+)
+from wimbd_spark.sources.tfrecord import write_tfrecord
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+spark = get_spark(app_name="training-data-pipeline-demo")
+
+print("== 1. ingest: TFRecord shards → canonical corpus ==")
+tfdir = tempfile.mkdtemp()
+write_tfrecord(
+    f"{tfdir}/shard-0.tfrecord",
+    [
+        {"text": "fresh crawled document about spark joins", "url": "http://a"},
+        {"text": "spam spam spam spam spam spam", "url": "http://b"},
+    ],
+)
+crawled = standardize_corpus(
+    load_tfrecords(spark, [tfdir]), text_field="text", source="crawl"
+)
+crawled.show(truncate=60)
+
+print("== 2. main corpus + quality/repetition gate ==")
+docs = load_tables(spark, sf_dir, names=["documents"])["documents"]
+toks = tokenize(F.col("text"))
+scored = docs.select(
+    "doc_id", "text", "source",
+    *quality_features(F.col("text"), tokens=toks),
+    F.round(dupe_ngram_char_fraction(toks, 2), 4).alias("dupe2"),
+)
+kept = scored.filter(
+    (F.col("n_tokens") >= 5)
+    & (F.col("mean_token_len").between(2, 12))
+    & (F.col("dupe2") < 0.9)
+)
+print(f"quality gate: {docs.count()} → {kept.count()} docs")
+
+print("== 3. exact dedup (keep-first) ==")
+deduped = dedup_keep_first(kept.select("doc_id", "text", "source"))
+print(f"exact dedup: {kept.count()} → {deduped.count()} docs")
+
+print("== 4. near-dup pairs to review (exact n-gram Jaccard) ==")
+pairs = ngram_jaccard_pairs(deduped, shingle_n=3, threshold=0.5)
+pairs.orderBy(F.desc("jaccard")).show(5)
+
+print("== 5. decontaminate against an eval set ==")
+evalset = docs.filter(F.col("source") == "src0").select("text").limit(50)
+clean = decontaminate(deduped, evalset)
+print(f"decontaminate: {deduped.count()} → {clean.count()} docs")
+
+out = tempfile.mkdtemp() + "/clean_corpus"
+clean.write.mode("overwrite").parquet(out)
+print(f"wrote curated corpus → {out}")
+spark.stop()

@@ -190,19 +190,20 @@ def dupe_ngram_char_fraction(
     equal to a neighbor (every occurrence of any repeated n-gram),
     aggregate lengths. O(m log m) per doc via array_sort.
     """
+    # CAUTION: never index the gram array inside a transform lambda
+    # (grams[i-1]-style) — each element access would inline and
+    # re-evaluate the whole ngram+sort expression, turning the row
+    # cost into O(m²·log m). The shifted-copy zip_with below keeps a
+    # CONSTANT number of references to the array expression.
     grams = F.array_sort(ngram_strings(tokens, n))
-    m = F.size(grams)
-    idx = F.sequence(F.lit(0), F.greatest(m - 1, F.lit(0)))
-    flags = F.when(
-        m > 1,
-        F.transform(
-            idx,
-            lambda i: (
-                (i > 0) & (grams[i] == grams[i - 1])
-            )
-            | ((i < m - 1) & (grams[i] == grams[i + 1])),
-        ),
-    ).otherwise(F.array(F.lit(False)))
+    null_s = F.array(F.lit(None).cast("string"))
+    prev = F.slice(F.concat(null_s, grams), 1, F.size(grams))
+    prev_eq = F.zip_with(grams, prev, lambda a, b: a.eqNullSafe(b))
+    # slice(2..) is one shorter; zip_with null-pads the tail, and
+    # eqNullSafe(last, null) is correctly false
+    nxt = F.slice(grams, 2, F.size(grams))
+    next_eq = F.zip_with(grams, nxt, lambda a, b: a.eqNullSafe(b))
+    flags = F.zip_with(prev_eq, next_eq, lambda a, b: a | b)
     dup_chars = F.aggregate(
         F.zip_with(
             grams,
