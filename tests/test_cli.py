@@ -133,3 +133,21 @@ def test_cli_ingest_tfrecord(spark, tmp_path, capsys):
     got = spark.read.parquet(str(out_dir))
     assert got.columns == ["id", "text", "lang", "source", "metadata"]
     assert got.collect()[0]["text"] == "one doc"
+
+
+def test_cli_quality_filter(spark, tmp_path, capsys):
+    from wimbd_spark.cli import main
+
+    import pandas as pd
+    keeper = " ".join(f"the item{i} of value{i}" for i in range(30))
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": [keeper, "too short"]}
+    ).to_parquet(tmp_path / "in.parquet")
+    out = tmp_path / "kept"
+    rc = main(
+        ["quality-filter", str(tmp_path / "in.parquet"), "--out", str(out)]
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(out)).count() == 1
+    printed = capsys.readouterr().out
+    assert '"kept": 1' in printed and "too_short" in printed

@@ -107,3 +107,42 @@ def test_repetition_signals(spark):
     assert [r["d2"] for r in rows] == [1.0, 0.0, 1.0]
     # "a b"×3 covers 9 of 15 chars; "spam spam"×3 covers all
     assert [r["t2"] for r in rows] == [0.6, 0.2, 1.0]
+
+
+def test_gopher_quality_filter_rules(spark):
+    from wimbd_spark.operators.textqc import gopher_quality_filter
+
+    normal_words = (
+        "research on data systems shows that careful engineering of the "
+        "storage layer and query planner is essential to good results "
+    )
+    # ≥50 tokens with NO repeated 2-grams (each i makes unique pairs)
+    keeper_text = " ".join(
+        f"the item{i} of value{i}" for i in range(30)
+    )
+    docs = [
+        ("keeper", keeper_text),
+        ("short", "just a few words here"),
+        ("symbols", " ".join(["the#tag"] * 40 + ["word..."] * 30)
+                    + " " + normal_words * 3),
+        ("bullets", "\n".join(
+            f"- bullet item {w}" for w in (normal_words.split() * 3))),
+        ("ellipsis", "\n".join(
+            f"line of the text trails off {i}..." for i in range(60))),
+        ("nonalpha", " ".join(["12345", "67890", "!!!", "%%%"] * 30)),
+        ("nostop", " ".join(f"w{i}" for i in range(120))),
+    ]
+    df = spark.createDataFrame(docs, ["k", "text"])
+    rows = {r["k"]: r for r in gopher_quality_filter(df).collect()}
+    assert rows["keeper"]["keep"] is True
+    assert rows["short"]["drop_reasons"][0] == "too_short"
+    assert "symbol_ratio" in rows["symbols"]["drop_reasons"]
+    assert "bullet_lines" in rows["bullets"]["drop_reasons"]
+    assert "ellipsis_lines" in rows["ellipsis"]["drop_reasons"]
+    assert "alpha_words" in rows["nonalpha"]["drop_reasons"]
+    assert "few_stopwords" in rows["nostop"]["drop_reasons"]
+    # thresholds are parameterizable
+    loose = gopher_quality_filter(df, min_tokens=3, min_stopwords=0,
+                                  max_dupe2=1.0, max_top2=1.0,
+                                  min_mean_len=1.0)
+    assert {r["k"]: r for r in loose.collect()}["short"]["keep"] is True

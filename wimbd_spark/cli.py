@@ -130,6 +130,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--out", required=True, help="output parquet path")
 
     sp = sub.add_parser(
+        "quality-filter",
+        help="Gopher-rule document gate → kept docs + per-rule drop counts",
+    )
+    common(sp)
+    sp.add_argument("--out", required=True, help="output parquet path")
+
+    sp = sub.add_parser(
         "neardup", help="near-duplicate pairs (minhash-LSH or exact jaccard)"
     )
     common(sp)
@@ -249,6 +256,25 @@ def main(argv: list[str] | None = None) -> int:
                 [{"input": before, "kept": after, "removed": before - after}],
                 args.output,
             )
+        elif args.cmd == "quality-filter":
+            from pyspark.sql import functions as F
+
+            from wimbd_spark.operators.textqc import gopher_quality_filter
+
+            flagged = gopher_quality_filter(df, text_col=t)
+            flagged.filter("keep").drop("keep", "drop_reasons").write.mode(
+                "overwrite"
+            ).parquet(args.out)
+            reasons = (
+                flagged.select(F.explode("drop_reasons").alias("rule"))
+                .groupBy("rule")
+                .count()
+                .orderBy(F.desc("count"))
+            )
+            kept_n = spark.read.parquet(args.out).count()
+            summary = [{"kept": kept_n, "out": args.out}]
+            summary += [r.asDict() for r in reasons.collect()]
+            _emit(summary, args.output)
         elif args.cmd == "neardup":
             from wimbd_spark.operators.neardup import (
                 minhash_dedup_pairs,

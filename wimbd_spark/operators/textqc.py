@@ -263,3 +263,89 @@ def top_ngram_char_fraction(tokens: Column, n: int = 2) -> Column:
     return F.when(tot_chars > 0, scan["best"] / tot_chars).otherwise(
         F.lit(0.0)
     )
+
+
+def gopher_rules(
+    text: Column | str,
+    tokens: Column | None = None,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.10,
+    max_bullet_ratio: float = 0.90,
+    max_ellipsis_ratio: float = 0.30,
+    min_alpha_word_ratio: float = 0.80,
+    min_stopwords: int = 2,
+    max_dupe2: float = 0.20,
+    max_top2: float = 0.20,
+) -> list[tuple[str, Column]]:
+    """The Gopher document-quality rules (Rae et al. 2021 §A1.1) as
+    named boolean DROP conditions — all pure expressions, thresholds
+    parameterized (defaults are the published values where stated).
+    Returns [(rule_name, drops_document_bool), ...].
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens if tokens is not None else tokenize(c)
+    n_tok = F.size(toks)
+    nz = F.greatest(n_tok, F.lit(1)).cast("double")
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        / nz
+    )
+    symbol_ratio = (
+        F.regexp_count(c, F.lit("#"))
+        + F.regexp_count(c, F.lit("…"))
+        + F.regexp_count(c, F.lit(r"\.\.\."))
+    ) / nz
+    lines = F.split(c, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*([-*•]|\d+[.)])")))
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        / n_lines
+    )
+    alpha_word_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]"))) / nz
+    )
+    return [
+        ("too_short", n_tok < min_tokens),
+        ("too_long", n_tok > max_tokens),
+        ("mean_word_len", ~mean_len.between(min_mean_len, max_mean_len)),
+        ("symbol_ratio", symbol_ratio > max_symbol_ratio),
+        ("bullet_lines", bullet_ratio > max_bullet_ratio),
+        ("ellipsis_lines", ellipsis_ratio > max_ellipsis_ratio),
+        ("alpha_words", alpha_word_ratio < min_alpha_word_ratio),
+        ("few_stopwords", stopword_count(toks, "en") < min_stopwords),
+        ("dupe_2gram", dupe_ngram_char_fraction(toks, 2) > max_dupe2),
+        ("top_2gram", top_ngram_char_fraction(toks, 2) > max_top2),
+    ]
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_reasons: bool = True,
+    **thresholds,
+) -> DataFrame:
+    """Apply the Gopher rules: adds `keep` (no rule fired) and, when
+    ``keep_reasons``, a `drop_reasons` array naming the rules that
+    fired — one shuffle-free projection over the corpus, so the gate
+    composes with dedup/decontamination in a single pass."""
+    rules = gopher_rules(F.col(text_col), **thresholds)
+    reasons = F.filter(
+        F.array(
+            *[
+                F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in rules
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    out = df.withColumn("drop_reasons", reasons).withColumn(
+        "keep", F.size("drop_reasons") == 0
+    )
+    return out if keep_reasons else out.drop("drop_reasons")
