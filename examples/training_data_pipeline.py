@@ -18,10 +18,7 @@ from wimbd_spark.corpus import load_tfrecords, standardize_corpus
 from wimbd_spark.functions.text import tokenize
 from wimbd_spark.operators.dedup import decontaminate, dedup_keep_first
 from wimbd_spark.operators.neardup import ngram_jaccard_pairs
-from wimbd_spark.operators.textqc import (
-    dupe_ngram_char_fraction,
-    quality_features,
-)
+from wimbd_spark.operators.textqc import gopher_quality_filter
 from wimbd_spark.sources.tfrecord import write_tfrecord
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -41,19 +38,17 @@ crawled = standardize_corpus(
 )
 crawled.show(truncate=60)
 
-print("== 2. main corpus + quality/repetition gate ==")
+print("== 2. main corpus + Gopher quality gate ==")
 docs = load_tables(spark, sf_dir, names=["documents"])["documents"]
-toks = tokenize(F.col("text"))
-scored = docs.select(
-    "doc_id", "text", "source",
-    *quality_features(F.col("text"), tokens=toks),
-    F.round(dupe_ngram_char_fraction(toks, 2), 4).alias("dupe2"),
+flagged = gopher_quality_filter(
+    docs.select("doc_id", "text", "source"),
+    # synthetic testdata docs are short — relax the published floors
+    min_tokens=5, min_stopwords=0, min_mean_len=2.0,
 )
-kept = scored.filter(
-    (F.col("n_tokens") >= 5)
-    & (F.col("mean_token_len").between(2, 12))
-    & (F.col("dupe2") < 0.9)
-)
+flagged.filter(~F.col("keep")).select(
+    F.explode("drop_reasons").alias("rule")
+).groupBy("rule").count().show()
+kept = flagged.filter("keep").drop("keep", "drop_reasons")
 print(f"quality gate: {docs.count()} → {kept.count()} docs")
 
 print("== 3. exact dedup (keep-first) ==")
