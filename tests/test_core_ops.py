@@ -119,6 +119,19 @@ def test_search_regex_locations_span_not_first_occurrence(spark):
     ]
 
 
+def test_search_regex_locations_rejects_empty_matchable(spark):
+    # zero-length matches break the split/extract_all span alignment —
+    # rejected up front instead of silently corrupting every offset
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "aaa")], ["doc_id", "text"])
+    for bad in ["a*", "(?=a)", ""]:
+        with _pytest.raises(ValueError, match="empty"):
+            search_regex_locations(df, [bad])
+    # non-empty-matchable still fine
+    assert search_regex_locations(df, ["a+"]).count() == 1
+
+
 def test_key_count_against_duckdb(documents):
     got = {r["key"]: r["count"] for r in key_count(documents, "lang").collect()}
     expect = dict(

@@ -69,6 +69,21 @@ def test_hf_missing_split_raises(spark, tmp_path, table):
         load_hf_dataset(spark, str(d), split="train")
 
 
+def test_hf_toplevel_parquet_only_serves_default_split(spark, tmp_path, table):
+    """A top-level-parquet layout carries no split labels — it must
+    satisfy only the default train split. Requesting validation on it
+    raises instead of silently returning train files (decontamination
+    safety)."""
+    d = tmp_path / "flat"
+    d.mkdir()
+    pq.write_table(table, d / "part-0.parquet")
+    assert load_hf_dataset(spark, str(d), text_field="content").count() == 3
+    with pytest.raises(FileNotFoundError):
+        load_hf_dataset(
+            spark, str(d), split="validation", text_field="content"
+        )
+
+
 # ---- S7: TFRecord ----
 
 from wimbd_spark.corpus import load_tfrecords, standardize_corpus
@@ -129,6 +144,22 @@ def test_tfrecord_list_features(spark, tmp_path):
     }
     r = load_tfrecords(spark, [p]).collect()[0]
     assert r["toks"] == ["a", "b", "c"] and r["ids"] == [1, 2, 3]
+
+
+def test_tfrecord_chunked_yield_same_rows(spark, tmp_path):
+    """Bounded-chunk decode (memory guard) must not change results:
+    5 records through chunk_records=2 → 3 yielded chunks, same rows."""
+    from wimbd_spark.sources.tfrecord import read_tfrecords
+
+    p = str(tmp_path / "chunks.tfrecord")
+    write_tfrecord(
+        p, [{"text": f"doc {i}", "doc_id": f"d{i}"} for i in range(5)]
+    )
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in read_tfrecords(spark, [p], chunk_records=2).collect()
+    }
+    assert rows == {f"d{i}": f"doc {i}" for i in range(5)}
 
 
 def test_tfrecord_crc_detects_corruption(spark, tmp_path):

@@ -180,6 +180,11 @@ def test_url_suffix_full_psl(spark):
         # unlisted TLD → NULL (tldextract yields empty suffix)
         "http://host.notarealtld12345/": None,
         "not a url": None,
+        # IDN suffixes: hosts from try_parse_url are punycode, the dat
+        # file is unicode — both forms must be indexed (tldextract
+        # parity). xn--fiqs8s = 中国, xn--p1ai = рф
+        "http://example.xn--fiqs8s/": "xn--fiqs8s",
+        "http://site.xn--p1ai/page": "xn--p1ai",
     }
     rows = [(u,) for u in cases]
     out = (

@@ -229,16 +229,25 @@ def _hf_split_files(root: str, split: str) -> tuple[str, list[str]]:
       ``<root>/data/<split>-*.parquet``, or ``<root>/*.parquet``
     - ``Dataset.save_to_disk``: ``<root>/<split>/data-*.arrow`` or
       ``<root>/data-*.arrow`` (Arrow IPC stream shards + state.json)
+
+    The split-agnostic top-level patterns apply ONLY to the default
+    "train" split: a top-level-parquet layout carries no split labels,
+    so matching it for split="validation" would silently hand an eval
+    pipeline the train files — fatal for decontamination workflows.
+    Non-default splits must resolve to split-named files or the caller
+    raises.
     """
-    for pat in (
-        f"{root}/{split}/*.parquet",
-        f"{root}/data/{split}-*.parquet",
-        f"{root}/*.parquet",
-    ):
+    pats = [f"{root}/{split}/*.parquet", f"{root}/data/{split}-*.parquet"]
+    if split == "train":
+        pats.append(f"{root}/*.parquet")
+    for pat in pats:
         hits = sorted(_glob.glob(pat))
         if hits:
             return "parquet", hits
-    for pat in (f"{root}/{split}/data-*.arrow", f"{root}/data-*.arrow"):
+    pats = [f"{root}/{split}/data-*.arrow"]
+    if split == "train":
+        pats.append(f"{root}/data-*.arrow")
+    for pat in pats:
         hits = sorted(_glob.glob(pat))
         if hits:
             return "arrow", hits

@@ -248,6 +248,22 @@ def _load_psl() -> tuple[frozenset, frozenset, frozenset]:
         path = os.path.join(
             os.path.dirname(__file__), "..", "data", "public_suffix_list.dat"
         )
+        def forms(rule: str) -> list[str]:
+            # Hosts from try_parse_url are punycode for IDN URLs
+            # (xn--…), while the dat file carries unicode rules — index
+            # BOTH forms so internationalized suffixes match either way
+            # (tldextract parity: it idna-normalizes both sides).
+            if rule.isascii():
+                return [rule]
+            try:
+                puny = ".".join(
+                    lb if lb.isascii() else lb.encode("idna").decode("ascii")
+                    for lb in rule.split(".")
+                )
+            except UnicodeError:
+                return [rule]
+            return [rule, puny]
+
         exact, wc, exc = set(), set(), set()
         with open(path, encoding="utf-8") as f:
             for line in f:
@@ -256,11 +272,11 @@ def _load_psl() -> tuple[frozenset, frozenset, frozenset]:
                     continue
                 rule = line.split()[0].lower()
                 if rule.startswith("!"):
-                    exc.add(rule[1:])
+                    exc.update(forms(rule[1:]))
                 elif rule.startswith("*."):
-                    wc.add(rule[2:])
+                    wc.update(forms(rule[2:]))
                 else:
-                    exact.add(rule)
+                    exact.update(forms(rule))
         _PSL_CACHE = (frozenset(exact), frozenset(wc), frozenset(exc))
     return _PSL_CACHE
 

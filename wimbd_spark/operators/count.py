@@ -149,9 +149,34 @@ def search_regex_locations(
     global per-pattern cap). Spans here are 1-based character offsets
     (end exclusive: end_col = start_col + len(match)); the reference
     reports 0-based byte offsets — same occurrences, shifted units.
+
+    PRECONDITION: patterns must not produce zero-length matches (e.g.
+    ``a*`` or a bare lookaround). Span arithmetic aligns the matches of
+    regexp_extract_all with the between-match segments of split(); the
+    two disagree on empty matches, which would silently corrupt every
+    offset — so empty-matchable patterns are rejected up front.
     """
     if not patterns:
         raise ValueError("search_regex_locations: patterns must be non-empty")
+    try:
+        from re import _parser as _sre_parse  # py311+
+    except ImportError:  # pragma: no cover
+        import sre_parse as _sre_parse
+
+    for p in patterns:
+        try:
+            # parser-computed minimum match width: 0 ⇔ some position can
+            # yield a zero-length match (catches 'a*', lookarounds, '')
+            min_width = _sre_parse.parse(p).getwidth()[0]
+        except Exception:
+            min_width = 1  # unparseable here — let Spark surface its error
+        if min_width == 0:
+            raise ValueError(
+                f"search_regex_locations: pattern {p!r} can match the "
+                "empty string; zero-length matches break span alignment "
+                "(see docstring). Anchor or quantify the pattern so every "
+                "match is non-empty (e.g. 'a+' instead of 'a*')."
+            )
     base = df.select(*id_cols, F.col(text_col).alias("_text"))
     # ONE scan for all patterns: regexps must be foldable, so build a
     # per-pattern struct of (pattern, match spans) in a single

@@ -127,12 +127,31 @@ def _shingle_table(
     )
 
 
-def _pairs_from_sigs(
-    sigs: DataFrame,
-    id_col: str,
-    num_hashes: int,
-    bands: int,
-    max_bucket_size: int | None = None,
+#: Default LSH bucket cap. A bucket of n members emits C(n, 2) candidate
+#: pairs, so an uncapped degenerate bucket (boilerplate text hashing
+#: identically across millions of docs at corpus scale) is quadratic
+#: work concentrated on one key. 1000 members → ≤499,500 pairs per
+#: bucket, streamed out of a bounded explode — safe, and far above any
+#: genuine near-dup cluster a curation run wants enumerated pair-wise.
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
+
+def lsh_bucket_sizes(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(band, bh, size) per LSH bucket — skew diagnostics.
+
+    Run this (e.g. ``.orderBy(F.desc("size")).show()``) to see how many
+    buckets a given ``max_bucket_size`` would drop before committing to
+    a pair enumeration over a new corpus.
+    """
+    return _banded_buckets(sigs, id_col, num_hashes, bands).groupBy(
+        "band", "bh"
+    ).agg(F.count(F.lit(1)).alias("size"))
+
+
+def _banded_buckets(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be a multiple of bands")
@@ -149,34 +168,54 @@ def _pairs_from_sigs(
                 hash32(F.concat_ws(":", *parts)).alias("bh"),
             )
         )
-    buckets = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "b.band", "b.bh")
-    # ONE exchange: gather each bucket's member ids, then emit the
-    # bucket's id<id pairs as a per-row combination explode. This
-    # replaces the bucket self-join (which computed the banded table
-    # twice and needed a window-count skew guard): here the skew guard
-    # is a free size() filter, and a capped bucket emits at most
-    # C(cap, 2) pairs from one row — no task ever owns O(n²) work.
-    # Dropped over-cap buckets are boilerplate, not near-dup signal;
-    # members usually still pair via their other bands.
-    grouped = buckets.groupBy("band", "bh").agg(
-        F.array_sort(F.collect_set(F.col(id_col))).alias("_ids")
-    )
+
+
+def _pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    buckets = _banded_buckets(sigs, id_col, num_hashes, bands)
+    # ONE exchange on (band, bh): count → filter → gather → pair-explode
+    # all share the same hash partitioning. Dropping degenerate buckets
+    # BEFORE collect_set bounds the agg buffer at max_bucket_size ids —
+    # an over-cap bucket never materializes anywhere, not even as an
+    # array. Dropped buckets are boilerplate, not near-dup signal;
+    # members usually still pair via their other bands (use
+    # lsh_bucket_sizes to audit). Pass max_bucket_size=None to disable.
     if max_bucket_size is not None:
-        grouped = grouped.filter(F.size("_ids") <= max_bucket_size)
-    ids = F.col("_ids")
-    pair_lists = F.transform(
-        ids,
-        lambda x, i: F.transform(
-            F.slice(ids, i + F.lit(2), F.size(ids)),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-        ),
+        from pyspark.sql.window import Window
+
+        buckets = (
+            buckets.withColumn(
+                "_sz",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "bh")),
+            )
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
+    grouped = (
+        buckets.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
     )
+    # Two-step explode bounds per-row memory at O(bucket), not
+    # O(bucket²): posexplode hands each member its own row, then a
+    # second explode streams that member's partners from the array
+    # tail — no row ever holds the full C(n, 2) pair list.
+    member = grouped.select("_ids", F.posexplode("_ids").alias("_i", "id_a"))
     return (
-        grouped.filter(F.size("_ids") >= 2)
-        .select(F.explode(F.flatten(pair_lists)).alias("_p"))
-        .select("_p.id_a", "_p.id_b")
+        member.select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + F.lit(2), F.size("_ids"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -188,16 +227,17 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
     Band hash = hash32 of ':'-joined minhashes in the band. Docs are
     exploded to (band_idx, band_hash) rows — `bands` rows per doc —
-    then self-joined within buckets. Bucket-size skew is the classic
-    LSH risk; AQE skew-join handles moderate cases, `bands`/`rows`
-    tune the candidate volume, and ``max_bucket_size`` hard-caps
-    degenerate buckets (see _pairs_from_sigs).
+    then paired within buckets. Bucket-size skew is the classic LSH
+    risk; `bands`/`rows` tune the candidate volume, and
+    ``max_bucket_size`` (finite by default) hard-caps degenerate
+    buckets before they are ever gathered (see _pairs_from_sigs;
+    audit with lsh_bucket_sizes; None disables).
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     return _pairs_from_sigs(sigs, id_col, num_hashes, bands, max_bucket_size)
@@ -323,7 +363,7 @@ def minhash_dedup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → banded buckets →
     candidate pairs → exact-Jaccard verification ≥ threshold.

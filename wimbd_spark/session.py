@@ -102,16 +102,28 @@ def load_tables(
         df = spark.read.parquet(path)
         if rebalance:
             df = rebalance_small_input(df)
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # TIMESTAMP(NANOS) read as long under nanosAsLong → rebuild a
-            # microsecond timestamp (floor). DuckDB keeps ns precision, so
-            # oracle-checked queries must not emit raw ts values — emit
-            # date_trunc'ed buckets or epoch seconds instead.
+        if name == "events":
+            # Normalize the TIMESTAMP(NANOS) column to a microsecond
+            # TIMESTAMP (ltz) whose epoch equals the file's wall-clock
+            # value, independent of Spark version and session timezone:
+            # - pyspark ≤4.0 + nanosAsLong: read as raw nanos BIGINT
+            # - pyspark ≥4.1: read natively as TIMESTAMP_NTZ (micros)
+            # DuckDB keeps ns precision, so oracle-checked queries must
+            # not emit raw ts values — emit date_trunc'ed buckets or
+            # epoch seconds instead.
             from pyspark.sql import functions as F
 
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            ts_t = dict(df.dtypes).get("ts")
+            if ts_t == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                )
+            elif ts_t == "timestamp_ntz":
+                # interpret the naive wall time AS UTC → epoch matches
+                # the bigint path regardless of session timezone
+                df = df.withColumn(
+                    "ts", F.to_utc_timestamp(F.col("ts"), "UTC")
+                )
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df

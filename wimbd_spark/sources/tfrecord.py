@@ -13,10 +13,11 @@ files actually use, in pure Python:
   (Features → map<string, Feature{bytes_list|float_list|int64_list}>),
   handling both packed and unpacked repeated numeric fields.
 
-Scale shape: the shard LIST is the DataFrame; each task streams its
-shards record-by-record inside mapInPandas (same pattern as the Arrow
-ingest in corpus.py). No shuffle, no driver materialization — the driver
-reads at most one record to infer the schema.
+Scale shape: the shard LIST is the DataFrame; each task decodes its
+shards inside mapInPandas, yielding bounded fixed-size chunks so peak
+memory is one chunk, never one shard (same pattern as the Arrow ingest
+in corpus.py). No shuffle, no driver materialization — the driver reads
+at most one record to infer the schema.
 """
 
 from __future__ import annotations
@@ -209,6 +210,7 @@ def read_tfrecords(
     paths: list[str],
     features: dict[str, str] | None = None,
     verify_crc: bool = False,
+    chunk_records: int = 10_000,
 ) -> DataFrame:
     """Distributed TFRecord → DataFrame.
 
@@ -227,12 +229,18 @@ def read_tfrecords(
         k: (t.startswith("array"), "binary" in t) for k, t in spec.items()
     }
 
+    # Bounded decode buffer: yield every chunk_records records so a
+    # task's peak memory is one chunk, not one whole shard (HF-style
+    # shards run 500 MB–1 GB on disk and decode larger).
+    CHUNK = chunk_records
+
     def gen(batches):
         import pandas as pd
 
         for pdf in batches:
             for path in pdf["path"]:
                 rows: dict[str, list] = {k: [] for k in names}
+                pending = 0
                 for payload in iter_tfrecord_payloads(path, verify_crc):
                     feats = decode_example(payload)
                     for k in names:
@@ -250,7 +258,13 @@ def read_tfrecords(
                         rows[k].append(
                             vals if is_arr else (vals[0] if vals else None)
                         )
-                yield pd.DataFrame(rows, columns=names)
+                    pending += 1
+                    if pending >= CHUNK:
+                        yield pd.DataFrame(rows, columns=names)
+                        rows = {k: [] for k in names}
+                        pending = 0
+                if pending:
+                    yield pd.DataFrame(rows, columns=names)
 
     pathdf = spark.createDataFrame([(f,) for f in files], "path string")
     n = min(len(files), spark.sparkContext.defaultParallelism)
