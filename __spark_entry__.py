@@ -950,22 +950,16 @@ def o_lsh_neardup_pairs():
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style repetition signals per doc (Rae et al. 2021
     §A1.1): duplicate-2/3-gram char fractions + dominant-2-gram char
-    fraction. Pure projections — no shuffle, no UDF."""
-    from wimbd_spark.operators.textqc import (
-        dupe_ngram_char_fraction,
-        top_ngram_char_fraction,
-    )
+    fraction. Staged projections share the sorted gram arrays across
+    signals — no shuffle, no UDF (see textqc.repetition_signals)."""
+    from wimbd_spark.operators.textqc import repetition_signals
 
     docs = _docs(spark, sf_dir)
-    toks = tokenize(F.col("text"))
-    return (
-        docs.filter(F.size(tokenize(F.col("text"))) >= 3)
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.round(dupe_ngram_char_fraction(toks, 2), 6).alias("dupe2"),
-            F.round(top_ngram_char_fraction(toks, 2), 6).alias("top2"),
-            F.round(dupe_ngram_char_fraction(toks, 3), 6).alias("dupe3"),
-        )
+    return repetition_signals(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "dupe2",
+        "top2",
+        "dupe3",
     )
 
 

@@ -109,6 +109,43 @@ def test_repetition_signals(spark):
     assert [r["t2"] for r in rows] == [0.6, 0.2, 1.0]
 
 
+def test_repetition_signals_operator_matches_naive_forms(spark):
+    # the staged shared-gram-array plan (repetition_signals) must give
+    # bit-identical values to the per-signal expressions, and must stay
+    # map-only (no shuffle)
+    from wimbd_spark.functions.text import tokenize
+    from wimbd_spark.operators.textqc import (
+        dupe_ngram_char_fraction,
+        repetition_signals,
+        top_ngram_char_fraction,
+    )
+    from wimbd_spark.plans import shuffle_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "x y z w v u"),
+            (3, "spam spam spam spam"),
+            (4, "one two one two three one two"),
+        ],
+        ["doc_id", "text"],
+    )
+    fast = repetition_signals(df)
+    assert shuffle_count(fast) == 0
+    got = {r["doc_id"]: (r["dupe2"], r["top2"], r["dupe3"]) for r in fast.collect()}
+    toks = tokenize(F.col("text"))
+    naive = df.filter(F.size(tokenize(F.col("text"))) >= 3).select(
+        "doc_id",
+        F.round(dupe_ngram_char_fraction(toks, 2), 6).alias("dupe2"),
+        F.round(top_ngram_char_fraction(toks, 2), 6).alias("top2"),
+        F.round(dupe_ngram_char_fraction(toks, 3), 6).alias("dupe3"),
+    )
+    expect = {
+        r["doc_id"]: (r["dupe2"], r["top2"], r["dupe3"]) for r in naive.collect()
+    }
+    assert got == expect
+
+
 def test_gopher_quality_filter_rules(spark):
     from wimbd_spark.operators.textqc import gopher_quality_filter
 

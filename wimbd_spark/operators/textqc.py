@@ -189,13 +189,36 @@ def dupe_ngram_char_fraction(
     Pure expression, no shuffle: sort the n-gram array, mark elements
     equal to a neighbor (every occurrence of any repeated n-gram),
     aggregate lengths. O(m log m) per doc via array_sort.
+
+    PERF: this expression references the sorted gram array several
+    times, and higher-order functions are interpreted — every
+    reference re-evaluates its input tree. When computing more than
+    one signal over the same (tokens, n), materialize
+    ``sorted_ngrams(tokens, n)`` as a projection column first and call
+    ``dupe_ngram_char_fraction_sorted`` on it (see
+    repetition_signals); that turns each reference into an attribute
+    read and is ~4× faster for the dupe2+top2+dupe3 trio.
+    """
+    return dupe_ngram_char_fraction_sorted(
+        F.array_sort(ngram_strings(tokens, n))
+    )
+
+
+def sorted_ngrams(tokens: Column, n: int) -> Column:
+    """Sorted n-gram strings of a token array — the shared input of the
+    *_sorted repetition signals. Materialize it once per (doc, n)."""
+    return F.array_sort(ngram_strings(tokens, n))
+
+
+def dupe_ngram_char_fraction_sorted(grams: Column) -> Column:
+    """dupe_ngram_char_fraction over an ALREADY-SORTED gram array
+    (ideally a materialized projection column — see PERF note above).
     """
     # CAUTION: never index the gram array inside a transform lambda
     # (grams[i-1]-style) — each element access would inline and
     # re-evaluate the whole ngram+sort expression, turning the row
     # cost into O(m²·log m). The shifted-copy zip_with below keeps a
     # CONSTANT number of references to the array expression.
-    grams = F.array_sort(ngram_strings(tokens, n))
     null_s = F.array(F.lit(None).cast("string"))
     prev = F.slice(F.concat(null_s, grams), 1, F.size(grams))
     prev_eq = F.zip_with(grams, prev, lambda a, b: a.eqNullSafe(b))
@@ -228,9 +251,17 @@ def top_ngram_char_fraction(tokens: Column, n: int = 2) -> Column:
     n-gram chosen by covered chars (count·len) rather than raw count:
     covered chars is the quantity the filter thresholds. Run-length
     scan over the sorted n-gram array with a struct accumulator — one
-    pass, no shuffle.
+    pass, no shuffle. Same PERF note as dupe_ngram_char_fraction:
+    prefer the _sorted form over a materialized sorted_ngrams column
+    when computing several signals.
     """
-    grams = F.array_sort(ngram_strings(tokens, n))
+    return top_ngram_char_fraction_sorted(
+        F.array_sort(ngram_strings(tokens, n))
+    )
+
+
+def top_ngram_char_fraction_sorted(grams: Column) -> Column:
+    """top_ngram_char_fraction over an ALREADY-SORTED gram array."""
     state = F.struct(
         F.lit("").alias("prev"),
         F.lit(0).cast("long").alias("run"),
@@ -263,6 +294,50 @@ def top_ngram_char_fraction(tokens: Column, n: int = 2) -> Column:
     return F.when(tot_chars > 0, scan["best"] / tot_chars).otherwise(
         F.lit(0.0)
     )
+
+
+def repetition_signals(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 3,
+    round_to: int | None = 6,
+) -> "DataFrame":
+    """(id, dupe2, top2, dupe3) per document — the Gopher repetition
+    trio (Rae et al. 2021 §A1.1) in ONE map-only pass, no shuffle.
+
+    Staged projections materialize the token array and each sorted
+    gram array exactly once; the signal expressions then reference
+    cheap attributes instead of re-evaluating the tokenize→ngram→sort
+    tree per use (higher-order functions are interpreted, so every
+    reference re-runs its input — the naive form cost ~4× this plan
+    on the sf0.1 bench). Catalyst keeps the stages separate because
+    each alias is consumed more than once (CollapseProject's
+    multi-use guard).
+    """
+    out = (
+        df.select(
+            F.col(id_col), tokenize(F.col(text_col)).alias("_t")
+        )
+        .filter(F.size("_t") >= min_tokens)
+        .select(
+            id_col,
+            sorted_ngrams(F.col("_t"), 2).alias("_g2"),
+            sorted_ngrams(F.col("_t"), 3).alias("_g3"),
+        )
+        .select(
+            id_col,
+            dupe_ngram_char_fraction_sorted(F.col("_g2")).alias("dupe2"),
+            top_ngram_char_fraction_sorted(F.col("_g2")).alias("top2"),
+            dupe_ngram_char_fraction_sorted(F.col("_g3")).alias("dupe3"),
+        )
+    )
+    if round_to is not None:
+        out = out.select(
+            id_col,
+            *[F.round(c, round_to).alias(c) for c in ("dupe2", "top2", "dupe3")],
+        )
+    return out
 
 
 def gopher_rules(
