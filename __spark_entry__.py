@@ -392,6 +392,36 @@ def o_phrase_doc_counts():
     return " UNION ALL ".join(parts)
 
 
+def q_phrase_index_counts(spark, sf_dir):
+    """Posting-list index fast path (SURVEY §4 tactic (b), ≙ the ES
+    inverted index behind wimbd/es/__init__.py:89-128): build the
+    postings parquet from the corpus, then answer the per-phrase doc
+    counts from postings only — the corpus is never scanned at query
+    time. Same answers as phrase_doc_counts, same oracle SQL."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wimbd_spark.index import (
+        build_phrase_index,
+        count_documents_for_each_phrase_indexed,
+        load_phrase_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"wimbd_phrase_index_{tag}")
+    build_phrase_index(docs, path)
+    idx = load_phrase_index(spark, path)
+    return count_documents_for_each_phrase_indexed(idx, PHRASES).select(
+        "phrase", F.col("count").cast("long").alias("count")
+    )
+
+
+def o_phrase_index_counts():
+    return o_phrase_doc_counts()
+
+
 def q_phrase_retrieval(spark, sf_dir):
     hits = get_documents_containing_phrases(
         _docs(spark, sf_dir),
@@ -1961,12 +1991,12 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         o_embedding_cosine_pairs_lsh,
     ),
     "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
+    "phrase_index_counts": (q_phrase_index_counts, o_phrase_index_counts),
     "top_orders_by_revenue": (q_top_orders_by_revenue, o_top_orders_by_revenue),
     "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
     "orders_by_year_priority": (q_orders_by_year_priority, o_orders_by_year_priority),
     "events_tumbling_1h": (q_events_tumbling, o_events_tumbling),
     "session_stats_30m_gap": (q_session_stats, o_session_stats),
-    "events_json_stats": (q_events_json_stats, o_events_json_stats),
     "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, o_ngram_jaccard_pairs),
@@ -2007,6 +2037,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "phrase_retrieval_top10": (q_phrase_retrieval, o_phrase_retrieval),
     "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
     "pricing_summary": (q_pricing_summary, o_pricing_summary),
+    "events_json_stats": (q_events_json_stats, o_events_json_stats),
 }
 
 

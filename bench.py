@@ -62,6 +62,8 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "repetition_scores",
     "embedding_cosine_pairs_lsh",
+    # r3 additions
+    "phrase_index_counts",
 ]
 
 

@@ -1,0 +1,155 @@
+"""Posting-list phrase index: exact parity with the scan-path search
+surface, plus the plan guarantee that makes it an index — query time
+never scans the corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wimbd_spark.index import (
+    build_phrase_index,
+    count_documents_containing_phrases_indexed,
+    count_documents_for_each_phrase_indexed,
+    count_total_occurrences_of_unigrams_indexed,
+    get_documents_containing_phrases_indexed,
+    load_phrase_index,
+    phrase_matching_docs,
+)
+from wimbd_spark.search import (
+    count_documents_containing_phrases,
+    count_documents_for_each_phrase,
+    count_total_occurrences_of_unigrams,
+    get_documents_containing_phrases,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(documents):
+    return documents.select("doc_id", "text", "lang")
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("phraseidx") / "postings")
+    build_phrase_index(corpus, path, num_files=4)
+    return load_phrase_index(spark, path)
+
+
+PHRASES = ["table scan", "join", "query plan", "scan the big"]
+
+
+def test_counts_match_scan_path(corpus, index):
+    for p in PHRASES:
+        scan = count_documents_containing_phrases(corpus, [p])
+        idx = count_documents_containing_phrases_indexed(index, [p])
+        assert idx == scan, p
+
+
+def test_or_and_combinations_match(corpus, index):
+    two = ["table scan", "query plan"]
+    assert count_documents_containing_phrases_indexed(
+        index, two
+    ) == count_documents_containing_phrases(corpus, two)
+    assert count_documents_containing_phrases_indexed(
+        index, two, all_phrases=True
+    ) == count_documents_containing_phrases(corpus, two, all_phrases=True)
+
+
+def test_slop_matches_scan_path(corpus, index):
+    for slop in (1, 2):
+        scan = count_documents_containing_phrases(
+            corpus, ["scan big"], slop=slop
+        )
+        idx = count_documents_containing_phrases_indexed(
+            index, ["scan big"], slop=slop
+        )
+        assert idx == scan, slop
+    # sanity: slop widens the hit set for this phrase pair
+    assert count_documents_containing_phrases_indexed(
+        index, ["scan big"], slop=2
+    ) >= count_documents_containing_phrases_indexed(index, ["scan big"])
+
+
+def test_retrieval_matches_scan_path(corpus, index):
+    scan_ids = {
+        r["doc_id"]
+        for r in get_documents_containing_phrases(
+            corpus, ["table scan"], num_documents=None
+        ).collect()
+    }
+    idx_ids = {
+        r["doc_id"]
+        for r in get_documents_containing_phrases_indexed(
+            corpus, index, ["table scan"], num_documents=None
+        ).collect()
+    }
+    assert idx_ids == scan_ids and len(idx_ids) > 0
+
+
+def test_per_phrase_counts_match(corpus, index):
+    scan = {
+        r["phrase"]: r["count"]
+        for r in count_documents_for_each_phrase(corpus, PHRASES).collect()
+    }
+    idx = {
+        r["phrase"]: r["count"]
+        for r in count_documents_for_each_phrase_indexed(
+            index, PHRASES
+        ).collect()
+    }
+    assert idx == scan
+
+
+def test_unigram_ttf_matches(corpus, index):
+    terms = ["join", "scan", "zzznotaterm"]
+    scan = {
+        r["unigram"]: r["count"]
+        for r in count_total_occurrences_of_unigrams(corpus, terms).collect()
+    }
+    idx = {
+        r["unigram"]: r["count"]
+        for r in count_total_occurrences_of_unigrams_indexed(
+            index, terms
+        ).collect()
+    }
+    assert idx == scan
+    assert idx["zzznotaterm"] == 0
+
+
+def test_indexed_path_never_scans_corpus(index):
+    from wimbd_spark.plans import explain_str
+
+    q = phrase_matching_docs(index, "table scan")
+    plan = explain_str(q)
+    # only the postings parquet appears; the documents table is absent
+    assert "documents.parquet" not in plan
+    assert "postings" in plan
+    # the token equality predicate reaches the postings scan
+    assert "PushedFilters: [" in plan and "token" in plan
+
+
+def test_duplicate_token_phrase(spark, tmp_path):
+    # phrase with a repeated token exercises the greedy chain joining
+    # the same posting side twice
+    df = spark.createDataFrame(
+        [
+            (1, "the cat the hat"),
+            (2, "the cat sat"),
+            (3, "cat the cat the"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "dupidx")
+    build_phrase_index(df, path, num_files=1)
+    idx = load_phrase_index(spark, path)
+    got = {
+        r["doc_id"]
+        for r in phrase_matching_docs(idx, "the cat the").collect()
+    }
+    scan = {
+        r["doc_id"]
+        for r in get_documents_containing_phrases(
+            df, ["the cat the"], num_documents=None
+        ).collect()
+    }
+    # doc 3 "cat the cat the" contains the phrase at positions 1-3
+    assert got == scan == {1, 3}

@@ -1,0 +1,214 @@
+"""Posting-list phrase index — the interactive-latency search fast path.
+
+The reference's interactive tier answers phrase queries from an
+Elasticsearch inverted index (postings + positions; the match_phrase
+DSL in wimbd/es/__init__.py:89-128 runs against it). The engine's scan
+path (search.py) is correct but pays a full corpus scan per query;
+this module is SURVEY §4 tactic (b): materialize the inverted index as
+a parquet derived table once, then answer phrase count/retrieval
+queries from postings only — the corpus is never scanned at query
+time.
+
+Layout: one row per (token, doc_id) with the token's 0-based positions
+in that document. Files are hash-distributed on token and sorted by
+token within each file, so a token-equality query prunes to one file
+(hash) and few row groups (min/max stats) — the parquet analogue of a
+posting list seek. On a cluster, register the same data as a bucketed
+table (bucketBy(token)) to additionally get shuffle-free token joins.
+
+Query semantics exactly match the scan path (build_phrase_predicate
+with token_aligned=True): phrase tokens must appear in order within a
+window of len(phrase)+slop tokens. The positional check is the
+classic postings-intersection algorithm: for each candidate start
+position of the first token, greedily chain each next token's smallest
+position greater than the previous — a monotone assignment exists iff
+greedy finds one. All pure Column expressions over the joined position
+arrays; tiny per-doc arrays, no UDF.
+
+Scale: the index build is one posexplode + one groupBy(token, doc_id)
+shuffle — the same cost class as a single n-gram count. Query-time
+joins touch only the postings of the query's tokens (pushed-down
+token filter), mirroring ES: a phrase with a rare token reads a tiny
+slice of the index regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wimbd_spark.functions.text import tokenize
+
+
+def build_phrase_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the posting-list index parquet at ``path``.
+
+    Schema: (token string, doc_id <as in corpus>, positions array<int>).
+    Documents with NULL text contribute nothing (scan-path parity:
+    every phrase predicate is False on NULL text).
+    """
+    posts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+    (
+        posts.repartition(num_files, "token")
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def load_phrase_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def _greedy_window_cond(pos_cols: list[Column], L: int, slop: int) -> Column:
+    """EXISTS q1 ∈ P1: chaining qi = min{p ∈ Pi : p > q(i-1)} reaches
+    qL with qL − q1 ≤ L + slop − 1 (the scan path's window matcher)."""
+    W = L + slop
+
+    def attempt(q1: Column) -> Column:
+        q = q1
+        for i in range(1, L):
+            # bind the current q via a closure factory — lambdas capture
+            # by reference and q is reassigned each step
+            q = F.array_min(
+                F.filter(pos_cols[i], (lambda prev: lambda p: p > prev)(q))
+            )
+        return q.isNotNull() & ((q - q1) <= (W - 1))
+
+    return F.exists(pos_cols[0], attempt)
+
+
+def phrase_matching_docs(
+    index: DataFrame, phrase: str, slop: int = 0
+) -> DataFrame:
+    """Distinct doc_ids whose text matches the phrase (token-aligned,
+    windowed slop) — computed from postings only."""
+    ptoks = phrase.split()
+    if not ptoks:
+        raise ValueError("phrase must be non-empty")
+    L = len(ptoks)
+    sides = [
+        index.filter(F.col("token") == t).select(
+            "doc_id", F.col("positions").alias(f"_p{i}")
+        )
+        for i, t in enumerate(ptoks)
+    ]
+    cur = sides[0]
+    for s in sides[1:]:
+        cur = cur.join(s, "doc_id")
+    if L > 1:
+        cur = cur.filter(
+            _greedy_window_cond([F.col(f"_p{i}") for i in range(L)], L, slop)
+        )
+    return cur.select("doc_id")
+
+
+def _docs_for_query(
+    index: DataFrame,
+    phrases: list[str],
+    all_phrases: bool,
+    slop: int,
+) -> DataFrame:
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    sets = [phrase_matching_docs(index, p, slop) for p in phrases]
+    cur = sets[0]
+    for s in sets[1:]:
+        cur = cur.intersect(s) if all_phrases else cur.union(s)
+    return cur.distinct()
+
+
+def count_documents_containing_phrases_indexed(
+    index: DataFrame,
+    phrases: list[str],
+    all_phrases: bool = False,
+    slop: int = 0,
+) -> int:
+    """≙ search.count_documents_containing_phrases, corpus never read."""
+    return _docs_for_query(index, phrases, all_phrases, slop).count()
+
+
+def get_documents_containing_phrases_indexed(
+    df: DataFrame,
+    index: DataFrame,
+    phrases: list[str],
+    num_documents: int | None = 10,
+    all_phrases: bool = False,
+    slop: int = 0,
+    sort_field: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """≙ search.get_documents_containing_phrases: the index finds the
+    hit ids, then ONE semi-join retrieves the documents — the corpus
+    is probed by id, not scanned with a phrase predicate."""
+    hits = _docs_for_query(index, phrases, all_phrases, slop)
+    out = df.join(
+        hits.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    )
+    if sort_field:
+        out = out.orderBy(F.col(sort_field).asc())
+    if num_documents is not None:
+        out = out.limit(num_documents)
+    return out
+
+
+def count_documents_for_each_phrase_indexed(
+    index: DataFrame,
+    phrases: list[str] | list[list[str]],
+    slop: int = 0,
+) -> DataFrame:
+    """≙ search.count_documents_for_each_phrase → (phrase, count),
+    answered per phrase from postings (AND-groups intersect)."""
+    rows = []
+    for p in phrases:
+        group = p if isinstance(p, list) else [p]
+        name = " AND ".join(group)
+        docs = _docs_for_query(index, group, True, slop)
+        rows.append(
+            docs.agg(F.count(F.lit(1)).alias("count")).select(
+                F.lit(name).alias("phrase"), F.col("count")
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("phrase")
+
+
+def count_total_occurrences_of_unigrams_indexed(
+    index: DataFrame,
+    unigrams: list[str],
+) -> DataFrame:
+    """≙ search.count_total_occurrences_of_unigrams: ttf = Σ
+    size(positions) over the term's postings; absent terms report 0."""
+    if not unigrams:
+        raise ValueError("unigrams must be non-empty")
+    got = (
+        index.filter(F.col("token").isin(unigrams))
+        .groupBy("token")
+        .agg(F.sum(F.size("positions")).alias("count"))
+    )
+    spark = index.sparkSession
+    wanted = spark.createDataFrame([(u,) for u in unigrams], ["unigram"])
+    return (
+        wanted.join(
+            got.withColumnRenamed("token", "unigram"), "unigram", "left"
+        )
+        .select("unigram", F.coalesce("count", F.lit(0)).alias("count"))
+        .orderBy("unigram")
+    )
