@@ -44,6 +44,24 @@ def test_tokenize_matches_python_split(spark):
         assert got[i] == text.split(), repr(text)
 
 
+def test_uax29_ascii_fast_path_matches_char_loop():
+    # the compiled-regex ASCII fast path must segment identically to
+    # the reference char loop (which stays authoritative for unicode)
+    import string
+
+    from wimbd_spark.functions.text import _ASCII_TOKEN, _uax29_words_loop
+
+    rng = random.Random(SEED)
+    alphabet = (
+        string.ascii_letters + string.digits + " _.,;:'!?-()[]\"/\\\n\t#%&*"
+    )
+    for _ in range(5000):
+        s = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 60))
+        )
+        assert _ASCII_TOKEN.findall(s) == _uax29_words_loop(s), repr(s)
+
+
 def test_ngrams_match_python_windows(spark):
     cases = _random_texts(200)
     for n in (1, 2, 3):

@@ -16,6 +16,8 @@ Reference parity map (file:line relative to /root/reference):
 
 from __future__ import annotations
 
+import re as _re
+
 import pandas as pd  # noqa: F401 — needed at module scope for pandas_udf type hints
 
 from pyspark.sql import Column
@@ -46,6 +48,61 @@ _WB_MID_NUMLET = {".", "'", "’", "․", "﹒", "．", "＇"}
 _WB_MID_NUM = {",", ";", "٬", "﹐", "﹔", "，", "；"}
 
 
+# ASCII fast path: for pure-ASCII text the UAX-29 subset below is
+# expressible as ONE regex (classes restricted to ASCII: AL=[A-Za-z],
+# NU=[0-9], EX=[_], MidLetter=":", MidNumLet=".'", MidNum=",;"), so a
+# batch element costs one C-level scan instead of a Python char loop.
+# A mid character joins iff its immediate neighbors are both letters
+# (MidLetter ∪ MidNumLet) or both digits (MidNum ∪ MidNumLet) —
+# checked with lookarounds on the actual neighbor characters, exactly
+# like the char loop's one-char lookahead. Any other non-space char is
+# its own token.
+_ASCII_TOKEN = _re.compile(
+    r"[A-Za-z0-9_]+"
+    r"(?:(?:(?<=[A-Za-z])[:.'](?=[A-Za-z])|(?<=[0-9])[.,;'](?=[0-9]))"
+    r"[A-Za-z0-9_]+)*"
+    r"|[^\sA-Za-z0-9_]"
+)
+
+# per-character Word_Break class, memoized — natural text repeats a
+# tiny alphabet, so the unicodedata lookup runs once per distinct char
+# per process, not once per occurrence
+_CLS_CACHE: dict[str, str] = {}
+
+
+def _wb_cls(ch: str) -> str:
+    k = _CLS_CACHE.get(ch)
+    if k is not None:
+        return k
+    import unicodedata
+
+    if ch.isspace():
+        k = "WS"
+    elif ch == "_":
+        k = "EX"  # ExtendNumLet
+    else:
+        o = ord(ch)
+        if 0x30A0 <= o <= 0x30FF or 0x31F0 <= o <= 0x31FF or 0xFF66 <= o <= 0xFF9D:
+            k = "KA"  # Katakana (joins)
+        elif (
+            0x3040 <= o <= 0x309F  # Hiragana
+            or 0x3400 <= o <= 0x4DBF  # Han ext A
+            or 0x4E00 <= o <= 0x9FFF  # Han
+            or 0xF900 <= o <= 0xFAFF  # Han compat
+        ):
+            k = "IDEO"  # Word_Break=Other → break every char
+        else:
+            cat = unicodedata.category(ch)
+            if cat == "Nd":
+                k = "NU"
+            elif cat[0] == "L" or cat in ("Mn", "Mc", "Nl"):
+                k = "AL"
+            else:
+                k = "O"
+    _CLS_CACHE[ch] = k
+    return k
+
+
 def _uax29_words(t: str) -> list[str]:
     """UAX-29 word segmentation (subset), matching the behavior of
     Rust's unicode-segmentation ``split_word_bounds`` with whitespace
@@ -58,31 +115,17 @@ def _uax29_words(t: str) -> list[str]:
       Word_Break=Other → one segment per character;
     - every other non-whitespace char is its own single-char token
       (punctuation IS a token, exactly like the reference).
+
+    Pure-ASCII inputs take the compiled-regex fast path (identical
+    output — differential-tested against the char loop); only
+    non-ASCII text runs the char loop.
     """
-    import unicodedata
+    if t.isascii():
+        return _ASCII_TOKEN.findall(t)
+    return _uax29_words_loop(t)
 
-    def cls(ch: str) -> str:
-        if ch.isspace():
-            return "WS"
-        if ch == "_":
-            return "EX"  # ExtendNumLet
-        o = ord(ch)
-        if 0x30A0 <= o <= 0x30FF or 0x31F0 <= o <= 0x31FF or 0xFF66 <= o <= 0xFF9D:
-            return "KA"  # Katakana (joins)
-        if (
-            0x3040 <= o <= 0x309F  # Hiragana
-            or 0x3400 <= o <= 0x4DBF  # Han ext A
-            or 0x4E00 <= o <= 0x9FFF  # Han
-            or 0xF900 <= o <= 0xFAFF  # Han compat
-        ):
-            return "IDEO"  # Word_Break=Other → break every char
-        cat = unicodedata.category(ch)
-        if cat == "Nd":
-            return "NU"
-        if cat[0] == "L" or cat in ("Mn", "Mc", "Nl"):
-            return "AL"
-        return "O"
 
+def _uax29_words_loop(t: str) -> list[str]:
     def joins(a: str, b: str) -> bool:
         word = ("AL", "NU", "KA", "EX")
         if a == "EX" or b == "EX":
@@ -91,6 +134,7 @@ def _uax29_words(t: str) -> list[str]:
             return True
         return a == "KA" and b == "KA"
 
+    cls = _wb_cls
     out: list[str] = []
     i, n = 0, len(t)
     while i < n:
