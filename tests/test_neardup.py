@@ -199,3 +199,31 @@ def test_ngram_jaccard_shingle_freq_guard(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in capped}
     assert (100, 101) in pairs  # rare-shingle pair survives
     assert not any(a < 50 and b < 50 for a, b in pairs)  # boilerplate-only dropped
+
+
+def test_ngram_jaccard_candidate_volume_bounded(spark):
+    # Pathological fixture for the RECOMMENDED_MAX_SHINGLE_FREQ note:
+    # 300 docs sharing a boilerplate run → every pair shares a shingle,
+    # so uncapped candidate volume is C(300,2) ≈ 45k pairs concentrated
+    # on a handful of shingle keys. threshold=0.0 exposes the raw
+    # candidate set; the cap must collapse it to the genuine near-dups.
+    from wimbd_spark.operators.neardup import ngram_jaccard_pairs
+
+    rows = [
+        (i, f"unique{i} mark{i} common legal disclaimer footer text here")
+        for i in range(300)
+    ]
+    rows += [
+        (1000, "genuinely similar rare document alpha beta gamma"),
+        (1001, "genuinely similar rare document alpha beta delta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = ngram_jaccard_pairs(df, shingle_n=3, threshold=0.0).count()
+    capped_rows = ngram_jaccard_pairs(
+        df, shingle_n=3, threshold=0.0, max_shingle_freq=64
+    ).collect()
+    assert uncapped >= 300 * 299 / 2  # quadratic blowup is real
+    assert len(capped_rows) < 100  # cap bounds candidates ~500×
+    assert (1000, 1001) in {
+        (r["id_a"], r["id_b"]) for r in capped_rows
+    }  # genuine near-dup pair survives the cap

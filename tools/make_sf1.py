@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Build a local sf1 rehearsal dataset (10× sf0.1) at /tmp/sf1.
+
+Purpose: catch nonlinearities the sf0.1 bench can't (candidate-pair
+growth in near-dup joins, LSH bucket skew, session-window state) by
+running bench.py once at 10× volume:
+
+    python tools/make_sf1.py
+    SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py
+
+Construction: fact tables are 10 key-shifted copies of sf0.1 (offset
+1e9·copy); dimension tables stay as-is (facts grow, dims stable — the
+realistic shape). Two copies must not introduce artificial cross-copy
+duplicate structure that would change the WORKLOAD's complexity class
+rather than its volume, so:
+- documents: each copy's text gets a distinct 2-token prefix — exact/
+  near-dup structure is preserved within a copy, never across copies;
+- embeddings: each copy's vector is circularly rotated by copy index —
+  within-copy cosine structure is exactly preserved (rotation is an
+  orthogonal transform applied to both sides), cross-copy similarities
+  decorrelate;
+- events: user_id/event_id shift — per-user session structure is
+  identical per copy (10× users, same sessions each).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = os.environ.get("SF1_DIR", "/tmp/sf1")
+COPIES = 10
+OFF = 1_000_000_000
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from wimbd_spark.session import get_spark
+
+    spark = get_spark(app_name="make-sf1")
+    os.makedirs(DST, exist_ok=True)
+
+    for t in DIMS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{DST}/{t}.parquet")
+        print(f"copied dim {t}")
+
+    def replicate(name: str, shift_cols: list[str], extra=None):
+        base = spark.read.parquet(f"{SRC}/{name}.parquet")
+        parts = []
+        for i in range(COPIES):
+            df = base
+            for c in shift_cols:
+                df = df.withColumn(c, F.col(c) + F.lit(i * OFF))
+            if extra is not None:
+                df = extra(df, i)
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{DST}/{name}.parquet"
+        )
+        print(f"replicated {name} ×{COPIES}")
+
+    replicate("orders", ["o_orderkey"])
+    replicate("lineitem", ["l_orderkey"])
+    replicate("events", ["event_id", "user_id"])
+    replicate(
+        "documents",
+        ["doc_id"],
+        extra=lambda df, i: df.withColumn(
+            "text", F.concat(F.lit(f"copymark{i} tag{i} "), F.col("text"))
+        ),
+    )
+
+    dim = len(
+        spark.read.parquet(f"{SRC}/embeddings.parquet")
+        .select("embedding")
+        .head()[0]
+    )
+    replicate(
+        "embeddings",
+        ["vec_id"],
+        extra=lambda df, i: df.withColumn(
+            "embedding",
+            F.concat(
+                F.slice("embedding", (i % dim) + 1, dim - (i % dim)),
+                F.slice("embedding", 1, i % dim),
+            )
+            if i
+            else F.col("embedding"),
+        ),
+    )
+    spark.stop()
+    print(f"done → {DST}")
+
+
+if __name__ == "__main__":
+    main()

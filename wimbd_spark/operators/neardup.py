@@ -135,6 +135,19 @@ def _shingle_table(
 #: genuine near-dup cluster a curation run wants enumerated pair-wise.
 DEFAULT_MAX_BUCKET_SIZE = 1000
 
+#: Recommended ``max_shingle_freq`` for ngram_jaccard_pairs at corpus
+#: scale. A shingle present in F documents contributes C(F, 2)
+#: candidate pairs; boilerplate (license headers, navigation chrome)
+#: routinely reaches millions of documents, which is quadratic
+#: candidate blowup carrying zero near-dup signal — any pair whose
+#: EVERY shared shingle is that common is boilerplate overlap, not
+#: duplication. 256 caps any single shingle's contribution at ~32k
+#: candidate pairs while leaving genuine template clusters (usually
+#: ≪100 docs) untouched. Kept opt-in (default None) because applying
+#: it restricts the Jaccard to the sub-boilerplate shingle space — a
+#: deliberate semantic choice the caller should make, not a silent one.
+RECOMMENDED_MAX_SHINGLE_FREQ = 256
+
 
 def lsh_bucket_sizes(
     sigs: DataFrame, id_col: str, num_hashes: int, bands: int
@@ -304,7 +317,10 @@ def ngram_jaccard_pairs(
     than that many docs before the join — a pair is then missed ONLY if
     every shared shingle is that common, which at sane thresholds means
     boilerplate, not duplication (same tradeoff as the LSH bucket cap
-    in _pairs_from_sigs). AQE skew-join covers moderate skew.
+    in _pairs_from_sigs). AQE skew-join covers moderate skew; for any
+    corpus-scale run pass RECOMMENDED_MAX_SHINGLE_FREQ (see its note —
+    the skew fixture in test_neardup measures the candidate-volume
+    difference).
     """
     sh = _shingle_table(df, id_col, text_col, shingle_n)
     ex = sh.select(

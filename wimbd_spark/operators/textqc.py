@@ -354,11 +354,18 @@ def gopher_rules(
     min_stopwords: int = 2,
     max_dupe2: float = 0.20,
     max_top2: float = 0.20,
+    grams2: Column | None = None,
 ) -> list[tuple[str, Column]]:
     """The Gopher document-quality rules (Rae et al. 2021 §A1.1) as
     named boolean DROP conditions — all pure expressions, thresholds
     parameterized (defaults are the published values where stated).
     Returns [(rule_name, drops_document_bool), ...].
+
+    Pass ``tokens`` and ``grams2`` (materialized projection columns of
+    the token array and sorted 2-gram array) when evaluating over a
+    DataFrame — interpreted HOF references re-evaluate their input
+    trees, so the repetition rules cost ~4× more on inline
+    expressions. gopher_quality_filter stages this automatically.
     """
     c = F.col(text) if isinstance(text, str) else text
     toks = tokens if tokens is not None else tokenize(c)
@@ -395,8 +402,24 @@ def gopher_rules(
         ("ellipsis_lines", ellipsis_ratio > max_ellipsis_ratio),
         ("alpha_words", alpha_word_ratio < min_alpha_word_ratio),
         ("few_stopwords", stopword_count(toks, "en") < min_stopwords),
-        ("dupe_2gram", dupe_ngram_char_fraction(toks, 2) > max_dupe2),
-        ("top_2gram", top_ngram_char_fraction(toks, 2) > max_top2),
+        (
+            "dupe_2gram",
+            (
+                dupe_ngram_char_fraction_sorted(grams2)
+                if grams2 is not None
+                else dupe_ngram_char_fraction(toks, 2)
+            )
+            > max_dupe2,
+        ),
+        (
+            "top_2gram",
+            (
+                top_ngram_char_fraction_sorted(grams2)
+                if grams2 is not None
+                else top_ngram_char_fraction(toks, 2)
+            )
+            > max_top2,
+        ),
     ]
 
 
@@ -408,9 +431,20 @@ def gopher_quality_filter(
 ) -> DataFrame:
     """Apply the Gopher rules: adds `keep` (no rule fired) and, when
     ``keep_reasons``, a `drop_reasons` array naming the rules that
-    fired — one shuffle-free projection over the corpus, so the gate
-    composes with dedup/decontamination in a single pass."""
-    rules = gopher_rules(F.col(text_col), **thresholds)
+    fired — shuffle-free projections over the corpus, so the gate
+    composes with dedup/decontamination in a single pass. The token
+    array and sorted 2-gram array are materialized once in staged
+    projections and shared by all rules (see gopher_rules PERF note).
+    """
+    staged = df.withColumn(
+        "_gq_toks", tokenize(F.col(text_col))
+    ).withColumn("_gq_g2", sorted_ngrams(F.col("_gq_toks"), 2))
+    rules = gopher_rules(
+        F.col(text_col),
+        tokens=F.col("_gq_toks"),
+        grams2=F.col("_gq_g2"),
+        **thresholds,
+    )
     reasons = F.filter(
         F.array(
             *[
@@ -420,7 +454,9 @@ def gopher_quality_filter(
         ),
         lambda x: x.isNotNull(),
     )
-    out = df.withColumn("drop_reasons", reasons).withColumn(
-        "keep", F.size("drop_reasons") == 0
+    out = (
+        staged.withColumn("drop_reasons", reasons)
+        .withColumn("keep", F.size("drop_reasons") == 0)
+        .drop("_gq_toks", "_gq_g2")
     )
     return out if keep_reasons else out.drop("drop_reasons")
