@@ -151,3 +151,18 @@ def test_cli_quality_filter(spark, tmp_path, capsys):
     assert spark.read.parquet(str(out)).count() == 1
     printed = capsys.readouterr().out
     assert '"kept": 1' in printed and "too_short" in printed
+
+
+def test_cli_index_build_and_phrases(spark, tmp_path, capsys):
+    idx = str(tmp_path / "idx")
+    rows = _run(capsys, ["index-build", DOCS, "--out", idx])
+    assert rows[0]["postings"] > 0 and rows[0]["out"] == idx
+    # indexed counts == scan-path counts
+    scan = _run(capsys, ["phrases", DOCS, "-s", "table scan", "-s", "join"])
+    fast = _run(
+        capsys,
+        ["phrases", DOCS, "-s", "table scan", "-s", "join", "--index", idx],
+    )
+    by = lambda rows: {r["phrase"]: r["count"] for r in rows}
+    assert by(fast) == by(scan)
+    assert by(fast)["table scan"] > 0

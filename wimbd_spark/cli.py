@@ -146,8 +146,34 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--shingle-n", type=int, default=3)
     sp.add_argument("--id-col", default=None,
                     help="doc id column (default: first column)")
-    sp.add_argument("--max-bucket-size", type=int, default=None)
+    sp.add_argument("--max-bucket-size", type=int, default=None,
+                    help="minhash: LSH bucket cap (default: library "
+                    "default, finite); jaccard: max shingle doc-freq "
+                    "(default: unlimited)")
     sp.add_argument("--out", default=None, help="output parquet path")
+
+    sp = sub.add_parser(
+        "index-build",
+        help="build a posting-list phrase index (token→doc positions "
+        "parquet) for interactive phrase queries",
+    )
+    common(sp)
+    sp.add_argument("--out", required=True, help="index parquet path")
+    sp.add_argument("--id-col", default=None,
+                    help="doc id column (default: first column)")
+    sp.add_argument("--num-files", type=int, default=32)
+
+    sp = sub.add_parser(
+        "phrases",
+        help="per-phrase document counts; --index answers from a "
+        "prebuilt posting-list index without scanning the corpus",
+    )
+    common(sp)
+    sp.add_argument("-s", "--phrase", action="append", required=True)
+    sp.add_argument("--slop", type=int, default=0)
+    sp.add_argument("--index", default=None,
+                    help="posting-list index path (from index-build); "
+                    "corpus paths are ignored when given")
 
     sp = sub.add_parser(
         "ingest",
@@ -283,13 +309,17 @@ def main(argv: list[str] | None = None) -> int:
 
             idc = args.id_col or df.columns[0]
             if args.method == "minhash":
+                kw = {}
+                if args.max_bucket_size is not None:
+                    # None = keep the library's finite default cap
+                    kw["max_bucket_size"] = args.max_bucket_size or None
                 pairs = minhash_dedup_pairs(
                     df,
                     id_col=idc,
                     text_col=t,
                     shingle_n=args.shingle_n,
                     threshold=args.threshold,
-                    max_bucket_size=args.max_bucket_size,
+                    **kw,
                 )
             else:
                 pairs = ngram_jaccard_pairs(
@@ -309,6 +339,36 @@ def main(argv: list[str] | None = None) -> int:
                     [r.asDict() for r in pairs.orderBy("id_a", "id_b").collect()],
                     args.output,
                 )
+        elif args.cmd == "index-build":
+            from wimbd_spark.index import build_phrase_index
+
+            idc = args.id_col or df.columns[0]
+            build_phrase_index(
+                df, args.out, id_col=idc, text_col=t,
+                num_files=args.num_files,
+            )
+            n = spark.read.parquet(args.out).count()
+            _emit([{"postings": n, "out": args.out}], args.output)
+        elif args.cmd == "phrases":
+            if args.index:
+                from wimbd_spark.index import (
+                    count_documents_for_each_phrase_indexed,
+                    load_phrase_index,
+                )
+
+                idx = load_phrase_index(spark, args.index)
+                res = count_documents_for_each_phrase_indexed(
+                    idx, args.phrase, slop=args.slop
+                )
+            else:
+                from wimbd_spark.search import (
+                    count_documents_for_each_phrase,
+                )
+
+                res = count_documents_for_each_phrase(
+                    df, args.phrase, slop=args.slop, text_col=t
+                )
+            _emit([r.asDict() for r in res.collect()], args.output)
         return 0
     finally:
         if not preexisting:
