@@ -263,3 +263,30 @@ def test_streaming_decontaminate(spark, tmp_path):
     rows = spark.sql("select * from decon_stream").collect()
     q.stop()
     assert sorted(r["doc_id"] for r in rows) == [1, 3]
+
+
+def test_streaming_quality_gate(spark, tmp_path):
+    from wimbd_spark.streaming import read_doc_stream, streaming_quality_gate
+
+    d = str(tmp_path / "docs_qg")
+    good = " ".join(f"the item{i} of value{i}" for i in range(30))
+    _write_batch(
+        d, [_doc(1, good), _doc(2, "too short"), _doc(3, good + " indeed")],
+        "b0.json",
+    )
+    out = streaming_quality_gate(read_doc_stream(spark, d))
+    q = _run_to_memory(out.select("doc_id"), "qg_stream", "append")
+    rows = spark.sql("select * from qg_stream").collect()
+    q.stop()
+    assert sorted(r["doc_id"] for r in rows) == [1, 3]
+    # batch twin agrees row-for-row
+    from wimbd_spark.operators.textqc import gopher_quality_filter
+
+    batch = spark.createDataFrame(
+        [(1, good), (2, "too short"), (3, good + " indeed")],
+        ["doc_id", "text"],
+    )
+    assert sorted(
+        r["doc_id"]
+        for r in gopher_quality_filter(batch).filter("keep").collect()
+    ) == [1, 3]

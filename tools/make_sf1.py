@@ -13,8 +13,15 @@ Construction: fact tables are 10 key-shifted copies of sf0.1 (offset
 realistic shape). Two copies must not introduce artificial cross-copy
 duplicate structure that would change the WORKLOAD's complexity class
 rather than its volume, so:
-- documents: each copy's text gets a distinct 2-token prefix — exact/
-  near-dup structure is preserved within a copy, never across copies;
+- documents: every TOKEN in copy i>0 gets suffix i — shingle spaces
+  are fully disjoint across copies, so exact/near-dup structure is
+  preserved within a copy and never leaks across (a mere text prefix
+  is NOT enough: the shared tail shingles multiply every shingle's
+  document frequency by the copy count, inflating inverted-index
+  candidate volume ×copies² — measured 13.9× runtime at 10× data
+  before this fix, the boilerplate hazard max_shingle_freq guards).
+  Phrase-count queries consequently only match copy 0 — their scan
+  volume still grows 10×, which is what the rehearsal measures;
 - embeddings: each copy's vector is circularly rotated by copy index —
   within-copy cosine structure is exactly preserved (rotation is an
   orthogonal transform applied to both sides), cross-copy similarities
@@ -76,8 +83,13 @@ def main() -> None:
     replicate(
         "documents",
         ["doc_id"],
-        extra=lambda df, i: df.withColumn(
-            "text", F.concat(F.lit(f"copymark{i} tag{i} "), F.col("text"))
+        extra=lambda df, i: (
+            df
+            if i == 0
+            else df.withColumn(
+                "text",
+                F.regexp_replace(F.col("text"), r"(\S+)", "$1" + str(i)),
+            )
         ),
     )
 

@@ -2,6 +2,7 @@ from wimbd_spark.streaming.dedup import (
     read_doc_stream,
     streaming_decontaminate,
     streaming_dedup_exact,
+    streaming_quality_gate,
 )
 from wimbd_spark.streaming.windows import (
     read_event_stream,
@@ -19,5 +20,6 @@ __all__ = [
     "stateful_user_counts",
     "streaming_decontaminate",
     "streaming_dedup_exact",
+    "streaming_quality_gate",
     "tumbling_counts_stream",
 ]

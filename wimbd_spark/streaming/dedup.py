@@ -94,3 +94,27 @@ def streaming_decontaminate(
         .join(bl, "hash", "left_anti")
         .drop("hash")
     )
+
+
+def streaming_quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    keep_reasons: bool = False,
+    **thresholds,
+) -> DataFrame:
+    """Gopher-gate-on-ingest: keep stream docs passing every quality
+    rule (textqc.gopher_quality_filter semantics, identical
+    expressions — a batch backfill agrees row-for-row).
+
+    The gate is a pure per-row projection (STATELESS — no watermark,
+    no state store), so it composes freely before the stateful dedup/
+    decontamination stages; run it first to keep junk out of the dedup
+    state.
+    """
+    from wimbd_spark.operators.textqc import gopher_quality_filter
+
+    out = gopher_quality_filter(
+        docs, text_col=text_col, keep_reasons=True, **thresholds
+    ).filter(F.col("keep"))
+    drop = ["keep"] if keep_reasons else ["keep", "drop_reasons"]
+    return out.drop(*drop)
