@@ -122,3 +122,41 @@ def test_cosine_pairs_lsh_recall(embeddings):
     assert exact  # fixture actually has pairs at this threshold
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4  # 4-bit sketch + 1-bit multiprobe, random vectors
+
+
+def test_auto_nbits_sizing():
+    from wimbd_spark.operators.similarity import auto_nbits
+
+    assert auto_nbits(100) == 1           # tiny collection → 2 buckets
+    assert auto_nbits(256 * 64) == 6      # 16k vectors → 64 buckets
+    assert auto_nbits(10**9) == 22        # 1e9 vectors, 256/bucket
+    assert auto_nbits(10**12) == 24       # clamped at max_bits
+
+
+def test_cosine_pairs_lsh_auto_nbits(spark):
+    # nbits=None sizes from the collection and still verifies exactly
+    from wimbd_spark.operators.similarity import (
+        auto_nbits,
+        cosine_pairs,
+        cosine_pairs_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_lsh(
+            emb, threshold=0.45, nbits=None
+        ).collect()
+    }
+    explicit = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_lsh(
+            emb, threshold=0.45, nbits=auto_nbits(emb.count())
+        ).collect()
+    }
+    assert auto == explicit
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(emb, threshold=0.45).collect()
+    }
+    assert auto <= exact  # LSH candidates verified exactly — no false pairs

@@ -258,12 +258,25 @@ def cosine_pairs(
     )
 
 
+def auto_nbits(n_rows: int, target_bucket: int = 256, max_bits: int = 24) -> int:
+    """Sketch-width sizing rule (sf1 rehearsal finding, SCALE.md): with
+    FIXED nbits, bucket population grows linearly in n and candidate
+    volume grows n²/2^nbits — quadratic in the limit. Sizing buckets to
+    hold ~``target_bucket`` vectors keeps candidate volume ≈
+    n·target_bucket (linear): nbits = ⌈log2(n / target_bucket)⌉.
+    Hyperplanes are md5-derived, so any nbits stays deterministic.
+    """
+    import math
+
+    return max(1, min(max_bits, math.ceil(math.log2(max(2.0, n_rows / target_bucket)))))
+
+
 def cosine_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nbits: int = 6,
+    nbits: int | None = 6,
     dim: int = 64,
     multiprobe: bool = True,
 ) -> DataFrame:
@@ -272,7 +285,15 @@ def cosine_pairs_lsh(
     verifies. The self-join keys on bucket id, so cost is
     sum(bucket²) ≈ n²/2^nbits instead of n²; recall is the standard
     hyperplane-LSH bound (rises with multiprobe and falls with angle),
-    measured against cosine_pairs in tests."""
+    measured against cosine_pairs in tests.
+
+    ``nbits=None`` sizes the sketch from the collection via
+    ``auto_nbits`` (costs one count() job) — use it whenever the
+    collection size isn't known at call time; a fixed nbits is only
+    right when you've sized it yourself.
+    """
+    if nbits is None:
+        nbits = auto_nbits(df.count())
     planes = [_hyperplane(p, dim) for p in range(nbits)]
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -318,14 +339,17 @@ def cosine_topk_lsh(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nbits: int = 6,
+    nbits: int | None = 6,
     dim: int = 64,
     multiprobe: bool = True,
     exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share a sign-sketch bucket (or a
     1-bit flip with multiprobe), then exact cosine rank within
-    candidates. Recall rises with multiprobe; cost drops ~2^nbits."""
+    candidates. Recall rises with multiprobe; cost drops ~2^nbits.
+    ``nbits=None`` → auto_nbits(corpus size)."""
+    if nbits is None:
+        nbits = auto_nbits(corpus.count())
     planes = [_hyperplane(p, dim) for p in range(nbits)]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
