@@ -51,4 +51,18 @@ count_total_occurrences_of_unigrams(docs, ["the", "scan"]).show()
 print("== exact dedup (keep first) ==")
 print("before:", docs.count(), "after:", dedup_keep_first(docs).count())
 
+print("== posting-list index: phrase counts without a corpus scan ==")
+import tempfile
+
+from wimbd_spark.index import (
+    build_phrase_index,
+    count_documents_for_each_phrase_indexed,
+    load_phrase_index,
+)
+
+idx_path = tempfile.mkdtemp(prefix="phraseidx_") + "/postings"
+build_phrase_index(docs, idx_path)
+idx = load_phrase_index(spark, idx_path)
+count_documents_for_each_phrase_indexed(idx, ["merge", "table scan"]).show()
+
 spark.stop()

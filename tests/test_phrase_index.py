@@ -34,7 +34,13 @@ def index(spark, corpus, tmp_path_factory):
     return load_phrase_index(spark, path)
 
 
-PHRASES = ["table scan", "join", "query plan", "scan the big"]
+PHRASES = [
+    "table scan",
+    "join",
+    "query plan",
+    "scan the big",
+    "zzznotatoken alsomissing",  # absent tokens → empty postings → 0
+]
 
 
 def test_counts_match_scan_path(corpus, index):
