@@ -290,3 +290,57 @@ def test_streaming_quality_gate(spark, tmp_path):
         r["doc_id"]
         for r in gopher_quality_filter(batch).filter("keep").collect()
     ) == [1, 3]
+
+
+def test_streaming_phrase_index_matches_batch(spark, tmp_path):
+    from wimbd_spark.index import (
+        count_documents_for_each_phrase_indexed,
+        load_phrase_index,
+        streaming_phrase_index,
+    )
+    from wimbd_spark.search import count_documents_for_each_phrase
+    from wimbd_spark.streaming import read_doc_stream
+
+    d = str(tmp_path / "docs_idx")
+    idx_path = str(tmp_path / "postings")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(
+        d,
+        [_doc(1, "the quick brown fox"), _doc(2, "lazy dog sleeps")],
+        "b0.json",
+    )
+    q = streaming_phrase_index(
+        read_doc_stream(spark, d), idx_path, ckpt
+    )
+    q.processAllAvailable()
+    # second micro-batch appends postings incrementally
+    _write_batch(d, [_doc(3, "quick brown dog runs")], "b1.json")
+    q.processAllAvailable()
+    q.stop()
+
+    idx = load_phrase_index(spark, idx_path)
+    phrases = ["quick brown", "dog", "the quick brown fox"]
+    got = {
+        r["phrase"]: r["count"]
+        for r in count_documents_for_each_phrase_indexed(
+            idx, phrases
+        ).collect()
+    }
+    # batch twin over the full corpus agrees
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "lazy dog sleeps"),
+            (3, "quick brown dog runs"),
+        ],
+        ["doc_id", "text"],
+    )
+    expect = {
+        r["phrase"]: r["count"]
+        for r in count_documents_for_each_phrase(batch, phrases).collect()
+    }
+    assert got == expect == {
+        "quick brown": 2,
+        "dog": 2,
+        "the quick brown fox": 1,
+    }

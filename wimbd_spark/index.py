@@ -75,6 +75,44 @@ def load_phrase_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def streaming_phrase_index(
+    docs_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_files: int = 4,
+):
+    """Maintain the posting-list index incrementally over a document
+    STREAM: each micro-batch's postings are appended (append-only
+    corpus semantics — new doc_ids only, the file-stream contract).
+
+    Query-time behavior is unchanged: readers glob every parquet file,
+    so results always cover all ingested batches. Each batch adds
+    ``num_files`` files, which degrades token pruning over time —
+    periodically compact by rebuilding with build_phrase_index over
+    the full corpus (same rows, one sorted file set). Returns the
+    StreamingQuery.
+    """
+
+    def _append(batch_df: DataFrame, _epoch: int) -> None:
+        build_phrase_index(
+            batch_df,
+            path,
+            id_col=id_col,
+            text_col=text_col,
+            num_files=num_files,
+            mode="append",
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def _greedy_window_cond(pos_cols: list[Column], L: int, slop: int) -> Column:
     """EXISTS q1 ∈ P1: chaining qi = min{p ∈ Pi : p > q(i-1)} reaches
     qL with qL − q1 ≤ L + slop − 1 (the scan path's window matcher)."""
