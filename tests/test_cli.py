@@ -166,3 +166,27 @@ def test_cli_index_build_and_phrases(spark, tmp_path, capsys):
     by = lambda rows: {r["phrase"]: r["count"] for r in rows}
     assert by(fast) == by(scan)
     assert by(fast)["table scan"] > 0
+
+
+def test_cli_search_locations(capsys, shard_dir):
+    rows = _run(capsys, ["search", shard_dir, "-p", "[de]$", "--locations"])
+    # 20 docs "a b c d|e": every doc ends in d or e at col 7
+    assert len(rows) == 20
+    assert all(r["start_col"] == 7 and r["end_col"] == 8 for r in rows)
+    capped = _run(
+        capsys,
+        ["search", shard_dir, "-p", "[de]$", "--locations",
+         "--limit-per-pattern", "5"],
+    )
+    assert len(capped) == 5
+
+
+def test_cli_stats_extremes(capsys):
+    rows = _run(capsys, ["stats", DOCS, "--extremes"])
+    assert rows[0]["total_documents"] == 500
+    which = {r.get("which") for r in rows[1:]}
+    assert which == {"min", "max"}
+    mins = [r for r in rows[1:] if r["which"] == "min"]
+    maxs = [r for r in rows[1:] if r["which"] == "max"]
+    assert all(m["num_tokens"] == rows[0]["document_min_tokens"] for m in mins)
+    assert all(m["num_tokens"] == rows[0]["document_max_tokens"] for m in maxs)

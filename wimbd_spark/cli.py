@@ -102,10 +102,17 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("search", help="regex match counts")
     common(sp)
     sp.add_argument("-p", "--pattern", action="append", required=True)
+    sp.add_argument("--locations", action="store_true",
+                    help="emit one row per occurrence with its exact "
+                    "span (≙ wimbd search MatchLocation output)")
+    sp.add_argument("--limit-per-pattern", type=int, default=None)
 
     sp = sub.add_parser("stats", help="corpus summary stats")
     common(sp)
     sp.add_argument("--json", action="store_true", default=True)
+    sp.add_argument("--extremes", action="store_true",
+                    help="also emit the docs achieving min/max token "
+                    "counts (≙ wimbd stats arg-min/max pointers)")
 
     sp = sub.add_parser("unique", help="distinct n-gram count")
     common(sp)
@@ -242,15 +249,53 @@ def main(argv: list[str] | None = None) -> int:
             res = count_sequences(df, args.sequence, text_col=t)
             _emit([r.asDict() for r in res.collect()], args.output)
         elif args.cmd == "search":
-            from wimbd_spark.operators.count import search_regex_counts
+            if args.locations:
+                from pyspark.sql import functions as F
 
-            res = search_regex_counts(df, args.pattern, text_col=t)
+                from wimbd_spark.operators.count import (
+                    search_regex_locations,
+                )
+
+                idc = df.columns[0]
+                res = search_regex_locations(
+                    df.withColumn("_row", F.monotonically_increasing_id()),
+                    args.pattern,
+                    text_col=t,
+                    id_cols=("_row",) if idc == t else (idc,),
+                    limit_per_pattern=args.limit_per_pattern,
+                )
+            else:
+                from wimbd_spark.operators.count import (
+                    search_regex_counts,
+                )
+
+                res = search_regex_counts(df, args.pattern, text_col=t)
             _emit([r.asDict() for r in res.collect()], args.output)
         elif args.cmd == "stats":
             from wimbd_spark.operators.stats import corpus_stats
 
             row = corpus_stats(df, text_col=t).collect()[0]
-            _emit([row.asDict()], args.output)
+            rows = [row.asDict()]
+            if args.extremes:
+                from pyspark.sql import functions as F
+
+                from wimbd_spark.operators.stats import extreme_token_docs
+
+                src = df
+                idc = "doc_id" if "doc_id" in df.columns else None
+                if idc is None:
+                    src = df.withColumn(
+                        "_row", F.monotonically_increasing_id()
+                    )
+                    idc = "_row"
+                for which in ("min", "max"):
+                    rows += [
+                        {"which": which, **r.asDict()}
+                        for r in extreme_token_docs(
+                            src, text_col=t, id_cols=(idc,), which=which
+                        ).collect()
+                    ]
+            _emit(rows, args.output)
         elif args.cmd == "unique":
             from wimbd_spark.operators.topk import unique_ngrams
 
