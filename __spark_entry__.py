@@ -1334,6 +1334,50 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_pack_documents(spark, sf_dir):
+    """Sequence packing (beyond-reference training-data op): contiguous
+    -fill pack assignment under a 512-token budget, per source group —
+    deterministic and window-partitioned (never a global window), so it
+    is SQL-oracle-able unlike greedy/FFD packers."""
+    from wimbd_spark.operators.packing import pack_documents
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    out = pack_documents(docs, budget_tokens=512)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col("pack_pos").cast("long").alias("pack_pos"),
+    )
+
+
+def o_pack_documents():
+    # budget 512 is a power of two, so the double divisions below are
+    # exact (exponent shift) — floor matches Spark bit-for-bit
+    return r"""
+      WITH toks AS (
+        SELECT doc_id, source,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> '')) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+      ), cum AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS c
+        FROM toks
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             source,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(floor((c - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+             CAST(row_number() OVER (
+                    PARTITION BY source, floor((c - n_tokens) / 512.0)
+                    ORDER BY doc_id) - 1 AS BIGINT) AS pack_pos
+      FROM cum
+    """
+
+
 def o_token_counts():
     return r"""
       SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -1992,12 +2036,12 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     ),
     "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
     "phrase_index_counts": (q_phrase_index_counts, o_phrase_index_counts),
+    "pack_documents_512": (q_pack_documents, o_pack_documents),
     "top_orders_by_revenue": (q_top_orders_by_revenue, o_top_orders_by_revenue),
     "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
     "orders_by_year_priority": (q_orders_by_year_priority, o_orders_by_year_priority),
     "events_tumbling_1h": (q_events_tumbling, o_events_tumbling),
     "session_stats_30m_gap": (q_session_stats, o_session_stats),
-    "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, o_ngram_jaccard_pairs),
     "simhash16": (q_simhash, o_simhash),
@@ -2038,6 +2082,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
     "pricing_summary": (q_pricing_summary, o_pricing_summary),
     "events_json_stats": (q_events_json_stats, o_events_json_stats),
+    "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
 }
 
 

@@ -64,6 +64,7 @@ HEADLINE = [
     "embedding_cosine_pairs_lsh",
     # r3 additions
     "phrase_index_counts",
+    "pack_documents_512",
 ]
 
 

@@ -42,6 +42,7 @@ from wimbd_spark.operators.textqc import (
     token_count,
     token_count_bpe_ish,
 )
+from wimbd_spark.operators.packing import pack_documents, pack_stats
 from wimbd_spark.operators.windows import (
     session_stats,
     sessionize,
@@ -68,6 +69,7 @@ __all__ = [
     "cosine_topk", "cosine_topk_lsh",
     "doc_fingerprint", "langid_heuristic", "quality_scores",
     "token_count", "token_count_bpe_ish",
+    "pack_documents", "pack_stats",
     "session_stats", "sessionize", "sliding_agg", "tumbling_agg",
     "demographic_cooccurrence", "extract_pii", "pii_counts",
     "taxonomy_counts",
