@@ -1727,6 +1727,42 @@ def o_sample_by_hash():
     """
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Source-mixture sampling (beyond-reference training-data op):
+    down-sample src0 to 40%, up-sample src1 2.5× (2 full copies + a
+    50% fractional epoch), drop everything else — one deterministic
+    hash-gated projection, no shuffle."""
+    from wimbd_spark.operators.keycount import mixture_sample
+
+    out = mixture_sample(
+        _docs(spark, sf_dir), {"src0": 0.4, "src1": 2.5}
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("mix_epoch").cast("long").alias("mix_epoch"),
+    )
+
+
+def o_mixture_sample():
+    gate = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000"
+    return f"""
+      WITH base AS (
+        SELECT doc_id, source,
+               CASE source
+                 WHEN 'src0' THEN (CASE WHEN {gate} < 400000 THEN 1 ELSE 0 END)
+                 WHEN 'src1' THEN 2 + (CASE WHEN {gate} < 500000 THEN 1 ELSE 0 END)
+                 ELSE 0
+               END AS n
+        FROM documents
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+             CAST(mix_epoch AS BIGINT) AS mix_epoch
+      FROM base, unnest(generate_series(0, n - 1)) AS u(mix_epoch)
+      WHERE n > 0
+    """
+
+
 def q_id_lookup(spark, sf_dir):
     from wimbd_spark.operators.keycount import id_lookup
 
@@ -2037,6 +2073,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
     "phrase_index_counts": (q_phrase_index_counts, o_phrase_index_counts),
     "pack_documents_512": (q_pack_documents, o_pack_documents),
+    "mixture_sample": (q_mixture_sample, o_mixture_sample),
     "top_orders_by_revenue": (q_top_orders_by_revenue, o_top_orders_by_revenue),
     "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
     "orders_by_year_priority": (q_orders_by_year_priority, o_orders_by_year_priority),
@@ -2044,7 +2081,6 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "session_stats_30m_gap": (q_session_stats, o_session_stats),
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, o_ngram_jaccard_pairs),
-    "simhash16": (q_simhash, o_simhash),
     "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
     "embedding_cosine_pairs": (q_embedding_cosine_pairs, o_embedding_cosine_pairs),
     "quality_scores": (q_quality_scores, o_quality_scores),
@@ -2083,6 +2119,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "pricing_summary": (q_pricing_summary, o_pricing_summary),
     "events_json_stats": (q_events_json_stats, o_events_json_stats),
     "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
+    "simhash16": (q_simhash, o_simhash),
 }
 
 

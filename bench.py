@@ -65,6 +65,7 @@ HEADLINE = [
     # r3 additions
     "phrase_index_counts",
     "pack_documents_512",
+    "mixture_sample",
 ]
 
 

@@ -170,3 +170,40 @@ def test_topk_against_duckdb_on_documents(documents):
         """
     ).fetchall()
     assert got == expect
+
+
+def test_mixture_sample(spark):
+    from wimbd_spark.operators.keycount import mixture_sample
+
+    rows = [(i, f"doc {i}", "web" if i < 400 else "books") for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = mixture_sample(df, {"web": 0.5, "books": 2.25}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # web down-sampled to ~50% (hash gate: deterministic, approximate rate)
+    n_web = len(by_src["web"])
+    assert 120 <= n_web <= 280 and all(r["mix_epoch"] == 0 for r in by_src["web"])
+    # books up-sampled: every doc at least 2 copies, ~25% get a third
+    books = by_src["books"]
+    per_doc = {}
+    for r in books:
+        per_doc.setdefault(r["doc_id"], set()).add(r["mix_epoch"])
+    assert all(eps >= {0, 1} for eps in per_doc.values())
+    assert len(per_doc) == 100  # no books doc dropped
+    n3 = sum(1 for eps in per_doc.values() if len(eps) == 3)
+    assert 5 <= n3 <= 50
+    # unlisted sources dropped by default; kept at weight 1 on request
+    df2 = df.withColumn(
+        "source", F.when(F.col("doc_id") < 10, "other").otherwise(F.col("source"))
+    )
+    assert mixture_sample(df2, {"web": 1.0}).filter("source = 'other'").count() == 0
+    kept = mixture_sample(df2, {"web": 1.0}, keep_unlisted=True)
+    assert kept.filter("source = 'other'").count() == 10
+    # determinism: identical output across runs
+    a = sorted((r["doc_id"], r["mix_epoch"]) for r in out)
+    b = sorted(
+        (r["doc_id"], r["mix_epoch"])
+        for r in mixture_sample(df, {"web": 0.5, "books": 2.25}).collect()
+    )
+    assert a == b

@@ -11,6 +11,7 @@ from wimbd_spark.operators.count import (
     search_regex_locations,
 )
 from wimbd_spark.operators.keycount import (
+    mixture_sample,
     id_lookup,
     key_count,
     normalize_distribution,
@@ -60,7 +61,8 @@ __all__ = [
     "botk_ngrams", "ngram_counts", "topk_ngrams", "unique_ngrams",
     "corpus_stats", "extreme_token_docs",
     "count_sequences", "search_regex_counts", "search_regex_locations",
-    "id_lookup", "key_count", "normalize_distribution", "sample_by_hash",
+    "id_lookup", "key_count", "mixture_sample", "normalize_distribution",
+    "sample_by_hash",
     "contamination_rate", "decontaminate", "dedup_keep_first",
     "duplicate_stats", "find_examples", "mark_duplicates", "multi_overlap",
     "overlap",

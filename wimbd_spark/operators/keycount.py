@@ -59,6 +59,73 @@ def sample_by_hash(
     return df.filter(hash32(k) % denom < int(fraction * denom))
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    key: Column | str = "doc_id",
+    group_col: str = "source",
+    denom: int = 1_000_000,
+    keep_unlisted: bool = False,
+) -> DataFrame:
+    """Source-mixture sampling (beyond-reference training-data op):
+    per-group sampling rates in one pass, deterministic.
+
+    ``weights[src] = w`` keeps/w-samples group ``src``:
+    - w < 1: down-sample — keep rows where hash32(key) mod denom <
+      w·denom (same gate as sample_by_hash, exact-oracle-able);
+    - w ≥ 1: up-sample (epoch weighting) — emit ⌊w⌋ copies of every
+      row plus one more for rows passing the fractional gate; copies
+      carry ``mix_epoch`` (0-based) so downstream shuffling can
+      interleave them.
+    Groups absent from ``weights`` are dropped unless
+    ``keep_unlisted`` (then kept at weight 1).
+
+    Scale shape: pure per-row projection + explode — no shuffle, no
+    driver state; the mixture is reproducible across runs, engines,
+    partitionings, and retries (hash gates, not RNG). This is the
+    standard "mix web/code/books at 60/30/10, repeat books 2.5×"
+    pretraining step.
+    """
+    from wimbd_spark.functions.text import hash32
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    k = F.col(key) if isinstance(key, str) else key
+    g = F.col(group_col)
+    gate = hash32(k) % denom
+
+    def copies_for(w: float):
+        whole = int(w)
+        frac = w - whole
+        n = F.lit(whole) + F.when(
+            gate < int(frac * denom), F.lit(1)
+        ).otherwise(F.lit(0))
+        return n
+
+    n_copies = None
+    for src, w in weights.items():
+        c = copies_for(w)
+        n_copies = (
+            F.when(g == src, c)
+            if n_copies is None
+            else n_copies.when(g == src, c)
+        )
+    n_copies = n_copies.otherwise(
+        F.lit(1) if keep_unlisted else F.lit(0)
+    )
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "mix_epoch",
+            F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)),
+        )
+        .drop("_n_copies")
+    )
+
+
 def id_lookup(
     df: DataFrame, ids: list, id_col: str = "doc_id"
 ) -> DataFrame:
