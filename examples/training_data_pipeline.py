@@ -64,7 +64,29 @@ evalset = docs.filter(F.col("source") == "src0").select("text").limit(50)
 clean = decontaminate(deduped, evalset)
 print(f"decontaminate: {deduped.count()} → {clean.count()} docs")
 
+print("== 6. source mixture: down/up-sample per source, epoch-tagged ==")
+from wimbd_spark.operators.keycount import mixture_sample
+
+mixed = mixture_sample(
+    clean, {"src0": 0.5, "src1": 2.0}, keep_unlisted=True
+)
+mixed.groupBy("source").agg(
+    F.countDistinct("doc_id").alias("docs"),
+    F.count(F.lit(1)).alias("rows_after_mixture"),
+).orderBy("source").show(5)
+
+print("== 7. pack into 512-token training sequences ==")
+from wimbd_spark.operators.packing import pack_documents, pack_stats
+
+packed = pack_documents(
+    mixed.withColumn(
+        "doc_id", F.concat_ws(":", "doc_id", "mix_epoch")
+    ),
+    budget_tokens=512,
+)
+pack_stats(packed).orderBy("source", "pack_id").show(5)
+
 out = tempfile.mkdtemp() + "/clean_corpus"
-clean.write.mode("overwrite").parquet(out)
-print(f"wrote curated corpus → {out}")
+packed.write.mode("overwrite").parquet(out)
+print(f"wrote curated+packed corpus → {out}")
 spark.stop()
