@@ -173,3 +173,25 @@ def test_cosine_pairs_lsh_joins_on_bucket(spark):
     # candidate join keyed on bucket id — never a cross/nested-loop join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_sample_zero_shuffle(raw_docs):
+    from wimbd_spark.operators.keycount import mixture_sample
+
+    q = mixture_sample(raw_docs, {"src0": 0.5, "src1": 2.5})
+    assert shuffle_count(q) == 0  # pure projection + explode
+
+
+def test_pack_documents_window_is_partitioned(raw_docs):
+    import re
+
+    from wimbd_spark.operators.packing import pack_documents
+
+    q = pack_documents(raw_docs, budget_tokens=512)
+    # the cumulative sum must run per-group — an unpartitioned global
+    # window would ship the whole corpus to one task (100×-fatal).
+    # Check the optimized plan: every windowspecdefinition must lead
+    # with the source partition column.
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs and all(s.startswith("source") for s in specs)
