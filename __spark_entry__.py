@@ -1063,6 +1063,50 @@ def o_ngram_jaccard_pairs():
     """
 
 
+def q_neardup_cluster_dedup(spark, sf_dir):
+    """Pair→cluster resolution + representative keep: exact n-gram
+    Jaccard pairs (τ=0.5) → connected components (min-label
+    propagation, lineage-truncated iterations) → keep the smallest id
+    per cluster plus all unpaired docs. Oracle: recursive CTE."""
+    from wimbd_spark.operators.neardup import (
+        drop_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    kept = drop_near_duplicates(docs, pairs)
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def o_neardup_cluster_dedup():
+    return f"""
+      WITH RECURSIVE {_sql_grams(3)},
+      hashed AS (SELECT doc_id, {_sql_hash32("ngram")} AS h FROM grams),
+      sets AS (SELECT doc_id, list_distinct(list(h)) AS hs
+               FROM hashed GROUP BY doc_id),
+      jp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.hs, b.hs))::DOUBLE
+                / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5
+      ),
+      und AS (SELECT id_a AS a, id_b AS b FROM jp
+              UNION SELECT id_b, id_a FROM jp),
+      reach(id, comp) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.a, r.comp FROM und u JOIN reach r ON u.b = r.id
+      ),
+      comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+      FROM documents d
+      WHERE d.text IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM comps c
+                        WHERE c.id = d.doc_id AND c.comp <> d.doc_id)
+    """
+
+
 def q_embedding_cosine_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact threshold join. Cosine
     values are excluded from the output (engines may differ in the
@@ -2074,6 +2118,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "phrase_index_counts": (q_phrase_index_counts, o_phrase_index_counts),
     "pack_documents_512": (q_pack_documents, o_pack_documents),
     "mixture_sample": (q_mixture_sample, o_mixture_sample),
+    "neardup_cluster_dedup": (q_neardup_cluster_dedup, o_neardup_cluster_dedup),
     "top_orders_by_revenue": (q_top_orders_by_revenue, o_top_orders_by_revenue),
     "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
     "orders_by_year_priority": (q_orders_by_year_priority, o_orders_by_year_priority),
@@ -2081,7 +2126,6 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "session_stats_30m_gap": (q_session_stats, o_session_stats),
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, o_ngram_jaccard_pairs),
-    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
     "embedding_cosine_pairs": (q_embedding_cosine_pairs, o_embedding_cosine_pairs),
     "quality_scores": (q_quality_scores, o_quality_scores),
     "repetition_scores": (q_repetition_scores, o_repetition_scores),
@@ -2120,6 +2164,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "events_json_stats": (q_events_json_stats, o_events_json_stats),
     "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
     "simhash16": (q_simhash, o_simhash),
+    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
 }
 
 

@@ -66,6 +66,7 @@ HEADLINE = [
     "phrase_index_counts",
     "pack_documents_512",
     "mixture_sample",
+    "neardup_cluster_dedup",
 ]
 
 

@@ -227,3 +227,69 @@ def test_ngram_jaccard_candidate_volume_bounded(spark):
     assert (1000, 1001) in {
         (r["id_a"], r["id_b"]) for r in capped_rows
     }  # genuine near-dup pair survives the cap
+
+
+def test_neardup_components_and_drop(spark):
+    from wimbd_spark.operators.neardup import (
+        drop_near_duplicates,
+        neardup_components,
+    )
+
+    # two clusters: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}; 7 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6)], ["id_a", "id_b"]
+    )
+    comps = {
+        r["id"]: r["comp"] for r in neardup_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 5, 6, 7, 9]],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"] for r in drop_near_duplicates(docs, pairs).collect()
+    )
+    assert kept == [1, 5, 7]  # representatives + unpaired
+
+
+def test_neardup_components_duckdb_recursive_oracle(spark):
+    import duckdb
+
+    from wimbd_spark.operators.neardup import neardup_components
+
+    import random
+
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(60), 2)))
+            for _ in range(50)
+        }
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        (r["id"], r["comp"]) for r in neardup_components(pairs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pairs AS SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in edges)
+        + ") t(id_a, id_b)"
+    )
+    expect = set(
+        con.sql(
+            """
+            WITH RECURSIVE und AS (
+              SELECT id_a a, id_b b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach(id, comp) AS (
+              SELECT a, a FROM und
+              UNION
+              SELECT u.a, r.comp FROM und u JOIN reach r ON u.b = r.id
+            )
+            SELECT id, min(comp) FROM reach GROUP BY id
+            """
+        ).fetchall()
+    )
+    assert got == expect

@@ -28,6 +28,8 @@ from wimbd_spark.operators.dedup import (
     overlap,
 )
 from wimbd_spark.operators.neardup import (
+    drop_near_duplicates,
+    neardup_components,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_dedup_pairs,
@@ -66,6 +68,7 @@ __all__ = [
     "contamination_rate", "decontaminate", "dedup_keep_first",
     "duplicate_stats", "find_examples", "mark_duplicates", "multi_overlap",
     "overlap",
+    "drop_near_duplicates", "neardup_components",
     "jaccard_pairs", "lsh_candidate_pairs", "minhash_dedup_pairs",
     "minhash_signatures", "simhash16", "simhash_pairs",
     "cosine_topk", "cosine_topk_lsh",

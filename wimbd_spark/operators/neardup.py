@@ -403,6 +403,89 @@ def minhash_dedup_pairs(
     return _jaccard_from_shingle_table(sh, cand, threshold)
 
 
+def neardup_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters: (id, component) where
+    component = the smallest id reachable through the pair graph.
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round takes the min of its label and its neighbors' labels;
+    convergence in O(graph diameter) rounds — near-dup clusters are
+    shallow (dup groups, template families), so a handful of rounds
+    suffices; ``max_iter`` bounds adversarial chains. Each round is
+    one join + one groupBy keyed on node id — no driver state beyond
+    the converged check. At extreme scale swap in the large-star/
+    small-star alternation (same join primitives, fewer rounds on
+    high-diameter graphs); the fixpoint semantics are identical.
+
+    Deterministic (min over an id total order) → SQL-oracle-able via a
+    recursive CTE.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    und = (
+        edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(
+                labels.select(
+                    F.col("id").alias("b"), F.col("comp").alias("_nc")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("_nc").alias("_m"))
+            .select(F.col("a").alias("id"), "_m")
+        )
+        # Eager localCheckpoint TRUNCATES LINEAGE each round — labels
+        # is referenced twice per iteration, so without truncation the
+        # logical plan doubles every round (exponential analysis cost,
+        # driver OOM by ~iteration 8 even on tiny graphs).
+        new = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("_m", F.col("comp"))
+                ).alias("_new"),
+                "comp",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.filter(F.col("_new") != F.col("comp")).count()
+        labels = new.select("id", F.col("_new").alias("comp"))
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Keep one representative per near-dup cluster (the smallest id)
+    plus every unpaired document — the decision step after
+    lsh_candidate_pairs/ngram_jaccard_pairs verification."""
+    comps = neardup_components(pairs, max_iter)
+    losers = comps.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash16(text: Column | str, shingle_n: int = 1) -> Column:
     """16-bit SimHash over distinct token shingles → BIGINT in [0, 65535].
 
