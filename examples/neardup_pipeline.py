@@ -42,4 +42,10 @@ cosine_topk(emb, emb.filter("vec_id < 5"), k=3).orderBy(
     "query_id", "rank"
 ).show()
 
+print("== pair→cluster resolution: keep one representative per cluster ==")
+from wimbd_spark.operators.neardup import drop_near_duplicates
+
+kept = drop_near_duplicates(corpus, pairs)
+print(f"cluster dedup: {corpus.count()} → {kept.count()} docs")
+
 spark.stop()
