@@ -159,3 +159,33 @@ def test_duplicate_token_phrase(spark, tmp_path):
     }
     # doc 3 "cat the cat the" contains the phrase at positions 1-3
     assert got == scan == {1, 3}
+
+
+def test_filters_parity_with_scan_path(corpus, index):
+    # the c4 subset-filter generalization: attribute filters compose
+    # with indexed hits via an id-probe semi-join
+    scan = count_documents_containing_phrases(
+        corpus, ["join"], filters={"lang": "en"}
+    )
+    idx = count_documents_containing_phrases_indexed(
+        index, ["join"], df=corpus, filters={"lang": "en"}
+    )
+    assert idx == scan
+    scan_ids = {
+        r["doc_id"]
+        for r in get_documents_containing_phrases(
+            corpus, ["join"], num_documents=None, filters={"lang": "en"}
+        ).collect()
+    }
+    idx_ids = {
+        r["doc_id"]
+        for r in get_documents_containing_phrases_indexed(
+            corpus, index, ["join"], num_documents=None,
+            filters={"lang": "en"},
+        ).collect()
+    }
+    assert idx_ids == scan_ids
+    with pytest.raises(ValueError, match="corpus df"):
+        count_documents_containing_phrases_indexed(
+            index, ["join"], filters={"lang": "en"}
+        )

@@ -176,9 +176,29 @@ def count_documents_containing_phrases_indexed(
     phrases: list[str],
     all_phrases: bool = False,
     slop: int = 0,
+    df: DataFrame | None = None,
+    filters: dict[str, str] | None = None,
+    id_col: str = "doc_id",
 ) -> int:
-    """≙ search.count_documents_containing_phrases, corpus never read."""
-    return _docs_for_query(index, phrases, all_phrases, slop).count()
+    """≙ search.count_documents_containing_phrases, corpus never
+    scanned with a phrase predicate. Attribute ``filters`` (the c4
+    subset-filter generalization) need document attributes, which the
+    postings don't carry — pass the corpus ``df`` and the hit ids are
+    semi-joined against the filtered corpus (an id-probe join, still
+    no corpus phrase scan)."""
+    hits = _docs_for_query(index, phrases, all_phrases, slop)
+    if filters:
+        if df is None:
+            raise ValueError(
+                "filters need the corpus df for document attributes"
+            )
+        out = df
+        for col, val in filters.items():
+            out = out.filter(F.col(col) == val)
+        return out.join(
+            hits.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+        ).count()
+    return hits.count()
 
 
 def get_documents_containing_phrases_indexed(
@@ -190,12 +210,16 @@ def get_documents_containing_phrases_indexed(
     slop: int = 0,
     sort_field: str | None = None,
     id_col: str = "doc_id",
+    filters: dict[str, str] | None = None,
 ) -> DataFrame:
     """≙ search.get_documents_containing_phrases: the index finds the
     hit ids, then ONE semi-join retrieves the documents — the corpus
     is probed by id, not scanned with a phrase predicate."""
     hits = _docs_for_query(index, phrases, all_phrases, slop)
-    out = df.join(
+    out = df
+    for col, val in (filters or {}).items():
+        out = out.filter(F.col(col) == val)
+    out = out.join(
         hits.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
     )
     if sort_field:
