@@ -81,3 +81,48 @@ def test_custom_token_column(spark):
         ).collect()
     }
     assert got == {1: (7, 0), 2: (5, 0)}  # starts 0 and 7 → both pack 0
+
+
+def test_packed_sequences_order_and_content(spark):
+    from wimbd_spark.operators.packing import packed_sequences
+
+    rows = [
+        (3, "third", "s0"),
+        (1, "first first", "s0"),
+        (2, "second", "s0"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    packed = pack_documents(df, budget_tokens=100)
+    out = packed_sequences(packed, sep=" | ").collect()
+    assert len(out) == 1
+    r = out[0]
+    # concatenation follows doc_id (packing) order, not arrival order
+    assert r["text"] == "first first | second | third"
+    assert r["n_docs"] == 3 and r["n_tokens"] == 4
+
+
+def test_packed_sequences_against_duckdb(spark, documents):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from wimbd_spark.operators.packing import packed_sequences
+
+    docs = documents.filter(F.col("text").isNotNull())
+    packed = pack_documents(docs, budget_tokens=512)
+    got = {
+        (r["source"], r["pack_id"]): r["text"]
+        for r in packed_sequences(packed).collect()
+    }
+    pdf = packed.select("source", "pack_id", "pack_pos", "text").toPandas()
+    con = duckdb.connect()
+    con.register("p", pdf)
+    expect = {
+        (r[0], r[1]): r[2]
+        for r in con.sql(
+            "SELECT source, pack_id, "
+            "string_agg(text, chr(10)||chr(10) ORDER BY pack_pos) "
+            "FROM p GROUP BY source, pack_id"
+        ).fetchall()
+    }
+    assert got == expect

@@ -45,7 +45,11 @@ from wimbd_spark.operators.textqc import (
     token_count,
     token_count_bpe_ish,
 )
-from wimbd_spark.operators.packing import pack_documents, pack_stats
+from wimbd_spark.operators.packing import (
+    pack_documents,
+    pack_stats,
+    packed_sequences,
+)
 from wimbd_spark.operators.windows import (
     session_stats,
     sessionize,
@@ -74,7 +78,7 @@ __all__ = [
     "cosine_topk", "cosine_topk_lsh",
     "doc_fingerprint", "langid_heuristic", "quality_scores",
     "token_count", "token_count_bpe_ish",
-    "pack_documents", "pack_stats",
+    "pack_documents", "pack_stats", "packed_sequences",
     "session_stats", "sessionize", "sliding_agg", "tumbling_agg",
     "demographic_cooccurrence", "extract_pii", "pii_counts",
     "taxonomy_counts",

@@ -84,3 +84,28 @@ def pack_stats(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def packed_sequences(
+    packed: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize packs as training sequences: one row per
+    (group, pack_id) with the member texts joined in pack_pos order →
+    (group, pack_id, n_docs, n_tokens, text). This is the artifact a
+    trainer actually reads; deterministic because the concatenation
+    order is the packing order (collect_list is unordered, so members
+    are gathered as (pack_pos, text) structs and array_sort puts them
+    back in sequence — never rely on collect_list order)."""
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("pack_pos"), F.col(text_col)))
+    )
+    return packed.groupBy(group_col, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.array_join(
+            F.transform(members, lambda m: m[text_col]), sep
+        ).alias("text"),
+    )
