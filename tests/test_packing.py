@@ -126,3 +126,23 @@ def test_packed_sequences_against_duckdb(spark, documents):
         ).fetchall()
     }
     assert got == expect
+
+
+def test_tied_order_values_pack_correctly(spark):
+    # RANGE-frame regression: ordering by a tied column must not sum
+    # peer rows into each doc's cumulative total (ROWS frame + id
+    # tie-break). Three 5-token docs tied on ts, budget 10 → first two
+    # fill pack 0, third starts pack 1.
+    rows = [
+        (1, "a a a a a", "s0", 100),
+        (2, "b b b b b", "s0", 100),
+        (3, "c c c c c", "s0", 100),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source", "ts"])
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_pos"])
+        for r in pack_documents(
+            df, budget_tokens=10, order_col="ts"
+        ).collect()
+    }
+    assert got == {1: (0, 0), 2: (0, 1), 3: (1, 0)}

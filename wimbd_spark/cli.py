@@ -156,7 +156,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--max-bucket-size", type=int, default=None,
                     help="minhash: LSH bucket cap (default: library "
                     "default, finite); jaccard: max shingle doc-freq "
-                    "(default: unlimited)")
+                    "(default: unlimited). 0 = explicitly uncapped "
+                    "for either method")
     sp.add_argument("--out", default=None, help="output parquet path")
 
     sp = sub.add_parser(
@@ -233,6 +234,20 @@ def main(argv: list[str] | None = None) -> int:
             out.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
             _emit([{"rows": n, "out": args.out}], args.output)
+            return 0
+        if args.cmd == "phrases" and args.index:
+            # indexed counts never touch the corpus — skip loading it
+            # (the whole point of the index is no corpus scan)
+            from wimbd_spark.index import (
+                count_documents_for_each_phrase_indexed,
+                load_phrase_index,
+            )
+
+            idx = load_phrase_index(spark, args.index)
+            res = count_documents_for_each_phrase_indexed(
+                idx, args.phrase, slop=args.slop
+            )
+            _emit([r.asDict() for r in res.collect()], args.output)
             return 0
         df = _load(spark, args.paths, args.limit, args.file_limit)
         t = args.text_field
@@ -373,7 +388,9 @@ def main(argv: list[str] | None = None) -> int:
                     text_col=t,
                     shingle_n=args.shingle_n,
                     threshold=args.threshold,
-                    max_shingle_freq=args.max_bucket_size,
+                    # 0 means "uncapped", matching the minhash branch —
+                    # a literal freq cap of 0 would drop every shingle
+                    max_shingle_freq=args.max_bucket_size or None,
                 )
             if args.out:
                 pairs.write.mode("overwrite").parquet(args.out)
@@ -385,9 +402,18 @@ def main(argv: list[str] | None = None) -> int:
                     args.output,
                 )
         elif args.cmd == "index-build":
+            from pyspark.sql import functions as F
+
             from wimbd_spark.index import build_phrase_index
 
             idc = args.id_col or df.columns[0]
+            if idc == t:
+                # text-only corpus: never index the text itself as the
+                # doc id (collapses duplicate docs, bloats postings)
+                df = df.withColumn(
+                    "_row", F.monotonically_increasing_id()
+                )
+                idc = "_row"
             build_phrase_index(
                 df, args.out, id_col=idc, text_col=t,
                 num_files=args.num_files,
@@ -395,24 +421,11 @@ def main(argv: list[str] | None = None) -> int:
             n = spark.read.parquet(args.out).count()
             _emit([{"postings": n, "out": args.out}], args.output)
         elif args.cmd == "phrases":
-            if args.index:
-                from wimbd_spark.index import (
-                    count_documents_for_each_phrase_indexed,
-                    load_phrase_index,
-                )
+            from wimbd_spark.search import count_documents_for_each_phrase
 
-                idx = load_phrase_index(spark, args.index)
-                res = count_documents_for_each_phrase_indexed(
-                    idx, args.phrase, slop=args.slop
-                )
-            else:
-                from wimbd_spark.search import (
-                    count_documents_for_each_phrase,
-                )
-
-                res = count_documents_for_each_phrase(
-                    df, args.phrase, slop=args.slop, text_col=t
-                )
+            res = count_documents_for_each_phrase(
+                df, args.phrase, slop=args.slop, text_col=t
+            )
             _emit([r.asDict() for r in res.collect()], args.output)
         return 0
     finally:

@@ -93,16 +93,22 @@ def streaming_phrase_index(
     periodically compact by rebuilding with build_phrase_index over
     the full corpus (same rows, one sorted file set). Returns the
     StreamingQuery.
+
+    Exactly-once: foreachBatch is at-least-once, so each batch writes
+    to its own ``batch=<epoch>`` subdirectory with overwrite — a
+    retried micro-batch replaces its previous (possibly partial)
+    output instead of appending duplicate postings. Readers see
+    ``batch`` as a partition column; the query functions ignore it.
     """
 
-    def _append(batch_df: DataFrame, _epoch: int) -> None:
+    def _append(batch_df: DataFrame, epoch: int) -> None:
         build_phrase_index(
             batch_df,
-            path,
+            f"{path}/batch={epoch}",
             id_col=id_col,
             text_col=text_col,
             num_files=num_files,
-            mode="append",
+            mode="overwrite",
         )
 
     return (

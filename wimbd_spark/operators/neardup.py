@@ -466,6 +466,20 @@ def neardup_components(
         labels = new.select("id", F.col("_new").alias("comp"))
         if changed == 0:
             break
+    else:
+        # silent non-convergence would leak duplicates: several nodes
+        # of one chain-shaped cluster would keep comp == id and all be
+        # kept as "representatives" by drop_near_duplicates
+        import warnings
+
+        warnings.warn(
+            f"neardup_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing) — component "
+            "labels are an under-merged approximation; raise max_iter "
+            "(rounds needed ≈ graph diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     und.unpersist()
     return labels
 

@@ -45,15 +45,28 @@ def pack_documents(
 
     ``n_tokens`` defaults to the engine tokenizer's count; pass a
     precomputed column (e.g. BPE counts) to pack under a model's real
-    budget. Documents longer than the budget get a pack of their own
-    (their tail would straddle; a trainer chunks those downstream).
-    ``pack_pos`` is the document's 0-based position within its pack.
+    budget. A document longer than the budget spans multiple pack
+    boundaries but is assigned wholly to the pack where its first
+    token lands (contiguous fill) — a trainer chunks any over-budget
+    pack downstream. ``pack_pos`` is the document's 0-based position
+    within its pack.
     """
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
-    order = order_col or id_col
+    # id_col tie-break + an explicit ROWS frame: the default window
+    # frame is RANGE, which sums ALL peer rows of a tied order value
+    # into each row's cumulative total — corrupting pack assignment
+    # and making pack_pos nondeterministic whenever order_col ties
+    # (e.g. ordering by a timestamp).
+    order = (
+        [F.col(order_col), F.col(id_col)] if order_col else [F.col(id_col)]
+    )
     nt = n_tokens if n_tokens is not None else token_count(F.col(text_col))
-    w = Window.partitionBy(group_col).orderBy(order)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     out = (
         df.withColumn("n_tokens", nt.cast("long"))
         .withColumn(
@@ -66,7 +79,7 @@ def pack_documents(
             ),
         )
     )
-    wp = Window.partitionBy(group_col, "pack_id").orderBy(order)
+    wp = Window.partitionBy(group_col, "pack_id").orderBy(*order)
     return (
         out.withColumn(
             "pack_pos", (F.row_number().over(wp) - 1).cast("long")

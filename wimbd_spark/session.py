@@ -119,10 +119,18 @@ def load_tables(
                     "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
                 )
             elif ts_t == "timestamp_ntz":
-                # interpret the naive wall time AS UTC → epoch matches
-                # the bigint path regardless of session timezone
+                # Interpret the naive wall time AS UTC so the epoch
+                # matches the bigint path REGARDLESS of session
+                # timezone: the NTZ→LTZ coercion renders the wall
+                # clock in the session tz S (epoch shifts by
+                # -offset(S)); from_utc_timestamp then shifts by
+                # +offset(S), cancelling it exactly — verified
+                # identical epochs under UTC / LA / Tokyo sessions.
+                # (to_utc_timestamp, or a literal "UTC", would leave
+                # the session offset in the value.)
+                tz = spark.conf.get("spark.sql.session.timeZone")
                 df = df.withColumn(
-                    "ts", F.to_utc_timestamp(F.col("ts"), "UTC")
+                    "ts", F.from_utc_timestamp(F.col("ts"), tz)
                 )
         if register_views:
             df.createOrReplaceTempView(name)

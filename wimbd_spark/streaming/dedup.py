@@ -99,12 +99,14 @@ def streaming_decontaminate(
 def streaming_quality_gate(
     docs: DataFrame,
     text_col: str = "text",
-    keep_reasons: bool = False,
     **thresholds,
 ) -> DataFrame:
     """Gopher-gate-on-ingest: keep stream docs passing every quality
     rule (textqc.gopher_quality_filter semantics, identical
-    expressions — a batch backfill agrees row-for-row).
+    expressions — a batch backfill agrees row-for-row). Surviving rows
+    by definition fired no rule, so no reasons column is emitted —
+    route the stream through gopher_quality_filter directly to inspect
+    rejected documents' drop_reasons.
 
     The gate is a pure per-row projection (STATELESS — no watermark,
     no state store), so it composes freely before the stateful dedup/
@@ -113,8 +115,10 @@ def streaming_quality_gate(
     """
     from wimbd_spark.operators.textqc import gopher_quality_filter
 
-    out = gopher_quality_filter(
-        docs, text_col=text_col, keep_reasons=True, **thresholds
-    ).filter(F.col("keep"))
-    drop = ["keep"] if keep_reasons else ["keep", "drop_reasons"]
-    return out.drop(*drop)
+    return (
+        gopher_quality_filter(
+            docs, text_col=text_col, keep_reasons=False, **thresholds
+        )
+        .filter(F.col("keep"))
+        .drop("keep")
+    )
