@@ -189,3 +189,28 @@ def test_filters_parity_with_scan_path(corpus, index):
         count_documents_containing_phrases_indexed(
             index, ["join"], filters={"lang": "en"}
         )
+
+
+def test_bucketed_table_variant(spark, corpus, tmp_path):
+    # as_table registers a bucketed catalog table over the same data;
+    # query functions work identically against spark.table(...)
+    path = str(tmp_path / "bucketed_postings")
+    build_phrase_index(
+        corpus, path, num_files=4, as_table="postings_bucketed"
+    )
+    try:
+        idx = spark.table("postings_bucketed")
+        scan = count_documents_containing_phrases(corpus, ["table scan"])
+        assert (
+            count_documents_containing_phrases_indexed(idx, ["table scan"])
+            == scan
+        )
+        # bucket spec recorded in the catalog
+        desc = spark.sql(
+            "DESCRIBE TABLE EXTENDED postings_bucketed"
+        ).collect()
+        info = {r["col_name"]: r["data_type"] for r in desc}
+        assert info.get("Num Buckets") == "4"
+        assert "token" in info.get("Bucket Columns", "")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS postings_bucketed")

@@ -47,12 +47,21 @@ def build_phrase_index(
     text_col: str = "text",
     num_files: int = 32,
     mode: str = "overwrite",
+    as_table: str | None = None,
 ) -> None:
     """Materialize the posting-list index parquet at ``path``.
 
     Schema: (token string, doc_id <as in corpus>, positions array<int>).
     Documents with NULL text contribute nothing (scan-path parity:
     every phrase predicate is False on NULL text).
+
+    ``as_table`` additionally registers the postings as a BUCKETED
+    catalog table (bucketBy token, external data at ``path``): on a
+    cluster, joins and aggregations keyed on token then read
+    pre-partitioned buckets with no exchange, and bucket pruning
+    serves token-equality lookups. The plain-path variant keeps the
+    same physical layout (hash-distributed + sorted on token) without
+    needing a metastore.
     """
     posts = (
         df.filter(F.col(text_col).isNotNull())
@@ -63,6 +72,16 @@ def build_phrase_index(
         .groupBy("token", "doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
     )
+    if as_table:
+        (
+            posts.repartition(num_files, "token")
+            .write.bucketBy(num_files, "token")
+            .sortBy("token", "doc_id")
+            .option("path", path)
+            .mode(mode)
+            .saveAsTable(as_table)
+        )
+        return
     (
         posts.repartition(num_files, "token")
         .sortWithinPartitions("token", "doc_id")
