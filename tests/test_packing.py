@@ -146,3 +146,26 @@ def test_tied_order_values_pack_correctly(spark):
         ).collect()
     }
     assert got == {1: (0, 0), 2: (0, 1), 3: (1, 0)}
+
+
+def test_order_col_without_doc_id_column(spark):
+    # order_col-only DataFrames (no doc_id) must keep working
+    rows = [("a a a", "s0", 2), ("b b b", "s0", 1)]
+    df = spark.createDataFrame(rows, ["text", "source", "seq"])
+    got = [
+        (r["seq"], r["pack_pos"])
+        for r in pack_documents(df, budget_tokens=10, order_col="seq")
+        .orderBy("seq")
+        .collect()
+    ]
+    assert got == [(1, 0), (2, 1)]  # ordered by seq, one pack
+
+
+def test_null_text_counts_zero_tokens(spark):
+    rows = [(1, None, "s0"), (2, "a b c", "s0")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["pack_id"])
+        for r in pack_documents(df, budget_tokens=10).collect()
+    }
+    assert got == {1: (0, 0), 2: (3, 0)}

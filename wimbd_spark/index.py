@@ -53,7 +53,11 @@ def build_phrase_index(
 
     Schema: (token string, doc_id <as in corpus>, positions array<int>).
     Documents with NULL text contribute nothing (scan-path parity:
-    every phrase predicate is False on NULL text).
+    every phrase predicate is False on NULL text). ``id_col`` must be
+    a real identifier column — indexing the text itself as the id
+    would collapse duplicate documents and store full texts as keys,
+    so it is rejected (synthesize a row id first, e.g.
+    ``monotonically_increasing_id``, as the CLI does).
 
     ``as_table`` additionally registers the postings as a BUCKETED
     catalog table (bucketBy token, external data at ``path``): on a
@@ -63,6 +67,12 @@ def build_phrase_index(
     same physical layout (hash-distributed + sorted on token) without
     needing a metastore.
     """
+    if id_col == text_col:
+        raise ValueError(
+            "build_phrase_index: id_col must not be the text column "
+            "(duplicate docs would collapse to one id and postings "
+            "would carry full texts); add a row-id column first"
+        )
     posts = (
         df.filter(F.col(text_col).isNotNull())
         .select(
@@ -110,8 +120,10 @@ def streaming_phrase_index(
     so results always cover all ingested batches. Each batch adds
     ``num_files`` files, which degrades token pruning over time —
     periodically compact by rebuilding with build_phrase_index over
-    the full corpus (same rows, one sorted file set). Returns the
-    StreamingQuery.
+    the full corpus into a FRESH path and repointing readers (never
+    rebuild into this path: mixing flat files with the stream's
+    ``batch=`` subdirectories makes partition discovery fail).
+    Returns the StreamingQuery.
 
     Exactly-once: foreachBatch is at-least-once, so each batch writes
     to its own ``batch=<epoch>`` subdirectory with overwrite — a
@@ -217,10 +229,9 @@ def count_documents_containing_phrases_indexed(
             raise ValueError(
                 "filters need the corpus df for document attributes"
             )
-        out = df
-        for col, val in filters.items():
-            out = out.filter(F.col(col) == val)
-        return out.join(
+        from wimbd_spark.search import apply_filters
+
+        return apply_filters(df, filters).join(
             hits.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
         ).count()
     return hits.count()
@@ -240,11 +251,10 @@ def get_documents_containing_phrases_indexed(
     """≙ search.get_documents_containing_phrases: the index finds the
     hit ids, then ONE semi-join retrieves the documents — the corpus
     is probed by id, not scanned with a phrase predicate."""
+    from wimbd_spark.search import apply_filters
+
     hits = _docs_for_query(index, phrases, all_phrases, slop)
-    out = df
-    for col, val in (filters or {}).items():
-        out = out.filter(F.col(col) == val)
-    out = out.join(
+    out = apply_filters(df, filters).join(
         hits.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
     )
     if sort_field:

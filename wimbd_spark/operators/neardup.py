@@ -422,6 +422,8 @@ def neardup_components(
     Deterministic (min over an id total order) → SQL-oracle-able via a
     recursive CTE.
     """
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     und = (
         edges.union(
@@ -467,16 +469,20 @@ def neardup_components(
         if changed == 0:
             break
     else:
-        # silent non-convergence would leak duplicates: several nodes
+        # Silent non-convergence would leak duplicates: several nodes
         # of one chain-shaped cluster would keep comp == id and all be
-        # kept as "representatives" by drop_near_duplicates
+        # kept as "representatives" by drop_near_duplicates. (If the
+        # final allowed iteration happened to apply the last change,
+        # the labels ARE the fixpoint — but that cannot be known
+        # without one more pass, so the warning stays conservative.)
         import warnings
 
         warnings.warn(
-            f"neardup_components did not converge in {max_iter} "
-            f"iterations ({changed} labels still changing) — component "
-            "labels are an under-merged approximation; raise max_iter "
-            "(rounds needed ≈ graph diameter)",
+            f"neardup_components may not have converged in {max_iter} "
+            f"iterations ({changed} labels changed in the last round) "
+            "— component labels could be an under-merged "
+            "approximation; raise max_iter (rounds needed ≈ graph "
+            "diameter)",
             RuntimeWarning,
             stacklevel=2,
         )

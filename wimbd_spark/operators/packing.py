@@ -43,9 +43,11 @@ def pack_documents(
     """Assign each document a (group, pack_id) under a token budget →
     input columns + ``n_tokens``, ``pack_id``, ``pack_pos``.
 
-    ``n_tokens`` defaults to the engine tokenizer's count; pass a
-    precomputed column (e.g. BPE counts) to pack under a model's real
-    budget. A document longer than the budget spans multiple pack
+    ``n_tokens`` defaults to the engine tokenizer's count, with NULL
+    text counted as 0 tokens (the row keeps its pack slot; its text
+    contributes nothing to packed_sequences); pass a precomputed
+    column (e.g. BPE counts) to pack under a model's real budget.
+    A document longer than the budget spans multiple pack
     boundaries but is assigned wholly to the pack where its first
     token lands (contiguous fill) — a trainer chunks any over-budget
     pack downstream. ``pack_pos`` is the document's 0-based position
@@ -57,11 +59,22 @@ def pack_documents(
     # frame is RANGE, which sums ALL peer rows of a tied order value
     # into each row's cumulative total — corrupting pack assignment
     # and making pack_pos nondeterministic whenever order_col ties
-    # (e.g. ordering by a timestamp).
-    order = (
-        [F.col(order_col), F.col(id_col)] if order_col else [F.col(id_col)]
+    # (e.g. ordering by a timestamp). The tie-break only references
+    # id_col when the column exists, so order_col-only DataFrames
+    # (no doc id) still work — but then order_col must be unique.
+    order = []
+    if order_col:
+        order.append(F.col(order_col))
+    if id_col in df.columns:
+        order.append(F.col(id_col))
+    if not order:
+        raise ValueError(
+            f"pack_documents needs an ordering: column {id_col!r} is "
+            "absent and no order_col was given"
+        )
+    nt = n_tokens if n_tokens is not None else F.coalesce(
+        token_count(F.col(text_col)), F.lit(0)
     )
-    nt = n_tokens if n_tokens is not None else token_count(F.col(text_col))
     w = (
         Window.partitionBy(group_col)
         .orderBy(*order)

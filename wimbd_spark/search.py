@@ -121,6 +121,15 @@ def build_phrase_predicate(
     return F.coalesce(out, F.lit(False))
 
 
+
+def apply_filters(df: DataFrame, filters: dict[str, str] | None) -> DataFrame:
+    """Equality attribute filters (the generalized c4 ``subset=="en"``
+    implicit filter) — the ONE place filter semantics live; scan and
+    index paths both route through it so they cannot drift."""
+    for col, val in (filters or {}).items():
+        df = df.filter(F.col(col) == val)
+    return df
+
 def count_documents_containing_phrases(
     df: DataFrame,
     phrases: list[str],
@@ -135,10 +144,7 @@ def count_documents_containing_phrases(
     pred = build_phrase_predicate(
         phrases, text_col, all_phrases, slop, is_regexp, token_aligned
     )
-    out = df
-    for col, val in (filters or {}).items():
-        out = out.filter(F.col(col) == val)
-    return out.filter(pred).count()
+    return apply_filters(df, filters).filter(pred).count()
 
 
 def get_documents_containing_phrases(
@@ -159,10 +165,7 @@ def get_documents_containing_phrases(
     pred = build_phrase_predicate(
         phrases, text_col, all_phrases, slop, is_regexp, token_aligned
     )
-    out = df
-    for col, val in (filters or {}).items():
-        out = out.filter(F.col(col) == val)
-    out = out.filter(pred)
+    out = apply_filters(df, filters).filter(pred)
     if sort_field:
         out = out.orderBy(F.col(sort_field).asc())
     if num_documents is not None:
@@ -185,9 +188,7 @@ def count_documents_for_each_phrase(
     over a SINGLE corpus scan — no batching protocol at any corpus
     size, and no shuffle (final agg of partial counts only).
     """
-    out = df
-    for col, val in (filters or {}).items():
-        out = out.filter(F.col(col) == val)
+    out = apply_filters(df, filters)
     # Tokenize once for all phrases (projected column, not re-derived
     # inside each predicate).
     out = out.select(

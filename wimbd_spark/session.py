@@ -121,17 +121,25 @@ def load_tables(
             elif ts_t == "timestamp_ntz":
                 # Interpret the naive wall time AS UTC so the epoch
                 # matches the bigint path REGARDLESS of session
-                # timezone: the NTZ→LTZ coercion renders the wall
-                # clock in the session tz S (epoch shifts by
-                # -offset(S)); from_utc_timestamp then shifts by
-                # +offset(S), cancelling it exactly — verified
-                # identical epochs under UTC / LA / Tokyo sessions.
-                # (to_utc_timestamp, or a literal "UTC", would leave
-                # the session offset in the value.)
-                tz = spark.conf.get("spark.sql.session.timeZone")
-                df = df.withColumn(
-                    "ts", F.from_utc_timestamp(F.col("ts"), tz)
+                # timezone: rebuild the epoch from tz-free wall-clock
+                # components (unix_date + hour/minute + fractional
+                # SECOND). No NTZ→LTZ coercion is involved anywhere,
+                # so there is no session-tz dependence and no DST-gap
+                # edge (a from_utc_timestamp round trip shifts by an
+                # hour for wall times inside the session timezone's
+                # DST transitions; this construct is verified
+                # identical across UTC/LA/Tokyo sessions including
+                # the 2026-03-08 02:30 nonexistent-time case).
+                ts = F.col("ts")
+                us = (
+                    F.unix_date(ts.cast("date")).cast("long")
+                    * 86_400_000_000
+                    + F.hour(ts).cast("long") * 3_600_000_000
+                    + F.minute(ts).cast("long") * 60_000_000
+                    + (F.date_part(F.lit("SECOND"), ts) * 1_000_000)
+                    .cast("long")
                 )
+                df = df.withColumn("ts", F.timestamp_micros(us))
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df
