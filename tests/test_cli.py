@@ -108,6 +108,54 @@ def test_cli_neardup_jaccard(spark, tmp_path, capsys):
     assert '"id_b": 3' not in out
 
 
+def test_cli_neardup_keep_out_resolves_clusters(spark, tmp_path, capsys):
+    # --keep-out runs the full dedup story in one command: pairs →
+    # components → keep the SMALLEST id per cluster + unpaired docs
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [5, 2, 9, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",
+                "the quick brown fox jumps over the lazy cow",
+                "something entirely different in this row",
+            ],
+        }
+    ).to_parquet(tmp_path / "docs.parquet")
+    out = str(tmp_path / "kept")
+    rows = _run(
+        capsys,
+        [
+            "neardup", str(tmp_path / "docs.parquet"),
+            "--method", "jaccard", "--threshold", "0.4",
+            "--id-col", "doc_id", "--keep-out", out,
+        ],
+    )
+    assert rows[0]["kept"] == 2 and rows[0]["dropped"] == 2
+    kept_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    # cluster {5, 2, 9} keeps exactly its smallest id (2); 3 unpaired
+    assert kept_ids == [2, 3]
+
+
+def test_cli_search_locations_id_col(capsys, tmp_path, spark):
+    # --id-col keys occurrence rows by the given unique column even
+    # when a non-unique column comes first in the schema
+    spark.createDataFrame(
+        [("src", 10, "x y"), ("src", 11, "x z")],
+        ["source", "doc_id", "text"],
+    ).coalesce(1).write.parquet(str(tmp_path / "d"))
+    rows = _run(
+        capsys,
+        ["search", str(tmp_path / "d"), "-p", "x",
+         "--locations", "--id-col", "doc_id"],
+    )
+    assert sorted(r["doc_id"] for r in rows) == [10, 11]
+
+
 def test_cli_ingest_tfrecord(spark, tmp_path, capsys):
     from wimbd_spark.cli import main
     from wimbd_spark.sources.tfrecord import write_tfrecord

@@ -253,6 +253,49 @@ def test_neardup_components_and_drop(spark):
     assert kept == [1, 5, 7]  # representatives + unpaired
 
 
+def test_neardup_components_chain_converges_logarithmically(spark):
+    # A chain of diameter 64 is the worst case for plain min-label
+    # propagation (64 rounds); pointer doubling must converge in
+    # O(log2 d) rounds. This pins the round count, not just the answer.
+    import math
+
+    from wimbd_spark.operators.neardup import neardup_components
+
+    d = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(d)], ["id_a", "id_b"]
+    )
+    stats: dict = {}
+    comps = {
+        r["id"]: r["comp"]
+        for r in neardup_components(pairs, max_iter=30, stats=stats).collect()
+    }
+    assert comps == {i: 0 for i in range(d + 1)}
+    assert stats["converged"]
+    assert stats["rounds"] <= math.ceil(math.log2(d)) + 3, stats
+
+
+def test_neardup_components_reliable_checkpoint(spark, tmp_path):
+    # checkpoint_dir= swaps executor-local lineage truncation for
+    # reliable checkpoint files (the cluster-failure-safe mode); the
+    # answer is identical and checkpoint data lands in the directory.
+    import os
+
+    from wimbd_spark.operators.neardup import neardup_components
+
+    ckpt = str(tmp_path / "ckpt")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    comps = {
+        r["id"]: r["comp"]
+        for r in neardup_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "reliable checkpoint wrote no files"
+
+
 def test_neardup_components_duckdb_recursive_oracle(spark):
     import duckdb
 

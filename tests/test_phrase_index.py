@@ -161,6 +161,72 @@ def test_duplicate_token_phrase(spark, tmp_path):
     assert got == scan == {1, 3}
 
 
+_VOCAB = [
+    "join", "hash", "row", "batch", "scan", "customer", "column",
+    "filter", "small", "slow", "merge", "order", "vector", "table",
+]
+
+
+def _batch_phrases():
+    # 100+ phrases: unigrams, bigram cross-product, trigrams, absent
+    out = list(_VOCAB)
+    out += [f"{a} {b}" for a in _VOCAB[:10] for b in _VOCAB[:10] if a != b]
+    out += ["zzz missing phrase", "table scan merge"]
+    return out
+
+
+def test_batched_counts_match_scan_path(spark, corpus, index):
+    phrases = _batch_phrases()
+    assert len(phrases) >= 100
+    scan = {
+        r["phrase"]: r["count"]
+        for r in count_documents_for_each_phrase(corpus, phrases).collect()
+    }
+    idx = {
+        r["phrase"]: r["count"]
+        for r in count_documents_for_each_phrase_indexed(
+            index, phrases
+        ).collect()
+    }
+    assert idx == scan
+    assert idx["zzz missing phrase"] == 0
+
+
+def test_batch_plan_constant_in_phrase_count(index):
+    # The msearch-batching guarantee: a 100-phrase batch compiles to
+    # the SAME plan shape as a 3-phrase batch — no per-phrase joins,
+    # no union trees (the old implementation had O(P) of both).
+    few = count_documents_for_each_phrase_indexed(index, _batch_phrases()[:3])
+    many = count_documents_for_each_phrase_indexed(index, _batch_phrases())
+
+    def shape(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return (plan.count("Join"), plan.count("Union"))
+
+    assert shape(few) == shape(many)
+    joins, unions = shape(many)
+    assert joins <= 4 and unions == 0
+
+
+def test_batch_job_count_constant(spark, index):
+    # O(1) Spark jobs for a 100-phrase batch (vs the old O(P) driver
+    # loop): job count for 100 phrases ≈ job count for 3.
+    sc = spark.sparkContext
+
+    def jobs_for(phrases, group):
+        sc.setJobGroup(group, group)
+        try:
+            count_documents_for_each_phrase_indexed(index, phrases).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    few = jobs_for(_batch_phrases()[:3], "pb_few")
+    many = jobs_for(_batch_phrases(), "pb_many")
+    # AQE re-optimization may add a bounded number of jobs, never O(P)
+    assert many <= few + 2
+
+
 def test_filters_parity_with_scan_path(corpus, index):
     # the c4 subset-filter generalization: attribute filters compose
     # with indexed hits via an id-probe semi-join

@@ -106,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="emit one row per occurrence with its exact "
                     "span (≙ wimbd search MatchLocation output)")
     sp.add_argument("--limit-per-pattern", type=int, default=None)
+    sp.add_argument("--id-col", default=None,
+                    help="known-unique doc id column to key location "
+                    "rows by (default: a synthesized per-row id — the "
+                    "first data column is NOT assumed unique)")
 
     sp = sub.add_parser("stats", help="corpus summary stats")
     common(sp)
@@ -159,6 +163,15 @@ def main(argv: list[str] | None = None) -> int:
                     "(default: unlimited). 0 = explicitly uncapped "
                     "for either method")
     sp.add_argument("--out", default=None, help="output parquet path")
+    sp.add_argument("--keep-out", default=None,
+                    help="RESOLVE pairs into clusters and write the "
+                    "deduplicated corpus (smallest-id representative "
+                    "per cluster + all unpaired docs) to this parquet "
+                    "path — the end-to-end 'dedup my corpus' verb")
+    sp.add_argument("--checkpoint-dir", default=None,
+                    help="durable checkpoint dir for the cluster-"
+                    "resolution iterations (pass on real clusters; "
+                    "default uses executor-local checkpoints)")
 
     sp = sub.add_parser(
         "index-build",
@@ -271,14 +284,28 @@ def main(argv: list[str] | None = None) -> int:
                     search_regex_locations,
                 )
 
-                idc = df.columns[0]
-                res = search_regex_locations(
-                    df.withColumn("_row", F.monotonically_increasing_id()),
-                    args.pattern,
-                    text_col=t,
-                    id_cols=("_row",) if idc == t else (idc,),
-                    limit_per_pattern=args.limit_per_pattern,
-                )
+                # key rows by an EXPLICIT unique id column, else by a
+                # synthesized row id — never by "whatever column is
+                # first" (a non-unique first column like `source` would
+                # make occurrence rows indistinguishable across docs)
+                if args.id_col:
+                    res = search_regex_locations(
+                        df,
+                        args.pattern,
+                        text_col=t,
+                        id_cols=(args.id_col,),
+                        limit_per_pattern=args.limit_per_pattern,
+                    )
+                else:
+                    res = search_regex_locations(
+                        df.withColumn(
+                            "_row", F.monotonically_increasing_id()
+                        ),
+                        args.pattern,
+                        text_col=t,
+                        id_cols=("_row",),
+                        limit_per_pattern=args.limit_per_pattern,
+                    )
             else:
                 from wimbd_spark.operators.count import (
                     search_regex_counts,
@@ -392,7 +419,27 @@ def main(argv: list[str] | None = None) -> int:
                     # a literal freq cap of 0 would drop every shingle
                     max_shingle_freq=args.max_bucket_size or None,
                 )
-            if args.out:
+            if args.keep_out:
+                from wimbd_spark.operators.neardup import (
+                    drop_near_duplicates,
+                )
+
+                kept = drop_near_duplicates(
+                    df, pairs, id_col=idc,
+                    checkpoint_dir=args.checkpoint_dir,
+                )
+                kept.write.mode("overwrite").parquet(args.keep_out)
+                kept_n = spark.read.parquet(args.keep_out).count()
+                total = df.count()
+                _emit(
+                    [{
+                        "kept": kept_n,
+                        "dropped": total - kept_n,
+                        "out": args.keep_out,
+                    }],
+                    args.output,
+                )
+            elif args.out:
                 pairs.write.mode("overwrite").parquet(args.out)
                 n = spark.read.parquet(args.out).count()
                 _emit([{"pairs": n, "out": args.out}], args.output)

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wimbd_spark.functions.text import tokenize
+from wimbd_spark.search import analyze_phrase
 
 
 def build_phrase_index(
@@ -150,22 +151,87 @@ def streaming_phrase_index(
     )
 
 
-def _greedy_window_cond(pos_cols: list[Column], L: int, slop: int) -> Column:
-    """EXISTS q1 ∈ P1: chaining qi = min{p ∈ Pi : p > q(i-1)} reaches
-    qL with qL − q1 ≤ L + slop − 1 (the scan path's window matcher)."""
-    W = L + slop
+def _greedy_window_cond_map(pm: Column, L: Column, slop: int) -> Column:
+    """EXISTS q1 ∈ pm[0]: chaining qi = min{p ∈ pm[i] : p > q(i-1)}
+    reaches q(L-1) with q(L-1) − q1 ≤ L + slop − 1 — the scan path's
+    window matcher, evaluated over a per-(phrase, doc) MAP of
+    slot → positions so ONE expression serves phrases of any length
+    (the chain runs via ``aggregate`` over sequence(1, L-1) instead of
+    per-phrase unrolled joins)."""
 
     def attempt(q1: Column) -> Column:
-        q = q1
-        for i in range(1, L):
-            # bind the current q via a closure factory — lambdas capture
-            # by reference and q is reassigned each step
-            q = F.array_min(
-                F.filter(pos_cols[i], (lambda prev: lambda p: p > prev)(q))
-            )
-        return q.isNotNull() & ((q - q1) <= (W - 1))
+        q = F.aggregate(
+            F.sequence(F.lit(1), L - F.lit(1)),
+            q1,
+            lambda acc, i: F.array_min(
+                F.filter(F.element_at(pm, i), lambda p: p > acc)
+            ),
+        )
+        return q.isNotNull() & ((q - q1) <= (L + F.lit(slop) - F.lit(1)))
 
-    return F.exists(pos_cols[0], attempt)
+    # CASE WHEN evaluates lazily, so sequence(1, 0) (which Spark would
+    # render as a DESCENDING [1, 0]) is never built for unigram phrases
+    return F.when(L == F.lit(1), F.lit(True)).otherwise(
+        F.exists(F.element_at(pm, F.lit(0)), attempt)
+    )
+
+
+def phrase_matches_batch(
+    index: DataFrame, phrases: list[str], slop: int = 0
+) -> DataFrame:
+    """(pid, doc_id) for every phrase (``pid`` = position in
+    ``phrases``) and every matching document — ONE job regardless of
+    batch size, the DataFrame analogue of the reference's 500-phrase
+    msearch batching (wimbd/es/__init__.py:269-345, batch_size=:287).
+
+    Physical shape, independent of len(phrases):
+    1. postings filtered ONCE to the union of all query tokens (an
+       ``isin`` predicate pushed to the parquet scan);
+    2. one broadcast join against the tiny (token, pid, slot, L) query
+       table fans each posting out to the phrase slots that need it;
+    3. one groupBy (pid, doc_id) gathers slot → positions as a map;
+    4. every phrase's greedy-window condition evaluates as a single
+       column expression over that map (_greedy_window_cond_map).
+    A 500-phrase contamination sweep is therefore the same 2-shuffle
+    plan as a 2-phrase lookup — no per-phrase plan nodes, no union
+    trees, no driver loop.
+    """
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    spark = index.sparkSession
+    rows: list[tuple[int, int, str, int]] = []
+    tokens: set[str] = set()
+    for pid, phrase in enumerate(phrases):
+        ptoks = analyze_phrase(phrase)
+        if not ptoks:
+            raise ValueError("phrase must be non-empty")
+        for slot, t in enumerate(ptoks):
+            rows.append((pid, slot, t, len(ptoks)))
+            tokens.add(t)
+    qdf = spark.createDataFrame(
+        rows, schema="pid int, slot int, token string, L int"
+    )
+    posts = index
+    # the isin prefilter is what reaches the parquet scan (row-group
+    # pruning on the token-sorted files); past ~10k distinct tokens the
+    # predicate stops paying and the broadcast join alone filters
+    if len(tokens) <= 10_000:
+        posts = posts.filter(F.col("token").isin(sorted(tokens)))
+    per = (
+        posts.join(F.broadcast(qdf), "token")
+        .groupBy("pid", "doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("slot"), F.col("positions")))
+            ).alias("_pm"),
+            F.first("L").alias("_L"),
+        )
+        # all L slots present (slots are distinct per pid, so map size
+        # counts matched slots), then the positional window check
+        .filter(F.size("_pm") == F.col("_L"))
+        .filter(_greedy_window_cond_map(F.col("_pm"), F.col("_L"), slop))
+    )
+    return per.select("pid", "doc_id")
 
 
 def phrase_matching_docs(
@@ -173,24 +239,7 @@ def phrase_matching_docs(
 ) -> DataFrame:
     """Distinct doc_ids whose text matches the phrase (token-aligned,
     windowed slop) — computed from postings only."""
-    ptoks = phrase.split()
-    if not ptoks:
-        raise ValueError("phrase must be non-empty")
-    L = len(ptoks)
-    sides = [
-        index.filter(F.col("token") == t).select(
-            "doc_id", F.col("positions").alias(f"_p{i}")
-        )
-        for i, t in enumerate(ptoks)
-    ]
-    cur = sides[0]
-    for s in sides[1:]:
-        cur = cur.join(s, "doc_id")
-    if L > 1:
-        cur = cur.filter(
-            _greedy_window_cond([F.col(f"_p{i}") for i in range(L)], L, slop)
-        )
-    return cur.select("doc_id")
+    return phrase_matches_batch(index, [phrase], slop).select("doc_id")
 
 
 def _docs_for_query(
@@ -201,11 +250,18 @@ def _docs_for_query(
 ) -> DataFrame:
     if not phrases:
         raise ValueError("phrases must be non-empty")
-    sets = [phrase_matching_docs(index, p, slop) for p in phrases]
-    cur = sets[0]
-    for s in sets[1:]:
-        cur = cur.intersect(s) if all_phrases else cur.union(s)
-    return cur.distinct()
+    m = phrase_matches_batch(index, phrases, slop)
+    if all_phrases and len(phrases) > 1:
+        # AND = docs matching every pid; duplicate phrases get distinct
+        # pids that match identical doc sets, so the count still reaches
+        # len(phrases) exactly on full matches
+        return (
+            m.groupBy("doc_id")
+            .agg(F.countDistinct("pid").alias("_np"))
+            .filter(F.col("_np") == len(phrases))
+            .select("doc_id")
+        )
+    return m.select("doc_id").distinct()
 
 
 def count_documents_containing_phrases_indexed(
@@ -270,21 +326,44 @@ def count_documents_for_each_phrase_indexed(
     slop: int = 0,
 ) -> DataFrame:
     """≙ search.count_documents_for_each_phrase → (phrase, count),
-    answered per phrase from postings (AND-groups intersect)."""
-    rows = []
-    for p in phrases:
-        group = p if isinstance(p, list) else [p]
-        name = " AND ".join(group)
-        docs = _docs_for_query(index, group, True, slop)
-        rows.append(
-            docs.agg(F.count(F.lit(1)).alias("count")).select(
-                F.lit(name).alias("phrase"), F.col("count")
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("phrase")
+    ALL phrases answered in one batched pass over the postings
+    (phrase_matches_batch); AND-groups require a doc to match every
+    member phrase. Zero-hit phrases report 0, like ES msearch. The
+    plan size is constant in the number of phrases — the reference's
+    batch_size=500 workloads (wimbd/es/__init__.py:269-345) compile to
+    the same 3-shuffle job as a 2-phrase call."""
+    groups = [p if isinstance(p, list) else [p] for p in phrases]
+    names = [" AND ".join(g) for g in groups]
+    flat: list[str] = []
+    pid_gid: list[tuple[int, int]] = []
+    for gid, g in enumerate(groups):
+        if not g:
+            raise ValueError("phrase group must be non-empty")
+        for ph in g:
+            pid_gid.append((len(flat), gid))
+            flat.append(ph)
+    spark = index.sparkSession
+    m = phrase_matches_batch(index, flat, slop)
+    pid2gid = spark.createDataFrame(pid_gid, schema="pid int, gid int")
+    gmeta = spark.createDataFrame(
+        [(gid, len(g), names[gid]) for gid, g in enumerate(groups)],
+        schema="gid int, nm int, phrase string",
+    )
+    counts = (
+        m.join(F.broadcast(pid2gid), "pid")
+        .groupBy("gid", "doc_id")
+        .agg(F.countDistinct("pid").alias("_np"))
+        .join(F.broadcast(gmeta.select("gid", "nm")), "gid")
+        .filter(F.col("_np") == F.col("nm"))
+        .groupBy("gid")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return (
+        gmeta.select("gid", "phrase")
+        .join(counts, "gid", "left")
+        .select("phrase", F.coalesce("count", F.lit(0)).alias("count"))
+        .orderBy("phrase")
+    )
 
 
 def count_total_occurrences_of_unigrams_indexed(

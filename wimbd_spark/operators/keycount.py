@@ -56,7 +56,10 @@ def sample_by_hash(
     from wimbd_spark.functions.text import hash32
 
     k = F.col(key) if isinstance(key, str) else key
-    return df.filter(hash32(k) % denom < int(fraction * denom))
+    # round, not floor: int() floors float error downward (0.29 * 1e6
+    # == 289999.99999..., flooring to 289999 — a rate undershoot an
+    # exact-threshold oracle would flag)
+    return df.filter(hash32(k) % denom < round(fraction * denom))
 
 
 def mixture_sample(
@@ -99,8 +102,10 @@ def mixture_sample(
     def copies_for(w: float):
         whole = int(w)
         frac = w - whole
+        # round, not floor — see sample_by_hash: int(0.29 * 1e6) is
+        # 289999, a one-in-a-million undershoot of the nominal weight
         n = F.lit(whole) + F.when(
-            gate < int(frac * denom), F.lit(1)
+            gate < round(frac * denom), F.lit(1)
         ).otherwise(F.lit(0))
         return n
 

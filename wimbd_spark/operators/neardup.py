@@ -404,26 +404,59 @@ def minhash_dedup_pairs(
 
 
 def neardup_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+    check_every: int = 2,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into clusters: (id, component) where
     component = the smallest id reachable through the pair graph.
 
-    Min-label propagation: every node starts labeled with its own id;
-    each round takes the min of its label and its neighbors' labels;
-    convergence in O(graph diameter) rounds — near-dup clusters are
-    shallow (dup groups, template families), so a handful of rounds
-    suffices; ``max_iter`` bounds adversarial chains. Each round is
-    one join + one groupBy keyed on node id — no driver state beyond
-    the converged check. At extreme scale swap in the large-star/
-    small-star alternation (same join primitives, fewer rounds on
-    high-diameter graphs); the fixpoint semantics are identical.
+    Min-label propagation WITH POINTER DOUBLING (path compression):
+    every node starts labeled with its own id; each round (a) takes
+    the min of its label and its neighbors' labels — the propagate
+    step — then (b) replaces its label with its label's label — the
+    compress step, the alternating-min/star-contraction idea. The
+    reachable-min horizon roughly doubles per round, so a chain of
+    diameter d converges in O(log d) rounds instead of the O(d) of
+    plain propagation (verified by the chain fixture in test_neardup).
+    Labels only ever decrease toward the component minimum and always
+    hold a member id, so the fixpoint is exactly min-reachable-id;
+    ``max_iter`` bounds adversarial graphs.
+
+    Scale/reliability controls (the 100 TB knobs):
+    - ``checkpoint_dir``: when set, per-round lineage truncation uses
+      RELIABLE ``checkpoint()`` into that directory (HDFS/object store
+      on a cluster) instead of ``localCheckpoint()``. Local checkpoint
+      blocks live on executors and die with them — a known failure
+      trap for iterative jobs on real clusters; pass a durable path
+      for any cluster run. Default (None) keeps the cheap local mode
+      for single-node/interactive use.
+    - ``check_every``: the convergence test (a count() action) runs
+      every this-many rounds rather than every round, halving-or-
+      better the driver-action count; the final round always checks.
 
     Deterministic (min over an id total order) → SQL-oracle-able via a
     recursive CTE.
     """
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
+    if check_every < 1:
+        raise ValueError("check_every must be >= 1")
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        # Lineage truncation each round is mandatory either way: labels
+        # is referenced several times per iteration, so without it the
+        # logical plan doubles every round (exponential analysis cost,
+        # driver OOM by ~iteration 8 even on tiny graphs).
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     und = (
         edges.union(
@@ -437,7 +470,11 @@ def neardup_components(
         .distinct()
         .withColumn("comp", F.col("id"))
     )
-    for _ in range(max_iter):
+    rounds = 0
+    converged = False
+    while rounds < max_iter:
+        rounds += 1
+        # (a) propagate: comp'(u) = min(comp(u), min over nbrs comp(v))
         nbr_min = (
             und.join(
                 labels.select(
@@ -449,44 +486,47 @@ def neardup_components(
             .agg(F.min("_nc").alias("_m"))
             .select(F.col("a").alias("id"), "_m")
         )
-        # Eager localCheckpoint TRUNCATES LINEAGE each round — labels
-        # is referenced twice per iteration, so without truncation the
-        # logical plan doubles every round (exponential analysis cost,
-        # driver OOM by ~iteration 8 even on tiny graphs).
-        new = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce("_m", F.col("comp"))
-                ).alias("_new"),
-                "comp",
-            )
-            .localCheckpoint(eager=True)
+        prop = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("_m", F.col("comp"))).alias(
+                "_p"
+            ),
+            F.col("comp").alias("_old"),
         )
-        changed = new.filter(F.col("_new") != F.col("comp")).count()
+        # (b) compress: comp''(u) = comp'(comp'(u)) — labels always
+        # hold member ids, so the mapping join is total (left+coalesce
+        # is belt and braces)
+        mapping = prop.select(
+            F.col("id").alias("_p"), F.col("_p").alias("_pp")
+        )
+        new = _truncate(
+            prop.join(mapping, "_p", "left").select(
+                "id", F.coalesce("_pp", "_p").alias("_new"), "_old"
+            )
+        )
         labels = new.select("id", F.col("_new").alias("comp"))
-        if changed == 0:
-            break
-    else:
+        if rounds % check_every == 0 or rounds == max_iter:
+            if new.filter(F.col("_new") != F.col("_old")).count() == 0:
+                converged = True
+                break
+    if not converged and rounds >= max_iter:
         # Silent non-convergence would leak duplicates: several nodes
         # of one chain-shaped cluster would keep comp == id and all be
-        # kept as "representatives" by drop_near_duplicates. (If the
-        # final allowed iteration happened to apply the last change,
-        # the labels ARE the fixpoint — but that cannot be known
-        # without one more pass, so the warning stays conservative.)
+        # kept as "representatives" by drop_near_duplicates.
         import warnings
 
         warnings.warn(
             f"neardup_components may not have converged in {max_iter} "
-            f"iterations ({changed} labels changed in the last round) "
-            "— component labels could be an under-merged "
-            "approximation; raise max_iter (rounds needed ≈ graph "
-            "diameter)",
+            "rounds — component labels could be an under-merged "
+            "approximation; raise max_iter (rounds needed ≈ "
+            "log2(graph diameter) + a small constant)",
             RuntimeWarning,
             stacklevel=2,
         )
     und.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels
 
 
@@ -495,11 +535,14 @@ def drop_near_duplicates(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Keep one representative per near-dup cluster (the smallest id)
     plus every unpaired document — the decision step after
-    lsh_candidate_pairs/ngram_jaccard_pairs verification."""
-    comps = neardup_components(pairs, max_iter)
+    lsh_candidate_pairs/ngram_jaccard_pairs verification. Pass
+    ``checkpoint_dir`` (durable path) on cluster runs — see
+    neardup_components."""
+    comps = neardup_components(pairs, max_iter, checkpoint_dir=checkpoint_dir)
     losers = comps.filter(F.col("comp") != F.col("id")).select(
         F.col("id").alias(id_col)
     )

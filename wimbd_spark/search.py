@@ -38,6 +38,25 @@ from pyspark.sql import functions as F
 from wimbd_spark.functions.text import tokenize
 
 
+def analyze_phrase(phrase: str) -> list[str]:
+    """Tokenize a QUERY phrase exactly like the engine's default
+    document tokenizer (``tokenize``: split on whitespace runs, drop
+    empties) — the analyzer-parity rule ES applies to match_phrase
+    (query analyzed with the index's analyzer). ``str.split()`` IS that
+    tokenizer for driver-side strings; both the scan path and the
+    posting-list index route through this one function so query and
+    document tokenization cannot drift.
+
+    Documented contract (diverges from the reference's ES analyzer):
+    documents and phrases are BOTH whitespace-tokenized, so punctuation
+    stays attached — "hello, world" matches the text "hello, world"
+    but not "hello world". ES's standard analyzer strips punctuation
+    from both sides; pre-normalize phrases (and the corpus) if you
+    need that behavior.
+    """
+    return phrase.split()
+
+
 def _phrase_window_match(tokens: Column, phrase: str, slop: int = 0) -> Column:
     """True iff phrase tokens appear in order within some window of
     len(phrase)+slop consecutive tokens (ES match_phrase+slop intent).
@@ -45,7 +64,7 @@ def _phrase_window_match(tokens: Column, phrase: str, slop: int = 0) -> Column:
     Pure SQL: for each window start, scan the window with `aggregate`,
     advancing a matched-prefix counter — no UDF, codegen-friendly.
     """
-    ptoks = phrase.split()
+    ptoks = analyze_phrase(phrase)
     L = len(ptoks)
     W = L + slop
     if L == 0:
@@ -108,7 +127,7 @@ def build_phrase_predicate(
         toks = tokens if tokens is not None else tokenize(text)
         preds = []
         for p in phrases:
-            longest = max(p.split(), key=len, default="")
+            longest = max(analyze_phrase(p), key=len, default="")
             preds.append(
                 F.coalesce(text.contains(longest), F.lit(False))
                 & _phrase_window_match(toks, p, slop)
