@@ -67,6 +67,13 @@ HEADLINE = [
     "pack_documents_512",
     "mixture_sample",
     "neardup_cluster_dedup",
+    # r4 additions: batched indexed phrase counting (122 phrases, one
+    # pass) and the auto-sized LSH default path. NOTE the phrase index
+    # build is memoized per (process, sf_dir) as of r4 — the first
+    # indexed query pays the build, later ones measure query-only,
+    # mirroring real build-once/query-many usage.
+    "phrase_batch_counts",
+    "embedding_cosine_pairs_lsh_auto",
 ]
 
 

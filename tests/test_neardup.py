@@ -268,9 +268,12 @@ def test_neardup_components_chain_converges_logarithmically(spark):
     stats: dict = {}
     comps = {
         r["id"]: r["comp"]
-        for r in neardup_components(pairs, max_iter=30, stats=stats).collect()
+        for r in neardup_components(
+            pairs, max_iter=30, stats=stats, local_edge_limit=0
+        ).collect()
     }
     assert comps == {i: 0 for i in range(d + 1)}
+    assert stats["mode"] == "distributed"
     assert stats["converged"]
     assert stats["rounds"] <= math.ceil(math.log2(d)) + 3, stats
 
@@ -289,11 +292,59 @@ def test_neardup_components_reliable_checkpoint(spark, tmp_path):
     )
     comps = {
         r["id"]: r["comp"]
-        for r in neardup_components(pairs, checkpoint_dir=ckpt).collect()
+        for r in neardup_components(
+            pairs, checkpoint_dir=ckpt, local_edge_limit=0
+        ).collect()
     }
     assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
     found = [f for _, _, fs in os.walk(ckpt) for f in fs]
     assert found, "reliable checkpoint wrote no files"
+
+
+def test_neardup_components_local_matches_distributed(spark):
+    # the size-adaptive driver union-find and the distributed iteration
+    # must produce identical labels on the same random graph
+    import random
+
+    from wimbd_spark.operators.neardup import neardup_components
+
+    rng = random.Random(11)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(80), 2))) for _ in range(70)}
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    stats_l: dict = {}
+    local = {
+        (r["id"], r["comp"])
+        for r in neardup_components(pairs, stats=stats_l).collect()
+    }
+    dist = {
+        (r["id"], r["comp"])
+        for r in neardup_components(pairs, local_edge_limit=0).collect()
+    }
+    assert stats_l["mode"] == "local-union-find"
+    assert local == dist
+
+
+def test_ngram_jaccard_prefix_filter_matches_plain(spark, documents):
+    # AllPairs prefix filtering is exact: identical pairs + values
+    from wimbd_spark.operators.neardup import ngram_jaccard_pairs
+
+    docs = documents.select("doc_id", "text").filter("text is not null")
+    for t in (0.3, 0.5, 0.8):
+        plain = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(
+                docs, threshold=t, prefix_filter=False
+            ).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(
+                docs, threshold=t, prefix_filter=True
+            ).collect()
+        }
+        assert pref == plain and len(plain) > 0, t
 
 
 def test_neardup_components_duckdb_recursive_oracle(spark):

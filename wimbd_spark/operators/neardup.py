@@ -304,6 +304,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.2,
     max_shingle_freq: int | None = None,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs, self-contained: every pair
     with shingle-set Jaccard ≥ ``threshold`` → (id_a, id_b, jaccard).
@@ -321,8 +322,63 @@ def ngram_jaccard_pairs(
     corpus-scale run pass RECOMMENDED_MAX_SHINGLE_FREQ (see its note —
     the skew fixture in test_neardup measures the candidate-volume
     difference).
+
+    ``prefix_filter`` enables the AllPairs/PPJoin prefix optimization
+    (exact, complete recall — a classic set-similarity-join result):
+    a pair with Jaccard ≥ τ must share a shingle in each side's first
+    |x| − ⌈τ|x|⌉ + 1 sorted shingles, so the candidate self-join
+    explodes only that prefix (join volume shrinks ~(1−τ)² plus a
+    size-ratio cut) and exact Jaccard verifies just the candidates.
+    Default None = auto: on for τ ≥ 0.3 with no ``max_shingle_freq``
+    (where the prefix pays for the verification join), off otherwise;
+    both paths return identical rows.
     """
     sh = _shingle_table(df, id_col, text_col, shingle_n)
+    if prefix_filter is None:
+        prefix_filter = max_shingle_freq is None and threshold >= 0.3
+    if prefix_filter:
+        if max_shingle_freq is not None:
+            raise ValueError(
+                "prefix_filter composes with the full shingle space; "
+                "use max_shingle_freq with prefix_filter=False"
+            )
+        if threshold <= 0:
+            raise ValueError("prefix_filter requires threshold > 0")
+        from pyspark import StorageLevel
+
+        # sh feeds candidate generation AND both verification sides
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        # ⌈τn⌉ with a downward epsilon so float error can only LENGTHEN
+        # the prefix (shortening it would break complete recall)
+        pref = sh.select(
+            F.col(id_col).alias("_id"),
+            F.size("hs").alias("_n"),
+            F.posexplode("hs").alias("_pos", "_h"),
+        ).filter(
+            F.col("_pos")
+            < F.col("_n")
+            - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9))
+            + 1
+        )
+        a = pref.select(
+            F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_h"
+        )
+        b = pref.select(
+            F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_h"
+        )
+        # size-ratio filter: J ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ
+        # (epsilon keeps boundary-ratio pairs in)
+        cand = (
+            a.join(b, "_h")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("_nb") * threshold <= F.col("_na") + F.lit(1e-9))
+                & (F.col("_na") * threshold <= F.col("_nb") + F.lit(1e-9))
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return _jaccard_from_shingle_table(sh, cand, threshold)
     ex = sh.select(
         F.col(id_col).alias("_id"),
         F.size("hs").alias("_n"),
@@ -403,12 +459,53 @@ def minhash_dedup_pairs(
     return _jaccard_from_shingle_table(sh, cand, threshold)
 
 
+#: Edge-count threshold below which neardup_components resolves the
+#: graph on the driver (union-find) instead of iterating distributed
+#: jobs. The broadcast-join analogue for graphs: 2M edges is tens of
+#: MB on the driver and resolves in milliseconds, where the
+#: distributed iteration pays multiple shuffle rounds of fixed
+#: overhead. Deciding costs one count() of the (persisted) pairs —
+#: work every consumer of the labels pays anyway.
+DEFAULT_LOCAL_EDGE_LIMIT = 2_000_000
+
+
+def _local_union_find(edges: list) -> list[tuple]:
+    """Driver-side union-find with path compression; returns
+    (id, min-reachable-id) rows — identical semantics to the
+    distributed iteration."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    nodes = set()
+    for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
+    comp_min: dict = {}
+    for n in nodes:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return [(n, comp_min[find(n)]) for n in sorted(nodes)]
+
+
 def neardup_components(
     pairs: DataFrame,
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
     check_every: int = 2,
     stats: dict | None = None,
+    local_edge_limit: int | None = DEFAULT_LOCAL_EDGE_LIMIT,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into clusters: (id, component) where
     component = the smallest id reachable through the pair graph.
@@ -437,6 +534,16 @@ def neardup_components(
       every this-many rounds rather than every round, halving-or-
       better the driver-action count; the final round always checks.
 
+    Size-adaptive execution (``local_edge_limit``): near-dup pair sets
+    are usually SMALL relative to the corpus (that is the point of
+    near-dup thresholds), so when the edge count is at or below the
+    limit the graph is collected and resolved with driver union-find —
+    milliseconds instead of several shuffle rounds, exactly the
+    broadcast-small-side rule applied to graphs. Above the limit (or
+    with ``local_edge_limit=None``/0) the distributed iteration runs;
+    a 10⁹-edge graph never touches the driver. Both modes produce
+    identical labels.
+
     Deterministic (min over an id total order) → SQL-oracle-able via a
     recursive CTE.
     """
@@ -447,6 +554,37 @@ def neardup_components(
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    id_type = pairs.schema["id_a"].dataType
+    if local_edge_limit:
+        from pyspark import StorageLevel
+        from pyspark.sql.types import StructField, StructType
+
+        p2 = pairs.select("id_a", "id_b").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            if p2.count() <= local_edge_limit:
+                rows = _local_union_find(
+                    [(r[0], r[1]) for r in p2.collect()]
+                )
+                if stats is not None:
+                    stats["rounds"] = 0
+                    stats["converged"] = True
+                    stats["mode"] = "local-union-find"
+                schema = StructType(
+                    [
+                        StructField("id", id_type, False),
+                        StructField("comp", id_type, False),
+                    ]
+                )
+                return spark.createDataFrame(rows, schema)
+            pairs = p2  # big graph: iterate from the cached pairs
+        finally:
+            if pairs is not p2:
+                p2.unpersist()
+    if stats is not None:
+        stats["mode"] = "distributed"
 
     def _truncate(df: DataFrame) -> DataFrame:
         # Lineage truncation each round is mandatory either way: labels
@@ -524,6 +662,8 @@ def neardup_components(
             stacklevel=2,
         )
     und.unpersist()
+    if local_edge_limit:
+        pairs.unpersist()  # the cached p2 of the big-graph branch
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
