@@ -1,5 +1,7 @@
 """Structured Streaming demo: event files arriving as micro-batches →
-watermarked tumbling counts + session windows, printed per trigger.
+watermarked tumbling counts + session windows, printed per trigger;
+then an incrementally-maintained phrase index with generation
+compaction.
 
 Run: python examples/streaming_demo.py
 """
@@ -65,4 +67,53 @@ q2.processAllAvailable()
 
 q1.stop()
 q2.stop()
+
+# --- incrementally-maintained phrase index + compaction cycle -------
+from wimbd_spark.index import (  # noqa: E402
+    compact_phrase_index,
+    count_documents_for_each_phrase_indexed,
+    load_phrase_index,
+    needs_compaction,
+    streaming_phrase_index,
+)
+from wimbd_spark.streaming import read_doc_stream  # noqa: E402
+
+docs_dir = tempfile.mkdtemp(prefix="docs_")
+idx_path = os.path.join(tempfile.mkdtemp(prefix="idx_"), "gen1")
+
+
+def feed_docs(name, docs):
+    with open(os.path.join(docs_dir, name), "w") as f:
+        for i, text in docs:
+            f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+
+
+feed_docs("d0.json", [(1, "spark streaming index demo")])
+qi = streaming_phrase_index(
+    read_doc_stream(spark, docs_dir),
+    idx_path,
+    os.path.join(tempfile.mkdtemp(prefix="ckpt_"), "c"),
+    num_files=2,
+)
+qi.processAllAvailable()
+for b in range(1, 5):  # more micro-batches → more index generations
+    feed_docs(f"d{b}.json", [(b + 1, f"streaming doc number {b}")])
+    qi.processAllAvailable()
+qi.stop()
+
+print(">>> counts from the streamed index")
+count_documents_for_each_phrase_indexed(
+    load_phrase_index(spark, idx_path), ["streaming", "spark"]
+).show()
+
+# the maintenance cycle: compact into a FRESH generation when the
+# per-batch file growth trips the trigger, then repoint readers
+if needs_compaction(spark, idx_path, num_files=2, factor=1):
+    gen2 = idx_path.replace("gen1", "gen2")
+    compact_phrase_index(spark, idx_path, gen2, num_files=2)
+    print(f">>> compacted {idx_path} -> {gen2}; identical answers:")
+    count_documents_for_each_phrase_indexed(
+        load_phrase_index(spark, gen2), ["streaming", "spark"]
+    ).show()
+
 spark.stop()

@@ -344,3 +344,57 @@ def test_streaming_phrase_index_matches_batch(spark, tmp_path):
         "dog": 2,
         "the quick brown fox": 1,
     }
+
+
+def test_streaming_index_compaction(spark, tmp_path):
+    from wimbd_spark.index import (
+        compact_phrase_index,
+        count_documents_for_each_phrase_indexed,
+        load_phrase_index,
+        needs_compaction,
+        streaming_phrase_index,
+    )
+    from wimbd_spark.streaming import read_doc_stream
+
+    d = str(tmp_path / "docs_cmp")
+    idx_path = str(tmp_path / "postings")
+    fresh = str(tmp_path / "postings_gen2")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(d, [_doc(1, "the quick brown fox")], "b0.json")
+    q = streaming_phrase_index(
+        read_doc_stream(spark, d), idx_path, ckpt, num_files=4
+    )
+    q.processAllAvailable()
+    for i in range(2, 6):  # 4 more micro-batches → 5 generations
+        _write_batch(d, [_doc(i, f"quick dog number {i}")], f"b{i}.json")
+        q.processAllAvailable()
+    q.stop()
+
+    # growth trips the documented trigger
+    assert needs_compaction(spark, idx_path, num_files=4, factor=1)
+    compact_phrase_index(spark, idx_path, fresh, num_files=4)
+
+    phrases = ["quick", "the quick brown fox", "dog"]
+    before = {
+        r["phrase"]: r["count"]
+        for r in count_documents_for_each_phrase_indexed(
+            load_phrase_index(spark, idx_path), phrases
+        ).collect()
+    }
+    after = {
+        r["phrase"]: r["count"]
+        for r in count_documents_for_each_phrase_indexed(
+            load_phrase_index(spark, fresh), phrases
+        ).collect()
+    }
+    # identical answers; file count back to the single-generation layout
+    assert after == before
+    assert before["quick"] == 5 and before["dog"] == 4
+    n_files = len(spark.read.parquet(fresh).inputFiles())
+    assert n_files <= 4
+    assert not needs_compaction(spark, fresh, num_files=4, factor=1)
+    # compaction never clobbers an existing generation by default
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        compact_phrase_index(spark, idx_path, fresh, num_files=4)

@@ -119,12 +119,12 @@ def streaming_phrase_index(
 
     Query-time behavior is unchanged: readers glob every parquet file,
     so results always cover all ingested batches. Each batch adds
-    ``num_files`` files, which degrades token pruning over time —
-    periodically compact by rebuilding with build_phrase_index over
-    the full corpus into a FRESH path and repointing readers (never
-    rebuild into this path: mixing flat files with the stream's
-    ``batch=`` subdirectories makes partition discovery fail).
-    Returns the StreamingQuery.
+    ``num_files`` files, which degrades token pruning over time — run
+    ``compact_phrase_index`` into a FRESH path when
+    ``needs_compaction`` fires (postings-only re-layout, no corpus
+    re-scan) and repoint readers; never rebuild into this path (mixing
+    flat files with the stream's ``batch=`` subdirectories makes
+    partition discovery fail). Returns the StreamingQuery.
 
     Exactly-once: foreachBatch is at-least-once, so each batch writes
     to its own ``batch=<epoch>`` subdirectory with overwrite — a
@@ -148,6 +148,73 @@ def streaming_phrase_index(
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .start()
+    )
+
+
+#: needs_compaction() default: compact once the file count exceeds this
+#: multiple of the target num_files. Each streamed micro-batch adds
+#: num_files files, so 4 ≈ "compact every ~4 batches of growth" —
+#: early enough that token pruning (one file per token hash) never
+#: degrades past a handful of files per token.
+DEFAULT_COMPACTION_FACTOR = 4
+
+
+def needs_compaction(
+    spark: SparkSession,
+    path: str,
+    num_files: int = 32,
+    factor: int = DEFAULT_COMPACTION_FACTOR,
+) -> bool:
+    """True when the index at ``path`` has accumulated more than
+    ``factor × num_files`` parquet files — the documented trigger for
+    compact_phrase_index (call between micro-batches or from a
+    maintenance cron; file listing only, no data read)."""
+    return len(spark.read.parquet(path).inputFiles()) > factor * num_files
+
+
+def compact_phrase_index(
+    spark: SparkSession,
+    path: str,
+    fresh_path: str,
+    num_files: int = 32,
+    mode: str = "error",
+) -> None:
+    """Compact a streaming-appended postings index into ``fresh_path``
+    with the canonical single-generation layout (``num_files``
+    token-hashed, token-sorted files) — restoring the file-pruning
+    behavior that per-batch appends erode (each micro-batch adds its
+    own ``num_files`` files, so a token lookup degrades from 1 file to
+    1-per-batch; see streaming_phrase_index).
+
+    One shuffle, postings-only — the corpus is NOT re-scanned or
+    re-tokenized. Postings are re-aggregated on (token, doc_id), so
+    compaction is also idempotent against duplicate postings should a
+    doc ever be re-ingested (for well-formed append-only streams the
+    merge is a no-op). The ``batch=`` partition column is dropped.
+
+    Always compact into a FRESH path and repoint readers afterwards —
+    rebuilding in place would mix generations (and flat files with
+    ``batch=`` subdirectories, breaking partition discovery). ``mode``
+    defaults to ``error`` so an existing fresh_path is never silently
+    clobbered. The running stream keeps appending to ``path``
+    untouched; batches ingested after the compaction cut simply remain
+    in ``path`` for the next compaction cycle.
+    """
+    posts = (
+        spark.read.parquet(path)
+        .select("token", "doc_id", "positions")
+        .groupBy("token", "doc_id")
+        .agg(
+            F.array_sort(
+                F.flatten(F.collect_list("positions"))
+            ).alias("positions")
+        )
+    )
+    (
+        posts.repartition(num_files, "token")
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode(mode)
+        .parquet(fresh_path)
     )
 
 
