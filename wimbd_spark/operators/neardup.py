@@ -329,13 +329,19 @@ def ngram_jaccard_pairs(
     |x| − ⌈τ|x|⌉ + 1 sorted shingles, so the candidate self-join
     explodes only that prefix (join volume shrinks ~(1−τ)² plus a
     size-ratio cut) and exact Jaccard verifies just the candidates.
-    Default None = auto: on for τ ≥ 0.3 with no ``max_shingle_freq``
-    (where the prefix pays for the verification join), off otherwise;
-    both paths return identical rows.
+    Default OFF (None/False): the sf1 rehearsal measured the prefix
+    path 4-5× SLOWER on this workload (τ=0.5: 11.1 s vs 2.5 s plain at
+    sf1) — the candidate cut didn't pay for the extra shingle-set
+    verification joins, which ship array columns the counting path
+    never shuffles. Opt in (True) only for workloads where the
+    inverted-index join volume Σ df² actually explodes — boilerplate-
+    heavy corpora without a ``max_shingle_freq`` cap, or very high
+    thresholds (τ ≥ 0.8, prefix ≈ 0.2·|x|) — and MEASURE; both paths
+    return identical rows (equivalence-tested).
     """
     sh = _shingle_table(df, id_col, text_col, shingle_n)
     if prefix_filter is None:
-        prefix_filter = max_shingle_freq is None and threshold >= 0.3
+        prefix_filter = False
     if prefix_filter:
         if max_shingle_freq is not None:
             raise ValueError(
