@@ -156,6 +156,56 @@ def test_cli_search_locations_id_col(capsys, tmp_path, spark):
     assert sorted(r["doc_id"] for r in rows) == [10, 11]
 
 
+def test_cli_pack(spark, tmp_path, capsys):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "source": ["s0", "s0", "s0", "s1"],
+            "text": ["a b c", "d e", "f g h i", "x y z"],
+        }
+    ).to_parquet(tmp_path / "docs.parquet")
+    out = str(tmp_path / "packed")
+    rows = _run(
+        capsys,
+        ["pack", str(tmp_path / "docs.parquet"),
+         "--budget", "5", "--out", out],
+    )
+    # s0: 3+2 fill pack 0, 4 → pack 1; s1: 3 → pack 0 ⇒ 3 packs, 12 toks
+    assert rows[0]["packs"] == 3 and rows[0]["total_tokens"] == 12
+    seqs = spark.read.parquet(out)
+    got = {
+        (r["source"], r["pack_id"]): r["text"] for r in seqs.collect()
+    }
+    assert got[("s0", 0)] == "a b c\n\nd e"
+    assert got[("s0", 1)] == "f g h i"
+    assert got[("s1", 0)] == "x y z"
+
+
+def test_cli_mix(spark, tmp_path, capsys):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": list(range(40)),
+            "source": ["s0"] * 20 + ["s1"] * 20,
+            "text": ["doc"] * 40,
+        }
+    ).to_parquet(tmp_path / "docs.parquet")
+    out = str(tmp_path / "mixed")
+    rows = _run(
+        capsys,
+        ["mix", str(tmp_path / "docs.parquet"),
+         "-w", "s0=2.0", "-w", "s1=0.5", "--out", out],
+    )
+    by_src = {r["source"]: r["rows"] for r in rows if "source" in r}
+    assert by_src["s0"] == 40  # exactly 2 epochs of 20
+    assert 0 < by_src["s1"] < 20  # ~half, hash-gated
+    mix = spark.read.parquet(out)
+    assert "mix_epoch" in mix.columns
+
+
 def test_cli_ingest_tfrecord(spark, tmp_path, capsys):
     from wimbd_spark.cli import main
     from wimbd_spark.sources.tfrecord import write_tfrecord

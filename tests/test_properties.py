@@ -117,6 +117,51 @@ def test_phrase_slop_matches_python(spark):
                 assert got[i] == expect, (text, phrase, slop)
 
 
+def test_indexed_batch_matches_scan_property(spark, tmp_path):
+    # Random small corpus, random phrase batch (duplicate tokens,
+    # duplicate phrases, absent tokens, slop): the one-pass batched
+    # postings matcher must agree with the scan-path count for every
+    # phrase. This is the parity contract of the msearch-batching twin.
+    from wimbd_spark.index import (
+        build_phrase_index,
+        count_documents_for_each_phrase_indexed,
+        load_phrase_index,
+    )
+    from wimbd_spark.search import count_documents_for_each_phrase
+
+    rng = random.Random(SEED + 1)
+    docs = []
+    for i in range(120):
+        k = rng.randint(1, 10)
+        docs.append((i, " ".join(rng.choice(WORDS) for _ in range(k))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    path = str(tmp_path / "propidx")
+    build_phrase_index(df, path, num_files=2)
+    idx = load_phrase_index(spark, path)
+
+    phrases = []
+    for _ in range(25):
+        L = rng.randint(1, 4)
+        phrases.append(
+            " ".join(rng.choice(WORDS + ["qq"]) for _ in range(L))
+        )
+    phrases.append(phrases[0])  # duplicate phrase entry
+    for slop in (0, 2):
+        scan = {
+            r["phrase"]: r["count"]
+            for r in count_documents_for_each_phrase(
+                df, phrases, slop=slop
+            ).collect()
+        }
+        idxed = {
+            r["phrase"]: r["count"]
+            for r in count_documents_for_each_phrase_indexed(
+                idx, phrases, slop=slop
+            ).collect()
+        }
+        assert idxed == scan, slop
+
+
 def test_sessionize_properties(spark):
     rng = random.Random(SEED)
     import datetime as dt

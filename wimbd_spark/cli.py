@@ -197,6 +197,32 @@ def main(argv: list[str] | None = None) -> int:
                     "corpus paths are ignored when given")
 
     sp = sub.add_parser(
+        "pack",
+        help="sequence packing: fill fixed token budgets per source "
+        "and write training sequences parquet",
+    )
+    common(sp)
+    sp.add_argument("--budget", type=int, required=True,
+                    help="token budget per packed sequence")
+    sp.add_argument("--group-col", default="source")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--out", required=True, help="output parquet path")
+
+    sp = sub.add_parser(
+        "mix",
+        help="source-mixture sampling: per-source weights (<1 "
+        "down-sample, >=1 epoch up-sample), deterministic hash gates",
+    )
+    common(sp)
+    sp.add_argument("-w", "--weight", action="append", required=True,
+                    metavar="SRC=W",
+                    help="e.g. -w web=0.6 -w books=2.5 (repeatable)")
+    sp.add_argument("--group-col", default="source")
+    sp.add_argument("--key-col", default="doc_id")
+    sp.add_argument("--keep-unlisted", action="store_true")
+    sp.add_argument("--out", required=True, help="output parquet path")
+
+    sp = sub.add_parser(
         "ingest",
         help="foreign dataset → canonical parquet corpus "
         "(HF dir: parquet/arrow shards; TFRecord files)",
@@ -474,6 +500,74 @@ def main(argv: list[str] | None = None) -> int:
                 df, args.phrase, slop=args.slop, text_col=t
             )
             _emit([r.asDict() for r in res.collect()], args.output)
+        elif args.cmd == "pack":
+            from pyspark.sql import functions as F
+
+            from wimbd_spark.operators.packing import (
+                pack_documents,
+                pack_stats,
+                packed_sequences,
+            )
+
+            if args.group_col not in df.columns:
+                df = df.withColumn(args.group_col, F.lit("all"))
+            packed = pack_documents(
+                df,
+                args.budget,
+                id_col=args.id_col,
+                text_col=t,
+                group_col=args.group_col,
+            )
+            seqs = packed_sequences(
+                packed, text_col=t, group_col=args.group_col
+            )
+            seqs.write.mode("overwrite").parquet(args.out)
+            stats = pack_stats(packed, group_col=args.group_col).agg(
+                F.count(F.lit(1)).alias("packs"),
+                F.sum("total_tokens").alias("total_tokens"),
+            ).collect()[0]
+            _emit(
+                [{
+                    "packs": stats["packs"],
+                    "total_tokens": stats["total_tokens"],
+                    "budget": args.budget,
+                    "fill_rate": round(
+                        stats["total_tokens"]
+                        / (stats["packs"] * args.budget),
+                        4,
+                    ),
+                    "out": args.out,
+                }],
+                args.output,
+            )
+        elif args.cmd == "mix":
+            from pyspark.sql import functions as F
+
+            from wimbd_spark.operators.keycount import mixture_sample
+
+            weights = {}
+            for spec in args.weight:
+                src, _, w = spec.partition("=")
+                if not _:
+                    raise SystemExit(f"bad --weight {spec!r}: want SRC=W")
+                weights[src] = float(w)
+            out_df = mixture_sample(
+                df,
+                weights,
+                key=args.key_col,
+                group_col=args.group_col,
+                keep_unlisted=args.keep_unlisted,
+            )
+            out_df.write.mode("overwrite").parquet(args.out)
+            mix = spark.read.parquet(args.out)
+            rows = [
+                r.asDict()
+                for r in mix.groupBy(args.group_col)
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .orderBy(args.group_col)
+                .collect()
+            ]
+            _emit(rows + [{"out": args.out}], args.output)
         return 0
     finally:
         if not preexisting:
