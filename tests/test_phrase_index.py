@@ -257,6 +257,46 @@ def test_filters_parity_with_scan_path(corpus, index):
         )
 
 
+def test_custom_analyzer_parity(spark, tmp_path):
+    # ES analyzer-parity rule: build the index with the UAX-29
+    # tokenizer and analyze query phrases the same way — punctuated
+    # phrases then match, which the whitespace default cannot do
+    # (the documented contract divergence in search.analyze_phrase)
+    from wimbd_spark.functions.text import _uax29_words, tokenize_words
+
+    df = spark.createDataFrame(
+        [
+            (1, "the U.S. army, ready"),
+            (2, "no match here"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "uaxidx")
+    build_phrase_index(df, path, num_files=1, tokenizer=tokenize_words)
+    idx = load_phrase_index(spark, path)
+    # "U.S. army" → UAX tokens ["U.S", ".", "army"]; same analysis on
+    # both sides makes the punctuated phrase match doc 1
+    got = {
+        r["doc_id"]
+        for r in phrase_matching_docs(
+            idx, "U.S. army", analyzer=_uax29_words
+        ).collect()
+    }
+    assert got == {1}
+    # whitespace-analyzed query against the UAX index: "U.S." is one
+    # whitespace token but never a UAX index token → no match — the
+    # exact mismatch the analyzer parameter exists to prevent
+    assert phrase_matching_docs(idx, "U.S. army").count() == 0
+    # batched counts honor the analyzer too
+    counts = {
+        r["phrase"]: r["count"]
+        for r in count_documents_for_each_phrase_indexed(
+            idx, ["U.S. army", "army , ready"], analyzer=_uax29_words
+        ).collect()
+    }
+    assert counts == {"U.S. army": 1, "army , ready": 1}
+
+
 def test_bucketed_table_variant(spark, corpus, tmp_path):
     # as_table registers a bucketed catalog table over the same data;
     # query functions work identically against spark.table(...)

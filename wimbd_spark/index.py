@@ -49,6 +49,7 @@ def build_phrase_index(
     num_files: int = 32,
     mode: str = "overwrite",
     as_table: str | None = None,
+    tokenizer=None,
 ) -> None:
     """Materialize the posting-list index parquet at ``path``.
 
@@ -59,6 +60,14 @@ def build_phrase_index(
     would collapse duplicate documents and store full texts as keys,
     so it is rejected (synthesize a row id first, e.g.
     ``monotonically_increasing_id``, as the CLI does).
+
+    ``tokenizer`` (Column → array<string> Column) selects the document
+    analyzer; default is the engine's whitespace ``tokenize``. ES's
+    analyzer-parity rule applies: query phrases MUST be analyzed the
+    same way, so pass the matching ``analyzer=`` to the query
+    functions (e.g. ``tokenize_words`` here with
+    ``functions.text._uax29_words`` there; the defaults pair
+    ``tokenize`` with ``str.split``).
 
     ``as_table`` additionally registers the postings as a BUCKETED
     catalog table (bucketBy token, external data at ``path``): on a
@@ -74,11 +83,12 @@ def build_phrase_index(
             "(duplicate docs would collapse to one id and postings "
             "would carry full texts); add a row-id column first"
         )
+    tok = tokenizer if tokenizer is not None else tokenize
     posts = (
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("doc_id"),
-            F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
+            F.posexplode(tok(F.col(text_col))).alias("pos", "token"),
         )
         .groupBy("token", "doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
@@ -263,7 +273,10 @@ def _greedy_window_cond_map(pm: Column, L: Column, slop: int) -> Column:
 
 
 def phrase_matches_batch(
-    index: DataFrame, phrases: list[str], slop: int = 0
+    index: DataFrame,
+    phrases: list[str],
+    slop: int = 0,
+    analyzer=None,
 ) -> DataFrame:
     """(pid, doc_id) for every phrase (``pid`` = position in
     ``phrases``) and every matching document — ONE job regardless of
@@ -281,14 +294,21 @@ def phrase_matches_batch(
     A 500-phrase contamination sweep is therefore the same 2-shuffle
     plan as a 2-phrase lookup — no per-phrase plan nodes, no union
     trees, no driver loop.
+
+    ``analyzer`` (str → list[str]) must mirror the tokenizer the index
+    was BUILT with (ES analyzer parity); the default pairs with
+    ``build_phrase_index``'s default — pass
+    ``functions.text._uax29_words`` for an index built with
+    ``tokenize_words``.
     """
     if not phrases:
         raise ValueError("phrases must be non-empty")
+    analyze = analyzer if analyzer is not None else analyze_phrase
     spark = index.sparkSession
     rows: list[tuple[int, int, str, int]] = []
     tokens: set[str] = set()
     for pid, phrase in enumerate(phrases):
-        ptoks = analyze_phrase(phrase)
+        ptoks = analyze(phrase)
         if not ptoks:
             raise ValueError("phrase must be non-empty")
         for slot, t in enumerate(ptoks):
@@ -321,11 +341,13 @@ def phrase_matches_batch(
 
 
 def phrase_matching_docs(
-    index: DataFrame, phrase: str, slop: int = 0
+    index: DataFrame, phrase: str, slop: int = 0, analyzer=None
 ) -> DataFrame:
     """Distinct doc_ids whose text matches the phrase (token-aligned,
     windowed slop) — computed from postings only."""
-    return phrase_matches_batch(index, [phrase], slop).select("doc_id")
+    return phrase_matches_batch(index, [phrase], slop, analyzer).select(
+        "doc_id"
+    )
 
 
 def _docs_for_query(
@@ -333,10 +355,11 @@ def _docs_for_query(
     phrases: list[str],
     all_phrases: bool,
     slop: int,
+    analyzer=None,
 ) -> DataFrame:
     if not phrases:
         raise ValueError("phrases must be non-empty")
-    m = phrase_matches_batch(index, phrases, slop)
+    m = phrase_matches_batch(index, phrases, slop, analyzer)
     if all_phrases and len(phrases) > 1:
         # AND = docs matching every pid; duplicate phrases get distinct
         # pids that match identical doc sets, so the count still reaches
@@ -358,6 +381,7 @@ def count_documents_containing_phrases_indexed(
     df: DataFrame | None = None,
     filters: dict[str, str] | None = None,
     id_col: str = "doc_id",
+    analyzer=None,
 ) -> int:
     """≙ search.count_documents_containing_phrases, corpus never
     scanned with a phrase predicate. Attribute ``filters`` (the c4
@@ -365,7 +389,7 @@ def count_documents_containing_phrases_indexed(
     postings don't carry — pass the corpus ``df`` and the hit ids are
     semi-joined against the filtered corpus (an id-probe join, still
     no corpus phrase scan)."""
-    hits = _docs_for_query(index, phrases, all_phrases, slop)
+    hits = _docs_for_query(index, phrases, all_phrases, slop, analyzer)
     if filters:
         if df is None:
             raise ValueError(
@@ -389,13 +413,14 @@ def get_documents_containing_phrases_indexed(
     sort_field: str | None = None,
     id_col: str = "doc_id",
     filters: dict[str, str] | None = None,
+    analyzer=None,
 ) -> DataFrame:
     """≙ search.get_documents_containing_phrases: the index finds the
     hit ids, then ONE semi-join retrieves the documents — the corpus
     is probed by id, not scanned with a phrase predicate."""
     from wimbd_spark.search import apply_filters
 
-    hits = _docs_for_query(index, phrases, all_phrases, slop)
+    hits = _docs_for_query(index, phrases, all_phrases, slop, analyzer)
     out = apply_filters(df, filters).join(
         hits.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
     )
@@ -410,6 +435,7 @@ def count_documents_for_each_phrase_indexed(
     index: DataFrame,
     phrases: list[str] | list[list[str]],
     slop: int = 0,
+    analyzer=None,
 ) -> DataFrame:
     """≙ search.count_documents_for_each_phrase → (phrase, count),
     ALL phrases answered in one batched pass over the postings
@@ -429,7 +455,7 @@ def count_documents_for_each_phrase_indexed(
             pid_gid.append((len(flat), gid))
             flat.append(ph)
     spark = index.sparkSession
-    m = phrase_matches_batch(index, flat, slop)
+    m = phrase_matches_batch(index, flat, slop, analyzer)
     pid2gid = spark.createDataFrame(pid_gid, schema="pid int, gid int")
     gmeta = spark.createDataFrame(
         [(gid, len(g), names[gid]) for gid, g in enumerate(groups)],
