@@ -192,6 +192,36 @@ def test_batched_counts_match_scan_path(spark, corpus, index):
     assert idx["zzz missing phrase"] == 0
 
 
+def test_and_group_counts_match_scan_path(corpus, index):
+    # list-of-lists phrases are AND-groups: a doc counts only when it
+    # matches every member — batched path parity with the scan path
+    groups = [["table scan", "join"], ["query plan"], ["join", "zzzqq"]]
+    scan = {
+        r["phrase"]: r["count"]
+        for r in count_documents_for_each_phrase(corpus, groups).collect()
+    }
+    idx = {
+        r["phrase"]: r["count"]
+        for r in count_documents_for_each_phrase_indexed(
+            index, groups
+        ).collect()
+    }
+    assert idx == scan
+    assert idx["table scan AND join"] > 0
+    assert idx["join AND zzzqq"] == 0
+
+
+def test_batch_pushdown_reaches_postings_scan(index):
+    from wimbd_spark.plans import explain_str
+
+    from wimbd_spark.index import phrase_matches_batch
+
+    plan = explain_str(phrase_matches_batch(index, _batch_phrases()))
+    # the union-of-query-tokens In() predicate reaches the parquet scan
+    assert "PushedFilters: [" in plan and "token" in plan
+    assert "documents.parquet" not in plan
+
+
 def test_batch_plan_constant_in_phrase_count(index):
     # The msearch-batching guarantee: a 100-phrase batch compiles to
     # the SAME plan shape as a 3-phrase batch — no per-phrase joins,
