@@ -1689,6 +1689,71 @@ def o_contamination_rate():
     """
 
 
+def q_contamination_rate_indexed(spark, sf_dir):
+    """TOKEN-ALIGNED contamination sweep from the posting index — the
+    reference's actual semantics (ES match_phrase per eval row,
+    corpus_contamination.py:28-58, 500-query msearch batches): every
+    distinct src0 4-gram is a phrase, counted against the non-src0
+    corpus in ONE batched postings job; the corpus is never scanned.
+    The substring-semantics scan twin is contamination_rate."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wimbd_spark.index import build_phrase_index, load_phrase_index
+    from wimbd_spark.operators.dedup import contamination_rate_indexed
+
+    docs = _docs(spark, sf_dir)
+    evalset = (
+        docs.filter(F.col("source") == "src0")
+        .select(
+            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+                "phrase"
+            )
+        )
+        .distinct()
+    )
+    corpus = docs.filter(F.col("source") != "src0")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"wimbd_contam_index_{tag}")
+    if path not in _BUILT_INDEX_PATHS:
+        build_phrase_index(corpus, path)
+        _BUILT_INDEX_PATHS.add(path)
+    idx = load_phrase_index(spark, path)
+    out = contamination_rate_indexed(idx, evalset, "phrase")
+    return out.select(
+        F.col("contaminated").cast("long").alias("contaminated"),
+        F.col("total").cast("long").alias("total"),
+        "rate",
+    )
+
+
+def o_contamination_rate_indexed():
+    # token-aligned L-gram phrase containment ≡ membership in the doc's
+    # L-gram set (whitespace tokens carry no spaces), so the oracle is
+    # a semi-join of the two distinct 4-gram spaces
+    grams = (
+        "SELECT DISTINCT array_to_string(list_slice(t, i, i+3), ' ') AS g"
+        " FROM toks, unnest(generate_series(1, len(t)-3)) AS u(i)"
+        " WHERE len(t) >= 4 AND {cond}"
+    )
+    return f"""
+      WITH toks AS (
+        SELECT source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      ev AS ({grams.format(cond="source = 'src0'")}),
+      cg AS ({grams.format(cond="source <> 'src0'")}),
+      hits AS (SELECT g FROM ev WHERE g IN (SELECT g FROM cg))
+      SELECT CAST((SELECT count(*) FROM hits) AS BIGINT) AS contaminated,
+             CAST((SELECT count(*) FROM ev) AS BIGINT) AS total,
+             (SELECT count(*) FROM hits)
+               / (SELECT count(*)::DOUBLE FROM ev) AS rate
+    """
+
+
 def q_multi_overlap(spark, sf_dir):
     from wimbd_spark.operators.dedup import multi_overlap
 
@@ -2248,14 +2313,18 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "search_locations": (q_search_locations, o_search_locations),
     "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
     "contamination_rate": (q_contamination_rate, o_contamination_rate),
+    "contamination_rate_indexed": (
+        q_contamination_rate_indexed,
+        o_contamination_rate_indexed,
+    ),
     "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
     "find_examples": (q_find_examples, o_find_examples),
     "phrase_slop_count": (q_phrase_slop_count, o_phrase_slop_count),
     "orders_rollup": (q_orders_rollup, o_orders_rollup),
     "phrase_count_filtered": (q_phrase_count_filtered, o_phrase_count_filtered),
-    "top2_orders_per_customer": (q_top2_orders_per_customer, o_top2_orders_per_customer),
     # --- back of the window: green in r3, resting this round; ALL of
     # these return to the first 50 in round 5.
+    "top2_orders_per_customer": (q_top2_orders_per_customer, o_top2_orders_per_customer),
     "topk_ngrams_n3_k20": (q_topk_ngrams, o_topk_ngrams),
     "botk_ngrams_n1_k20": (q_botk_ngrams, o_botk_ngrams),
     "unique_ngrams_n2": (q_unique_ngrams, o_unique_ngrams),

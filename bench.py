@@ -74,6 +74,7 @@ HEADLINE = [
     # mirroring real build-once/query-many usage.
     "phrase_batch_counts",
     "embedding_cosine_pairs_lsh_auto",
+    "contamination_rate_indexed",
 ]
 
 

@@ -131,3 +131,39 @@ def test_contamination_rate_prefilter(spark):
         row = r.collect()[0]
         assert (row["contaminated"], row["total"]) == expect[:2], pf
         assert abs(row["rate"] - expect[2]) < 1e-12
+
+
+def test_contamination_rate_indexed_matches_token_semantics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wimbd_spark.index import build_phrase_index, load_phrase_index
+    from wimbd_spark.operators.dedup import contamination_rate_indexed
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "beta gamma something else"),
+        ],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame(
+        [
+            ("alpha beta",),      # hit (doc 1)
+            ("gamma delta",),     # hit (doc 1)
+            ("delta alpha",),     # tokens present, never contiguous
+            ("missing tokens",),  # absent
+            ("alpha beta",),      # duplicate → counted once
+            (None,),              # null phrase → ignored
+        ],
+        ["phrase"],
+    )
+    path = str(tmp_path / "cidx")
+    build_phrase_index(corpus, path, num_files=1)
+    idx = load_phrase_index(spark, path)
+    row = contamination_rate_indexed(idx, evalset, "phrase").collect()[0]
+    assert (row["contaminated"], row["total"]) == (2, 4)
+    assert abs(row["rate"] - 0.5) < 1e-12
+    # empty eval set → 0/0 with rate 0.0, no crash
+    empty = evalset.filter(F.col("phrase").isNull())
+    row0 = contamination_rate_indexed(idx, empty, "phrase").collect()[0]
+    assert (row0["contaminated"], row0["total"], row0["rate"]) == (0, 0, 0.0)

@@ -332,3 +332,48 @@ def contamination_rate(
         [(n_hit, n_tot, float(n_hit) / n_tot if n_tot else 0.0)],
         ["contaminated", "total", "rate"],
     )
+
+
+def contamination_rate_indexed(
+    index: DataFrame,
+    eval_df: DataFrame,
+    phrase_col: str,
+    slop: int = 0,
+    analyzer=None,
+) -> DataFrame:
+    """Token-aligned contamination from the POSTING INDEX: fraction of
+    distinct eval phrases matching ≥1 corpus doc → single row
+    (contaminated, total, rate).
+
+    This is the reference's actual contamination semantics — ES
+    match_phrase counts per eval row (wimbd/es/corpus_contamination.py:
+    28-58, batched 500/msearch via es/__init__.py:269-345) — answered
+    from postings in ONE batched job (phrase_matches_batch), the corpus
+    never scanned. The substring-semantics scan twin is
+    `contamination_rate` (use it when no index exists or substring
+    matching is wanted).
+
+    The distinct phrase list is collected to the driver — the same
+    client-side shape as the reference's msearch loop and bounded by
+    the EVAL set (thousands of rows), never the corpus. Phrase order
+    in the batch is sorted, so the job is deterministic.
+    """
+    phrases = sorted(
+        r[0]
+        for r in eval_df.select(F.col(phrase_col)).distinct().collect()
+        if r[0] is not None and str(r[0]).strip()
+    )
+    spark = eval_df.sparkSession
+    n_tot = len(phrases)
+    if not n_tot:
+        return spark.createDataFrame(
+            [(0, 0, 0.0)], ["contaminated", "total", "rate"]
+        )
+    from wimbd_spark.index import phrase_matches_batch
+
+    m = phrase_matches_batch(index, phrases, slop, analyzer)
+    n_hit = m.select("pid").distinct().count()
+    return spark.createDataFrame(
+        [(n_hit, n_tot, float(n_hit) / n_tot)],
+        ["contaminated", "total", "rate"],
+    )
