@@ -411,9 +411,11 @@ def o_phrase_doc_counts():
 _BUILT_INDEX_PATHS: set[str] = set()
 
 
-def _phrase_index(spark, sf_dir):
-    """Build (once per process per sf_dir — the testdata is immutable)
-    and load the posting-list index parquet for ``sf_dir``'s corpus."""
+def _phrase_index(spark, sf_dir, docs=None, name="phrase"):
+    """Build (once per process per (sf_dir, name) — the testdata is
+    immutable) and load a posting-list index parquet; ``docs`` defaults
+    to the full documents table, and ``name`` keys variant indexes
+    (e.g. the non-src0 contamination corpus)."""
     import hashlib
     import os
     import tempfile
@@ -421,9 +423,13 @@ def _phrase_index(spark, sf_dir):
     from wimbd_spark.index import build_phrase_index, load_phrase_index
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"wimbd_phrase_index_{tag}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"wimbd_{name}_index_{tag}"
+    )
     if path not in _BUILT_INDEX_PATHS:
-        build_phrase_index(_docs(spark, sf_dir), path)
+        build_phrase_index(
+            docs if docs is not None else _docs(spark, sf_dir), path
+        )
         _BUILT_INDEX_PATHS.add(path)
     return load_phrase_index(spark, path)
 
@@ -1228,8 +1234,14 @@ def o_embedding_cosine_pairs_lsh_auto():
 
     from wimbd_spark.operators.similarity import auto_nbits
 
-    # the driver compares at sf=0.01; mirror the engine's count()-based
-    # sizing from the same table (falls back to the known fixture size)
+    # CONTRACT COUPLING: the driver's correctness compare runs at
+    # sf=0.01 by specification, and oracle_sql() receives no sf
+    # context, so the oracle reads the sf0.01 embeddings table to
+    # mirror the engine's count()-based nbits sizing. At any other sf
+    # this oracle would size the sketch from the wrong row count —
+    # comparisons at other scales must regenerate it. The fallback IS
+    # the sf0.01 fixture row count, so an unreadable path degrades to
+    # the same answer rather than a spurious red.
     try:
         n = duckdb.sql(
             "SELECT count(*) FROM "
@@ -1696,11 +1708,6 @@ def q_contamination_rate_indexed(spark, sf_dir):
     distinct src0 4-gram is a phrase, counted against the non-src0
     corpus in ONE batched postings job; the corpus is never scanned.
     The substring-semantics scan twin is contamination_rate."""
-    import hashlib
-    import os
-    import tempfile
-
-    from wimbd_spark.index import build_phrase_index, load_phrase_index
     from wimbd_spark.operators.dedup import contamination_rate_indexed
 
     docs = _docs(spark, sf_dir)
@@ -1714,12 +1721,7 @@ def q_contamination_rate_indexed(spark, sf_dir):
         .distinct()
     )
     corpus = docs.filter(F.col("source") != "src0")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"wimbd_contam_index_{tag}")
-    if path not in _BUILT_INDEX_PATHS:
-        build_phrase_index(corpus, path)
-        _BUILT_INDEX_PATHS.add(path)
-    idx = load_phrase_index(spark, path)
+    idx = _phrase_index(spark, sf_dir, docs=corpus, name="contam")
     out = contamination_rate_indexed(idx, evalset, "phrase")
     return out.select(
         F.col("contaminated").cast("long").alias("contaminated"),

@@ -287,6 +287,47 @@ def test_filters_parity_with_scan_path(corpus, index):
         )
 
 
+def test_duplicate_postings_tolerated_and_compacted(spark, tmp_path):
+    # A re-delivered doc in an uncompacted streaming index yields
+    # duplicate (token, doc_id) posting rows. Queries must not crash
+    # (DUPLICATED_MAP_KEY) and must answer as if deduped; compaction
+    # must fold the duplicates (incl. positions) permanently.
+    from wimbd_spark.index import (
+        compact_phrase_index,
+        count_total_occurrences_of_unigrams_indexed,
+        load_phrase_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "a cat ran")], ["doc_id", "text"]
+    )
+    p1 = str(tmp_path / "gen" / "batch=0")
+    p2 = str(tmp_path / "gen" / "batch=1")
+    build_phrase_index(df, p1, num_files=1)
+    build_phrase_index(df, p2, num_files=1)  # same docs re-delivered
+    idx = load_phrase_index(spark, str(tmp_path / "gen"))
+    got = {
+        r["doc_id"]
+        for r in phrase_matching_docs(idx, "the cat").collect()
+    }
+    assert got == {1}
+    fresh = str(tmp_path / "gen2")
+    compact_phrase_index(spark, str(tmp_path / "gen"), fresh, num_files=1)
+    cidx = load_phrase_index(spark, fresh)
+    ttf = {
+        r["unigram"]: r["count"]
+        for r in count_total_occurrences_of_unigrams_indexed(
+            cidx, ["cat", "the"]
+        ).collect()
+    }
+    # duplicates folded, not double-counted
+    assert ttf == {"cat": 2, "the": 1}
+    assert {
+        r["doc_id"]
+        for r in phrase_matching_docs(cidx, "the cat").collect()
+    } == {1}
+
+
 def test_custom_analyzer_parity(spark, tmp_path):
     # ES analyzer-parity rule: build the index with the UAX-29
     # tokenizer and analyze query phrases the same way — punctuated

@@ -310,16 +310,21 @@ def main(argv: list[str] | None = None) -> int:
                     search_regex_locations,
                 )
 
-                # key rows by an EXPLICIT unique id column, else by a
-                # synthesized row id — never by "whatever column is
-                # first" (a non-unique first column like `source` would
-                # make occurrence rows indistinguishable across docs)
-                if args.id_col:
+                # key rows by an EXPLICIT id column, else by the
+                # conventional `doc_id` when present (stable output for
+                # existing corpora), else by a synthesized row id —
+                # never by "whatever column is first" (a non-unique
+                # first column like `source` would make occurrence rows
+                # indistinguishable across docs)
+                idc = args.id_col or (
+                    "doc_id" if "doc_id" in df.columns else None
+                )
+                if idc:
                     res = search_regex_locations(
                         df,
                         args.pattern,
                         text_col=t,
-                        id_cols=(args.id_col,),
+                        id_cols=(idc,),
                         limit_per_pattern=args.limit_per_pattern,
                     )
                 else:
@@ -526,16 +531,17 @@ def main(argv: list[str] | None = None) -> int:
                 F.count(F.lit(1)).alias("packs"),
                 F.sum("total_tokens").alias("total_tokens"),
             ).collect()[0]
+            packs = stats["packs"] or 0
+            total_tokens = stats["total_tokens"] or 0
             _emit(
                 [{
-                    "packs": stats["packs"],
-                    "total_tokens": stats["total_tokens"],
+                    "packs": packs,
+                    "total_tokens": total_tokens,
                     "budget": args.budget,
+                    # empty corpus → 0 packs; report 0.0, don't divide
                     "fill_rate": round(
-                        stats["total_tokens"]
-                        / (stats["packs"] * args.budget),
-                        4,
-                    ),
+                        total_tokens / (packs * args.budget), 4
+                    ) if packs else 0.0,
                     "out": args.out,
                 }],
                 args.output,

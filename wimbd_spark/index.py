@@ -215,8 +215,11 @@ def compact_phrase_index(
         .select("token", "doc_id", "positions")
         .groupBy("token", "doc_id")
         .agg(
+            # distinct: duplicate postings from a re-delivered doc
+            # carry the SAME positions; merging without dedup would
+            # double every occurrence in ttf sums forever after
             F.array_sort(
-                F.flatten(F.collect_list("positions"))
+                F.array_distinct(F.flatten(F.collect_list("positions")))
             ).alias("positions")
         )
     )
@@ -327,8 +330,18 @@ def phrase_matches_batch(
         posts.join(F.broadcast(qdf), "token")
         .groupBy("pid", "doc_id")
         .agg(
+            # array_distinct: a duplicate (token, doc_id) posting row
+            # (a re-delivered doc in an uncompacted streaming index)
+            # would duplicate a slot key and crash map_from_entries
+            # with DUPLICATED_MAP_KEY; exact duplicates fold for free.
+            # CONFLICTING duplicates (same doc re-ingested with
+            # different text) are a corrupt index and still raise.
             F.map_from_entries(
-                F.collect_list(F.struct(F.col("slot"), F.col("positions")))
+                F.array_distinct(
+                    F.collect_list(
+                        F.struct(F.col("slot"), F.col("positions"))
+                    )
+                )
             ).alias("_pm"),
             F.first("L").alias("_L"),
         )

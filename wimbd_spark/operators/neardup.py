@@ -467,12 +467,16 @@ def minhash_dedup_pairs(
 
 #: Edge-count threshold below which neardup_components resolves the
 #: graph on the driver (union-find) instead of iterating distributed
-#: jobs. The broadcast-join analogue for graphs: 2M edges is tens of
-#: MB on the driver and resolves in milliseconds, where the
-#: distributed iteration pays multiple shuffle rounds of fixed
-#: overhead. Deciding costs one count() of the (persisted) pairs —
-#: work every consumer of the labels pays anyway.
-DEFAULT_LOCAL_EDGE_LIMIT = 2_000_000
+#: jobs — the broadcast-join analogue for graphs. Sized like a
+#: broadcast threshold: 500k collected Rows plus the union-find dicts
+#: cost on the order of 100 MB of PYTHON driver heap (Rows are ~10×
+#: the raw edge bytes), safe on any reasonable driver, and still far
+#: above the pair volume a sane near-dup threshold yields on fixture-
+#: to-mid corpora. Raise it deliberately on big drivers; the
+#: distributed iteration is the default above it either way. Deciding
+#: costs one count() of the (persisted) pairs — work every consumer
+#: of the labels pays anyway.
+DEFAULT_LOCAL_EDGE_LIMIT = 500_000
 
 
 def _local_union_find(edges: list) -> list[tuple]:
