@@ -1324,6 +1324,52 @@ def o_simhash():
     """
 
 
+def q_simhash62(spark, sf_dir):
+    """Wide (62-bit) SimHash — the corpus-scale signature width
+    (simhash16's 2^16 space saturates at ~10⁵ docs; 62 bits keep
+    Hamming blocking selective at 10⁹). Same md5-reproducible
+    construction, two salted hashes per shingle."""
+    from wimbd_spark.operators.neardup import simhash_bits
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.size(tokenize(F.col("text"))) > 0)
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        simhash_bits(F.col("text"), 62).alias("simhash"),
+    )
+
+
+def o_simhash62():
+    h1 = _sql_hash32("w", "sh640")
+    h2 = _sql_hash32("w", "sh641")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h{1 if j < 32 else 2} >> {j % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(62)
+    )
+    total = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(62)
+    )
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, list_sort(list_distinct(
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS t
+        FROM documents
+        WHERE text IS NOT NULL
+          AND len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) > 0
+      ),
+      words AS (
+        SELECT doc_id, {h1} AS h1, {h2} AS h2
+        FROM toks, unnest(t) AS u(w)
+      ),
+      votes AS (SELECT doc_id, {votes} FROM words GROUP BY doc_id)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST({total} AS BIGINT) AS simhash
+      FROM votes
+    """
+
+
 # ------------------------------- beyond-reference: similarity search
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -2323,9 +2369,10 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "find_examples": (q_find_examples, o_find_examples),
     "phrase_slop_count": (q_phrase_slop_count, o_phrase_slop_count),
     "orders_rollup": (q_orders_rollup, o_orders_rollup),
-    "phrase_count_filtered": (q_phrase_count_filtered, o_phrase_count_filtered),
+    "simhash62": (q_simhash62, o_simhash62),
     # --- back of the window: green in r3, resting this round; ALL of
     # these return to the first 50 in round 5.
+    "phrase_count_filtered": (q_phrase_count_filtered, o_phrase_count_filtered),
     "top2_orders_per_customer": (q_top2_orders_per_customer, o_top2_orders_per_customer),
     "topk_ngrams_n3_k20": (q_topk_ngrams, o_topk_ngrams),
     "botk_ngrams_n1_k20": (q_botk_ngrams, o_botk_ngrams),

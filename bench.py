@@ -75,6 +75,7 @@ HEADLINE = [
     "phrase_batch_counts",
     "embedding_cosine_pairs_lsh_auto",
     "contamination_rate_indexed",
+    "simhash62",
 ]
 
 

@@ -146,6 +146,51 @@ def test_simhash_pairs_complete_across_segments(spark):
     assert (1, 2) in got and (1, 3) in got and (1, 5) in got  # high-bit pairs
 
 
+def test_simhash_wide_pairs_complete(spark):
+    # 62-bit blocking has the same pigeonhole completeness guarantee:
+    # every pair within max_hamming is found, none beyond it
+    import random
+
+    from wimbd_spark.operators.neardup import simhash_pairs
+
+    rng = random.Random(99)
+    base = rng.getrandbits(62)
+    sigs = [base]
+    for _ in range(20):
+        s = base
+        for b in rng.sample(range(62), rng.randint(0, 6)):
+            s ^= 1 << b
+        sigs.append(s)
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], ["doc_id", "sig"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            df, sig_col="sig", max_hamming=3, nbits=62
+        ).collect()
+    }
+    expect = {
+        (i, j): bin(sigs[i] ^ sigs[j]).count("1")
+        for i in range(len(sigs))
+        for j in range(i + 1, len(sigs))
+        if bin(sigs[i] ^ sigs[j]).count("1") <= 3
+    }
+    assert got == expect and len(expect) > 0
+
+
+def test_simhash_bits_rejects_bad_width(spark):
+    import pytest as _pytest
+
+    from wimbd_spark.operators.neardup import simhash_bits, simhash_pairs
+
+    with _pytest.raises(ValueError):
+        simhash_bits("text", nbits=63)
+    df = spark.createDataFrame([(1, 3)], ["doc_id", "sig"])
+    with _pytest.raises(ValueError):
+        simhash_pairs(df, sig_col="sig", max_hamming=4, nbits=3)
+
+
 def test_lsh_bucket_cap_bounds_skew(spark):
     # Pathological fixture: 300 identical docs → every band bucket holds
     # all 300 → uncapped join would make 300*299/2 ≈ 45k pairs in ONE

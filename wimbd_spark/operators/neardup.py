@@ -737,35 +737,107 @@ def simhash16(text: Column | str, shingle_n: int = 1) -> Column:
     )
 
 
+def simhash_bits(
+    text: Column | str, nbits: int = 62, shingle_n: int = 1
+) -> Column:
+    """WIDE SimHash over distinct token shingles → BIGINT with
+    ``nbits`` (≤ 62) signature bits — the corpus-scale variant of
+    simhash16.
+
+    16 bits saturate at scale: 2^16 distinct signatures means that on
+    a 10⁹-doc corpus every bucket holds ~15k docs and Hamming blocking
+    degenerates to quadratic comparisons. 62 bits (the default; the
+    cap keeps the value a POSITIVE BIGINT on both engines) give 4e18
+    signatures — collisions only from genuine similarity.
+
+    Bit j votes with bit (j mod 32) of the SALTED portable hash
+    hash32(shingle, "sh64" + chr(j // 32)), so the construction stays
+    md5-reproducible in a SQL oracle exactly like simhash16. Pure
+    per-row expression, no shuffle.
+    """
+    if not (1 <= nbits <= 62):
+        raise ValueError("nbits must be in [1, 62]")
+    c = F.col(text) if isinstance(text, str) else text
+    sh = (
+        F.array_sort(F.array_distinct(tokenize(c)))
+        if shingle_n == 1
+        else shingle_set(c, shingle_n)
+    )
+    nh = (nbits + 31) // 32
+    hs = F.transform(
+        sh,
+        lambda s: F.array(
+            *[hash32(s, f"sh64{k}") for k in range(nh)]
+        ),
+    )
+    # per-bit (source-hash index, probe mask) spec, zipped against the
+    # 62-slot vote vector — one pass over the shingle hashes
+    specs = [(j // 32, 2 ** (j % 32)) for j in range(nbits)]
+    probe = F.array(*[F.lit(p).cast("long") for _, p in specs])
+    which = F.array(*[F.lit(k) for k, _ in specs])
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), nbits),
+        lambda acc, hh: F.zip_with(
+            F.zip_with(acc, which, lambda a, k: F.struct(a.alias("a"), F.element_at(hh, k + 1).alias("h"))),
+            probe,
+            lambda ak, p: ak["a"]
+            + F.when(ak["h"].bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    outpow = F.array(*[F.lit(2**j).cast("long") for j in range(nbits)])
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            outpow,
+            lambda v, q: F.when(v > 0, q).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 2,
     sig_col: str | None = None,
+    nbits: int = 16,
 ) -> DataFrame:
     """ALL pairs at SimHash Hamming distance ≤ max_hamming — complete,
     not a lossy candidate generator.
 
-    Multi-segment blocking (pigeonhole): the 16 bits split into
-    max_hamming+1 contiguous segments; a pair with ≤ max_hamming
-    differing bits must agree on at least one full segment, so the
-    union of per-segment equality blockings has perfect recall.
-    All-pairs comparison happens only inside (segment, value) blocks —
-    never globally; `distinct` folds pairs found via several segments.
+    Multi-segment blocking (pigeonhole): the ``nbits`` signature bits
+    split into max_hamming+1 contiguous segments; a pair with
+    ≤ max_hamming differing bits must agree on at least one full
+    segment, so the union of per-segment equality blockings has
+    perfect recall. All-pairs comparison happens only inside
+    (segment, value) blocks — never globally; `distinct` folds pairs
+    found via several segments.
 
+    ``nbits`` selects the signature width: 16 (simhash16, oracle-
+    familiar) or up to 62 (simhash_bits — the corpus-scale width;
+    wider signatures also make each segment longer, so blocks are
+    exponentially smaller and the blocking survives 10⁹ docs).
     Pass ``sig_col`` to block on a precomputed signature column
     instead of hashing ``text_col``.
     """
     nseg = max_hamming + 1
-    base, rem = divmod(16, nseg)
+    if nseg > nbits:
+        raise ValueError("max_hamming + 1 must be <= nbits")
+    base, rem = divmod(nbits, nseg)
     widths = [base + (1 if i < rem else 0) for i in range(nseg)]
     shifts = [sum(widths[:i]) for i in range(nseg)]
 
     sig = (
         F.col(sig_col).cast("long")
         if sig_col
-        else simhash16(F.col(text_col))
+        else (
+            simhash16(F.col(text_col))
+            if nbits == 16
+            else simhash_bits(F.col(text_col), nbits)
+        )
     )
     s = df.select(F.col(id_col), sig.alias("sh")).filter(
         F.col("sh").isNotNull()
