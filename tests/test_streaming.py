@@ -398,3 +398,67 @@ def test_streaming_index_compaction(spark, tmp_path):
 
     with _pytest.raises(Exception):
         compact_phrase_index(spark, idx_path, fresh, num_files=4)
+
+
+def test_streaming_neardup_filter_matches_batch_candidates(
+    spark, tmp_path
+):
+    # the stateless LSH gate drops exactly the stream docs the batch
+    # pipeline would pair with the reference corpus
+    from wimbd_spark.operators.neardup import lsh_candidate_pairs
+    from wimbd_spark.streaming.dedup import (
+        read_doc_stream,
+        reference_band_table,
+        streaming_neardup_filter,
+    )
+
+    ref_rows = [
+        (100, "the quick brown fox jumps over the lazy dog today ok"),
+        (101, "completely unrelated reference document text body here"),
+    ]
+    stream_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today ok"),
+        (2, "the quick brown fox jumps over the lazy dog today no"),
+        (3, "nothing like anything in the reference corpus at all"),
+        (4, None),
+    ]
+    reference = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    bands = reference_band_table(reference)
+
+    d = str(tmp_path / "docs_nd")
+    _write_batch(
+        d,
+        [_doc(i, t) for i, t in stream_rows],
+        "b0.json",
+    )
+    out_rows = []
+    q = (
+        streaming_neardup_filter(read_doc_stream(spark, d), bands)
+        .writeStream.foreachBatch(
+            lambda df, _e: out_rows.extend(
+                r["doc_id"] for r in df.collect()
+            )
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # batch twin: which stream docs pair with the reference?
+    both = reference.union(
+        spark.createDataFrame(stream_rows, ["doc_id", "text"])
+    )
+    pairs = lsh_candidate_pairs(both).collect()
+    dropped = {
+        i
+        for r in pairs
+        for i in (r["id_a"], r["id_b"])
+        if i < 100
+        and (r["id_a"] >= 100 or r["id_b"] >= 100)
+    }
+    expect_kept = sorted(
+        i for i, t in stream_rows if i not in dropped
+    )
+    assert sorted(out_rows) == expect_kept
+    assert 1 in dropped  # the exact copy is definitely gated
+    assert 3 in expect_kept and 4 in expect_kept

@@ -1,7 +1,9 @@
 from wimbd_spark.streaming.dedup import (
     read_doc_stream,
+    reference_band_table,
     streaming_decontaminate,
     streaming_dedup_exact,
+    streaming_neardup_filter,
     streaming_quality_gate,
 )
 from wimbd_spark.streaming.windows import (
@@ -15,11 +17,13 @@ from wimbd_spark.streaming.windows import (
 __all__ = [
     "read_doc_stream",
     "read_event_stream",
+    "reference_band_table",
     "session_window_stream",
     "sliding_counts_stream",
     "stateful_user_counts",
     "streaming_decontaminate",
     "streaming_dedup_exact",
+    "streaming_neardup_filter",
     "streaming_quality_gate",
     "tumbling_counts_stream",
 ]

@@ -96,6 +96,96 @@ def streaming_decontaminate(
     )
 
 
+def reference_band_table(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct LSH band hashes of a STATIC reference corpus →
+    (band, bh) — the blocklist side of streaming_neardup_filter.
+    Materialize it once (parquet) per reference snapshot; its size is
+    ≤ bands × corpus rows and usually far less after distinct."""
+    from wimbd_spark.operators.neardup import (
+        _banded_buckets,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        corpus, id_col, text_col, num_hashes, shingle_n
+    )
+    return (
+        _banded_buckets(sigs, id_col, num_hashes, bands)
+        .select("band", "bh")
+        .distinct()
+    )
+
+
+def streaming_neardup_filter(
+    docs: DataFrame,
+    reference_bands: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """NEAR-dup gate on ingest: drop stream docs sharing ≥1 MinHash-LSH
+    band with a static reference corpus (reference_band_table, built
+    with the SAME num_hashes/bands/shingle_n — band hashes only align
+    between identical configurations).
+
+    The streaming twin of lsh_candidate_pairs' candidate test, with
+    batch semantics: a doc is dropped exactly when the batch pipeline
+    would have emitted a candidate pair against the reference. MinHash
+    signatures and band hashes are pure per-row expressions (stateless,
+    stream-safe), and the gate is ``bands`` stream-static LEFT joins on
+    narrow band-hash keys with the broadcast reference — one join per
+    band rather than an explode + per-doc aggregation, because
+    streaming aggregation would drag in a state store; this stays
+    STATELESS (no watermark) and composes before the stateful
+    exact-dedup stage. Like any LSH test it is probabilistic: tune
+    num_hashes/bands for the similarity-threshold curve, and audit the
+    reference side's bucket skew with lsh_bucket_sizes before trusting
+    a new corpus.
+    """
+    from wimbd_spark.functions.text import hash32
+    from wimbd_spark.operators.neardup import minhash_signature
+
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be a multiple of bands")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    cur = docs.select("*", *sigs)
+    band_hash_cols = []
+    for b in range(bands):
+        bh = hash32(
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+        band_hash_cols.append(bh.alias(f"_bh{b}"))
+    cur = cur.select("*", *band_hash_cols)
+    for b in range(bands):
+        ref_b = F.broadcast(
+            reference_bands.filter(F.col("band") == b)
+            .select(F.col("bh").alias(f"_bh{b}"))
+            .distinct()
+            .withColumn(f"_hit{b}", F.lit(1))
+        )
+        cur = cur.join(ref_b, f"_bh{b}", "left")
+    no_hit = None
+    for b in range(bands):
+        c = F.col(f"_hit{b}").isNull()
+        no_hit = c if no_hit is None else (no_hit & c)
+    return cur.filter(no_hit).select(*docs.columns)
+
+
 def streaming_quality_gate(
     docs: DataFrame,
     text_col: str = "text",
