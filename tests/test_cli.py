@@ -156,6 +156,38 @@ def test_cli_search_locations_id_col(capsys, tmp_path, spark):
     assert sorted(r["doc_id"] for r in rows) == [10, 11]
 
 
+def test_cli_contamination(spark, tmp_path, capsys):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["alpha beta gamma delta", "other corpus words here"],
+        }
+    ).to_parquet(tmp_path / "corpus.parquet")
+    pd.DataFrame(
+        {"text": ["beta gamma", "not present anywhere", "corpus words"]}
+    ).to_parquet(tmp_path / "eval.parquet")
+    # substring scan path
+    rows = _run(
+        capsys,
+        ["contamination", str(tmp_path / "corpus.parquet"),
+         "--eval", str(tmp_path / "eval.parquet")],
+    )
+    assert rows[0]["contaminated"] == 2 and rows[0]["total"] == 3
+    # token-aligned indexed path agrees for these token-clean phrases
+    idx = str(tmp_path / "idx")
+    assert main(["index-build", str(tmp_path / "corpus.parquet"),
+                 "--out", idx, "--id-col", "doc_id"]) == 0
+    capsys.readouterr()
+    rows = _run(
+        capsys,
+        ["contamination", str(tmp_path / "corpus.parquet"),
+         "--eval", str(tmp_path / "eval.parquet"), "--index", idx],
+    )
+    assert rows[0]["contaminated"] == 2 and rows[0]["total"] == 3
+
+
 def test_cli_pack(spark, tmp_path, capsys):
     import pandas as pd
 

@@ -197,6 +197,24 @@ def main(argv: list[str] | None = None) -> int:
                     "corpus paths are ignored when given")
 
     sp = sub.add_parser(
+        "contamination",
+        help="eval-set contamination report: fraction of eval phrases "
+        "appearing in the corpus (substring scan, or token-aligned "
+        "via a posting index)",
+    )
+    common(sp)
+    sp.add_argument("--eval", required=True, dest="eval_path",
+                    help="eval-set path (jsonl/parquet)")
+    sp.add_argument("--phrase-field", default="text",
+                    help="eval column holding the phrase/text")
+    sp.add_argument("--index", default=None,
+                    help="posting-list index of the CORPUS (from "
+                    "index-build): switches to token-aligned matching "
+                    "answered from postings (ES match_phrase "
+                    "semantics); without it, substring scan")
+    sp.add_argument("--slop", type=int, default=0)
+
+    sp = sub.add_parser(
         "pack",
         help="sequence packing: fill fixed token budgets per source "
         "and write training sequences parquet",
@@ -504,6 +522,27 @@ def main(argv: list[str] | None = None) -> int:
             res = count_documents_for_each_phrase(
                 df, args.phrase, slop=args.slop, text_col=t
             )
+            _emit([r.asDict() for r in res.collect()], args.output)
+        elif args.cmd == "contamination":
+            eval_df = _load(spark, [args.eval_path], None, None)
+            if args.index:
+                from wimbd_spark.index import load_phrase_index
+                from wimbd_spark.operators.dedup import (
+                    contamination_rate_indexed,
+                )
+
+                res = contamination_rate_indexed(
+                    load_phrase_index(spark, args.index),
+                    eval_df,
+                    args.phrase_field,
+                    slop=args.slop,
+                )
+            else:
+                from wimbd_spark.operators.dedup import contamination_rate
+
+                res = contamination_rate(
+                    eval_df, df, args.phrase_field, text_col=t
+                )
             _emit([r.asDict() for r in res.collect()], args.output)
         elif args.cmd == "pack":
             from pyspark.sql import functions as F
