@@ -48,4 +48,37 @@ from wimbd_spark.operators.neardup import drop_near_duplicates
 kept = drop_near_duplicates(corpus, pairs)
 print(f"cluster dedup: {corpus.count()} → {kept.count()} docs")
 
+print("== streaming ingest gate: new docs near-dup'ing the kept corpus are dropped ==")
+import json
+import os
+import tempfile
+
+from wimbd_spark.streaming import (
+    read_doc_stream,
+    reference_band_table,
+    streaming_neardup_filter,
+)
+
+bands = reference_band_table(kept)
+d = tempfile.mkdtemp(prefix="ingest_")
+sample = kept.select("text").first()["text"]
+with open(os.path.join(d, "b0.json"), "w") as f:
+    f.write(json.dumps({"doc_id": 1, "ts": "2024-01-01T00:00:00.000Z",
+                        "text": sample, "source": "crawl"}) + "\n")
+    f.write(json.dumps({"doc_id": 2, "ts": "2024-01-01T00:00:00.000Z",
+                        "text": "genuinely novel text never seen before xyzzy",
+                        "source": "crawl"}) + "\n")
+q = (
+    streaming_neardup_filter(read_doc_stream(spark, d), bands)
+    .writeStream.foreachBatch(
+        lambda df, _e: print(
+            "kept from micro-batch:",
+            [r["doc_id"] for r in df.collect()],
+        )
+    )
+    .start()
+)
+q.processAllAvailable()
+q.stop()
+
 spark.stop()

@@ -172,6 +172,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="durable checkpoint dir for the cluster-"
                     "resolution iterations (pass on real clusters; "
                     "default uses executor-local checkpoints)")
+    sp.add_argument("--local-edge-limit", type=int, default=None,
+                    help="edge count below which cluster resolution "
+                    "runs driver-side union-find (default 500k; 0 "
+                    "forces the distributed iteration)")
 
     sp = sub.add_parser(
         "index-build",
@@ -473,9 +477,13 @@ def main(argv: list[str] | None = None) -> int:
                     drop_near_duplicates,
                 )
 
+                kw2 = {}
+                if args.local_edge_limit is not None:
+                    kw2["local_edge_limit"] = args.local_edge_limit
                 kept = drop_near_duplicates(
                     df, pairs, id_col=idc,
                     checkpoint_dir=args.checkpoint_dir,
+                    **kw2,
                 )
                 kept.write.mode("overwrite").parquet(args.keep_out)
                 kept_n = spark.read.parquet(args.keep_out).count()

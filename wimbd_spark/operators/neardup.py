@@ -686,13 +686,19 @@ def drop_near_duplicates(
     id_col: str = "doc_id",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    local_edge_limit: int | None = DEFAULT_LOCAL_EDGE_LIMIT,
 ) -> DataFrame:
     """Keep one representative per near-dup cluster (the smallest id)
     plus every unpaired document — the decision step after
     lsh_candidate_pairs/ngram_jaccard_pairs verification. Pass
     ``checkpoint_dir`` (durable path) on cluster runs — see
-    neardup_components."""
-    comps = neardup_components(pairs, max_iter, checkpoint_dir=checkpoint_dir)
+    neardup_components (also for ``local_edge_limit``)."""
+    comps = neardup_components(
+        pairs,
+        max_iter,
+        checkpoint_dir=checkpoint_dir,
+        local_edge_limit=local_edge_limit,
+    )
     losers = comps.filter(F.col("comp") != F.col("id")).select(
         F.col("id").alias(id_col)
     )
