@@ -1287,6 +1287,53 @@ def _lsh_pairs_sql(nbits: int) -> str:
     """
 
 
+def q_semantic_dedup_drops(spark, sf_dir):
+    """SemDeDup-style embedding dedup: nearest-deterministic-centroid
+    clustering, then within-cluster greedy ε-neighbor pruning
+    (similarity.semantic_duplicates). Output is the drop list with its
+    audit columns — no float columns, so the hash compare is exact;
+    cosine membership at τ=0.45 reuses the testdata's ≥5e-4 margin."""
+    from wimbd_spark.operators.similarity import semantic_duplicates
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return semantic_duplicates(emb, threshold=0.45, n_centroids=8).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("centroid").cast("long").alias("centroid"),
+        F.col("dup_of").cast("long").alias("dup_of"),
+    )
+
+
+def o_semantic_dedup_drops():
+    # Mirrors semantic_duplicates exactly: centroids = 8 smallest
+    # (hash32(id), id) rows; assignment = argmax cosine (tie → smaller
+    # cid); drop id_b iff some same-cluster id_a < id_b has cosine ≥ τ,
+    # dup_of = min such id_a.
+    return """
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings
+        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                 vec_id
+        LIMIT 8
+      ),
+      assigned AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+               (SELECT c.cid FROM cents c
+                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                         DESC, c.cid
+                LIMIT 1) AS centroid
+        FROM embeddings e
+      )
+      SELECT CAST(b.vec_id AS BIGINT) AS vec_id,
+             CAST(b.centroid AS BIGINT) AS centroid,
+             CAST(min(a.vec_id) AS BIGINT) AS dup_of
+      FROM assigned a JOIN assigned b
+        ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+      GROUP BY b.vec_id, b.centroid
+    """
+
+
 def q_simhash(spark, sf_dir):
     from wimbd_spark.operators.neardup import simhash16
 
@@ -2313,6 +2360,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         q_embedding_cosine_pairs_lsh_auto,
         o_embedding_cosine_pairs_lsh_auto,
     ),
+    "semantic_dedup_drops": (q_semantic_dedup_drops, o_semantic_dedup_drops),
     "corpus_stats": (q_corpus_stats, o_corpus_stats),
     "lang_counts": (q_lang_counts, o_lang_counts),
     "token_length_dist": (q_token_length_dist, o_token_length_dist),

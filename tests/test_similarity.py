@@ -160,3 +160,84 @@ def test_cosine_pairs_lsh_auto_nbits(spark):
         for r in cosine_pairs(emb, threshold=0.45).collect()
     }
     assert auto <= exact  # LSH candidates verified exactly — no false pairs
+
+
+def test_semantic_duplicates_greedy_semantics(embeddings):
+    # Brute-force the spec in numpy: assign each vector to its nearest
+    # deterministic centroid (ties → smaller cid), then drop x iff a
+    # same-cluster y < x has cosine ≥ τ; dup_of = min such y.
+    import hashlib
+
+    import numpy as np
+
+    from wimbd_spark.operators.similarity import (
+        drop_semantic_duplicates,
+        semantic_duplicates,
+    )
+
+    tau, k = 0.45, 8
+    pdf = embeddings.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def h32(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    cent_ids = sorted(ids, key=lambda i: (h32(i), i))[:k]
+    cent_rows = [int(np.where(ids == c)[0][0]) for c in cent_ids]
+    sims_to_cents = normed @ normed[cent_rows].T
+    # argmax with tie → smaller cid: lexsort on (-sim, cid)
+    assign = {}
+    for r in range(len(ids)):
+        best = min(
+            range(k), key=lambda j: (-sims_to_cents[r, j], cent_ids[j])
+        )
+        assign[ids[r]] = cent_ids[best]
+    sims = normed @ normed.T
+    expect = {}
+    for bi, b in enumerate(ids):
+        mates = [
+            a
+            for ai, a in enumerate(ids)
+            if a < b and assign[a] == assign[b] and sims[ai, bi] >= tau
+        ]
+        if mates:
+            expect[int(b)] = (int(assign[b]), int(min(mates)))
+
+    got = {
+        r["vec_id"]: (r["centroid"], r["dup_of"])
+        for r in semantic_duplicates(
+            embeddings, threshold=tau, n_centroids=k
+        ).collect()
+    }
+    assert got == expect
+
+    survivors = {
+        r["vec_id"]
+        for r in drop_semantic_duplicates(
+            embeddings, threshold=tau, n_centroids=k
+        ).collect()
+    }
+    assert survivors == set(int(i) for i in ids) - set(expect)
+
+
+def test_semantic_duplicates_auto_ncentroids(spark):
+    from wimbd_spark.operators.similarity import (
+        auto_ncentroids,
+        semantic_duplicates,
+    )
+
+    assert auto_ncentroids(100, target_cluster=10) == 10
+    assert auto_ncentroids(5, target_cluster=10) == 1
+    assert auto_ncentroids(10**12) == 4096  # literal-array cap
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    auto = semantic_duplicates(emb, threshold=0.45, n_centroids=None)
+    explicit = semantic_duplicates(
+        emb,
+        threshold=0.45,
+        n_centroids=auto_ncentroids(emb.count()),
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )

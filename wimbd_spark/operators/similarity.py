@@ -129,6 +129,55 @@ def sign_sketch(vec: Column, planes: list[list[float]]) -> Column:
     return total.cast("long")
 
 
+def _deterministic_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> Column:
+    """Literal array<struct<cid, v>> of ``n_centroids`` deterministic
+    centroid samples: the rows with the smallest (hash32(id), id) — a
+    total order, so the pick is identical across partition layouts and
+    cluster sizes (a bare .limit() is layout-dependent). orderBy+limit
+    compiles to TakeOrderedAndProject: per-partition top-k then a
+    driver merge of n_centroids rows — no full sort, no extra count()
+    pass. The result folds into the plan as a constant, so centroid
+    assignment downstream is a map-only projection (zero shuffle);
+    this literal-array form is right up to a few thousand centroids —
+    past that, ship the centroids as a broadcast table instead.
+    """
+    from wimbd_spark.functions.text import hash32
+
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"),
+            _to_double(F.col(vec_col)).alias("_cent"),
+            hash32(F.col(id_col)).alias("_hk"),
+        )
+        .orderBy("_hk", "centroid_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r["centroid_id"]).alias("cid"),
+                F.array(*[F.lit(x) for x in r["_cent"]]).alias("v"),
+            )
+            for r in cents
+        ]
+    )
+
+
+def _nearest_centroids(vec: Column, cent_arr: Column, n: int) -> Column:
+    """Top-``n`` centroids by cosine (ties → smallest cid), as an array
+    of struct<neg, cid> — pure collection expressions, no UDF."""
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            (-cosine(vec, c["v"])).alias("neg"), c["cid"].alias("cid")
+        ),
+    )
+    return F.slice(F.array_sort(scored), 1, n)
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -150,42 +199,10 @@ def cosine_topk_ivf(
     lists can be written as a `centroid`-partitioned table and a query
     batch touches ~n_probe/n_centroids of the data.
     """
-    from wimbd_spark.functions.text import hash32
-
-    # Deterministic centroid sample: the n_centroids rows with the
-    # smallest (hash32(id), id) — a total order, so the pick is
-    # identical across partition layouts and cluster sizes (a bare
-    # .limit() is layout-dependent). orderBy+limit compiles to
-    # TakeOrderedAndProject: per-partition top-k then a driver merge of
-    # n_centroids rows — no full sort, no extra count() pass.
-    cents = (
-        corpus.select(
-            F.col(id_col).alias("centroid_id"),
-            _to_double(F.col(vec_col)).alias("_cent"),
-            hash32(F.col(id_col)).alias("_hk"),
-        )
-        .orderBy("_hk", "centroid_id")
-        .limit(n_centroids)
-        .collect()
-    )
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(r["centroid_id"]).alias("cid"),
-                F.array(*[F.lit(x) for x in r["_cent"]]).alias("v"),
-            )
-            for r in cents
-        ]
-    )
+    cent_arr = _deterministic_centroids(corpus, id_col, vec_col, n_centroids)
 
     def top_centroids(vec: Column, n: int) -> Column:
-        scored = F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                (-cosine(vec, c["v"])).alias("neg"), c["cid"].alias("cid")
-            ),
-        )
-        return F.slice(F.array_sort(scored), 1, n)
+        return _nearest_centroids(vec, cent_arr, n)
 
     # unit vectors: centroid assignment via cosine() is scale-invariant,
     # and the pairwise score below reduces to a single dot product
@@ -229,6 +246,87 @@ def cosine_topk_ivf(
             "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def auto_ncentroids(n_rows: int, target_cluster: int = 4096) -> int:
+    """Cluster-count sizing for semantic_dedup: the within-cluster
+    verification join costs Σ cluster² ≈ n·target_cluster when clusters
+    hold ~target_cluster vectors, i.e. linear in n — the same sizing
+    argument as auto_nbits. Capped at 4096 because the centroids fold
+    into the plan as a literal array (see _deterministic_centroids);
+    beyond that, move the assignment to a broadcast-table join."""
+    import math
+
+    return max(1, min(4096, math.ceil(n_rows / max(1, target_cluster))))
+
+
+def semantic_duplicates(
+    df: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = 16,
+) -> DataFrame:
+    """SemDeDup-style embedding dedup (Abbas et al. 2023, public):
+    cluster every vector to its nearest deterministic centroid, then
+    within each cluster flag ``id_b`` a duplicate when a cluster-mate
+    ``id_a < id_b`` has cosine ≥ ``threshold``. Returns the rows to
+    DROP → (``id_col``, centroid, dup_of) where dup_of is the smallest
+    such cluster-mate (the audit trail: who shadowed me).
+
+    Semantics are the one-pass greedy rule (drop x iff a smaller-id
+    ε-neighbor exists IN ITS CLUSTER, independent of that neighbor's
+    own fate) — deterministic, order-free, and expressible as a single
+    self-join, unlike transitive-closure dedup (use neardup's
+    resolve_components for that). Like SemDeDup, near-dup pairs split
+    across cluster boundaries are missed by design — that locality is
+    exactly what makes the cost n·cluster instead of n².
+
+    Scale shape: centroid pick is one TakeOrdered (n_centroids rows);
+    assignment is a map-only projection against the literal centroid
+    array (zero shuffle); the only shuffle is the self-join keyed on
+    the (narrow, int) centroid id, Σ cluster² rows ≈ n·target_cluster
+    with ``n_centroids=None`` (auto_ncentroids sizing — costs one
+    count()). Skewed clusters fall to AQE skew-join handling.
+    """
+    if n_centroids is None:
+        n_centroids = auto_ncentroids(df.count())
+    cent_arr = _deterministic_centroids(df, id_col, vec_col, n_centroids)
+    assigned = df.select(
+        F.col(id_col).alias("_id"),
+        _unit(_to_double(F.col(vec_col))).alias("_v"),
+    ).withColumn(
+        "centroid", _nearest_centroids(F.col("_v"), cent_arr, 1)[0]["cid"]
+    )
+    a = assigned.select(
+        F.col("_id").alias("_id_a"), F.col("_v").alias("_va"), "centroid"
+    )
+    b = assigned.select(
+        F.col("_id").alias("_id_b"), F.col("_v").alias("_vb"), "centroid"
+    )
+    return (
+        a.join(b, "centroid")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(dot(F.col("_va"), F.col("_vb")) >= threshold)
+        .groupBy(F.col("_id_b").alias(id_col), "centroid")
+        .agg(F.min("_id_a").alias("dup_of"))
+    )
+
+
+def drop_semantic_duplicates(
+    df: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = 16,
+) -> DataFrame:
+    """Surviving rows (all original columns) after SemDeDup-style
+    pruning — one broadcast-able anti-join against the (small) drop
+    set. The complement of semantic_duplicates by construction."""
+    drops = semantic_duplicates(
+        df, threshold, id_col, vec_col, n_centroids
+    ).select(id_col)
+    return df.join(drops, id_col, "left_anti")
 
 
 def cosine_pairs(
