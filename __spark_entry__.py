@@ -357,6 +357,117 @@ def o_word_overlap():
     """
 
 
+_CMP_WORDS_SQL = """
+      words AS (
+        SELECT source, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS token
+        FROM documents WHERE text IS NOT NULL AND source IN ('src0', 'src1')
+      ),
+      cmp_counts AS (
+        SELECT token,
+               sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS count_a,
+               sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS count_b
+        FROM words GROUP BY token
+      )
+"""
+
+
+def q_source_log_odds(spark, sf_dir):
+    """Distinctive tokens src0 vs src1 by smoothed log-odds-ratio.
+    The row set is gated on integer counts and log_odds is a pure
+    per-row function of integers (no float aggregation), so the
+    rounded values hash-compare exactly."""
+    from wimbd_spark.operators.compare import log_odds_tokens
+
+    docs = _docs(spark, sf_dir)
+    return log_odds_tokens(docs, "src0", "src1", min_total=10).select(
+        "token",
+        F.col("count_a").cast("long").alias("count_a"),
+        F.col("count_b").cast("long").alias("count_b"),
+        "log_odds",
+    )
+
+
+def o_source_log_odds():
+    return f"""
+      WITH {_CMP_WORDS_SQL},
+      tot AS (SELECT sum(count_a) AS na, sum(count_b) AS nb FROM cmp_counts)
+      SELECT token,
+             CAST(count_a AS BIGINT) AS count_a,
+             CAST(count_b AS BIGINT) AS count_b,
+             round(ln((count_a + 0.5) / (na - count_a + 0.5))
+                   - ln((count_b + 0.5) / (nb - count_b + 0.5)), 6) AS log_odds
+      FROM cmp_counts, tot
+      WHERE count_a + count_b >= 10
+    """
+
+
+def q_vocab_cosine(spark, sf_dir):
+    """Unigram-distribution similarity src0 vs src1 — cosine over the
+    count vectors. All three sums are exact decimal integers; the
+    final sqrt/divide is deterministic IEEE, so no rounding needed."""
+    from wimbd_spark.operators.compare import vocab_cosine
+
+    docs = _docs(spark, sf_dir)
+    return vocab_cosine(docs, "src0", "src1")
+
+
+def o_vocab_cosine():
+    return f"""
+      WITH {_CMP_WORDS_SQL}
+      SELECT CAST(sum(count_a * count_b) AS DOUBLE)
+             / (sqrt(CAST(sum(count_a * count_a) AS DOUBLE))
+                * sqrt(CAST(sum(count_b * count_b) AS DOUBLE))) AS cosine
+      FROM cmp_counts
+    """
+
+
+def q_token_freq_spectrum(spark, sf_dir):
+    """Count-of-counts over unigrams (the Zipf/vocab-growth table).
+    Two integer hash aggregations — exact at any scale."""
+    from wimbd_spark.operators.compare import token_freq_spectrum
+
+    docs = _docs(spark, sf_dir)
+    return token_freq_spectrum(docs, n=1).select(
+        F.col("occurrences").cast("long").alias("occurrences"),
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+    )
+
+
+def o_token_freq_spectrum():
+    return f"""
+      WITH {_sql_grams(1)},
+      counts AS (SELECT count(*) AS c FROM grams GROUP BY ngram)
+      SELECT CAST(c AS BIGINT) AS occurrences,
+             CAST(count(*) AS BIGINT) AS n_ngrams
+      FROM counts GROUP BY c
+    """
+
+
+def q_length_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of tokens-per-document; both
+    engines use the p·(n−1) linear-interpolation definition over the
+    same integers, round(6) absorbs interpolation-order ulps."""
+    from wimbd_spark.operators.stats import length_percentiles
+
+    docs = _docs(spark, sf_dir)
+    return length_percentiles(docs)
+
+
+def o_length_percentiles():
+    return """
+      WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      q AS (SELECT quantile_cont(len(t),
+                     [0.25, 0.5, 0.75, 0.9, 0.99]) AS vs FROM toks)
+      SELECT [0.25, 0.5, 0.75, 0.9, 0.99][i] AS percentile,
+             round(vs[i], 6) AS value
+      FROM q, unnest(generate_series(1, 5)) AS u(i)
+    """
+
+
 def q_decontaminate(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     blocklist = docs.filter(F.col("source") == "src0")
@@ -2351,16 +2462,23 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # green in the most recent rounds move to the back. Every query must
     # get a driver row at least every other round; tools/check_oracles.py
     # covers ALL entries locally every round regardless of position.
-    # Round 4 window: in — 2 NEW queries (phrase_batch_counts,
-    # embedding_cosine_pairs_lsh_auto) + the 14 queries rested in r3
-    # (green r2); out — 16 r3-green queries (listed at the back; they
-    # MUST return to the window in r5 per the every-other-round rule).
+    # Round 4 window: in — the NEW queries (phrase_batch_counts,
+    # embedding_cosine_pairs_lsh_auto, semantic_dedup_drops,
+    # source_log_odds, vocab_cosine_src0_src1, token_freq_spectrum,
+    # length_percentiles, contamination_rate_indexed, simhash62) + the
+    # 14 queries rested in r3 (green r2); out — r3-green queries on
+    # untouched code paths (listed at the back; they MUST return to
+    # the window in r5 per the every-other-round rule).
     "phrase_batch_counts": (q_phrase_batch_counts, o_phrase_batch_counts),
     "embedding_cosine_pairs_lsh_auto": (
         q_embedding_cosine_pairs_lsh_auto,
         o_embedding_cosine_pairs_lsh_auto,
     ),
     "semantic_dedup_drops": (q_semantic_dedup_drops, o_semantic_dedup_drops),
+    "source_log_odds": (q_source_log_odds, o_source_log_odds),
+    "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
+    "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
+    "length_percentiles": (q_length_percentiles, o_length_percentiles),
     "corpus_stats": (q_corpus_stats, o_corpus_stats),
     "lang_counts": (q_lang_counts, o_lang_counts),
     "token_length_dist": (q_token_length_dist, o_token_length_dist),
@@ -2386,13 +2504,8 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         q_embedding_cosine_pairs_lsh,
         o_embedding_cosine_pairs_lsh,
     ),
-    "top_orders_by_revenue": (q_top_orders_by_revenue, o_top_orders_by_revenue),
-    "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
-    "events_tumbling_1h": (q_events_tumbling, o_events_tumbling),
-    "session_stats_30m_gap": (q_session_stats, o_session_stats),
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, o_ngram_jaccard_pairs),
-    "embedding_cosine_pairs": (q_embedding_cosine_pairs, o_embedding_cosine_pairs),
     "quality_scores": (q_quality_scores, o_quality_scores),
     "repetition_scores": (q_repetition_scores, o_repetition_scores),
     "langid_counts": (q_langid_counts, o_langid_counts),
@@ -2420,6 +2533,11 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "simhash62": (q_simhash62, o_simhash62),
     # --- back of the window: green in r3, resting this round; ALL of
     # these return to the first 50 in round 5.
+    "top_orders_by_revenue": (q_top_orders_by_revenue, o_top_orders_by_revenue),
+    "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
+    "events_tumbling_1h": (q_events_tumbling, o_events_tumbling),
+    "session_stats_30m_gap": (q_session_stats, o_session_stats),
+    "embedding_cosine_pairs": (q_embedding_cosine_pairs, o_embedding_cosine_pairs),
     "phrase_count_filtered": (q_phrase_count_filtered, o_phrase_count_filtered),
     "top2_orders_per_customer": (q_top2_orders_per_customer, o_top2_orders_per_customer),
     "topk_ngrams_n3_k20": (q_topk_ngrams, o_topk_ngrams),

@@ -1,0 +1,202 @@
+"""Corpus comparison analytics: which tokens distinguish one source
+from another, and how close two sources' unigram distributions are.
+
+Beyond-reference surface in the reference's own analysis class: the
+wimbd paper's corpus summaries compare datasets by n-gram statistics
+(most-common terms, overlap, contamination); these operators add the
+standard comparative statistics built on the same token counts —
+log-odds-ratio "distinctive tokens" (Monroe et al. 2008, public),
+distributional similarity (vocabulary cosine), Jensen–Shannon
+divergence, and the token frequency spectrum (count-of-counts, the
+Zipf/vocabulary-growth view).
+
+Scale shape: everything derives from ONE token-count aggregation —
+scan → explode → groupBy(token) with map-side partial combine (the
+same single-shuffle plan as topk.ngram_counts); the comparative
+statistics are a second tiny aggregation or a per-row projection over
+the (vocab-sized) count table. Corpus totals are integer sums, so
+every cross-engine-checked number is a deterministic function of
+exact integers (float summation order never matters); only
+js_divergence sums per-token float terms and is therefore verified in
+tests rather than against the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wimbd_spark.functions.text import tokenize
+
+
+def source_token_counts(
+    df: DataFrame,
+    source_a: str,
+    source_b: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    tokens: Column | None = None,
+) -> DataFrame:
+    """(token, count_a, count_b) over the union vocabulary of the two
+    sources — one scan (pruned to the two sources; the filter pushes
+    to the parquet scan), one shuffle (groupBy token). The shared base
+    for every comparison statistic below."""
+    toks = tokens if tokens is not None else tokenize(F.col(text_col))
+    src = F.col(source_col)
+    return (
+        df.filter(src.isin(source_a, source_b))
+        .filter(F.col(text_col).isNotNull())
+        .select(src.alias("_src"), F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("_src") == source_a, 1).otherwise(0)).alias(
+                "count_a"
+            ),
+            F.sum(F.when(F.col("_src") == source_b, 1).otherwise(0)).alias(
+                "count_b"
+            ),
+        )
+    )
+
+
+def log_odds_tokens(
+    df: DataFrame,
+    source_a: str,
+    source_b: str,
+    min_total: int = 10,
+    smoothing: float = 0.5,
+    text_col: str = "text",
+    source_col: str = "source",
+    tokens: Column | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Distinctive tokens by smoothed log-odds-ratio →
+    (token, count_a, count_b, log_odds), positive = characteristic of
+    ``source_a``. log_odds = ln((ca+s)/(Na−ca+s)) − ln((cb+s)/(Nb−cb+s))
+    with corpus token totals Na/Nb — the "fightin' words" statistic
+    without the variance normalization (Monroe et al. 2008 eq. 16).
+
+    ``min_total`` gates on the INTEGER combined count, so the result
+    row-set is decided by exact arithmetic and only the log_odds value
+    itself is floating point — a pure per-row function of the four
+    integer counts (no float aggregation anywhere), rounded to
+    ``round_to`` so independent engines agree bit-for-bit. The totals
+    ride along as a broadcast single-row cross join, not a collect.
+    """
+    counts = source_token_counts(
+        df, source_a, source_b, text_col, source_col, tokens
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("count_a").alias("_na"), F.sum("count_b").alias("_nb")
+        )
+    )
+    s = F.lit(float(smoothing))
+    lo = (
+        F.log((F.col("count_a") + s) / (F.col("_na") - F.col("count_a") + s))
+        - F.log((F.col("count_b") + s) / (F.col("_nb") - F.col("count_b") + s))
+    )
+    if round_to is not None:
+        lo = F.round(lo, round_to)
+    return (
+        counts.crossJoin(totals)
+        .filter((F.col("count_a") + F.col("count_b")) >= min_total)
+        .select("token", "count_a", "count_b", lo.alias("log_odds"))
+    )
+
+
+def vocab_cosine(
+    df: DataFrame,
+    source_a: str,
+    source_b: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    tokens: Column | None = None,
+) -> DataFrame:
+    """One row (cosine double): cosine similarity between the two
+    sources' unigram count vectors over the union vocabulary.
+
+    Chosen as the oracle-checkable distribution-similarity statistic
+    because Σ ca·cb, Σ ca², Σ cb² are INTEGER sums (decimal-typed so
+    they stay exact past int64 at corpus scale — counts of 10¹² make
+    the dot product overflow bigint); the final sqrt/divide is a
+    single deterministic IEEE op on both engines, so unlike a float
+    sum the value is reproducible bit-for-bit regardless of partition
+    order."""
+    counts = source_token_counts(
+        df, source_a, source_b, text_col, source_col, tokens
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return counts.agg(
+        (
+            F.sum(d("count_a") * d("count_b")).cast("double")
+            / (
+                F.sqrt(F.sum(d("count_a") * d("count_a")).cast("double"))
+                * F.sqrt(F.sum(d("count_b") * d("count_b")).cast("double"))
+            )
+        ).alias("cosine")
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    source_a: str,
+    source_b: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    tokens: Column | None = None,
+    base: float = 2.0,
+) -> DataFrame:
+    """One row (js double): Jensen–Shannon divergence between the two
+    sources' unigram distributions (base 2 → bounded [0, 1]). Zero
+    probabilities contribute zero (no smoothing needed — JS is finite
+    on disjoint support, unlike KL).
+
+    The per-token terms are floats summed in partition order, so the
+    last ulp can differ run-to-run — verified against a numpy
+    reference in tests (|Δ| tolerance), not against the SQL oracle's
+    full-precision hash. Plan shape: the shared one-shuffle count
+    table, then a scalar aggregate."""
+    import math
+
+    counts = source_token_counts(
+        df, source_a, source_b, text_col, source_col, tokens
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("count_a").alias("_na"), F.sum("count_b").alias("_nb")
+        )
+    )
+    p = F.col("count_a") / F.col("_na")
+    q = F.col("count_b") / F.col("_nb")
+    m = (p + q) / F.lit(2.0)
+    ln_base = F.lit(math.log(base))
+    term = (
+        F.when(p > 0, p * (F.log(p / m) / ln_base)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * (F.log(q / m) / ln_base)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    return counts.crossJoin(totals).agg(F.sum(term).alias("js"))
+
+
+def token_freq_spectrum(
+    df: DataFrame,
+    n: int = 1,
+    text_col: str = "text",
+    tokens: Column | None = None,
+) -> DataFrame:
+    """Frequency spectrum (count-of-counts) → (occurrences, n_ngrams):
+    how many distinct n-grams appear exactly ``occurrences`` times —
+    the Zipf/vocabulary-growth summary (the wimbd paper's frequency
+    analyses read off this table), and the standard duplication
+    fingerprint: a heavy high-occurrence tail is boilerplate.
+
+    Two hash aggregations (ngram → count, count → n_ngrams); the
+    second input is vocab-sized, far smaller than the corpus. All
+    integers — exact at any scale."""
+    from wimbd_spark.operators.topk import ngram_counts
+
+    return (
+        ngram_counts(df, n, text_col=text_col, tokens=tokens)
+        .groupBy(F.col("count").alias("occurrences"))
+        .agg(F.count(F.lit(1)).alias("n_ngrams"))
+    )

@@ -46,6 +46,48 @@ def corpus_stats(
     )
 
 
+def length_percentiles(
+    df: DataFrame,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    text_col: str = "text",
+    length: Column | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """(percentile, value) — exact linear-interpolation percentiles of
+    the per-document length (token count by default; pass ``length``
+    for chars/bytes/custom).
+
+    Exact `percentile` (not approx_percentile) because the driver's
+    oracle compares values bit-for-bit; both Spark and DuckDB
+    (quantile_cont) use the p·(n−1) linear-interpolation definition
+    over the same integer inputs, and ``round_to`` absorbs any last-ulp
+    interpolation difference. At 100 TB prefer approx_percentile
+    (t-digest sketch, one pass, no sort buffer); exact percentile
+    collects each group's values into one aggregation buffer, which is
+    fine for a scalar summary but the sketch is the scale default —
+    the same exact/approx split as unique_ngrams vs its HLL twin.
+    """
+    ln = length if length is not None else F.size(tokenize(F.col(text_col)))
+    ps = list(percentiles)
+    vals = F.percentile(F.col("_len"), F.array(*[F.lit(p) for p in ps]))
+    row = df.filter(F.col(text_col).isNotNull()).select(
+        ln.alias("_len")
+    ).agg(vals.alias("_vals"))
+    out = row.select(
+        F.posexplode("_vals").alias("_i", "value")
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in ps]), F.col("_i") + 1
+        ).alias("percentile"),
+        "value",
+    )
+    if round_to is not None:
+        out = out.select(
+            "percentile", F.round("value", round_to).alias("value")
+        )
+    return out
+
+
 def extreme_token_docs(
     df: DataFrame,
     text_col: str = "text",
