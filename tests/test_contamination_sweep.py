@@ -1,0 +1,270 @@
+"""The distributed contamination sweep (r5): eval phrases stay a
+DataFrame end-to-end, corpus L-grams are reconstructed from postings,
+and dense phrase batches route off the quadratic slot join.
+
+Covers VERDICT r4 items 1-2: no driver .collect() of phrases on the
+sweep path, no postings×slot fan-out, density-guard routing, and value
+parity of every new path with the established slot-join/scan paths.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import wimbd_spark.index as index_mod
+from wimbd_spark.index import (
+    build_phrase_index,
+    corpus_grams_from_postings,
+    count_documents_for_each_phrase_df,
+    count_documents_for_each_phrase_indexed,
+    load_phrase_index,
+    phrase_matches_batch,
+)
+from wimbd_spark.operators.dedup import contamination_rate_indexed
+
+
+@pytest.fixture(scope="module")
+def corpus(documents):
+    return documents.select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sweepidx") / "postings")
+    build_phrase_index(corpus, path, num_files=4)
+    return load_phrase_index(spark, path)
+
+
+def _eval_grams(corpus, n=4):
+    from wimbd_spark.functions.text import ngram_strings, tokenize
+
+    return corpus.select(
+        F.explode(ngram_strings(tokenize(F.col("text")), n)).alias("phrase")
+    ).distinct()
+
+
+# ------------------------------------------------ gram reconstruction
+
+
+def test_vocab_pruned_grams_respect_contiguity(spark, tmp_path):
+    # With vocab pruning, postings gaps must NOT splice distant tokens
+    # into a false gram: "alpha xxx beta" has no "alpha beta" bigram.
+    df = spark.createDataFrame(
+        [(1, "alpha xxx beta"), (2, "alpha beta xxx")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "gapidx")
+    build_phrase_index(df, path, num_files=1)
+    idx = load_phrase_index(spark, path)
+    vocab = spark.createDataFrame([("alpha",), ("beta",)], ["token"])
+    got = {
+        (r["doc_id"], tuple(r["_toks"]))
+        for r in corpus_grams_from_postings(
+            idx, [2], with_doc=True, vocab=vocab
+        ).collect()
+    }
+    assert got == {(2, ("alpha", "beta"))}
+
+
+def test_grams_match_direct_ngrams(spark, corpus, index):
+    # postings-reconstructed L-grams == n-grams computed from the text
+    from wimbd_spark.functions.text import tokenize
+
+    for L in (1, 3):
+        direct = {
+            tuple(r["g"])
+            for r in corpus.filter(F.col("text").isNotNull())
+            .select(
+                F.explode(
+                    F.filter(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.size(tokenize(F.col("text")))
+                                - F.lit(L - 1),
+                            ),
+                            lambda i: F.slice(
+                                tokenize(F.col("text")), i, L
+                            ),
+                        ),
+                        lambda a: F.size(a) == L,
+                    )
+                ).alias("g")
+            )
+            .distinct()
+            .collect()
+        }
+        got = {
+            tuple(r["_toks"])
+            for r in corpus_grams_from_postings(index, [L]).collect()
+        }
+        assert got == direct
+
+
+# ------------------------------------------------ density-guard routing
+
+
+def _dense_phrases():
+    # 125 trigrams over a 5-token vocabulary: 375 slots / 5 tokens =
+    # 75 slots/token >= DENSE_SLOTS_PER_TOKEN — the contamination shape
+    voc = ["join", "scan", "hash", "row", "table"]
+    return [f"{a} {b} {c}" for a in voc for b in voc for c in voc]
+
+
+def test_dense_batch_routes_to_gram_join(index, monkeypatch):
+    calls = []
+    orig = index_mod._phrase_matches_gram_join
+
+    def spy(idx, ptoks):
+        calls.append(len(ptoks))
+        return orig(idx, ptoks)
+
+    monkeypatch.setattr(index_mod, "_phrase_matches_gram_join", spy)
+    phrase_matches_batch(index, _dense_phrases(), fanout_budget=100)
+    assert calls == [125]
+
+
+def test_diverse_batch_stays_on_slot_join(index, monkeypatch):
+    def boom(idx, ptoks):  # pragma: no cover
+        raise AssertionError("diverse batch must not route to gram join")
+
+    monkeypatch.setattr(index_mod, "_phrase_matches_gram_join", boom)
+    out = phrase_matches_batch(
+        index, ["table scan", "hash join", "row batch"]
+    )
+    out.collect()  # plan construction AND execution stay on slot path
+
+
+def test_dense_routing_parity(index):
+    phrases = _dense_phrases()
+    slot = sorted(
+        map(
+            tuple,
+            phrase_matches_batch(
+                index, phrases, fanout_budget=None
+            ).collect(),
+        )
+    )
+    gram = sorted(
+        map(
+            tuple,
+            phrase_matches_batch(
+                index, phrases, fanout_budget=100
+            ).collect(),
+        )
+    )
+    assert slot == gram
+    assert len(slot) > 0  # the fixture corpus matches some trigrams
+
+
+def test_dense_slop_batch_warns_but_answers(index):
+    phrases = _dense_phrases()
+    with pytest.warns(UserWarning, match="dense batch"):
+        out = phrase_matches_batch(
+            index, phrases, slop=1, fanout_budget=100
+        )
+    ref = phrase_matches_batch(index, phrases, slop=1, fanout_budget=None)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+
+
+# ------------------------------------------------ DataFrame-native counts
+
+
+def test_phrase_df_counts_match_list_api(spark, index):
+    phrases = _dense_phrases() + ["zzz missing gram"]
+    lst = {
+        r["phrase"]: r["count"]
+        for r in count_documents_for_each_phrase_indexed(
+            index, phrases, slop=0
+        ).collect()
+    }
+    pdf = spark.createDataFrame([(p,) for p in phrases], ["phrase"])
+    got = {
+        r["phrase"]: r["count"]
+        for r in count_documents_for_each_phrase_df(index, pdf).collect()
+    }
+    assert got == lst
+    assert got["zzz missing gram"] == 0
+
+
+# ------------------------------------------------ the sweep itself
+
+
+def test_sweep_matches_legacy_batched_path(spark, corpus, index):
+    ev = _eval_grams(corpus.limit(40), n=4)
+    fast = contamination_rate_indexed(index, ev, "phrase").collect()[0]
+    # force the legacy slot-join path via slop>0? No — compare against
+    # the collected-list path by calling with an explicit analyzer
+    # (slop=0, analyzer set → fallback branch)
+    legacy = contamination_rate_indexed(
+        index, ev, "phrase", analyzer=lambda s: s.split()
+    ).collect()[0]
+    assert fast["contaminated"] == legacy["contaminated"]
+    assert fast["total"] == legacy["total"]
+    assert fast["rate"] == pytest.approx(legacy["rate"])
+    assert fast["total"] > 0
+
+
+def test_sweep_collects_no_phrases(spark, corpus, index, monkeypatch):
+    # The r4 scale-killer: every eval phrase pulled to the driver.
+    # The r5 contract: the only collected state is the distinct phrase
+    # LENGTHS. Count every row that crosses DataFrame.collect().
+    from pyspark.sql import DataFrame
+
+    ev = _eval_grams(corpus, n=4)
+    n_phrases = ev.count()
+    assert n_phrases > 100  # the guard must be meaningful
+
+    collected = []
+    orig = DataFrame.collect
+
+    def counting(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+    out = contamination_rate_indexed(index, ev, "phrase")
+    row = orig(out)[0]
+    assert row["total"] == n_phrases
+    # lengths-only: one tiny collect, nowhere near the phrase count
+    assert sum(collected) <= 8, collected
+
+
+def test_sweep_plan_has_no_slot_fanout_and_no_corpus_scan(
+    spark, corpus, index, monkeypatch
+):
+    # structurally: the sweep must not call phrase_matches_batch, and
+    # its plan must read only the postings parquet
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("sweep must not use the slot join")
+
+    monkeypatch.setattr(index_mod, "phrase_matches_batch", boom)
+    ev = _eval_grams(corpus, n=4)
+    out = contamination_rate_indexed(index, ev, "phrase")
+    out.collect()
+
+
+def test_sweep_empty_and_degenerate_inputs(spark, index):
+    ev = spark.createDataFrame(
+        [(None,), ("   ",)], schema="phrase string"
+    )
+    row = contamination_rate_indexed(index, ev, "phrase").collect()[0]
+    assert (row["contaminated"], row["total"], row["rate"]) == (0, 0, 0.0)
+
+
+def test_sweep_mixed_lengths(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c"), (3, "d e f")], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "mixidx")
+    build_phrase_index(df, path, num_files=1)
+    idx = load_phrase_index(spark, path)
+    ev = spark.createDataFrame(
+        [("b c",), ("a b c",), ("e",), ("c d e",), ("x y",)], ["phrase"]
+    )
+    row = contamination_rate_indexed(idx, ev, "phrase").collect()[0]
+    # hits: "b c" (docs 1,2), "a b c" (doc 1), "e" (doc 3); misses:
+    # "c d e" (spans docs), "x y"
+    assert (row["contaminated"], row["total"]) == (3, 5)

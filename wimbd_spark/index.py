@@ -34,8 +34,12 @@ slice of the index regardless of corpus size.
 
 from __future__ import annotations
 
+import warnings
+from collections import Counter
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from wimbd_spark.functions.text import tokenize
 from wimbd_spark.search import analyze_phrase
@@ -275,11 +279,136 @@ def _greedy_window_cond_map(pm: Column, L: Column, slop: int) -> Column:
     )
 
 
+def corpus_grams_from_postings(
+    index: DataFrame,
+    lengths: list[int],
+    with_doc: bool = False,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Distinct contiguous token L-grams of the INDEXED corpus for every
+    L in ``lengths``, reconstructed from postings alone (positions →
+    position-ordered token stream → sliding windows) — the corpus text
+    is never read. Output: (_L int, _toks array<string>), plus
+    ``doc_id`` when ``with_doc`` (then distinct per document).
+
+    ``vocab`` (a DataFrame with a ``token`` column) prunes the postings
+    scan to the query vocabulary before reconstruction: a gram can only
+    match a query gram if EVERY token in it is a query token, so
+    non-vocab postings are irrelevant. Pruning leaves gaps in the
+    position stream, so each window slice additionally checks position
+    contiguity (last − first == L − 1) — without pruning positions are
+    dense and the check is trivially true.
+
+    Plan shape (the 100 TB contract): one semi-join postings⋈vocab
+    (AQE broadcasts small vocabularies), ONE window shuffle on doc_id
+    to reassemble token order, map-side slicing for all requested Ls at
+    once, one distinct. Work is linear in (pruned) corpus token count ×
+    len(lengths); plan size is constant in the number of query phrases
+    — this is what makes eval-scale contamination sweeps viable where
+    the postings×slot fan-out (phrase_matches_batch's slot join) is
+    quadratic in shared-vocabulary batches.
+    """
+    Ls = sorted({int(L) for L in lengths if int(L) >= 1})
+    if not Ls:
+        raise ValueError("lengths must contain at least one L >= 1")
+    max_l = Ls[-1]
+    tokpos = index.select(
+        "doc_id", "token", F.explode("positions").alias("_pos")
+    )
+    if vocab is not None:
+        tokpos = tokpos.join(
+            vocab.select("token").distinct(), "token", "left_semi"
+        )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, max_l - 1)
+    )
+    ahead = F.collect_list(F.struct(F.col("_pos"), F.col("token"))).over(w)
+    first_pos = F.element_at(F.col("_ahead"), 1)["_pos"]
+
+    def gram(L: int) -> Column:
+        ok = (F.size(F.col("_ahead")) >= L) & (
+            F.element_at(F.col("_ahead"), L)["_pos"] - first_pos
+            == F.lit(L - 1)
+        )
+        return F.when(
+            ok,
+            F.struct(
+                F.lit(L).alias("_L"),
+                F.transform(
+                    F.slice(F.col("_ahead"), 1, L), lambda s: s["token"]
+                ).alias("_toks"),
+            ),
+        )
+
+    out = (
+        tokpos.withColumn("_ahead", ahead)
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.array(*[gram(L) for L in Ls]),
+                    lambda s: s.isNotNull(),
+                )
+            ).alias("_g"),
+        )
+        .select("doc_id", F.col("_g._L").alias("_L"), F.col("_g._toks").alias("_toks"))
+    )
+    if with_doc:
+        return out.dropDuplicates(["doc_id", "_L", "_toks"])
+    return out.select("_L", "_toks").distinct()
+
+
+def _phrase_matches_gram_join(
+    index: DataFrame, ptoks: list[list[str]]
+) -> DataFrame:
+    """(pid, doc_id) for slop=0 phrase batches via the distributed gram
+    join — the dense-batch escape hatch from phrase_matches_batch's
+    slot plan. Corpus L-grams (pruned to the query vocabulary) are
+    reconstructed once and hash-joined against the broadcast
+    (pid, L, toks) query table on the token-array key, so fan-out is
+    bounded by the corpus's distinct per-doc gram count — never
+    postings × slots.
+    """
+    spark = index.sparkSession
+    lengths = sorted({len(t) for t in ptoks})
+    qdf = spark.createDataFrame(
+        [(pid, len(t), t) for pid, t in enumerate(ptoks)],
+        schema="pid int, _L int, _toks array<string>",
+    )
+    vocab = spark.createDataFrame(
+        [(t,) for t in sorted({tok for p in ptoks for tok in p})],
+        schema="token string",
+    )
+    cg = corpus_grams_from_postings(
+        index, lengths, with_doc=True, vocab=vocab
+    )
+    return cg.join(F.broadcast(qdf), ["_L", "_toks"]).select("pid", "doc_id")
+
+
+#: Density-guard knobs for phrase_matches_batch. A batch is "dense"
+#: when many phrase slots share few distinct tokens (the contamination
+#: shape: thousands of n-grams over a small shared vocabulary); the
+#: slot-join fan-out is then Σ_token postings(token) × slots(token),
+#: quadratic where ES-shaped diverse batches stay linear. Ratio 32 ≫
+#: any real msearch batch (500 diverse phrases ≈ 1.5 slots/token, a
+#: 100-phrase cross-product batch ≈ 12) and ≪ the failure case (12k
+#: 4-grams / 31 tokens ≈ 1,600 slots/token) — batches below it skip
+#: the estimate entirely, so normal calls never pay the extra job.
+DENSE_SLOTS_PER_TOKEN = 32.0
+#: Estimated slot-join output rows above which a dense slop=0 batch is
+#: routed to the gram-join plan (~20M rows ≈ a few seconds of groupBy;
+#: the r4 failure case estimated ~240M).
+FANOUT_BUDGET = 20_000_000
+
+
 def phrase_matches_batch(
     index: DataFrame,
     phrases: list[str],
     slop: int = 0,
     analyzer=None,
+    fanout_budget: int | None = FANOUT_BUDGET,
 ) -> DataFrame:
     """(pid, doc_id) for every phrase (``pid`` = position in
     ``phrases``) and every matching document — ONE job regardless of
@@ -303,6 +432,16 @@ def phrase_matches_batch(
     ``build_phrase_index``'s default — pass
     ``functions.text._uax29_words`` for an index built with
     ``tokenize_words``.
+
+    DENSITY GUARD: the slot join emits |postings(token)| ×
+    |slots(token)| rows per token — linear for diverse batches,
+    quadratic when many phrases share a small vocabulary. When the
+    batch looks dense (slots/token ≥ DENSE_SLOTS_PER_TOKEN), one cheap
+    per-token postings count over the pruned index estimates the
+    fan-out; estimates above ``fanout_budget`` route slop=0 batches to
+    the distributed gram-join plan (_phrase_matches_gram_join — same
+    (pid, doc_id) contract) and warn on slop>0 batches, which have no
+    gram-join equivalent. ``fanout_budget=None`` disables the guard.
     """
     if not phrases:
         raise ValueError("phrases must be non-empty")
@@ -310,22 +449,53 @@ def phrase_matches_batch(
     spark = index.sparkSession
     rows: list[tuple[int, int, str, int]] = []
     tokens: set[str] = set()
+    ptoks_list: list[list[str]] = []
     for pid, phrase in enumerate(phrases):
         ptoks = analyze(phrase)
         if not ptoks:
             raise ValueError("phrase must be non-empty")
+        ptoks_list.append(ptoks)
         for slot, t in enumerate(ptoks):
             rows.append((pid, slot, t, len(ptoks)))
             tokens.add(t)
-    qdf = spark.createDataFrame(
-        rows, schema="pid int, slot int, token string, L int"
-    )
     posts = index
     # the isin prefilter is what reaches the parquet scan (row-group
     # pruning on the token-sorted files); past ~10k distinct tokens the
     # predicate stops paying and the broadcast join alone filters
-    if len(tokens) <= 10_000:
+    pruned = len(tokens) <= 10_000
+    if pruned:
         posts = posts.filter(F.col("token").isin(sorted(tokens)))
+    if (
+        fanout_budget is not None
+        and len(rows) / max(len(tokens), 1) >= DENSE_SLOTS_PER_TOKEN
+    ):
+        if not pruned:
+            # vocabulary too large to pre-count cheaply; a dense batch
+            # at this size can only be the contamination shape
+            est = fanout_budget + 1
+        else:
+            slot_counts = Counter(t for (_, _, t, _) in rows)
+            pcounts = {
+                r["token"]: r["n"]
+                for r in posts.groupBy("token")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            est = sum(
+                pcounts.get(t, 0) * c for t, c in slot_counts.items()
+            )
+        if est > fanout_budget:
+            if slop == 0:
+                return _phrase_matches_gram_join(index, ptoks_list)
+            warnings.warn(
+                f"phrase_matches_batch: dense batch (est. slot-join "
+                f"fan-out ~{est:,} rows) with slop={slop} has no "
+                "gram-join fast path; expect a heavy shuffle",
+                stacklevel=2,
+            )
+    qdf = spark.createDataFrame(
+        rows, schema="pid int, slot int, token string, L int"
+    )
     per = (
         posts.join(F.broadcast(qdf), "token")
         .groupBy("pid", "doc_id")
@@ -488,6 +658,69 @@ def count_documents_for_each_phrase_indexed(
         .join(counts, "gid", "left")
         .select("phrase", F.coalesce("count", F.lit(0)).alias("count"))
         .orderBy("phrase")
+    )
+
+
+def count_documents_for_each_phrase_df(
+    index: DataFrame,
+    phrases_df: DataFrame,
+    phrase_col: str = "phrase",
+    tokenizer=None,
+) -> DataFrame:
+    """(phrase, count) for EVERY distinct phrase in a phrase DATAFRAME
+    — the eval-scale twin of count_documents_for_each_phrase_indexed.
+    The phrase set stays distributed end-to-end (no driver list, no
+    per-phrase plan nodes), so this serves the reference's
+    contamination workloads (wimbd/es/corpus_contamination.py:28-58 —
+    one ES count per eval row, 10⁵–10⁶ rows in real sweeps) at any
+    eval-set size. slop=0 token-aligned semantics, single phrases only.
+
+    Plan: distinct phrases tokenized JVM-side (``tokenizer`` must
+    mirror the index's build tokenizer; default pairs with the
+    default) → corpus L-grams reconstructed from vocabulary-pruned
+    postings (corpus_grams_from_postings) → one hash join on the
+    (L, token-array) key → groupBy(phrase) count. Zero-hit phrases
+    report 0. The only driver-collected state is the set of distinct
+    phrase LENGTHS (a handful of ints).
+    """
+    tok = tokenizer if tokenizer is not None else tokenize
+    evp = (
+        phrases_df.select(F.col(phrase_col).alias("phrase"))
+        .filter(
+            F.col("phrase").isNotNull() & (F.trim(F.col("phrase")) != "")
+        )
+        .distinct()
+        .withColumn("_toks", tok(F.col("phrase")))
+        .withColumn("_L", F.size("_toks"))
+    )
+    lengths = sorted(
+        r["_L"]
+        for r in evp.filter(F.col("_L") >= 1)
+        .select("_L")
+        .distinct()
+        .collect()
+    )
+    if not lengths:
+        return evp.select(
+            "phrase", F.lit(0).cast("long").alias("count")
+        )
+    vocab = evp.select(F.explode("_toks").alias("token"))
+    cg = corpus_grams_from_postings(
+        index, lengths, with_doc=True, vocab=vocab
+    )
+    hits = (
+        evp.join(cg, ["_L", "_toks"])
+        # cg is distinct per (doc_id, gram), so rows per phrase = docs
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        evp.select("phrase")
+        .join(hits, "phrase", "left")
+        .select(
+            "phrase",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("count"),
+        )
     )
 
 

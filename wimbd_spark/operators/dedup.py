@@ -340,6 +340,7 @@ def contamination_rate_indexed(
     phrase_col: str,
     slop: int = 0,
     analyzer=None,
+    tokenizer=None,
 ) -> DataFrame:
     """Token-aligned contamination from the POSTING INDEX: fraction of
     distinct eval phrases matching ≥1 corpus doc → single row
@@ -347,31 +348,88 @@ def contamination_rate_indexed(
 
     This is the reference's actual contamination semantics — ES
     match_phrase counts per eval row (wimbd/es/corpus_contamination.py:
-    28-58, batched 500/msearch via es/__init__.py:269-345) — answered
-    from postings in ONE batched job (phrase_matches_batch), the corpus
-    never scanned. The substring-semantics scan twin is
-    `contamination_rate` (use it when no index exists or substring
-    matching is wanted).
+    28-58, batched 500/msearch via es/__init__.py:269-345) — with the
+    eval set kept as a DATAFRAME end-to-end. A slop=0 phrase matches a
+    document iff its token sequence appears among that document's
+    contiguous L-grams, so the sweep compiles to the distributed plan
 
-    The distinct phrase list is collected to the driver — the same
-    client-side shape as the reference's msearch loop and bounded by
-    the EVAL set (thousands of rows), never the corpus. Phrase order
-    in the batch is sorted, so the job is deterministic.
+        distinct eval phrases ⟕semi distinct corpus L-grams
+
+    with corpus L-grams reconstructed from the postings pruned to the
+    eval vocabulary (index.corpus_grams_from_postings) — the corpus is
+    never scanned, no phrase list is collected to the driver, and no
+    postings×slot fan-out occurs. Plan size is constant in phrase
+    count; the only driver-collected state is the set of distinct
+    phrase LENGTHS (a handful of ints). Counts (`total`, hits) come
+    from distributed aggregations, like the scan twin.
+
+    ``tokenizer`` (Column → array<string>) must mirror the tokenizer
+    the index was built with (defaults pair). slop>0, or a driver-side
+    ``analyzer`` with no Column equivalent, falls back to the batched
+    slot-join path (index.phrase_matches_batch), which collects the
+    phrase list — use it only for genuinely windowed/slop queries.
+
+    The substring-semantics scan twin is `contamination_rate` (use it
+    when no index exists or substring matching is wanted).
     """
-    phrases = sorted(
-        r[0]
-        for r in eval_df.select(F.col(phrase_col)).distinct().collect()
-        if r[0] is not None and str(r[0]).strip()
-    )
+    from wimbd_spark.functions.text import tokenize
+
     spark = eval_df.sparkSession
-    n_tot = len(phrases)
+    phrases = (
+        eval_df.select(F.col(phrase_col).alias("_p"))
+        .filter(F.col("_p").isNotNull() & (F.trim(F.col("_p")) != ""))
+        .distinct()
+    )
+    if slop == 0 and analyzer is None:
+        from wimbd_spark.index import corpus_grams_from_postings
+
+        tok = tokenizer if tokenizer is not None else tokenize
+        evp = phrases.withColumn("_toks", tok(F.col("_p"))).withColumn(
+            "_L", F.size("_toks")
+        )
+        lengths = sorted(
+            r["_L"]
+            for r in evp.filter(F.col("_L") >= 1)
+            .select("_L")
+            .distinct()
+            .collect()
+        )
+        if not lengths:
+            n_tot = evp.count()
+            return spark.createDataFrame(
+                [(0, n_tot, 0.0)], ["contaminated", "total", "rate"]
+            )
+        vocab = evp.select(F.explode("_toks").alias("token"))
+        cg = corpus_grams_from_postings(index, lengths, vocab=vocab)
+        # cg is distinct on the gram key → left join is 1:≤1, so ONE
+        # aggregation job yields both counts (no separate total pass)
+        row = (
+            evp.join(
+                cg.withColumn("_hit", F.lit(1)), ["_L", "_toks"], "left"
+            )
+            .agg(
+                F.count("_hit").alias("_c"),
+                F.count(F.lit(1)).alias("_t"),
+            )
+            .collect()[0]
+        )
+        n_hit, n_tot = row["_c"], row["_t"]
+        return spark.createDataFrame(
+            [(n_hit, n_tot, float(n_hit) / n_tot if n_tot else 0.0)],
+            ["contaminated", "total", "rate"],
+        )
+    # slop>0 / custom analyzer: the batched slot-join fallback. The
+    # phrase list is collected (the reference's msearch client shape);
+    # acceptable for interactive batches, not for eval-scale sweeps.
+    phrase_list = sorted(r[0] for r in phrases.collect())
+    n_tot = len(phrase_list)
     if not n_tot:
         return spark.createDataFrame(
             [(0, 0, 0.0)], ["contaminated", "total", "rate"]
         )
     from wimbd_spark.index import phrase_matches_batch
 
-    m = phrase_matches_batch(index, phrases, slop, analyzer)
+    m = phrase_matches_batch(index, phrase_list, slop, analyzer)
     n_hit = m.select("pid").distinct().count()
     return spark.createDataFrame(
         [(n_hit, n_tot, float(n_hit) / n_tot)],
