@@ -545,6 +545,30 @@ def _phrase_index(spark, sf_dir, docs=None, name="phrase"):
     return load_phrase_index(spark, path)
 
 
+def prepare_benchmark(spark, sf_dir) -> dict:
+    """Build (and memoize) every derived index the headline queries
+    use, timing each build separately — bench.py calls this before the
+    timed pass so indexed queries measure QUERY cost only and
+    round-over-round comparisons stop mixing build into whichever
+    indexed query happens to run first (VERDICT r4 item 8). Returns
+    {index_name: build_seconds}; builds already memoized cost ~0."""
+    import time as _time
+
+    out = {}
+    t0 = _time.perf_counter()
+    _phrase_index(spark, sf_dir)
+    out["phrase_index"] = round(_time.perf_counter() - t0, 4)
+    t0 = _time.perf_counter()
+    _phrase_index(
+        spark,
+        sf_dir,
+        docs=_docs(spark, sf_dir).filter(F.col("source") != "src0"),
+        name="contam",
+    )
+    out["contam_index"] = round(_time.perf_counter() - t0, 4)
+    return out
+
+
 def q_phrase_index_counts(spark, sf_dir):
     """Posting-list index fast path (SURVEY §4 tactic (b), ≙ the ES
     inverted index behind wimbd/es/__init__.py:89-128): build the
@@ -1403,7 +1427,12 @@ def q_semantic_dedup_drops(spark, sf_dir):
     clustering, then within-cluster greedy ε-neighbor pruning
     (similarity.semantic_duplicates). Output is the drop list with its
     audit columns — no float columns, so the hash compare is exact;
-    cosine membership at τ=0.45 reuses the testdata's ≥5e-4 margin."""
+    cosine membership at τ=0.45 reuses the testdata's ≥5e-4 margin.
+    GUARD: oracle equality also needs the argmax centroid assignment
+    to agree between Spark (cosine on unit-normalized vectors) and
+    DuckDB (list_cosine_similarity on raw vectors) — the best-vs-
+    second margin is asserted ≥1e-6 at every oracle-checked SF by
+    tests/test_similarity.py::test_centroid_assignment_margin."""
     from wimbd_spark.operators.similarity import semantic_duplicates
 
     emb = _tbl(spark, sf_dir, "embeddings")
@@ -1960,6 +1989,62 @@ def o_contamination_rate_indexed():
     """
 
 
+def q_phrase_df_counts(spark, sf_dir):
+    """Eval-scale per-phrase doc counts with the phrase set kept as a
+    DATAFRAME end-to-end (count_documents_for_each_phrase_df): every
+    distinct src0 4-gram counted against the non-src0 corpus from the
+    posting index via the distributed gram join. This is the
+    reference's contamination counting loop (one ES count per eval
+    row, corpus_contamination.py:28-58) at 10⁴-phrase scale with a
+    constant-size plan — no driver phrase list, no per-phrase jobs."""
+    from wimbd_spark.index import count_documents_for_each_phrase_df
+
+    docs = _docs(spark, sf_dir)
+    evalset = (
+        docs.filter(F.col("source") == "src0")
+        .select(
+            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+                "phrase"
+            )
+        )
+        .distinct()
+    )
+    idx = _phrase_index(
+        spark,
+        sf_dir,
+        docs=docs.filter(F.col("source") != "src0"),
+        name="contam",
+    )
+    out = count_documents_for_each_phrase_df(idx, evalset)
+    return out.select(
+        "phrase", F.col("count").cast("long").alias("count")
+    )
+
+
+def o_phrase_df_counts():
+    grams = (
+        "SELECT DISTINCT {cols} array_to_string(list_slice(t, i, i+3), ' ') AS phrase"
+        " FROM toks, unnest(generate_series(1, len(t)-3)) AS u(i)"
+        " WHERE len(t) >= 4 AND {cond}"
+    )
+    ev = grams.format(cols="", cond="source = 'src0'")
+    cg = grams.format(cols="doc_id,", cond="source <> 'src0'")
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      ev AS ({ev}),
+      cg AS ({cg}),
+      cnt AS (SELECT phrase, count(*) AS c FROM cg GROUP BY phrase)
+      SELECT ev.phrase AS phrase,
+             CAST(coalesce(cnt.c, 0) AS BIGINT) AS count
+      FROM ev LEFT JOIN cnt USING (phrase)
+    """
+
+
 def q_multi_overlap(spark, sf_dir):
     from wimbd_spark.operators.dedup import multi_overlap
 
@@ -2462,77 +2547,14 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # green in the most recent rounds move to the back. Every query must
     # get a driver row at least every other round; tools/check_oracles.py
     # covers ALL entries locally every round regardless of position.
-    # Round 4 window: in — the NEW queries (phrase_batch_counts,
-    # embedding_cosine_pairs_lsh_auto, semantic_dedup_drops,
-    # source_log_odds, vocab_cosine_src0_src1, token_freq_spectrum,
-    # length_percentiles, contamination_rate_indexed, simhash62) + the
-    # 14 queries rested in r3 (green r2); out — r3-green queries on
-    # untouched code paths (listed at the back; they MUST return to
-    # the window in r5 per the every-other-round rule).
-    "phrase_batch_counts": (q_phrase_batch_counts, o_phrase_batch_counts),
-    "embedding_cosine_pairs_lsh_auto": (
-        q_embedding_cosine_pairs_lsh_auto,
-        o_embedding_cosine_pairs_lsh_auto,
-    ),
-    "semantic_dedup_drops": (q_semantic_dedup_drops, o_semantic_dedup_drops),
-    "source_log_odds": (q_source_log_odds, o_source_log_odds),
-    "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
-    "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
-    "length_percentiles": (q_length_percentiles, o_length_percentiles),
-    "corpus_stats": (q_corpus_stats, o_corpus_stats),
-    "lang_counts": (q_lang_counts, o_lang_counts),
-    "token_length_dist": (q_token_length_dist, o_token_length_dist),
-    "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
-    "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
-    "decontaminate_src0": (q_decontaminate, o_decontaminate),
-    "phrase_doc_counts": (q_phrase_doc_counts, o_phrase_doc_counts),
-    "phrase_retrieval_top10": (q_phrase_retrieval, o_phrase_retrieval),
-    "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
-    "pricing_summary": (q_pricing_summary, o_pricing_summary),
-    "events_json_stats": (q_events_json_stats, o_events_json_stats),
-    "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
-    "simhash16": (q_simhash, o_simhash),
-    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
-    # r3-green queries staying in-window (code paths touched this round
-    # — batched index, components rewrite, mixture rounding — plus the
-    # rest of the r3 set that fits):
-    "phrase_index_counts": (q_phrase_index_counts, o_phrase_index_counts),
-    "pack_documents_512": (q_pack_documents, o_pack_documents),
-    "mixture_sample": (q_mixture_sample, o_mixture_sample),
-    "neardup_cluster_dedup": (q_neardup_cluster_dedup, o_neardup_cluster_dedup),
-    "embedding_cosine_pairs_lsh": (
-        q_embedding_cosine_pairs_lsh,
-        o_embedding_cosine_pairs_lsh,
-    ),
-    "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, o_ngram_jaccard_pairs),
-    "quality_scores": (q_quality_scores, o_quality_scores),
-    "repetition_scores": (q_repetition_scores, o_repetition_scores),
-    "langid_counts": (q_langid_counts, o_langid_counts),
-    "doc_fingerprints": (q_fingerprints, o_fingerprints),
-    "token_counts": (q_token_counts, o_token_counts),
-    "multimodal_bytes_meta": (q_multimodal_bytes_meta, o_multimodal_bytes_meta),
-    "pii_extraction": (q_pii_extraction, o_pii_extraction),
-    "taxonomy_counts": (q_taxonomy_counts, o_taxonomy_counts),
-    "demographic_cooccurrence": (q_demographic_cooccurrence, o_demographic_cooccurrence),
-    "sample_by_hash": (q_sample_by_hash, o_sample_by_hash),
-    "id_lookup": (q_id_lookup, o_id_lookup),
-    "length_dist_normalized": (q_length_dist_normalized, o_length_dist_normalized),
-    "url_analysis": (q_url_analysis, o_url_analysis),
-    "search_locations": (q_search_locations, o_search_locations),
-    "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
-    "contamination_rate": (q_contamination_rate, o_contamination_rate),
-    "contamination_rate_indexed": (
-        q_contamination_rate_indexed,
-        o_contamination_rate_indexed,
-    ),
-    "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
-    "find_examples": (q_find_examples, o_find_examples),
-    "phrase_slop_count": (q_phrase_slop_count, o_phrase_slop_count),
-    "orders_rollup": (q_orders_rollup, o_orders_rollup),
-    "simhash62": (q_simhash62, o_simhash62),
-    # --- back of the window: green in r3, resting this round; ALL of
-    # these return to the first 50 in round 5.
+    # Round 5 window: in — the 23 queries rested in r4 (green r3, the
+    # every-other-round obligation), the new phrase_df_counts, the
+    # rewritten contamination sweep, the whole index/search phrase
+    # surface (density guard touched phrase_matches_batch), and the
+    # queries over files touched by r5 fixes (dedup.py, stats.py,
+    # similarity.py, compare.py); out — r4-green queries on untouched
+    # paths (back of the dict; they return in r6).
+    # -- rested in r4, returning per the every-other-round rule (23):
     "top_orders_by_revenue": (q_top_orders_by_revenue, o_top_orders_by_revenue),
     "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
     "events_tumbling_1h": (q_events_tumbling, o_events_tumbling),
@@ -2556,6 +2578,72 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
     "orders_by_year_priority": (q_orders_by_year_priority, o_orders_by_year_priority),
     "unique_ngrams_approx": (q_unique_ngrams_approx, None),
+    # -- new / rewritten in r5 (3):
+    "phrase_df_counts": (q_phrase_df_counts, o_phrase_df_counts),
+    "contamination_rate_indexed": (
+        q_contamination_rate_indexed,
+        o_contamination_rate_indexed,
+    ),
+    "contamination_rate": (q_contamination_rate, o_contamination_rate),
+    # -- index/search phrase surface (density guard touched the shared
+    #    phrase_matches_batch path) (6):
+    "phrase_batch_counts": (q_phrase_batch_counts, o_phrase_batch_counts),
+    "phrase_index_counts": (q_phrase_index_counts, o_phrase_index_counts),
+    "phrase_doc_counts": (q_phrase_doc_counts, o_phrase_doc_counts),
+    "phrase_retrieval_top10": (q_phrase_retrieval, o_phrase_retrieval),
+    "phrase_slop_count": (q_phrase_slop_count, o_phrase_slop_count),
+    "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
+    # -- queries over files touched by r5 fixes (18):
+    "decontaminate_src0": (q_decontaminate, o_decontaminate),
+    "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
+    "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
+    "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
+    "find_examples": (q_find_examples, o_find_examples),
+    "semantic_dedup_drops": (q_semantic_dedup_drops, o_semantic_dedup_drops),
+    "embedding_cosine_pairs_lsh_auto": (
+        q_embedding_cosine_pairs_lsh_auto,
+        o_embedding_cosine_pairs_lsh_auto,
+    ),
+    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
+    "source_log_odds": (q_source_log_odds, o_source_log_odds),
+    "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
+    "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
+    "length_percentiles": (q_length_percentiles, o_length_percentiles),
+    "corpus_stats": (q_corpus_stats, o_corpus_stats),
+    "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
+    "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
+    "neardup_cluster_dedup": (q_neardup_cluster_dedup, o_neardup_cluster_dedup),
+    "pack_documents_512": (q_pack_documents, o_pack_documents),
+    "mixture_sample": (q_mixture_sample, o_mixture_sample),
+    # --- back of the window (24): green in r4 on paths untouched by
+    # r5; ALL of these return to the first 50 in round 6.
+    "lang_counts": (q_lang_counts, o_lang_counts),
+    "token_length_dist": (q_token_length_dist, o_token_length_dist),
+    "pricing_summary": (q_pricing_summary, o_pricing_summary),
+    "events_json_stats": (q_events_json_stats, o_events_json_stats),
+    "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
+    "simhash16": (q_simhash, o_simhash),
+    "simhash62": (q_simhash62, o_simhash62),
+    "embedding_cosine_pairs_lsh": (
+        q_embedding_cosine_pairs_lsh,
+        o_embedding_cosine_pairs_lsh,
+    ),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, o_ngram_jaccard_pairs),
+    "quality_scores": (q_quality_scores, o_quality_scores),
+    "repetition_scores": (q_repetition_scores, o_repetition_scores),
+    "langid_counts": (q_langid_counts, o_langid_counts),
+    "doc_fingerprints": (q_fingerprints, o_fingerprints),
+    "token_counts": (q_token_counts, o_token_counts),
+    "multimodal_bytes_meta": (q_multimodal_bytes_meta, o_multimodal_bytes_meta),
+    "pii_extraction": (q_pii_extraction, o_pii_extraction),
+    "taxonomy_counts": (q_taxonomy_counts, o_taxonomy_counts),
+    "demographic_cooccurrence": (q_demographic_cooccurrence, o_demographic_cooccurrence),
+    "sample_by_hash": (q_sample_by_hash, o_sample_by_hash),
+    "id_lookup": (q_id_lookup, o_id_lookup),
+    "length_dist_normalized": (q_length_dist_normalized, o_length_dist_normalized),
+    "url_analysis": (q_url_analysis, o_url_analysis),
+    "search_locations": (q_search_locations, o_search_locations),
+    "orders_rollup": (q_orders_rollup, o_orders_rollup),
 }
 
 

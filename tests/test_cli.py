@@ -186,6 +186,25 @@ def test_cli_contamination(spark, tmp_path, capsys):
          "--eval", str(tmp_path / "eval.parquet"), "--index", idx],
     )
     assert rows[0]["contaminated"] == 2 and rows[0]["total"] == 3
+    # third route: slop>0 + index → the batched slot-join fallback;
+    # "beta delta" matches "beta gamma delta" only with slop>=1
+    import pandas as pd
+
+    pd.DataFrame({"text": ["beta delta"]}).to_parquet(
+        tmp_path / "eval2.parquet"
+    )
+    rows = _run(
+        capsys,
+        ["contamination", str(tmp_path / "corpus.parquet"),
+         "--eval", str(tmp_path / "eval2.parquet"), "--index", idx,
+         "--slop", "1"],
+    )
+    assert rows[0]["contaminated"] == 1 and rows[0]["total"] == 1
+    # slop without an index is token-window semantics the substring
+    # scan cannot honor → hard error, not a silent wrong answer
+    with pytest.raises(ValueError, match="posting index"):
+        main(["contamination", str(tmp_path / "corpus.parquet"),
+              "--eval", str(tmp_path / "eval2.parquet"), "--slop", "1"])
 
 
 def test_cli_pack(spark, tmp_path, capsys):

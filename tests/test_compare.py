@@ -135,3 +135,24 @@ def test_length_percentiles_matches_numpy(documents):
     for p in (0.25, 0.5, 0.75, 0.9, 0.99):
         expect = float(np.quantile(lens, p))  # same linear interpolation
         assert got[p] == pytest.approx(expect, abs=1e-6)
+
+
+def test_js_divergence_rejects_degenerate_base(documents):
+    with pytest.raises(ValueError, match="base must be > 1"):
+        js_divergence(documents, "src0", "src1", base=1.0)
+
+
+def test_length_percentiles_empty_input_keeps_rows(spark):
+    # empty / all-null text: one row per requested percentile with a
+    # NULL value — never a silent 0-row result (ADVICE r4)
+    from wimbd_spark.operators.stats import length_percentiles
+
+    empty = spark.createDataFrame([], schema="doc_id long, text string")
+    rows = length_percentiles(empty, percentiles=(0.5, 0.9)).collect()
+    assert [(r["percentile"], r["value"]) for r in rows] == [
+        (0.5, None),
+        (0.9, None),
+    ]
+    allnull = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    rows = length_percentiles(allnull, percentiles=(0.5,)).collect()
+    assert [(r["percentile"], r["value"]) for r in rows] == [(0.5, None)]

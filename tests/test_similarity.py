@@ -241,3 +241,49 @@ def test_semantic_duplicates_auto_ncentroids(spark):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_empty_corpus_raises_clear_error(spark):
+    from wimbd_spark.operators.similarity import semantic_duplicates
+
+    empty = spark.createDataFrame(
+        [], schema="vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no centroid candidates"):
+        semantic_duplicates(empty, threshold=0.45, n_centroids=4)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_centroid_assignment_margin(sf_dir):
+    # Oracle-equality guard (ADVICE r4): semantic_dedup's Spark side
+    # assigns centroids via cosine over unit-normalized vectors, the
+    # DuckDB oracle via list_cosine_similarity on raw vectors — the
+    # argmax agrees only because no vector sits near a tie. Assert the
+    # best-vs-second-best margin stays far above engine float
+    # divergence (~1e-12) at every oracle-checked SF, so a testdata
+    # regen that breaks the margin fails HERE, not as driver flake.
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(sf_dir + "/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    hk = np.array(
+        [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            for i in ids
+        ]
+    )
+    order = np.lexsort((ids, hk))[:8]  # 8 smallest (hash32, id)
+    cents = vecs[order]
+    sims = (vecs @ cents.T) / (
+        np.linalg.norm(vecs, axis=1)[:, None]
+        * np.linalg.norm(cents, axis=1)[None, :]
+    )
+    top2 = np.sort(sims, axis=1)[:, -2:]
+    margin = float(np.min(top2[:, 1] - top2[:, 0]))
+    assert margin > 1e-6, f"assignment margin {margin} too thin for oracle equality"

@@ -532,25 +532,22 @@ def main(argv: list[str] | None = None) -> int:
             )
             _emit([r.asDict() for r in res.collect()], args.output)
         elif args.cmd == "contamination":
+            from wimbd_spark.operators.dedup import contamination_report
+
             eval_df = _load(spark, [args.eval_path], None, None)
+            idx = None
             if args.index:
                 from wimbd_spark.index import load_phrase_index
-                from wimbd_spark.operators.dedup import (
-                    contamination_rate_indexed,
-                )
 
-                res = contamination_rate_indexed(
-                    load_phrase_index(spark, args.index),
-                    eval_df,
-                    args.phrase_field,
-                    slop=args.slop,
-                )
-            else:
-                from wimbd_spark.operators.dedup import contamination_rate
-
-                res = contamination_rate(
-                    eval_df, df, args.phrase_field, text_col=t
-                )
+                idx = load_phrase_index(spark, args.index)
+            res = contamination_report(
+                eval_df,
+                args.phrase_field,
+                corpus=df,
+                index=idx,
+                slop=args.slop,
+                text_col=t,
+            )
             _emit([r.asDict() for r in res.collect()], args.output)
         elif args.cmd == "pack":
             from pyspark.sql import functions as F

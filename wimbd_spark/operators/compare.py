@@ -156,8 +156,18 @@ def js_divergence(
     last ulp can differ run-to-run — verified against a numpy
     reference in tests (|Δ| tolerance), not against the SQL oracle's
     full-precision hash. Plan shape: the shared one-shuffle count
-    table, then a scalar aggregate."""
+    table, then a scalar aggregate.
+
+    ``base`` must be > 1; the [0, 1] bound above holds ONLY for
+    base=2 (natural log bounds at ln 2 ≈ 0.693, base 10 at ~0.301).
+    """
     import math
+
+    if base <= 1.0:
+        raise ValueError(
+            f"js_divergence: base must be > 1, got {base!r} "
+            "(the [0,1] bound applies only to base=2)"
+        )
 
     counts = source_token_counts(
         df, source_a, source_b, text_col, source_col, tokens

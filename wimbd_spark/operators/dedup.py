@@ -334,6 +334,62 @@ def contamination_rate(
     )
 
 
+def contamination_report(
+    eval_df: DataFrame,
+    phrase_col: str,
+    corpus: DataFrame | None = None,
+    index: DataFrame | None = None,
+    slop: int = 0,
+    text_col: str = "text",
+    analyzer=None,
+    tokenizer=None,
+    prefilter: bool | None = None,
+) -> DataFrame:
+    """ONE contamination entry point → (contaminated, total, rate).
+
+    Routes by available inputs, mirroring how contamination_rate
+    already cost-models direct vs prefilter internally:
+
+    - ``index`` given, slop=0, default analyzer → the distributed
+      gram semi-join (contamination_rate_indexed fast path — eval set
+      stays a DataFrame, corpus never scanned).
+    - ``index`` given, slop>0 or driver-side ``analyzer`` → the
+      batched slot-join fallback inside contamination_rate_indexed
+      (phrase_matches_batch; collects the phrase list — interactive
+      batches only).
+    - no index → substring scan over ``corpus``
+      (contamination_rate; its own cost model picks broadcast
+      nested-loop vs the rare-anchor prefilter, steered by
+      ``prefilter``). slop is token-aligned semantics and needs the
+      index — rejected on the scan path rather than silently ignored.
+
+    Parity: the reference's single contamination workflow
+    (wimbd/es/corpus_contamination.py:28-58) always runs against ES;
+    this engine adds the index-free scan route for corpora that were
+    never indexed.
+    """
+    if index is not None:
+        return contamination_rate_indexed(
+            index,
+            eval_df,
+            phrase_col,
+            slop=slop,
+            analyzer=analyzer,
+            tokenizer=tokenizer,
+        )
+    if corpus is None:
+        raise ValueError("contamination_report needs corpus= or index=")
+    if slop:
+        raise ValueError(
+            "slop (token-window matching) requires a posting index; "
+            "the scan path is substring-semantics — build one with "
+            "build_phrase_index or drop slop"
+        )
+    return contamination_rate(
+        eval_df, corpus, phrase_col, text_col=text_col, prefilter=prefilter
+    )
+
+
 def contamination_rate_indexed(
     index: DataFrame,
     eval_df: DataFrame,

@@ -155,6 +155,14 @@ def _deterministic_centroids(
         .limit(n_centroids)
         .collect()
     )
+    if not cents:
+        # F.array() of zero elements is untyped and downstream slices
+        # would yield NULLs — fail loudly instead of unhelpfully
+        raise ValueError(
+            "no centroid candidates: the corpus has no rows (empty "
+            "input DataFrame passed to semantic_duplicates / "
+            "cosine_topk_ivf?)"
+        )
     return F.array(
         *[
             F.struct(

@@ -55,7 +55,8 @@ def length_percentiles(
 ) -> DataFrame:
     """(percentile, value) — exact linear-interpolation percentiles of
     the per-document length (token count by default; pass ``length``
-    for chars/bytes/custom).
+    for chars/bytes/custom). Always emits len(percentiles) rows: an
+    empty or all-null-text corpus yields NULL values, never 0 rows.
 
     Exact `percentile` (not approx_percentile) because the driver's
     oracle compares values bit-for-bit; both Spark and DuckDB
@@ -70,6 +71,12 @@ def length_percentiles(
     ln = length if length is not None else F.size(tokenize(F.col(text_col)))
     ps = list(percentiles)
     vals = F.percentile(F.col("_len"), F.array(*[F.lit(p) for p in ps]))
+    # empty/all-null input: percentile yields NULL and posexplode would
+    # silently drop it — coalesce to a NULL-per-percentile array so the
+    # output ALWAYS has len(percentiles) rows (callers iterate them)
+    vals = F.coalesce(
+        vals, F.array(*[F.lit(None).cast("double") for _ in ps])
+    )
     row = df.filter(F.col(text_col).isNotNull()).select(
         ln.alias("_len")
     ).agg(vals.alias("_vals"))
