@@ -2045,6 +2045,56 @@ def o_phrase_df_counts():
     """
 
 
+def q_decontaminate_ngrams(spark, sf_dir):
+    """N-gram decontamination (drop-side twin of the contamination
+    sweep): remove every non-src0 doc whose token stream contains any
+    distinct src0 4-gram. Eval grams broadcast; train docs gram-explode
+    map-side carrying only doc_id; one id-probe anti-join restores
+    full rows (dedup.decontaminate_by_ngrams)."""
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+
+    docs = _docs(spark, sf_dir)
+    evalset = (
+        docs.filter(F.col("source") == "src0")
+        .select(
+            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+                "phrase"
+            )
+        )
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != "src0")
+    out = decontaminate_by_ngrams(train, evalset)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
+def o_decontaminate_ngrams():
+    grams = (
+        "SELECT DISTINCT {cols} array_to_string(list_slice(t, i, i+3), ' ') AS g"
+        " FROM toks, unnest(generate_series(1, len(t)-3)) AS u(i)"
+        " WHERE len(t) >= 4 AND {cond}"
+    )
+    ev = grams.format(cols="", cond="source = 'src0'")
+    tg = grams.format(cols="doc_id,", cond="source <> 'src0'")
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      ev AS ({ev}),
+      tg AS ({tg}),
+      hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN ev USING (g))
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source AS source
+      FROM documents d
+      WHERE d.source <> 'src0'
+        AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+    """
+
+
 def q_multi_overlap(spark, sf_dir):
     from wimbd_spark.operators.dedup import multi_overlap
 
@@ -2578,7 +2628,11 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
     "orders_by_year_priority": (q_orders_by_year_priority, o_orders_by_year_priority),
     "unique_ngrams_approx": (q_unique_ngrams_approx, None),
-    # -- new / rewritten in r5 (3):
+    # -- new / rewritten in r5 (4):
+    "decontaminate_ngrams_src0": (
+        q_decontaminate_ngrams,
+        o_decontaminate_ngrams,
+    ),
     "phrase_df_counts": (q_phrase_df_counts, o_phrase_df_counts),
     "contamination_rate_indexed": (
         q_contamination_rate_indexed,
@@ -2614,9 +2668,11 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
     "neardup_cluster_dedup": (q_neardup_cluster_dedup, o_neardup_cluster_dedup),
     "pack_documents_512": (q_pack_documents, o_pack_documents),
-    "mixture_sample": (q_mixture_sample, o_mixture_sample),
-    # --- back of the window (24): green in r4 on paths untouched by
+    # --- back of the window (25): green in r4 on paths untouched by
     # r5; ALL of these return to the first 50 in round 6.
+    # (mixture_sample displaced to the back by decontaminate_ngrams_src0
+    # — green r4, untouched keycount.py path, returns r6.)
+    "mixture_sample": (q_mixture_sample, o_mixture_sample),
     "lang_counts": (q_lang_counts, o_lang_counts),
     "token_length_dist": (q_token_length_dist, o_token_length_dist),
     "pricing_summary": (q_pricing_summary, o_pricing_summary),

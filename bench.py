@@ -75,6 +75,7 @@ HEADLINE = [
     "simhash62",
     # r5 additions
     "phrase_df_counts",
+    "decontaminate_ngrams_src0",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)

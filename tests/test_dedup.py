@@ -167,3 +167,95 @@ def test_contamination_rate_indexed_matches_token_semantics(spark, tmp_path):
     empty = evalset.filter(F.col("phrase").isNull())
     row0 = contamination_rate_indexed(idx, empty, "phrase").collect()[0]
     assert (row0["contaminated"], row0["total"], row0["rate"]) == (0, 0, 0.0)
+
+
+def test_decontaminate_by_ngrams(spark):
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+
+    train = spark.createDataFrame(
+        [
+            (0, "s", "the quick brown fox"),
+            (1, "s", "slow green turtle"),
+            (2, "s", "quick brown"),          # eval phrase IS the doc
+            (3, "s", None),                    # null text survives
+            (4, "s", "brown quick"),           # tokens, wrong order
+            (5, "s", "a"),                     # shorter than any phrase
+        ],
+        ["doc_id", "source", "text"],
+    )
+    ev = spark.createDataFrame(
+        [("quick brown",), ("turtle",), ("  ",), (None,)], ["phrase"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in decontaminate_by_ngrams(train, ev).collect()
+    )
+    assert kept == [3, 4, 5]
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_by_ngrams(train, ev, mode="flag").collect()
+    }
+    assert flags == {0: True, 1: True, 2: True, 3: False, 4: False, 5: False}
+    # schema preserved; flag mode adds exactly one column
+    assert decontaminate_by_ngrams(train, ev).columns == train.columns
+    assert decontaminate_by_ngrams(train, ev, mode="flag").columns == (
+        train.columns + ["contaminated"]
+    )
+    # empty eval set: identity / all-False
+    empty = spark.createDataFrame([], "phrase string")
+    assert decontaminate_by_ngrams(train, empty).count() == 6
+    with pytest.raises(ValueError, match="mode"):
+        decontaminate_by_ngrams(train, ev, mode="bogus")
+
+
+def test_decontaminate_by_ngrams_agrees_with_sweep(spark, documents, tmp_path):
+    # coherence: the docs decontaminate_by_ngrams drops from corpus C
+    # are exactly the docs the sweep's hit grams appear in
+    from wimbd_spark.functions.text import ngram_strings, tokenize
+    from wimbd_spark.index import build_phrase_index, load_phrase_index
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+
+    docs = documents.select("doc_id", "source", "text")
+    ev = (
+        docs.filter(F.col("source") == "src0")
+        .limit(20)
+        .select(
+            F.explode(
+                ngram_strings(tokenize(F.col("text")), 4)
+            ).alias("phrase")
+        )
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != "src0")
+    dropped = (
+        train.select("doc_id")
+        .subtract(decontaminate_by_ngrams(train, ev).select("doc_id"))
+    )
+    # independent check through the index path: docs matching >=1 phrase
+    path = str(tmp_path / "dcidx")
+    build_phrase_index(train, path, num_files=2)
+    idx = load_phrase_index(spark, path)
+    from wimbd_spark.index import count_documents_for_each_phrase_df
+
+    # any phrase with count>0 must correspond to >=1 dropped doc
+    n_hit_phrases = (
+        count_documents_for_each_phrase_df(idx, ev)
+        .filter(F.col("count") > 0)
+        .count()
+    )
+    n_dropped = dropped.count()
+    if n_hit_phrases == 0:
+        assert n_dropped == 0
+    else:
+        assert n_dropped > 0
+    # exact doc-level parity with the gram-join matcher
+    from wimbd_spark.index import _phrase_matches_gram_join
+
+    plist = [r["phrase"].split() for r in ev.collect()]
+    expect = {
+        r["doc_id"]
+        for r in _phrase_matches_gram_join(idx, plist)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert {r["doc_id"] for r in dropped.collect()} == expect

@@ -334,6 +334,127 @@ def contamination_rate(
     )
 
 
+def _text_grams(
+    df: DataFrame,
+    lengths: list[int],
+    text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """Explode every contiguous token L-gram of each row's text, for
+    every L in ``lengths``, in ONE map-side pass (no shuffle, no UDF):
+    output = input columns (minus text) + (_L int, _toks array<string>).
+    Rows with NULL text contribute nothing. Sub-L texts contribute no
+    L-grams (the guarded sequence never emits partial windows)."""
+    from wimbd_spark.functions.text import tokenize
+
+    tok = tokenizer if tokenizer is not None else tokenize
+    toks = tok(F.col(text_col))
+
+    def windows(L: int) -> Column:
+        # greatest(…, 1): sequence(1, 0) would render DESCENDING
+        # [1, 0]; the lone undersized candidate it forces instead is
+        # dropped by the size filter
+        return F.filter(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(toks) - F.lit(L - 1), F.lit(1)),
+                ),
+                lambda i: F.struct(
+                    F.lit(L).alias("_L"),
+                    F.slice(toks, i, L).alias("_toks"),
+                ),
+            ),
+            lambda s: F.size(s["_toks"]) == L,
+        )
+
+    Ls = sorted({int(L) for L in lengths if int(L) >= 1})
+    if not Ls:
+        raise ValueError("lengths must contain at least one L >= 1")
+    allw = (
+        windows(Ls[0])
+        if len(Ls) == 1
+        else F.concat(*[windows(L) for L in Ls])
+    )
+    keep = [c for c in df.columns if c != text_col]
+    return df.select(*keep, F.explode(allw).alias("_g")).select(
+        *keep,
+        F.col("_g._L").alias("_L"),
+        F.col("_g._toks").alias("_toks"),
+    )
+
+
+def decontaminate_by_ngrams(
+    train: DataFrame,
+    eval_df: DataFrame,
+    phrase_col: str = "phrase",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "drop",
+    flag_col: str = "contaminated",
+    tokenizer=None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Remove (``mode='drop'``) or flag (``mode='flag'``) every train
+    doc whose token stream CONTAINS any eval phrase (token-aligned,
+    slop=0) — n-gram decontamination, the drop-side twin of the
+    contamination sweep. The reference's decontaminate removes exact
+    text-hash matches (decontaminate.py:10-22) and its contamination
+    report counts per-phrase ES hits (corpus_contamination.py:28-58);
+    this operator closes the loop: the docs the sweep would count are
+    the docs this removes.
+
+    100 TB plan shape: eval phrases → distinct (L, token-array) grams
+    (broadcast by default — eval sets are small; pass
+    ``broadcast_eval=False`` for corpus-scale phrase sets and AQE
+    sizes the join); train docs → map-side gram explode carrying ONLY
+    ``id_col`` (one pass, no shuffle of full rows); semi-join + distinct
+    gives contaminated ids; one id-probe anti/left join restores full
+    rows. The train side is scanned twice but never shuffled at full
+    width; the gram explode is the same cost class as an n-gram count.
+    """
+    from wimbd_spark.functions.text import tokenize
+
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    tok = tokenizer if tokenizer is not None else tokenize
+    evg = (
+        eval_df.select(F.col(phrase_col).alias("_p"))
+        .filter(F.col("_p").isNotNull() & (F.trim(F.col("_p")) != ""))
+        .select(tok(F.col("_p")).alias("_toks"))
+        .filter(F.size("_toks") >= 1)
+        .withColumn("_L", F.size("_toks"))
+        .select("_L", "_toks")
+        .distinct()
+    )
+    lengths = sorted(
+        r["_L"] for r in evg.select("_L").distinct().collect()
+    )
+    if not lengths:
+        if mode == "drop":
+            return train
+        return train.withColumn(flag_col, F.lit(False))
+    if broadcast_eval:
+        evg = F.broadcast(evg)
+    hits = (
+        _text_grams(
+            train.select(id_col, text_col), lengths, text_col, tokenizer
+        )
+        .join(evg, ["_L", "_toks"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if mode == "drop":
+        return train.join(hits, id_col, "left_anti")
+    return (
+        train.join(
+            hits.withColumn("_hit", F.lit(True)), id_col, "left"
+        )
+        .withColumn(flag_col, F.coalesce(F.col("_hit"), F.lit(False)))
+        .drop("_hit")
+    )
+
+
 def contamination_report(
     eval_df: DataFrame,
     phrase_col: str,
