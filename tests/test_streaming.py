@@ -462,3 +462,88 @@ def test_streaming_neardup_filter_matches_batch_candidates(
     assert sorted(out_rows) == expect_kept
     assert 1 in dropped  # the exact copy is definitely gated
     assert 3 in expect_kept and 4 in expect_kept
+
+
+def test_streaming_contamination_hits(spark, tmp_path):
+    from wimbd_spark.streaming import (
+        eval_gram_table,
+        read_doc_stream,
+        streaming_contamination_hits,
+    )
+
+    d = str(tmp_path / "docs_ch")
+    _write_batch(
+        d,
+        [
+            _doc(1, "the quick brown fox"),
+            _doc(2, "nothing to see"),
+            _doc(3, "quick brown and turtle too"),
+        ],
+        "b0.json",
+    )
+    ev = spark.createDataFrame(
+        [("quick brown",), ("turtle",), (None,)], ["phrase"]
+    )
+    grams = eval_gram_table(ev)
+    out = streaming_contamination_hits(read_doc_stream(spark, d), grams)
+    q = _run_to_memory(out.select("doc_id", "phrase"), "ch_stream", "append")
+    # second micro-batch exercises the stateless per-batch join
+    _write_batch(d, [_doc(4, "a turtle arrives")], "b1.json")
+    q.processAllAvailable()
+    rows = spark.sql("select * from ch_stream").collect()
+    q.stop()
+    hits = sorted((r["doc_id"], r["phrase"]) for r in rows)
+    assert hits == [
+        (1, "quick brown"),
+        (3, "quick brown"),
+        (3, "turtle"),
+        (4, "turtle"),
+    ]
+
+
+def test_streaming_decontaminate_by_ngrams(spark, tmp_path):
+    from wimbd_spark.streaming import (
+        read_doc_stream,
+        streaming_decontaminate_by_ngrams,
+    )
+
+    d = str(tmp_path / "docs_dcn")
+    outp = str(tmp_path / "dcn_out")
+    ckpt = str(tmp_path / "dcn_ckpt")
+    _write_batch(
+        d,
+        [
+            _doc(1, "the quick brown fox"),
+            _doc(2, "nothing to see"),
+            _doc(3, "short"),
+        ],
+        "b0.json",
+    )
+    ev = spark.createDataFrame([("quick brown",)], ["phrase"])
+    q = streaming_decontaminate_by_ngrams(
+        read_doc_stream(spark, d), ev, outp, ckpt
+    )
+    q.processAllAvailable()
+    _write_batch(d, [_doc(4, "quick brown again"), _doc(5, "fine")], "b1.json")
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(outp).collect()
+    )
+    assert got == [2, 3, 5]
+    # batch twin agrees row-for-row
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "nothing to see"),
+            (3, "short"),
+            (4, "quick brown again"),
+            (5, "fine"),
+        ],
+        ["doc_id", "text"],
+    )
+    assert sorted(
+        r["doc_id"] for r in decontaminate_by_ngrams(batch, ev).collect()
+    ) == got

@@ -186,6 +186,108 @@ def streaming_neardup_filter(
     return cur.filter(no_hit).select(*docs.columns)
 
 
+def eval_gram_table(
+    eval_df: DataFrame,
+    phrase_col: str = "phrase",
+    tokenizer=None,
+) -> DataFrame:
+    """Distinct (_L, _toks) token-grams of a STATIC eval-phrase set —
+    the blocklist side of the streaming contamination gate (same
+    construction as the batch decontaminate_by_ngrams, so batch and
+    stream agree row-for-row). Materialize once per eval snapshot."""
+    from wimbd_spark.functions.text import tokenize
+
+    tok = tokenizer if tokenizer is not None else tokenize
+    return (
+        eval_df.select(F.col(phrase_col).alias("_p"))
+        .filter(F.col("_p").isNotNull() & (F.trim(F.col("_p")) != ""))
+        .select(tok(F.col("_p")).alias("_toks"))
+        .filter(F.size("_toks") >= 1)
+        .withColumn("_L", F.size("_toks"))
+        .select("_L", "_toks")
+        .distinct()
+    )
+
+
+def streaming_contamination_hits(
+    docs: DataFrame,
+    eval_grams: DataFrame,
+    text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """STATELESS contamination AUDIT stream: one output row per
+    (stream doc, matching eval phrase) — the doc's columns (minus
+    text) plus ``phrase``. The streaming twin of the contamination
+    sweep's hit set, shaped for alerting/routing rather than dropping
+    (dropping needs doc-level re-aggregation, which in a stream means
+    a state store — use streaming_decontaminate_by_ngrams for exact
+    enforcement via foreachBatch).
+
+    Plan: the eval set's distinct phrase LENGTHS are read once at
+    STREAM SETUP (a handful of ints — the static side's only
+    driver-visible state); each micro-batch then gram-explodes its
+    docs map-side (_text_grams — no shuffle, no UDF) and inner-joins
+    the broadcast static gram table. No watermark, no state store:
+    composes anywhere in a stateless gate chain.
+    """
+    from wimbd_spark.operators.dedup import _text_grams
+
+    lengths = sorted(
+        r["_L"] for r in eval_grams.select("_L").distinct().collect()
+    )
+    if not lengths:
+        raise ValueError("eval_grams is empty — nothing to match")
+    grams = _text_grams(docs, lengths, text_col, tokenizer)
+    return (
+        grams.join(F.broadcast(eval_grams), ["_L", "_toks"], "inner")
+        .withColumn("phrase", F.array_join(F.col("_toks"), " "))
+        .drop("_L", "_toks")
+    )
+
+
+def streaming_decontaminate_by_ngrams(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    phrase_col: str = "phrase",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer=None,
+):
+    """EXACT n-gram decontamination on ingest: each micro-batch runs
+    the batch operator (decontaminate_by_ngrams — doc-level semantics,
+    drop any doc containing any eval phrase) and appends survivors as
+    parquet under ``path``. Doc-level dropping needs a per-doc
+    aggregation over exploded grams, which pure streaming can only do
+    with a state store; foreachBatch gets batch semantics per
+    micro-batch with ZERO streaming state instead — the standard
+    pattern for gate-then-sink stages (same exactly-once shape as
+    streaming_phrase_index: each batch overwrites its own
+    ``batch=<epoch>`` subdirectory, so at-least-once redelivery never
+    duplicates survivors). Returns the StreamingQuery.
+    """
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+
+    def _gate(batch_df: DataFrame, epoch: int) -> None:
+        out = decontaminate_by_ngrams(
+            batch_df,
+            eval_df,
+            phrase_col=phrase_col,
+            text_col=text_col,
+            id_col=id_col,
+            tokenizer=tokenizer,
+        )
+        out.write.mode("overwrite").parquet(f"{path}/batch={epoch}")
+
+    return (
+        docs.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def streaming_quality_gate(
     docs: DataFrame,
     text_col: str = "text",
