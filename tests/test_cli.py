@@ -58,6 +58,30 @@ def test_cli_dedup_and_decontaminate(capsys, tmp_path, shard_dir):
     assert rows[0]["kept"] == 0  # blocklist covers every text
 
 
+def test_cli_decontaminate_by_ngrams(capsys, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta gamma", "clean words only", "beta gamma end"],
+        }
+    ).to_parquet(tmp_path / "train.parquet")
+    pd.DataFrame({"text": ["beta gamma"]}).to_parquet(
+        tmp_path / "bl.parquet"
+    )
+    out = str(tmp_path / "clean_ng")
+    rows = _run(
+        capsys,
+        ["decontaminate", str(tmp_path / "train.parquet"),
+         "--blocklist", str(tmp_path / "bl.parquet"),
+         "--out", out, "--by-ngrams"],
+    )
+    # hash mode would keep all 3 (no exact text match); containment
+    # drops docs 1 and 3
+    assert rows[0] == {"input": 3, "kept": 1, "removed": 2}
+
+
 def test_cli_output_file(tmp_path, shard_dir):
     out = str(tmp_path / "res.jsonl")
     assert main(["search", shard_dir, "-p", "[de]$", "-o", out]) == 0

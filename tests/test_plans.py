@@ -195,3 +195,57 @@ def test_pack_documents_window_is_partitioned(raw_docs):
     plan = q._jdf.queryExecution().optimizedPlan().toString()
     specs = re.findall(r"windowspecdefinition\((\w+)", plan)
     assert specs and all(s.startswith("source") for s in specs)
+
+
+def test_decontaminate_by_ngrams_broadcasts_eval_no_bnlj(spark, raw_docs):
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+
+    ev = spark.createDataFrame(
+        [("alpha beta",), ("gamma delta e",)], ["phrase"]
+    )
+    plan = explain_str(decontaminate_by_ngrams(raw_docs, ev))
+    # eval grams must reach the train side as a broadcast hash join —
+    # never a nested-loop contains scan, never a sort-merge of the
+    # full-width train rows against grams
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_sweep_no_positions_fanout(spark, tmp_path, raw_docs):
+    # The r4 failure shape was a postings×slot join exploding BEFORE
+    # any aggregation. The r5 sweep must contain no join against a
+    # slot table at all — its only joins are the vocab semi-join and
+    # the final gram semi/left join.
+    from wimbd_spark.index import build_phrase_index, load_phrase_index, corpus_grams_from_postings
+
+    path = str(tmp_path / "planidx")
+    build_phrase_index(raw_docs.limit(50), path, num_files=1)
+    idx = load_phrase_index(spark, path)
+    ev = spark.createDataFrame([("alpha beta",)], ["phrase"])
+    vocab = spark.createDataFrame([("alpha",), ("beta",)], ["token"])
+    plan = explain_str(corpus_grams_from_postings(idx, [2], vocab=vocab))
+    assert "slot" not in plan  # no slot table anywhere in the tree
+    # exactly ONE window (the position-ordered reassembly), partitioned
+    # by doc_id — an unpartitioned window would be corpus-fatal
+    import re
+
+    opt = None
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs and all(s.startswith("doc_id") for s in specs)
+
+
+def test_phrase_df_counts_corpus_never_scanned(spark, tmp_path, raw_docs):
+    from wimbd_spark.index import (
+        build_phrase_index,
+        count_documents_for_each_phrase_df,
+        load_phrase_index,
+    )
+
+    path = str(tmp_path / "dfcidx")
+    build_phrase_index(raw_docs.limit(50), path, num_files=1)
+    idx = load_phrase_index(spark, path)
+    ev = spark.createDataFrame([("alpha beta",)], ["phrase"])
+    plan = explain_str(count_documents_for_each_phrase_df(idx, ev))
+    assert "documents.parquet" not in plan
+    assert "dfcidx" in plan

@@ -133,12 +133,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="column defining 'first' (default: _file or first column)")
 
     sp = sub.add_parser(
-        "decontaminate", help="remove docs whose text hash is in a blocklist"
+        "decontaminate",
+        help="remove docs whose text hash is in a blocklist, or (with "
+        "--by-ngrams) docs CONTAINING any blocklist phrase",
     )
     common(sp)
     sp.add_argument("--blocklist", required=True,
                     help="eval-set path (jsonl.gz dir or parquet)")
     sp.add_argument("--out", required=True, help="output parquet path")
+    sp.add_argument("--by-ngrams", action="store_true",
+                    help="token-aligned containment instead of exact "
+                    "text-hash match: drop any doc whose token stream "
+                    "contains any blocklist phrase")
+    sp.add_argument("--phrase-field", default="text",
+                    help="blocklist column holding the phrases "
+                    "(--by-ngrams only)")
+    sp.add_argument("--id-col", default="doc_id",
+                    help="document id column (--by-ngrams only)")
 
     sp = sub.add_parser(
         "quality-filter",
@@ -411,11 +422,23 @@ def main(argv: list[str] | None = None) -> int:
                 args.output,
             )
         elif args.cmd == "decontaminate":
-            from wimbd_spark.operators.dedup import decontaminate
+            from wimbd_spark.operators.dedup import (
+                decontaminate,
+                decontaminate_by_ngrams,
+            )
 
             bl = _load(spark, [args.blocklist], None, None)
             before = df.count()
-            kept = decontaminate(df, bl, text_col=t)
+            if args.by_ngrams:
+                kept = decontaminate_by_ngrams(
+                    df,
+                    bl,
+                    phrase_col=args.phrase_field,
+                    text_col=t,
+                    id_col=args.id_col,
+                )
+            else:
+                kept = decontaminate(df, bl, text_col=t)
             kept.write.mode("overwrite").parquet(args.out)
             after = spark.read.parquet(args.out).count()
             _emit(
