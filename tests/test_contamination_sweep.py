@@ -268,3 +268,59 @@ def test_sweep_mixed_lengths(spark, tmp_path):
     # hits: "b c" (docs 1,2), "a b c" (doc 1), "e" (doc 3); misses:
     # "c d e" (spans docs), "x y"
     assert (row["contaminated"], row["total"]) == (3, 5)
+
+
+# ------------------------------------------------ overlong phrases
+
+
+def test_sweep_overlong_phrases_use_slot_path(spark, tmp_path):
+    # a >32-token phrase must bypass gram reconstruction (whose window
+    # frame scales with max L) and still count correctly
+    from wimbd_spark.index import GRAM_JOIN_MAX_PHRASE_TOKENS
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "a b c")], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "longidx")
+    build_phrase_index(df, path, num_files=1)
+    idx = load_phrase_index(spark, path)
+    long_phrase = " ".join(
+        f"w{i}" for i in range(GRAM_JOIN_MAX_PHRASE_TOKENS + 3)
+    )
+    ev = spark.createDataFrame(
+        [(long_phrase,), ("a b",), ("w0 w2",)], ["phrase"]
+    )
+    row = contamination_rate_indexed(idx, ev, "phrase").collect()[0]
+    # hits: the 35-token prefix (doc 1) and "a b" (doc 2); "w0 w2" not
+    # contiguous
+    assert (row["contaminated"], row["total"]) == (2, 3)
+
+    counts = {
+        r["phrase"]: r["count"]
+        for r in count_documents_for_each_phrase_df(idx, ev).collect()
+    }
+    assert counts == {long_phrase: 1, "a b": 1, "w0 w2": 0}
+
+
+def test_overlong_with_custom_tokenizer_raises(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame([(1, long_text)], ["doc_id", "text"])
+    path = str(tmp_path / "longidx2")
+    build_phrase_index(df, path, num_files=1)
+    idx = load_phrase_index(spark, path)
+    ev = spark.createDataFrame([(long_text,)], ["phrase"])
+
+    def custom_tok(c):
+        return SF.split(SF.lower(c), " ")
+
+    with pytest.raises(ValueError, match="custom tokenizer"):
+        contamination_rate_indexed(
+            idx, ev, "phrase", tokenizer=custom_tok
+        ).collect()
+    with pytest.raises(ValueError, match="custom"):
+        count_documents_for_each_phrase_df(
+            idx, ev, tokenizer=custom_tok
+        )

@@ -402,6 +402,15 @@ DENSE_SLOTS_PER_TOKEN = 32.0
 #: the r4 failure case estimated ~240M).
 FANOUT_BUDGET = 20_000_000
 
+#: Longest phrase (in tokens) the gram-join plan accepts. Gram
+#: reconstruction materializes a max(L)-row lookahead per posting
+#: position, so cost scales with L × corpus tokens — linear and fine
+#: for n-gram-shaped eval sets (n ≤ 13 in wimbd/Dolma-style sweeps),
+#: ruinous for document-length "phrases". Phrases longer than this
+#: stay on (or fall back to) the slot-join plan, whose cost is
+#: L × postings(query tokens) — the right shape for long phrases.
+GRAM_JOIN_MAX_PHRASE_TOKENS = 32
+
 
 def phrase_matches_batch(
     index: DataFrame,
@@ -485,12 +494,14 @@ def phrase_matches_batch(
                 pcounts.get(t, 0) * c for t, c in slot_counts.items()
             )
         if est > fanout_budget:
-            if slop == 0:
+            max_l = max(len(p) for p in ptoks_list)
+            if slop == 0 and max_l <= GRAM_JOIN_MAX_PHRASE_TOKENS:
                 return _phrase_matches_gram_join(index, ptoks_list)
             warnings.warn(
                 f"phrase_matches_batch: dense batch (est. slot-join "
-                f"fan-out ~{est:,} rows) with slop={slop} has no "
-                "gram-join fast path; expect a heavy shuffle",
+                f"fan-out ~{est:,} rows) with "
+                f"{'slop=' + str(slop) if slop else f'max phrase length {max_l}'}"
+                " has no gram-join fast path; expect a heavy shuffle",
                 stacklevel=2,
             )
     qdf = spark.createDataFrame(
@@ -693,35 +704,70 @@ def count_documents_for_each_phrase_df(
         .withColumn("_toks", tok(F.col("phrase")))
         .withColumn("_L", F.size("_toks"))
     )
-    lengths = sorted(
+    all_lengths = sorted(
         r["_L"]
         for r in evp.filter(F.col("_L") >= 1)
         .select("_L")
         .distinct()
         .collect()
     )
+    lengths = [
+        L for L in all_lengths if L <= GRAM_JOIN_MAX_PHRASE_TOKENS
+    ]
+    cap = GRAM_JOIN_MAX_PHRASE_TOKENS
     if not lengths:
-        return evp.select(
+        out_short = evp.filter(F.col("_L") <= cap).select(
             "phrase", F.lit(0).cast("long").alias("count")
         )
-    vocab = evp.select(F.explode("_toks").alias("token"))
-    cg = corpus_grams_from_postings(
-        index, lengths, with_doc=True, vocab=vocab
-    )
-    hits = (
-        evp.join(cg, ["_L", "_toks"])
-        # cg is distinct per (doc_id, gram), so rows per phrase = docs
-        .groupBy("phrase")
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
-    return (
-        evp.select("phrase")
-        .join(hits, "phrase", "left")
-        .select(
-            "phrase",
-            F.coalesce("_n", F.lit(0)).cast("long").alias("count"),
+    else:
+        evs = evp.filter(F.col("_L") <= cap)
+        vocab = evs.select(F.explode("_toks").alias("token"))
+        cg = corpus_grams_from_postings(
+            index, lengths, with_doc=True, vocab=vocab
         )
-    )
+        hits = (
+            evs.join(cg, ["_L", "_toks"])
+            # cg is distinct per (doc_id, gram): rows per phrase = docs
+            .groupBy("phrase")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        out_short = (
+            evs.select("phrase")
+            .join(hits, "phrase", "left")
+            .select(
+                "phrase",
+                F.coalesce("_n", F.lit(0)).cast("long").alias("count"),
+            )
+        )
+    if not all_lengths or all_lengths[-1] <= cap:
+        return out_short
+    # overlong phrases: the slot-join path (L × postings cost beats the
+    # gram plan's L × corpus); bounded driver collect, see
+    # operators.dedup.MAX_OVERLONG_PHRASES for the rationale
+    if tokenizer is not None:
+        raise ValueError(
+            f"phrases longer than {cap} tokens fall back to the "
+            "slot-join path, which tokenizes driver-side with the "
+            "DEFAULT analyzer — incompatible with a custom "
+            "tokenizer=; use count_documents_for_each_phrase_indexed "
+            "with a matching analyzer for the overlong subset"
+        )
+    from wimbd_spark.operators.dedup import MAX_OVERLONG_PHRASES
+
+    longs = evp.filter(F.col("_L") > cap).select("phrase")
+    long_list = [
+        r[0] for r in longs.limit(MAX_OVERLONG_PHRASES + 1).collect()
+    ]
+    if len(long_list) > MAX_OVERLONG_PHRASES:
+        raise ValueError(
+            f"more than {MAX_OVERLONG_PHRASES:,} phrases exceed "
+            f"{cap} tokens — chunk the overlong subset through "
+            "count_documents_for_each_phrase_indexed"
+        )
+    out_long = count_documents_for_each_phrase_indexed(
+        index, sorted(long_list), slop=0
+    ).select("phrase", F.col("count").cast("long").alias("count"))
+    return out_short.unionByName(out_long)
 
 
 def count_total_occurrences_of_unigrams_indexed(

@@ -511,6 +511,40 @@ def contamination_report(
     )
 
 
+#: Overlong phrases (> GRAM_JOIN_MAX_PHRASE_TOKENS tokens) fall back
+#: to the slot-join path, which needs the phrase strings driver-side;
+#: this bounds that collect. Realistic n-gram eval sets have none.
+MAX_OVERLONG_PHRASES = 10_000
+
+
+def _overlong_phrase_hits(index, evp, cap: int) -> int:
+    """Distinct overlong eval phrases matching ≥1 doc, via the
+    slot-join path — the right plan for long phrases (cost
+    L × postings(query tokens), where gram reconstruction would pay
+    L × corpus tokens). Bounded driver collect: a sweep whose phrases
+    are mostly document-length is not an n-gram sweep — chunk it
+    through phrase_matches_batch directly."""
+    longs = evp.filter(F.col("_L") > cap).select("_p")
+    long_list = [
+        r[0] for r in longs.limit(MAX_OVERLONG_PHRASES + 1).collect()
+    ]
+    if not long_list:
+        return 0
+    if len(long_list) > MAX_OVERLONG_PHRASES:
+        raise ValueError(
+            f"more than {MAX_OVERLONG_PHRASES:,} eval phrases exceed "
+            f"{cap} tokens; the slot-join fallback collects them "
+            "driver-side — chunk the overlong subset through "
+            "phrase_matches_batch, or shorten the phrases"
+        )
+    from wimbd_spark.index import phrase_matches_batch
+
+    m = phrase_matches_batch(
+        index, sorted(long_list), 0, None, fanout_budget=None
+    )
+    return m.select("pid").distinct().count()
+
+
 def contamination_rate_indexed(
     index: DataFrame,
     eval_df: DataFrame,
@@ -558,39 +592,63 @@ def contamination_rate_indexed(
         .distinct()
     )
     if slop == 0 and analyzer is None:
-        from wimbd_spark.index import corpus_grams_from_postings
+        from wimbd_spark.index import (
+            GRAM_JOIN_MAX_PHRASE_TOKENS,
+            corpus_grams_from_postings,
+        )
 
         tok = tokenizer if tokenizer is not None else tokenize
         evp = phrases.withColumn("_toks", tok(F.col("_p"))).withColumn(
             "_L", F.size("_toks")
         )
-        lengths = sorted(
+        all_lengths = sorted(
             r["_L"]
             for r in evp.filter(F.col("_L") >= 1)
             .select("_L")
             .distinct()
             .collect()
         )
+        lengths = [
+            L for L in all_lengths if L <= GRAM_JOIN_MAX_PHRASE_TOKENS
+        ]
         if not lengths:
-            n_tot = evp.count()
-            return spark.createDataFrame(
-                [(0, n_tot, 0.0)], ["contaminated", "total", "rate"]
+            n_hit, n_tot = 0, evp.count()
+        else:
+            evs = evp.filter(
+                F.col("_L") <= GRAM_JOIN_MAX_PHRASE_TOKENS
             )
-        vocab = evp.select(F.explode("_toks").alias("token"))
-        cg = corpus_grams_from_postings(index, lengths, vocab=vocab)
-        # cg is distinct on the gram key → left join is 1:≤1, so ONE
-        # aggregation job yields both counts (no separate total pass)
-        row = (
-            evp.join(
-                cg.withColumn("_hit", F.lit(1)), ["_L", "_toks"], "left"
+            vocab = evs.select(F.explode("_toks").alias("token"))
+            cg = corpus_grams_from_postings(index, lengths, vocab=vocab)
+            # cg is distinct on the gram key → left join is 1:≤1, so
+            # ONE aggregation job yields both counts; overlong phrases
+            # stay in the total (no cg row of their length can match)
+            row = (
+                evp.join(
+                    cg.withColumn("_hit", F.lit(1)),
+                    ["_L", "_toks"],
+                    "left",
+                )
+                .agg(
+                    F.count("_hit").alias("_c"),
+                    F.count(F.lit(1)).alias("_t"),
+                )
+                .collect()[0]
             )
-            .agg(
-                F.count("_hit").alias("_c"),
-                F.count(F.lit(1)).alias("_t"),
+            n_hit, n_tot = row["_c"], row["_t"]
+        if all_lengths and all_lengths[-1] > GRAM_JOIN_MAX_PHRASE_TOKENS:
+            if tokenizer is not None:
+                raise ValueError(
+                    "phrases longer than "
+                    f"{GRAM_JOIN_MAX_PHRASE_TOKENS} tokens fall back "
+                    "to the slot-join path, which tokenizes driver-"
+                    "side with the DEFAULT analyzer — incompatible "
+                    "with a custom tokenizer=; chunk long phrases "
+                    "through phrase_matches_batch with a matching "
+                    "analyzer instead"
+                )
+            n_hit += _overlong_phrase_hits(
+                index, evp, GRAM_JOIN_MAX_PHRASE_TOKENS
             )
-            .collect()[0]
-        )
-        n_hit, n_tot = row["_c"], row["_t"]
         return spark.createDataFrame(
             [(n_hit, n_tot, float(n_hit) / n_tot if n_tot else 0.0)],
             ["contaminated", "total", "rate"],
