@@ -2045,6 +2045,48 @@ def o_phrase_df_counts():
     """
 
 
+def q_gram_overlap(spark, sf_dir):
+    """Cross-corpus distinct-bigram overlap profile (compare.
+    gram_overlap): set sizes, intersection, Jaccard, and directional
+    containment between src0 and src1 — the corpus-level view of
+    contamination. Single-shuffle presence aggregation; ratios are
+    deterministic divisions of exact integers."""
+    from wimbd_spark.operators.compare import gram_overlap
+
+    return gram_overlap(_docs(spark, sf_dir), "src0", "src1", n=2)
+
+
+def o_gram_overlap():
+    return """
+      WITH toks AS (
+        SELECT source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+        WHERE text IS NOT NULL AND source IN ('src0', 'src1')
+      ),
+      pres AS (
+        SELECT array_to_string(list_slice(t, i, i+1), ' ') AS g,
+               max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ina,
+               max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS inb
+        FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+        WHERE len(t) >= 2
+        GROUP BY 1
+      )
+      SELECT CAST(sum(ina) AS BIGINT) AS grams_a,
+             CAST(sum(inb) AS BIGINT) AS grams_b,
+             CAST(sum(ina * inb) AS BIGINT) AS shared,
+             sum(ina * inb) / CAST(count(*) AS DOUBLE) AS jaccard,
+             CASE WHEN sum(ina) > 0 THEN
+               sum(ina * inb) / CAST(sum(ina) AS DOUBLE) END
+               AS containment_a_in_b,
+             CASE WHEN sum(inb) > 0 THEN
+               sum(ina * inb) / CAST(sum(inb) AS DOUBLE) END
+               AS containment_b_in_a
+      FROM pres
+    """
+
+
 def q_decontaminate_ngrams(spark, sf_dir):
     """N-gram decontamination (drop-side twin of the contamination
     sweep): remove every non-src0 doc whose token stream contains any
@@ -2628,7 +2670,8 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
     "orders_by_year_priority": (q_orders_by_year_priority, o_orders_by_year_priority),
     "unique_ngrams_approx": (q_unique_ngrams_approx, None),
-    # -- new / rewritten in r5 (4):
+    # -- new / rewritten in r5 (5):
+    "gram_overlap_src0_src1": (q_gram_overlap, o_gram_overlap),
     "decontaminate_ngrams_src0": (
         q_decontaminate_ngrams,
         o_decontaminate_ngrams,
@@ -2667,12 +2710,13 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
     "neardup_cluster_dedup": (q_neardup_cluster_dedup, o_neardup_cluster_dedup),
-    "pack_documents_512": (q_pack_documents, o_pack_documents),
-    # --- back of the window (25): green in r4 on paths untouched by
+    # --- back of the window (26): green in r4 on paths untouched by
     # r5; ALL of these return to the first 50 in round 6.
-    # (mixture_sample displaced to the back by decontaminate_ngrams_src0
-    # — green r4, untouched keycount.py path, returns r6.)
+    # (mixture_sample and pack_documents_512 displaced to the back by
+    # the new decontaminate_ngrams_src0 / gram_overlap_src0_src1 —
+    # both green r4 on untouched files, both return r6.)
     "mixture_sample": (q_mixture_sample, o_mixture_sample),
+    "pack_documents_512": (q_pack_documents, o_pack_documents),
     "lang_counts": (q_lang_counts, o_lang_counts),
     "token_length_dist": (q_token_length_dist, o_token_length_dist),
     "pricing_summary": (q_pricing_summary, o_pricing_summary),

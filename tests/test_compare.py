@@ -156,3 +156,39 @@ def test_length_percentiles_empty_input_keeps_rows(spark):
     allnull = spark.createDataFrame([(1, None)], "doc_id long, text string")
     rows = length_percentiles(allnull, percentiles=(0.5,)).collect()
     assert [(r["percentile"], r["value"]) for r in rows] == [(0.5, None)]
+
+
+def test_gram_overlap_matches_python_sets(documents):
+    from wimbd_spark.operators.compare import gram_overlap
+
+    rows = documents.select("source", "text").collect()
+
+    def gramset(src, n=2):
+        out = set()
+        for r in rows:
+            if r["source"] == src and r["text"]:
+                t = r["text"].split()
+                out |= {
+                    " ".join(t[i : i + n]) for i in range(len(t) - n + 1)
+                }
+        return out
+
+    a, b = gramset("src0"), gramset("src1")
+    got = gram_overlap(documents, "src0", "src1", n=2).collect()[0]
+    assert got["grams_a"] == len(a)
+    assert got["grams_b"] == len(b)
+    assert got["shared"] == len(a & b)
+    assert got["jaccard"] == pytest.approx(len(a & b) / len(a | b))
+    assert got["containment_a_in_b"] == pytest.approx(len(a & b) / len(a))
+    assert got["containment_b_in_a"] == pytest.approx(len(a & b) / len(b))
+
+
+def test_gram_overlap_disjoint_source(spark):
+    from wimbd_spark.operators.compare import gram_overlap
+
+    df = spark.createDataFrame(
+        [("sA", "x y z"), ("sB", "p q r")], ["source", "text"]
+    )
+    got = gram_overlap(df, "sA", "sB", n=2).collect()[0]
+    assert (got["grams_a"], got["grams_b"], got["shared"]) == (2, 2, 0)
+    assert got["jaccard"] == 0.0

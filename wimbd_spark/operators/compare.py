@@ -59,6 +59,64 @@ def source_token_counts(
     )
 
 
+def gram_overlap(
+    df: DataFrame,
+    source_a: str,
+    source_b: str,
+    n: int = 1,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """One row: DISTINCT n-gram set overlap between two sources —
+    (grams_a, grams_b, shared, jaccard, containment_a_in_b,
+    containment_b_in_a). The wimbd paper's cross-corpus overlap
+    summaries in one aggregate; containment_a_in_b is the fraction of
+    A's distinct grams found in B — read it as "how much of eval set A
+    is already inside training corpus B" (the corpus-level view of the
+    contamination sweep's per-phrase answer).
+
+    Plan: one scan pruned to the two sources, map-side gram explode,
+    ONE groupBy(gram) computing per-side presence flags, one scalar
+    aggregate — the same single-shuffle class as a distinct-ngram
+    count. All counts integer-exact; the ratios are deterministic
+    functions of exact integers (single division, no float summation).
+    """
+    from wimbd_spark.functions.text import ngram_strings
+
+    src = F.col(source_col)
+    presence = (
+        df.filter(src.isin(source_a, source_b))
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            src.alias("_src"),
+            F.explode(
+                ngram_strings(tokenize(F.col(text_col)), n)
+            ).alias("_g"),
+        )
+        .groupBy("_g")
+        .agg(
+            F.max(F.when(F.col("_src") == source_a, 1).otherwise(0)).alias(
+                "_in_a"
+            ),
+            F.max(F.when(F.col("_src") == source_b, 1).otherwise(0)).alias(
+                "_in_b"
+            ),
+        )
+    )
+    na = F.sum("_in_a")
+    nb = F.sum("_in_b")
+    shared = F.sum(F.col("_in_a") * F.col("_in_b"))
+    union = F.count(F.lit(1))
+    return presence.agg(
+        na.alias("grams_a"),
+        nb.alias("grams_b"),
+        shared.alias("shared"),
+        (shared / union).alias("jaccard"),
+        F.when(na > 0, shared / na).alias("containment_a_in_b"),
+        F.when(nb > 0, shared / nb).alias("containment_b_in_a"),
+    )
+
+
 def log_odds_tokens(
     df: DataFrame,
     source_a: str,
