@@ -2137,6 +2137,65 @@ def o_decontaminate_ngrams():
     """
 
 
+def q_contaminated_examples(spark, sf_dir):
+    """Audit companion to the sweep: up to 2 example doc_ids per
+    leaked src0 4-gram (index.contaminated_examples — one gram-join
+    job + one per-phrase window; no per-phrase query loop)."""
+    from wimbd_spark.index import contaminated_examples
+
+    docs = _docs(spark, sf_dir)
+    evalset = (
+        docs.filter(F.col("source") == "src0")
+        .select(
+            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+                "phrase"
+            )
+        )
+        .distinct()
+    )
+    idx = _phrase_index(
+        spark,
+        sf_dir,
+        docs=docs.filter(F.col("source") != "src0"),
+        name="contam",
+    )
+    out = contaminated_examples(idx, evalset, k=2)
+    return out.select(
+        "phrase",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def o_contaminated_examples():
+    grams = (
+        "SELECT DISTINCT {cols} array_to_string(list_slice(t, i, i+3), ' ') AS phrase"
+        " FROM toks, unnest(generate_series(1, len(t)-3)) AS u(i)"
+        " WHERE len(t) >= 4 AND {cond}"
+    )
+    ev = grams.format(cols="", cond="source = 'src0'")
+    cg = grams.format(cols="doc_id,", cond="source <> 'src0'")
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      ev AS ({ev}),
+      cg AS ({cg}),
+      hits AS (
+        SELECT cg.phrase, cg.doc_id,
+               row_number() OVER (PARTITION BY cg.phrase
+                                  ORDER BY cg.doc_id) AS rnk
+        FROM cg JOIN ev USING (phrase)
+      )
+      SELECT phrase, CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(rnk AS INTEGER) AS rank
+      FROM hits WHERE rnk <= 2
+    """
+
+
 def q_multi_overlap(spark, sf_dir):
     from wimbd_spark.operators.dedup import multi_overlap
 
@@ -2670,7 +2729,11 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
     "orders_by_year_priority": (q_orders_by_year_priority, o_orders_by_year_priority),
     "unique_ngrams_approx": (q_unique_ngrams_approx, None),
-    # -- new / rewritten in r5 (5):
+    # -- new / rewritten in r5 (6):
+    "contaminated_examples": (
+        q_contaminated_examples,
+        o_contaminated_examples,
+    ),
     "gram_overlap_src0_src1": (q_gram_overlap, o_gram_overlap),
     "decontaminate_ngrams_src0": (
         q_decontaminate_ngrams,
@@ -2709,14 +2772,14 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "corpus_stats": (q_corpus_stats, o_corpus_stats),
     "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
-    "neardup_cluster_dedup": (q_neardup_cluster_dedup, o_neardup_cluster_dedup),
-    # --- back of the window (26): green in r4 on paths untouched by
+    # --- back of the window (27): green in r4 on paths untouched by
     # r5; ALL of these return to the first 50 in round 6.
-    # (mixture_sample and pack_documents_512 displaced to the back by
-    # the new decontaminate_ngrams_src0 / gram_overlap_src0_src1 —
-    # both green r4 on untouched files, both return r6.)
+    # (mixture_sample, pack_documents_512 and neardup_cluster_dedup
+    # displaced to the back by the three new r5 queries — all green r4
+    # on untouched files, all return r6.)
     "mixture_sample": (q_mixture_sample, o_mixture_sample),
     "pack_documents_512": (q_pack_documents, o_pack_documents),
+    "neardup_cluster_dedup": (q_neardup_cluster_dedup, o_neardup_cluster_dedup),
     "lang_counts": (q_lang_counts, o_lang_counts),
     "token_length_dist": (q_token_length_dist, o_token_length_dist),
     "pricing_summary": (q_pricing_summary, o_pricing_summary),

@@ -324,3 +324,35 @@ def test_overlong_with_custom_tokenizer_raises(spark, tmp_path):
         count_documents_for_each_phrase_df(
             idx, ev, tokenizer=custom_tok
         )
+
+
+# ------------------------------------------------ audit examples
+
+
+def test_contaminated_examples_match_retrieval_api(spark, index):
+    from wimbd_spark.index import contaminated_examples
+
+    phrases = ["table scan", "join", "zzz nothing here"]
+    pdf = spark.createDataFrame([(p,) for p in phrases], ["phrase"])
+    got = contaminated_examples(index, pdf, k=3).collect()
+    by_phrase = {}
+    for r in got:
+        by_phrase.setdefault(r["phrase"], []).append((r["rank"], r["doc_id"]))
+    assert "zzz nothing here" not in by_phrase  # no-match → no rows
+    for p in ["table scan", "join"]:
+        # ranks are 1..k, doc_ids ascending (deterministic)
+        ranked = sorted(by_phrase[p])
+        assert [r for r, _ in ranked] == list(range(1, len(ranked) + 1))
+        ids = [d for _, d in ranked]
+        assert ids == sorted(ids)
+        # the examples are the k SMALLEST matching doc ids per the
+        # full matcher
+        full = sorted(
+            r["doc_id"]
+            for r in phrase_matches_batch(index, [p], fanout_budget=None)
+            .select("doc_id")
+            .distinct()
+            .collect()
+        )
+        assert ids == full[: len(ids)]
+        assert len(ids) == min(3, len(full))

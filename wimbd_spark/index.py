@@ -770,6 +770,70 @@ def count_documents_for_each_phrase_df(
     return out_short.unionByName(out_long)
 
 
+def contaminated_examples(
+    index: DataFrame,
+    phrases_df: DataFrame,
+    k: int = 3,
+    phrase_col: str = "phrase",
+    tokenizer=None,
+) -> DataFrame:
+    """(phrase, doc_id, rank) — up to ``k`` example documents per
+    distinct eval phrase, the audit companion to the contamination
+    sweep ("show me WHERE each leaked phrase appears"). The reference
+    reaches the same answer per phrase via ES hit lists
+    (wimbd/es/__init__.py get_documents_containing_phrases); here the
+    whole eval set is answered in one job with the phrase set kept as
+    a DataFrame.
+
+    Ranks are deterministic (ascending doc_id per phrase). Plan: the
+    gram-join match table (vocabulary-pruned corpus gram
+    reconstruction), then ONE window partitioned by phrase — bounded
+    output k rows/phrase, never a per-phrase query loop. Phrases with
+    no matches emit no rows (join the phrase table back if you need
+    explicit empties). slop=0, ≤ GRAM_JOIN_MAX_PHRASE_TOKENS tokens
+    per phrase (longer phrases: route through
+    get_documents_containing_phrases_indexed per phrase).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tok = tokenizer if tokenizer is not None else tokenize
+    evp = (
+        phrases_df.select(F.col(phrase_col).alias("phrase"))
+        .filter(
+            F.col("phrase").isNotNull() & (F.trim(F.col("phrase")) != "")
+        )
+        .distinct()
+        .withColumn("_toks", tok(F.col("phrase")))
+        .withColumn("_L", F.size("_toks"))
+        .filter(
+            (F.col("_L") >= 1)
+            & (F.col("_L") <= GRAM_JOIN_MAX_PHRASE_TOKENS)
+        )
+    )
+    lengths = sorted(
+        r["_L"] for r in evp.select("_L").distinct().collect()
+    )
+    if not lengths:
+        spark = index.sparkSession
+        return spark.createDataFrame(
+            [], schema="phrase string, doc_id long, rank int"
+        )
+    vocab = evp.select(F.explode("_toks").alias("token"))
+    cg = corpus_grams_from_postings(
+        index, lengths, with_doc=True, vocab=vocab
+    )
+    w = (
+        Window.partitionBy("phrase")
+        .orderBy(F.col("doc_id").asc())
+    )
+    return (
+        evp.join(cg, ["_L", "_toks"])
+        .select("phrase", "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def count_total_occurrences_of_unigrams_indexed(
     index: DataFrame,
     unigrams: list[str],
