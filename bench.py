@@ -77,6 +77,7 @@ HEADLINE = [
     "gram_overlap_src0_src1",
     "phrase_df_counts",
     "decontaminate_ngrams_src0",
+    "contaminated_examples",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)
