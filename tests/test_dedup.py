@@ -259,3 +259,36 @@ def test_decontaminate_by_ngrams_agrees_with_sweep(spark, documents, tmp_path):
         .collect()
     }
     assert {r["doc_id"] for r in dropped.collect()} == expect
+
+
+def test_decontaminate_by_ngrams_overlong_phrase(spark):
+    # a >32-token phrase must match via normalized-text contains (the
+    # gram explode would scale map-side output with L) — fully
+    # distributed, exact token alignment
+    from wimbd_spark.index import GRAM_JOIN_MAX_PHRASE_TOKENS
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+
+    L = GRAM_JOIN_MAX_PHRASE_TOKENS + 5
+    long_seq = " ".join(f"w{i}" for i in range(L))
+    train = spark.createDataFrame(
+        [
+            (0, f"prefix {long_seq} suffix"),    # contains, aligned
+            (1, f"prefix{long_seq} suffix"),     # first token fused → no
+            (2, "w0 w1 w2"),                     # short sub-sequence → no
+            (3, f"x {long_seq}"),                # at the end, aligned
+            (4, "quick brown"),                  # short-phrase hit
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(long_seq,), ("quick brown",)], ["phrase"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in decontaminate_by_ngrams(train, ev).collect()
+    )
+    assert kept == [1, 2]
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_by_ngrams(train, ev, mode="flag").collect()
+    }
+    assert flags == {0: True, 1: False, 2: False, 3: True, 4: True}

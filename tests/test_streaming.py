@@ -547,3 +547,37 @@ def test_streaming_decontaminate_by_ngrams(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in decontaminate_by_ngrams(batch, ev).collect()
     ) == got
+
+
+def test_streaming_contamination_hits_overlong_phrase(spark, tmp_path):
+    from wimbd_spark.index import GRAM_JOIN_MAX_PHRASE_TOKENS
+    from wimbd_spark.streaming import (
+        eval_gram_table,
+        read_doc_stream,
+        streaming_contamination_hits,
+    )
+
+    L = GRAM_JOIN_MAX_PHRASE_TOKENS + 3
+    long_seq = " ".join(f"w{i}" for i in range(L))
+    d = str(tmp_path / "docs_chl")
+    _write_batch(
+        d,
+        [
+            _doc(1, f"pre {long_seq} post"),
+            _doc(2, "short stuff only"),
+            _doc(3, "quick brown here"),
+        ],
+        "b0.json",
+    )
+    ev = spark.createDataFrame(
+        [(long_seq,), ("quick brown",)], ["phrase"]
+    )
+    grams = eval_gram_table(ev)
+    out = streaming_contamination_hits(read_doc_stream(spark, d), grams)
+    q = _run_to_memory(out.select("doc_id", "phrase"), "chl_stream", "append")
+    rows = spark.sql("select * from chl_stream").collect()
+    q.stop()
+    assert sorted((r["doc_id"], r["phrase"]) for r in rows) == [
+        (1, long_seq),
+        (3, "quick brown"),
+    ]

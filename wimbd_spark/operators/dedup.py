@@ -384,6 +384,19 @@ def _text_grams(
     )
 
 
+def _normalized_tokens_text(text: Column, tokenizer=None) -> Column:
+    """' ' + tokens joined by single spaces + ' ' — the normalization
+    under which token-aligned phrase containment is EXACTLY substring
+    containment (every token boundary becomes one space, including the
+    edges), valid for any tokenizer whose tokens contain no spaces.
+    Lets arbitrarily LONG phrases match with one `contains` per
+    (doc, phrase) instead of a length-L gram materialization."""
+    from wimbd_spark.functions.text import tokenize
+
+    tok = tokenizer if tokenizer is not None else tokenize
+    return F.concat(F.lit(" "), F.array_join(tok(text), " "), F.lit(" "))
+
+
 def decontaminate_by_ngrams(
     train: DataFrame,
     eval_df: DataFrame,
@@ -412,8 +425,16 @@ def decontaminate_by_ngrams(
     gives contaminated ids; one id-probe anti/left join restores full
     rows. The train side is scanned twice but never shuffled at full
     width; the gram explode is the same cost class as an n-gram count.
+
+    Phrases longer than GRAM_JOIN_MAX_PHRASE_TOKENS skip the gram
+    explode (whose map-side output scales with max L × corpus tokens)
+    and match via normalized-text `contains` instead — token-aligned
+    containment IS substring containment on space-normalized text
+    (_normalized_tokens_text), one broadcast nested-loop predicate per
+    (doc, overlong phrase), fully distributed at any phrase length.
     """
     from wimbd_spark.functions.text import tokenize
+    from wimbd_spark.index import GRAM_JOIN_MAX_PHRASE_TOKENS
 
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
@@ -434,16 +455,46 @@ def decontaminate_by_ngrams(
         if mode == "drop":
             return train
         return train.withColumn(flag_col, F.lit(False))
-    if broadcast_eval:
-        evg = F.broadcast(evg)
-    hits = (
-        _text_grams(
-            train.select(id_col, text_col), lengths, text_col, tokenizer
+    cap = GRAM_JOIN_MAX_PHRASE_TOKENS
+    short_lengths = [L for L in lengths if L <= cap]
+    hit_parts = []
+    if short_lengths:
+        evs = evg.filter(F.col("_L") <= cap)
+        if broadcast_eval:
+            evs = F.broadcast(evs)
+        hit_parts.append(
+            _text_grams(
+                train.select(id_col, text_col),
+                short_lengths,
+                text_col,
+                tokenizer,
+            )
+            .join(evs, ["_L", "_toks"], "left_semi")
+            .select(id_col)
         )
-        .join(evg, ["_L", "_toks"], "left_semi")
-        .select(id_col)
-        .distinct()
-    )
+    if lengths[-1] > cap:
+        evl = evg.filter(F.col("_L") > cap).select(
+            F.concat(
+                F.lit(" "), F.array_join(F.col("_toks"), " "), F.lit(" ")
+            ).alias("_np")
+        )
+        norm = train.select(
+            F.col(id_col),
+            _normalized_tokens_text(F.col(text_col), tokenizer).alias(
+                "_nt"
+            ),
+        )
+        hit_parts.append(
+            norm.join(
+                F.broadcast(evl),
+                on=F.col("_nt").contains(F.col("_np")),
+                how="inner",
+            ).select(id_col)
+        )
+    hits = hit_parts[0]
+    for part in hit_parts[1:]:
+        hits = hits.unionByName(part)
+    hits = hits.distinct()
     if mode == "drop":
         return train.join(hits, id_col, "left_anti")
     return (

@@ -230,19 +230,59 @@ def streaming_contamination_hits(
     the broadcast static gram table. No watermark, no state store:
     composes anywhere in a stateless gate chain.
     """
-    from wimbd_spark.operators.dedup import _text_grams
+    from wimbd_spark.index import GRAM_JOIN_MAX_PHRASE_TOKENS
+    from wimbd_spark.operators.dedup import (
+        _normalized_tokens_text,
+        _text_grams,
+    )
 
     lengths = sorted(
         r["_L"] for r in eval_grams.select("_L").distinct().collect()
     )
     if not lengths:
         raise ValueError("eval_grams is empty — nothing to match")
-    grams = _text_grams(docs, lengths, text_col, tokenizer)
-    return (
-        grams.join(F.broadcast(eval_grams), ["_L", "_toks"], "inner")
-        .withColumn("phrase", F.array_join(F.col("_toks"), " "))
-        .drop("_L", "_toks")
-    )
+    cap = GRAM_JOIN_MAX_PHRASE_TOKENS
+    short_lengths = [L for L in lengths if L <= cap]
+    parts = []
+    if short_lengths:
+        grams = _text_grams(docs, short_lengths, text_col, tokenizer)
+        parts.append(
+            grams.join(
+                F.broadcast(eval_grams.filter(F.col("_L") <= cap)),
+                ["_L", "_toks"],
+                "inner",
+            )
+            .withColumn("phrase", F.array_join(F.col("_toks"), " "))
+            .drop("_L", "_toks")
+        )
+    if lengths[-1] > cap:
+        # overlong phrases skip the gram explode (map-side output
+        # scales with max L): token-aligned containment == substring
+        # containment on space-normalized text, one broadcast
+        # nested-loop predicate per (doc, overlong phrase)
+        evl = eval_grams.filter(F.col("_L") > cap).select(
+            F.array_join(F.col("_toks"), " ").alias("phrase")
+        )
+        keep = [c for c in docs.columns if c != text_col]
+        norm = docs.select(
+            *keep,
+            _normalized_tokens_text(F.col(text_col), tokenizer).alias(
+                "_nt"
+            ),
+        )
+        parts.append(
+            norm.join(
+                F.broadcast(evl),
+                on=F.col("_nt").contains(
+                    F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
+                ),
+                how="inner",
+            ).drop("_nt")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def streaming_decontaminate_by_ngrams(
