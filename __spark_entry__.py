@@ -1934,6 +1934,36 @@ def o_contamination_rate():
     """
 
 
+def q_contamination_rate_tokens(spark, sf_dir):
+    """Index-FREE token-aligned contamination scan
+    (dedup.contamination_rate_ngrams): same semantics and oracle as
+    the indexed sweep, corpus gram-exploded map-side instead of
+    postings-reconstructed — the route for corpora nobody indexed."""
+    from wimbd_spark.operators.dedup import contamination_rate_ngrams
+
+    docs = _docs(spark, sf_dir)
+    evalset = (
+        docs.filter(F.col("source") == "src0")
+        .select(
+            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+                "phrase"
+            )
+        )
+        .distinct()
+    )
+    corpus = docs.filter(F.col("source") != "src0")
+    out = contamination_rate_ngrams(evalset, corpus, "phrase")
+    return out.select(
+        F.col("contaminated").cast("long").alias("contaminated"),
+        F.col("total").cast("long").alias("total"),
+        "rate",
+    )
+
+
+def o_contamination_rate_tokens():
+    return o_contamination_rate_indexed()
+
+
 def q_contamination_rate_indexed(spark, sf_dir):
     """TOKEN-ALIGNED contamination sweep from the posting index — the
     reference's actual semantics (ES match_phrase per eval row,
@@ -2745,6 +2775,10 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         o_contamination_rate_indexed,
     ),
     "contamination_rate": (q_contamination_rate, o_contamination_rate),
+    "contamination_rate_tokens": (
+        q_contamination_rate_tokens,
+        o_contamination_rate_tokens,
+    ),
     # -- index/search phrase surface (density guard touched the shared
     #    phrase_matches_batch path) (6):
     "phrase_batch_counts": (q_phrase_batch_counts, o_phrase_batch_counts),
@@ -2771,12 +2805,12 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "length_percentiles": (q_length_percentiles, o_length_percentiles),
     "corpus_stats": (q_corpus_stats, o_corpus_stats),
     "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
-    "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
-    # --- back of the window (27): green in r4 on paths untouched by
+    # --- back of the window (28): green in r4 on paths untouched by
     # r5; ALL of these return to the first 50 in round 6.
-    # (mixture_sample, pack_documents_512 and neardup_cluster_dedup
-    # displaced to the back by the three new r5 queries — all green r4
-    # on untouched files, all return r6.)
+    # (mixture_sample, pack_documents_512, neardup_cluster_dedup and
+    # lsh_neardup_pairs displaced to the back by the four new r5
+    # queries — all green r4 on untouched files, all return r6.)
+    "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
     "mixture_sample": (q_mixture_sample, o_mixture_sample),
     "pack_documents_512": (q_pack_documents, o_pack_documents),
     "neardup_cluster_dedup": (q_neardup_cluster_dedup, o_neardup_cluster_dedup),

@@ -356,3 +356,45 @@ def test_contaminated_examples_match_retrieval_api(spark, index):
         )
         assert ids == full[: len(ids)]
         assert len(ids) == min(3, len(full))
+
+
+# ------------------------------------------------ index-free token-aligned scan
+
+
+def test_scan_token_aligned_agrees_with_indexed(spark, corpus, index):
+    from wimbd_spark.operators.dedup import (
+        contamination_rate_ngrams,
+        contamination_report,
+    )
+
+    ev = _eval_grams(corpus, n=4)
+    scan = contamination_rate_ngrams(ev, corpus, "phrase").collect()[0]
+    idxd = contamination_rate_indexed(index, ev, "phrase").collect()[0]
+    assert (scan["contaminated"], scan["total"]) == (
+        idxd["contaminated"],
+        idxd["total"],
+    )
+    # contamination_report routes token_aligned scans here
+    routed = contamination_report(
+        ev, "phrase", corpus=corpus, token_aligned=True
+    ).collect()[0]
+    assert routed["contaminated"] == scan["contaminated"]
+
+
+def test_scan_token_aligned_overlong_phrase(spark):
+    from wimbd_spark.index import GRAM_JOIN_MAX_PHRASE_TOKENS
+    from wimbd_spark.operators.dedup import contamination_rate_ngrams
+
+    L = GRAM_JOIN_MAX_PHRASE_TOKENS + 4
+    long_seq = " ".join(f"w{i}" for i in range(L))
+    corpus = spark.createDataFrame(
+        [(1, f"pre {long_seq} post"), (2, "a b c")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame(
+        [(long_seq,), ("a b",), ("w0 w2",), (f"x {long_seq}",)],
+        ["phrase"],
+    )
+    row = contamination_rate_ngrams(ev, corpus, "phrase").collect()[0]
+    # hits: the long phrase (aligned in doc 1) and "a b"; "w0 w2" not
+    # contiguous; "x <long>" absent
+    assert (row["contaminated"], row["total"]) == (2, 4)

@@ -516,6 +516,7 @@ def contamination_report(
     analyzer=None,
     tokenizer=None,
     prefilter: bool | None = None,
+    token_aligned: bool = False,
 ) -> DataFrame:
     """ONE contamination entry point → (contaminated, total, rate).
 
@@ -529,15 +530,18 @@ def contamination_report(
       batched slot-join fallback inside contamination_rate_indexed
       (phrase_matches_batch; collects the phrase list — interactive
       batches only).
-    - no index → substring scan over ``corpus``
+    - no index, ``token_aligned=True`` → index-free token-aligned
+      scan (contamination_rate_ngrams — same answers as the indexed
+      path, corpus gram-exploded instead of postings-reconstructed).
+    - no index, default → substring scan over ``corpus``
       (contamination_rate; its own cost model picks broadcast
       nested-loop vs the rare-anchor prefilter, steered by
-      ``prefilter``). slop is token-aligned semantics and needs the
-      index — rejected on the scan path rather than silently ignored.
+      ``prefilter``). slop needs the index — rejected on the scan
+      paths rather than silently ignored.
 
     Parity: the reference's single contamination workflow
     (wimbd/es/corpus_contamination.py:28-58) always runs against ES;
-    this engine adds the index-free scan route for corpora that were
+    this engine adds the index-free routes for corpora that were
     never indexed.
     """
     if index is not None:
@@ -554,11 +558,108 @@ def contamination_report(
     if slop:
         raise ValueError(
             "slop (token-window matching) requires a posting index; "
-            "the scan path is substring-semantics — build one with "
-            "build_phrase_index or drop slop"
+            "the scan paths have no positional window — build one "
+            "with build_phrase_index or drop slop"
+        )
+    if token_aligned:
+        return contamination_rate_ngrams(
+            eval_df, corpus, phrase_col, text_col=text_col,
+            tokenizer=tokenizer,
         )
     return contamination_rate(
         eval_df, corpus, phrase_col, text_col=text_col, prefilter=prefilter
+    )
+
+
+def contamination_rate_ngrams(
+    eval_df: DataFrame,
+    corpus: DataFrame,
+    phrase_col: str,
+    text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """TOKEN-ALIGNED contamination WITHOUT an index: fraction of
+    distinct eval phrases whose token sequence appears contiguously in
+    ≥1 corpus doc → (contaminated, total, rate). Same semantics as
+    contamination_rate_indexed (they agree row-for-row); use this when
+    no posting index exists. The substring-semantics cousin is
+    contamination_rate.
+
+    Plan: eval phrases stay a DataFrame; corpus docs gram-explode
+    map-side for the eval set's distinct lengths (_text_grams) into a
+    distinct (L, gram) table, one left join + ONE aggregation yields
+    both counts. Phrases longer than GRAM_JOIN_MAX_PHRASE_TOKENS match
+    via normalized-text `contains` (token-aligned containment ==
+    substring containment on space-normalized text) — fully
+    distributed at any phrase length, no driver collect beyond the
+    distinct-length set.
+    """
+    from wimbd_spark.functions.text import tokenize
+    from wimbd_spark.index import GRAM_JOIN_MAX_PHRASE_TOKENS
+
+    spark = eval_df.sparkSession
+    tok = tokenizer if tokenizer is not None else tokenize
+    evp = (
+        eval_df.select(F.col(phrase_col).alias("_p"))
+        .filter(F.col("_p").isNotNull() & (F.trim(F.col("_p")) != ""))
+        .distinct()
+        .withColumn("_toks", tok(F.col("_p")))
+        .withColumn("_L", F.size("_toks"))
+    )
+    lengths = sorted(
+        r["_L"]
+        for r in evp.filter(F.col("_L") >= 1)
+        .select("_L")
+        .distinct()
+        .collect()
+    )
+    cap = GRAM_JOIN_MAX_PHRASE_TOKENS
+    short_lengths = [L for L in lengths if L <= cap]
+    if short_lengths:
+        cg = (
+            _text_grams(
+                corpus.select(text_col), short_lengths, text_col, tokenizer
+            )
+            .select("_L", "_toks")
+            .distinct()
+        )
+        row = (
+            evp.join(
+                cg.withColumn("_hit", F.lit(1)), ["_L", "_toks"], "left"
+            )
+            .agg(
+                F.count("_hit").alias("_c"), F.count(F.lit(1)).alias("_t")
+            )
+            .collect()[0]
+        )
+        n_hit, n_tot = row["_c"], row["_t"]
+    else:
+        n_hit, n_tot = 0, evp.count()
+    if lengths and lengths[-1] > cap:
+        evl = evp.filter(F.col("_L") > cap).select(
+            "_p",
+            F.concat(
+                F.lit(" "), F.array_join(F.col("_toks"), " "), F.lit(" ")
+            ).alias("_np"),
+        )
+        norm = corpus.select(
+            _normalized_tokens_text(F.col(text_col), tokenizer).alias(
+                "_nt"
+            )
+        )
+        n_hit += (
+            norm.join(
+                F.broadcast(evl),
+                on=F.col("_nt").contains(F.col("_np")),
+                how="inner",
+            )
+            .select("_p")  # count distinct phrase STRINGS, like the
+            .distinct()    # short path and the indexed twin
+            .count()
+        )
+    return spark.createDataFrame(
+        [(n_hit, n_tot, float(n_hit) / n_tot if n_tot else 0.0)],
+        ["contaminated", "total", "rate"],
     )
 
 
