@@ -2226,6 +2226,43 @@ def o_contaminated_examples():
     """
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-level paragraph dedup (dedup.dedup_paragraphs): keep the
+    first occurrence of each distinct paragraph corpus-wide and
+    reassemble docs. Testdata carries no blank lines, so ' join '
+    (a frequent token) stands in as the paragraph separator — same
+    machinery, exercisable splits."""
+    from wimbd_spark.operators.dedup import dedup_paragraphs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    out = dedup_paragraphs(docs, sep=" join ")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "text"
+    )
+
+
+def o_dedup_paragraphs():
+    return """
+      WITH p AS (
+        SELECT doc_id, source, i AS pos, ps[i] AS par
+        FROM (SELECT doc_id, source,
+                     string_split(text, ' join ') AS ps
+              FROM documents WHERE text IS NOT NULL),
+             unnest(generate_series(1, len(ps))) AS u(i)
+        WHERE trim(ps[i]) <> ''
+      ),
+      k AS (
+        SELECT *, row_number() OVER (PARTITION BY par
+                                     ORDER BY doc_id, pos) AS rn
+        FROM p
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             min(source) AS source,
+             string_agg(par, ' join ' ORDER BY pos) AS text
+      FROM k WHERE rn = 1 GROUP BY doc_id
+    """
+
+
 def q_multi_overlap(spark, sf_dir):
     from wimbd_spark.operators.dedup import multi_overlap
 
@@ -2789,6 +2826,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
     # -- queries over files touched by r5 fixes (18):
     "decontaminate_src0": (q_decontaminate, o_decontaminate),
+    "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
     "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
     "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
     "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
@@ -2804,13 +2842,15 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
     "length_percentiles": (q_length_percentiles, o_length_percentiles),
     "corpus_stats": (q_corpus_stats, o_corpus_stats),
-    "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
     # --- back of the window (28): green in r4 on paths untouched by
     # r5; ALL of these return to the first 50 in round 6.
-    # (mixture_sample, pack_documents_512, neardup_cluster_dedup and
-    # lsh_neardup_pairs displaced to the back by the four new r5
-    # queries — all green r4 on untouched files, all return r6.)
+    # (mixture_sample, pack_documents_512, neardup_cluster_dedup,
+    # lsh_neardup_pairs and extreme_token_docs displaced to the back
+    # by the five new r5 queries — all green r4, all return r6;
+    # stats.py stays window-covered via corpus_stats +
+    # length_percentiles.)
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
+    "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
     "mixture_sample": (q_mixture_sample, o_mixture_sample),
     "pack_documents_512": (q_pack_documents, o_pack_documents),
     "neardup_cluster_dedup": (q_neardup_cluster_dedup, o_neardup_cluster_dedup),

@@ -292,3 +292,33 @@ def test_decontaminate_by_ngrams_overlong_phrase(spark):
         for r in decontaminate_by_ngrams(train, ev, mode="flag").collect()
     }
     assert flags == {0: True, 1: False, 2: False, 3: True, 4: True}
+
+
+def test_dedup_paragraphs(spark):
+    from wimbd_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (0, "s", "shared para\n\nunique zero"),
+            (1, "s", "unique one\n\nshared para"),  # loses shared → keeps rest
+            (2, "s", "shared para"),                 # all paragraphs lose → dropped
+            (3, "s", "  \n\n "),                     # whitespace-only → dropped
+            (4, "s", None),                          # null text → dropped
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(df).collect()}
+    assert out == {0: "shared para\n\nunique zero", 1: "unique one"}
+    # non-text columns pass through
+    cols = dedup_paragraphs(df).columns
+    assert set(cols) == {"doc_id", "source", "text"}
+    # custom separator + within-doc duplicate paragraph: only the
+    # first position survives
+    df2 = spark.createDataFrame(
+        [(0, "x | y | x"), (1, "y | z")], ["doc_id", "text"]
+    )
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in dedup_paragraphs(df2, sep=" | ").collect()
+    }
+    assert out2 == {0: "x | y", 1: "z"}

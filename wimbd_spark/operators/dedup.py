@@ -185,7 +185,67 @@ def find_examples(
     )
 
 
-def _contains_hits(corpus, phrases, text_col):
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    order_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """CORPUS-level paragraph dedup (the Dolma-style stage between
+    exact-doc and near-dup): split every doc on ``sep``, keep only the
+    FIRST occurrence of each distinct paragraph across the whole
+    corpus (deterministic (order_cols, position) order), reassemble
+    each doc from its surviving paragraphs in original order. Docs
+    whose paragraphs all lose are dropped; whitespace-only paragraphs
+    are dropped unconditionally (they would otherwise all collapse
+    onto one corpus-wide survivor). Non-text columns pass through.
+
+    The reference dedups whole documents by hash
+    (deduplicate_by_hash.py:48-62); paragraph granularity is what
+    modern training pipelines actually run, and it reuses the same
+    keep-first construction at exploded granularity.
+
+    Plan shape: one map-side posexplode, ONE window shuffle keyed on
+    md5(paragraph) (the same cost class as doc-level keep-first), one
+    groupBy(id) to reassemble, one id-probe join to restore the other
+    columns. No driver state, no UDFs; ties are broken by
+    (order_cols, position) so the output is partition-layout
+    independent.
+    """
+    import re as _re
+
+    others = [c for c in df.columns if c != text_col]
+    paras = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            *[F.col(c) for c in others],
+            # split takes a REGEX; quote the literal separator
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(sep))
+            ).alias("_pos", "_par"),
+        )
+        .filter(F.trim(F.col("_par")) != "")
+    )
+    w = Window.partitionBy(doc_hash(F.col("_par"))).orderBy(
+        *[F.col(c).asc() for c in order_cols], F.col("_pos").asc()
+    )
+    keep = (
+        paras.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    rebuilt = keep.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_par")))
+                ),
+                lambda s: s["_par"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return df.drop(text_col).join(rebuilt, id_col, "inner")
     """Distinct phrases substring-contained in ≥1 corpus doc — direct
     broadcast nested-loop (O(|corpus| × |phrases|) contains checks)."""
     return (
