@@ -2263,6 +2263,41 @@ def o_dedup_paragraphs():
     """
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing (pii.redact_pii): typed placeholders for every
+    email/phone/ip match, per-row JVM regexp chain over the same
+    synthetic PII-bearing corpus the extraction query proves on.
+    Output = only the docs that changed (i.e. contained PII)."""
+    from wimbd_spark.operators.pii import redact_pii
+
+    docs = _docs_with_pii(spark, sf_dir).select(
+        "doc_id", "text", F.col("text").alias("_orig")
+    )
+    red = redact_pii(docs)
+    return (
+        red.filter(F.col("text") != F.col("_orig"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+
+
+def o_pii_redaction():
+    email = r"[\w.+-]+@[\w-]+\.[\w.-]+"
+    phone = r"\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}"
+    ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{email}', '[EMAIL]', 'g'), "
+        f"'{phone}', '[PHONE]', 'g'), "
+        f"'{ip}', '[IP]', 'g')"
+    )
+    return f"""
+      WITH {_SQL_PII_BASE}
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, {red} AS text
+      FROM base
+      WHERE text IS NOT NULL AND {red} <> text
+    """
+
+
 def q_multi_overlap(spark, sf_dir):
     from wimbd_spark.operators.dedup import multi_overlap
 
@@ -2826,6 +2861,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
     # -- queries over files touched by r5 fixes (18):
     "decontaminate_src0": (q_decontaminate, o_decontaminate),
+    "pii_redaction": (q_pii_redaction, o_pii_redaction),
     "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
     "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
     "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
@@ -2836,7 +2872,6 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         q_embedding_cosine_pairs_lsh_auto,
         o_embedding_cosine_pairs_lsh_auto,
     ),
-    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
     "source_log_odds": (q_source_log_odds, o_source_log_odds),
     "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
     "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
@@ -2851,6 +2886,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # length_percentiles.)
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
     "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
+    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
     "mixture_sample": (q_mixture_sample, o_mixture_sample),
     "pack_documents_512": (q_pack_documents, o_pack_documents),
     "neardup_cluster_dedup": (q_neardup_cluster_dedup, o_neardup_cluster_dedup),

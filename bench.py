@@ -74,6 +74,7 @@ HEADLINE = [
     "embedding_cosine_pairs_lsh_auto",
     "simhash62",
     # r5 additions
+    "pii_redaction",
     "dedup_paragraphs",
     "gram_overlap_src0_src1",
     "phrase_df_counts",

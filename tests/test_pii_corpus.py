@@ -183,3 +183,31 @@ def test_to_parquet_corpus_roundtrip(documents, tmp_path):
     back = documents.sparkSession.read.parquet(p)
     assert back.count() == documents.count()
     assert os.path.isdir(os.path.join(p, "lang=en"))
+
+
+def test_redact_pii(spark):
+    from wimbd_spark.operators.pii import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at bob@example.com today"),
+            (1, "call 555-123-4567 or visit 10.0.0.1 now"),
+            (2, "nothing sensitive"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in redact_pii(df).collect()}
+    assert out[0] == "mail me at [EMAIL] today"
+    assert out[1] == "call [PHONE] or visit [IP] now"
+    assert out[2] == "nothing sensitive"
+    assert out[3] is None
+    # kind selection + custom replacement
+    only_email = {
+        r["doc_id"]: r["text"]
+        for r in redact_pii(
+            df, kinds=("email",), replacement="<{KIND}>"
+        ).collect()
+    }
+    assert only_email[0] == "mail me at <EMAIL> today"
+    assert only_email[1] == "call 555-123-4567 or visit 10.0.0.1 now"

@@ -150,6 +150,35 @@ def extract_pii(
     return hits.filter(ctx).drop("_text")
 
 
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] | None = None,
+    replacement: str = "[{KIND}]",
+) -> DataFrame:
+    """Replace every PII regex match with a typed placeholder
+    ([EMAIL], [PHONE], [IP]) — the ENFORCEMENT complement of
+    extract_pii (the reference only counts/locates PII,
+    wimbd/pii/map_count.py; a release pipeline also has to scrub it).
+    Pure per-row JVM regexp_replace chain in PII_PATTERNS order — no
+    shuffle, no UDF; NULL text passes through as NULL.
+
+    Deliberate divergence from extract_pii: redaction applies to ALL
+    regex matches, skipping the context-window demotion rules
+    (pii.py:87-101) — over-redacting a URL-adjacent phone-shaped
+    string is the safe direction for a data release, while the
+    counting path wants the precision of the context rules.
+    """
+    out = F.col(text_col)
+    for kind in kinds if kinds is not None else tuple(PII_PATTERNS):
+        out = F.regexp_replace(
+            out,
+            PII_PATTERNS[kind],
+            replacement.format(KIND=kind.upper()),
+        )
+    return df.withColumn(text_col, out)
+
+
 def pii_counts(
     df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
 ) -> DataFrame:
