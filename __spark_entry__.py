@@ -2298,6 +2298,55 @@ def o_pii_redaction():
     """
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Within-doc repeated-line removal (textqc.dedup_lines_within_doc,
+    C4-style boilerplate cleanup) — map-side only, zero shuffle.
+    ' scan ' stands in for the line separator (testdata has no
+    newlines), and every 5th doc gets a self-repeated copy appended —
+    the boilerplate shape the operator exists for (mirrored in SQL).
+    Output = docs whose text changed."""
+    from wimbd_spark.operators.textqc import dedup_lines_within_doc
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    rep = docs.filter((F.col("doc_id") % 5 == 0) & F.col("text").isNotNull()).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" scan "), F.col("text")).alias(
+            "text"
+        ),
+    )
+    base = docs.unionByName(rep).withColumn("_orig", F.col("text"))
+    out = dedup_lines_within_doc(base, sep=" scan ")
+    return (
+        out.filter(F.col("text") != F.col("_orig"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+
+
+def o_dedup_lines():
+    return """
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 5000000, text || ' scan ' || text
+        FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL
+      ),
+      s AS (
+        SELECT doc_id, text, string_split(text, ' scan ') AS ls
+        FROM base WHERE text IS NOT NULL
+      ),
+      k AS (
+        SELECT doc_id, text,
+               array_to_string(
+                 list_filter(ls, (x, i) -> length(trim(x)) < 1
+                                           OR list_position(ls, x) = i),
+                 ' scan ') AS rebuilt
+        FROM s
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, rebuilt AS text
+      FROM k WHERE rebuilt <> text
+    """
+
+
 def q_multi_overlap(spark, sf_dir):
     from wimbd_spark.operators.dedup import multi_overlap
 
@@ -2863,6 +2912,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "decontaminate_src0": (q_decontaminate, o_decontaminate),
     "pii_redaction": (q_pii_redaction, o_pii_redaction),
     "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
+    "dedup_lines_within_doc": (q_dedup_lines, o_dedup_lines),
     "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
     "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
     "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
@@ -2876,7 +2926,6 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
     "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
     "length_percentiles": (q_length_percentiles, o_length_percentiles),
-    "corpus_stats": (q_corpus_stats, o_corpus_stats),
     # --- back of the window (28): green in r4 on paths untouched by
     # r5; ALL of these return to the first 50 in round 6.
     # (mixture_sample, pack_documents_512, neardup_cluster_dedup,
@@ -2887,6 +2936,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
     "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
     "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
+    "corpus_stats": (q_corpus_stats, o_corpus_stats),
     "mixture_sample": (q_mixture_sample, o_mixture_sample),
     "pack_documents_512": (q_pack_documents, o_pack_documents),
     "neardup_cluster_dedup": (q_neardup_cluster_dedup, o_neardup_cluster_dedup),

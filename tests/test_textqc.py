@@ -183,3 +183,27 @@ def test_gopher_quality_filter_rules(spark):
                                   max_dupe2=1.0, max_top2=1.0,
                                   min_mean_len=1.0)
     assert {r["k"]: r for r in loose.collect()}["short"]["keep"] is True
+
+
+def test_dedup_lines_within_doc(spark):
+    from wimbd_spark.operators.textqc import dedup_lines_within_doc
+
+    df = spark.createDataFrame(
+        [
+            (0, "header\nbody one\nheader\nbody two\n\n\nheader"),
+            (1, "only once"),
+            (2, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_lines_within_doc(df).collect()}
+    # repeated 'header' dropped at later positions; blank lines kept
+    assert out[0] == "header\nbody one\nbody two\n\n"
+    assert out[1] == "only once"
+    assert out[2] is None
+    # min_chars: short lines always kept
+    df2 = spark.createDataFrame([(0, "a|xx|a|xx|b")], ["doc_id", "text"])
+    from pyspark.sql import functions as F  # noqa: F401
+
+    out2 = dedup_lines_within_doc(df2, sep="|", min_chars=2).collect()[0]["text"]
+    assert out2 == "a|xx|a|b"

@@ -49,6 +49,40 @@ def stopword_count(tokens: Column, lang: str) -> Column:
     )
 
 
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Remove repeated lines WITHIN each document (C4-style boilerplate
+    cleanup: nav bars, cookie banners, repeated headers), keeping the
+    first occurrence in order. Lines whose trimmed length is below
+    ``min_chars`` (default: whitespace-only) are always kept, so blank-
+    line structure survives. The corpus-level cousin is
+    dedup.dedup_paragraphs; this one is purely per-row — a map-side
+    projection with ZERO shuffle, composable into any scan.
+
+    Per-doc cost is O(lines²) via first-occurrence checks
+    (array_position) — lines per document are small; everything stays
+    in whole-stage codegen, no UDF.
+    """
+    import re as _re
+
+    lines = F.split(F.col(text_col), _re.escape(sep))
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.length(F.trim(x)) < F.lit(min_chars))
+        | (F.array_position(lines, x) == i + F.lit(1)),
+    )
+    return df.withColumn(
+        text_col,
+        F.when(
+            F.col(text_col).isNotNull(), F.array_join(kept, sep)
+        ),
+    )
+
+
 def quality_features(
     text: Column | str, tokens: Column | None = None
 ) -> list[Column]:
