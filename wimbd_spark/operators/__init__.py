@@ -19,8 +19,13 @@ from wimbd_spark.operators.keycount import (
 )
 from wimbd_spark.operators.dedup import (
     contamination_rate,
+    contamination_rate_indexed,
+    contamination_rate_ngrams,
+    contamination_report,
     decontaminate,
+    decontaminate_by_ngrams,
     dedup_keep_first,
+    dedup_paragraphs,
     duplicate_stats,
     find_examples,
     mark_duplicates,
@@ -39,6 +44,7 @@ from wimbd_spark.operators.neardup import (
 )
 from wimbd_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 from wimbd_spark.operators.textqc import (
+    dedup_lines_within_doc,
     doc_fingerprint,
     langid_heuristic,
     quality_scores,
@@ -60,7 +66,15 @@ from wimbd_spark.operators.pii import (
     demographic_cooccurrence,
     extract_pii,
     pii_counts,
+    redact_pii,
     taxonomy_counts,
+)
+from wimbd_spark.operators.compare import (
+    gram_overlap,
+    js_divergence,
+    log_odds_tokens,
+    token_freq_spectrum,
+    vocab_cosine,
 )
 
 __all__ = [
@@ -69,7 +83,10 @@ __all__ = [
     "count_sequences", "search_regex_counts", "search_regex_locations",
     "id_lookup", "key_count", "mixture_sample", "normalize_distribution",
     "sample_by_hash",
-    "contamination_rate", "decontaminate", "dedup_keep_first",
+    "contamination_rate", "contamination_rate_indexed",
+    "contamination_rate_ngrams", "contamination_report",
+    "decontaminate", "decontaminate_by_ngrams", "dedup_keep_first",
+    "dedup_paragraphs",
     "duplicate_stats", "find_examples", "mark_duplicates", "multi_overlap",
     "overlap",
     "drop_near_duplicates", "neardup_components",
@@ -81,5 +98,8 @@ __all__ = [
     "pack_documents", "pack_stats", "packed_sequences",
     "session_stats", "sessionize", "sliding_agg", "tumbling_agg",
     "demographic_cooccurrence", "extract_pii", "pii_counts",
-    "taxonomy_counts",
+    "redact_pii", "taxonomy_counts",
+    "dedup_lines_within_doc",
+    "gram_overlap", "js_divergence", "log_odds_tokens",
+    "token_freq_spectrum", "vocab_cosine",
 ]
