@@ -2347,6 +2347,61 @@ def o_dedup_lines():
     """
 
 
+def q_repeated_spans(spark, sf_dir):
+    """ExactSubstr-style repeated-region detection (Lee et al. 2022,
+    dedup.repeated_spans): maximal token spans covered by any 8-gram
+    occurring ≥2× corpus-wide. Map-side gram hashing, one count
+    shuffle, one per-doc interval fold — no suffix array, no token
+    arrays in any exchange."""
+    from wimbd_spark.operators.dedup import repeated_spans
+
+    out = repeated_spans(_docs(spark, sf_dir), k=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("start_pos").cast("int").alias("start_pos"),
+        F.col("end_pos").cast("int").alias("end_pos"),
+    )
+
+
+def o_repeated_spans():
+    k = 8
+    return f"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      g AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(list_slice(t, i, i+{k - 1}), ' ')) AS gh
+        FROM toks, unnest(generate_series(1, len(t)-{k - 1})) AS u(i)
+        WHERE len(t) >= {k}
+      ),
+      rep AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+      starts AS (SELECT doc_id, pos FROM g JOIN rep USING (gh)),
+      ord AS (
+        SELECT doc_id, pos,
+               max(pos + {k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pmax
+        FROM starts
+      ),
+      isl AS (
+        SELECT doc_id, pos,
+               sum(CASE WHEN pmax IS NULL OR pos > pmax
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+        FROM ord
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(min(pos) AS INTEGER) AS start_pos,
+             CAST(max(pos) + {k - 1} AS INTEGER) AS end_pos
+      FROM isl GROUP BY doc_id, island
+    """
+
+
 def q_multi_overlap(spark, sf_dir):
     from wimbd_spark.operators.dedup import multi_overlap
 
@@ -2913,6 +2968,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "pii_redaction": (q_pii_redaction, o_pii_redaction),
     "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
     "dedup_lines_within_doc": (q_dedup_lines, o_dedup_lines),
+    "repeated_spans_k8": (q_repeated_spans, o_repeated_spans),
     "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
     "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
     "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
@@ -2924,7 +2980,6 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     ),
     "source_log_odds": (q_source_log_odds, o_source_log_odds),
     "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
-    "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
     "length_percentiles": (q_length_percentiles, o_length_percentiles),
     # --- back of the window (28): green in r4 on paths untouched by
     # r5; ALL of these return to the first 50 in round 6.
@@ -2937,6 +2992,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
     "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
     "corpus_stats": (q_corpus_stats, o_corpus_stats),
+    "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
     "mixture_sample": (q_mixture_sample, o_mixture_sample),
     "pack_documents_512": (q_pack_documents, o_pack_documents),
     "neardup_cluster_dedup": (q_neardup_cluster_dedup, o_neardup_cluster_dedup),

@@ -74,6 +74,7 @@ HEADLINE = [
     "embedding_cosine_pairs_lsh_auto",
     "simhash62",
     # r5 additions
+    "repeated_spans_k8",
     "pii_redaction",
     "dedup_paragraphs",
     "gram_overlap_src0_src1",

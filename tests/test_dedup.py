@@ -322,3 +322,47 @@ def test_dedup_paragraphs(spark):
         for r in dedup_paragraphs(df2, sep=" | ").collect()
     }
     assert out2 == {0: "x | y", 1: "z"}
+
+
+def test_repeated_spans_and_removal(spark):
+    from wimbd_spark.operators.dedup import (
+        remove_repeated_spans,
+        repeated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),      # shares 'c d e' with doc 1
+            (1, "x x c d e y z w"),
+            (2, "p q r s t u v w2"),     # unique → no spans
+            (3, "m n o m n o m n o q"),  # internal repeat covers 0..8
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    sp = sorted(map(tuple, repeated_spans(df, k=3).collect()))
+    assert sp == [(0, 2, 4), (1, 2, 4), (3, 0, 8)]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_spans(df, k=3).collect()
+    }
+    assert out == {
+        0: "a b f g h",
+        1: "x x y z w",
+        2: "p q r s t u v w2",
+        3: "q",
+        4: None,
+    }
+    # precomputed-spans reuse gives the same enforcement
+    pre = repeated_spans(df, k=3)
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_spans(df, k=3, spans=pre).collect()
+    }
+    assert out2 == out
+    # two disjoint repeated regions stay separate spans
+    df2 = spark.createDataFrame(
+        [(0, "a b c X d e f"), (1, "a b c Y d e f")], ["doc_id", "text"]
+    )
+    sp2 = sorted(map(tuple, repeated_spans(df2, k=3).collect()))
+    assert sp2 == [(0, 0, 2), (0, 4, 6), (1, 0, 2), (1, 4, 6)]

@@ -185,6 +185,162 @@ def find_examples(
     )
 
 
+def repeated_spans(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    tokenizer=None,
+) -> DataFrame:
+    """ExactSubstr-style repeated-region detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    public): every maximal token span covered by some ``k``-token
+    sequence occurring ≥ ``min_count`` times in the corpus →
+    (doc_id, start_pos, end_pos), token positions 0-based inclusive.
+    The paper builds a suffix array; the Spark-first equivalent marks
+    every occurrence of every repeated k-gram and merges overlapping
+    k-windows per document — the same covered set for repeated runs
+    of length ≥ k, with no global index structure.
+
+    Plan shape: map-side k-gram hashing (md5 of the joined gram — no
+    token arrays ever shuffle), ONE groupBy(hash) count with map-side
+    combine, a semi-join back onto the narrow (doc_id, pos, hash)
+    stream, and one groupBy(doc) whose per-doc sorted start list folds
+    into maximal intervals with a collection expression. Cost class:
+    one n-gram count plus one narrow shuffle; per-doc state is
+    bounded by the doc's own length.
+    """
+    from wimbd_spark.functions.text import tokenize
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tok = tokenizer if tokenizer is not None else tokenize
+    toks = tok(F.col(text_col))
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.filter(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.greatest(
+                                    F.size(toks) - F.lit(k - 1),
+                                    F.lit(1),
+                                ),
+                            ),
+                            lambda i: F.slice(toks, i, k),
+                        ),
+                        lambda a: F.size(a) == k,
+                    ),
+                    lambda a: F.md5(F.array_join(a, " ")),
+                )
+            ).alias("pos", "_gh"),
+        )
+    )
+    rep = (
+        grams.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_gh")
+    )
+    starts = grams.join(rep, "_gh", "left_semi").select(id_col, "pos")
+    first = F.element_at(F.col("_arr"), 1)
+    rest = F.slice(
+        F.col("_arr"), 2, F.greatest(F.size("_arr") - 1, F.lit(0))
+    )
+    init = F.array(
+        F.struct(first.alias("s"), (first + F.lit(k - 1)).alias("e"))
+    )
+
+    def merge(acc, p):
+        last = F.element_at(acc, -1)
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["s"].alias("s"),
+                    F.greatest(last["e"], p + F.lit(k - 1)).alias("e"),
+                )
+            ),
+        )
+        appended = F.concat(
+            acc,
+            F.array(
+                F.struct(p.alias("s"), (p + F.lit(k - 1)).alias("e"))
+            ),
+        )
+        # merge only on OVERLAP (start inside the covered region);
+        # adjacent-but-disjoint repeats stay separate spans
+        return F.when(p <= last["e"], extended).otherwise(appended)
+
+    return (
+        starts.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_arr"))
+        .select(
+            F.col(id_col),
+            F.explode(F.aggregate(rest, init, merge)).alias("_sp"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_sp.s").alias("start_pos"),
+            F.col("_sp.e").alias("end_pos"),
+        )
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    tokenizer=None,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Excise every repeated span (repeated_spans) from the corpus:
+    tokens at covered positions are dropped and the text rebuilt from
+    the survivors — the enforcement half of ExactSubstr dedup (ALL
+    copies removed, like the paper's released tool; keep-one
+    semantics would need a global tiebreak). Docs with no repeated
+    spans pass through untouched; pass a precomputed ``spans`` to
+    audit first and enforce after without recomputing. One id-probe
+    join of the span table against the corpus, then a map-side token
+    filter. NOTE: rebuilt text joins surviving tokens with single
+    spaces (the engine's canonical whitespace form).
+    """
+    from wimbd_spark.functions.text import tokenize
+
+    tok = tokenizer if tokenizer is not None else tokenize
+    if spans is None:
+        spans = repeated_spans(
+            df, k, text_col, id_col, min_count, tokenizer
+        )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("start_pos"), F.col("end_pos"))
+        ).alias("_spans")
+    )
+    out = df.join(per_doc, id_col, "left")
+    kept = F.filter(
+        tok(F.col(text_col)),
+        lambda x, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["start_pos"]) & (i <= s["end_pos"]),
+        ),
+    )
+    return out.withColumn(
+        text_col,
+        F.when(
+            F.col("_spans").isNull() | F.col(text_col).isNull(),
+            F.col(text_col),
+        ).otherwise(F.array_join(kept, " ")),
+    ).drop("_spans")
+
+
 def dedup_paragraphs(
     df: DataFrame,
     text_col: str = "text",
