@@ -402,6 +402,9 @@ def dedup_paragraphs(
         ).alias(text_col)
     )
     return df.drop(text_col).join(rebuilt, id_col, "inner")
+
+
+def _contains_hits(corpus, phrases, text_col):
     """Distinct phrases substring-contained in ≥1 corpus doc — direct
     broadcast nested-loop (O(|corpus| × |phrases|) contains checks)."""
     return (
