@@ -1265,6 +1265,87 @@ def o_ngram_jaccard_pairs():
     """
 
 
+_SQL_CROSS_SETS = """
+      ctoks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), cgrams AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(list_slice(t, i, i+2), ' ') AS g
+        FROM ctoks, unnest(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+      ), csets AS (
+        SELECT doc_id, source,
+               list_distinct(list(('0x' || substr(md5(g), 1, 8))::BIGINT)) AS hs
+        FROM cgrams GROUP BY doc_id, source
+      ), cpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.hs, b.hs))::DOUBLE
+                 / len(list_distinct(list_concat(a.hs, b.hs))) AS j
+        FROM csets a JOIN csets b
+          ON a.source <> 'src0' AND b.source = 'src0'
+      )
+"""
+
+
+def q_cross_jaccard_src0(spark, sf_dir):
+    """Exact cross-corpus Jaccard audit: every (non-src0 doc, src0 doc)
+    pair with 3-shingle Jaccard ≥ 0.2 — the pair-level evidence feed
+    for fuzzy decontamination (counting-form bipartite inverted-index
+    join, eval side broadcast)."""
+    from wimbd_spark.operators.neardup import cross_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    out = cross_jaccard_pairs(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        threshold=0.2,
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def o_cross_jaccard_src0():
+    return f"""
+      WITH {_SQL_CROSS_SETS}
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             round(j, 6) AS jaccard
+      FROM cpairs WHERE j >= 0.2
+    """
+
+
+def q_fuzzy_decontaminate_src0(spark, sf_dir):
+    """Doc-level FUZZY decontamination: drop every non-src0 doc whose
+    shingle Jaccard against any src0 (eval) doc reaches 0.2 — the
+    near-duplicate analogue of the exact-hash decontaminate query;
+    catches lightly-edited eval leaks an exact hash misses."""
+    from wimbd_spark.operators.neardup import fuzzy_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    kept = fuzzy_decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        threshold=0.2,
+    )
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def o_fuzzy_decontaminate_src0():
+    return f"""
+      WITH {_SQL_CROSS_SETS}
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+      FROM documents d
+      WHERE d.source <> 'src0'
+        AND NOT EXISTS (SELECT 1 FROM cpairs p
+                        WHERE p.id_a = d.doc_id AND p.j >= 0.2)
+    """
+
+
 def q_neardup_cluster_dedup(spark, sf_dir):
     """Pair→cluster resolution + representative keep: exact n-gram
     Jaccard pairs (τ=0.5) → connected components (min-label
@@ -2946,6 +3027,11 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         o_decontaminate_ngrams,
     ),
     "phrase_df_counts": (q_phrase_df_counts, o_phrase_df_counts),
+    "cross_jaccard_src0": (q_cross_jaccard_src0, o_cross_jaccard_src0),
+    "fuzzy_decontaminate_src0": (
+        q_fuzzy_decontaminate_src0,
+        o_fuzzy_decontaminate_src0,
+    ),
     "contamination_rate_indexed": (
         q_contamination_rate_indexed,
         o_contamination_rate_indexed,

@@ -432,3 +432,79 @@ def test_neardup_components_duckdb_recursive_oracle(spark):
         ).fetchall()
     )
     assert got == expect
+
+
+def test_cross_jaccard_pairs_matches_self_join(corpus):
+    """Bipartite corpus×corpus at id_a < id_b must equal the self-join
+    operator exactly (same counting-form Jaccard, same shingles)."""
+    from wimbd_spark.operators.neardup import (
+        cross_jaccard_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    cross = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in cross_jaccard_pairs(
+            corpus, corpus, threshold=0.1, broadcast_right=False
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .collect()
+    }
+    self_join = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(corpus, threshold=0.1).collect()
+    }
+    assert cross == self_join
+    assert cross  # fixture has true near-dups
+
+
+def test_cross_jaccard_pairs_values(spark):
+    from wimbd_spark.operators.neardup import cross_jaccard_pairs
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y"), (3, "p q r s t")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, "a b c d e")], ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in cross_jaccard_pairs(train, ev, threshold=0.0).collect()
+    }
+    # shingle sets (n=3): doc1 {abc,bcd,cde}, doc2 {abc,bcx,cxy},
+    # eval {abc,bcd,cde} → J(1)=1.0, J(2)=1/5, doc3 disjoint
+    assert got[(1, 100)] == pytest.approx(1.0)
+    assert got[(2, 100)] == pytest.approx(1 / 5)
+    assert (3, 100) not in got
+
+
+def test_fuzzy_decontaminate_drop_and_flag(spark):
+    from wimbd_spark.operators.neardup import fuzzy_decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated here"),
+            (4, "ab"),  # < shingle_n tokens: no shingles, never flagged
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog")],
+        ["eid", "body"],
+    )
+    kept = fuzzy_decontaminate(
+        train, ev, eval_id_col="eid", eval_text_col="body", threshold=0.5
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4]
+    flagged = {
+        r["doc_id"]: r["contaminated"]
+        for r in fuzzy_decontaminate(
+            train, ev, eval_id_col="eid", eval_text_col="body",
+            threshold=0.5, mode="flag",
+        ).collect()
+    }
+    assert flagged == {1: True, 2: True, 3: False, 4: False}
+    assert set(kept.columns) == set(train.columns)
+    with pytest.raises(ValueError):
+        fuzzy_decontaminate(train, ev, mode="nope")

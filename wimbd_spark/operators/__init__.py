@@ -33,7 +33,9 @@ from wimbd_spark.operators.dedup import (
     overlap,
 )
 from wimbd_spark.operators.neardup import (
+    cross_jaccard_pairs,
     drop_near_duplicates,
+    fuzzy_decontaminate,
     neardup_components,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -89,6 +91,7 @@ __all__ = [
     "dedup_paragraphs",
     "duplicate_stats", "find_examples", "mark_duplicates", "multi_overlap",
     "overlap",
+    "cross_jaccard_pairs", "fuzzy_decontaminate",
     "drop_near_duplicates", "neardup_components",
     "jaccard_pairs", "lsh_candidate_pairs", "minhash_dedup_pairs",
     "minhash_signatures", "simhash16", "simhash_pairs",

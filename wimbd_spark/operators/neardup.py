@@ -433,6 +433,130 @@ def ngram_jaccard_pairs(
     )
 
 
+def cross_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    right_id_col: str | None = None,
+    right_text_col: str | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """EXACT shingle-set Jaccard pairs BETWEEN two corpora → (id_a,
+    id_b, jaccard): every (left doc, right doc) pair whose hashed
+    ``shingle_n``-gram sets overlap with Jaccard ≥ ``threshold``.
+    The bipartite twin of ngram_jaccard_pairs (complete recall for any
+    threshold > 0); feeds fuzzy_decontaminate.
+
+    100 TB plan shape: both sides build the (id, sorted shingle-hash
+    set) table (one shuffle each, keyed on id); the candidate join is
+    counting-form — each side explodes back to (id, size, hash) rows
+    and joins on the hash, so the per-pair row count IS |A∩B| and no
+    array column ever crosses a shuffle. With ``broadcast_right``
+    (default — the right side is an eval set, thousands of docs) the
+    exploded right table broadcasts, the join is map-side against the
+    streamed left corpus, and the only exchange after the left shingle
+    build is the groupBy on (id_a, id_b) over MATCHING rows only.
+    Pass ``broadcast_right=False`` for corpus-scale right sides and
+    AQE sizes the join. Docs with fewer than ``shingle_n`` tokens have
+    empty shingle sets and appear in no pair (Jaccard undefined).
+    """
+    rid = right_id_col or id_col
+    rtext = right_text_col or text_col
+    sha = _shingle_table(left, id_col, text_col, shingle_n)
+    shb = _shingle_table(right, rid, rtext, shingle_n)
+    a = sha.select(
+        F.col(id_col).alias("id_a"),
+        F.size("hs").alias("_na"),
+        F.explode("hs").alias("_h"),
+    )
+    b = shb.select(
+        F.col(rid).alias("id_b"),
+        F.size("hs").alias("_nb"),
+        F.explode("hs").alias("_h"),
+    )
+    if broadcast_right:
+        b = F.broadcast(b)
+    out = (
+        a.join(b, "_h")
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_i"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_i")
+                / (F.col("_na") + F.col("_nb") - F.col("_i"))
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0.0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    mode: str = "drop",
+    flag_col: str = "contaminated",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """FUZZY decontamination: remove (``mode='drop'``) or flag
+    (``mode='flag'``) every train doc whose shingle-set Jaccard
+    against ANY eval doc reaches ``threshold`` — the near-duplicate
+    analogue of the exact-hash `decontaminate` and the n-gram
+    `decontaminate_by_ngrams`, catching eval documents that leaked
+    into training data with light edits (the standard doc-level fuzzy
+    decontamination stage of LLM data pipelines; same Jaccard
+    construction as the published MinHash-dedup recipe, run
+    bipartite against the eval side, exact instead of approximate).
+
+    Plan shape: cross_jaccard_pairs with the eval side broadcast
+    (default — eval sets are small), distinct contaminated train ids,
+    ONE id-probe anti/left join back onto the full-width train rows.
+    The train corpus is shuffled only as (id, shingle-hash) pairs;
+    full rows move only through the final id-keyed join. Train docs
+    shorter than ``shingle_n`` tokens have no shingles and are never
+    flagged — screen those with `decontaminate` (exact hash) if they
+    matter.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    hits = (
+        cross_jaccard_pairs(
+            train.select(F.col(id_col), F.col(text_col)),
+            eval_df,
+            id_col=id_col,
+            text_col=text_col,
+            right_id_col=eval_id_col,
+            right_text_col=eval_text_col,
+            shingle_n=shingle_n,
+            threshold=threshold,
+            broadcast_right=broadcast_eval,
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    if mode == "drop":
+        return train.join(hits, id_col, "left_anti")
+    return (
+        train.join(
+            hits.withColumn("_hit", F.lit(True)), id_col, "left"
+        )
+        .withColumn(flag_col, F.coalesce(F.col("_hit"), F.lit(False)))
+        .drop("_hit")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
