@@ -1346,6 +1346,74 @@ def o_fuzzy_decontaminate_src0():
     """
 
 
+_SQL_LM_SCORED = """
+      lmtoks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents WHERE text IS NOT NULL
+      ), lmcounts AS (
+        SELECT token, count(*) AS c FROM lmtoks GROUP BY token
+      ), lmtot AS (
+        SELECT sum(c) AS n, count(*) AS v FROM lmcounts
+      ), lmscored AS (
+        SELECT t.doc_id, count(*) AS n_tokens,
+               avg(-log2((c.c + 0.5) / (lmtot.n + 0.5 * (lmtot.v + 1))))
+                 AS bpt
+        FROM lmtoks t JOIN lmcounts c USING (token), lmtot
+        GROUP BY t.doc_id
+      )
+"""
+
+
+def q_lm_ppl_scores(spark, sf_dir):
+    """CCNet-style LM scoring: train an add-0.5-smoothed unigram LM on
+    the corpus, score every doc's bits/token and perplexity under it.
+    One groupBy(token) to train, one token join + groupBy(doc) to
+    score; the unseen fallback rides in the model table."""
+    from wimbd_spark.operators.lm import lm_score, unigram_lm
+
+    docs = _docs(spark, sf_dir)
+    out = lm_score(docs, unigram_lm(docs, alpha=0.5))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("bits_per_token", 6).alias("bits_per_token"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
+def o_lm_ppl_scores():
+    return f"""
+      WITH {_SQL_LM_SCORED}
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+             round(s.bpt, 6) AS bits_per_token,
+             round(pow(2, s.bpt), 6) AS ppl
+      FROM documents d LEFT JOIN lmscored s USING (doc_id)
+    """
+
+
+def q_perplexity_filter_31(spark, sf_dir):
+    """Perplexity quality gate: keep docs whose self-trained unigram
+    perplexity is ≤ 31 bits-exponent (threshold sits in a measured gap
+    of the fixture's ppl distribution, so engine float noise cannot
+    flip a doc across it)."""
+    from wimbd_spark.operators.lm import perplexity_filter
+
+    docs = _docs(spark, sf_dir)
+    kept = perplexity_filter(docs, max_ppl=31.0)
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def o_perplexity_filter_31():
+    return f"""
+      WITH {_SQL_LM_SCORED}
+      SELECT CAST(doc_id AS BIGINT) AS doc_id
+      FROM lmscored WHERE pow(2, bpt) <= 31.0
+    """
+
+
 def q_neardup_cluster_dedup(spark, sf_dir):
     """Pair→cluster resolution + representative keep: exact n-gram
     Jaccard pairs (τ=0.5) → connected components (min-label
@@ -3031,6 +3099,11 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "fuzzy_decontaminate_src0": (
         q_fuzzy_decontaminate_src0,
         o_fuzzy_decontaminate_src0,
+    ),
+    "lm_ppl_scores": (q_lm_ppl_scores, o_lm_ppl_scores),
+    "perplexity_filter_31": (
+        q_perplexity_filter_31,
+        o_perplexity_filter_31,
     ),
     "contamination_rate_indexed": (
         q_contamination_rate_indexed,

@@ -44,6 +44,11 @@ from wimbd_spark.operators.neardup import (
     simhash16,
     simhash_pairs,
 )
+from wimbd_spark.operators.lm import (
+    lm_score,
+    perplexity_filter,
+    unigram_lm,
+)
 from wimbd_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 from wimbd_spark.operators.textqc import (
     dedup_lines_within_doc,
@@ -92,6 +97,7 @@ __all__ = [
     "duplicate_stats", "find_examples", "mark_duplicates", "multi_overlap",
     "overlap",
     "cross_jaccard_pairs", "fuzzy_decontaminate",
+    "unigram_lm", "lm_score", "perplexity_filter",
     "drop_near_duplicates", "neardup_components",
     "jaccard_pairs", "lsh_candidate_pairs", "minhash_dedup_pairs",
     "minhash_signatures", "simhash16", "simhash_pairs",

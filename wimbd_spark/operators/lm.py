@@ -1,0 +1,165 @@
+"""N-gram language-model scoring — the CCNet-style perplexity filter.
+
+The published CCNet pipeline (Wenzek et al. 2020, "CCNet: Extracting
+High Quality Monolingual Datasets from Web Crawl Data" — public) scores
+every web document with a language model trained on a trusted corpus
+(Wikipedia) and buckets/filters by perplexity. The reference engine has
+no LM stage; this module supplies the dependency-free Spark-first
+equivalent: an add-alpha-smoothed UNIGRAM model trained as one
+DataFrame aggregation, applied as one join — the same workflow shape
+(train on corpus A, score corpus B, gate on perplexity) with fully
+reproducible, oracle-able math. A KenLM-backed 5-gram scorer would
+drop into `lm_score` as an alternative `lm` table without changing the
+plan; the container has no kenlm, so the unigram model is the real,
+tested path.
+
+100 TB plan shape:
+- Training is one explode + ONE groupBy(token) with map-side combine
+  (the same cost class as a unigram count), plus a single-row total
+  aggregate joined back by broadcast — the vocabulary table never
+  gathers to the driver.
+- Scoring explodes doc tokens and hash-joins the vocabulary; pass
+  ``broadcast_lm=True`` when the model fits the broadcast threshold
+  (typical: a few million tokens) to make the join map-side, else the
+  shuffle is (id, token) pairs only — full rows never move.
+- The unseen-token fallback rides IN the model table as one
+  token-IS-NULL row, so applying a model is driver-state-free and a
+  saved model parquet is self-contained.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def unigram_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    tokenizer=None,
+) -> DataFrame:
+    """Train an add-alpha-smoothed unigram LM → (token, logp) with
+    log2 probabilities, plus ONE ``token IS NULL`` row holding the
+    unseen-token fallback.
+
+    p(t) = (count(t) + alpha) / (N + alpha * (V + 1)); the "+1"
+    reserves one pseudo-type of smoothing mass for unseen tokens,
+    whose probability is alpha / (N + alpha * (V + 1)). All mass
+    sums to ≤ 1 with equality over V seen types + the unseen type.
+    """
+    from wimbd_spark.functions.text import tokenize
+
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (zero breaks unseen mass)")
+    tok = tokenizer if tokenizer is not None else tokenize
+    counts = (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tok(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    totals = counts.agg(
+        F.sum("_c").alias("_N"), F.count(F.lit(1)).alias("_V")
+    )
+    denom = F.col("_N") + F.lit(alpha) * (F.col("_V") + F.lit(1))
+    seen = counts.join(F.broadcast(totals)).select(
+        "token",
+        F.log2((F.col("_c") + F.lit(alpha)) / denom).alias("logp"),
+    )
+    unseen = totals.select(
+        F.lit(None).cast("string").alias("token"),
+        F.log2(F.lit(alpha) / denom).alias("logp"),
+    )
+    return seen.unionByName(unseen)
+
+
+def lm_score(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer=None,
+    broadcast_lm: bool = False,
+) -> DataFrame:
+    """Score every doc under a unigram LM → (id_col, n_tokens,
+    bits_per_token, ppl) where bits_per_token is the average negative
+    log2 probability and ppl = 2^bits_per_token (perplexity).
+
+    ``lm`` is a (token, logp) table from `unigram_lm` (or any
+    compatible scorer); its ``token IS NULL`` row supplies the
+    unseen-token fallback. Docs with NULL text or zero tokens get
+    n_tokens = 0 and NULL scores (kept, not dropped — gating is the
+    caller's policy, see `perplexity_filter`).
+    """
+    from wimbd_spark.functions.text import tokenize
+
+    tok = tokenizer if tokenizer is not None else tokenize
+    vocab = lm.filter(F.col("token").isNotNull())
+    if broadcast_lm:
+        vocab = F.broadcast(vocab)
+    unseen = F.broadcast(
+        lm.filter(F.col("token").isNull()).select(
+            F.col("logp").alias("_unseen")
+        )
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tok(F.col(text_col))).alias("token"),
+    )
+    scored = (
+        toks.join(vocab, "token", "left")
+        .join(unseen)  # 1-row broadcast: a constant column, no shuffle
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(-F.coalesce(F.col("logp"), F.col("_unseen"))).alias(
+                "bits_per_token"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.col("bits_per_token"),
+            F.pow(F.lit(2.0), F.col("bits_per_token")).alias("ppl"),
+        )
+    )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    max_ppl: float,
+    lm: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    tokenizer=None,
+    broadcast_lm: bool = False,
+) -> DataFrame:
+    """CCNet-style quality gate: keep docs whose perplexity under the
+    LM is ≤ ``max_ppl``. With ``lm=None`` the model is trained on
+    ``df`` itself (self-perplexity — flags statistically unusual docs:
+    gibberish, non-language blobs, wrong-language text). Docs with
+    zero tokens score NULL and are dropped (no evidence of language).
+    One id-probe semi-join restores full rows; the corpus is never
+    shuffled at full width.
+    """
+    if lm is None:
+        lm = unigram_lm(df, text_col=text_col, alpha=alpha, tokenizer=tokenizer)
+    keep = (
+        lm_score(
+            df.select(id_col, text_col),
+            lm,
+            id_col=id_col,
+            text_col=text_col,
+            tokenizer=tokenizer,
+            broadcast_lm=broadcast_lm,
+        )
+        .filter(F.col("ppl") <= max_ppl)
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
