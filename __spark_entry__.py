@@ -2693,6 +2693,42 @@ def o_url_analysis():
     """
 
 
+BLOCKED_DOMAINS = ["src3.com.tr", "www.src5.co.uk", "src1.es"]
+
+
+def q_domain_blocklist_filter(spark, sf_dir):
+    """Web-curation blocklist gate: drop docs whose URL host equals a
+    blocked domain or is a subdomain of one (UT1-blacklist
+    convention). Suffix-chain explode + broadcast join — the corpus
+    never shuffles for the match."""
+    from wimbd_spark.operators.urlfilter import filter_by_domain_blocklist
+
+    docs = _docs_with_urls(spark, sf_dir)
+    blocked = spark.createDataFrame(
+        [(d,) for d in BLOCKED_DOMAINS], ["domain"]
+    )
+    kept = filter_by_domain_blocklist(docs, blocked)
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def o_domain_blocklist_filter():
+    doms = ", ".join(f"('{d}')" for d in BLOCKED_DOMAINS)
+    return f"""
+      WITH {_SQL_URL_BASE},
+      hosts AS (
+        SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host
+        FROM base
+      ),
+      blocked(domain) AS (VALUES {doms})
+      SELECT CAST(doc_id AS BIGINT) AS doc_id
+      FROM hosts h
+      WHERE NOT EXISTS (
+        SELECT 1 FROM blocked b
+        WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain
+      )
+    """
+
+
 def q_url_host_counts(spark, sf_dir):
     from wimbd_spark.functions.text import url_host
 
@@ -3101,6 +3137,10 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         o_fuzzy_decontaminate_src0,
     ),
     "lm_ppl_scores": (q_lm_ppl_scores, o_lm_ppl_scores),
+    "domain_blocklist_filter": (
+        q_domain_blocklist_filter,
+        o_domain_blocklist_filter,
+    ),
     "perplexity_filter_31": (
         q_perplexity_filter_31,
         o_perplexity_filter_31,

@@ -50,6 +50,10 @@ from wimbd_spark.operators.lm import (
     unigram_lm,
 )
 from wimbd_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from wimbd_spark.operators.urlfilter import (
+    filter_by_domain_blocklist,
+    host_suffixes,
+)
 from wimbd_spark.operators.textqc import (
     dedup_lines_within_doc,
     doc_fingerprint,
@@ -98,6 +102,7 @@ __all__ = [
     "overlap",
     "cross_jaccard_pairs", "fuzzy_decontaminate",
     "unigram_lm", "lm_score", "perplexity_filter",
+    "filter_by_domain_blocklist", "host_suffixes",
     "drop_near_duplicates", "neardup_components",
     "jaccard_pairs", "lsh_candidate_pairs", "minhash_dedup_pairs",
     "minhash_signatures", "simhash16", "simhash_pairs",
