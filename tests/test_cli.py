@@ -363,3 +363,76 @@ def test_cli_stats_extremes(capsys):
     maxs = [r for r in rows[1:] if r["which"] == "max"]
     assert all(m["num_tokens"] == rows[0]["document_min_tokens"] for m in mins)
     assert all(m["num_tokens"] == rows[0]["document_max_tokens"] for m in maxs)
+
+
+def test_cli_decontaminate_fuzzy(spark, tmp_path, capsys):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated here"),
+        ],
+        ["doc_id", "text"],
+    )
+    tp, bp = str(tmp_path / "train"), str(tmp_path / "bl")
+    train.write.parquet(tp)
+    spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], ["text"]
+    ).write.parquet(bp)
+    out = str(tmp_path / "kept")
+    rows = _run(capsys, [
+        "decontaminate", tp, "--blocklist", bp,
+        "--fuzzy", "0.5", "--out", out,
+    ])
+    assert rows[0] == {"input": 3, "kept": 1, "removed": 2}
+    kept = spark.read.parquet(out)
+    assert [r["doc_id"] for r in kept.collect()] == [3]
+    # --fuzzy and --by-ngrams are mutually exclusive semantics
+    with pytest.raises(SystemExit):
+        main(["decontaminate", tp, "--blocklist", bp,
+              "--fuzzy", "0.5", "--by-ngrams", "--out", out])
+
+
+def test_cli_ppl_filter(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat again") for i in range(8)]
+        + [(99, "xq zv jk wp qm nb vc")],
+        ["doc_id", "text"],
+    )
+    tp = str(tmp_path / "docs")
+    docs.write.parquet(tp)
+    out, lm_out = str(tmp_path / "kept"), str(tmp_path / "lm")
+    rows = _run(capsys, [
+        "ppl-filter", tp, "--max-ppl", "20",
+        "--save-lm", lm_out, "--out", out,
+    ])
+    assert rows[0]["input"] == 9 and rows[0]["kept"] == 8
+    assert 99 not in {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    }
+    # saved model reloads and reproduces the gate
+    rows = _run(capsys, [
+        "ppl-filter", tp, "--max-ppl", "20",
+        "--lm", lm_out, "--out", str(tmp_path / "kept2"),
+    ])
+    assert rows[0]["kept"] == 8
+
+
+def test_cli_url_filter(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ads.example.com/banner"),
+            (2, "https://keep.org/page"),
+        ],
+        ["doc_id", "url"],
+    )
+    tp = str(tmp_path / "docs")
+    docs.write.parquet(tp)
+    bl = tmp_path / "blocked.txt"
+    bl.write_text("example.com\n\n")
+    out = str(tmp_path / "kept")
+    rows = _run(capsys, [
+        "url-filter", tp, "--blocklist", str(bl), "--out", out,
+    ])
+    assert rows[0] == {"input": 2, "kept": 1, "removed": 1}
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [2]

@@ -150,6 +150,40 @@ def main(argv: list[str] | None = None) -> int:
                     "(--by-ngrams only)")
     sp.add_argument("--id-col", default="doc_id",
                     help="document id column (--by-ngrams only)")
+    sp.add_argument("--fuzzy", type=float, default=None, metavar="TAU",
+                    help="near-duplicate mode: drop docs whose "
+                    "shingle-set Jaccard against any blocklist doc "
+                    "reaches TAU (catches lightly-edited leaks)")
+    sp.add_argument("--shingle-n", type=int, default=3,
+                    help="shingle size for --fuzzy (default 3)")
+
+    sp = sub.add_parser(
+        "ppl-filter",
+        help="CCNet-style perplexity gate: keep docs scoring <= "
+        "--max-ppl under a unigram LM (self-trained by default)",
+    )
+    common(sp)
+    sp.add_argument("--max-ppl", type=float, required=True)
+    sp.add_argument("--lm", default=None,
+                    help="saved (token, logp) model parquet; default: "
+                    "train on the input corpus itself")
+    sp.add_argument("--save-lm", default=None,
+                    help="write the trained model parquet here")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--out", required=True, help="output parquet path")
+
+    sp = sub.add_parser(
+        "url-filter",
+        help="drop docs whose URL host is a blocked domain or any "
+        "subdomain of one (UT1 blocklist convention)",
+    )
+    common(sp)
+    sp.add_argument("--blocklist", required=True,
+                    help="blocked domains: plain text (one domain per "
+                    "line, UT1 format) or parquet with a 'domain' column")
+    sp.add_argument("--url-field", default="url")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--out", required=True, help="output parquet path")
 
     sp = sub.add_parser(
         "quality-filter",
@@ -429,7 +463,32 @@ def main(argv: list[str] | None = None) -> int:
 
             bl = _load(spark, [args.blocklist], None, None)
             before = df.count()
-            if args.by_ngrams:
+            if args.fuzzy is not None and args.by_ngrams:
+                raise SystemExit(
+                    "--fuzzy and --by-ngrams are different semantics "
+                    "(doc-level Jaccard vs phrase containment); pick one"
+                )
+            if args.fuzzy is not None:
+                from pyspark.sql import functions as F
+
+                from wimbd_spark.operators.neardup import fuzzy_decontaminate
+
+                # eval sets need no id column of their own: identity
+                # only feeds the distinct on contaminated TRAIN ids
+                ev = bl.withColumn(
+                    "_eval_id", F.monotonically_increasing_id()
+                )
+                kept = fuzzy_decontaminate(
+                    df,
+                    ev,
+                    id_col=args.id_col,
+                    text_col=t,
+                    eval_text_col=args.phrase_field,
+                    eval_id_col="_eval_id",
+                    shingle_n=args.shingle_n,
+                    threshold=args.fuzzy,
+                )
+            elif args.by_ngrams:
                 kept = decontaminate_by_ngrams(
                     df,
                     bl,
@@ -443,6 +502,60 @@ def main(argv: list[str] | None = None) -> int:
             after = spark.read.parquet(args.out).count()
             _emit(
                 [{"input": before, "kept": after, "removed": before - after}],
+                args.output,
+            )
+        elif args.cmd == "ppl-filter":
+            from wimbd_spark.operators.lm import (
+                lm_score,
+                perplexity_filter,
+                unigram_lm,
+            )
+
+            lm = (
+                spark.read.parquet(args.lm)
+                if args.lm
+                else unigram_lm(df, text_col=t)
+            )
+            if args.save_lm:
+                lm.write.mode("overwrite").parquet(args.save_lm)
+                lm = spark.read.parquet(args.save_lm)
+            before = df.count()
+            kept = perplexity_filter(
+                df, max_ppl=args.max_ppl, lm=lm,
+                id_col=args.id_col, text_col=t,
+            )
+            kept.write.mode("overwrite").parquet(args.out)
+            after = spark.read.parquet(args.out).count()
+            _emit(
+                [{"input": before, "kept": after,
+                  "removed": before - after, "max_ppl": args.max_ppl}],
+                args.output,
+            )
+        elif args.cmd == "url-filter":
+            from pyspark.sql import functions as F
+
+            from wimbd_spark.operators.urlfilter import (
+                filter_by_domain_blocklist,
+            )
+
+            if _is_parquet(args.blocklist):
+                blocked = spark.read.parquet(args.blocklist)
+            else:
+                # UT1 plain-text format: one domain per line
+                blocked = (
+                    spark.read.text(args.blocklist)
+                    .select(F.trim(F.col("value")).alias("domain"))
+                    .filter(F.col("domain") != "")
+                )
+            before = df.count()
+            kept = filter_by_domain_blocklist(
+                df, blocked, id_col=args.id_col, url_col=args.url_field
+            )
+            kept.write.mode("overwrite").parquet(args.out)
+            after = spark.read.parquet(args.out).count()
+            _emit(
+                [{"input": before, "kept": after,
+                  "removed": before - after}],
                 args.output,
             )
         elif args.cmd == "quality-filter":
