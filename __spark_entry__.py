@@ -1414,6 +1414,52 @@ def o_perplexity_filter_31():
     """
 
 
+def q_tfidf_top3_terms(spark, sf_dir):
+    """Per-doc keyword extraction: top-3 terms by smooth TF-IDF
+    (ln((1+N)/(1+df))+1), deterministic tie-break (score desc, term
+    asc). One corpus shuffle for the tf table; df is an aggregation
+    of that table, not a second scan."""
+    from wimbd_spark.operators.textqc import tfidf_top_terms
+
+    out = tfidf_top_terms(_docs(spark, sf_dir), k=3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.round("tfidf", 6).alias("tfidf"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def o_tfidf_top3_terms():
+    return """
+      WITH ttoks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents WHERE text IS NOT NULL
+      ), ttf AS (
+        SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY 1, 2
+      ), tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+      tn AS (SELECT count(DISTINCT doc_id) AS n FROM ttf),
+      tscored AS (
+        SELECT ttf.doc_id, ttf.term, ttf.tf,
+               ttf.tf * (ln((1 + tn.n)::DOUBLE / (1 + d.df)) + 1) AS tfidf
+        FROM ttf JOIN tdf d USING (term), tn
+      ),
+      tranked AS (
+        SELECT doc_id, term, tf, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term ASC) AS rank
+        FROM tscored
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+             CAST(tf AS BIGINT) AS tf, round(tfidf, 6) AS tfidf,
+             CAST(rank AS INT) AS rank
+      FROM tranked WHERE rank <= 3
+    """
+
+
 def q_neardup_cluster_dedup(spark, sf_dir):
     """Pair→cluster resolution + representative keep: exact n-gram
     Jaccard pairs (τ=0.5) → connected components (min-label
@@ -3141,6 +3187,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         q_domain_blocklist_filter,
         o_domain_blocklist_filter,
     ),
+    "tfidf_top3_terms": (q_tfidf_top3_terms, o_tfidf_top3_terms),
     "perplexity_filter_31": (
         q_perplexity_filter_31,
         o_perplexity_filter_31,

@@ -207,3 +207,69 @@ def test_dedup_lines_within_doc(spark):
 
     out2 = dedup_lines_within_doc(df2, sep="|", min_chars=2).collect()[0]["text"]
     assert out2 == "a|xx|a|b"
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from wimbd_spark.operators.textqc import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, None)],
+        ["doc_id", "text"],
+    )
+    rows = tfidf_top_terms(docs, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["tfidf"])
+           for r in rows}
+    # N=2 docs with tokens; df: apple 1, banana 2, cherry 1
+    idf_rare = math.log(3 / 2) + 1      # df=1
+    idf_common = math.log(3 / 3) + 1    # df=2
+    assert got[(1, 1)] == ("apple", 2, pytest.approx(2 * idf_rare))
+    assert got[(1, 2)][0] == "banana"
+    assert got[(2, 1)] == ("cherry", 1, pytest.approx(idf_rare))
+    assert got[(2, 2)] == ("banana", 1, pytest.approx(idf_common))
+    assert (3, 1) not in got  # null text: no terms
+    with pytest.raises(ValueError):
+        tfidf_top_terms(docs, k=0)
+
+
+def test_tfidf_matches_duckdb(spark, documents):
+    import duckdb
+
+    from wimbd_spark.operators.textqc import tfidf_top_terms
+
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], round(r["tfidf"], 9))
+        for r in tfidf_top_terms(documents, k=3).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", documents.toPandas())
+    expect = {
+        (r[0], r[3]): (r[1], r[2])
+        for r in con.sql(
+            """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    x -> x <> '')) AS term
+          FROM docs WHERE text IS NOT NULL
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 tf.tf * (ln((1 + n.n)::DOUBLE / (1 + d.df)) + 1) AS tfidf
+          FROM tf JOIN dfreq d USING (term), n
+        ),
+        ranked AS (
+          SELECT doc_id, term, round(tfidf, 9) AS tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+        """
+        ).fetchall()
+    }
+    assert got == expect

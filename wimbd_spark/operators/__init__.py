@@ -59,6 +59,7 @@ from wimbd_spark.operators.textqc import (
     doc_fingerprint,
     langid_heuristic,
     quality_scores,
+    tfidf_top_terms,
     token_count,
     token_count_bpe_ish,
 )
@@ -102,7 +103,7 @@ __all__ = [
     "overlap",
     "cross_jaccard_pairs", "fuzzy_decontaminate",
     "unigram_lm", "lm_score", "perplexity_filter",
-    "filter_by_domain_blocklist", "host_suffixes",
+    "filter_by_domain_blocklist", "host_suffixes", "tfidf_top_terms",
     "drop_near_duplicates", "neardup_components",
     "jaccard_pairs", "lsh_candidate_pairs", "minhash_dedup_pairs",
     "minhash_signatures", "simhash16", "simhash_pairs",

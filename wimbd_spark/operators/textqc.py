@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from wimbd_spark.functions.text import hash32, ngram_strings, tokenize
 
@@ -494,3 +495,59 @@ def gopher_quality_filter(
         .drop("_gq_toks", "_gq_g2")
     )
     return out if keep_reasons else out.drop("drop_reasons")
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """Top-``k`` distinctive terms per document by smooth TF-IDF →
+    (id_col, term, tf, tfidf, rank) — per-doc keyword extraction, the
+    classic IR view of "what is this document about" over a corpus.
+
+    idf uses the sklearn-style smooth form ln((1+N)/(1+df)) + 1 (N =
+    docs with ≥1 token, df = docs containing the term), so no term
+    ever zeroes out and the formula is exactly reproducible in SQL.
+    Ties rank deterministically (tfidf desc, term asc).
+
+    100 TB plan shape: one explode + groupBy(id, term) builds the tf
+    table (the only corpus-sized shuffle); document frequency is a
+    second aggregation OF THAT TABLE keyed on term (no second corpus
+    scan); N is a broadcast single-row aggregate; the tf⋈df join keys
+    on term and AQE sizes it; the final top-k window shuffles
+    (id, term, score) rows only — never full documents.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tok = tokenizer if tokenizer is not None else tokenize
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(tok(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    ndocs = tf.select(id_col).distinct().agg(
+        F.count(F.lit(1)).alias("_N")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log((F.lit(1) + F.col("_N")) / (F.lit(1) + F.col("_df")))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
