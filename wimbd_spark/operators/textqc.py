@@ -522,12 +522,19 @@ def tfidf_top_terms(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    from pyspark import StorageLevel
+
     tok = tokenizer if tokenizer is not None else tokenize
+    # tf feeds THREE consumers (df-counts, N, the scoring join);
+    # persist so the corpus is exploded and shuffled exactly once —
+    # without it the plan re-derives tf per consumer (verified: two
+    # (id, term) exchanges in the unpersisted physical plan)
     tf = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.explode(tok(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     ndocs = tf.select(id_col).distinct().agg(
