@@ -64,6 +64,22 @@ evalset = docs.filter(F.col("source") == "src0").select("text").limit(50)
 clean = decontaminate(deduped, evalset)
 print(f"decontaminate: {deduped.count()} → {clean.count()} docs")
 
+print("== 5b. FUZZY decontaminate (catches lightly-edited leaks) ==")
+from wimbd_spark.operators.neardup import fuzzy_decontaminate
+
+evaldocs = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+fuzzy_clean = fuzzy_decontaminate(clean, evaldocs, threshold=0.5)
+print(f"fuzzy decontaminate: {clean.count()} → {fuzzy_clean.count()} docs")
+clean = fuzzy_clean
+
+print("== 5c. perplexity gate (CCNet-style, self-trained unigram LM) ==")
+from wimbd_spark.operators.lm import lm_score, perplexity_filter, unigram_lm
+
+lm = unigram_lm(docs)  # train on the full corpus, apply to the survivors
+lm_score(clean, lm).orderBy(F.desc("ppl")).show(3)
+clean = perplexity_filter(clean, max_ppl=40.0, lm=lm)
+print(f"perplexity gate: kept {clean.count()} docs")
+
 print("== 6. source mixture: down/up-sample per source, epoch-tagged ==")
 from wimbd_spark.operators.keycount import mixture_sample
 
