@@ -581,3 +581,92 @@ def test_streaming_contamination_hits_overlong_phrase(spark, tmp_path):
         (1, long_seq),
         (3, "quick brown"),
     ]
+
+
+def test_streaming_perplexity_gate_matches_batch(spark, tmp_path):
+    from wimbd_spark.operators.lm import perplexity_filter, unigram_lm
+    from wimbd_spark.streaming import (
+        lm_map_table,
+        read_doc_stream,
+        streaming_perplexity_gate,
+    )
+
+    rows = [(i, "the cat sat on the mat again") for i in range(6)] + [
+        (99, "xq zv jk wp qm nb vc"),
+        (100, ""),  # zero tokens: dropped (no evidence of language)
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    lm = unigram_lm(corpus)
+    lm_map = lm_map_table(lm)
+
+    d = str(tmp_path / "docs_ppl")
+    _write_batch(d, [_doc(i, t) for i, t in rows], "b0.json")
+    out = streaming_perplexity_gate(
+        read_doc_stream(spark, d), lm_map, max_ppl=20.0
+    )
+    q = _run_to_memory(out.select("doc_id"), "ppl_stream", "append")
+    got = sorted(
+        r["doc_id"] for r in spark.sql("select * from ppl_stream").collect()
+    )
+    q.stop()
+    assert got == list(range(6))
+    # batch twin (explode+join+groupBy shape) agrees row-for-row
+    batch = sorted(
+        r["doc_id"]
+        for r in perplexity_filter(corpus, max_ppl=20.0, lm=lm).collect()
+    )
+    assert got == batch
+    with pytest.raises(ValueError):
+        streaming_perplexity_gate(corpus, lm_map, max_ppl=0)
+
+
+def test_streaming_url_filter_matches_batch(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from wimbd_spark.operators.urlfilter import filter_by_domain_blocklist
+    from wimbd_spark.streaming import (
+        blocked_domain_table,
+        read_doc_stream,
+        streaming_url_filter,
+    )
+
+    rows = [
+        (1, "https://ads.example.com/x"),
+        (2, "https://example.com/y"),
+        (3, "https://example.com.evil.org/z"),
+        (4, "https://keep.org/ok"),
+        (5, "not a url"),
+    ]
+    blocked = spark.createDataFrame([("example.com",)], ["domain"])
+    bmap = blocked_domain_table(blocked)
+
+    d = str(tmp_path / "docs_url")
+    _write_batch(
+        d,
+        [{"doc_id": i, "url": u} for i, u in rows],
+        "b0.json",
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("url", StringType())]
+    )
+    out = streaming_url_filter(
+        read_doc_stream(spark, d, schema=schema), bmap
+    )
+    q = _run_to_memory(out.select("doc_id"), "url_stream", "append")
+    got = sorted(
+        r["doc_id"] for r in spark.sql("select * from url_stream").collect()
+    )
+    q.stop()
+    assert got == [3, 4, 5]
+    batch = sorted(
+        r["doc_id"]
+        for r in filter_by_domain_blocklist(
+            spark.createDataFrame(rows, ["doc_id", "url"]), blocked
+        ).collect()
+    )
+    assert got == batch

@@ -354,3 +354,121 @@ def streaming_quality_gate(
         .filter(F.col("keep"))
         .drop("keep")
     )
+
+
+def lm_map_table(lm: DataFrame) -> DataFrame:
+    """Fold a (token, logp) unigram model (lm.unigram_lm) into ONE row
+    (vocab: map<string,double>, unseen: double) — the static side of
+    streaming_perplexity_gate. The fold runs once per model snapshot;
+    materialize it (parquet) alongside the model. Bound: the map lives
+    in a single JVM row (~2 GB hard cap ⇒ vocabularies to tens of
+    millions of tokens — far beyond any whitespace-token unigram
+    model's useful size)."""
+    return (
+        lm.filter(F.col("token").isNotNull())
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("token", "logp"))
+            ).alias("vocab")
+        )
+        .crossJoin(
+            lm.filter(F.col("token").isNull()).select(
+                F.col("logp").alias("unseen")
+            )
+        )
+    )
+
+
+def streaming_perplexity_gate(
+    docs: DataFrame,
+    lm_map: DataFrame,
+    max_ppl: float,
+    text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """CCNet-style perplexity-gate-on-ingest: keep stream docs whose
+    perplexity under a STATIC pre-trained unigram LM is ≤ ``max_ppl``.
+
+    ``lm_map`` is the one-row fold from `lm_map_table`. The score is a
+    pure per-row expression — F.aggregate over the token array with a
+    broadcast map lookup — so the gate is STATELESS (no watermark, no
+    state store, no streaming aggregation), unlike the batch
+    `lm_score`'s explode + join + groupBy shape, which would need a
+    stateful aggregation on a stream. Batch rows through the same
+    function agree with lm_score + threshold row-for-row (tested).
+    Zero-token docs score no evidence and are DROPPED (matching
+    perplexity_filter). 2^(avg bits) is compared in log space to
+    avoid overflow on adversarially long unseen streams.
+    """
+    from wimbd_spark.functions.text import tokenize
+
+    if max_ppl <= 0:
+        raise ValueError("max_ppl must be > 0")
+    tok = tokenizer if tokenizer is not None else tokenize
+    import math
+
+    toks = tok(F.col(text_col))
+    bits_sum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        - F.coalesce(
+            F.element_at(F.col("vocab"), t), F.col("unseen")
+        ),
+    )
+    n = F.size(toks)
+    # ppl <= max_ppl  <=>  sum_bits <= n * log2(max_ppl)
+    keep = (n > 0) & (
+        bits_sum <= n.cast("double") * F.lit(math.log2(max_ppl))
+    )
+    return (
+        docs.join(F.broadcast(lm_map))
+        .filter(keep)
+        .drop("vocab", "unseen")
+    )
+
+
+def blocked_domain_table(blocklist: DataFrame, domain_col: str = "domain") -> DataFrame:
+    """Fold a domain blocklist into ONE row (blocked:
+    map<string,boolean>) — the static side of streaming_url_filter.
+    Same single-row-map bound as lm_map_table (UT1-scale lists of a
+    few million domains fit comfortably)."""
+    return (
+        blocklist.select(F.col(domain_col).alias("_d"))
+        .distinct()
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_d"), F.lit(True)))
+            ).alias("blocked")
+        )
+    )
+
+
+def streaming_url_filter(
+    docs: DataFrame,
+    blocked_map: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Blocklist-gate-on-ingest: drop stream docs whose URL host is a
+    blocked domain or any subdomain of one (UT1 convention —
+    urlfilter.filter_by_domain_blocklist semantics). STATELESS: the
+    host's dot-suffix chain probes a broadcast one-row domain map
+    (`blocked_domain_table`) inside a per-row expression — no explode,
+    no join-back, no state. Docs with no parseable host pass (same as
+    the batch operator)."""
+    from wimbd_spark.functions.text import url_host
+    from wimbd_spark.operators.urlfilter import host_suffixes
+
+    hit = F.exists(
+        host_suffixes(F.lower(url_host(F.col(url_col)))),
+        lambda s: F.coalesce(
+            F.element_at(F.col("blocked"), s), F.lit(False)
+        ),
+    )
+    return (
+        docs.join(F.broadcast(blocked_map))
+        .filter(~F.coalesce(hit, F.lit(False)))
+        .drop("blocked")
+    )
