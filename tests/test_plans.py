@@ -249,3 +249,55 @@ def test_phrase_df_counts_corpus_never_scanned(spark, tmp_path, raw_docs):
     plan = explain_str(count_documents_for_each_phrase_df(idx, ev))
     assert "documents.parquet" not in plan
     assert "dfcidx" in plan
+
+
+def test_fuzzy_decontaminate_broadcasts_eval(spark, raw_docs):
+    from wimbd_spark.operators.neardup import fuzzy_decontaminate
+
+    ev = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    plan = explain_str(fuzzy_decontaminate(raw_docs, ev, threshold=0.5))
+    # the exploded eval shingles must reach the train side as a
+    # broadcast hash join — never a cartesian/nested-loop pairing
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_score_prunes_and_broadcasts_unseen(spark, raw_docs):
+    from wimbd_spark.operators.lm import lm_score, unigram_lm
+
+    lm = unigram_lm(raw_docs)
+    out = lm_score(raw_docs.select("doc_id", "text"), lm, broadcast_lm=True)
+    plan = explain_str(out)
+    # broadcast_lm=True: the vocab join is map-side; the one-row
+    # unseen fallback is likewise broadcast — scoring never shuffles
+    # the corpus except the per-doc aggregation
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_blocklist_corpus_never_shuffles_for_match(spark, raw_docs):
+    from wimbd_spark.operators.urlfilter import filter_by_domain_blocklist
+
+    docs = raw_docs.select(
+        "doc_id", F.concat(F.lit("https://h"), "doc_id", F.lit(".com/x")).alias("url")
+    )
+    blocked = spark.createDataFrame([("h1.com",)], ["domain"])
+    plan = explain_str(
+        filter_by_domain_blocklist(docs, blocked, mode="flag")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_single_corpus_aggregation(spark, raw_docs):
+    from wimbd_spark.operators.textqc import tfidf_top_terms
+
+    plan = explain_str(tfidf_top_terms(raw_docs, k=3))
+    # the tf table is persisted: every consumer reads the InMemoryRelation
+    # instead of re-deriving the corpus explode (plan audit found two
+    # (id, term) exchanges without it)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
