@@ -1460,6 +1460,43 @@ def o_tfidf_top3_terms():
     """
 
 
+def q_vocab_stats_by_source(spark, sf_dir):
+    """Per-source lexical-diversity profile: total/distinct tokens,
+    type-token ratio, hapax (singleton) fraction — one corpus shuffle
+    as (source, token) pairs, exact distincts with no count_distinct
+    expansion."""
+    from wimbd_spark.operators.compare import vocab_stats
+
+    out = vocab_stats(_docs(spark, sf_dir))
+    return out.select(
+        "source",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("distinct_tokens").cast("long").alias("distinct_tokens"),
+        F.round("type_token_ratio", 6).alias("type_token_ratio"),
+        F.round("singleton_fraction", 6).alias("singleton_fraction"),
+    )
+
+
+def o_vocab_stats_by_source():
+    return """
+      WITH vtoks AS (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents WHERE text IS NOT NULL
+      ), vcounts AS (
+        SELECT source, tok, count(*) AS c FROM vtoks GROUP BY 1, 2
+      )
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS distinct_tokens,
+             round(count(*)::DOUBLE / sum(c), 6) AS type_token_ratio,
+             round(count(*) FILTER (c = 1)::DOUBLE / count(*), 6)
+               AS singleton_fraction
+      FROM vcounts GROUP BY source
+    """
+
+
 def q_neardup_cluster_dedup(spark, sf_dir):
     """Pair→cluster resolution + representative keep: exact n-gram
     Jaccard pairs (τ=0.5) → connected components (min-label
@@ -3188,6 +3225,10 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         o_domain_blocklist_filter,
     ),
     "tfidf_top3_terms": (q_tfidf_top3_terms, o_tfidf_top3_terms),
+    "vocab_stats_by_source": (
+        q_vocab_stats_by_source,
+        o_vocab_stats_by_source,
+    ),
     "perplexity_filter_31": (
         q_perplexity_filter_31,
         o_perplexity_filter_31,

@@ -192,3 +192,24 @@ def test_gram_overlap_disjoint_source(spark):
     got = gram_overlap(df, "sA", "sB", n=2).collect()[0]
     assert (got["grams_a"], got["grams_b"], got["shared"]) == (2, 2, 0)
     assert got["jaccard"] == 0.0
+
+
+def test_vocab_stats_hand_computed(spark):
+    from wimbd_spark.operators.compare import vocab_stats
+
+    df = spark.createDataFrame(
+        [("s0", "a a b"), ("s0", "b c"), ("s1", "x y"), ("s1", None)],
+        ["source", "text"],
+    )
+    got = {r["source"]: r for r in vocab_stats(df).collect()}
+    # s0: tokens [a,a,b,b,c] → total 5, distinct 3, singletons {c}
+    assert got["s0"]["total_tokens"] == 5
+    assert got["s0"]["distinct_tokens"] == 3
+    assert got["s0"]["type_token_ratio"] == pytest.approx(3 / 5)
+    assert got["s0"]["singleton_fraction"] == pytest.approx(1 / 3)
+    # s1: [x,y] all singletons
+    assert got["s1"]["singleton_fraction"] == pytest.approx(1.0)
+    # corpus-wide form: one row, no group column
+    allrow = vocab_stats(df, group_col=None).collect()[0]
+    assert allrow["total_tokens"] == 7
+    assert allrow["distinct_tokens"] == 5

@@ -87,6 +87,7 @@ from wimbd_spark.operators.compare import (
     log_odds_tokens,
     token_freq_spectrum,
     vocab_cosine,
+    vocab_stats,
 )
 
 __all__ = [
@@ -116,5 +117,5 @@ __all__ = [
     "redact_pii", "taxonomy_counts",
     "dedup_lines_within_doc",
     "gram_overlap", "js_divergence", "log_odds_tokens",
-    "token_freq_spectrum", "vocab_cosine",
+    "token_freq_spectrum", "vocab_cosine", "vocab_stats",
 ]

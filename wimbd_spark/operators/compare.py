@@ -268,3 +268,39 @@ def token_freq_spectrum(
         .groupBy(F.col("count").alias("occurrences"))
         .agg(F.count(F.lit(1)).alias("n_ngrams"))
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    group_col: str | None = "source",
+    text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """Vocabulary profile per group (or corpus-wide with
+    ``group_col=None``) → (group?, total_tokens, distinct_tokens,
+    type_token_ratio, singleton_fraction): lexical-diversity metrics
+    (TTR, hapax fraction — the classic Heaps/Zipf-adjacent corpus
+    descriptors) per source.
+
+    Plan: one explode + ONE groupBy(group, token) with map-side
+    combine, then a tiny per-group rollup of that table — the corpus
+    shuffles once as (group, token) pairs; exact distinct counts with
+    no count_distinct expansion.
+    """
+    tok = tokenizer if tokenizer is not None else tokenize
+    keys = [group_col] if group_col else []
+    per_token = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(*keys, F.explode(tok(F.col(text_col))).alias("_tok"))
+        .groupBy(*keys, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    gb = per_token.groupBy(*keys) if keys else per_token.groupBy()
+    return gb.agg(
+        F.sum("_c").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        (F.count(F.lit(1)) / F.sum("_c")).alias("type_token_ratio"),
+        (
+            F.count(F.when(F.col("_c") == 1, 1)) / F.count(F.lit(1))
+        ).alias("singleton_fraction"),
+    )
