@@ -1497,6 +1497,52 @@ def o_vocab_stats_by_source():
     """
 
 
+def q_gram_novelty(spark, sf_dir):
+    """Cross-doc novelty per doc: of each doc's distinct 4-grams, how
+    many occur in ≥1 other document (memorization-risk profile — the
+    per-doc scalar view of ExactSubstr duplication analysis). One
+    gram-DF count shuffle + per-doc rollup; token arrays never
+    shuffle."""
+    from wimbd_spark.operators.textqc import gram_novelty
+
+    out = gram_novelty(_docs(spark, sf_dir), n=4)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("total_grams").cast("long").alias("total_grams"),
+        F.col("shared_grams").cast("long").alias("shared_grams"),
+        F.round("novelty", 6).alias("novelty"),
+    )
+
+
+def o_gram_novelty():
+    return """
+      WITH nvtoks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), nvgrams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, i, i+3), ' ') AS g
+        FROM nvtoks, unnest(generate_series(1, len(t)-3)) AS u(i)
+        WHERE len(t) >= 4
+      ), nvdf AS (SELECT g, count(*) AS df FROM nvgrams GROUP BY g),
+      rolled AS (
+        SELECT gr.doc_id, count(*) AS total_grams,
+               count(*) FILTER (f.df >= 2) AS shared_grams
+        FROM nvgrams gr JOIN nvdf f USING (g)
+        GROUP BY gr.doc_id
+      )
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             CAST(coalesce(r.total_grams, 0) AS BIGINT) AS total_grams,
+             CAST(coalesce(r.shared_grams, 0) AS BIGINT) AS shared_grams,
+             round(CASE WHEN r.total_grams > 0
+                        THEN 1.0 - r.shared_grams::DOUBLE / r.total_grams
+                   END, 6) AS novelty
+      FROM documents d LEFT JOIN rolled r USING (doc_id)
+    """
+
+
 def q_neardup_cluster_dedup(spark, sf_dir):
     """Pair→cluster resolution + representative keep: exact n-gram
     Jaccard pairs (τ=0.5) → connected components (min-label
@@ -3229,6 +3275,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         q_vocab_stats_by_source,
         o_vocab_stats_by_source,
     ),
+    "gram_novelty_n4": (q_gram_novelty, o_gram_novelty),
     "perplexity_filter_31": (
         q_perplexity_filter_31,
         o_perplexity_filter_31,

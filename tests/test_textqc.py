@@ -273,3 +273,65 @@ def test_tfidf_matches_duckdb(spark, documents):
         ).fetchall()
     }
     assert got == expect
+
+
+def test_gram_novelty_hand_computed(spark):
+    from wimbd_spark.operators.textqc import gram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),     # bigrams {ab, bc, cd}
+            (2, "a b x y"),     # bigrams {ab, bx, xy} — shares ab
+            (3, "p q"),         # {pq} unique
+            (4, "z"),           # < n tokens: no grams
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in gram_novelty(docs, n=2).collect()}
+    assert (got[1]["total_grams"], got[1]["shared_grams"]) == (3, 1)
+    assert got[1]["novelty"] == pytest.approx(2 / 3)
+    assert got[2]["novelty"] == pytest.approx(2 / 3)
+    assert got[3] ["novelty"] == pytest.approx(1.0)
+    assert got[4]["total_grams"] == 0 and got[4]["novelty"] is None
+    assert got[5]["total_grams"] == 0 and got[5]["novelty"] is None
+    with pytest.raises(ValueError):
+        gram_novelty(docs, n=0)
+
+
+def test_gram_novelty_matches_duckdb(spark, documents):
+    import duckdb
+
+    from wimbd_spark.operators.textqc import gram_novelty
+
+    got = {
+        r["doc_id"]: (r["total_grams"], r["shared_grams"])
+        for r in gram_novelty(documents, n=4).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", documents.toPandas())
+    expect = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            """
+        WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                     x -> x <> '') AS t
+          FROM docs WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(t, i, i+3), ' ') AS g
+          FROM toks, unnest(generate_series(1, len(t)-3)) AS u(i)
+          WHERE len(t) >= 4
+        ), dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+        SELECT d.doc_id,
+               coalesce(count(gr.g), 0) AS total_grams,
+               coalesce(count(*) FILTER (f.df >= 2), 0) AS shared_grams
+        FROM docs d
+        LEFT JOIN grams gr USING (doc_id)
+        LEFT JOIN dfreq f ON gr.g = f.g
+        GROUP BY d.doc_id
+        """
+        ).fetchall()
+    }
+    assert got == expect

@@ -558,3 +558,66 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "tfidf", "rank")
     )
+
+
+def gram_novelty(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """CROSS-document novelty profile per doc → (id_col, total_grams,
+    shared_grams, novelty): of a doc's distinct token ``n``-grams, how
+    many also occur in at least one OTHER document, and novelty =
+    1 − shared/total. The per-doc scalar view of the duplication
+    analyses in Lee et al. 2022 (ExactSubstr) — low novelty marks
+    near-boilerplate/memorization-risk documents; the span-level
+    twin is `dedup.repeated_spans`. Distinct from
+    dupe_ngram_char_fraction, which measures WITHIN-doc repetition.
+
+    Plan shape: map-side distinct (id, md5(gram)) pairs (no token
+    arrays shuffle), ONE groupBy(hash) document-frequency count with
+    map-side combine, the hash-partitioned join back reuses that
+    exchange, one groupBy(id) rollup. Docs with fewer than ``n``
+    tokens (or NULL text) have no grams: total_grams 0, novelty NULL
+    — kept, gating is the caller's policy.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    tok = tokenizer if tokenizer is not None else tokenize
+    toks = tok(F.col(text_col))
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(ngram_strings(toks, n))
+            ).alias("_g"),
+        )
+        .select(F.col(id_col), F.md5("_g").alias("_h"))
+    )
+    dfreq = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        grams.join(dfreq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.count(F.when(F.col("_df") >= 2, 1)).alias("shared_grams"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("total_grams"), F.lit(0)).alias("total_grams"),
+            F.coalesce(F.col("shared_grams"), F.lit(0)).alias(
+                "shared_grams"
+            ),
+            F.when(
+                F.col("total_grams") > 0,
+                F.lit(1.0) - F.col("shared_grams") / F.col("total_grams"),
+            ).alias("novelty"),
+        )
+    )
