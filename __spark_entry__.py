@@ -1543,6 +1543,55 @@ def o_gram_novelty():
     """
 
 
+def q_script_profile(spark, sf_dir):
+    """Per-doc writing-system profile (char-level langid complement):
+    script fractions over non-whitespace chars + dominant script —
+    map-side, zero shuffle."""
+    from wimbd_spark.operators.textqc import script_profile
+
+    out = script_profile(_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("latin_frac", 6).alias("latin_frac"),
+        F.round("digit_frac", 6).alias("digit_frac"),
+        F.round("other_frac", 6).alias("other_frac"),
+        "main_script",
+    )
+
+
+def o_script_profile():
+    # len(regexp_extract_all) ≙ Spark regexp_count for 1-char classes
+    return """
+      WITH prof AS (
+        SELECT doc_id,
+               length(regexp_replace(coalesce(text, ''), '\\s', '', 'g'))
+                 AS n_chars,
+               len(regexp_extract_all(coalesce(text, ''), '[A-Za-zÀ-ɏ]'))
+                 AS n_latin,
+               len(regexp_extract_all(coalesce(text, ''), '[0-9]'))
+                 AS n_digit
+        FROM documents
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             round(CASE WHEN n_chars > 0
+                        THEN n_latin::DOUBLE / n_chars END, 6) AS latin_frac,
+             round(CASE WHEN n_chars > 0
+                        THEN n_digit::DOUBLE / n_chars END, 6) AS digit_frac,
+             round(CASE WHEN n_chars > 0
+                        THEN (n_chars - n_latin - n_digit)::DOUBLE / n_chars
+                   END, 6) AS other_frac,
+             CASE WHEN n_chars = 0 THEN 'none'
+                  WHEN n_latin >= n_digit
+                       AND n_latin >= n_chars - n_latin - n_digit
+                    THEN 'latin'
+                  WHEN n_digit >= n_chars - n_latin - n_digit THEN 'digit'
+                  ELSE 'other' END AS main_script
+      FROM prof
+    """
+
+
 def q_neardup_cluster_dedup(spark, sf_dir):
     """Pair→cluster resolution + representative keep: exact n-gram
     Jaccard pairs (τ=0.5) → connected components (min-label
@@ -3276,6 +3325,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         o_vocab_stats_by_source,
     ),
     "gram_novelty_n4": (q_gram_novelty, o_gram_novelty),
+    "script_profile": (q_script_profile, o_script_profile),
     "perplexity_filter_31": (
         q_perplexity_filter_31,
         o_perplexity_filter_31,

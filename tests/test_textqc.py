@@ -335,3 +335,39 @@ def test_gram_novelty_matches_duckdb(spark, documents):
         ).fetchall()
     }
     assert got == expect
+
+
+def test_script_profile_mixed_scripts(spark):
+    from wimbd_spark.operators.textqc import script_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world 42"),
+            (2, "привет мир"),
+            (3, "日本語のテキスト"),
+            (4, "mixed привет text"),
+            (5, ""),
+            (6, None),
+            (7, "!!! ???"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in script_profile(docs).collect()}
+    assert got[1]["main_script"] == "latin"
+    assert got[1]["latin_frac"] == pytest.approx(10 / 12)
+    assert got[1]["digit_frac"] == pytest.approx(2 / 12)
+    assert got[2]["main_script"] == "cyrillic"
+    assert got[2]["cyrillic_frac"] == pytest.approx(1.0)
+    assert got[3]["main_script"] == "cjk"
+    assert got[3]["cjk_frac"] == pytest.approx(1.0)
+    assert got[4]["main_script"] == "latin"  # 9 latin vs 6 cyrillic
+    assert got[5]["main_script"] == "none" and got[5]["n_chars"] == 0
+    assert got[6]["main_script"] == "none"
+    assert got[7]["main_script"] == "other"
+    assert got[7]["other_frac"] == pytest.approx(1.0)
+    # fractions partition the non-whitespace chars
+    r = got[4]
+    total = sum(
+        r[f] for f in r.asDict() if f.endswith("_frac")
+    )
+    assert total == pytest.approx(1.0)

@@ -58,6 +58,7 @@ from wimbd_spark.operators.textqc import (
     dedup_lines_within_doc,
     doc_fingerprint,
     gram_novelty,
+    script_profile,
     langid_heuristic,
     quality_scores,
     tfidf_top_terms,
@@ -106,7 +107,7 @@ __all__ = [
     "cross_jaccard_pairs", "fuzzy_decontaminate",
     "unigram_lm", "lm_score", "perplexity_filter",
     "filter_by_domain_blocklist", "host_suffixes", "tfidf_top_terms",
-    "gram_novelty",
+    "gram_novelty", "script_profile",
     "drop_near_duplicates", "neardup_components",
     "jaccard_pairs", "lsh_candidate_pairs", "minhash_dedup_pairs",
     "minhash_signatures", "simhash16", "simhash_pairs",

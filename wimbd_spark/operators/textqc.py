@@ -621,3 +621,63 @@ def gram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+#: Script classes for script_profile: name → regex character class.
+#: Covers the major writing systems a web-crawl curation pass routes
+#: on; chars matching none fall into the residual "other" bucket.
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": r"[A-Za-zÀ-ɏ]",
+    "digit": r"[0-9]",
+    "cyrillic": r"[Ѐ-ӿ]",
+    "greek": r"[Ͱ-Ͽ]",
+    "arabic": r"[؀-ۿ]",
+    "hebrew": r"[֐-׿]",
+    "devanagari": r"[ऀ-ॿ]",
+    "cjk": r"[぀-ヿ㐀-䶿一-鿿가-힯]",
+}
+
+
+def script_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc writing-system profile → (id_col, n_chars, one
+    ``<script>_frac`` column per SCRIPT_CLASSES entry, other_frac,
+    main_script): fractions of NON-WHITESPACE characters in each
+    script block, plus the dominant script ('none' for empty docs).
+    The char-level complement of the token-level langid heuristic —
+    routes multilingual crawls (e.g. keep-if-latin≥0.5, split CJK to
+    its own pipeline) before any tokenizer choice is made.
+
+    Pure per-row regexp_count projections — map-side, ZERO shuffle,
+    whole-stage codegen'd; NULL text profiles as empty. Ties on the
+    dominant script break by SCRIPT_CLASSES declaration order
+    (deterministic).
+    """
+    c = F.col(text_col)
+    nonspace = F.coalesce(
+        F.length(F.regexp_replace(c, r"\s", "")), F.lit(0)
+    ).cast("long")
+    nz = F.when(nonspace > 0, nonspace.cast("double"))
+    counts = {
+        name: F.coalesce(F.regexp_count(c, F.lit(rx)), F.lit(0))
+        for name, rx in SCRIPT_CLASSES.items()
+    }
+    other = nonspace - sum(counts.values(), F.lit(0))
+    best = F.greatest(*counts.values(), other)
+    main = F.when(nonspace == 0, F.lit("none"))
+    for name in SCRIPT_CLASSES:
+        main = main.when(counts[name] == best, F.lit(name))
+    main = F.coalesce(main, F.lit("other"))
+    return df.select(
+        F.col(id_col),
+        nonspace.alias("n_chars"),
+        *[
+            (counts[name] / nz).alias(f"{name}_frac")
+            for name in SCRIPT_CLASSES
+        ],
+        (other / nz).alias("other_frac"),
+        main.alias("main_script"),
+    )
