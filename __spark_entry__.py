@@ -1592,6 +1592,35 @@ def o_script_profile():
     """
 
 
+def q_stratified_sample_k5(spark, sf_dir):
+    """Deterministic stratified sample: exactly 5 docs per source by
+    md5-hash rank — balanced eval/inspection sets from a skewed
+    corpus, reproducible across runs and engines. One per-group
+    window shuffle."""
+    from wimbd_spark.operators.keycount import stratified_sample
+
+    out = stratified_sample(_docs(spark, sf_dir), k=5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
+def o_stratified_sample_k5():
+    return f"""
+      WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY {_sql_hash32("doc_id::VARCHAR")} ASC,
+                          doc_id::VARCHAR ASC
+               ) AS rn
+        FROM documents
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+      FROM ranked WHERE rn <= 5
+    """
+
+
 def q_neardup_cluster_dedup(spark, sf_dir):
     """Pair→cluster resolution + representative keep: exact n-gram
     Jaccard pairs (τ=0.5) → connected components (min-label
@@ -3326,6 +3355,10 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     ),
     "gram_novelty_n4": (q_gram_novelty, o_gram_novelty),
     "script_profile": (q_script_profile, o_script_profile),
+    "stratified_sample_k5": (
+        q_stratified_sample_k5,
+        o_stratified_sample_k5,
+    ),
     "perplexity_filter_31": (
         q_perplexity_filter_31,
         o_perplexity_filter_31,

@@ -207,3 +207,30 @@ def test_mixture_sample(spark):
         for r in mixture_sample(df, {"web": 0.5, "books": 2.25}).collect()
     )
     assert a == b
+
+
+def test_stratified_sample_exact_k_per_group(spark):
+    from wimbd_spark.operators.keycount import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)] + [(100, "tiny")],
+        ["doc_id", "source"],
+    )
+    out = stratified_sample(df, k=4)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"s0": 4, "s1": 4, "s2": 4, "tiny": 1}
+    # deterministic: same rows every run
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(df, k=4).collect())
+    assert a == b
+    # a different salt draws a different sample (overwhelmingly)
+    c = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, k=4, salt="v2").collect()
+    )
+    assert c != a
+    assert out.columns == df.columns
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        stratified_sample(df, k=0)

@@ -12,6 +12,7 @@ from wimbd_spark.operators.count import (
 )
 from wimbd_spark.operators.keycount import (
     mixture_sample,
+    stratified_sample,
     id_lookup,
     key_count,
     normalize_distribution,
@@ -97,7 +98,7 @@ __all__ = [
     "corpus_stats", "extreme_token_docs",
     "count_sequences", "search_regex_counts", "search_regex_locations",
     "id_lookup", "key_count", "mixture_sample", "normalize_distribution",
-    "sample_by_hash",
+    "sample_by_hash", "stratified_sample",
     "contamination_rate", "contamination_rate_indexed",
     "contamination_rate_ngrams", "contamination_report",
     "decontaminate", "decontaminate_by_ngrams", "dedup_keep_first",

@@ -153,3 +153,43 @@ def normalize_distribution(counts: DataFrame, count_col: str = "count") -> DataF
     return counts.withColumn(
         "p", F.col(count_col) / F.sum(count_col).over(total)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    key: Column | str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified sample: exactly ``k`` rows per group
+    (fewer when a group is smaller), chosen by md5-hash rank of
+    ``key`` — the per-group exact-count companion to the rate-based
+    `sample_by_hash`. The standard tool for building balanced eval /
+    inspection sets from a skewed corpus: every run, engine, and
+    retry picks the SAME rows, and changing ``salt`` draws an
+    independent sample. Ties (hash collisions) break on the key
+    value, so the output is unique even then.
+
+    Plan shape: one hash projection + ONE window shuffle keyed on the
+    group (the same cost class as any per-group top-k); no sort of
+    the full corpus, no driver state.
+    """
+    from wimbd_spark.functions.text import hash32
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    kc = F.col(key) if isinstance(key, str) else key
+    hk = hash32(
+        F.concat(F.lit(salt), F.lit(":"), kc.cast("string"))
+        if salt
+        else kc.cast("string")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        hk.asc(), kc.cast("string").asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
