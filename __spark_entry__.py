@@ -2228,6 +2228,57 @@ def o_search_locations():
     """
 
 
+def q_search_snippets(spark, sf_dir):
+    """Keyword-in-context audit view: every match with 20 chars of
+    context each side — locations scan + one id-keyed text join;
+    snippets bounded regardless of doc size."""
+    from wimbd_spark.operators.count import search_snippets
+
+    out = search_snippets(
+        _docs(spark, sf_dir).filter(F.col("text").isNotNull()),
+        LOC_PATTERNS,
+        window=20,
+    )
+    return out.select(
+        "pattern",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "match",
+        F.col("start_col").cast("long").alias("start_col"),
+        "snippet",
+    )
+
+
+def o_search_snippets():
+    parts = [
+        "SELECT '" + p + "' AS pattern, doc_id, "
+        "regexp_extract_all(text, '" + p + "') AS ms, "
+        "str_split_regex(text, '" + p + "') AS segs "
+        "FROM documents WHERE text IS NOT NULL"
+        for p in LOC_PATTERNS
+    ]
+    return f"""
+      WITH m AS ({" UNION ALL ".join(parts)}),
+      spans AS (
+        SELECT pattern, doc_id, u.match, u.start_col,
+               u.start_col + length(u.match) AS end_col
+        FROM m, unnest(list_transform(ms, (mm, i) -> struct_pack(
+               match := mm,
+               start_col := 1
+                 + coalesce(list_sum(list_transform(segs[1:i], s -> length(s))), 0)
+                 + coalesce(list_sum(list_transform(ms[1:i-1], x -> length(x))), 0)
+             ))) AS t(u)
+      )
+      SELECT s.pattern, CAST(s.doc_id AS BIGINT) AS doc_id, s.match,
+             CAST(s.start_col AS BIGINT) AS start_col,
+             substring(d.text,
+                       greatest(s.start_col - 20, 1)::BIGINT,
+                       (s.end_col + 20
+                        - greatest(s.start_col - 20, 1))::BIGINT)
+               AS snippet
+      FROM spans s JOIN documents d USING (doc_id)
+    """
+
+
 def q_extreme_docs(spark, sf_dir):
     from wimbd_spark.operators.stats import extreme_token_docs
 
@@ -3359,6 +3410,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         q_stratified_sample_k5,
         o_stratified_sample_k5,
     ),
+    "search_snippets_w20": (q_search_snippets, o_search_snippets),
     "perplexity_filter_31": (
         q_perplexity_filter_31,
         o_perplexity_filter_31,

@@ -89,6 +89,7 @@ HEADLINE = [
     "gram_novelty_n4",
     "script_profile",
     "stratified_sample_k5",
+    "search_snippets_w20",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)

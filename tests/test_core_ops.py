@@ -234,3 +234,25 @@ def test_stratified_sample_exact_k_per_group(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         stratified_sample(df, k=0)
+
+
+def test_search_snippets_kwic(spark):
+    from wimbd_spark.operators.count import search_snippets
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["start_col"]): r
+        for r in search_snippets(docs, ["fox", "the"], window=6).collect()
+    }
+    # 'fox' at 17..20: snippet = 6 chars before + match + 6 after
+    assert got[17]["snippet"] == "brown fox jumps"
+    # 'the' at 1: left window clamps at string start
+    assert got[1]["snippet"] == "the quick"
+    # second 'the' at 32
+    assert got[32]["snippet"] == " over the lazy "
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        search_snippets(docs, ["fox"], window=-1)

@@ -9,6 +9,7 @@ from wimbd_spark.operators.count import (
     count_sequences,
     search_regex_counts,
     search_regex_locations,
+    search_snippets,
 )
 from wimbd_spark.operators.keycount import (
     mixture_sample,
@@ -96,7 +97,7 @@ from wimbd_spark.operators.compare import (
 __all__ = [
     "botk_ngrams", "ngram_counts", "topk_ngrams", "unique_ngrams",
     "corpus_stats", "extreme_token_docs",
-    "count_sequences", "search_regex_counts", "search_regex_locations",
+    "count_sequences", "search_regex_counts", "search_snippets", "search_regex_locations",
     "id_lookup", "key_count", "mixture_sample", "normalize_distribution",
     "sample_by_hash", "stratified_sample",
     "contamination_rate", "contamination_rate_indexed",

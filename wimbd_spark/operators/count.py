@@ -217,3 +217,42 @@ def search_regex_locations(
             .drop("_rn")
         )
     return exploded
+
+
+def search_snippets(
+    df: DataFrame,
+    patterns: list[str],
+    window: int = 30,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    limit_per_pattern: int | None = None,
+) -> DataFrame:
+    """Keyword-in-context view: every regex occurrence with up to
+    ``window`` characters of context on each side → (pattern,
+    *id_cols, match, start_col, end_col, snippet) — the audit surface
+    a human reads after `search_regex_locations` finds the spans
+    (the reference's search workflow prints matched lines;
+    src/cmd/search.rs:248-330).
+
+    Plan shape: the locations op's single multi-pattern scan, then
+    ONE id-keyed join back to the text and a per-row substr — the
+    text column never fans out per occurrence until the final
+    projection, and snippets are bounded at len(match) + 2·window
+    chars regardless of document size (the property that makes the
+    output safe to collect/export at corpus scale).
+    """
+    if window < 0:
+        raise ValueError("window must be >= 0")
+    locs = search_regex_locations(
+        df, patterns, text_col, id_cols, limit_per_pattern
+    )
+    txt = df.select(*id_cols, F.col(text_col).alias("_snip_text"))
+    snip_start = F.greatest(F.col("start_col") - window, F.lit(1))
+    snip_len = F.col("end_col") + window - snip_start
+    return (
+        locs.join(txt, list(id_cols))
+        .withColumn(
+            "snippet", F.col("_snip_text").substr(snip_start, snip_len)
+        )
+        .drop("_snip_text")
+    )
