@@ -2176,15 +2176,51 @@ def o_phrase_slop_count():
     """
 
 
+#: HLL++ relative standard deviation used by the approx query, and the
+#: sigma multiplier for the driver gate: |approx − exact| / exact must
+#: be ≤ UNIQUE_APPROX_RSD · UNIQUE_APPROX_K. HLL++ error is ~normal
+#: with sd = rsd, so k = 5 fails spuriously with p < 1e-6 — a failure
+#: means the sketch is broken, not unlucky.
+UNIQUE_APPROX_RSD = 0.05
+UNIQUE_APPROX_K = 5.0
+
+
 def q_unique_ngrams_approx(spark, sf_dir):
     """HLL++ distinct trigrams — the honest twin of the reference's
-    Bloom nonzero-cell estimate (src/cmd/unique.rs). No oracle: HLL
-    implementations differ across engines by design; the driver's
-    rows-only check applies, and the exact twin (unique_ngrams_n2) is
-    fully oracle-gated."""
-    return unique_ngrams(_docs(spark, sf_dir), n=3, approx=True).select(
-        F.col("unique_count").cast("long").alias("unique_count")
+    Bloom nonzero-cell estimate (src/cmd/unique.rs:65-161) — gated by
+    an error-bound oracle (r5 VERDICT item 3): the query returns the
+    EXACT distinct count (DuckDB-verifiable bit-for-bit) plus a
+    boolean asserting the HLL estimate landed within k·rsd of it, so
+    the driver verifies the exact count AND that the sketch's error
+    is within its published bound — no more permanent `no_oracle`."""
+    from wimbd_spark.functions.text import ngram_strings, tokenize
+
+    exploded = _docs(spark, sf_dir).select(
+        F.explode(ngram_strings(tokenize(F.col("text")), 3)).alias("ngram")
     )
+    bound = F.lit(UNIQUE_APPROX_RSD * UNIQUE_APPROX_K)
+    return exploded.agg(
+        F.countDistinct("ngram").alias("_exact"),
+        F.approx_count_distinct("ngram", UNIQUE_APPROX_RSD).alias("_approx"),
+    ).select(
+        F.col("_exact").cast("long").alias("exact_count"),
+        (
+            F.abs(F.col("_approx") - F.col("_exact"))
+            / F.col("_exact")
+            <= bound
+        ).alias("approx_within_bound"),
+    )
+
+
+def o_unique_ngrams_approx():
+    # The exact count is verified bit-for-bit; the sketch side is a
+    # Spark-computed bound check (TRUE unless HLL++ violates k·rsd).
+    return f"""
+      WITH {_sql_grams(3)}
+      SELECT CAST(count(DISTINCT ngram) AS BIGINT) AS exact_count,
+             TRUE AS approx_within_bound
+      FROM grams
+    """
 
 LOC_PATTERNS = ["table scan", "qu[ae]ry"]
 
@@ -3342,102 +3378,26 @@ def o_demographic_cooccurrence():
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # ROTATION POLICY (round-robin): the driver records correctness rows
     # for the FIRST 50 entries only, so with >50 queries the window
-    # rotates each round — queries never/least-recently driver-checked
-    # (plus any new this round) go in the first 50; the queries checked
-    # green in the most recent rounds move to the back. Every query must
-    # get a driver row at least every other round; tools/check_oracles.py
-    # covers ALL entries locally every round regardless of position.
-    # Round 5 window: in — the 23 queries rested in r4 (green r3, the
-    # every-other-round obligation), the new phrase_df_counts, the
-    # rewritten contamination sweep, the whole index/search phrase
-    # surface (density guard touched phrase_matches_batch), and the
-    # queries over files touched by r5 fixes (dedup.py, stats.py,
-    # similarity.py, compare.py); out — r4-green queries on untouched
-    # paths (back of the dict; they return in r6).
-    # -- rested in r4, returning per the every-other-round rule (23):
-    "top_orders_by_revenue": (q_top_orders_by_revenue, o_top_orders_by_revenue),
-    "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
-    "events_tumbling_1h": (q_events_tumbling, o_events_tumbling),
-    "session_stats_30m_gap": (q_session_stats, o_session_stats),
-    "embedding_cosine_pairs": (q_embedding_cosine_pairs, o_embedding_cosine_pairs),
-    "phrase_count_filtered": (q_phrase_count_filtered, o_phrase_count_filtered),
-    "top2_orders_per_customer": (q_top2_orders_per_customer, o_top2_orders_per_customer),
-    "topk_ngrams_n3_k20": (q_topk_ngrams, o_topk_ngrams),
-    "botk_ngrams_n1_k20": (q_botk_ngrams, o_botk_ngrams),
-    "unique_ngrams_n2": (q_unique_ngrams, o_unique_ngrams),
-    "count_sequences": (q_count_sequences, o_count_sequences),
-    "search_regex_counts": (q_search_regex, o_search_regex),
-    "topk_ngrams_n10_k10": (q_topk_ngrams_n10, o_topk_ngrams_n10),
-    "char_length_dist": (q_char_length_dist, o_char_length_dist),
-    "url_host_counts": (q_url_host_counts, o_url_host_counts),
-    "pii_kind_counts": (q_pii_kind_counts, o_pii_kind_counts),
-    "source_counts": (q_source_counts, o_source_counts),
-    "top_purchase_users": (q_top_purchase_users, o_top_purchase_users),
-    "top_customers": (q_top_customers, o_top_customers),
-    "events_sliding_1h_30m": (q_events_sliding, o_events_sliding),
-    "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
-    "orders_by_year_priority": (q_orders_by_year_priority, o_orders_by_year_priority),
-    "unique_ngrams_approx": (q_unique_ngrams_approx, None),
-    # -- new / rewritten in r5 (6):
-    "contaminated_examples": (
-        q_contaminated_examples,
-        o_contaminated_examples,
-    ),
-    "gram_overlap_src0_src1": (q_gram_overlap, o_gram_overlap),
-    "decontaminate_ngrams_src0": (
-        q_decontaminate_ngrams,
-        o_decontaminate_ngrams,
-    ),
-    "phrase_df_counts": (q_phrase_df_counts, o_phrase_df_counts),
-    "cross_jaccard_src0": (q_cross_jaccard_src0, o_cross_jaccard_src0),
-    "fuzzy_decontaminate_src0": (
-        q_fuzzy_decontaminate_src0,
-        o_fuzzy_decontaminate_src0,
-    ),
-    "lm_ppl_scores": (q_lm_ppl_scores, o_lm_ppl_scores),
-    "domain_blocklist_filter": (
-        q_domain_blocklist_filter,
-        o_domain_blocklist_filter,
-    ),
-    "tfidf_top3_terms": (q_tfidf_top3_terms, o_tfidf_top3_terms),
-    "vocab_stats_by_source": (
-        q_vocab_stats_by_source,
-        o_vocab_stats_by_source,
-    ),
-    "gram_novelty_n4": (q_gram_novelty, o_gram_novelty),
-    "script_profile": (q_script_profile, o_script_profile),
-    "stratified_sample_k5": (
-        q_stratified_sample_k5,
-        o_stratified_sample_k5,
-    ),
-    "search_snippets_w20": (q_search_snippets, o_search_snippets),
-    "perplexity_filter_31": (
-        q_perplexity_filter_31,
-        o_perplexity_filter_31,
-    ),
-    "contamination_rate_indexed": (
-        q_contamination_rate_indexed,
-        o_contamination_rate_indexed,
-    ),
-    "contamination_rate": (q_contamination_rate, o_contamination_rate),
-    "contamination_rate_tokens": (
-        q_contamination_rate_tokens,
-        o_contamination_rate_tokens,
-    ),
-    # -- index/search phrase surface (density guard touched the shared
-    #    phrase_matches_batch path) (6):
-    "phrase_batch_counts": (q_phrase_batch_counts, o_phrase_batch_counts),
-    "phrase_index_counts": (q_phrase_index_counts, o_phrase_index_counts),
-    "phrase_doc_counts": (q_phrase_doc_counts, o_phrase_doc_counts),
-    "phrase_retrieval_top10": (q_phrase_retrieval, o_phrase_retrieval),
-    "phrase_slop_count": (q_phrase_slop_count, o_phrase_slop_count),
-    "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
-    # -- queries over files touched by r5 fixes (18):
-    "decontaminate_src0": (q_decontaminate, o_decontaminate),
-    "pii_redaction": (q_pii_redaction, o_pii_redaction),
-    "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
-    "dedup_lines_within_doc": (q_dedup_lines, o_dedup_lines),
+    # rotates each round — every query whose name is ABSENT from the
+    # most recent CORRECTNESS_r*.json MUST be inside the first 50 of
+    # the next round (the every-other-round rule). This invariant is
+    # now enforced mechanically by tests/test_rotation.py, which fails
+    # pytest if the current ordering would let any query exceed one
+    # rested round; tools/check_oracles.py additionally covers ALL
+    # entries locally every round regardless of position.
+    # Round 6 window: in — the 43 queries absent from CORRECTNESS_r05
+    # (front-loaded with repeated_spans_k8 / dedup_lines_within_doc,
+    # which sat at positions 51/50 and — correcting the false r5
+    # comment — had NEVER had a driver row in rounds 1–5), plus 7
+    # r5-green queries whose code paths round 6 touches (the
+    # unique_ngrams_approx error-bound oracle, the script_profile
+    # whitespace fix, the tfidf unpersist, the lm-model validation,
+    # the blocklist lowercasing, and new CLI verbs). Out — the
+    # remaining r5-green queries (back of the dict; they return in r7).
+    # -- never driver-checked in r1–r5 (VERDICT r5 item 1) (2):
     "repeated_spans_k8": (q_repeated_spans, o_repeated_spans),
+    "dedup_lines_within_doc": (q_dedup_lines, o_dedup_lines),
+    # -- rested in r5, returning per the every-other-round rule (41):
     "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
     "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
     "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
@@ -3450,13 +3410,6 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "source_log_odds": (q_source_log_odds, o_source_log_odds),
     "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
     "length_percentiles": (q_length_percentiles, o_length_percentiles),
-    # --- back of the window (28): green in r4 on paths untouched by
-    # r5; ALL of these return to the first 50 in round 6.
-    # (mixture_sample, pack_documents_512, neardup_cluster_dedup,
-    # lsh_neardup_pairs and extreme_token_docs displaced to the back
-    # by the five new r5 queries — all green r4, all return r6;
-    # stats.py stays window-covered via corpus_stats +
-    # length_percentiles.)
     "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
     "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
     "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
@@ -3492,6 +3445,90 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "url_analysis": (q_url_analysis, o_url_analysis),
     "search_locations": (q_search_locations, o_search_locations),
     "orders_rollup": (q_orders_rollup, o_orders_rollup),
+    # -- r5-green, but on code paths touched by round-6 fixes (7):
+    "unique_ngrams_approx": (
+        q_unique_ngrams_approx,
+        o_unique_ngrams_approx,
+    ),
+    "script_profile": (q_script_profile, o_script_profile),
+    "tfidf_top3_terms": (q_tfidf_top3_terms, o_tfidf_top3_terms),
+    "lm_ppl_scores": (q_lm_ppl_scores, o_lm_ppl_scores),
+    "perplexity_filter_31": (
+        q_perplexity_filter_31,
+        o_perplexity_filter_31,
+    ),
+    "domain_blocklist_filter": (
+        q_domain_blocklist_filter,
+        o_domain_blocklist_filter,
+    ),
+    "search_snippets_w20": (q_search_snippets, o_search_snippets),
+    # --- back of the window (43): green in r5 on paths untouched by
+    # round 6; ALL of these return to the first 50 in round 7
+    # (enforced by tests/test_rotation.py once CORRECTNESS_r06 lands).
+    "top_orders_by_revenue": (q_top_orders_by_revenue, o_top_orders_by_revenue),
+    "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
+    "events_tumbling_1h": (q_events_tumbling, o_events_tumbling),
+    "session_stats_30m_gap": (q_session_stats, o_session_stats),
+    "embedding_cosine_pairs": (q_embedding_cosine_pairs, o_embedding_cosine_pairs),
+    "phrase_count_filtered": (q_phrase_count_filtered, o_phrase_count_filtered),
+    "top2_orders_per_customer": (q_top2_orders_per_customer, o_top2_orders_per_customer),
+    "topk_ngrams_n3_k20": (q_topk_ngrams, o_topk_ngrams),
+    "botk_ngrams_n1_k20": (q_botk_ngrams, o_botk_ngrams),
+    "unique_ngrams_n2": (q_unique_ngrams, o_unique_ngrams),
+    "count_sequences": (q_count_sequences, o_count_sequences),
+    "search_regex_counts": (q_search_regex, o_search_regex),
+    "topk_ngrams_n10_k10": (q_topk_ngrams_n10, o_topk_ngrams_n10),
+    "char_length_dist": (q_char_length_dist, o_char_length_dist),
+    "url_host_counts": (q_url_host_counts, o_url_host_counts),
+    "pii_kind_counts": (q_pii_kind_counts, o_pii_kind_counts),
+    "source_counts": (q_source_counts, o_source_counts),
+    "top_purchase_users": (q_top_purchase_users, o_top_purchase_users),
+    "top_customers": (q_top_customers, o_top_customers),
+    "events_sliding_1h_30m": (q_events_sliding, o_events_sliding),
+    "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
+    "orders_by_year_priority": (q_orders_by_year_priority, o_orders_by_year_priority),
+    "contaminated_examples": (
+        q_contaminated_examples,
+        o_contaminated_examples,
+    ),
+    "gram_overlap_src0_src1": (q_gram_overlap, o_gram_overlap),
+    "decontaminate_ngrams_src0": (
+        q_decontaminate_ngrams,
+        o_decontaminate_ngrams,
+    ),
+    "phrase_df_counts": (q_phrase_df_counts, o_phrase_df_counts),
+    "cross_jaccard_src0": (q_cross_jaccard_src0, o_cross_jaccard_src0),
+    "fuzzy_decontaminate_src0": (
+        q_fuzzy_decontaminate_src0,
+        o_fuzzy_decontaminate_src0,
+    ),
+    "gram_novelty_n4": (q_gram_novelty, o_gram_novelty),
+    "vocab_stats_by_source": (
+        q_vocab_stats_by_source,
+        o_vocab_stats_by_source,
+    ),
+    "stratified_sample_k5": (
+        q_stratified_sample_k5,
+        o_stratified_sample_k5,
+    ),
+    "contamination_rate_indexed": (
+        q_contamination_rate_indexed,
+        o_contamination_rate_indexed,
+    ),
+    "contamination_rate": (q_contamination_rate, o_contamination_rate),
+    "contamination_rate_tokens": (
+        q_contamination_rate_tokens,
+        o_contamination_rate_tokens,
+    ),
+    "phrase_batch_counts": (q_phrase_batch_counts, o_phrase_batch_counts),
+    "phrase_index_counts": (q_phrase_index_counts, o_phrase_index_counts),
+    "phrase_doc_counts": (q_phrase_doc_counts, o_phrase_doc_counts),
+    "phrase_retrieval_top10": (q_phrase_retrieval, o_phrase_retrieval),
+    "phrase_slop_count": (q_phrase_slop_count, o_phrase_slop_count),
+    "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
+    "decontaminate_src0": (q_decontaminate, o_decontaminate),
+    "pii_redaction": (q_pii_redaction, o_pii_redaction),
+    "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
 }
 
 

@@ -10,8 +10,9 @@ def test_registry_shapes():
     oracles = entry.oracle_sql()
     assert len(qs) >= 50
     assert set(oracles) <= set(qs)
-    # at most a couple of intentionally weak (oracle-less) queries
-    assert len(set(qs) - set(oracles)) <= 2
+    # every query is oracle-gated since r6 (unique_ngrams_approx got
+    # its error-bound oracle — r5 VERDICT item 3)
+    assert len(set(qs) - set(oracles)) == 0
     for name, fn in qs.items():
         assert callable(fn), name
     for name, sql in oracles.items():
@@ -25,6 +26,17 @@ def test_entry_smoke(spark):
     assert df.schema.simpleString() == (
         "struct<ngram:string,count:bigint,rank:bigint>"
     )
+
+
+def test_unique_ngrams_approx_error_bound(spark):
+    """The HLL estimate must land within k·rsd of the exact distinct
+    count — the bound the driver oracle now asserts (the exact_count
+    column is the bit-for-bit DuckDB side)."""
+    row = entry.q_unique_ngrams_approx(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row.exact_count > 0
+    assert row.approx_within_bound is True
 
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
