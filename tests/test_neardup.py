@@ -274,6 +274,76 @@ def test_ngram_jaccard_candidate_volume_bounded(spark):
     }  # genuine near-dup pair survives the cap
 
 
+def test_ngram_jaccard_auto_guard_fires_and_caps(spark, monkeypatch):
+    """'auto' default (r5 VERDICT item 4): when the df-sketch says the
+    uncapped inverted-index join would explode, a RuntimeWarning fires
+    and RECOMMENDED_MAX_SHINGLE_FREQ engages — identical rows to
+    passing the cap explicitly."""
+    import warnings
+
+    from wimbd_spark.operators import neardup
+    from wimbd_spark.operators.neardup import (
+        RECOMMENDED_MAX_SHINGLE_FREQ,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (i, f"unique{i} mark{i} common legal disclaimer footer text here")
+        for i in range(300)
+    ]
+    rows += [
+        (1000, "genuinely similar rare document alpha beta gamma"),
+        (1001, "genuinely similar rare document alpha beta delta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    monkeypatch.setattr(neardup, "AUTO_CANDIDATE_LIMIT", 1000)
+    with pytest.warns(RuntimeWarning, match="candidate volume"):
+        auto = ngram_jaccard_pairs(df, shingle_n=3, threshold=0.0).collect()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # explicit cap must NOT warn
+        explicit = ngram_jaccard_pairs(
+            df,
+            shingle_n=3,
+            threshold=0.0,
+            max_shingle_freq=RECOMMENDED_MAX_SHINGLE_FREQ,
+        ).collect()
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(map(key, auto)) == sorted(map(key, explicit))
+    assert (1000, 1001) in set(map(key, auto))
+
+
+def test_ngram_jaccard_auto_below_limit_is_uncapped_exact(spark):
+    """Below AUTO_CANDIDATE_LIMIT the 'auto' default is bit-identical
+    to the old uncapped default and emits no warning."""
+    import warnings
+
+    from wimbd_spark.operators.neardup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different sentence altogether here"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        auto = ngram_jaccard_pairs(df, shingle_n=3, threshold=0.2).collect()
+    uncapped = ngram_jaccard_pairs(
+        df, shingle_n=3, threshold=0.2, max_shingle_freq=None
+    ).collect()
+    key = lambda r: (r["id_a"], r["id_b"], r["jaccard"])  # noqa: E731
+    assert sorted(map(key, auto)) == sorted(map(key, uncapped))
+
+
+def test_ngram_jaccard_rejects_unknown_string_cap(spark):
+    from wimbd_spark.operators.neardup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max_shingle_freq"):
+        ngram_jaccard_pairs(df, max_shingle_freq="always")
+
+
 def test_neardup_components_and_drop(spark):
     from wimbd_spark.operators.neardup import (
         drop_near_duplicates,

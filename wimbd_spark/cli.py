@@ -205,8 +205,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--max-bucket-size", type=int, default=None,
                     help="minhash: LSH bucket cap (default: library "
                     "default, finite); jaccard: max shingle doc-freq "
-                    "(default: unlimited). 0 = explicitly uncapped "
-                    "for either method")
+                    "(default: auto — caps only when the df-sketch "
+                    "predicts candidate blowup, warning loudly). "
+                    "0 = explicitly uncapped for either method")
     sp.add_argument("--out", default=None, help="output parquet path")
     sp.add_argument("--keep-out", default=None,
                     help="RESOLVE pairs into clusters and write the "
@@ -604,9 +605,15 @@ def main(argv: list[str] | None = None) -> int:
                     text_col=t,
                     shingle_n=args.shingle_n,
                     threshold=args.threshold,
-                    # 0 means "uncapped", matching the minhash branch —
-                    # a literal freq cap of 0 would drop every shingle
-                    max_shingle_freq=args.max_bucket_size or None,
+                    # unset → library "auto" df-sketch guard; 0 means
+                    # "explicitly uncapped", matching the minhash
+                    # branch (a literal freq cap of 0 would drop
+                    # every shingle)
+                    max_shingle_freq=(
+                        "auto"
+                        if args.max_bucket_size is None
+                        else (args.max_bucket_size or None)
+                    ),
                 )
             if args.keep_out:
                 from wimbd_spark.operators.neardup import (

@@ -143,10 +143,22 @@ DEFAULT_MAX_BUCKET_SIZE = 1000
 #: EVERY shared shingle is that common is boilerplate overlap, not
 #: duplication. 256 caps any single shingle's contribution at ~32k
 #: candidate pairs while leaving genuine template clusters (usually
-#: ≪100 docs) untouched. Kept opt-in (default None) because applying
-#: it restricts the Jaccard to the sub-boilerplate shingle space — a
-#: deliberate semantic choice the caller should make, not a silent one.
+#: ≪100 docs) untouched. Applying it restricts the Jaccard to the
+#: sub-boilerplate shingle space — a semantic choice, so the "auto"
+#: default engages it only when the df-sketch says the uncapped join
+#: would explode (and says so loudly); pass an explicit None to force
+#: exact semantics regardless.
 RECOMMENDED_MAX_SHINGLE_FREQ = 256
+
+#: "auto" mode caps the inverted-index join when the estimated
+#: candidate volume Σ_h df_h·(df_h−1)/2 (the exact number of join
+#: rows the self-join on shingle hashes produces) exceeds this. 25M
+#: rows is ~seconds of join work on a small cluster — comfortably
+#: above any healthy corpus at test scale, far below the quadratic
+#: blowups the skew fixture measures (500× candidate inflation from
+#: 300 boilerplate docs). SCALE.md finding 1 records a 13.9× runtime
+#: hit from one shared-shingle pathology; this is the guard for it.
+AUTO_CANDIDATE_LIMIT = 25_000_000
 
 
 def lsh_bucket_sizes(
@@ -297,13 +309,53 @@ def jaccard_pairs(
     return _jaccard_from_shingle_table(sh, pairs, threshold)
 
 
+def _auto_shingle_cap(sh: DataFrame) -> int | None:
+    """df-sketch guard for the inverted-index self-join: compute the
+    exact candidate volume Σ_h df_h·(df_h−1)/2 the uncapped join on
+    the shingle table would produce (one groupBy(hash) count + scalar
+    sum — map-side combined, vocab-sized shuffle). Returns None (run
+    uncapped, exact semantics) below AUTO_CANDIDATE_LIMIT; above it,
+    warns and returns RECOMMENDED_MAX_SHINGLE_FREQ."""
+    import warnings
+
+    est = (
+        sh.select(F.explode("hs").alias("_h"))
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .agg(
+            F.sum(
+                F.col("_df").cast("long")
+                * (F.col("_df").cast("long") - 1)
+                / 2
+            ).alias("_cand")
+        )
+        .collect()[0]["_cand"]
+    )
+    if est is None or est <= AUTO_CANDIDATE_LIMIT:
+        return None
+    warnings.warn(
+        f"ngram_jaccard_pairs: estimated candidate volume "
+        f"{int(est):,} join rows exceeds AUTO_CANDIDATE_LIMIT "
+        f"({AUTO_CANDIDATE_LIMIT:,}) — ubiquitous shingles "
+        f"(boilerplate) would blow up the inverted-index self-join "
+        f"quadratically. Applying "
+        f"max_shingle_freq={RECOMMENDED_MAX_SHINGLE_FREQ} (Jaccard "
+        f"restricted to sub-boilerplate shingles). Pass "
+        f"max_shingle_freq=None to force the uncapped exact join, or "
+        f"an explicit int to choose the cap.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    return RECOMMENDED_MAX_SHINGLE_FREQ
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.2,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None | str = "auto",
     prefix_filter: bool | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs, self-contained: every pair
@@ -314,14 +366,24 @@ def ngram_jaccard_pairs(
     no minhash approximation, no all-pairs cross join. Scale shape: one
     shuffle of (id, shingle-hash) pairs keyed on the hash; ubiquitous
     shingles ("of the X") create quadratic bucket blowup, so
-    ``max_shingle_freq`` optionally drops shingles appearing in more
-    than that many docs before the join — a pair is then missed ONLY if
-    every shared shingle is that common, which at sane thresholds means
+    ``max_shingle_freq`` drops shingles appearing in more than that
+    many docs before the join — a pair is then missed ONLY if every
+    shared shingle is that common, which at sane thresholds means
     boilerplate, not duplication (same tradeoff as the LSH bucket cap
-    in _pairs_from_sigs). AQE skew-join covers moderate skew; for any
-    corpus-scale run pass RECOMMENDED_MAX_SHINGLE_FREQ (see its note —
-    the skew fixture in test_neardup measures the candidate-volume
-    difference).
+    in _pairs_from_sigs).
+
+    ``max_shingle_freq`` default ``"auto"`` disarms the quadratic
+    hazard (r5 VERDICT item 4) without silently changing semantics:
+    one cheap aggregate over the shingle table computes the EXACT
+    candidate volume Σ_h df_h·(df_h−1)/2 the uncapped join would
+    produce; below AUTO_CANDIDATE_LIMIT the join runs uncapped (exact
+    Jaccard over the full shingle space — bit-identical to the old
+    default on healthy corpora), above it a loud RuntimeWarning fires
+    and RECOMMENDED_MAX_SHINGLE_FREQ engages. Pass ``None`` to force
+    the uncapped join regardless (the old default), or an int to cap
+    unconditionally. The sketch costs one extra groupBy(hash) count —
+    map-side-combined, vocab-sized shuffle, trivial next to the join
+    it is sizing.
 
     ``prefix_filter`` enables the AllPairs/PPJoin prefix optimization
     (exact, complete recall — a classic set-similarity-join result):
@@ -343,11 +405,20 @@ def ngram_jaccard_pairs(
     if prefix_filter is None:
         prefix_filter = False
     if prefix_filter:
-        if max_shingle_freq is not None:
+        if max_shingle_freq not in (None, "auto"):
             raise ValueError(
                 "prefix_filter composes with the full shingle space; "
                 "use max_shingle_freq with prefix_filter=False"
             )
+        max_shingle_freq = None
+    elif max_shingle_freq == "auto":
+        max_shingle_freq = _auto_shingle_cap(sh)
+    elif isinstance(max_shingle_freq, str):
+        raise ValueError(
+            f"max_shingle_freq must be an int, None, or 'auto'; "
+            f"got {max_shingle_freq!r}"
+        )
+    if prefix_filter:
         if threshold <= 0:
             raise ValueError("prefix_filter requires threshold > 0")
         from pyspark import StorageLevel
