@@ -1561,11 +1561,13 @@ def q_script_profile(spark, sf_dir):
 
 
 def o_script_profile():
-    # len(regexp_extract_all) ≙ Spark regexp_count for 1-char classes
+    # len(regexp_extract_all) ≙ Spark regexp_count for 1-char classes;
+    # whitespace class mirrors Spark's Unicode-aware [\s\p{Z}] (RE2
+    # \s is ASCII-only like Java's, \p{Z} adds NBSP/U+3000 etc.)
     return """
       WITH prof AS (
         SELECT doc_id,
-               length(regexp_replace(coalesce(text, ''), '\\s', '', 'g'))
+               length(regexp_replace(coalesce(text, ''), '[\\s\\p{Z}]', '', 'g'))
                  AS n_chars,
                len(regexp_extract_all(coalesce(text, ''), '[A-Za-zÀ-ɏ]'))
                  AS n_latin,

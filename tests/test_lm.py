@@ -102,3 +102,22 @@ def test_lm_score_matches_duckdb(spark, documents):
         ).fetchall()
     )
     assert got == expect
+
+
+def test_lm_score_validates_unseen_fallback_row(spark, corpus):
+    """ADVICE r5 (medium): a caller-supplied LM without exactly one
+    'token IS NULL' fallback row must raise — a missing row silently
+    scored the whole corpus as empty; duplicates corrupted n_tokens."""
+    no_null = spark.createDataFrame(
+        [("a", -1.0), ("b", -2.0)], ["token", "logp"]
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        lm_score(corpus, no_null)
+    two_null = no_null.unionByName(
+        spark.createDataFrame(
+            [(None, -9.0), (None, -8.0)],
+            schema=no_null.schema,
+        )
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        lm_score(corpus, two_null)

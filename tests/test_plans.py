@@ -296,8 +296,12 @@ def test_tfidf_single_corpus_aggregation(spark, raw_docs):
     from wimbd_spark.operators.textqc import tfidf_top_terms
 
     plan = explain_str(tfidf_top_terms(raw_docs, k=3))
-    # the tf table is persisted: every consumer reads the InMemoryRelation
-    # instead of re-deriving the corpus explode (plan audit found two
-    # (id, term) exchanges without it)
-    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    # r6: document frequency rides a window over the tf table — no
+    # self-join, and NO persist (the r5 cache leaked blocks across
+    # repeated calls; ADVICE r5). N is a 1-row broadcast.
+    assert "InMemoryTableScan" not in plan
+    assert "InMemoryRelation" not in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N join
+    # tf is built ONCE: exactly one exchange keyed on (id, term)
+    assert plan.count("hashpartitioning(doc_id") <= 2  # tf build + rank window

@@ -371,3 +371,25 @@ def test_script_profile_mixed_scripts(spark):
         r[f] for f in r.asDict() if f.endswith("_frac")
     )
     assert total == pytest.approx(1.0)
+
+
+def test_script_profile_unicode_whitespace(spark):
+    """ADVICE r5: NBSP (U+00A0) and ideographic space (U+3000) are
+    whitespace, not "other" characters — they must not inflate
+    n_chars/other_frac for CJK/multilingual docs."""
+    from wimbd_spark.operators.textqc import script_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ab\u00a0cd"),  # NBSP between latin runs
+            (2, "\u4e00\u3000\u4e8c"),  # CJK + ideographic space
+            (3, "\u00a0\u3000 "),  # only whitespace -> empty
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in script_profile(docs).collect()}
+    assert got[1]["n_chars"] == 4
+    assert got[1]["latin_frac"] == 1.0 and got[1]["other_frac"] == 0.0
+    assert got[2]["n_chars"] == 2
+    assert got[2]["cjk_frac"] == 1.0 and got[2]["main_script"] == "cjk"
+    assert got[3]["n_chars"] == 0 and got[3]["main_script"] == "none"

@@ -54,3 +54,17 @@ def test_blocklist_flag_mode(spark, urls):
                        5: False, 6: True}
     with pytest.raises(ValueError):
         filter_by_domain_blocklist(urls, blocked, mode="nope")
+
+
+def test_blocklist_mixed_case_entries_match(spark, urls):
+    """ADVICE r5: blocklist entries are lowercased on load — a
+    mixed-case entry ('Example.COM') must match example.com and its
+    subdomains, in the batch operator AND the streaming map table."""
+    blocked = spark.createDataFrame([("Example.COM",)], ["domain"])
+    kept = filter_by_domain_blocklist(urls, blocked)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4, 5]
+
+    from wimbd_spark.streaming import blocked_domain_table
+
+    m = blocked_domain_table(blocked).collect()[0]["blocked"]
+    assert m == {"example.com": True}

@@ -81,36 +81,10 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
-            if name == "unique_ngrams_approx":
-                # no hash oracle by nature (HLL estimates differ across
-                # engines), but the estimate must sit within the sketch's
-                # error envelope of the exact count: |approx − exact| ≤
-                # 3·rsd·exact (rsd 0.05 = approx_count_distinct default;
-                # 3 sigmas ≈ certain for a correct implementation)
-                exact = con.sql(
-                    """
-                    SELECT count(DISTINCT g) FROM (
-                      SELECT array_to_string(t[i:i+2], ' ') AS g
-                      FROM (SELECT list_filter(regexp_split_to_array(
-                                     trim(text), '\\s+'), x -> x <> '') AS t
-                            FROM documents WHERE text IS NOT NULL),
-                           unnest(generate_series(1, len(t)-2)) AS u(i))
-                    """
-                ).fetchone()[0]
-                approx = srows[0][0]
-                bound = 3 * 0.05 * exact
-                if abs(approx - exact) > bound:
-                    failures.append(name)
-                    print(
-                        f"FAIL {name}: approx {approx} vs exact {exact} "
-                        f"outside ±{bound:.0f}"
-                    )
-                else:
-                    print(
-                        f"OK   {name}: approx {approx} within "
-                        f"±{bound:.0f} of exact {exact}"
-                    )
-                continue
+            # since r6 every registry query carries an oracle
+            # (unique_ngrams_approx's HLL bound rides inside its own
+            # query as the approx_within_bound column); this branch
+            # only fires if a future oracle-less query is added
             print(f"WEAK {name}: no oracle, rows={len(srows)}")
             continue
         try:

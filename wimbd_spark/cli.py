@@ -543,9 +543,13 @@ def main(argv: list[str] | None = None) -> int:
                 blocked = spark.read.parquet(args.blocklist)
             else:
                 # UT1 plain-text format: one domain per line
+                # (lowercased — mixed-case entries must still match
+                # the lowercased host side)
                 blocked = (
                     spark.read.text(args.blocklist)
-                    .select(F.trim(F.col("value")).alias("domain"))
+                    .select(
+                        F.lower(F.trim(F.col("value"))).alias("domain")
+                    )
                     .filter(F.col("domain") != "")
                 )
             before = df.count()

@@ -88,9 +88,14 @@ def lm_score(
 
     ``lm`` is a (token, logp) table from `unigram_lm` (or any
     compatible scorer); its ``token IS NULL`` row supplies the
-    unseen-token fallback. Docs with NULL text or zero tokens get
-    n_tokens = 0 and NULL scores (kept, not dropped — gating is the
-    caller's policy, see `perplexity_filter`).
+    unseen-token fallback and is VALIDATED here: a caller-supplied
+    model (e.g. CLI --lm pointing at a hand-built parquet) missing the
+    NULL-token row would otherwise cross-join zero rows and silently
+    score the ENTIRE corpus as empty, while >1 NULL rows would
+    duplicate every token row and corrupt n_tokens — both now raise.
+    Docs with NULL text or zero tokens get n_tokens = 0 and NULL
+    scores (kept, not dropped — gating is the caller's policy, see
+    `perplexity_filter`).
     """
     from wimbd_spark.functions.text import tokenize
 
@@ -98,6 +103,18 @@ def lm_score(
     vocab = lm.filter(F.col("token").isNotNull())
     if broadcast_lm:
         vocab = F.broadcast(vocab)
+    # model-sized count — one cheap job against the vocab table, run
+    # BEFORE the corpus is touched
+    n_unseen = lm.filter(F.col("token").isNull()).count()
+    if n_unseen != 1:
+        raise ValueError(
+            f"lm_score: the LM table must contain exactly one "
+            f"'token IS NULL' fallback row (the unseen-token logp); "
+            f"found {n_unseen}. A missing row would silently score "
+            f"every document as empty; extra rows would duplicate "
+            f"token rows. Build the table with unigram_lm, or append "
+            f"a (NULL, floor_logp) row to a hand-built model."
+        )
     unseen = F.broadcast(
         lm.filter(F.col("token").isNull()).select(
             F.col("logp").alias("_unseen")

@@ -514,38 +514,40 @@ def tfidf_top_terms(
     Ties rank deterministically (tfidf desc, term asc).
 
     100 TB plan shape: one explode + groupBy(id, term) builds the tf
-    table (the only corpus-sized shuffle); document frequency is a
-    second aggregation OF THAT TABLE keyed on term (no second corpus
-    scan); N is a broadcast single-row aggregate; the tf⋈df join keys
-    on term and AQE sizes it; the final top-k window shuffles
-    (id, term, score) rows only — never full documents.
+    table (the only corpus-token-sized shuffle); document frequency
+    rides a window over THAT table partitioned by term — no self-join
+    and, since r6, NO persist (the r5 cache leaked MEMORY_AND_DISK
+    blocks across repeated calls in a long-lived application, ADVICE
+    r5); N is a broadcast single-row aggregate from a second
+    column-pruned corpus scan (a map-side scan is cheaper and safer
+    than caching a corpus-sized tf table to avoid it); the final
+    top-k window shuffles (id, term, score) rows only — never full
+    documents.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    from pyspark import StorageLevel
-
     tok = tokenizer if tokenizer is not None else tokenize
-    # tf feeds THREE consumers (df-counts, N, the scoring join);
-    # persist so the corpus is exploded and shuffled exactly once —
-    # without it the plan re-derives tf per consumer (verified: two
-    # (id, term) exchanges in the unpersisted physical plan)
     tf = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.explode(tok(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
-    ndocs = tf.select(id_col).distinct().agg(
-        F.count(F.lit(1)).alias("_N")
+    # N = docs with >= 1 token: map-side scan + scalar agg, broadcast
+    ndocs = F.broadcast(
+        df.filter(F.col(text_col).isNotNull()).agg(
+            F.count(
+                F.when(F.size(tok(F.col(text_col))) > 0, 1)
+            ).alias("_N")
+        )
     )
+    wterm = Window.partitionBy("term")
     w = Window.partitionBy(id_col).orderBy(
         F.desc("tfidf"), F.asc("term")
     )
     return (
-        tf.join(dfreq, "term")
-        .join(F.broadcast(ndocs))
+        tf.withColumn("_df", F.count(F.lit(1)).over(wterm))
+        .join(ndocs)  # 1-row broadcast: a constant column, no shuffle
         .withColumn(
             "tfidf",
             F.col("tf")
@@ -654,11 +656,15 @@ def script_profile(
     Pure per-row regexp_count projections — map-side, ZERO shuffle,
     whole-stage codegen'd; NULL text profiles as empty. Ties on the
     dominant script break by SCRIPT_CLASSES declaration order
-    (deterministic).
+    (deterministic). Whitespace stripping is Unicode-aware
+    ([\\s\\p{Z}]): NBSP (U+00A0) and ideographic space (U+3000 —
+    ubiquitous in CJK text) are whitespace here, not "other" chars,
+    so they can't skew other_frac/main_script for exactly the
+    multilingual docs this operator routes.
     """
     c = F.col(text_col)
     nonspace = F.coalesce(
-        F.length(F.regexp_replace(c, r"\s", "")), F.lit(0)
+        F.length(F.regexp_replace(c, r"[\s\p{Z}]", "")), F.lit(0)
     ).cast("long")
     nz = F.when(nonspace > 0, nonspace.cast("double"))
     counts = {

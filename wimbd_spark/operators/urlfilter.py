@@ -50,8 +50,9 @@ def filter_by_domain_blocklist(
 
     ``blocklist`` is a DataFrame with ``domain_col`` holding bare
     registrable domains (no scheme, no leading dot). Matching is
-    case-insensitive on the host side only if the blocklist is already
-    lowercase (hosts from `url_host` are lowercased here); rows whose
+    fully case-insensitive: BOTH sides are lowercased here (hosts via
+    `url_host`, blocklist entries on load — a mixed-case entry like
+    'Example.COM' matches example.com and its subdomains); rows whose
     URL has no parseable host never match — screen those separately
     if unparseable URLs should be dropped too.
     """
@@ -59,7 +60,9 @@ def filter_by_domain_blocklist(
 
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
-    dom = blocklist.select(F.col(domain_col).alias("_dom")).distinct()
+    dom = blocklist.select(
+        F.lower(F.col(domain_col)).alias("_dom")
+    ).distinct()
     if broadcast_blocklist:
         dom = F.broadcast(dom)
     hits = (

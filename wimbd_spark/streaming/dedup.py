@@ -433,9 +433,10 @@ def blocked_domain_table(blocklist: DataFrame, domain_col: str = "domain") -> Da
     """Fold a domain blocklist into ONE row (blocked:
     map<string,boolean>) — the static side of streaming_url_filter.
     Same single-row-map bound as lm_map_table (UT1-scale lists of a
-    few million domains fit comfortably)."""
+    few million domains fit comfortably). Entries are lowercased to
+    match the lowercased host probe in streaming_url_filter."""
     return (
-        blocklist.select(F.col(domain_col).alias("_d"))
+        blocklist.select(F.lower(F.col(domain_col)).alias("_d"))
         .distinct()
         .groupBy()
         .agg(
