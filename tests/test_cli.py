@@ -436,3 +436,84 @@ def test_cli_url_filter(spark, tmp_path, capsys):
     ])
     assert rows[0] == {"input": 2, "kept": 1, "removed": 1}
     assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [2]
+
+
+def test_cli_search_snippets(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(1, "before the needle after"), (2, "no match here")],
+        ["doc_id", "text"],
+    )
+    tp = str(tmp_path / "docs")
+    docs.write.parquet(tp)
+    rows = _run(capsys, [
+        "search-snippets", tp, "-p", "needle", "--window", "7",
+    ])
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 1 and rows[0]["match"] == "needle"
+    assert rows[0]["snippet"] == "re the needle after"
+
+
+def test_cli_stratified_sample(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", f"text {i}") for i in range(30)],
+        ["doc_id", "source", "text"],
+    )
+    tp = str(tmp_path / "docs")
+    docs.write.parquet(tp)
+    out = str(tmp_path / "sampled")
+    rows = _run(capsys, [
+        "stratified-sample", tp, "-k", "2", "--out", out,
+    ])
+    by_src = {r["source"]: r["rows"] for r in rows if "source" in r}
+    assert by_src == {"src0": 2, "src1": 2, "src2": 2}
+    assert spark.read.parquet(out).count() == 6
+
+
+def test_cli_script_profile(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "一二三"), (3, "12345")],
+        ["doc_id", "text"],
+    )
+    tp = str(tmp_path / "docs")
+    docs.write.parquet(tp)
+    out = str(tmp_path / "prof")
+    rows = _run(capsys, ["script-profile", tp, "--out", out])
+    counts = {
+        r["main_script"]: r["documents"] for r in rows if "main_script" in r
+    }
+    assert counts == {"latin": 1, "cjk": 1, "digit": 1}
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_cli_gram_novelty(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),          # exact dup of 1 -> novelty 0
+            (3, "p q r s t u v w x"),  # unique -> novelty 1
+        ],
+        ["doc_id", "text"],
+    )
+    tp = str(tmp_path / "docs")
+    docs.write.parquet(tp)
+    rows = _run(capsys, [
+        "gram-novelty", tp, "-n", "3", "--max-novelty", "0.0",
+    ])
+    assert rows[0]["documents"] == 3
+    assert rows[0]["at_or_below_max"] == 2  # both halves of the dup pair
+    assert rows[0]["min_novelty"] == 0.0
+
+
+def test_cli_tfidf(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry cherry")],
+        ["doc_id", "text"],
+    )
+    tp = str(tmp_path / "docs")
+    docs.write.parquet(tp)
+    rows = _run(capsys, ["tfidf", tp, "-k", "1"])
+    top = {r["doc_id"]: r["term"] for r in rows}
+    assert top == {1: "apple", 2: "cherry"}
+    out = str(tmp_path / "terms")
+    rows = _run(capsys, ["tfidf", tp, "-k", "2", "--out", out])
+    assert rows[0]["rows"] == 4 and rows[0]["out"] == out

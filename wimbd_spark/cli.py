@@ -291,6 +291,65 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--out", required=True, help="output parquet path")
 
     sp = sub.add_parser(
+        "search-snippets",
+        help="keyword-in-context: every regex occurrence with "
+        "surrounding characters (the human audit view of search)",
+    )
+    common(sp)
+    sp.add_argument("-p", "--pattern", action="append", required=True)
+    sp.add_argument("--window", type=int, default=30,
+                    help="context chars each side of the match")
+    sp.add_argument("--limit-per-pattern", type=int, default=None)
+    sp.add_argument("--id-col", default=None)
+
+    sp = sub.add_parser(
+        "stratified-sample",
+        help="deterministic per-group sample: exactly K rows per "
+        "group by md5-hash rank (balanced eval/inspection sets)",
+    )
+    common(sp)
+    sp.add_argument("-k", "--per-group", type=int, required=True)
+    sp.add_argument("--group-col", default="source")
+    sp.add_argument("--key-col", default="doc_id")
+    sp.add_argument("--salt", default="")
+    sp.add_argument("--out", required=True, help="output parquet path")
+
+    sp = sub.add_parser(
+        "script-profile",
+        help="per-doc writing-system profile (script fractions + "
+        "dominant script); stdout: corpus counts by main_script",
+    )
+    common(sp)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--out", default=None,
+                    help="write the full per-doc profile parquet here")
+
+    sp = sub.add_parser(
+        "gram-novelty",
+        help="cross-doc n-gram novelty per doc (memorization-risk "
+        "profile); stdout: summary stats",
+    )
+    common(sp)
+    sp.add_argument("-n", "--ngram", type=int, default=8)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--out", default=None,
+                    help="write the per-doc novelty parquet here")
+    sp.add_argument("--max-novelty", type=float, default=None,
+                    help="also report docs at or below this novelty "
+                    "(near-boilerplate suspects)")
+
+    sp = sub.add_parser(
+        "tfidf",
+        help="top-k distinctive terms per document (smooth TF-IDF)",
+    )
+    common(sp)
+    sp.add_argument("-k", "--topk", type=int, default=5)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--out", default=None,
+                    help="write the per-doc terms parquet here "
+                    "(default: emit rows to stdout/--output)")
+
+    sp = sub.add_parser(
         "ingest",
         help="foreign dataset → canonical parquet corpus "
         "(HF dir: parquet/arrow shards; TFRecord files)",
@@ -737,6 +796,108 @@ def main(argv: list[str] | None = None) -> int:
                 }],
                 args.output,
             )
+        elif args.cmd == "search-snippets":
+            from pyspark.sql import functions as F
+
+            from wimbd_spark.operators.count import search_snippets
+
+            idc = args.id_col or (
+                "doc_id" if "doc_id" in df.columns else None
+            )
+            src = df
+            if idc is None:
+                src = df.withColumn(
+                    "_row", F.monotonically_increasing_id()
+                )
+                idc = "_row"
+            res = search_snippets(
+                src,
+                args.pattern,
+                window=args.window,
+                text_col=t,
+                id_cols=(idc,),
+                limit_per_pattern=args.limit_per_pattern,
+            )
+            _emit([r.asDict() for r in res.collect()], args.output)
+        elif args.cmd == "stratified-sample":
+            from pyspark.sql import functions as F
+
+            from wimbd_spark.operators.keycount import stratified_sample
+
+            out_df = stratified_sample(
+                df,
+                k=args.per_group,
+                group_col=args.group_col,
+                key=args.key_col,
+                salt=args.salt,
+            )
+            out_df.write.mode("overwrite").parquet(args.out)
+            sampled = spark.read.parquet(args.out)
+            rows = [
+                r.asDict()
+                for r in sampled.groupBy(args.group_col)
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .orderBy(args.group_col)
+                .collect()
+            ]
+            _emit(rows + [{"out": args.out}], args.output)
+        elif args.cmd == "script-profile":
+            from pyspark.sql import functions as F
+
+            from wimbd_spark.operators.textqc import script_profile
+
+            prof = script_profile(df, id_col=args.id_col, text_col=t)
+            if args.out:
+                prof.write.mode("overwrite").parquet(args.out)
+                prof = spark.read.parquet(args.out)
+            rows = [
+                r.asDict()
+                for r in prof.groupBy("main_script")
+                .agg(F.count(F.lit(1)).alias("documents"))
+                .orderBy(F.desc("documents"), "main_script")
+                .collect()
+            ]
+            if args.out:
+                rows.append({"out": args.out})
+            _emit(rows, args.output)
+        elif args.cmd == "gram-novelty":
+            from pyspark.sql import functions as F
+
+            from wimbd_spark.operators.textqc import gram_novelty
+
+            nov = gram_novelty(
+                df, n=args.ngram, id_col=args.id_col, text_col=t
+            )
+            if args.out:
+                nov.write.mode("overwrite").parquet(args.out)
+                nov = spark.read.parquet(args.out)
+            summary = nov.agg(
+                F.count(F.lit(1)).alias("documents"),
+                F.avg("novelty").alias("mean_novelty"),
+                F.min("novelty").alias("min_novelty"),
+            ).collect()[0].asDict()
+            if args.max_novelty is not None:
+                summary["at_or_below_max"] = nov.filter(
+                    F.col("novelty") <= args.max_novelty
+                ).count()
+                summary["max_novelty"] = args.max_novelty
+            if args.out:
+                summary["out"] = args.out
+            _emit([summary], args.output)
+        elif args.cmd == "tfidf":
+            from wimbd_spark.operators.textqc import tfidf_top_terms
+
+            terms = tfidf_top_terms(
+                df, k=args.topk, id_col=args.id_col, text_col=t
+            )
+            if args.out:
+                terms.write.mode("overwrite").parquet(args.out)
+                n = spark.read.parquet(args.out).count()
+                _emit([{"rows": n, "out": args.out}], args.output)
+            else:
+                _emit(
+                    [r.asDict() for r in terms.collect()], args.output
+                )
         elif args.cmd == "mix":
             from pyspark.sql import functions as F
 
