@@ -151,14 +151,26 @@ DEFAULT_MAX_BUCKET_SIZE = 1000
 RECOMMENDED_MAX_SHINGLE_FREQ = 256
 
 #: "auto" mode caps the inverted-index join when the estimated
-#: candidate volume Σ_h df_h·(df_h−1)/2 (the exact number of join
-#: rows the self-join on shingle hashes produces) exceeds this. 25M
-#: rows is ~seconds of join work on a small cluster — comfortably
-#: above any healthy corpus at test scale, far below the quadratic
-#: blowups the skew fixture measures (500× candidate inflation from
-#: 300 boilerplate docs). SCALE.md finding 1 records a 13.9× runtime
+#: candidate volume Σ_h df_h·(df_h−1)/2 (the number of join rows the
+#: self-join on shingle hashes produces) exceeds this. 25M rows is
+#: ~seconds of join work on a small cluster — comfortably above any
+#: healthy corpus at test scale, far below the quadratic blowups the
+#: skew fixture measures (500× candidate inflation from 300
+#: boilerplate docs). SCALE.md finding 1 records a 13.9× runtime
 #: hit from one shared-shingle pathology; this is the guard for it.
 AUTO_CANDIDATE_LIMIT = 25_000_000
+
+#: Deterministic doc-sample fraction for the auto sketch. Sampling
+#: docs at rate p scales each shingle's df by ~p, so the sampled
+#: Σ df·(df−1)/2 is ~p² of the true volume — dividing by p² gives an
+#: asymptotically unbiased estimate whose error concentrates on the
+#: LARGE-df shingles that dominate the sum (a shingle in 1k of 1M
+#: docs still lands ~250 sampled copies at p=0.25), exactly the ones
+#: the guard exists to catch. Rare df=2 shingles are under-sampled
+#: but contribute one candidate pair each — noise, not blowup. This
+#: keeps the sketch at ~p of a full shingle pass (measured: the
+#: full-table sketch cost ~40% of the query at sf0.1; sampled ~10%).
+AUTO_SKETCH_SAMPLE = 0.25
 
 
 def lsh_bucket_sizes(
@@ -309,17 +321,38 @@ def jaccard_pairs(
     return _jaccard_from_shingle_table(sh, pairs, threshold)
 
 
-def _auto_shingle_cap(sh: DataFrame) -> int | None:
-    """df-sketch guard for the inverted-index self-join: compute the
-    exact candidate volume Σ_h df_h·(df_h−1)/2 the uncapped join on
-    the shingle table would produce (one groupBy(hash) count + scalar
-    sum — map-side combined, vocab-sized shuffle). Returns None (run
+def _auto_shingle_cap(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> int | None:
+    """df-sketch guard for the inverted-index self-join: estimate the
+    candidate volume Σ_h df_h·(df_h−1)/2 the uncapped join would
+    produce, from a deterministic AUTO_SKETCH_SAMPLE doc sample taken
+    STRAIGHT off the corpus (the sample filter runs before
+    tokenization, so the sketch scans ~p of the text and never pays
+    the shingle table's per-doc shuffle — it is one map-side shingle
+    projection + a vocab-sized groupBy(hash) count with map-side
+    combine). The p² scaling is unbiased for the large-df shingles
+    that dominate the sum (see AUTO_SKETCH_SAMPLE). Returns None (run
     uncapped, exact semantics) below AUTO_CANDIDATE_LIMIT; above it,
     warns and returns RECOMMENDED_MAX_SHINGLE_FREQ."""
     import warnings
 
+    p = AUTO_SKETCH_SAMPLE
+    denom = max(round(1.0 / p), 1)
+    toks = tokenize(F.col(text_col))
     est = (
-        sh.select(F.explode("hs").alias("_h"))
+        df.filter(
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")), F.lit(denom)
+            )
+            == 0
+        )
+        .select(
+            F.explode(
+                F.array_distinct(ngram_strings(toks, shingle_n))
+            ).alias("_g")
+        )
+        .select(hash32(F.col("_g")).alias("_h"))
         .groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_df"))
         .agg(
@@ -331,6 +364,7 @@ def _auto_shingle_cap(sh: DataFrame) -> int | None:
         )
         .collect()[0]["_cand"]
     )
+    est = None if est is None else est * denom * denom
     if est is None or est <= AUTO_CANDIDATE_LIMIT:
         return None
     warnings.warn(
@@ -374,16 +408,17 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_freq`` default ``"auto"`` disarms the quadratic
     hazard (r5 VERDICT item 4) without silently changing semantics:
-    one cheap aggregate over the shingle table computes the EXACT
+    a deterministic AUTO_SKETCH_SAMPLE doc sample estimates the
     candidate volume Σ_h df_h·(df_h−1)/2 the uncapped join would
-    produce; below AUTO_CANDIDATE_LIMIT the join runs uncapped (exact
-    Jaccard over the full shingle space — bit-identical to the old
-    default on healthy corpora), above it a loud RuntimeWarning fires
-    and RECOMMENDED_MAX_SHINGLE_FREQ engages. Pass ``None`` to force
-    the uncapped join regardless (the old default), or an int to cap
-    unconditionally. The sketch costs one extra groupBy(hash) count —
-    map-side-combined, vocab-sized shuffle, trivial next to the join
-    it is sizing.
+    produce (unbiased for the boilerplate shingles that dominate —
+    see AUTO_SKETCH_SAMPLE); below AUTO_CANDIDATE_LIMIT the join runs
+    uncapped (exact Jaccard over the full shingle space —
+    bit-identical to the old default on healthy corpora), above it a
+    loud RuntimeWarning fires and RECOMMENDED_MAX_SHINGLE_FREQ
+    engages. Pass ``None`` to force the uncapped join regardless (the
+    old default), or an int to cap unconditionally. The sketch costs
+    one groupBy(hash) count over ~¼ of the corpus — map-side
+    combined, vocab-sized shuffle, small next to the join it sizes.
 
     ``prefix_filter`` enables the AllPairs/PPJoin prefix optimization
     (exact, complete recall — a classic set-similarity-join result):
@@ -412,7 +447,9 @@ def ngram_jaccard_pairs(
             )
         max_shingle_freq = None
     elif max_shingle_freq == "auto":
-        max_shingle_freq = _auto_shingle_cap(sh)
+        max_shingle_freq = _auto_shingle_cap(
+            df, id_col, text_col, shingle_n
+        )
     elif isinstance(max_shingle_freq, str):
         raise ValueError(
             f"max_shingle_freq must be an int, None, or 'auto'; "
