@@ -147,11 +147,18 @@ def normalize_distribution(counts: DataFrame, count_col: str = "count") -> DataF
     """counts → probability distribution (count / Σcount).
 
     Parity: wimbd/sentence_lengths/summarize.py:30-40.
-    Single-partition window over an already-aggregated (small) relation.
+    The total is a scalar aggregate broadcast back as a one-row join —
+    unlike a global window (which would funnel the whole relation into
+    ONE partition), this stays fully parallel even when the
+    distribution is vocab-sized rather than length-bucket-sized.
     """
-    total = Window.partitionBy()
-    return counts.withColumn(
-        "p", F.col(count_col) / F.sum(count_col).over(total)
+    total = F.broadcast(
+        counts.agg(F.sum(count_col).alias("_total"))
+    )
+    return (
+        counts.join(total)
+        .withColumn("p", F.col(count_col) / F.col("_total"))
+        .drop("_total")
     )
 
 
