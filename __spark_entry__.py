@@ -1234,11 +1234,21 @@ def o_repetition_scores():
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (no minhash approximation):
     inverted-index candidates on shared shingle hashes, exact
-    intersect/union on the hashed shingle sets."""
+    intersect/union on the hashed shingle sets.
+
+    max_shingle_freq is pinned to None: the DuckDB oracle computes the
+    UNCAPPED exact Jaccard, so the oracle-gated entry must never let
+    the library's 'auto' guard engage the cap at some future scale
+    factor and silently diverge (the auto default belongs to the
+    CLI/library surface; here exact semantics are the contract — and
+    pinning also keeps the eager sketch job out of the oracle run)."""
     from wimbd_spark.operators.neardup import ngram_jaccard_pairs
 
     out = ngram_jaccard_pairs(
-        _docs(spark, sf_dir), shingle_n=3, threshold=0.2
+        _docs(spark, sf_dir),
+        shingle_n=3,
+        threshold=0.2,
+        max_shingle_freq=None,
     )
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -1374,7 +1384,9 @@ def q_lm_ppl_scores(spark, sf_dir):
     from wimbd_spark.operators.lm import lm_score, unigram_lm
 
     docs = _docs(spark, sf_dir)
-    out = lm_score(docs, unigram_lm(docs, alpha=0.5))
+    # freshly-built lazy model: one NULL row by construction, so skip
+    # the validation count (it would re-run the whole LM build)
+    out = lm_score(docs, unigram_lm(docs, alpha=0.5), validate_lm=False)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -1562,12 +1574,14 @@ def q_script_profile(spark, sf_dir):
 
 def o_script_profile():
     # len(regexp_extract_all) ≙ Spark regexp_count for 1-char classes;
-    # whitespace class mirrors Spark's Unicode-aware [\s\p{Z}] (RE2
-    # \s is ASCII-only like Java's, \p{Z} adds NBSP/U+3000 etc.)
+    # whitespace class is spelled out char-by-char on BOTH sides
+    # (Java \s includes U+000B, RE2's does not) with \p{Z} adding
+    # NBSP/U+3000 etc.
     return """
       WITH prof AS (
         SELECT doc_id,
-               length(regexp_replace(coalesce(text, ''), '[\\s\\p{Z}]', '', 'g'))
+               length(regexp_replace(coalesce(text, ''),
+                 '[\\t\\n\\x0B\\f\\r \\p{Z}]', '', 'g'))
                  AS n_chars,
                len(regexp_extract_all(coalesce(text, ''), '[A-Za-zÀ-ɏ]'))
                  AS n_latin,
@@ -1634,7 +1648,11 @@ def q_neardup_cluster_dedup(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
-    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    # None (not 'auto'): the recursive-CTE oracle is uncapped-exact —
+    # see q_ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.5, max_shingle_freq=None
+    )
     kept = drop_near_duplicates(docs, pairs)
     return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
 
@@ -2206,11 +2224,16 @@ def q_unique_ngrams_approx(spark, sf_dir):
         F.approx_count_distinct("ngram", UNIQUE_APPROX_RSD).alias("_approx"),
     ).select(
         F.col("_exact").cast("long").alias("exact_count"),
-        (
+        # zero-guard: an empty/trigram-less corpus must yield
+        # (0, TRUE) like the oracle, not an ANSI DIVIDE_BY_ZERO
+        F.when(
+            F.col("_exact") > 0,
             F.abs(F.col("_approx") - F.col("_exact"))
             / F.col("_exact")
-            <= bound
-        ).alias("approx_within_bound"),
+            <= bound,
+        )
+        .otherwise(F.lit(True))
+        .alias("approx_within_bound"),
     )
 
 

@@ -9,13 +9,17 @@ window for five consecutive rounds while a hand-maintained comment
 claimed otherwise — this test replaces that comment with a failing
 check (r5 VERDICT item 2).
 
-Invariant (the judge's formulation): diff the registry order against
-the union of the last two CORRECTNESS_r*.json files; FAIL if any
-registry query would exceed 2 rounds without a driver row — i.e. any
-query absent from BOTH of the last two files must be inside the
-current first-50 window (about to get its row this round). Queries
-new this round have no file presence and are likewise forced into
-the window.
+Invariant: every query may rest AT MOST ONE round, so any query
+absent from the LATEST CORRECTNESS_r*.json must be inside the current
+first-50 window (about to get its row this round). This is strictly
+stronger than the union-of-last-two formulation (which would permit a
+second consecutive rested round); with 93 registered queries the
+arithmetic always fits: ≤43 absent from a 50-row file. Queries new
+this round have no file presence and are likewise forced into the
+window. Note the deliberate forcing function: the moment the driver
+writes a new CORRECTNESS file at round end, this test goes red until
+the next round's rotation is done — rotation is the first task of
+every round, not an optional cleanup.
 """
 
 import json
@@ -55,16 +59,14 @@ def test_window_is_50_or_registry_smaller():
         return
 
 
-def test_no_query_exceeds_two_rounds_without_driver_row():
+def test_no_query_rests_more_than_one_round():
     order = _registry_order()
     if len(order) <= WINDOW:
         return
     files = _correctness_files()
     assert files, "no CORRECTNESS_r*.json present — driver never ran?"
-    recent = files[-2:]
-    covered: set[str] = set()
-    for p in recent:
-        covered |= set(json.loads(p.read_text()).keys())
+    latest = files[-1]
+    covered = set(json.loads(latest.read_text()).keys())
     window = set(order[:WINDOW])
     stale = [
         name
@@ -72,11 +74,12 @@ def test_no_query_exceeds_two_rounds_without_driver_row():
         if name not in covered and name not in window
     ]
     assert not stale, (
-        f"registry queries absent from the last two driver windows "
-        f"({', '.join(p.name for p in recent)}) AND outside the "
-        f"current first-{WINDOW}: {stale} — move them to the front "
-        f"of _REGISTRY (every query must get a driver row at least "
-        f"every other round)"
+        f"registry queries absent from the latest driver window "
+        f"({latest.name}) AND outside the current first-{WINDOW}: "
+        f"{stale} — move them to the front of _REGISTRY (every query "
+        f"must get a driver row at least every other round; if this "
+        f"fired right after a new CORRECTNESS file landed, rotate "
+        f"the window now)"
     )
 
 

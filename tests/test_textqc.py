@@ -381,7 +381,7 @@ def test_script_profile_unicode_whitespace(spark):
 
     docs = spark.createDataFrame(
         [
-            (1, "ab\u00a0cd"),  # NBSP between latin runs
+            (1, "ab\u00a0c\u000bd"),  # NBSP + vertical tab
             (2, "\u4e00\u3000\u4e8c"),  # CJK + ideographic space
             (3, "\u00a0\u3000 "),  # only whitespace -> empty
         ],

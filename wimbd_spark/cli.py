@@ -571,12 +571,14 @@ def main(argv: list[str] | None = None) -> int:
                 unigram_lm,
             )
 
-            lm = (
-                spark.read.parquet(args.lm)
-                if args.lm
-                else unigram_lm(df, text_col=t)
-            )
+            # lm stays None for the self-trained path (materialized
+            # only via --save-lm) so perplexity_filter skips the
+            # model-validation count that would re-run a lazy build;
+            # caller-supplied / reloaded parquet models ARE validated
+            lm = spark.read.parquet(args.lm) if args.lm else None
             if args.save_lm:
+                if lm is None:
+                    lm = unigram_lm(df, text_col=t)
                 lm.write.mode("overwrite").parquet(args.save_lm)
                 lm = spark.read.parquet(args.save_lm)
             before = df.count()
@@ -871,15 +873,24 @@ def main(argv: list[str] | None = None) -> int:
             if args.out:
                 nov.write.mode("overwrite").parquet(args.out)
                 nov = spark.read.parquet(args.out)
-            summary = nov.agg(
+            # one aggregation — the threshold count rides the same
+            # pass instead of re-deriving the (unpersisted) novelty
+            # plan a second time
+            aggs = [
                 F.count(F.lit(1)).alias("documents"),
                 F.avg("novelty").alias("mean_novelty"),
                 F.min("novelty").alias("min_novelty"),
-            ).collect()[0].asDict()
+            ]
             if args.max_novelty is not None:
-                summary["at_or_below_max"] = nov.filter(
-                    F.col("novelty") <= args.max_novelty
-                ).count()
+                aggs.append(
+                    F.count(
+                        F.when(
+                            F.col("novelty") <= args.max_novelty, 1
+                        )
+                    ).alias("at_or_below_max")
+                )
+            summary = nov.agg(*aggs).collect()[0].asDict()
+            if args.max_novelty is not None:
                 summary["max_novelty"] = args.max_novelty
             if args.out:
                 summary["out"] = args.out

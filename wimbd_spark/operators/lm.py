@@ -81,6 +81,7 @@ def lm_score(
     text_col: str = "text",
     tokenizer=None,
     broadcast_lm: bool = False,
+    validate_lm: bool = True,
 ) -> DataFrame:
     """Score every doc under a unigram LM → (id_col, n_tokens,
     bits_per_token, ppl) where bits_per_token is the average negative
@@ -103,18 +104,24 @@ def lm_score(
     vocab = lm.filter(F.col("token").isNotNull())
     if broadcast_lm:
         vocab = F.broadcast(vocab)
-    # model-sized count — one cheap job against the vocab table, run
-    # BEFORE the corpus is touched
-    n_unseen = lm.filter(F.col("token").isNull()).count()
-    if n_unseen != 1:
-        raise ValueError(
-            f"lm_score: the LM table must contain exactly one "
-            f"'token IS NULL' fallback row (the unseen-token logp); "
-            f"found {n_unseen}. A missing row would silently score "
-            f"every document as empty; extra rows would duplicate "
-            f"token rows. Build the table with unigram_lm, or append "
-            f"a (NULL, floor_logp) row to a hand-built model."
-        )
+    # For a MATERIALIZED caller-supplied model (a parquet read) this
+    # count is one cheap model-sized job; callers who just built the
+    # table with unigram_lm (which emits exactly one NULL row by
+    # construction — see perplexity_filter) pass validate_lm=False,
+    # because counting a LAZY lm plan would re-run the whole LM build
+    # as a separate job.
+    if validate_lm:
+        n_unseen = lm.filter(F.col("token").isNull()).count()
+        if n_unseen != 1:
+            raise ValueError(
+                f"lm_score: the LM table must contain exactly one "
+                f"'token IS NULL' fallback row (the unseen-token "
+                f"logp); found {n_unseen}. A missing row would "
+                f"silently score every document as empty; extra rows "
+                f"would duplicate token rows. Build the table with "
+                f"unigram_lm, or append a (NULL, floor_logp) row to "
+                f"a hand-built model."
+            )
     unseen = F.broadcast(
         lm.filter(F.col("token").isNull()).select(
             F.col("logp").alias("_unseen")
@@ -165,7 +172,8 @@ def perplexity_filter(
     One id-probe semi-join restores full rows; the corpus is never
     shuffled at full width.
     """
-    if lm is None:
+    self_trained = lm is None
+    if self_trained:
         lm = unigram_lm(df, text_col=text_col, alpha=alpha, tokenizer=tokenizer)
     keep = (
         lm_score(
@@ -175,6 +183,9 @@ def perplexity_filter(
             text_col=text_col,
             tokenizer=tokenizer,
             broadcast_lm=broadcast_lm,
+            # unigram_lm emits exactly one NULL row by construction;
+            # counting its LAZY plan would re-run the full LM build
+            validate_lm=not self_trained,
         )
         .filter(F.col("ppl") <= max_ppl)
         .select(id_col)

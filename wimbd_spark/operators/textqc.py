@@ -662,9 +662,14 @@ def script_profile(
     so they can't skew other_frac/main_script for exactly the
     multilingual docs this operator routes.
     """
+    # class spelled out char-by-char, NOT \s: Java \s includes
+    # vertical tab (U+000B) while RE2's (the DuckDB oracle engine)
+    # does not — an abstract \s on both sides silently diverges on
+    # VT-bearing docs
     c = F.col(text_col)
     nonspace = F.coalesce(
-        F.length(F.regexp_replace(c, r"[\s\p{Z}]", "")), F.lit(0)
+        F.length(F.regexp_replace(c, r"[\t\n\x0B\f\r \p{Z}]", "")),
+        F.lit(0),
     ).cast("long")
     nz = F.when(nonspace > 0, nonspace.cast("double"))
     counts = {
