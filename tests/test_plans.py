@@ -305,3 +305,25 @@ def test_tfidf_single_corpus_aggregation(spark, raw_docs):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row N join
     # tf is built ONCE: exactly one exchange keyed on (id, term)
     assert plan.count("hashpartitioning(doc_id") <= 2  # tf build + rank window
+
+
+def test_normalize_distribution_no_global_window(spark, raw_docs):
+    """r6: the total is a one-row broadcast join, not an
+    empty-partition window (which funnels the whole relation into ONE
+    task — a wall for vocab-sized distributions); the groupBy-built
+    input's exchange is reused across both plan branches."""
+    from wimbd_spark.operators.keycount import normalize_distribution
+
+    counts = (
+        raw_docs.groupBy(F.length("text").alias("len"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    q = normalize_distribution(counts)
+    plan = explain_str(q)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total join
+    # the counts aggregation is computed once: AQE converts the second
+    # branch's identical exchange to a ReusedExchange at runtime
+    q.collect()
+    final = q._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final

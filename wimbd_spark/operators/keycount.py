@@ -151,6 +151,10 @@ def normalize_distribution(counts: DataFrame, count_col: str = "count") -> DataF
     unlike a global window (which would funnel the whole relation into
     ONE partition), this stays fully parallel even when the
     distribution is vocab-sized rather than length-bucket-sized.
+    ``counts``' lineage appears in both plan branches; when it ends in
+    a shuffle (any groupBy-built distribution — every caller here)
+    Spark reuses the exchange, so the input is computed once. For an
+    exchange-free expensive input, persist it first.
     """
     total = F.broadcast(
         counts.agg(F.sum(count_col).alias("_total"))
