@@ -3403,100 +3403,43 @@ def o_demographic_cooccurrence():
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # ROTATION POLICY (round-robin): the driver records correctness rows
     # for the FIRST 50 entries only, so with >50 queries the window
-    # rotates each round — every query whose name is ABSENT from the
-    # most recent CORRECTNESS_r*.json MUST be inside the first 50 of
-    # the next round (the every-other-round rule). This invariant is
-    # now enforced mechanically by tests/test_rotation.py, which fails
-    # pytest if the current ordering would let any query exceed one
-    # rested round; tools/check_oracles.py additionally covers ALL
-    # entries locally every round regardless of position.
-    # Round 6 window: in — the 43 queries absent from CORRECTNESS_r05
-    # (front-loaded with repeated_spans_k8 / dedup_lines_within_doc,
-    # which sat at positions 51/50 and — correcting the false r5
-    # comment — had NEVER had a driver row in rounds 1–5), plus 7
-    # r5-green queries whose code paths round 6 touches (the
-    # unique_ngrams_approx error-bound oracle, the script_profile
-    # whitespace fix, the tfidf unpersist, the lm-model validation,
-    # the blocklist lowercasing, and new CLI verbs). Out — the
-    # remaining r5-green queries (back of the dict; they return in r7).
-    # -- never driver-checked in r1–r5 (VERDICT r5 item 1) (2):
-    "repeated_spans_k8": (q_repeated_spans, o_repeated_spans),
-    "dedup_lines_within_doc": (q_dedup_lines, o_dedup_lines),
-    # -- rested in r5, returning per the every-other-round rule (41):
-    "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
-    "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
-    "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
-    "find_examples": (q_find_examples, o_find_examples),
-    "semantic_dedup_drops": (q_semantic_dedup_drops, o_semantic_dedup_drops),
-    "embedding_cosine_pairs_lsh_auto": (
-        q_embedding_cosine_pairs_lsh_auto,
-        o_embedding_cosine_pairs_lsh_auto,
+    # rotates each round. Invariant (tests/test_rotation.py): every
+    # query absent from the UNION of the last two CORRECTNESS_r*.json
+    # files must sit inside the current first-50 — i.e. every query
+    # gets a driver row at least every other round, and the suite stays
+    # green at round boundaries (r6 VERDICT item 1).
+    # tools/check_oracles.py additionally covers ALL entries locally
+    # every round regardless of position.
+    # Round 7 window: in — the 43 queries green in r5 but absent from
+    # CORRECTNESS_r06 (the back half of the r6 ordering, returning per
+    # the every-other-round rule), plus 7 r6-green queries on code
+    # paths round 7 touches: multimodal_bytes_meta (JPEG baseline
+    # decode un-gated), ngram_jaccard_pairs (reusable candidate
+    # sketch), unique_ngrams_approx (HLL-only bench twin), and the
+    # four stat-heaviest queries most exposed to the degenerate-input
+    # sweep (corpus_stats, length_percentiles, quality_scores,
+    # repetition_scores). Out — the remaining 43 r6-green queries
+    # (back of the dict; they return in r8).
+    # -- rested in r6, returning per the every-other-round rule (43):
+    "top_orders_by_revenue": (
+        q_top_orders_by_revenue,
+        o_top_orders_by_revenue,
     ),
-    "source_log_odds": (q_source_log_odds, o_source_log_odds),
-    "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
-    "length_percentiles": (q_length_percentiles, o_length_percentiles),
-    "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
-    "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
-    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
-    "corpus_stats": (q_corpus_stats, o_corpus_stats),
-    "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
-    "mixture_sample": (q_mixture_sample, o_mixture_sample),
-    "pack_documents_512": (q_pack_documents, o_pack_documents),
-    "neardup_cluster_dedup": (q_neardup_cluster_dedup, o_neardup_cluster_dedup),
-    "lang_counts": (q_lang_counts, o_lang_counts),
-    "token_length_dist": (q_token_length_dist, o_token_length_dist),
-    "pricing_summary": (q_pricing_summary, o_pricing_summary),
-    "events_json_stats": (q_events_json_stats, o_events_json_stats),
-    "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
-    "simhash16": (q_simhash, o_simhash),
-    "simhash62": (q_simhash62, o_simhash62),
-    "embedding_cosine_pairs_lsh": (
-        q_embedding_cosine_pairs_lsh,
-        o_embedding_cosine_pairs_lsh,
-    ),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, o_ngram_jaccard_pairs),
-    "quality_scores": (q_quality_scores, o_quality_scores),
-    "repetition_scores": (q_repetition_scores, o_repetition_scores),
-    "langid_counts": (q_langid_counts, o_langid_counts),
-    "doc_fingerprints": (q_fingerprints, o_fingerprints),
-    "token_counts": (q_token_counts, o_token_counts),
-    "multimodal_bytes_meta": (q_multimodal_bytes_meta, o_multimodal_bytes_meta),
-    "pii_extraction": (q_pii_extraction, o_pii_extraction),
-    "taxonomy_counts": (q_taxonomy_counts, o_taxonomy_counts),
-    "demographic_cooccurrence": (q_demographic_cooccurrence, o_demographic_cooccurrence),
-    "sample_by_hash": (q_sample_by_hash, o_sample_by_hash),
-    "id_lookup": (q_id_lookup, o_id_lookup),
-    "length_dist_normalized": (q_length_dist_normalized, o_length_dist_normalized),
-    "url_analysis": (q_url_analysis, o_url_analysis),
-    "search_locations": (q_search_locations, o_search_locations),
-    "orders_rollup": (q_orders_rollup, o_orders_rollup),
-    # -- r5-green, but on code paths touched by round-6 fixes (7):
-    "unique_ngrams_approx": (
-        q_unique_ngrams_approx,
-        o_unique_ngrams_approx,
-    ),
-    "script_profile": (q_script_profile, o_script_profile),
-    "tfidf_top3_terms": (q_tfidf_top3_terms, o_tfidf_top3_terms),
-    "lm_ppl_scores": (q_lm_ppl_scores, o_lm_ppl_scores),
-    "perplexity_filter_31": (
-        q_perplexity_filter_31,
-        o_perplexity_filter_31,
-    ),
-    "domain_blocklist_filter": (
-        q_domain_blocklist_filter,
-        o_domain_blocklist_filter,
-    ),
-    "search_snippets_w20": (q_search_snippets, o_search_snippets),
-    # --- back of the window (43): green in r5 on paths untouched by
-    # round 6; ALL of these return to the first 50 in round 7
-    # (enforced by tests/test_rotation.py once CORRECTNESS_r06 lands).
-    "top_orders_by_revenue": (q_top_orders_by_revenue, o_top_orders_by_revenue),
     "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
     "events_tumbling_1h": (q_events_tumbling, o_events_tumbling),
     "session_stats_30m_gap": (q_session_stats, o_session_stats),
-    "embedding_cosine_pairs": (q_embedding_cosine_pairs, o_embedding_cosine_pairs),
-    "phrase_count_filtered": (q_phrase_count_filtered, o_phrase_count_filtered),
-    "top2_orders_per_customer": (q_top2_orders_per_customer, o_top2_orders_per_customer),
+    "embedding_cosine_pairs": (
+        q_embedding_cosine_pairs,
+        o_embedding_cosine_pairs,
+    ),
+    "phrase_count_filtered": (
+        q_phrase_count_filtered,
+        o_phrase_count_filtered,
+    ),
+    "top2_orders_per_customer": (
+        q_top2_orders_per_customer,
+        o_top2_orders_per_customer,
+    ),
     "topk_ngrams_n3_k20": (q_topk_ngrams, o_topk_ngrams),
     "botk_ngrams_n1_k20": (q_botk_ngrams, o_botk_ngrams),
     "unique_ngrams_n2": (q_unique_ngrams, o_unique_ngrams),
@@ -3511,7 +3454,10 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "top_customers": (q_top_customers, o_top_customers),
     "events_sliding_1h_30m": (q_events_sliding, o_events_sliding),
     "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
-    "orders_by_year_priority": (q_orders_by_year_priority, o_orders_by_year_priority),
+    "orders_by_year_priority": (
+        q_orders_by_year_priority,
+        o_orders_by_year_priority,
+    ),
     "contaminated_examples": (
         q_contaminated_examples,
         o_contaminated_examples,
@@ -3532,10 +3478,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         q_vocab_stats_by_source,
         o_vocab_stats_by_source,
     ),
-    "stratified_sample_k5": (
-        q_stratified_sample_k5,
-        o_stratified_sample_k5,
-    ),
+    "stratified_sample_k5": (q_stratified_sample_k5, o_stratified_sample_k5),
     "contamination_rate_indexed": (
         q_contamination_rate_indexed,
         o_contamination_rate_indexed,
@@ -3554,6 +3497,81 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "decontaminate_src0": (q_decontaminate, o_decontaminate),
     "pii_redaction": (q_pii_redaction, o_pii_redaction),
     "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
+    # -- r6-green, but on code paths touched by round-7 work (7):
+    "multimodal_bytes_meta": (
+        q_multimodal_bytes_meta,
+        o_multimodal_bytes_meta,
+    ),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, o_ngram_jaccard_pairs),
+    "unique_ngrams_approx": (q_unique_ngrams_approx, o_unique_ngrams_approx),
+    "corpus_stats": (q_corpus_stats, o_corpus_stats),
+    "length_percentiles": (q_length_percentiles, o_length_percentiles),
+    "quality_scores": (q_quality_scores, o_quality_scores),
+    "repetition_scores": (q_repetition_scores, o_repetition_scores),
+    # --- back of the window (43): green in r6 on paths untouched by
+    # round 7; ALL of these return to the first 50 in round 8
+    # (enforced by tests/test_rotation.py once CORRECTNESS_r07 lands).
+    "repeated_spans_k8": (q_repeated_spans, o_repeated_spans),
+    "dedup_lines_within_doc": (q_dedup_lines, o_dedup_lines),
+    "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
+    "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
+    "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
+    "find_examples": (q_find_examples, o_find_examples),
+    "semantic_dedup_drops": (q_semantic_dedup_drops, o_semantic_dedup_drops),
+    "embedding_cosine_pairs_lsh_auto": (
+        q_embedding_cosine_pairs_lsh_auto,
+        o_embedding_cosine_pairs_lsh_auto,
+    ),
+    "source_log_odds": (q_source_log_odds, o_source_log_odds),
+    "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
+    "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
+    "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
+    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
+    "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
+    "mixture_sample": (q_mixture_sample, o_mixture_sample),
+    "pack_documents_512": (q_pack_documents, o_pack_documents),
+    "neardup_cluster_dedup": (
+        q_neardup_cluster_dedup,
+        o_neardup_cluster_dedup,
+    ),
+    "lang_counts": (q_lang_counts, o_lang_counts),
+    "token_length_dist": (q_token_length_dist, o_token_length_dist),
+    "pricing_summary": (q_pricing_summary, o_pricing_summary),
+    "events_json_stats": (q_events_json_stats, o_events_json_stats),
+    "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
+    "simhash16": (q_simhash, o_simhash),
+    "simhash62": (q_simhash62, o_simhash62),
+    "embedding_cosine_pairs_lsh": (
+        q_embedding_cosine_pairs_lsh,
+        o_embedding_cosine_pairs_lsh,
+    ),
+    "langid_counts": (q_langid_counts, o_langid_counts),
+    "doc_fingerprints": (q_fingerprints, o_fingerprints),
+    "token_counts": (q_token_counts, o_token_counts),
+    "pii_extraction": (q_pii_extraction, o_pii_extraction),
+    "taxonomy_counts": (q_taxonomy_counts, o_taxonomy_counts),
+    "demographic_cooccurrence": (
+        q_demographic_cooccurrence,
+        o_demographic_cooccurrence,
+    ),
+    "sample_by_hash": (q_sample_by_hash, o_sample_by_hash),
+    "id_lookup": (q_id_lookup, o_id_lookup),
+    "length_dist_normalized": (
+        q_length_dist_normalized,
+        o_length_dist_normalized,
+    ),
+    "url_analysis": (q_url_analysis, o_url_analysis),
+    "search_locations": (q_search_locations, o_search_locations),
+    "orders_rollup": (q_orders_rollup, o_orders_rollup),
+    "script_profile": (q_script_profile, o_script_profile),
+    "tfidf_top3_terms": (q_tfidf_top3_terms, o_tfidf_top3_terms),
+    "lm_ppl_scores": (q_lm_ppl_scores, o_lm_ppl_scores),
+    "perplexity_filter_31": (q_perplexity_filter_31, o_perplexity_filter_31),
+    "domain_blocklist_filter": (
+        q_domain_blocklist_filter,
+        o_domain_blocklist_filter,
+    ),
+    "search_snippets_w20": (q_search_snippets, o_search_snippets),
 }
 
 
