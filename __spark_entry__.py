@@ -522,21 +522,23 @@ def o_phrase_doc_counts():
 _BUILT_INDEX_PATHS: set[str] = set()
 
 
+def _index_path(sf_dir: str, name: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"wimbd_{name}_index_{tag}")
+
+
 def _phrase_index(spark, sf_dir, docs=None, name="phrase"):
     """Build (once per process per (sf_dir, name) — the testdata is
     immutable) and load a posting-list index parquet; ``docs`` defaults
     to the full documents table, and ``name`` keys variant indexes
     (e.g. the non-src0 contamination corpus)."""
-    import hashlib
-    import os
-    import tempfile
-
     from wimbd_spark.index import build_phrase_index, load_phrase_index
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(
-        tempfile.gettempdir(), f"wimbd_{name}_index_{tag}"
-    )
+    path = _index_path(sf_dir, name)
     if path not in _BUILT_INDEX_PATHS:
         build_phrase_index(
             docs if docs is not None else _docs(spark, sf_dir), path
@@ -564,6 +566,34 @@ def prepare_benchmark(spark, sf_dir) -> dict:
         sf_dir,
         docs=_docs(spark, sf_dir).filter(F.col("source") != "src0"),
         name="contam",
+    )
+    out["contam_index"] = round(_time.perf_counter() - t0, 4)
+    return out
+
+
+def prepare_benchmark_warm(spark, sf_dir) -> dict:
+    """Rebuild every benchmark index once with the JVM already warm,
+    bypassing the memoization — the mechanical companion to
+    ``prepare_benchmark`` (VERDICT r6 item 3). The first Spark job of a
+    process absorbs a multi-second constant (JIT, codegen cache, task
+    serialization warm-up) that landed in whichever index built first
+    and made round-over-round ``build_s`` comparisons meaningless
+    (recorded 6.2-12.7 s across rounds from machine state alone;
+    isolated warm rebuild ~1 s — SCALE.md finding 9). bench.py calls
+    this AFTER the timed query pass and reports it as ``build_warm_s``:
+    the steady-state build cost, which is the number that scales."""
+    import time as _time
+
+    from wimbd_spark.index import build_phrase_index
+
+    out = {}
+    t0 = _time.perf_counter()
+    build_phrase_index(_docs(spark, sf_dir), _index_path(sf_dir, "phrase"))
+    out["phrase_index"] = round(_time.perf_counter() - t0, 4)
+    t0 = _time.perf_counter()
+    build_phrase_index(
+        _docs(spark, sf_dir).filter(F.col("source") != "src0"),
+        _index_path(sf_dir, "contam"),
     )
     out["contam_index"] = round(_time.perf_counter() - t0, 4)
     return out
@@ -2247,6 +2277,34 @@ def o_unique_ngrams_approx():
       FROM grams
     """
 
+
+def q_unique_ngrams_hll(spark, sf_dir):
+    """HLL-ONLY distinct trigrams — the 100 TB path, benched on its own
+    (VERDICT r6 item 2 / design-tension note 3). The oracle-gated
+    registry twin ``unique_ngrams_approx`` computes exact+HLL so the
+    sketch's error bound is driver-verifiable, which makes its benched
+    cost track the exact ``countDistinct`` (full gram shuffle, 2.6× at
+    sf1). At scale only the sketch runs — one map-side HLL++ per
+    partition merged at the driver, no gram shuffle, matching the
+    reference's single-pass Bloom estimate (src/cmd/unique.rs:65-161).
+    Bench-only (not in _REGISTRY): its plan is the approx half of the
+    oracle-gated twin, so correctness rides that query's driver row."""
+    from wimbd_spark.functions.text import ngram_strings, tokenize
+
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(ngram_strings(tokenize(F.col("text")), 3)).alias(
+                "ngram"
+            )
+        )
+        .agg(
+            F.approx_count_distinct("ngram", UNIQUE_APPROX_RSD)
+            .cast("long")
+            .alias("approx_distinct_ngrams")
+        )
+    )
+
 LOC_PATTERNS = ["table scan", "qu[ae]ry"]
 
 
@@ -3582,6 +3640,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries benched by bench.py but kept OUT of the driver registry:
+    each is a cost-model variant of an oracle-gated registry query (its
+    correctness rides the twin's driver row), so registering it would
+    only dilute the 50-row correctness window with duplicate plans."""
+    return {"bench_unique_ngrams_hll": q_unique_ngrams_hll}
 
 
 def oracle_sql() -> dict[str, str]:

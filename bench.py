@@ -103,6 +103,10 @@ def main() -> None:
 
     spark = get_spark(app_name="wimbd-spark-bench")
     qs = entrymod.queries()
+    # cost-model variants benched but not driver-registered (their
+    # correctness rides an oracle-gated registry twin)
+    if hasattr(entrymod, "bench_only_queries"):
+        qs.update(entrymod.bench_only_queries())
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n.startswith("bench_") and n not in HEADLINE
     ]
@@ -141,6 +145,17 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # warm rebuild AFTER the timed pass (so it cannot perturb query
+    # timings): build_s absorbs the first-job JVM constant and varies
+    # 6-13s with machine state; build_warm_s is the steady-state build
+    # cost — the mechanically comparable round-over-round number
+    build_warm_s: dict[str, float] = {}
+    if hasattr(entrymod, "prepare_benchmark_warm"):
+        try:
+            build_warm_s = entrymod.prepare_benchmark_warm(spark, SF_DIR)
+        except Exception:
+            pass
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     print(
@@ -151,6 +166,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "build_s": build_s,
+                "build_warm_s": build_warm_s,
                 "sf": sf,
             }
         )
