@@ -507,10 +507,12 @@ def q_phrase_doc_counts(spark, sf_dir):
 
 
 def o_phrase_doc_counts():
+    # coalesce: count_if over an empty corpus is NULL in DuckDB; a
+    # document count is 0
     parts = [
         f"""
         SELECT '{p}' AS phrase,
-               CAST(count_if({_sql_phrase_match(p)}) AS BIGINT) AS count
+               CAST(coalesce(count_if({_sql_phrase_match(p)}), 0) AS BIGINT) AS count
         FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
               FROM documents WHERE text IS NOT NULL)
         """
@@ -635,7 +637,8 @@ def q_phrase_batch_counts(spark, sf_dir):
 
 def o_phrase_batch_counts():
     cols = ", ".join(
-        f"count_if({_sql_phrase_match(p)}) AS c{i}"
+        # coalesce: count_if over an empty corpus is NULL; counts are 0
+        f"coalesce(count_if({_sql_phrase_match(p)}), 0) AS c{i}"
         for i, p in enumerate(BATCH_PHRASES)
     )
     names = ", ".join(f"'{p}'" for p in BATCH_PHRASES)
@@ -893,11 +896,16 @@ def q_orders_rollup(spark, sf_dir):
 
 
 def o_orders_rollup():
+    # HAVING count(*) > 0 is a no-op on any non-empty input (every
+    # real rollup group has >=1 row) and exists only to mirror Spark's
+    # grouping-sets semantics on an EMPTY table: standard SQL emits the
+    # ()-grouping grand-total row (count 0), Spark emits no rows.
     return """
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
              o_orderpriority, CAST(COUNT(*) AS BIGINT) AS count
       FROM orders
       GROUP BY ROLLUP (1, 2)
+      HAVING COUNT(*) > 0
     """
 
 
@@ -913,8 +921,9 @@ def q_phrase_count_filtered(spark, sf_dir):
 
 
 def o_phrase_count_filtered():
+    # coalesce: DuckDB count_if over zero rows is NULL; a doc count is 0
     return f"""
-      SELECT CAST(count_if({_sql_phrase_match("merge")}) AS BIGINT) AS count
+      SELECT CAST(coalesce(count_if({_sql_phrase_match("merge")}), 0) AS BIGINT) AS count
       FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
             FROM documents WHERE lang = 'en' AND text IS NOT NULL)
     """
@@ -2214,13 +2223,13 @@ def q_phrase_slop_count(spark, sf_dir):
 def o_phrase_slop_count():
     # ordered pair (the, scan) within distance 1+slop: j in (i+1 .. i+2)
     return """
-      SELECT CAST(count_if(
+      SELECT CAST(coalesce(count_if(
         len(list_filter(generate_series(1, len(t)), i ->
           t[i] = 'the' AND
           len(list_filter(generate_series(i+1, least(i+2, len(t))), j ->
             t[j] = 'scan')) > 0
         )) > 0
-      ) AS BIGINT) AS count
+      ), 0) AS BIGINT) AS count
       FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
             FROM documents WHERE text IS NOT NULL)
     """
@@ -3434,7 +3443,7 @@ def o_demographic_cooccurrence():
         parts.append(
             f"""
         SELECT '{t}' AS term,
-               CAST(count_if({hit}) AS BIGINT) AS count,
+               CAST(coalesce(count_if({hit}), 0) AS BIGINT) AS count,
                coalesce(CAST(sum(CASE WHEN {hit}
                    THEN CAST(pol AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)
                  AS polarity_sum,

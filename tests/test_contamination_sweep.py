@@ -251,7 +251,8 @@ def test_sweep_empty_and_degenerate_inputs(spark, index):
         [(None,), ("   ",)], schema="phrase string"
     )
     row = contamination_rate_indexed(index, ev, "phrase").collect()[0]
-    assert (row["contaminated"], row["total"], row["rate"]) == (0, 0, 0.0)
+    # rate is NULL (undefined 0/0), not 0.0 — 0.0 would read "clean"
+    assert (row["contaminated"], row["total"], row["rate"]) == (0, 0, None)
 
 
 def test_sweep_mixed_lengths(spark, tmp_path):

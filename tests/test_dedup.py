@@ -163,10 +163,10 @@ def test_contamination_rate_indexed_matches_token_semantics(spark, tmp_path):
     row = contamination_rate_indexed(idx, evalset, "phrase").collect()[0]
     assert (row["contaminated"], row["total"]) == (2, 4)
     assert abs(row["rate"] - 0.5) < 1e-12
-    # empty eval set → 0/0 with rate 0.0, no crash
+    # empty eval set → 0/0 with NULL rate (undefined, not "clean"), no crash
     empty = evalset.filter(F.col("phrase").isNull())
     row0 = contamination_rate_indexed(idx, empty, "phrase").collect()[0]
-    assert (row0["contaminated"], row0["total"], row0["rate"]) == (0, 0, 0.0)
+    assert (row0["contaminated"], row0["total"], row0["rate"]) == (0, 0, None)
 
 
 def test_decontaminate_by_ngrams(spark):

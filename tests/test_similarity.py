@@ -243,14 +243,23 @@ def test_semantic_duplicates_auto_ncentroids(spark):
     )
 
 
-def test_empty_corpus_raises_clear_error(spark):
-    from wimbd_spark.operators.similarity import semantic_duplicates
+def test_empty_corpus_yields_empty_results(spark):
+    # an empty corpus has no duplicates and no neighbors — degenerate
+    # shards must flow through pipelines, not crash them (r6 item 5)
+    from wimbd_spark.operators.similarity import (
+        cosine_topk_ivf,
+        semantic_duplicates,
+    )
 
     empty = spark.createDataFrame(
         [], schema="vec_id long, embedding array<double>"
     )
-    with pytest.raises(ValueError, match="no centroid candidates"):
-        semantic_duplicates(empty, threshold=0.45, n_centroids=4)
+    drops = semantic_duplicates(empty, threshold=0.45, n_centroids=4)
+    assert drops.columns == ["vec_id", "centroid", "dup_of"]
+    assert drops.count() == 0
+    knn = cosine_topk_ivf(empty, empty, k=2, n_centroids=4)
+    assert knn.columns == ["query_id", "neighbor_id", "rank"]
+    assert knn.count() == 0
 
 
 @pytest.mark.parametrize(

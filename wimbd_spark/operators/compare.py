@@ -185,15 +185,15 @@ def vocab_cosine(
         df, source_a, source_b, text_col, source_col, tokens
     )
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    return counts.agg(
-        (
-            F.sum(d("count_a") * d("count_b")).cast("double")
-            / (
-                F.sqrt(F.sum(d("count_a") * d("count_a")).cast("double"))
-                * F.sqrt(F.sum(d("count_b") * d("count_b")).cast("double"))
-            )
-        ).alias("cosine")
+    num = F.sum(d("count_a") * d("count_b")).cast("double")
+    den = F.sqrt(F.sum(d("count_a") * d("count_a")).cast("double")) * F.sqrt(
+        F.sum(d("count_b") * d("count_b")).cast("double")
     )
+    # zero-norm guard: if either source has no tokens the cosine is
+    # undefined — NULL, matching SQL 0-division semantics (under ANSI
+    # mode a bare division would instead throw DIVIDE_BY_ZERO on
+    # degenerate corpora, VERDICT r6 item 5)
+    return counts.agg(F.when(den > 0, num / den).alias("cosine"))
 
 
 def js_divergence(

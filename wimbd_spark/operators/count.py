@@ -61,14 +61,21 @@ def count_sequences(
     grams = df.select(tokenize(F.col(text_col)).alias("_t")).select(
         *[ngram_strings(F.col("_t"), n).alias(f"_g{n}") for n in lengths]
     )
+    # outer coalesce: SUM over an EMPTY corpus is NULL per SQL, but an
+    # occurrence count is 0 — degenerate-corpus parity with the oracle
     aggs = [
-        F.sum(
-            F.coalesce(
-                F.size(
-                    F.filter(F.col(f"_g{len(needle.split())}"), _eq(needle))
-                ),
-                F.lit(0),
-            )
+        F.coalesce(
+            F.sum(
+                F.coalesce(
+                    F.size(
+                        F.filter(
+                            F.col(f"_g{len(needle.split())}"), _eq(needle)
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ),
+            F.lit(0).cast("long"),
         ).alias(f"_c{i}")
         for i, needle in enumerate(needles)
     ]
@@ -85,9 +92,16 @@ def search_regex_counts(
     """
     if not patterns:
         raise ValueError("search_regex_counts: patterns must be non-empty")
+    # outer coalesce: a match count over an empty corpus is 0, not the
+    # SQL NULL that SUM-of-no-rows yields
     aggs = [
-        F.sum(
-            F.coalesce(F.regexp_count(F.col(text_col), F.lit(p)), F.lit(0))
+        F.coalesce(
+            F.sum(
+                F.coalesce(
+                    F.regexp_count(F.col(text_col), F.lit(p)), F.lit(0)
+                )
+            ),
+            F.lit(0).cast("long"),
         ).alias(f"_c{i}")
         for i, p in enumerate(patterns)
     ]

@@ -497,6 +497,17 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def _rate_row(spark, n_hit: int, n_tot: int) -> DataFrame:
+    """(contaminated, total, rate) single-row result. An empty eval
+    set has an UNDEFINED rate (0/0) — NULL, not 0.0: emitting 0.0
+    would falsely read as "checked and clean" (degenerate-corpus
+    parity with the SQL oracle, where 0/0 division yields NULL)."""
+    return spark.createDataFrame(
+        [(n_hit, n_tot, float(n_hit) / n_tot if n_tot else None)],
+        "contaminated long, total long, rate double",
+    )
+
+
 def contamination_rate(
     eval_df: DataFrame,
     corpus: DataFrame,
@@ -546,11 +557,7 @@ def contamination_rate(
             _contains_hits(corpus, rest, text_col)
         ).distinct()
     n_hit = hits.count()
-    spark = eval_df.sparkSession
-    return spark.createDataFrame(
-        [(n_hit, n_tot, float(n_hit) / n_tot if n_tot else 0.0)],
-        ["contaminated", "total", "rate"],
-    )
+    return _rate_row(eval_df.sparkSession, n_hit, n_tot)
 
 
 def _text_grams(
@@ -876,10 +883,7 @@ def contamination_rate_ngrams(
             .distinct()    # short path and the indexed twin
             .count()
         )
-    return spark.createDataFrame(
-        [(n_hit, n_tot, float(n_hit) / n_tot if n_tot else 0.0)],
-        ["contaminated", "total", "rate"],
-    )
+    return _rate_row(spark, n_hit, n_tot)
 
 
 #: Overlong phrases (> GRAM_JOIN_MAX_PHRASE_TOKENS tokens) fall back
@@ -1020,19 +1024,14 @@ def contamination_rate_indexed(
             n_hit += _overlong_phrase_hits(
                 index, evp, GRAM_JOIN_MAX_PHRASE_TOKENS
             )
-        return spark.createDataFrame(
-            [(n_hit, n_tot, float(n_hit) / n_tot if n_tot else 0.0)],
-            ["contaminated", "total", "rate"],
-        )
+        return _rate_row(spark, n_hit, n_tot)
     # slop>0 / custom analyzer: the batched slot-join fallback. The
     # phrase list is collected (the reference's msearch client shape);
     # acceptable for interactive batches, not for eval-scale sweeps.
     phrase_list = sorted(r[0] for r in phrases.collect())
     n_tot = len(phrase_list)
     if not n_tot:
-        return spark.createDataFrame(
-            [(0, 0, 0.0)], ["contaminated", "total", "rate"]
-        )
+        return _rate_row(spark, 0, 0)
     from wimbd_spark.index import phrase_matches_batch
 
     m = phrase_matches_batch(index, phrase_list, slop, analyzer)

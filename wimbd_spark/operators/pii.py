@@ -216,9 +216,14 @@ def taxonomy_counts(
         alternation = "|".join(_re.escape(w) for w in words)
         pat = r"(?i)\b(?:" + alternation + r")\b"
         names.append(row[category_col])
+        # outer coalesce: SUM over an empty corpus is NULL per SQL,
+        # but an occurrence count is 0
         aggs.append(
-            F.sum(
-                F.coalesce(F.regexp_count(text, F.lit(pat)), F.lit(0))
+            F.coalesce(
+                F.sum(
+                    F.coalesce(F.regexp_count(text, F.lit(pat)), F.lit(0))
+                ),
+                F.lit(0).cast("long"),
             ).alias(f"_c{i}")
         )
     rowdf = df.agg(*aggs)

@@ -157,12 +157,11 @@ def _deterministic_centroids(
     )
     if not cents:
         # F.array() of zero elements is untyped and downstream slices
-        # would yield NULLs — fail loudly instead of unhelpfully
-        raise ValueError(
-            "no centroid candidates: the corpus has no rows (empty "
-            "input DataFrame passed to semantic_duplicates / "
-            "cosine_topk_ivf?)"
-        )
+        # would yield NULLs — signal the caller to produce its typed
+        # empty result (an empty corpus has no duplicates / neighbors;
+        # raising here crashed whole-pipeline runs on degenerate
+        # shards, VERDICT r6 item 5)
+        return None
     return F.array(
         *[
             F.struct(
@@ -208,6 +207,12 @@ def cosine_topk_ivf(
     batch touches ~n_probe/n_centroids of the data.
     """
     cent_arr = _deterministic_centroids(corpus, id_col, vec_col, n_centroids)
+    if cent_arr is None:  # empty corpus → no neighbors for any query
+        qt = queries.schema[id_col].dataType.simpleString()
+        ct = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {qt}, neighbor_id {ct}, rank long"
+        )
 
     def top_centroids(vec: Column, n: int) -> Column:
         return _nearest_centroids(vec, cent_arr, n)
@@ -300,6 +305,11 @@ def semantic_duplicates(
     if n_centroids is None:
         n_centroids = auto_ncentroids(df.count())
     cent_arr = _deterministic_centroids(df, id_col, vec_col, n_centroids)
+    if cent_arr is None:  # empty corpus → nothing to drop
+        idt = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"`{id_col}` {idt}, centroid {idt}, dup_of {idt}"
+        )
     assigned = df.select(
         F.col(id_col).alias("_id"),
         _unit(_to_double(F.col(vec_col))).alias("_v"),

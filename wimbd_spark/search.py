@@ -267,9 +267,16 @@ def count_total_occurrences_of_unigrams(
         def _eq(u):
             return lambda x: x == F.lit(u)
 
+        # outer coalesce: SUM over an empty corpus is NULL per SQL,
+        # but a term frequency is 0 (ES reports 0 for absent terms)
         aggs = [
-            F.sum(
-                F.coalesce(F.size(F.filter(F.col("_t"), _eq(u))), F.lit(0))
+            F.coalesce(
+                F.sum(
+                    F.coalesce(
+                        F.size(F.filter(F.col("_t"), _eq(u))), F.lit(0)
+                    )
+                ),
+                F.lit(0).cast("long"),
             ).alias(f"_c{i}")
             for i, u in enumerate(unigrams)
         ]
