@@ -336,6 +336,50 @@ def test_ngram_jaccard_auto_below_limit_is_uncapped_exact(spark):
     assert sorted(map(key, auto)) == sorted(map(key, uncapped))
 
 
+def test_ngram_jaccard_precomputed_estimate_reused(spark, monkeypatch):
+    """Pipelines calling jaccard repeatedly on one corpus sketch ONCE
+    (estimate_candidate_volume) and pass candidate_estimate= — the auto
+    guard then applies the same policy with ZERO extra sketch jobs
+    (r6 VERDICT item 7)."""
+    from wimbd_spark.operators import neardup
+    from wimbd_spark.operators.neardup import (
+        estimate_candidate_volume,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (i, f"unique{i} mark{i} common legal disclaimer footer text here")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    est = estimate_candidate_volume(df, shingle_n=3)
+    assert est > 0
+
+    calls = {"n": 0}
+    real = neardup.estimate_candidate_volume
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(neardup, "estimate_candidate_volume", counting)
+    monkeypatch.setattr(neardup, "AUTO_CANDIDATE_LIMIT", 1000)
+
+    # two calls with the shared estimate: guard policy identical to the
+    # self-sketching path (cap engages, warning fires), no sketch jobs
+    for _ in range(2):
+        with pytest.warns(RuntimeWarning, match="candidate volume"):
+            capped = ngram_jaccard_pairs(
+                df, shingle_n=3, threshold=0.0, candidate_estimate=est
+            ).collect()
+    assert calls["n"] == 0
+    assert capped == []  # everything above the cap is boilerplate
+    # without the estimate the auto path sketches (once per call)
+    with pytest.warns(RuntimeWarning, match="candidate volume"):
+        ngram_jaccard_pairs(df, shingle_n=3, threshold=0.0).collect()
+    assert calls["n"] == 1
+
+
 def test_ngram_jaccard_rejects_unknown_string_cap(spark):
     from wimbd_spark.operators.neardup import ngram_jaccard_pairs
 

@@ -321,22 +321,26 @@ def jaccard_pairs(
     return _jaccard_from_shingle_table(sh, pairs, threshold)
 
 
-def _auto_shingle_cap(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int
-) -> int | None:
-    """df-sketch guard for the inverted-index self-join: estimate the
-    candidate volume Σ_h df_h·(df_h−1)/2 the uncapped join would
-    produce, from a deterministic AUTO_SKETCH_SAMPLE doc sample taken
-    STRAIGHT off the corpus (the sample filter runs before
-    tokenization, so the sketch scans ~p of the text and never pays
-    the shingle table's per-doc shuffle — it is one map-side shingle
-    projection + a vocab-sized groupBy(hash) count with map-side
-    combine). The p² scaling is unbiased for the large-df shingles
-    that dominate the sum (see AUTO_SKETCH_SAMPLE). Returns None (run
-    uncapped, exact semantics) below AUTO_CANDIDATE_LIMIT; above it,
-    warns and returns RECOMMENDED_MAX_SHINGLE_FREQ."""
-    import warnings
+def estimate_candidate_volume(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> int:
+    """Estimated inverted-index self-join candidate volume
+    Σ_h df_h·(df_h−1)/2 for this corpus's ``shingle_n``-gram space,
+    from a deterministic AUTO_SKETCH_SAMPLE doc sample taken STRAIGHT
+    off the corpus (the sample filter runs before tokenization, so the
+    sketch scans ~p of the text and never pays the shingle table's
+    per-doc shuffle — it is one map-side shingle projection + a
+    vocab-sized groupBy(hash) count with map-side combine). The p²
+    scaling is unbiased for the large-df shingles that dominate the
+    sum (see AUTO_SKETCH_SAMPLE).
 
+    PUBLIC so pipelines that call ``ngram_jaccard_pairs`` repeatedly
+    on the same corpus (threshold sweeps, per-shard passes) can pay
+    the sketch ONCE and pass the result via ``candidate_estimate=``
+    instead of re-sketching per call (VERDICT r6 item 7)."""
     p = AUTO_SKETCH_SAMPLE
     denom = max(round(1.0 / p), 1)
     toks = tokenize(F.col(text_col))
@@ -364,8 +368,17 @@ def _auto_shingle_cap(
         )
         .collect()[0]["_cand"]
     )
-    est = None if est is None else est * denom * denom
-    if est is None or est <= AUTO_CANDIDATE_LIMIT:
+    return 0 if est is None else int(est * denom * denom)
+
+
+def _cap_from_estimate(est: int) -> int | None:
+    """Policy half of the auto guard: below AUTO_CANDIDATE_LIMIT run
+    uncapped (exact semantics over the full shingle space); above it,
+    warn loudly — surfacing the estimate so the caller can judge —
+    and return RECOMMENDED_MAX_SHINGLE_FREQ."""
+    import warnings
+
+    if est <= AUTO_CANDIDATE_LIMIT:
         return None
     warnings.warn(
         f"ngram_jaccard_pairs: estimated candidate volume "
@@ -378,9 +391,18 @@ def _auto_shingle_cap(
         f"max_shingle_freq=None to force the uncapped exact join, or "
         f"an explicit int to choose the cap.",
         RuntimeWarning,
-        stacklevel=3,
+        stacklevel=4,
     )
     return RECOMMENDED_MAX_SHINGLE_FREQ
+
+
+def _auto_shingle_cap(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> int | None:
+    """Sketch + policy in one step (the no-precomputed-estimate path)."""
+    return _cap_from_estimate(
+        estimate_candidate_volume(df, id_col, text_col, shingle_n)
+    )
 
 
 def ngram_jaccard_pairs(
@@ -391,6 +413,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_shingle_freq: int | None | str = "auto",
     prefix_filter: bool | None = None,
+    candidate_estimate: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs, self-contained: every pair
     with shingle-set Jaccard ≥ ``threshold`` → (id_a, id_b, jaccard).
@@ -419,6 +442,12 @@ def ngram_jaccard_pairs(
     old default), or an int to cap unconditionally. The sketch costs
     one groupBy(hash) count over ~¼ of the corpus — map-side
     combined, vocab-sized shuffle, small next to the join it sizes.
+    Pipelines that call this repeatedly on the SAME corpus should
+    sketch once with :func:`estimate_candidate_volume` and pass the
+    result as ``candidate_estimate=`` — the auto guard then applies
+    its policy (same warning, same cap) with zero extra jobs;
+    ``candidate_estimate`` is ignored unless
+    ``max_shingle_freq="auto"``.
 
     ``prefix_filter`` enables the AllPairs/PPJoin prefix optimization
     (exact, complete recall — a classic set-similarity-join result):
@@ -447,9 +476,12 @@ def ngram_jaccard_pairs(
             )
         max_shingle_freq = None
     elif max_shingle_freq == "auto":
-        max_shingle_freq = _auto_shingle_cap(
-            df, id_col, text_col, shingle_n
-        )
+        if candidate_estimate is not None:
+            max_shingle_freq = _cap_from_estimate(candidate_estimate)
+        else:
+            max_shingle_freq = _auto_shingle_cap(
+                df, id_col, text_col, shingle_n
+            )
     elif isinstance(max_shingle_freq, str):
         raise ValueError(
             f"max_shingle_freq must be an int, None, or 'auto'; "
