@@ -2210,6 +2210,120 @@ def o_multimodal_bytes_meta():
     """
 
 
+#: every JPEG_DECODE_MOD-th doc gets a synthetic image fixture; pixel
+#: reconstruction must stay within JPEG_DECODE_TOL of the source (the
+#: uniform quant-16 table bounds each DCT coefficient error by 8; the
+#: empirical gradient-image max is ≤16, so 32 fails only on a broken
+#: decode — same error-bound-oracle pattern as unique_ngrams_approx).
+JPEG_DECODE_MOD = 10
+JPEG_DECODE_TOL = 32
+
+
+def q_jpeg_decode_check(spark, sf_dir):
+    """End-to-end baseline-JPEG gate (VERDICT r6 item 6; the
+    reference's LAION tier is image-centric, wimbd/es/README.md
+    laion2b indices): for every JPEG_DECODE_MOD-th doc, build a
+    deterministic gradient image whose dims derive from doc_id, encode
+    it with encode_baseline_jpeg (cycling 4:4:4 gray / 4:2:0 RGB /
+    restart-interval variants), decode it back with decode_jpeg, and
+    emit the SNIFFED dims plus a pixel-error bound check. The oracle
+    recomputes dims arithmetically and expects decode_ok=TRUE, so a
+    driver-green row proves the whole encode→sniff→decode pipeline
+    recovered the constructed geometry and pixels. Plan: doc_id-only
+    projection → mapInPandas (Arrow batches; codec is pure
+    numpy/stdlib) — the text column is never read."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("decode_ok", BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from wimbd_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_baseline_jpeg,
+            parse_media_header,
+        )
+
+        for pdf in batches:
+            ids, ws, hs, oks = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + doc_id % 9
+                h = 8 + doc_id % 7
+                yy, xx = np.mgrid[0:h, 0:w]
+                # SMOOTH gradient — no mod-256 wraparound: a 255→0
+                # step edge is legitimately smeared by 4:2:0 chroma
+                # subsampling (lossy by design, error ~180), which
+                # would gate on the fixture, not the codec. Max value
+                # 63 + 13·7 + 15·5 = 229 at these dims.
+                gray = (doc_id % 64 + yy * 7 + xx * 5).astype(np.uint8)
+                variant = (doc_id // JPEG_DECODE_MOD) % 3
+                if variant == 0:
+                    img = gray
+                    jb = encode_baseline_jpeg(img, quant=16)
+                elif variant == 1:
+                    img = np.stack(
+                        [gray, gray[::-1, :], gray[:, ::-1]], axis=-1
+                    )
+                    jb = encode_baseline_jpeg(img, quant=16, subsample=True)
+                else:
+                    img = gray
+                    jb = encode_baseline_jpeg(
+                        img, quant=16, restart_interval=2
+                    )
+                meta = parse_media_header(jb)
+                dw, dh, _nch, pix = decode_jpeg(jb)
+                dec = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(
+                    img.shape
+                )
+                err = int(
+                    np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()
+                )
+                ids.append(doc_id)
+                ws.append(meta[2])
+                hs.append(meta[3])
+                oks.append(
+                    meta[1] == "jpeg"
+                    and (dw, dh) == (w, h)
+                    and err <= JPEG_DECODE_TOL
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "decode_ok": oks}
+            )
+
+    import pandas as pd  # noqa: F401 — closed over by run()
+
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % JPEG_DECODE_MOD == 0)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .mapInPandas(run, schema)
+    )
+
+
+def o_jpeg_decode_check():
+    return f"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS width,
+             CAST(8 + doc_id % 7 AS BIGINT) AS height,
+             TRUE AS decode_ok
+      FROM documents WHERE doc_id % {JPEG_DECODE_MOD} = 0
+    """
+
+
 # ---------------------------------------- remaining reference operators
 
 def q_phrase_slop_count(spark, sf_dir):
@@ -3564,7 +3678,11 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "decontaminate_src0": (q_decontaminate, o_decontaminate),
     "pii_redaction": (q_pii_redaction, o_pii_redaction),
     "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
-    # -- r6-green, but on code paths touched by round-7 work (7):
+    # -- NEW in r7 (never driver-checked, must lead the window):
+    "jpeg_decode_check": (q_jpeg_decode_check, o_jpeg_decode_check),
+    # -- r6-green, but on code paths touched by round-7 work (7; the
+    # last one slides to position 51 to make room — it stays green via
+    # the r6 CORRECTNESS file under the union-of-last-two invariant):
     "multimodal_bytes_meta": (
         q_multimodal_bytes_meta,
         o_multimodal_bytes_meta,

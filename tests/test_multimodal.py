@@ -188,3 +188,129 @@ def test_extract_features_real_decode(spark):
     assert out[1] == [0.0] * 4
     assert out[2] == [1.0] * 4
     assert all(abs(v - 0.5) < 1e-3 for v in out[3])
+
+
+# ------------------------------------------------------------- JPEG
+# Baseline codec (VERDICT r6 item 6): encoder + decoder are both ours
+# (ITU-T T.81), so round-trip bounds are exact quantization arithmetic
+# — a uniform quant table q bounds each DCT coefficient error by q/2.
+
+
+def _grad_gray(h, w, base=0):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((base + yy * 7 + xx * 5) % 256).astype(np.uint8)
+
+
+def test_jpeg_flat_gray_exact():
+    import numpy as np
+
+    from wimbd_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_baseline_jpeg,
+        parse_media_header,
+    )
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    jb = encode_baseline_jpeg(img)
+    assert parse_media_header(jb) == ("image", "jpeg", 8, 8, None)
+    w, h, nch, pix = decode_jpeg(jb)
+    assert (w, h, nch) == (8, 8, 1)
+    # a flat block quantizes to a single DC value: bit-exact
+    assert set(pix) == {100}
+
+
+def test_jpeg_gray_roundtrip_nonmultiple_dims():
+    import numpy as np
+
+    from wimbd_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    img = _grad_gray(13, 21)
+    w, h, nch, pix = decode_jpeg(encode_baseline_jpeg(img, quant=8))
+    assert (w, h, nch) == (21, 13, 1)
+    dec = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(13, 21)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16
+
+
+def test_jpeg_rgb_444_and_420_roundtrip():
+    import numpy as np
+
+    from wimbd_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:37, 0:29]
+    img = np.stack(
+        [(xx * 6) % 256, (yy * 4) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    for sub, tol in ((False, 16), (True, 24)):
+        w, h, nch, pix = decode_jpeg(
+            encode_baseline_jpeg(img, quant=8, subsample=sub)
+        )
+        assert (w, h, nch) == (29, 37, 3)
+        dec = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(37, 29, 3)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= tol
+
+
+def test_jpeg_restart_markers_roundtrip():
+    import numpy as np
+
+    from wimbd_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    img = _grad_gray(24, 40)
+    plain = decode_jpeg(encode_baseline_jpeg(img, quant=16))
+    rst = decode_jpeg(
+        encode_baseline_jpeg(img, quant=16, restart_interval=2)
+    )
+    # restart markers change the byte stream, not the decoded pixels
+    assert plain == rst
+    dec = np.frombuffer(bytes(rst[3]), dtype=np.uint8).reshape(24, 40)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 32
+
+
+def test_jpeg_non_baseline_raises():
+    from wimbd_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    jb = bytearray(encode_baseline_jpeg(_grad_gray(8, 8)))
+    i = jb.index(b"\xff\xc0")
+    jb[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(jb))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+
+
+def test_jpeg_feature_extraction_df(spark):
+    import numpy as np
+
+    from wimbd_spark.operators.multimodal import (
+        encode_baseline_jpeg,
+        extract_features,
+        sniff_media_meta,
+    )
+
+    dark = encode_baseline_jpeg(np.full((8, 8), 20, dtype=np.uint8))
+    light = encode_baseline_jpeg(np.full((8, 8), 235, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(dark)), (2, bytearray(light))],
+        "doc_id long, payload binary",
+    )
+    meta = {r["doc_id"]: r for r in sniff_media_meta(df).collect()}
+    assert meta[1]["format"] == "jpeg" and meta[1]["width"] == 8
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in extract_features(df, dim=4, deterministic_fake=False).collect()
+    }
+    assert all(abs(v - 20 / 255) < 0.02 for v in feats[1])
+    assert all(abs(v - 235 / 255) < 0.02 for v in feats[2])
