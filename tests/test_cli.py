@@ -517,3 +517,81 @@ def test_cli_tfidf(spark, tmp_path, capsys):
     out = str(tmp_path / "terms")
     rows = _run(capsys, ["tfidf", tp, "-k", "2", "--out", out])
     assert rows[0]["rows"] == 4 and rows[0]["out"] == out
+
+
+def test_cli_pii(spark, tmp_path, capsys):
+    src = str(tmp_path / "piisrc")
+    spark.createDataFrame(
+        [
+            (1, "contact me at alice@example.com for details"),
+            (2, "call 555-867-5309 or visit the office"),
+            (3, "nothing sensitive here at all today"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    matches_out = str(tmp_path / "pii_matches")
+    redact_out = str(tmp_path / "pii_redacted")
+    rows = _run(
+        capsys,
+        ["pii", src, "--out", matches_out, "--redact-out", redact_out],
+    )
+    counts = {r["kind"]: r["count"] for r in rows if "kind" in r}
+    assert counts.get("email") == 1 and counts.get("phone") == 1
+    red = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(redact_out).collect()
+    }
+    assert "[EMAIL]" in red[1] and "alice@" not in red[1]
+    assert "[PHONE]" in red[2]
+    assert red[3] == "nothing sensitive here at all today"
+
+
+def test_cli_semdedup(spark, tmp_path, capsys):
+    src = str(tmp_path / "semsrc")
+    spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    rows = _run(
+        capsys,
+        ["semdedup", src, "--threshold", "0.9", "--n-centroids", "1"],
+    )
+    assert [r["vec_id"] for r in rows] == [2]
+    assert rows[0]["dup_of"] == 1
+    keep_out = str(tmp_path / "semkeep")
+    rows = _run(
+        capsys,
+        ["semdedup", src, "--threshold", "0.9", "--n-centroids", "1",
+         "--keep-out", keep_out],
+    )
+    assert rows[0]["kept"] == 2 and rows[0]["dropped"] == 1
+
+
+def test_cli_ann_methods(spark, tmp_path, capsys):
+    src = str(tmp_path / "annsrc")
+    spark.createDataFrame(
+        [
+            (i, [float(i == j) for j in range(4)])
+            for i in range(4)
+        ]
+        + [(10, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    q = str(tmp_path / "annq")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    ).write.parquet(q)
+    rows = _run(
+        capsys, ["ann", src, "--queries", q, "-k", "1", "--method", "exact"]
+    )
+    # nearest non-self neighbor of e0 is vec 10 (cos ≈ 0.994)
+    assert rows == [{"query_id": 0, "neighbor_id": 10, "rank": 1}]
+    # ivf with every vector probed agrees with exact on this set
+    rows = _run(
+        capsys, ["ann", src, "--queries", q, "-k", "1", "--method", "ivf"]
+    )
+    assert rows[0]["neighbor_id"] == 10

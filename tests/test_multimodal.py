@@ -314,3 +314,43 @@ def test_jpeg_feature_extraction_df(spark):
     }
     assert all(abs(v - 20 / 255) < 0.02 for v in feats[1])
     assert all(abs(v - 235 / 255) < 0.02 for v in feats[2])
+
+
+def test_jpeg_property_roundtrip_bounded():
+    """Property (hypothesis): for ARBITRARY uint8 content and dims,
+    gray round-trip error is bounded by quantization arithmetic.
+    Soundness of the bound: each DCT coefficient is off by ≤ q/2, and
+    the 8×8 IDCT's worst-case amplification of a coefficient-wise
+    bound is (Σ|c_k|)² ≈ 14.9, so max pixel error ≤ ~7.5q (+1
+    rounding); mean error is empirically ~q/4, asserted at ≤ 2q —
+    a broken decode of random content scores mean ~64+."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wimbd_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        q=st.sampled_from([4, 8, 16]),
+        ri=st.sampled_from([0, 1, 3]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(h, w, q, ri, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        dw, dh, nch, pix = decode_jpeg(
+            encode_baseline_jpeg(img, quant=q, restart_interval=ri)
+        )
+        assert (dw, dh, nch) == (w, h, 1)
+        dec = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(h, w)
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 8 * q + 1
+        assert err.mean() <= 2 * q
+
+    prop()

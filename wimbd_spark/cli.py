@@ -350,6 +350,61 @@ def main(argv: list[str] | None = None) -> int:
                     "(default: emit rows to stdout/--output)")
 
     sp = sub.add_parser(
+        "pii",
+        help="PII report: per-kind counts (email/phone/ip, context "
+        "rules applied); --out writes per-match rows, --redact-out "
+        "writes the scrubbed corpus",
+    )
+    common(sp)
+    sp.add_argument("--kinds", default="email,phone,ip",
+                    help="comma-separated subset of email,phone,ip")
+    sp.add_argument("--id-col", default=None,
+                    help="doc id column for match rows (default: "
+                    "first column)")
+    sp.add_argument("--out", default=None,
+                    help="write per-match rows parquet here")
+    sp.add_argument("--redact-out", default=None,
+                    help="write the corpus with matches replaced by "
+                    "[KIND] placeholders (ALL regex matches — "
+                    "redaction skips the context demotion rules; "
+                    "over-redacting is the safe direction)")
+
+    sp = sub.add_parser(
+        "semdedup",
+        help="SemDeDup-style embedding dedup: nearest-centroid "
+        "clusters, drop rows with a smaller-id ε-neighbor in-cluster",
+    )
+    common(sp)
+    sp.add_argument("--threshold", type=float, default=0.7)
+    sp.add_argument("--n-centroids", type=int, default=None,
+                    help="cluster count (default: auto_ncentroids "
+                    "sizing from the row count)")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--keep-out", default=None,
+                    help="write surviving rows parquet here "
+                    "(default: emit the DROP rows)")
+
+    sp = sub.add_parser(
+        "ann",
+        help="top-k cosine neighbors per query vector (exact "
+        "broadcast scan, LSH buckets, or IVF probes)",
+    )
+    common(sp)
+    sp.add_argument("--queries", default=None,
+                    help="query-vector parquet (default: the corpus "
+                    "itself = all-pairs kNN)")
+    sp.add_argument("-k", "--topk", type=int, default=3)
+    sp.add_argument("--method", choices=["exact", "lsh", "ivf"],
+                    default="exact",
+                    help="exact = broadcast scan (small query sets); "
+                    "lsh/ivf = the corpus-scale candidate pruners")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--out", default=None,
+                    help="write neighbor rows parquet here")
+
+    sp = sub.add_parser(
         "ingest",
         help="foreign dataset → canonical parquet corpus "
         "(HF dir: parquet/arrow shards; TFRecord files)",
@@ -937,6 +992,104 @@ def main(argv: list[str] | None = None) -> int:
                 .collect()
             ]
             _emit(rows + [{"out": args.out}], args.output)
+        elif args.cmd == "pii":
+            from pyspark.sql import functions as F
+
+            from wimbd_spark.operators.pii import extract_pii, redact_pii
+
+            kinds = tuple(
+                k.strip() for k in args.kinds.split(",") if k.strip()
+            )
+            idc = args.id_col or df.columns[0]
+            rows_out = []
+            matches = extract_pii(
+                df, text_col=t, id_cols=(idc,), kinds=kinds
+            )
+            if args.out:
+                matches.write.mode("overwrite").parquet(args.out)
+                matches = spark.read.parquet(args.out)
+                rows_out.append({"matches_out": args.out})
+            if args.redact_out:
+                redact_pii(df, text_col=t, kinds=kinds).write.mode(
+                    "overwrite"
+                ).parquet(args.redact_out)
+                rows_out.append({"redact_out": args.redact_out})
+            counts = [
+                r.asDict()
+                for r in matches.groupBy("kind")
+                .agg(F.count(F.lit(1)).alias("count"))
+                .orderBy("kind")
+                .collect()
+            ]
+            _emit(counts + rows_out, args.output)
+        elif args.cmd == "semdedup":
+            from wimbd_spark.operators.similarity import (
+                drop_semantic_duplicates,
+                semantic_duplicates,
+            )
+
+            kw = dict(
+                threshold=args.threshold,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+                n_centroids=args.n_centroids,
+            )
+            if args.keep_out:
+                kept = drop_semantic_duplicates(df, **kw)
+                kept.write.mode("overwrite").parquet(args.keep_out)
+                kept_n = spark.read.parquet(args.keep_out).count()
+                total = df.count()
+                _emit(
+                    [{
+                        "kept": kept_n,
+                        "dropped": total - kept_n,
+                        "out": args.keep_out,
+                    }],
+                    args.output,
+                )
+            else:
+                drops = semantic_duplicates(df, **kw)
+                _emit(
+                    [
+                        r.asDict()
+                        for r in drops.orderBy(args.id_col).collect()
+                    ],
+                    args.output,
+                )
+        elif args.cmd == "ann":
+            from wimbd_spark.operators.similarity import (
+                cosine_topk,
+                cosine_topk_ivf,
+                cosine_topk_lsh,
+            )
+
+            queries = (
+                _load(spark, [args.queries], None, None)
+                if args.queries
+                else df
+            )
+            kw = dict(k=args.topk, id_col=args.id_col, vec_col=args.vec_col)
+            if args.method == "exact":
+                res = cosine_topk(df, queries, **kw)
+            elif args.method == "lsh":
+                # nbits=None → auto_nbits sizing from the corpus count
+                res = cosine_topk_lsh(df, queries, nbits=None, **kw)
+            else:
+                res = cosine_topk_ivf(
+                    df, queries, n_centroids=16, **kw
+                )
+            if args.out:
+                res.write.mode("overwrite").parquet(args.out)
+                n = spark.read.parquet(args.out).count()
+                _emit([{"neighbors": n, "out": args.out}], args.output)
+            else:
+                _emit(
+                    [
+                        r.asDict()
+                        for r in res.orderBy("query_id", "rank").collect()
+                    ],
+                    args.output,
+                )
         return 0
     finally:
         if not preexisting:
