@@ -327,3 +327,31 @@ def test_normalize_distribution_no_global_window(spark, raw_docs):
     q.collect()
     final = q._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final
+
+
+def test_jpeg_decode_check_prunes_to_doc_id(spark):
+    """The image fixtures derive from doc_id alone — the text column
+    must never reach the parquet scan (payload synthesis is inside the
+    mapInPandas; a text read would ship the whole corpus to Python)."""
+    import __spark_entry__ as entry
+
+    df = entry.q_jpeg_decode_check(spark, SF)
+    assert_column_pruning(df, {"doc_id"})
+    assert has_pushed_filters(df)  # doc_id % 10 = 0 reaches the scan
+
+
+def test_unique_ngrams_hll_no_gram_repartition(spark):
+    """The HLL-only bench query's 100 TB contract: the gram stream is
+    aggregated map-side into per-partition sketches — the only
+    exchange is the single-partition final merge, never a
+    hashpartitioning on the gram key (that exchange is exactly what
+    the exact countDistinct twin pays)."""
+    import __spark_entry__ as entry
+
+    plan = explain_str(
+        entry.bench_only_queries()["bench_unique_ngrams_hll"](spark, SF)
+    )
+    # no key-hashed exchange at all: the only shuffles allowed are the
+    # harness's round-robin small-input rebalance and the
+    # SinglePartition sketch merge
+    assert "hashpartitioning" not in plan
