@@ -354,3 +354,68 @@ def test_jpeg_property_roundtrip_bounded():
         assert err.mean() <= 2 * q
 
     prop()
+
+
+def _make_bmp(px, bottom_up=True, bpp=24):
+    """Minimal 24/32-bit BI_RGB BMP writer (test fixture): px is
+    (h, w, 3) RGB uint8."""
+    import struct as _s
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = []
+    order = range(h - 1, -1, -1) if bottom_up else range(h)
+    for y in order:
+        row = bytearray()
+        for x in range(w):
+            r, g, b = (int(v) for v in px[y, x])
+            row += bytes([b, g, r] + ([0] if nch == 4 else []))
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    data = b"".join(rows)
+    hsig = h if bottom_up else -h
+    info = _s.pack("<IiiHHIIiiII", 40, w, hsig, 1, bpp, 0, len(data),
+                   2835, 2835, 0, 0)
+    off = 14 + len(info)
+    hdr = b"BM" + _s.pack("<IHHI", off + len(data), 0, 0, off)
+    return hdr + info + data
+
+
+def test_bmp_decode_roundtrip():
+    import numpy as np
+
+    from wimbd_spark.operators.multimodal import (
+        decode_bmp,
+        parse_media_header,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    for bottom_up in (True, False):
+        for bpp in (24, 32):
+            b = _make_bmp(px, bottom_up=bottom_up, bpp=bpp)
+            assert parse_media_header(b)[:4] == ("image", "bmp", 3, 5)
+            w, h, nch, pix = decode_bmp(b)
+            assert (w, h, nch) == (3, 5, 3)
+            dec = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(5, 3, 3)
+            assert (dec == px).all()  # lossless — bit-exact both layouts
+    with pytest.raises(NotImplementedError):
+        b = bytearray(_make_bmp(px))
+        b[30] = 1  # BI_RLE8
+        decode_bmp(bytes(b))
+
+
+def test_bmp_feature_extraction_df(spark):
+    import numpy as np
+
+    from wimbd_spark.operators.multimodal import extract_features
+
+    white = _make_bmp(np.full((4, 4, 3), 255, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(white))], "doc_id long, payload binary"
+    )
+    feats = extract_features(df, dim=2, deterministic_fake=False).collect()
+    assert feats[0]["features"] == [1.0, 1.0]

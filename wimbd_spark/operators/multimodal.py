@@ -251,6 +251,41 @@ def decode_png(b: bytes):
     return w, h, nch, out
 
 
+def decode_bmp(b: bytes):
+    """Uncompressed 24/32-bit BI_RGB BMP → (width, height, 3, flat RGB
+    bytes). Rows are stored bottom-up (positive height) with 4-byte
+    stride padding, pixels as BGR(A); raises on palette/RLE/compressed
+    variants. Stdlib+numpy only, like decode_png/decode_jpeg."""
+    import struct as _s
+
+    import numpy as np
+
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP")
+    data_off = _s.unpack("<I", b[10:14])[0]
+    hdr_size = _s.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP")
+    w, h_signed = _s.unpack("<ii", b[18:26])
+    planes, bpp = _s.unpack("<HH", b[26:30])
+    compression = _s.unpack("<I", b[30:34])[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            "decode_bmp handles uncompressed 24/32-bit BI_RGB"
+        )
+    h = abs(h_signed)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    raw = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    px = raw[:, : w * nch].reshape(h, w, nch)
+    if h_signed > 0:  # bottom-up storage
+        px = px[::-1]
+    rgb = px[..., 2::-1]  # BGR(A) → RGB, alpha dropped
+    return w, h, 3, bytearray(np.ascontiguousarray(rgb).tobytes())
+
+
 def decode_wav(b: bytes):
     """PCM WAV → (sample_rate, numpy int array of samples, channels).
     Handles 8/16-bit PCM; raises on compressed codecs."""
@@ -757,10 +792,12 @@ def _real_decode_features(payload: bytes, dim: int) -> list[float]:
     if parsed is None:
         raise NotImplementedError("unrecognized media container")
     kind = parsed[1]
-    if kind in ("png", "jpeg"):
-        w, h, nch, pix = (
-            decode_png(payload) if kind == "png" else decode_jpeg(payload)
-        )
+    if kind in ("png", "jpeg", "bmp"):
+        w, h, nch, pix = {
+            "png": decode_png,
+            "jpeg": decode_jpeg,
+            "bmp": decode_bmp,
+        }[kind](payload)
         arr = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(h, w * nch)
         lum = arr.reshape(h * w, nch)[:, : min(nch, 3)].mean(axis=1)
         buckets = np.array_split(lum, dim)
