@@ -419,3 +419,138 @@ def test_bmp_feature_extraction_df(spark):
     )
     feats = extract_features(df, dim=2, deterministic_fake=False).collect()
     assert feats[0]["features"] == [1.0, 1.0]
+
+
+def _make_gif(indices, palette, w, h):
+    """Minimal GIF89a writer using the classic 'uncompressed LZW'
+    technique: a Clear code before every pixel code keeps the
+    dictionary empty so codes stay literal palette indices (spec-valid
+    output any conforming decoder accepts)."""
+    import struct as _s
+
+    nbits = max(2, (len(palette) - 1).bit_length())
+    gct_field = 0x80 | (nbits - 1)
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HH", w, h) + bytes([gct_field, 0, 0])
+    for r, g, b in palette:
+        out += bytes([r, g, b])
+    out += bytes(3 * ((1 << nbits) - len(palette)))  # pad color table
+    out += b"\x2c" + _s.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    clear, eoi, width = 1 << nbits, (1 << nbits) + 1, nbits + 1
+    acc = accbits = 0
+    codes = []
+    for px in indices:
+        codes += [clear, px]
+    codes.append(eoi)
+    data = bytearray()
+    for c in codes:
+        acc |= c << accbits
+        accbits += width
+        while accbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+    if accbits:
+        data.append(acc & 0xFF)
+    out += bytes([nbits])
+    for off in range(0, len(data), 255):
+        chunk = data[off : off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip():
+    import numpy as np
+
+    from wimbd_spark.operators.multimodal import (
+        decode_gif,
+        parse_media_header,
+    )
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx = [0, 1, 2, 3, 3, 2, 1, 0, 0, 1, 2, 3]  # 4x3
+    gb = _make_gif(idx, palette, 4, 3)
+    assert parse_media_header(gb)[:4] == ("image", "gif", 4, 3)
+    w, h, nch, pix = decode_gif(gb)
+    assert (w, h, nch) == (4, 3, 3)
+    dec = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(12, 3)
+    assert [tuple(p) for p in dec] == [palette[i] for i in idx]
+
+
+def test_gif_lzw_real_compression_path():
+    """Exercise the dictionary-building LZW branch (not just the
+    clear-code-per-pixel fixture): encode a run-heavy index stream
+    WITHOUT interleaved clears so the decoder must grow the table."""
+    import struct as _s
+
+    import numpy as np
+
+    from wimbd_spark.operators.multimodal import decode_gif
+
+    # encoder with a real LZW dictionary (public algorithm)
+    w, h, nbits = 8, 4, 2
+    idx = [0, 0, 1, 1, 0, 0, 1, 1] * 4
+    clear, eoi = 1 << nbits, (1 << nbits) + 1
+    table = {bytes([c]): c for c in range(clear)}
+    next_code, width = eoi + 1, nbits + 1
+    codes = [clear]
+    s = b""
+    for px in idx:
+        t = s + bytes([px])
+        if t in table:
+            s = t
+        else:
+            codes.append(table[s])
+            table[t] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+            s = bytes([px])
+    codes.append(table[s])
+    codes.append(eoi)
+    acc = accbits = 0
+    data = bytearray()
+    width = nbits + 1
+    emitted = 0
+    # re-walk to pack with the width the DECODER will use at each step
+    table_size = eoi + 1
+    for c in codes:
+        acc |= c << accbits
+        accbits += width
+        while accbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+        if c == clear:
+            table_size, width = eoi + 1, nbits + 1
+        elif c != eoi:
+            if emitted > 0:
+                table_size += 1
+                if table_size == (1 << width) and width < 12:
+                    width += 1
+            emitted += 1
+    if accbits:
+        data.append(acc & 0xFF)
+    palette = [(0, 0, 0), (255, 255, 255), (9, 9, 9), (7, 7, 7)]
+    out = bytearray(b"GIF89a") + _s.pack("<HH", w, h) + bytes(
+        [0x80 | (nbits - 1), 0, 0]
+    )
+    for r, g, b in palette:
+        out += bytes([r, g, b])
+    out += b"\x2c" + _s.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([nbits, len(data)]) + data + b"\x00\x3b"
+    dw, dh, nch, pix = decode_gif(bytes(out))
+    dec = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(h * w, 3)
+    assert [tuple(p) for p in dec] == [palette[i] for i in idx]
+
+
+def test_gif_feature_extraction_df(spark):
+    from wimbd_spark.operators.multimodal import extract_features
+
+    white = _make_gif([0] * 4, [(255, 255, 255)], 2, 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(white))], "doc_id long, payload binary"
+    )
+    feats = extract_features(df, dim=2, deterministic_fake=False).collect()
+    assert feats[0]["features"] == [1.0, 1.0]

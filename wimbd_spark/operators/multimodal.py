@@ -11,10 +11,12 @@ stdlib/numpy):
   container headers;
 - pixel/sample decode (`deterministic_fake=False`) is REAL for
   non-interlaced 8-bit PNG (zlib inflate + scanline unfilter), PCM
-  WAV (numpy frombuffer), and baseline JPEG (`decode_jpeg`: Huffman
+  WAV (numpy frombuffer), baseline JPEG (`decode_jpeg`: Huffman
   entropy decode + dequant + IDCT + chroma upsample + YCbCr→RGB, per
-  the public ITU-T T.81 spec; progressive/arithmetic/12-bit raise) —
-  features are luminance / RMS-amplitude bucket profiles;
+  the public ITU-T T.81 spec; progressive/arithmetic/12-bit raise),
+  uncompressed 24/32-bit BMP (`decode_bmp`), and non-interlaced GIF
+  (`decode_gif`: real LZW + palette) — features are luminance /
+  RMS-amplitude bucket profiles;
 - `encode_baseline_jpeg` is the matching minimal encoder (grayscale +
   4:4:4 color, single uniform quant table) so fixtures and round-trip
   gates need no external codec;
@@ -284,6 +286,118 @@ def decode_bmp(b: bytes):
         px = px[::-1]
     rgb = px[..., 2::-1]  # BGR(A) → RGB, alpha dropped
     return w, h, 3, bytearray(np.ascontiguousarray(rgb).tobytes())
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
+    """GIF-variant LZW (LSB-first codes, clear/EOI, widths 3-12 bits)
+    → palette-index bytearray. Public algorithm (GIF89a spec App. F)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset_table():
+        nonlocal table, width
+        table = [bytes([c]) for c in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+
+    width = min_code_size + 1
+    reset_table()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset_table()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("GIF: LZW code out of range")
+            out += entry
+            if len(out) >= max_pixels:
+                return out
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def decode_gif(b: bytes):
+    """Non-interlaced GIF87a/89a first frame → (width, height, 3, flat
+    RGB bytes). Real LZW decode + palette lookup, stdlib+numpy only;
+    interlaced and partial-canvas frames raise. Animations: the FIRST
+    full-canvas image block is decoded (the thumbnail/preview
+    convention)."""
+    import struct as _s
+
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = _s.unpack("<HH", b[6:10])
+    packed = b[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = b[i : i + 3 * n]
+        i += 3 * n
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x21:  # extension: skip sub-blocks
+            i += 2
+            while i < len(b) and b[i]:
+                i += b[i] + 1
+            i += 1
+        elif blk == 0x2C:  # image descriptor
+            x0, y0, iw, ih = _s.unpack("<HHHH", b[i + 1 : i + 9])
+            p2 = b[i + 9]
+            i += 10
+            pal = gct
+            if p2 & 0x80:
+                n = 2 ** ((p2 & 7) + 1)
+                pal = b[i : i + 3 * n]
+                i += 3 * n
+            if p2 & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            if (x0, y0, iw, ih) != (0, 0, w, h):
+                raise NotImplementedError("partial-canvas GIF frame")
+            if pal is None:
+                raise ValueError("GIF: no color table")
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i]:
+                n = b[i]
+                data += b[i + 1 : i + 1 + n]
+                i += 1 + n
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF: truncated pixel data")
+            arr = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8)
+            palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+            rgb = palette[arr].reshape(h, w, 3)
+            return w, h, 3, bytearray(rgb.tobytes())
+        elif blk == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF: unexpected block 0x{blk:02x}")
+    raise ValueError("GIF: no image data")
 
 
 def decode_wav(b: bytes):
@@ -792,11 +906,12 @@ def _real_decode_features(payload: bytes, dim: int) -> list[float]:
     if parsed is None:
         raise NotImplementedError("unrecognized media container")
     kind = parsed[1]
-    if kind in ("png", "jpeg", "bmp"):
+    if kind in ("png", "jpeg", "bmp", "gif"):
         w, h, nch, pix = {
             "png": decode_png,
             "jpeg": decode_jpeg,
             "bmp": decode_bmp,
+            "gif": decode_gif,
         }[kind](payload)
         arr = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(h, w * nch)
         lum = arr.reshape(h * w, nch)[:, : min(nch, 3)].mean(axis=1)
