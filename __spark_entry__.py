@@ -3585,10 +3585,13 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # ROTATION POLICY (round-robin): the driver records correctness rows
     # for the FIRST 50 entries only, so with >50 queries the window
     # rotates each round. Invariant (tests/test_rotation.py): every
-    # query absent from the UNION of the last two CORRECTNESS_r*.json
-    # files must sit inside the current first-50 — i.e. every query
-    # gets a driver row at least every other round, and the suite stays
-    # green at round boundaries (r6 VERDICT item 1).
+    # query absent from the newest CORRECTNESS_r*.json committed no
+    # later than this file's last commit must sit inside the current
+    # first-50 — strict every-other-round, yet green at round
+    # boundaries because the driver's round-end file only becomes
+    # binding once the next round touches this file (r6 VERDICT item 1,
+    # tightened from union-of-last-two which allowed a second rested
+    # round).
     # tools/check_oracles.py additionally covers ALL entries locally
     # every round regardless of position.
     # Round 7 window: in — the 43 queries green in r5 but absent from

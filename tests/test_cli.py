@@ -595,3 +595,9 @@ def test_cli_ann_methods(spark, tmp_path, capsys):
         capsys, ["ann", src, "--queries", q, "-k", "1", "--method", "ivf"]
     )
     assert rows[0]["neighbor_id"] == 10
+    # lsh infers dim from the 4-dim vectors (a hard-coded 64 would
+    # collapse all buckets); auto nbits on 5 vectors = 1 bit
+    rows = _run(
+        capsys, ["ann", src, "--queries", q, "-k", "1", "--method", "lsh"]
+    )
+    assert rows[0]["neighbor_id"] == 10

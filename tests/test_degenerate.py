@@ -29,7 +29,9 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from check_oracles import TABLES, rowset  # noqa: E402
 
-SRC_SF = "/root/testdata/sf0.001"
+SRC_SF = os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
 
 
 def _carve(dst: str, n_rows: int | None) -> str:

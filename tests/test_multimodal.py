@@ -554,3 +554,58 @@ def test_gif_feature_extraction_df(spark):
     )
     feats = extract_features(df, dim=2, deterministic_fake=False).collect()
     assert feats[0]["features"] == [1.0, 1.0]
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """Spec-legal 0xFF fill bytes before a marker (T.81 B.1.1.2) must
+    not derail segment walking in either the sniffer or the decoder."""
+    import numpy as np
+
+    from wimbd_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_baseline_jpeg,
+        parse_media_header,
+    )
+
+    img = _grad_gray(9, 11)
+    jb = encode_baseline_jpeg(img, quant=8)
+    # inject fill bytes right after SOI, before the first marker
+    padded = jb[:2] + b"\xff\xff\xff" + jb[2:]
+    assert parse_media_header(padded)[:4] == ("image", "jpeg", 11, 9)
+    w, h, nch, pix = decode_jpeg(padded)
+    assert (w, h, nch) == (11, 9, 1)
+    dec = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(9, 11)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16
+
+
+def test_extract_features_on_error_null(spark):
+    """Per-row isolation: one undecodable payload must not abort the
+    job in on_error='null' mode (real-corpus contract); the default
+    stays loud."""
+    import numpy as np
+
+    from wimbd_spark.operators.multimodal import (
+        encode_baseline_jpeg,
+        extract_features,
+    )
+
+    good = encode_baseline_jpeg(np.full((8, 8), 235, dtype=np.uint8))
+    progressive = bytearray(good)
+    i = progressive.index(b"\xff\xc0")
+    progressive[i + 1] = 0xC2  # SOF2 — decode raises NotImplementedError
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytes(progressive)), (3, b"junk")],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r["features"]
+        for r in extract_features(
+            df, dim=2, deterministic_fake=False, on_error="null"
+        ).collect()
+    }
+    assert all(abs(v - 235 / 255) < 0.02 for v in rows[1])
+    assert rows[2] is None and rows[3] is None
+    with pytest.raises(Exception):  # default on_error='raise' stays loud
+        extract_features(df, dim=2, deterministic_fake=False).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        extract_features(df, on_error="skip")

@@ -296,3 +296,34 @@ def test_centroid_assignment_margin(sf_dir):
     top2 = np.sort(sims, axis=1)[:, -2:]
     margin = float(np.min(top2[:, 1] - top2[:, 0]))
     assert margin > 1e-6, f"assignment margin {margin} too thin for oracle equality"
+
+
+def test_lsh_dim_inference(spark):
+    """dim=None infers hyperplane dimensionality from the data — a
+    mismatched fixed dim NULL-pads every sign test and collapses all
+    vectors into bucket 0 (unpruned cross join at scale)."""
+    from wimbd_spark.operators.similarity import (
+        _infer_dim,
+        cosine_pairs,
+        cosine_pairs_lsh,
+        cosine_topk_lsh,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, [0.98, 0.2, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert _infer_dim(df, "embedding") == 8
+    got = cosine_pairs_lsh(df, threshold=0.9, nbits=4, dim=None).collect()
+    want = cosine_pairs(df, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {
+        (r["id_a"], r["id_b"]) for r in want
+    } == {(1, 2)}
+    knn = cosine_topk_lsh(df, df.filter("vec_id = 1"), k=1, nbits=2,
+                          dim=None).collect()
+    assert [(r["query_id"], r["neighbor_id"]) for r in knn] == [(1, 2)]
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="cannot infer"):
+        _infer_dim(empty, "embedding")

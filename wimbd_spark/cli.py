@@ -1072,8 +1072,13 @@ def main(argv: list[str] | None = None) -> int:
             if args.method == "exact":
                 res = cosine_topk(df, queries, **kw)
             elif args.method == "lsh":
-                # nbits=None → auto_nbits sizing from the corpus count
-                res = cosine_topk_lsh(df, queries, nbits=None, **kw)
+                # nbits=None → auto_nbits from the corpus count;
+                # dim=None → inferred from the first row (a hard-coded
+                # dim that mismatches the vectors would collapse every
+                # row into bucket 0 = an unpruned cross join)
+                res = cosine_topk_lsh(
+                    df, queries, nbits=None, dim=None, **kw
+                )
             else:
                 res = cosine_topk_ivf(
                     df, queries, n_centroids=16, **kw

@@ -109,6 +109,9 @@ def parse_media_header(b: bytes | None):
         i = 2
         while i + 9 < len(b) and b[i] == 0xFF:
             marker = b[i + 1]
+            if marker == 0xFF:  # fill byte (T.81 B.1.1.2)
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
@@ -580,8 +583,14 @@ def decode_jpeg(b: bytes):
         if b[i] != 0xFF:
             raise ValueError("JPEG: expected marker")
         marker = b[i + 1]
+        if marker == 0xFF:  # spec-legal fill byte (T.81 B.1.1.2)
+            i += 1
+            continue
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length field
+            continue
         seglen = _s.unpack(">H", b[i + 2 : i + 4])[0]
         seg = b[i + 4 : i + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -659,6 +668,10 @@ def _decode_scan(
         )
         for c in comps
     }
+    # dequant arrays hoisted out of the MCU loop (qt is fixed after
+    # the header; rebuilding per block costs ~50k np.array calls on a
+    # 1080p 4:2:0 frame)
+    qarr = {c["id"]: np.array(qt[c["tq"]], dtype=np.float64) for c in comps}
     pred = {c["id"]: 0 for c in comps}
     r = _BitReader(b, pos)
     mcu_count = 0
@@ -671,7 +684,7 @@ def _decode_scan(
                 pred = {c["id"]: 0 for c in comps}
             mcu_count += 1
             for c in order:
-                q = np.array(qt[c["tq"]], dtype=np.float64)
+                q = qarr[c["id"]]
                 for vy in range(c["v"]):
                     for vx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.float64)
@@ -948,20 +961,41 @@ def extract_features(
     dim: int = 8,
     batch_size_hint: int = 1024,
     deterministic_fake: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode + featurize payloads via mapInPandas (Arrow batches).
 
     Real pipeline shape: iterator-of-batches so a model/codec is
     initialized once per task, not per row. Output: FEATURE_SCHEMA.
+
+    ``on_error`` (real-decode path): ``"raise"`` (default) fails the
+    job on the first undecodable payload — right for curated fixtures
+    where a failure means a bug. ``"null"`` gives PER-ROW isolation:
+    rows whose decode raises (progressive JPEG, palette BMP,
+    interlaced GIF, truncated/alien bytes) get features=NULL and the
+    job continues — the right mode for real web corpora, where a
+    single exotic payload must not abort a million-row task (the same
+    degenerate-shard rationale as the r6 similarity fixes); filter
+    ``features IS NULL`` afterwards to audit what was skipped.
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = (
             _fake_decode_features if deterministic_fake else _real_decode_features
         )
         # (a model-backed impl would lazily open the codec/model HERE)
+        def one(p):
+            if on_error == "raise":
+                return decode(p, dim)
+            try:
+                return decode(p, dim)
+            except Exception:
+                return None
+
         for pdf in batches:
-            feats = [decode(p, dim) for p in pdf["payload"]]
+            feats = [one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

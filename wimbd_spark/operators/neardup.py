@@ -371,11 +371,14 @@ def estimate_candidate_volume(
     return 0 if est is None else int(est * denom * denom)
 
 
-def _cap_from_estimate(est: int) -> int | None:
+def _cap_from_estimate(est: int, stacklevel: int = 3) -> int | None:
     """Policy half of the auto guard: below AUTO_CANDIDATE_LIMIT run
     uncapped (exact semantics over the full shingle space); above it,
     warn loudly — surfacing the estimate so the caller can judge —
-    and return RECOMMENDED_MAX_SHINGLE_FREQ."""
+    and return RECOMMENDED_MAX_SHINGLE_FREQ. ``stacklevel`` points the
+    warning at the USER'S call site: 3 when reached directly from
+    ngram_jaccard_pairs (caller → njp → here), 4 via _auto_shingle_cap
+    (one frame deeper)."""
     import warnings
 
     if est <= AUTO_CANDIDATE_LIMIT:
@@ -391,7 +394,7 @@ def _cap_from_estimate(est: int) -> int | None:
         f"max_shingle_freq=None to force the uncapped exact join, or "
         f"an explicit int to choose the cap.",
         RuntimeWarning,
-        stacklevel=4,
+        stacklevel=stacklevel,
     )
     return RECOMMENDED_MAX_SHINGLE_FREQ
 
@@ -401,7 +404,8 @@ def _auto_shingle_cap(
 ) -> int | None:
     """Sketch + policy in one step (the no-precomputed-estimate path)."""
     return _cap_from_estimate(
-        estimate_candidate_volume(df, id_col, text_col, shingle_n)
+        estimate_candidate_volume(df, id_col, text_col, shingle_n),
+        stacklevel=4,
     )
 
 

@@ -374,6 +374,20 @@ def cosine_pairs(
     )
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (one cheap driver
+    read). Hyperplanes MUST match the vector length: zip_with
+    NULL-pads a mismatch, every sign test goes NULL→0, and all
+    vectors silently collapse into bucket 0 — a full cross join."""
+    row = df.select(F.size(F.col(vec_col)).alias("_d")).first()
+    if row is None or row["_d"] is None or row["_d"] <= 0:
+        raise ValueError(
+            f"cannot infer embedding dim from empty {vec_col!r}; "
+            "pass dim= explicitly"
+        )
+    return int(row["_d"])
+
+
 def auto_nbits(n_rows: int, target_bucket: int = 256, max_bits: int = 24) -> int:
     """Sketch-width sizing rule (sf1 rehearsal finding, SCALE.md): with
     FIXED nbits, bucket population grows linearly in n and candidate
@@ -393,7 +407,7 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nbits: int | None = 6,
-    dim: int = 64,
+    dim: int | None = 64,
     multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate embedding near-dup pairs at scale: candidates share
@@ -406,8 +420,13 @@ def cosine_pairs_lsh(
     ``nbits=None`` sizes the sketch from the collection via
     ``auto_nbits`` (costs one count() job) — use it whenever the
     collection size isn't known at call time; a fixed nbits is only
-    right when you've sized it yourself.
+    right when you've sized it yourself. ``dim=None`` infers the
+    hyperplane dimensionality from the first row (one driver read);
+    an explicit dim that mismatches the vectors silently collapses
+    every row into bucket 0 (see _infer_dim).
     """
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
     if nbits is None:
         nbits = auto_nbits(df.count())
     planes = [_hyperplane(p, dim) for p in range(nbits)]
@@ -456,14 +475,18 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nbits: int | None = 6,
-    dim: int = 64,
+    dim: int | None = 64,
     multiprobe: bool = True,
     exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share a sign-sketch bucket (or a
     1-bit flip with multiprobe), then exact cosine rank within
     candidates. Recall rises with multiprobe; cost drops ~2^nbits.
-    ``nbits=None`` → auto_nbits(corpus size)."""
+    ``nbits=None`` → auto_nbits(corpus size); ``dim=None`` → inferred
+    from the first corpus row (mismatched explicit dim degenerates
+    every bucket to 0, see _infer_dim)."""
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     if nbits is None:
         nbits = auto_nbits(corpus.count())
     planes = [_hyperplane(p, dim) for p in range(nbits)]
