@@ -327,3 +327,62 @@ def test_lsh_dim_inference(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="cannot infer"):
         _infer_dim(empty, "embedding")
+
+
+def test_ivf_index_matches_unindexed(spark, embeddings, tmp_path):
+    """The materialized IVF index answers row-identically to the
+    in-memory cosine_topk_ivf for the same (n_centroids, n_probe) —
+    same centroids (hash-gated sample), same assignment, same rank."""
+    from wimbd_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf,
+        cosine_topk_ivf_indexed,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embeddings, path, n_centroids=8)
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    direct = sorted(
+        map(tuple, cosine_topk_ivf(
+            embeddings, queries, k=3, n_centroids=8, n_probe=2
+        ).collect())
+    )
+    indexed = sorted(
+        map(tuple, cosine_topk_ivf_indexed(
+            spark, path, queries, k=3, n_probe=2
+        ).collect())
+    )
+    assert indexed == direct and len(indexed) > 0
+
+
+def test_ivf_index_prunes_partitions(spark, embeddings, tmp_path):
+    """The probed-centroid filter must reach the lists scan as a
+    PARTITION filter: only ~n_probe/n_centroids of the index is read
+    (the whole point of materializing the lists partitioned)."""
+    from wimbd_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf_indexed,
+    )
+    from wimbd_spark.plans import explain_str
+
+    path = str(tmp_path / "ivfp")
+    build_ivf_index(embeddings, path, n_centroids=8)
+    queries = embeddings.filter(F.col("vec_id") < 2)
+    df = cosine_topk_ivf_indexed(spark, path, queries, k=3, n_probe=2)
+    plan = explain_str(df)
+    i = plan.find("PartitionFilters")
+    assert i != -1 and "centroid" in plan[i : i + 200]
+
+
+def test_ivf_index_empty_corpus(spark, tmp_path):
+    from wimbd_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf_indexed,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfe")
+    build_ivf_index(empty, path, n_centroids=4)
+    out = cosine_topk_ivf_indexed(spark, path, empty, k=2)
+    assert out.columns == ["query_id", "neighbor_id", "rank"]
+    assert out.count() == 0

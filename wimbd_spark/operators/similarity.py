@@ -129,23 +129,18 @@ def sign_sketch(vec: Column, planes: list[list[float]]) -> Column:
     return total.cast("long")
 
 
-def _deterministic_centroids(
+def _centroid_rows(
     corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
-) -> Column:
-    """Literal array<struct<cid, v>> of ``n_centroids`` deterministic
-    centroid samples: the rows with the smallest (hash32(id), id) — a
-    total order, so the pick is identical across partition layouts and
-    cluster sizes (a bare .limit() is layout-dependent). orderBy+limit
-    compiles to TakeOrderedAndProject: per-partition top-k then a
-    driver merge of n_centroids rows — no full sort, no extra count()
-    pass. The result folds into the plan as a constant, so centroid
-    assignment downstream is a map-only projection (zero shuffle);
-    this literal-array form is right up to a few thousand centroids —
-    past that, ship the centroids as a broadcast table instead.
-    """
+) -> list:
+    """``n_centroids`` deterministic (centroid_id, vector) samples: the
+    rows with the smallest (hash32(id), id) — a total order, so the
+    pick is identical across partition layouts and cluster sizes (a
+    bare .limit() is layout-dependent). orderBy+limit compiles to
+    TakeOrderedAndProject: per-partition top-k then a driver merge of
+    n_centroids rows — no full sort, no extra count() pass."""
     from wimbd_spark.functions.text import hash32
 
-    cents = (
+    return (
         corpus.select(
             F.col(id_col).alias("centroid_id"),
             _to_double(F.col(vec_col)).alias("_cent"),
@@ -155,13 +150,14 @@ def _deterministic_centroids(
         .limit(n_centroids)
         .collect()
     )
-    if not cents:
-        # F.array() of zero elements is untyped and downstream slices
-        # would yield NULLs — signal the caller to produce its typed
-        # empty result (an empty corpus has no duplicates / neighbors;
-        # raising here crashed whole-pipeline runs on degenerate
-        # shards, VERDICT r6 item 5)
-        return None
+
+
+def _centroid_literal(cents: list) -> Column:
+    """Literal array<struct<cid, v>> from collected centroid rows —
+    folds into the plan as a constant, so centroid assignment
+    downstream is a map-only projection (zero shuffle); this
+    literal-array form is right up to a few thousand centroids — past
+    that, ship the centroids as a broadcast table instead."""
     return F.array(
         *[
             F.struct(
@@ -171,6 +167,20 @@ def _deterministic_centroids(
             for r in cents
         ]
     )
+
+
+def _deterministic_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> Column:
+    cents = _centroid_rows(corpus, id_col, vec_col, n_centroids)
+    if not cents:
+        # F.array() of zero elements is untyped and downstream slices
+        # would yield NULLs — signal the caller to produce its typed
+        # empty result (an empty corpus has no duplicates / neighbors;
+        # raising here crashed whole-pipeline runs on degenerate
+        # shards, VERDICT r6 item 5)
+        return None
+    return _centroid_literal(cents)
 
 
 def _nearest_centroids(vec: Column, cent_arr: Column, n: int) -> Column:
@@ -518,6 +528,138 @@ def cosine_topk_lsh(
             "query_id",
             "neighbor_id",
             dot(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+# ---------------------------------------------------------- IVF index
+# The build-once/query-many form of cosine_topk_ivf: inverted lists
+# materialized as a centroid-PARTITIONED parquet table, so a query
+# batch reads only its probed partitions (static partition pruning —
+# `.explain` shows PartitionFilters) instead of scanning the corpus.
+# At 100 TB this is the difference between touching ~n_probe/n_centroids
+# of the data and touching all of it; the phrase index (index.py) is
+# the text-side analogue of the same build/query split.
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF index at ``path``:
+
+    - ``path``/centroids — (centroid_id, v): the deterministic centroid
+      sample (same hash-gated rule as cosine_topk_ivf, so the indexed
+      and unindexed paths return IDENTICAL rows for the same params);
+    - ``path``/lists — (id, uvec) partitioned by ``centroid``: every
+      corpus vector, unit-normalized at build time (queries then score
+      with a single dot product), in its nearest-centroid list.
+
+    Assignment is a map-only projection against the literal centroid
+    array — the only cluster work is the partitioned write.
+    """
+    cents = _centroid_rows(df, id_col, vec_col, n_centroids)
+    spark = df.sparkSession
+    if not cents:
+        # empty corpus → a valid, empty index (degenerate shards must
+        # build, not crash — the r6 item 5 rule)
+        id_t = df.schema[id_col].dataType.simpleString()
+        spark.createDataFrame([], f"centroid_id {id_t}, v array<double>") \
+            .write.mode(mode).parquet(f"{path}/centroids")
+        spark.createDataFrame(
+            [], f"id {id_t}, uvec array<double>, centroid {id_t}"
+        ).write.mode(mode).partitionBy("centroid").parquet(f"{path}/lists")
+        return
+    cent_arr = _centroid_literal(cents)
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        _unit(_to_double(F.col(vec_col))).alias("uvec"),
+    ).withColumn(
+        "centroid", _nearest_centroids(F.col("uvec"), cent_arr, 1)[0]["cid"]
+    )
+    spark.createDataFrame(
+        [(r["centroid_id"], list(r["_cent"])) for r in cents],
+        ["centroid_id", "v"],
+    ).write.mode(mode).parquet(f"{path}/centroids")
+    assigned.write.mode(mode).partitionBy("centroid").parquet(
+        f"{path}/lists"
+    )
+
+
+def cosine_topk_ivf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k cosine neighbors answered FROM the materialized IVF index
+    — row-identical to cosine_topk_ivf(corpus, queries, ...) with the
+    build-time n_centroids, but the corpus is never scanned: the probed
+    centroid ids are resolved driver-side from the (tiny) centroid
+    table and pushed into the lists scan as a static partition filter,
+    so only ~n_probe/n_centroids of the index is read."""
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    if not cents:
+        qt = queries.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id {qt}, neighbor_id {qt}, rank long"
+        )
+    cent_arr = _centroid_literal(
+        [{"centroid_id": r["centroid_id"], "_cent": r["v"]} for r in cents]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _unit(_to_double(F.col(vec_col))).alias("_qv"),
+        )
+        .withColumn(
+            "centroid",
+            F.explode(
+                F.transform(
+                    _nearest_centroids(F.col("_qv"), cent_arr, n_probe),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+    )
+    # static partition pruning: the probed id set is bounded by
+    # |queries|·n_probe (queries are the small side by contract), so
+    # collecting it costs one tiny job and turns the lists read into
+    # a PartitionFilters-pruned scan — no dynamic pruning needed
+    probed = sorted(
+        {r["centroid"] for r in q.select("centroid").distinct().collect()}
+    )
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("centroid").isin(probed)
+    )
+    scored = (
+        F.broadcast(q)
+        .join(lists, "centroid")
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            dot(F.col("_qv"), F.col("uvec")).alias("cosine"),
         )
     )
     if exclude_self:
