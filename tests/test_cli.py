@@ -601,3 +601,14 @@ def test_cli_ann_methods(spark, tmp_path, capsys):
         capsys, ["ann", src, "--queries", q, "-k", "1", "--method", "lsh"]
     )
     assert rows[0]["neighbor_id"] == 10
+    # persisted IVF index: built on first use, reused on the second
+    idx = str(tmp_path / "annidx")
+    for _ in range(2):
+        rows = _run(
+            capsys,
+            ["ann", src, "--queries", q, "-k", "1", "--method", "ivf",
+             "--index", idx, "--n-centroids", "1"],
+        )
+        assert rows[0]["neighbor_id"] == 10
+    with pytest.raises(SystemExit, match="--index requires"):
+        main(["ann", src, "--method", "exact", "--index", idx])

@@ -401,6 +401,13 @@ def main(argv: list[str] | None = None) -> int:
                     "lsh/ivf = the corpus-scale candidate pruners")
     sp.add_argument("--id-col", default="vec_id")
     sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--index", default=None,
+                    help="persisted IVF index path (ivf method only): "
+                    "built here on first use (centroid-partitioned "
+                    "lists), then queries read only probed partitions "
+                    "— build-once/query-many, corpus never rescanned")
+    sp.add_argument("--n-centroids", type=int, default=16,
+                    help="centroid count when building --index")
     sp.add_argument("--out", default=None,
                     help="write neighbor rows parquet here")
 
@@ -1069,7 +1076,30 @@ def main(argv: list[str] | None = None) -> int:
                 else df
             )
             kw = dict(k=args.topk, id_col=args.id_col, vec_col=args.vec_col)
-            if args.method == "exact":
+            if args.index and args.method != "ivf":
+                raise SystemExit("--index requires --method ivf")
+            if args.index:
+                import os as _os
+
+                from wimbd_spark.operators.similarity import (
+                    build_ivf_index,
+                    cosine_topk_ivf_indexed,
+                )
+
+                if not _os.path.exists(
+                    _os.path.join(args.index, "centroids")
+                ):
+                    build_ivf_index(
+                        df,
+                        args.index,
+                        id_col=args.id_col,
+                        vec_col=args.vec_col,
+                        n_centroids=args.n_centroids,
+                    )
+                res = cosine_topk_ivf_indexed(
+                    spark, args.index, queries, **kw
+                )
+            elif args.method == "exact":
                 res = cosine_topk(df, queries, **kw)
             elif args.method == "lsh":
                 # nbits=None → auto_nbits from the corpus count;
