@@ -90,6 +90,10 @@ HEADLINE = [
     "script_profile",
     "stratified_sample_k5",
     "search_snippets_w20",
+    # r7 additions (index builds ride prepare_benchmark, so these are
+    # query-cost-only like the phrase-index rows)
+    "ivf_index_topk",
+    "jpeg_decode_check",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)
