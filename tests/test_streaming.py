@@ -670,3 +670,102 @@ def test_streaming_url_filter_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == batch
+
+
+def test_streaming_semantic_filter_matches_batch(spark, tmp_path):
+    """The stateless semantic gate drops exactly the stream rows whose
+    embedding has an in-cluster reference neighbor at cosine >= tau —
+    batch-twin = the same exists-test computed with plain joins."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from wimbd_spark.operators.similarity import build_ivf_index
+    from wimbd_spark.streaming.dedup import (
+        semantic_reference_table,
+        streaming_semantic_filter,
+    )
+
+    ref_rows = [
+        (100, [1.0, 0.0, 0.0, 0.0]),
+        (101, [0.0, 1.0, 0.0, 0.0]),
+        (102, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    reference = spark.createDataFrame(
+        ref_rows, "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "semidx")
+    build_ivf_index(reference, idx, n_centroids=3)
+
+    stream_rows = [
+        (1, [0.99, 0.14, 0.0, 0.0]),   # ~ref 100 → dropped
+        (2, [0.0, 0.97, 0.24, 0.0]),   # ~ref 101 → dropped
+        (3, [0.5, 0.5, 0.5, 0.5]),     # cos 0.5 to every ref → kept
+        (4, [0.0, 0.0, 0.0, 1.0]),     # orthogonal to all → kept
+    ]
+    d = str(tmp_path / "vecs_sem")
+    _write_batch(
+        d,
+        [{"vec_id": i, "embedding": v} for i, v in stream_rows],
+        "b0.json",
+    )
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(d)
+    ref_table = semantic_reference_table(spark, idx)
+    out_rows = []
+    q = (
+        streaming_semantic_filter(
+            stream, idx, threshold=0.9, reference=ref_table
+        )
+        .writeStream.foreachBatch(
+            lambda df, _e: out_rows.extend(
+                r["vec_id"] for r in df.collect()
+            )
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(out_rows) == [3, 4]
+
+    # batch twin: IDENTICAL call on a batch DataFrame
+    batch = spark.createDataFrame(
+        stream_rows, "vec_id long, embedding array<double>"
+    )
+    kept = streaming_semantic_filter(batch, idx, threshold=0.9)
+    assert sorted(r["vec_id"] for r in kept.collect()) == sorted(out_rows)
+    # and the brute-force spec: drop iff an in-cluster ref neighbor >= tau
+    import numpy as np
+
+    refs = {i: np.array(v) / np.linalg.norm(v) for i, v in ref_rows}
+    expect_kept = []
+    for i, v in stream_rows:
+        u = np.array(v) / np.linalg.norm(v)
+        # nearest centroid = nearest ref (3 centroids = 3 singleton clusters)
+        nearest = max(refs, key=lambda r: (u @ refs[r], -r))
+        if u @ refs[nearest] < 0.9:
+            expect_kept.append(i)
+    assert sorted(out_rows) == sorted(expect_kept)
+
+
+def test_streaming_semantic_filter_empty_index(spark, tmp_path):
+    from wimbd_spark.operators.similarity import build_ivf_index
+    from wimbd_spark.streaming.dedup import streaming_semantic_filter
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "semempty")
+    build_ivf_index(empty, idx, n_centroids=2)
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    kept = streaming_semantic_filter(batch, idx, threshold=0.5)
+    assert [r["vec_id"] for r in kept.collect()] == [1]

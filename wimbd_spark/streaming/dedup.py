@@ -473,3 +473,83 @@ def streaming_url_filter(
         .filter(~F.coalesce(hit, F.lit(False)))
         .drop("blocked")
     )
+
+
+def semantic_reference_table(spark: SparkSession, index_path: str) -> DataFrame:
+    """Static side of the streaming semantic gate: the persisted IVF
+    index's lists (similarity.build_ivf_index) folded to ONE row per
+    centroid — (centroid, uvecs: array of unit vectors). Materialize
+    once per index snapshot; at most n_centroids rows, so the
+    stream-static join below broadcasts under any sane threshold.
+    Per-row width is the whole cluster's vectors (~target_cluster ×
+    dim doubles) — size n_centroids so clusters stay broadcast-able,
+    exactly the auto_ncentroids rule."""
+    return (
+        spark.read.parquet(f"{index_path}/lists")
+        .groupBy("centroid")
+        .agg(F.collect_list("uvec").alias("uvecs"))
+    )
+
+
+def streaming_semantic_filter(
+    vecs: DataFrame,
+    index_path: str,
+    threshold: float = 0.7,
+    vec_col: str = "embedding",
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-on-ingest: drop stream rows whose embedding has cosine
+    ≥ ``threshold`` with ANY vector of the persisted IVF index
+    (similarity.build_ivf_index) in the row's nearest-centroid cluster
+    — the streaming twin of semantic_duplicates against a static
+    reference corpus. Probabilistic exactly like the batch operator: a
+    near-dup split across a cluster boundary is missed by design (that
+    locality is what makes this a single stateless pass).
+
+    Plan shape: unit-normalize + nearest-centroid assignment are pure
+    per-row expressions against the literal centroid array (from the
+    index's tiny centroids table — stateless, stream-safe); the gate
+    is ONE stream-static LEFT equi-join on the centroid id. The static
+    side (``reference``, default ``semantic_reference_table`` over the
+    same index) carries one row per centroid, so the join NEVER
+    duplicates stream rows, and the ≥τ test is a collection `exists`
+    over the cluster's vectors in the same stage. No state store, no
+    watermark; composes before the stateful exact-dedup stage.
+    """
+    from wimbd_spark.operators.similarity import (
+        _centroid_literal,
+        _nearest_centroids,
+        _to_double,
+        _unit,
+        dot,
+    )
+
+    spark = vecs.sparkSession
+    cents = spark.read.parquet(f"{index_path}/centroids").collect()
+    if not cents:
+        return vecs  # empty index: nothing to collide with
+    cent_arr = _centroid_literal(
+        [{"centroid_id": r["centroid_id"], "_cent": r["v"]} for r in cents]
+    )
+    if reference is None:
+        reference = semantic_reference_table(spark, index_path)
+    ref = reference.select(
+        F.col("centroid").alias("_ref_cent"), F.col("uvecs").alias("_uvecs")
+    )
+    cur = vecs.withColumn(
+        "_uv", _unit(_to_double(F.col(vec_col)))
+    ).withColumn(
+        "_cent", _nearest_centroids(F.col("_uv"), cent_arr, 1)[0]["cid"]
+    )
+    joined = cur.join(
+        ref, cur["_cent"] == ref["_ref_cent"], "left"
+    )
+    uv = joined["_uv"]
+    hit = F.exists(
+        F.coalesce(
+            joined["_uvecs"],
+            F.array().cast("array<array<double>>"),
+        ),
+        lambda rv: dot(uv, rv) >= F.lit(float(threshold)),
+    )
+    return joined.filter(~hit).select(*vecs.columns)
