@@ -386,3 +386,78 @@ def test_ivf_index_empty_corpus(spark, tmp_path):
     out = cosine_topk_ivf_indexed(spark, path, empty, k=2)
     assert out.columns == ["query_id", "neighbor_id", "rank"]
     assert out.count() == 0
+
+
+def test_ivf_index_append(spark, embeddings, tmp_path):
+    """Appending vectors assigns against the STORED centroids, so an
+    index built on half the corpus then appended with the other half
+    answers identically to one built... with the SAME centroid set.
+    (Not identical to a fresh full build — that re-samples centroids —
+    so the test pins the real invariant: post-append, indexed results
+    equal the in-memory IVF run with the original centroid sample.)"""
+    from wimbd_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        cosine_topk_ivf_indexed,
+        ivf_list_sizes,
+    )
+
+    half_a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    half_b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfapp")
+    build_ivf_index(half_a, path, n_centroids=8)
+    n_a = spark.read.parquet(f"{path}/lists").count()
+    append_to_ivf_index(half_b, path)
+    total = spark.read.parquet(f"{path}/lists").count()
+    assert total == embeddings.count() and n_a == half_a.count()
+
+    queries = embeddings.filter(F.col("vec_id") < 4)
+    got = sorted(map(tuple, cosine_topk_ivf_indexed(
+        spark, path, queries, k=3, n_probe=3
+    ).collect()))
+    # expected: same probe/rank semantics with half_a's centroid sample
+    from wimbd_spark.operators.similarity import (
+        _centroid_rows,
+        _nearest_centroids,
+        _centroid_literal,
+        _to_double,
+        _unit,
+        dot,
+    )
+    from pyspark.sql.window import Window
+
+    cents = _centroid_rows(half_a, "vec_id", "embedding", 8)
+    cent_arr = _centroid_literal(cents)
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _unit(_to_double(F.col("embedding"))).alias("_cv"),
+    ).withColumn("centroid", _nearest_centroids(F.col("_cv"), cent_arr, 1)[0]["cid"])
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _unit(_to_double(F.col("embedding"))).alias("_qv"),
+    ).withColumn("centroid", F.explode(F.transform(
+        _nearest_centroids(F.col("_qv"), cent_arr, 3), lambda s: s["cid"])))
+    scored = q.join(c, "centroid").select(
+        "query_id", "neighbor_id", dot(F.col("_qv"), F.col("_cv")).alias("cos")
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    expect = sorted(map(tuple,
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank")).collect()))
+    assert got == expect
+
+    sizes = ivf_list_sizes(spark, path).collect()
+    assert sum(r["size"] for r in sizes) == embeddings.count()
+    # empty-built index refuses appends with a clear error
+    ep = str(tmp_path / "ivfempty2")
+    build_ivf_index(
+        spark.createDataFrame([], "vec_id long, embedding array<double>"),
+        ep, n_centroids=2,
+    )
+    with pytest.raises(ValueError, match="no centroids"):
+        append_to_ivf_index(half_b, ep)

@@ -675,3 +675,52 @@ def cosine_topk_ivf_indexed(
             "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to an EXISTING IVF index: assign each
+    new row against the index's STORED centroids (never recomputed —
+    queries stay consistent with every earlier list) and append to the
+    centroid-partitioned lists. The vector-side analogue of
+    streaming_phrase_index's incremental maintenance.
+
+    Drift caveat, by design: centroids are frozen at build time, so if
+    the appended data's distribution shifts far from the original
+    corpus its clusters grow unbalanced and probe recall degrades —
+    the standard IVF tradeoff. Rebuild (build_ivf_index) when the
+    corpus has grown or shifted materially; `ivf_list_sizes` below is
+    the skew audit that tells you when.
+    """
+    spark = df.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    if not cents:
+        raise ValueError(
+            f"append_to_ivf_index: no centroids at {path!r} — the index "
+            "was built from an empty corpus; rebuild with build_ivf_index"
+        )
+    cent_arr = _centroid_literal(
+        [{"centroid_id": r["centroid_id"], "_cent": r["v"]} for r in cents]
+    )
+    df.select(
+        F.col(id_col).alias("id"),
+        _unit(_to_double(F.col(vec_col))).alias("uvec"),
+    ).withColumn(
+        "centroid", _nearest_centroids(F.col("uvec"), cent_arr, 1)[0]["cid"]
+    ).write.mode("append").partitionBy("centroid").parquet(f"{path}/lists")
+
+
+def ivf_list_sizes(spark, path: str) -> DataFrame:
+    """(centroid, size) per inverted list — the skew audit for an IVF
+    index (append drift, degenerate clusters). One metadata-cheap
+    groupBy over the lists table."""
+    return (
+        spark.read.parquet(f"{path}/lists")
+        .groupBy("centroid")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.col("size").desc(), "centroid")
+    )
