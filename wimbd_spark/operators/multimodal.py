@@ -17,9 +17,9 @@ stdlib/numpy):
   uncompressed 24/32-bit BMP (`decode_bmp`), and non-interlaced GIF
   (`decode_gif`: real LZW + palette) — features are luminance /
   RMS-amplitude bucket profiles;
-- `encode_baseline_jpeg` is the matching minimal encoder (grayscale +
-  4:4:4 color, single uniform quant table) so fixtures and round-trip
-  gates need no external codec;
+- `encode_baseline_jpeg` is the matching minimal encoder (grayscale,
+  4:4:4 / 4:2:0 color, restart intervals, single uniform quant table)
+  so fixtures and round-trip gates need no external codec;
 - video demux still raises NotImplementedError (genuinely needs
   ffmpeg); ``deterministic_fake=True`` keeps a stable byte-derived
   fake so plumbing stays testable for that tier.
