@@ -3675,6 +3675,37 @@ def o_demographic_cooccurrence():
     return " UNION ALL ".join(parts)
 
 
+def q_topk_ngrams_2pass(spark, sf_dir):
+    """Heavy-hitter top-k via the bounded-shuffle two-pass path
+    (operators/heavyhitters.py) — per-partition Misra-Gries summaries,
+    merged-lower-bound candidates, exact broadcast recount. The 100 TB
+    analogue of the reference's per-worker sketch + merge
+    (src/cmd/topk.rs:244-287). Capacity 50k >= the sf0.01/sf0.1
+    distinct-bigram count, so the result is bit-identical to the exact
+    operator (partition-layout independent) and the plain exact top-k
+    SQL is a full-strength oracle."""
+    from wimbd_spark.operators.heavyhitters import topk_ngrams_2pass
+
+    return topk_ngrams_2pass(
+        _docs(spark, sf_dir), n=2, k=20, capacity=50_000
+    ).select(
+        "ngram",
+        F.col("count").cast("long").alias("count"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def o_topk_ngrams_2pass():
+    return f"""
+      WITH {_sql_grams(2)}, counted AS (
+        SELECT ngram, CAST(count(*) AS BIGINT) AS count FROM grams GROUP BY ngram
+      )
+      SELECT ngram, count,
+             CAST(row_number() OVER (ORDER BY count DESC, ngram ASC) AS BIGINT) AS rank
+      FROM counted ORDER BY count DESC, ngram ASC LIMIT 20
+    """
+
+
 # ------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
@@ -3700,6 +3731,13 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # sweep (corpus_stats, length_percentiles, quality_scores,
     # repetition_scores). Out — the remaining 43 r6-green queries
     # (back of the dict; they return in r8).
+    # -- NEW in round 7 (late additions lead the window so the driver
+    # -- checks them first; the r6-green queries they displace from
+    # -- positions 46-49 are all covered by CORRECTNESS_r06):
+    "topk_ngrams_2pass_n2_k20": (
+        q_topk_ngrams_2pass,
+        o_topk_ngrams_2pass,
+    ),
     # -- rested in r6, returning per the every-other-round rule (43):
     "top_orders_by_revenue": (
         q_top_orders_by_revenue,

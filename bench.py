@@ -94,6 +94,7 @@ HEADLINE = [
     # query-cost-only like the phrase-index rows)
     "ivf_index_topk",
     "jpeg_decode_check",
+    "topk_ngrams_2pass_n2_k20",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)

@@ -1,0 +1,77 @@
+"""Two-pass heavy-hitter top-k (operators/heavyhitters.py).
+
+Covers: exact-equivalence when capacity dominates distinct grams,
+partition-layout independence, the Misra-Gries survival guarantee
+under eviction pressure, bounded candidate sets, and degenerate
+inputs."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wimbd_spark.operators.heavyhitters import ngram_summary, topk_ngrams_2pass
+from wimbd_spark.operators.topk import topk_ngrams
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_matches_exact_topk_with_large_capacity(spark, documents):
+    exact = topk_ngrams(documents, n=2, k=15)
+    two_pass = topk_ngrams_2pass(documents, n=2, k=15, capacity=50_000)
+    assert _rows(two_pass) == _rows(exact)
+
+
+def test_partition_layout_independent_with_large_capacity(spark, documents):
+    base = topk_ngrams_2pass(documents, n=1, k=10, capacity=50_000)
+    reshuffled = topk_ngrams_2pass(
+        documents.repartition(7), n=1, k=10, capacity=50_000
+    )
+    assert _rows(base) == _rows(reshuffled)
+
+
+def test_heavy_hitter_survives_eviction(spark):
+    # one gram holds 40% of a 1000-token single-partition stream while
+    # 300 distinct fillers churn a capacity-8 table: MG guarantees any
+    # gram with freq > N/capacity survives, and the exact recount then
+    # restores its true count.
+    heavy = ["hot"] * 400
+    fillers = [f"w{i}" for i in range(300)] * 2
+    text = " ".join(heavy + fillers)
+    df = spark.createDataFrame([Row(text=text)]).repartition(1)
+    top = topk_ngrams_2pass(df, n=1, k=1, capacity=8)
+    assert _rows(top) == [("hot", 400, 1)]
+
+
+def test_summary_lower_bounds_and_size(spark):
+    words = ["a"] * 50 + ["b"] * 30 + [f"z{i}" for i in range(40)]
+    df = spark.createDataFrame([Row(text=" ".join(words))]).repartition(1)
+    summary = {r["ngram"]: r["lb"] for r in ngram_summary(df, 1, 16).collect()}
+    assert len(summary) <= 16
+    assert summary.get("a", 0) <= 50 and summary.get("b", 0) <= 30
+    # undercount bound: N/capacity = 120/16 = 7.5
+    assert summary["a"] >= 50 - 8 and summary["b"] >= 30 - 8
+
+
+def test_candidate_set_bounded_and_broadcast(spark, documents):
+    plan = topk_ngrams_2pass(
+        documents, n=2, k=5, capacity=1_000, candidate_factor=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_empty_and_null_text(spark):
+    empty = spark.createDataFrame([], "text string")
+    assert topk_ngrams_2pass(empty, n=2, k=5).count() == 0
+    nulls = spark.createDataFrame([Row(text=None), Row(text="x y x")])
+    assert _rows(topk_ngrams_2pass(nulls, n=1, k=1, capacity=100)) == [
+        ("x", 2, 1)
+    ]
+
+
+def test_rejects_bad_parameters(spark, documents):
+    with pytest.raises(ValueError):
+        topk_ngrams_2pass(documents, n=1, k=0)
+    with pytest.raises(ValueError):
+        topk_ngrams_2pass(documents, n=1, k=50, capacity=10)

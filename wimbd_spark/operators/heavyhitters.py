@@ -1,0 +1,153 @@
+"""Bounded-shuffle heavy-hitter top-k n-grams (two-pass recount).
+
+Parity target (file:line relative to /root/reference):
+- topk  src/cmd/topk.rs:106-343 — the reference bounds a single
+  machine's memory with a counting-Bloom sketch whose counts are
+  approximate ("count <= true count", src/cmd/topk.rs:318-326).
+
+Spark-first design: the exact path (operators/topk.py) is a hash
+aggregation whose SHUFFLE carries every distinct n-gram — exact and
+fine up to ~1e9 distinct grams, but at 100 TB the distinct-gram count
+(trillions) makes that shuffle the bottleneck. This module is the
+scale path, the distributed analogue of the reference's per-worker
+sketch + channel merge (src/cmd/topk.rs:244-287):
+
+  pass 1  per-partition Misra-Gries summaries (``capacity`` counters,
+          Arrow-batched ``mapInPandas`` — a bounded-memory heavy-hitter
+          summary is not expressible with built-in aggregates) —
+          NO shuffle; each partition emits <= capacity (ngram,
+          lower-bound) rows;
+  merge   groupBy(ngram).sum(lb) over <= partitions x capacity rows —
+          a shuffle BOUNDED by the summary size, not the corpus — then
+          TakeOrderedAndProject keeps the top ``candidate_factor * k``
+          candidates by merged lower bound;
+  pass 2  exact recount of ONLY the candidates: re-scan, broadcast
+          hash semi-join on the tiny candidate set, exact count, exact
+          top-k.  Returned counts are therefore EXACT; the only
+          approximation is candidate RECALL.
+
+Guarantees (standard Misra-Gries merge bounds):
+- every per-partition summary undercounts any gram by at most
+  N_p / capacity (N_p = grams in that partition), so the merged lower
+  bound undercounts by at most N / capacity globally;
+- hence the result equals the exact top-k whenever the true k-th
+  count exceeds the (candidate_factor*k+1)-th merged bound by more
+  than N / capacity — and is IDENTICAL to the exact operator
+  (partition-layout independent) whenever ``capacity`` >= the
+  per-partition distinct-gram count, because then no counter is ever
+  evicted and candidates cover every gram.
+
+Two scans of the input vs one: deliberate — at scale a columnar
+re-scan of one projected column is far cheaper than shuffling every
+distinct gram once (the exact path's cost).
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wimbd_spark.functions.text import ngram_strings, tokenize
+from wimbd_spark.operators.topk import _ranked
+
+
+def _misra_gries_partition(
+    batches: Iterator[pd.DataFrame], capacity: int
+) -> Iterator[pd.DataFrame]:
+    """One Misra-Gries summary per partition over arrays of gram strings.
+
+    Batched compaction: when the counter table exceeds ``capacity``
+    after absorbing an Arrow batch, subtract the excess-th smallest
+    value ``d`` from every counter and drop the non-positive ones —
+    survivors number <= capacity, and each compaction removes >=
+    capacity * d total mass, so the cumulative decrement (the
+    undercount of any key) is <= N_p / capacity.
+    """
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for pdf in batches:
+        batch = Counter(chain.from_iterable(pdf["grams"]))
+        counts.update(batch)
+        excess = len(counts) - capacity
+        if excess > 0:
+            import numpy as np
+
+            vals = np.fromiter(counts.values(), dtype="int64", count=len(counts))
+            d = int(np.partition(vals, excess - 1)[excess - 1])
+            counts = Counter(
+                {g: c - d for g, c in counts.items() if c > d}
+            )
+    if counts:
+        yield pd.DataFrame(
+            {"ngram": list(counts.keys()), "lb": list(counts.values())}
+        )
+
+
+def ngram_summary(
+    df: DataFrame,
+    n: int,
+    capacity: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Merged Misra-Gries summary → (ngram, lb) with lb a lower bound
+    undercounting the true global frequency by at most N / capacity.
+
+    The ONLY shuffle is over the per-partition summaries
+    (<= partitions x capacity rows), never the raw gram stream.
+    """
+    grams = df.select(
+        ngram_strings(tokenize(F.col(text_col)), n).alias("grams")
+    )
+    partials = grams.mapInPandas(
+        lambda it: _misra_gries_partition(it, capacity),
+        schema="ngram string, lb long",
+    )
+    return partials.groupBy("ngram").agg(F.sum("lb").alias("lb"))
+
+
+def topk_ngrams_2pass(
+    df: DataFrame,
+    n: int,
+    k: int,
+    capacity: int = 100_000,
+    candidate_factor: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Heavy-hitter top-k n-grams → (ngram, count, rank), counts EXACT.
+
+    Candidate generation via :func:`ngram_summary`, exact recount via a
+    broadcast semi-join (candidates <= candidate_factor * k rows — the
+    broadcast is bounded by construction, independent of corpus size).
+    Same ordering/tie-break as the exact operator: (count desc, ngram
+    asc) — with ``capacity`` >= per-partition distinct grams the output
+    is bit-identical to ``topk_ngrams`` at any partition layout.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if capacity < k:
+        raise ValueError(
+            f"capacity ({capacity}) must be >= k ({k}) or candidates "
+            "cannot cover the answer"
+        )
+    summary = ngram_summary(df, n, capacity, text_col=text_col)
+    cand_k = max(candidate_factor * k, k)
+    candidates = (
+        summary.orderBy(F.col("lb").desc(), F.col("ngram").asc())
+        .limit(cand_k)
+        .select("ngram")
+    )
+    grams = df.select(
+        F.explode(ngram_strings(tokenize(F.col(text_col)), n)).alias("ngram")
+    )
+    exact = (
+        grams.join(F.broadcast(candidates), "ngram")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return _ranked(exact, k, ascending=False)
