@@ -3706,6 +3706,74 @@ def o_topk_ngrams_2pass():
     """
 
 
+def q_dsir_log_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py): score every pool
+    document by ln p_target - ln p_raw over hashed unigram+bigram
+    features (target = src0 docs, raw = the whole pool). Per-bucket
+    log-ratios are rounded to 6 dp and accumulated as DECIMAL, so the
+    per-doc sums hash-compare exactly against DuckDB."""
+    from wimbd_spark.operators.dsir import dsir_log_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("source") == "src0")
+    return dsir_log_weights(docs, target, buckets=2048).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("log_weight"),
+    )
+
+
+def o_dsir_log_weights():
+    b = 2048
+    return f"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      feats AS (
+        SELECT doc_id, t[i] AS g
+        FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+        WHERE len(t) >= 1
+        UNION ALL
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+      ),
+      hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % {b} AS bucket
+        FROM feats
+      ),
+      raw_c AS (SELECT bucket, count(*) AS cr FROM hashed GROUP BY bucket),
+      tgt_c AS (
+        SELECT bucket, count(*) AS ct
+        FROM hashed JOIN documents USING (doc_id)
+        WHERE source = 'src0' GROUP BY bucket
+      ),
+      tot AS (
+        SELECT (SELECT coalesce(sum(ct), 0) FROM tgt_c) AS nt,
+               (SELECT coalesce(sum(cr), 0) FROM raw_c) AS nr
+      ),
+      ratio AS (
+        SELECT bucket,
+               CAST(round(ln((coalesce(ct, 0) + 1.0) / (nt + {b}.0))
+                          - ln((coalesce(cr, 0) + 1.0) / (nr + {b}.0)), 6)
+                    AS DECIMAL(12,6)) AS log_ratio
+        FROM tgt_c FULL OUTER JOIN raw_c USING (bucket), tot
+      ),
+      doc_b AS (
+        SELECT doc_id, bucket, count(*) AS m FROM hashed GROUP BY 1, 2
+      ),
+      w AS (
+        SELECT doc_id, sum(m * log_ratio) AS s
+        FROM doc_b JOIN ratio USING (bucket) GROUP BY doc_id
+      )
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             CAST(coalesce(s, 0) AS DOUBLE) AS log_weight
+      FROM documents d LEFT JOIN w USING (doc_id)
+    """
+
+
 # ------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
@@ -3737,6 +3805,10 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "topk_ngrams_2pass_n2_k20": (
         q_topk_ngrams_2pass,
         o_topk_ngrams_2pass,
+    ),
+    "dsir_log_weights_src0": (
+        q_dsir_log_weights,
+        o_dsir_log_weights,
     ),
     # -- rested in r6, returning per the every-other-round rule (43):
     "top_orders_by_revenue": (
