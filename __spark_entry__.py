@@ -3774,6 +3774,65 @@ def o_dsir_log_weights():
     """
 
 
+def q_unimax_allocation(spark, sf_dir):
+    """UniMax waterfilling (operators/mixture.py): spread a 20k-token
+    budget across sources, no source repeated past 2 epochs. Caps
+    accumulate as DECIMAL; level/ratios are single IEEE divisions of
+    exact quantities — deterministic, so the doubles hash-compare."""
+    from wimbd_spark.operators.mixture import unimax_allocation
+
+    return unimax_allocation(
+        _docs(spark, sf_dir), budget_tokens=20_000, max_epochs=2.0
+    ).select(
+        "source",
+        F.col("tokens").cast("long").alias("tokens"),
+        "cap",
+        "alloc",
+        "weight",
+    )
+
+
+def o_unimax_allocation():
+    return """
+      WITH per AS (
+        SELECT source,
+               sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> ''))) AS tokens
+        FROM documents WHERE text IS NOT NULL GROUP BY source
+      ),
+      c AS (
+        SELECT source, tokens,
+               tokens * CAST('2.000000' AS DECIMAL(18,6)) AS cap
+        FROM per
+      ),
+      o AS (
+        SELECT source, tokens, cap,
+               coalesce(sum(cap) OVER (ORDER BY cap ASC, source ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cum_prev,
+               row_number() OVER (ORDER BY cap ASC, source ASC) AS rn,
+               count(*) OVER () AS n
+        FROM c
+      ),
+      lam AS (
+        SELECT *,
+               (CAST(20000 AS DOUBLE) - CAST(cum_prev AS DOUBLE))
+                 / (n - rn + 1) AS lam_j
+        FROM o
+      ),
+      lev AS (SELECT *, max(lam_j) OVER () AS level FROM lam),
+      raw AS (
+        SELECT source, tokens, CAST(cap AS DOUBLE) AS cap,
+               least(CAST(cap AS DOUBLE), level) AS alloc_raw
+        FROM lev
+      )
+      SELECT source, CAST(tokens AS BIGINT) AS tokens, cap,
+             round(alloc_raw, 6) AS alloc,
+             round(alloc_raw / CAST(20000 AS DOUBLE), 6) AS weight
+      FROM raw
+    """
+
+
 # ------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
@@ -3809,6 +3868,10 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "dsir_log_weights_src0": (
         q_dsir_log_weights,
         o_dsir_log_weights,
+    ),
+    "unimax_mixture_weights": (
+        q_unimax_allocation,
+        o_unimax_allocation,
     ),
     # -- rested in r6, returning per the every-other-round rule (43):
     "top_orders_by_revenue": (
