@@ -3833,6 +3833,68 @@ def o_unimax_allocation():
     """
 
 
+def q_quality_funnel(spark, sf_dir):
+    """One-pass cleaning-funnel report (operators/funnel.py): survivors
+    after ingest → nonempty → token-length → langid(en) → exact dedup.
+    Gates reuse the engine's canonical tokenize / langid_heuristic /
+    md5 keep-first semantics, so the funnel agrees with the standalone
+    operators (pinned in tests/test_funnel.py)."""
+    from wimbd_spark.operators.funnel import quality_funnel
+
+    return quality_funnel(
+        _docs(spark, sf_dir), min_tokens=5, max_tokens=5000, lang="en"
+    )
+
+
+def o_quality_funnel():
+    from wimbd_spark.operators.textqc import STOPWORDS
+
+    score = {
+        lang: f"len(list_filter(t, x -> lower(x) IN ({', '.join(chr(39) + w + chr(39) for w in words)})))"
+        for lang, words in STOPWORDS.items()
+    }
+    mx = "greatest(" + ", ".join(score.values()) + ")"
+    case = f"CASE WHEN {mx} <= 0 THEN 'un' " + " ".join(
+        f"WHEN {score[lang]} = {mx} THEN '{lang}'" for lang in STOPWORDS
+    ) + " ELSE 'un' END"
+    return f"""
+      WITH base AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                                 '\\s+'), x -> x <> '') AS t,
+               (text IS NOT NULL AND trim(text) <> '') AS f1
+        FROM documents
+      ),
+      flags AS (
+        SELECT doc_id, text, f1,
+               (f1 AND len(t) BETWEEN 5 AND 5000) AS f2,
+               (f1 AND len(t) BETWEEN 5 AND 5000
+                   AND ({case}) = 'en') AS f3
+        FROM base
+      ),
+      counts AS (
+        SELECT CAST(count(*) AS BIGINT) AS s0,
+               CAST(coalesce(sum(CASE WHEN f1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s1,
+               CAST(coalesce(sum(CASE WHEN f2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s2,
+               CAST(coalesce(sum(CASE WHEN f3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s3
+        FROM flags
+      ),
+      ded AS (
+        SELECT CAST(count(*) AS BIGINT) AS s4 FROM (
+          SELECT row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rn
+          FROM flags WHERE f3
+        ) WHERE rn = 1
+      )
+      SELECT CAST(0 AS INT) AS stage, 'ingest' AS stage_name,
+             s0 AS survivors, CAST(0 AS BIGINT) AS dropped FROM counts, ded
+      UNION ALL SELECT 1, 'nonempty', s1, s0 - s1 FROM counts, ded
+      UNION ALL SELECT 2, 'token_length', s2, s1 - s2 FROM counts, ded
+      UNION ALL SELECT 3, 'langid', s3, s2 - s3 FROM counts, ded
+      UNION ALL SELECT 4, 'dedup_exact', s4, s3 - s4 FROM counts, ded
+    """
+
+
 # ------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
@@ -3872,6 +3934,10 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "unimax_mixture_weights": (
         q_unimax_allocation,
         o_unimax_allocation,
+    ),
+    "quality_funnel_report": (
+        q_quality_funnel,
+        o_quality_funnel,
     ),
     # -- rested in r6, returning per the every-other-round rule (43):
     "top_orders_by_revenue": (

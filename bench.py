@@ -97,6 +97,7 @@ HEADLINE = [
     "topk_ngrams_2pass_n2_k20",
     "dsir_log_weights_src0",
     "unimax_mixture_weights",
+    "quality_funnel_report",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)

@@ -1,0 +1,93 @@
+"""Cleaning-pipeline funnel report: stage-by-stage survivor counts.
+
+A training-data pipeline is a chain of gates (CCNet / Gopher / Dolma
+style: ingest → nonempty → length → language → dedup …) and the first
+question asked of any run is "where did the documents go?". This
+operator computes the whole funnel in a single pass over the corpus:
+every gate is a JVM boolean column, the cumulative survivor counts
+come from ONE conditional aggregation, and only the dedup stage adds
+the same md5-keyed shuffle the standalone keep-first operator costs.
+No per-stage re-scan — at 100 TB re-reading the corpus once per stage
+is the difference between one job and five.
+
+Individual gates reuse the engine's canonical semantics so the funnel
+agrees with the standalone operators: tokenize (functions/text.py),
+langid_heuristic (operators/textqc.py — shape of
+wimbd/language/map_count.py:7-16), keep-first dedup key md5(text)
+(operators/dedup.py:33, deduplicate_by_hash.py:48-62).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wimbd_spark.functions.text import tokenize
+from wimbd_spark.operators.textqc import langid_heuristic
+
+STAGE_NAMES = ("ingest", "nonempty", "token_length", "langid", "dedup_exact")
+
+
+def quality_funnel(
+    df: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivors per cumulative cleaning stage → (stage, stage_name,
+    survivors, dropped). Stages:
+
+    0 ingest        every document
+    1 nonempty      text non-NULL and non-blank
+    2 token_length  whitespace token count in [min_tokens, max_tokens]
+    3 langid        stopword-profile language == ``lang``
+    4 dedup_exact   keep-first by md5(text) among stage-3 survivors
+
+    Always returns exactly five rows (zeros on an empty corpus).
+    """
+    c = F.col(text_col)
+    toks = tokenize(c)
+    f1 = c.isNotNull() & (F.trim(c) != F.lit(""))
+    f2 = f1 & F.size(toks).between(min_tokens, max_tokens)
+    f3 = f2 & (
+        langid_heuristic(c, tokens=toks) == F.lit(lang)
+    )
+    flagged = df.select(
+        F.col(id_col),
+        c.alias("_text"),
+        f1.alias("_f1"),
+        f2.alias("_f2"),
+        f3.alias("_f3"),
+    )
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.coalesce(F.sum(F.col("_f1").cast("long")), F.lit(0)).alias("s1"),
+        F.coalesce(F.sum(F.col("_f2").cast("long")), F.lit(0)).alias("s2"),
+        F.coalesce(F.sum(F.col("_f3").cast("long")), F.lit(0)).alias("s3"),
+    )
+    # dedup stage: keep-first among stage-3 survivors (same key and
+    # order as operators/dedup.py dedup_keep_first)
+    w = Window.partitionBy(F.md5("_text")).orderBy(F.col(id_col).asc())
+    s4 = (
+        flagged.filter(F.col("_f3"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .agg(F.count(F.lit(1)).alias("s4"))
+    )
+    return counts.crossJoin(F.broadcast(s4)).selectExpr(
+        """stack(5,
+             0, 'ingest',       s0, CAST(0 AS BIGINT),
+             1, 'nonempty',     s1, s0 - s1,
+             2, 'token_length', s2, s1 - s2,
+             3, 'langid',       s3, s2 - s3,
+             4, 'dedup_exact',  s4, s3 - s4
+           ) AS (stage, stage_name, survivors, dropped)"""
+    ).select(
+        F.col("stage").cast("int").alias("stage"),
+        "stage_name",
+        F.col("survivors").cast("long").alias("survivors"),
+        F.col("dropped").cast("long").alias("dropped"),
+    )
