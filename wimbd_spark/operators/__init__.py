@@ -93,6 +93,15 @@ from wimbd_spark.operators.compare import (
     vocab_cosine,
     vocab_stats,
 )
+from wimbd_spark.operators.heavyhitters import ngram_summary, topk_ngrams_2pass
+from wimbd_spark.operators.dsir import (
+    dsir_log_weights,
+    dsir_top_fraction,
+    fit_log_ratio,
+    hashed_feature_counts,
+)
+from wimbd_spark.operators.mixture import unimax_allocation
+from wimbd_spark.operators.funnel import quality_funnel
 
 __all__ = [
     "botk_ngrams", "ngram_counts", "topk_ngrams", "unique_ngrams",
@@ -123,4 +132,8 @@ __all__ = [
     "dedup_lines_within_doc",
     "gram_overlap", "js_divergence", "log_odds_tokens",
     "token_freq_spectrum", "vocab_cosine", "vocab_stats",
+    "ngram_summary", "topk_ngrams_2pass",
+    "dsir_log_weights", "dsir_top_fraction", "fit_log_ratio",
+    "hashed_feature_counts",
+    "unimax_allocation", "quality_funnel",
 ]
