@@ -612,3 +612,55 @@ def test_cli_ann_methods(spark, tmp_path, capsys):
         assert rows[0]["neighbor_id"] == 10
     with pytest.raises(SystemExit, match="--index requires"):
         main(["ann", src, "--method", "exact", "--index", idx])
+
+
+def test_cli_topk_two_pass(capsys):
+    exact = _run(capsys, ["topk", DOCS, "-n", "2", "-k", "5"])
+    two = _run(
+        capsys,
+        ["topk", DOCS, "-n", "2", "-k", "5", "--two-pass",
+         "--capacity", "50000"],
+    )
+    assert two == exact
+
+
+def test_cli_funnel(capsys):
+    rows = _run(
+        capsys, ["funnel", DOCS, "--min-tokens", "1", "--max-tokens", "9999"]
+    )
+    assert [r["stage_name"] for r in rows] == [
+        "ingest", "nonempty", "token_length", "langid", "dedup_exact"
+    ]
+    survivors = [r["survivors"] for r in rows]
+    assert survivors[0] == 500
+    assert survivors == sorted(survivors, reverse=True)
+
+
+def test_cli_dsir(capsys, tmp_path):
+    import duckdb
+
+    tgt = str(tmp_path / "target.parquet")
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{DOCS}' WHERE source = 'src0') TO '{tgt}' (FORMAT PARQUET)"
+    )
+    rows = _run(
+        capsys,
+        ["dsir", DOCS, "--target", tgt, "--buckets", "512", "--show", "5"],
+    )
+    assert len(rows) == 5
+    assert rows[0]["log_weight"] >= rows[-1]["log_weight"]
+    out = str(tmp_path / "selected")
+    rows = _run(
+        capsys,
+        ["dsir", DOCS, "--target", tgt, "--buckets", "512",
+         "--select", "0.1", "--out", out],
+    )
+    assert rows[-1]["selected"] == 50
+
+
+def test_cli_unimax(capsys):
+    rows = _run(capsys, ["unimax", DOCS, "--budget", "10000",
+                         "--epochs", "2.0"])
+    assert len(rows) == 20
+    total = sum(r["alloc"] for r in rows)
+    assert abs(total - 10000) < 1e-3

@@ -94,6 +94,18 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--size", default=None, help=argparse.SUPPRESS)
         sp.add_argument("--hashes", default=None, help=argparse.SUPPRESS)
         sp.add_argument("--seed", default=None, help=argparse.SUPPRESS)
+        if verb == "topk":
+            sp.add_argument("--two-pass", action="store_true",
+                            help="bounded-shuffle heavy-hitter path "
+                            "(Misra-Gries summaries + exact recount) — "
+                            "for corpora whose distinct-gram space "
+                            "outgrows the exact path's shuffle")
+            sp.add_argument("--capacity", type=int, default=100_000,
+                            help="per-partition summary counters "
+                            "(--two-pass)")
+            sp.add_argument("--candidate-factor", type=int, default=10,
+                            help="recount candidates = factor * k "
+                            "(--two-pass)")
 
     sp = sub.add_parser("count", help="exact token-sequence counts")
     common(sp)
@@ -412,6 +424,49 @@ def main(argv: list[str] | None = None) -> int:
                     help="write neighbor rows parquet here")
 
     sp = sub.add_parser(
+        "funnel", help="cleaning-pipeline stage survivor report"
+    )
+    common(sp)
+    sp.add_argument("--min-tokens", type=int, default=5)
+    sp.add_argument("--max-tokens", type=int, default=5000)
+    sp.add_argument("--lang", default="en")
+    sp.add_argument("--id-col", default=None,
+                    help="doc id for the dedup stage's keep-first "
+                    "order (default: doc_id if present, else the "
+                    "first column)")
+
+    sp = sub.add_parser(
+        "dsir",
+        help="DSIR importance weights vs a target corpus "
+        "(hashed n-gram features)",
+    )
+    common(sp)
+    sp.add_argument("--target", action="append", required=True,
+                    help="target-corpus path (repeatable)")
+    sp.add_argument("--buckets", type=int, default=8192)
+    sp.add_argument("--id-col", default=None,
+                    help="doc id column (default: doc_id if present, "
+                    "else the first column)")
+    sp.add_argument("--select", type=float, default=None,
+                    help="keep this top fraction by weight")
+    sp.add_argument("--out", default=None,
+                    help="write selected docs parquet here "
+                    "(requires --select)")
+    sp.add_argument("--show", type=int, default=20,
+                    help="weight rows to emit when not selecting")
+
+    sp = sub.add_parser(
+        "unimax",
+        help="UniMax token-budget allocation across sources",
+    )
+    common(sp)
+    sp.add_argument("--budget", type=int, required=True,
+                    help="total token budget")
+    sp.add_argument("--epochs", type=float, default=1.0,
+                    help="max repetitions of any source")
+    sp.add_argument("--source-col", default="source")
+
+    sp = sub.add_parser(
         "ingest",
         help="foreign dataset → canonical parquet corpus "
         "(HF dir: parquet/arrow shards; TFRecord files)",
@@ -482,9 +537,23 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd in ("topk", "botk"):
             from wimbd_spark.operators.topk import botk_ngrams, topk_ngrams
 
-            fn = topk_ngrams if args.cmd == "topk" else botk_ngrams
-            kw = {"threshold": args.threshold} if args.cmd == "topk" else {}
-            res = fn(df, args.ngram, args.topk, text_col=t, **kw)
+            if args.cmd == "topk" and args.two_pass:
+                from wimbd_spark.operators.heavyhitters import (
+                    topk_ngrams_2pass,
+                )
+
+                res = topk_ngrams_2pass(
+                    df,
+                    args.ngram,
+                    args.topk,
+                    capacity=args.capacity,
+                    candidate_factor=args.candidate_factor,
+                    text_col=t,
+                )
+            else:
+                fn = topk_ngrams if args.cmd == "topk" else botk_ngrams
+                kw = {"threshold": args.threshold} if args.cmd == "topk" else {}
+                res = fn(df, args.ngram, args.topk, text_col=t, **kw)
             _emit([r.asDict() for r in res.orderBy("rank").collect()], args.output)
         elif args.cmd == "count":
             from wimbd_spark.operators.count import count_sequences
@@ -1125,6 +1194,73 @@ def main(argv: list[str] | None = None) -> int:
                     ],
                     args.output,
                 )
+        elif args.cmd == "funnel":
+            from wimbd_spark.operators.funnel import quality_funnel
+
+            id_col = args.id_col or (
+                "doc_id" if "doc_id" in df.columns else df.columns[0]
+            )
+            res = quality_funnel(
+                df,
+                min_tokens=args.min_tokens,
+                max_tokens=args.max_tokens,
+                lang=args.lang,
+                text_col=t,
+                id_col=id_col,
+            )
+            _emit(
+                [r.asDict() for r in res.orderBy("stage").collect()],
+                args.output,
+            )
+        elif args.cmd == "dsir":
+            from wimbd_spark.operators.dsir import (
+                dsir_log_weights,
+                dsir_top_fraction,
+            )
+
+            if args.out and args.select is None:
+                raise SystemExit("--out requires --select")
+            target = _load(spark, args.target, args.limit, args.file_limit)
+            id_col = args.id_col or (
+                "doc_id" if "doc_id" in df.columns else df.columns[0]
+            )
+            weights = dsir_log_weights(
+                df, target, buckets=args.buckets, text_col=t, id_col=id_col
+            )
+            if args.select is not None:
+                kept = dsir_top_fraction(weights, args.select, id_col=id_col)
+                if args.out:
+                    selected = df.join(
+                        kept.select(id_col), id_col, "left_semi"
+                    )
+                    selected.write.mode("overwrite").parquet(args.out)
+                    n = spark.read.parquet(args.out).count()
+                    _emit([{"selected": n, "out": args.out}], args.output)
+                else:
+                    _emit(
+                        [r.asDict() for r in kept.collect()], args.output
+                    )
+            else:
+                from pyspark.sql import functions as F
+
+                top = weights.orderBy(
+                    F.col("log_weight").desc(), F.col(id_col).asc()
+                ).limit(args.show)
+                _emit([r.asDict() for r in top.collect()], args.output)
+        elif args.cmd == "unimax":
+            from wimbd_spark.operators.mixture import unimax_allocation
+
+            res = unimax_allocation(
+                df,
+                budget_tokens=args.budget,
+                max_epochs=args.epochs,
+                source_col=args.source_col,
+                text_col=t,
+            )
+            _emit(
+                [r.asDict() for r in res.orderBy(args.source_col).collect()],
+                args.output,
+            )
         return 0
     finally:
         if not preexisting:
