@@ -3,12 +3,16 @@
 A training-data pipeline is a chain of gates (CCNet / Gopher / Dolma
 style: ingest → nonempty → length → language → dedup …) and the first
 question asked of any run is "where did the documents go?". This
-operator computes the whole funnel in a single pass over the corpus:
-every gate is a JVM boolean column, the cumulative survivor counts
-come from ONE conditional aggregation, and only the dedup stage adds
-the same md5-keyed shuffle the standalone keep-first operator costs.
-No per-stage re-scan — at 100 TB re-reading the corpus once per stage
-is the difference between one job and five.
+operator computes the whole funnel in TWO projected scans, not one
+per stage: every gate is a JVM boolean column, the cumulative survivor
+counts come from ONE conditional aggregation (scan 1, no shuffle), and
+the dedup stage re-scans FILTERED to stage-3 survivors so its
+md5-keyed shuffle carries only survivors (scan 2) — the same cost as
+the standalone keep-first operator. A true single-scan variant exists
+(window keyed on when(f3, md5(text)) with a per-row salt otherwise)
+but it would shuffle the ENTIRE corpus; at 100 TB a second columnar
+scan is cheaper than shuffling the non-survivors, so two scans is the
+deliberate choice.
 
 Individual gates reuse the engine's canonical semantics so the funnel
 agrees with the standalone operators: tokenize (functions/text.py),
