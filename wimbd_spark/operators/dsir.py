@@ -71,9 +71,13 @@ def fit_log_ratio(
         F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
         F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
     )
-    totals = joined.agg(
-        F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"),
-        F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"),
+    # totals from each side's own aggregate, NOT from `joined`: summing
+    # the joined table would hang a second consumer off the full-outer
+    # join and Catalyst re-executes that whole subtree (scans included)
+    # for it; per-side sums reuse each side's groupBy exchange instead
+    totals = (
+        t.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+        .crossJoin(r.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr")))
     )
     b = float(buckets)
     ratio = (
@@ -108,30 +112,24 @@ def dsir_log_weights(
         hashed_feature_counts(df, buckets, text_col),
         buckets,
     )
-    doc_feats = (
-        df.select(
-            F.col(id_col),
-            F.explode(_feature_grams(text_col)).alias("g"),
-        )
-        .select(
-            id_col, F.pmod(hash32("g"), F.lit(buckets)).alias("bucket")
-        )
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
-    sums = (
-        doc_feats.join(F.broadcast(ratio), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("m") * F.col("log_ratio")).alias("_w"))
-    )
+    # explode_outer keeps featureless docs as a single null-gram row
+    # (null bucket → no ratio match → sum skips it → coalesce 0), so
+    # ONE groupBy(id) shuffle covers every document — no corpus-wide
+    # join-back, and each gram occurrence contributes its bucket's
+    # ratio once (the Σ m_b·ratio_b multiplicities, implicitly)
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode_outer(_feature_grams(text_col)).alias("g"),
+    ).select(id_col, F.pmod(hash32("g"), F.lit(buckets)).alias("bucket"))
     return (
-        df.select(id_col)
-        .join(sums, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("_w"), F.lit(0).cast("decimal(12,6)"))
+        doc_grams.join(F.broadcast(ratio), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(
+                F.sum("log_ratio"), F.lit(0).cast("decimal(12,6)")
+            )
             .cast("double")
-            .alias("log_weight"),
+            .alias("log_weight")
         )
     )
 
