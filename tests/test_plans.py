@@ -355,3 +355,72 @@ def test_unique_ngrams_hll_no_gram_repartition(spark):
     # harness's round-robin small-input rebalance and the
     # SinglePartition sketch merge
     assert "hashpartitioning" not in plan
+
+
+def test_dsir_single_doc_shuffle_no_join_back(spark, raw_docs):
+    from wimbd_spark.operators.dsir import dsir_log_weights
+
+    q = dsir_log_weights(
+        raw_docs, raw_docs.filter(F.col("source") == "src0"), buckets=256
+    )
+    plan = explain_str(q)
+    # ratio model rides a broadcast; scoring is ONE groupBy(doc_id) —
+    # featureless docs come from explode_outer, not a corpus-wide
+    # join-back (the left join would show as a doc_id-keyed SMJ/BHJ)
+    assert "BroadcastHashJoin" in plan
+    import re as _re
+
+    doc_exchanges = _re.findall(r"hashpartitioning\(doc_id", plan)
+    assert len(doc_exchanges) == 1, plan[:2000]
+    assert "SortMergeJoin [doc_id" not in plan
+
+
+def test_dsir_prunes_to_id_and_text(raw_docs):
+    from wimbd_spark.operators.dsir import dsir_log_weights
+    from wimbd_spark.plans.inspect import scanned_columns
+
+    q = dsir_log_weights(
+        raw_docs, raw_docs.filter(F.col("source") == "src0"), buckets=256
+    )
+    assert scanned_columns(q) <= {"doc_id", "text", "source"}
+
+
+def test_funnel_survivor_only_dedup_shuffle(raw_docs):
+    from wimbd_spark.operators.funnel import quality_funnel
+
+    q = quality_funnel(raw_docs)
+    plan = explain_str(q)
+    import re as _re
+
+    # exactly one data-volume exchange: the dedup window's md5 key
+    # (the survivors-only branch); everything else is single-row aggs
+    assert len(_re.findall(r"hashpartitioning\(", plan)) == 1
+    assert shuffle_count(q) <= 3
+
+
+def test_heavyhitters_recount_is_broadcast_and_summary_bounded(raw_docs):
+    from wimbd_spark.operators.heavyhitters import topk_ngrams_2pass
+
+    q = topk_ngrams_2pass(raw_docs, n=2, k=10, capacity=1000)
+    plan = explain_str(q)
+    assert "BroadcastHashJoin" in plan
+    # the ONLY gram-keyed exchange is over the Misra-Gries summaries
+    # (mapInPandas output), never the exploded gram stream: the explode
+    # feeding a hashpartitioning(ngram) exchange would put ArrowEval
+    # below Generate+Exchange — pin the summary agg instead
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_unimax_single_corpus_aggregation(raw_docs):
+    from wimbd_spark.operators.mixture import unimax_allocation
+
+    q = unimax_allocation(raw_docs, budget_tokens=1000)
+    plan = explain_str(q)
+    # ONE groupBy(source) over the corpus (scalar context rides the
+    # single-partition window, not agg+crossJoin fan-out); everything
+    # after is one-row-per-source arithmetic
+    import re as _re
+
+    exch = _re.findall(r"^\(\d+\) Exchange\s*\nInput[^\n]*\nArguments: (\S+)",
+                       plan, _re.MULTILINE)
+    assert sum(a.startswith("hashpartitioning(source") for a in exch) == 1, exch

@@ -65,8 +65,16 @@ def unimax_allocation(
         "tokens",
         (F.col("tokens") * epochs).alias("cap"),  # exact decimal
     )
-    # one row per source from here on — bounded metadata scale
+    # one row per source from here on — bounded metadata scale. All
+    # scalar context (n, level) rides unbounded frames over the SAME
+    # single-partition window rather than agg+crossJoin: a crossJoin
+    # would hang extra consumers off the per-source aggregate and
+    # Catalyst re-executes the corpus aggregation once per consumer
+    # (three corpus scans, pinned against in test_plans)
     w = Window.orderBy(F.col("cap").asc(), F.col(source_col).asc())
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = (
         F.sum("cap")
         .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -77,17 +85,14 @@ def unimax_allocation(
         "cap",
         F.coalesce(cum, F.lit(0).cast("decimal(18,6)")).alias("cum_prev"),
         F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
     )
-    n_tot = ordered.agg(F.count(F.lit(1)).alias("n"))
     lam_j = (F.lit(float(budget_tokens)) - F.col("cum_prev").cast("double")) / (
         F.col("n") - F.col("rn") + F.lit(1)
     )
-    with_lam = ordered.crossJoin(F.broadcast(n_tot)).withColumn(
-        "_lam_j", lam_j
-    )
-    level = with_lam.agg(F.max("_lam_j").alias("level"))
+    with_lam = ordered.withColumn("_lam_j", lam_j)
     return (
-        with_lam.crossJoin(F.broadcast(level))
+        with_lam.withColumn("level", F.max("_lam_j").over(w_all))
         .select(
             source_col,
             "tokens",
