@@ -3895,6 +3895,56 @@ def o_quality_funnel():
     """
 
 
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Diversity-preserving embedding sample (similarity.
+    cluster_balanced_sample): nearest-deterministic-centroid assignment
+    (same hash-gated pick + argmax-cosine as the IVF tier, so the
+    oracle reuses that proven mirror) + a per-cluster quota by
+    (hash32(id), id). Map-only assignment; one window shuffle keyed on
+    centroid_id."""
+    from wimbd_spark.operators.similarity import cluster_balanced_sample
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb, per_cluster=3, n_centroids=8
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+    )
+
+
+def o_cluster_balanced_sample():
+    return """
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings
+        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                 vec_id
+        LIMIT 8
+      ),
+      assigned AS (
+        SELECT e.vec_id,
+               (SELECT c.cid FROM cents c
+                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                         DESC, c.cid
+                LIMIT 1) AS centroid_id
+        FROM embeddings e
+      ),
+      ranked AS (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (
+                 PARTITION BY centroid_id
+                 ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                          vec_id
+               ) AS rn
+        FROM assigned
+      )
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(centroid_id AS BIGINT) AS centroid_id
+      FROM ranked WHERE rn <= 3
+    """
+
+
 # ------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
@@ -3938,6 +3988,10 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "quality_funnel_report": (
         q_quality_funnel,
         o_quality_funnel,
+    ),
+    "cluster_balanced_sample_q3": (
+        q_cluster_balanced_sample,
+        o_cluster_balanced_sample,
     ),
     # -- rested in r6, returning per the every-other-round rule (43):
     "top_orders_by_revenue": (

@@ -98,6 +98,7 @@ HEADLINE = [
     "dsir_log_weights_src0",
     "unimax_mixture_weights",
     "quality_funnel_report",
+    "cluster_balanced_sample_q3",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)

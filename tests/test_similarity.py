@@ -461,3 +461,67 @@ def test_ivf_index_append(spark, embeddings, tmp_path):
     )
     with pytest.raises(ValueError, match="no centroids"):
         append_to_ivf_index(half_b, ep)
+
+
+# ---------------------------------------------------- cluster-balanced sample
+
+
+def test_cluster_balanced_sample_quota_and_determinism(embeddings):
+    from wimbd_spark.operators.similarity import cluster_balanced_sample
+
+    out = cluster_balanced_sample(embeddings, per_cluster=3, n_centroids=8)
+    rows = [tuple(r) for r in out.collect()]
+    per = {}
+    for _, cid in rows:
+        per[cid] = per.get(cid, 0) + 1
+    assert per and all(v <= 3 for v in per.values())
+    # partition-layout independent
+    again = [
+        tuple(r)
+        for r in cluster_balanced_sample(
+            embeddings.repartition(7), per_cluster=3, n_centroids=8
+        ).collect()
+    ]
+    assert sorted(rows) == sorted(again)
+
+
+def test_cluster_balanced_sample_assignment_matches_numpy(embeddings):
+    import hashlib
+
+    import numpy as np
+
+    from wimbd_spark.operators.similarity import cluster_balanced_sample
+
+    pdf = embeddings.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    order = sorted(range(len(ids)), key=lambda j: (h(ids[j]), ids[j]))
+    cent_idx = order[:8]
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed[cent_idx].T
+    expect_assign = {}
+    for j in range(len(ids)):
+        # argmax cosine, tie → smaller centroid id
+        best = max(
+            range(8), key=lambda c: (sims[j, c], -ids[cent_idx[c]])
+        )
+        expect_assign[int(ids[j])] = int(ids[cent_idx[best]])
+
+    out = cluster_balanced_sample(embeddings, per_cluster=10**6, n_centroids=8)
+    got = {r["vec_id"]: r["centroid_id"] for r in out.collect()}
+    assert len(got) == len(ids)
+    mism = {k: (v, expect_assign[k]) for k, v in got.items() if v != expect_assign[k]}
+    assert not mism, list(mism.items())[:5]
+
+
+def test_cluster_balanced_sample_empty_and_bad_args(spark, embeddings):
+    from wimbd_spark.operators.similarity import cluster_balanced_sample
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cluster_balanced_sample(empty, per_cluster=2).count() == 0
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(embeddings, per_cluster=0)

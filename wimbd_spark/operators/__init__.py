@@ -51,7 +51,11 @@ from wimbd_spark.operators.lm import (
     perplexity_filter,
     unigram_lm,
 )
-from wimbd_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from wimbd_spark.operators.similarity import (
+    cluster_balanced_sample,
+    cosine_topk,
+    cosine_topk_lsh,
+)
 from wimbd_spark.operators.urlfilter import (
     filter_by_domain_blocklist,
     host_suffixes,
@@ -135,5 +139,5 @@ __all__ = [
     "ngram_summary", "topk_ngrams_2pass",
     "dsir_log_weights", "dsir_top_fraction", "fit_log_ratio",
     "hashed_feature_counts",
-    "unimax_allocation", "quality_funnel",
+    "unimax_allocation", "quality_funnel", "cluster_balanced_sample",
 ]

@@ -357,6 +357,51 @@ def drop_semantic_duplicates(
     return df.join(drops, id_col, "left_anti")
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    per_cluster: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-preserving sample → (id_col, centroid_id): assign
+    every vector to its nearest deterministic centroid (same hash-gated
+    pick + argmax-cosine assignment as the IVF tier), then keep the
+    ``per_cluster`` rows with the smallest (hash32(id), id) per
+    cluster. Uniform random sampling over-represents dense regions of
+    embedding space; quota-per-cluster keeps the tails — the standard
+    diversity step in embedding-curated pipelines (same family as
+    SemDeDup's cluster stage).
+
+    Scale shape: centroid assignment is a map-only projection against
+    a folded literal (zero shuffle); the ONLY shuffle is the
+    per-cluster window keyed on centroid_id — n_centroids partitions,
+    each holding its member ids. Deterministic at any layout.
+    """
+    if per_cluster <= 0:
+        raise ValueError(f"per_cluster must be positive, got {per_cluster}")
+    cent_arr = _deterministic_centroids(df, id_col, vec_col, n_centroids)
+    if cent_arr is None:  # empty corpus → typed empty result
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("centroid_id"),
+        ).limit(0)
+    assigned = df.select(
+        F.col(id_col),
+        _nearest_centroids(_to_double(F.col(vec_col)), cent_arr, 1)[0][
+            "cid"
+        ].alias("centroid_id"),
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        hash32(F.col(id_col)), F.col(id_col).asc()
+    )
+    return (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_cluster)
+        .select(id_col, "centroid_id")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.45,
