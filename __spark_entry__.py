@@ -3960,19 +3960,18 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # round).
     # tools/check_oracles.py additionally covers ALL entries locally
     # every round regardless of position.
-    # Round 7 window: in — the 43 queries green in r5 but absent from
-    # CORRECTNESS_r06 (the back half of the r6 ordering, returning per
-    # the every-other-round rule), plus 7 r6-green queries on code
-    # paths round 7 touches: multimodal_bytes_meta (JPEG baseline
-    # decode un-gated), ngram_jaccard_pairs (reusable candidate
-    # sketch), unique_ngrams_approx (HLL-only bench twin), and the
-    # four stat-heaviest queries most exposed to the degenerate-input
-    # sweep (corpus_stats, length_percentiles, quality_scores,
-    # repetition_scores). Out — the remaining 43 r6-green queries
-    # (back of the dict; they return in r8).
+    # Round 7 window (exactly full, verified by tests/test_rotation):
+    # the 7 queries NEW in r7 — 5 leading (topk_ngrams_2pass, dsir,
+    # unimax, quality_funnel, cluster_balanced_sample) plus
+    # jpeg_decode_check and ivf_index_topk at positions 48-49 — and
+    # the 43 queries green in r5 but rested in r6, returning per the
+    # every-other-round rule. Out — 50 queries, every one covered by
+    # CORRECTNESS_r06 (they return in r8). Adding ANY further query
+    # this round would push ivf_index_topk (never driver-checked)
+    # out of the window — the registry is capped at 100 until the
+    # r8 rotation.
     # -- NEW in round 7 (late additions lead the window so the driver
-    # -- checks them first; the r6-green queries they displace from
-    # -- positions 46-49 are all covered by CORRECTNESS_r06):
+    # -- checks them first):
     "topk_ngrams_2pass_n2_k20": (
         q_topk_ngrams_2pass,
         o_topk_ngrams_2pass,
