@@ -132,3 +132,10 @@ def test_top_fraction_deterministic(spark):
     assert rows == [tuple(r) for r in dsir_top_fraction(w, 0.5).collect()]
     with pytest.raises(ValueError):
         dsir_top_fraction(w, 0.0)
+
+
+def test_rejects_bad_buckets(spark):
+    pool = spark.createDataFrame(POOL)
+    target = spark.createDataFrame(TARGET)
+    with pytest.raises(ValueError):
+        dsir_log_weights(pool, target, buckets=0)

@@ -442,7 +442,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     common(sp)
     sp.add_argument("--target", action="append", required=True,
-                    help="target-corpus path (repeatable)")
+                    help="target-corpus path (repeatable; --limit/"
+                    "--file-limit apply to it as well as the pool)")
     sp.add_argument("--buckets", type=int, default=8192)
     sp.add_argument("--id-col", default=None,
                     help="doc id column (default: doc_id if present, "

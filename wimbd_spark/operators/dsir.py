@@ -107,6 +107,8 @@ def dsir_log_weights(
     (the pool being scored), target model = ``target``. Featureless
     documents (NULL/empty text) score 0.0. Exact decimal accumulation —
     deterministic at any partitioning."""
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
     ratio = fit_log_ratio(
         hashed_feature_counts(target, buckets, text_col),
         hashed_feature_counts(df, buckets, text_col),
