@@ -2497,6 +2497,26 @@ def o_unique_ngrams_approx():
     """
 
 
+def q_topk_2pass_tight(spark, sf_dir):
+    """Two-pass heavy hitters under MEMORY PRESSURE — capacity 256 is
+    below the corpus' distinct-bigram count, so Misra-Gries eviction
+    actually runs in every partition (the registry twin's capacity 50k
+    never evicts at these SFs, making its benched cost the no-pressure
+    case). Bench-only: counts for returned grams are still exact
+    (pass-2 recount) but the candidate RECALL is approximate, so a SQL
+    oracle can't gate it; correctness of the mechanism rides the
+    registry twin + the Misra-Gries property test."""
+    from wimbd_spark.operators.heavyhitters import topk_ngrams_2pass
+
+    return topk_ngrams_2pass(
+        _docs(spark, sf_dir), n=2, k=20, capacity=256
+    ).select(
+        "ngram",
+        F.col("count").cast("long").alias("count"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_unique_ngrams_hll(spark, sf_dir):
     """HLL-ONLY distinct trigrams — the 100 TB path, benched on its own
     (VERDICT r6 item 2 / design-tension note 3). The oracle-gated
@@ -4166,7 +4186,10 @@ def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each is a cost-model variant of an oracle-gated registry query (its
     correctness rides the twin's driver row), so registering it would
     only dilute the 50-row correctness window with duplicate plans."""
-    return {"bench_unique_ngrams_hll": q_unique_ngrams_hll}
+    return {
+        "bench_unique_ngrams_hll": q_unique_ngrams_hll,
+        "bench_topk_2pass_tight": q_topk_2pass_tight,
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -311,3 +311,53 @@ def test_fix_mojibake_never_corrupts_clean_ascii():
     for _ in range(200):
         s = "".join(rng.choice(chars) for _ in range(rng.randint(0, 40)))
         assert fix_mojibake(s) == s
+
+
+def test_misra_gries_guarantees_property(spark):
+    """Over seeded random Zipf-ish streams: (a) recounted candidate
+    counts are EXACT; (b) any gram with true frequency > N/capacity is
+    returned when k covers it; (c) capacity >= distinct ==> identical
+    to the exact operator. One Spark job per check."""
+    from collections import Counter
+
+    from wimbd_spark.operators.heavyhitters import topk_ngrams_2pass
+    from wimbd_spark.operators.topk import topk_ngrams
+
+    rng = random.Random(SEED + 7)
+    vocab = [f"w{i}" for i in range(200)]
+    # Zipf-ish: token i drawn with weight 1/(i+1)
+    weights = [1.0 / (i + 1) for i in range(len(vocab))]
+    texts = []
+    for _ in range(40):
+        k = rng.randint(5, 120)
+        texts.append(" ".join(rng.choices(vocab, weights=weights, k=k)))
+    truth = Counter()
+    for t in texts:
+        truth.update(t.split())
+    n_total = sum(truth.values())
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"]).repartition(5)
+
+    capacity = 32
+    k = 20
+    got = topk_ngrams_2pass(df, n=1, k=k, capacity=capacity).collect()
+    # (a) exactness of returned counts
+    for r in got:
+        assert r["count"] == truth[r["ngram"]], r
+    # (b) guaranteed-heavy grams present (threshold is the MERGED
+    # bound N/capacity; returned set is top-k so only check grams
+    # that rank within k by true count)
+    ranked_truth = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got_set = {r["ngram"] for r in got}
+    for g, c in ranked_truth:
+        if c > n_total / capacity:
+            assert g in got_set, (g, c, n_total / capacity)
+    # (c) big capacity == exact operator, any layout
+    exact = [tuple(r) for r in topk_ngrams(df, 1, k).collect()]
+    two = [
+        tuple(r)
+        for r in topk_ngrams_2pass(
+            df.repartition(3), 1, k, capacity=10_000
+        ).collect()
+    ]
+    assert two == exact
