@@ -769,3 +769,58 @@ def test_streaming_semantic_filter_empty_index(spark, tmp_path):
     )
     kept = streaming_semantic_filter(batch, idx, threshold=0.5)
     assert [r["vec_id"] for r in kept.collect()] == [1]
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    from wimbd_spark.operators.funnel import quality_funnel
+    from wimbd_spark.streaming import (
+        read_doc_stream,
+        streaming_dedup_exact,
+        streaming_funnel_counts,
+        streaming_funnel_gate,
+    )
+
+    docs = [
+        _doc(1, "the of and to in is it for on the"),
+        _doc(2, "the of and to in is it for on the"),   # dup of 1
+        _doc(3, "el la de que en un es los el la"),     # es
+        _doc(4, "tiny"),                                # too short
+        _doc(5, None),                                  # null text
+        _doc(7, "the and of it is on for to the in"),   # distinct en
+    ]
+    d = str(tmp_path / "docs_in")
+    _write_batch(d, docs[:3], "b0.json")
+    _write_batch(d, docs[3:], "b1.json")
+
+    counts = streaming_funnel_counts(
+        read_doc_stream(spark, d), min_tokens=5, max_tokens=100
+    )
+    q1 = _run_to_memory(counts, "funnel_counts", "complete")
+    gate = streaming_funnel_gate(
+        read_doc_stream(spark, d), min_tokens=5, max_tokens=100
+    )
+    deduped = streaming_dedup_exact(gate).select("doc_id")
+    q2 = _run_to_memory(deduped, "funnel_s4", "append")
+    try:
+        row = spark.sql("SELECT * FROM funnel_counts").collect()[-1]
+        s4 = spark.sql("SELECT count(*) AS c FROM funnel_s4").collect()[0]["c"]
+        batch_docs = spark.createDataFrame(
+            [(x["doc_id"], x["text"]) for x in docs],
+            "doc_id long, text string",
+        )
+        batch = {
+            r["stage_name"]: r["survivors"]
+            for r in quality_funnel(
+                batch_docs, min_tokens=5, max_tokens=100
+            ).collect()
+        }
+        assert (row["s0"], row["s1"], row["s2"], row["s3"]) == (
+            batch["ingest"],
+            batch["nonempty"],
+            batch["token_length"],
+            batch["langid"],
+        )
+        assert s4 == batch["dedup_exact"]
+    finally:
+        q1.stop()
+        q2.stop()

@@ -33,6 +33,23 @@ from wimbd_spark.operators.textqc import langid_heuristic
 STAGE_NAMES = ("ingest", "nonempty", "token_length", "langid", "dedup_exact")
 
 
+def stage_flags(
+    text: "F.Column",
+    min_tokens: int,
+    max_tokens: int,
+    lang: str,
+):
+    """The funnel's cumulative gate flags (f1 nonempty, f2 length,
+    f3 langid) as pure JVM boolean Columns — shared by the batch
+    report and the streaming gate so the two can never drift. Never
+    NULL: a NULL text short-circuits f1 to false."""
+    toks = tokenize(text)
+    f1 = text.isNotNull() & (F.trim(text) != F.lit(""))
+    f2 = f1 & F.size(toks).between(min_tokens, max_tokens)
+    f3 = f2 & (langid_heuristic(text, tokens=toks) == F.lit(lang))
+    return f1, f2, f3
+
+
 def quality_funnel(
     df: DataFrame,
     min_tokens: int = 5,
@@ -53,12 +70,7 @@ def quality_funnel(
     Always returns exactly five rows (zeros on an empty corpus).
     """
     c = F.col(text_col)
-    toks = tokenize(c)
-    f1 = c.isNotNull() & (F.trim(c) != F.lit(""))
-    f2 = f1 & F.size(toks).between(min_tokens, max_tokens)
-    f3 = f2 & (
-        langid_heuristic(c, tokens=toks) == F.lit(lang)
-    )
+    f1, f2, f3 = stage_flags(c, min_tokens, max_tokens, lang)
     flagged = df.select(
         F.col(id_col),
         c.alias("_text"),

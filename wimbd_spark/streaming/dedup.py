@@ -553,3 +553,47 @@ def streaming_semantic_filter(
         lambda rv: dot(uv, rv) >= F.lit(float(threshold)),
     )
     return joined.filter(~hit).select(*vecs.columns)
+
+
+def streaming_funnel_gate(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    lang: str = "en",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stage-3 survivors of the cleaning funnel, on ingest: nonempty →
+    token-length → langid filters as ONE stateless per-row predicate
+    (operators/funnel.py stage_flags, so the gate can never drift from
+    the batch report). Append-mode safe, no state store; compose with
+    ``streaming_dedup_exact`` for the funnel's stage-4 dedup."""
+    from wimbd_spark.operators.funnel import stage_flags
+
+    _, _, f3 = stage_flags(F.col(text_col), min_tokens, max_tokens, lang)
+    return docs.filter(f3)
+
+
+def streaming_funnel_counts(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    lang: str = "en",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cumulative stage-0..3 survivor counts over the whole stream —
+    one row (s0, s1, s2, s3) that updates every micro-batch (run with
+    outputMode "complete"). Stage 4 needs dedup STATE, which streaming
+    aggregation can't nest — count the output of streaming_funnel_gate
+    ∘ streaming_dedup_exact instead (batch-twin agreement pinned in
+    tests)."""
+    from wimbd_spark.operators.funnel import stage_flags
+
+    f1, f2, f3 = stage_flags(F.col(text_col), min_tokens, max_tokens, lang)
+    return docs.select(
+        f1.alias("_f1"), f2.alias("_f2"), f3.alias("_f3")
+    ).agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.coalesce(F.sum(F.col("_f1").cast("long")), F.lit(0)).alias("s1"),
+        F.coalesce(F.sum(F.col("_f2").cast("long")), F.lit(0)).alias("s2"),
+        F.coalesce(F.sum(F.col("_f3").cast("long")), F.lit(0)).alias("s3"),
+    )
