@@ -824,3 +824,64 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     finally:
         q1.stop()
         q2.stop()
+
+
+def test_streaming_dsir_gate_matches_batch(spark, tmp_path):
+    from wimbd_spark.operators.dsir import (
+        dsir_log_weights,
+        fit_log_ratio,
+        hashed_feature_counts,
+    )
+    from wimbd_spark.streaming import (
+        dsir_map_table,
+        read_doc_stream,
+        streaming_dsir_gate,
+    )
+
+    pool_rows = [
+        (1, "alpha beta alpha gamma"),
+        (2, "xray yankee zulu xray zulu"),
+        (3, None),
+        (4, "alpha alpha beta beta gamma"),
+    ]
+    pool = spark.createDataFrame(pool_rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha beta")], "doc_id long, text string"
+    )
+    B = 128
+    ratio = fit_log_ratio(
+        hashed_feature_counts(target, B), hashed_feature_counts(pool, B), B
+    )
+    dmap = dsir_map_table(ratio)
+
+    # batch-twin agreement: same rows pass the gate as score >= thr
+    # (threshold = the second-highest batch weight, so the expected
+    # survivor set is non-empty and non-total by construction)
+    batch_w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(pool, target, B).collect()
+    }
+    thr = sorted(batch_w.values(), reverse=True)[1]
+    expect = sorted(d for d, w in batch_w.items() if w >= thr)
+    assert 0 < len(expect) < len(batch_w)
+    got = sorted(
+        r["doc_id"]
+        for r in streaming_dsir_gate(pool, dmap, thr, buckets=B).collect()
+    )
+    assert got == expect
+
+    # real micro-batch run
+    d = str(tmp_path / "dsir_in")
+    _write_batch(d, [_doc(i, t) for i, t in pool_rows[:2]], "b0.json")
+    _write_batch(d, [_doc(i, t) for i, t in pool_rows[2:]], "b1.json")
+    out = streaming_dsir_gate(
+        read_doc_stream(spark, d), dmap, thr, buckets=B
+    ).select("doc_id")
+    q = _run_to_memory(out, "dsir_gate", "append")
+    try:
+        rows = sorted(
+            r["doc_id"] for r in spark.sql("select * from dsir_gate").collect()
+        )
+        assert rows == expect
+    finally:
+        q.stop()

@@ -597,3 +597,62 @@ def streaming_funnel_counts(
         F.coalesce(F.sum(F.col("_f2").cast("long")), F.lit(0)).alias("s2"),
         F.coalesce(F.sum(F.col("_f3").cast("long")), F.lit(0)).alias("s3"),
     )
+
+
+def dsir_map_table(ratio: DataFrame) -> DataFrame:
+    """Fold a (bucket, log_ratio) DSIR model (operators.dsir.
+    fit_log_ratio) into ONE row (ratios: map<bigint,decimal>) — the
+    static side of streaming_dsir_gate. At most ``buckets`` entries
+    (default 8192), far inside the single-row-map bound shared with
+    lm_map_table; materialize it alongside the model snapshot."""
+    return ratio.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "log_ratio"))
+        ).alias("ratios")
+    )
+
+
+def streaming_dsir_gate(
+    docs: DataFrame,
+    dsir_map: DataFrame,
+    min_log_weight: float,
+    text_col: str = "text",
+    buckets: int | None = None,
+) -> DataFrame:
+    """DSIR-selection-on-ingest: keep stream docs whose log importance
+    weight under STATIC target/raw models (operators.dsir) is
+    ≥ ``min_log_weight``.
+
+    The weight is a pure per-row expression — F.aggregate over the
+    doc's hashed feature grams with a broadcast map lookup — so the
+    gate is STATELESS, unlike the batch scorer's explode + groupBy
+    shape (a stateful aggregation on a stream). The accumulator stays
+    DECIMAL at every step, so the per-row sum is exactly the batch
+    operator's order-independent decimal sum: batch rows through this
+    gate agree with dsir_log_weights ≥ threshold row-for-row (tested).
+    ``buckets`` must match the fit (defaults to operators.dsir.
+    DEFAULT_BUCKETS). Featureless docs score 0.0, same as batch.
+    """
+    from wimbd_spark.functions.text import hash32
+    from wimbd_spark.operators.dsir import DEFAULT_BUCKETS, _feature_grams
+
+    b = DEFAULT_BUCKETS if buckets is None else buckets
+    if b <= 0:
+        raise ValueError(f"buckets must be positive, got {b}")
+    grams = _feature_grams(text_col)
+    zero = F.lit(0).cast("decimal(24,6)")
+    weight = F.aggregate(
+        grams,
+        zero,
+        lambda acc, g: (
+            acc
+            + F.coalesce(
+                F.element_at(
+                    F.col("ratios"), F.pmod(hash32(g), F.lit(b))
+                ),
+                F.lit(0).cast("decimal(12,6)"),
+            )
+        ).cast("decimal(24,6)"),
+    )
+    keep = weight.cast("double") >= F.lit(float(min_log_weight))
+    return docs.join(F.broadcast(dsir_map)).filter(keep).drop("ratios")
