@@ -116,4 +116,67 @@ if needs_compaction(spark, idx_path, num_files=2, factor=1):
         load_phrase_index(spark, gen2), ["streaming", "spark"]
     ).show()
 
+
+print(">>> cleaning gates on ingest: funnel -> DSIR selection -> dedup")
+from pyspark.sql import functions as F
+
+from wimbd_spark.operators.dsir import fit_log_ratio, hashed_feature_counts
+from wimbd_spark.streaming import (
+    dsir_map_table,
+    read_doc_stream,
+    streaming_dedup_exact,
+    streaming_dsir_gate,
+    streaming_funnel_gate,
+)
+
+dd = tempfile.mkdtemp(prefix="docs_")
+
+
+def feed_doc(name, rows):
+    with open(os.path.join(dd, name), "w") as f:
+        for i, text in rows:
+            f.write(json.dumps({
+                "doc_id": i, "ts": "2024-01-01T00:00:00.000Z",
+                "text": text, "source": "crawl",
+            }) + "\n")
+
+
+# static DSIR model: target = what good docs look like; raw = a crawl
+# snapshot (models fit OFFLINE, folded to a one-row broadcast map)
+target = spark.createDataFrame(
+    [(0, "the data the pipeline the index of the corpus")], ["doc_id", "text"]
+)
+snapshot = spark.createDataFrame(
+    [(0, "the data pipeline"), (1, "zzz spam zzz spam zzz")],
+    ["doc_id", "text"],
+)
+B = 512
+dmap = dsir_map_table(fit_log_ratio(
+    hashed_feature_counts(target, B), hashed_feature_counts(snapshot, B), B
+))
+
+feed_doc("d0.json", [
+    (1, "the data of the pipeline is in the corpus"),   # target-like
+    (2, "zzz spam zzz spam zzz spam zzz spam"),          # off-target
+    (3, None),                                           # dropped by funnel
+])
+feed_doc("d1.json", [
+    (4, "the data of the pipeline is in the corpus"),   # dup of 1
+    (5, "the index of the corpus is the data"),          # target-like
+])
+
+stream = read_doc_stream(spark, dd)
+gated = streaming_dsir_gate(
+    streaming_funnel_gate(stream, min_tokens=3, lang="en"), dmap,
+    min_log_weight=-10.0, buckets=B,
+)
+survivors = streaming_dedup_exact(gated).select("doc_id", "text")
+qg = (
+    survivors.writeStream.format("memory").queryName("clean_stream")
+    .outputMode("append").start()
+)
+qg.processAllAvailable()
+qg.stop()
+spark.sql("select doc_id, text from clean_stream order by doc_id").show(truncate=50)
+
 spark.stop()
