@@ -361,3 +361,45 @@ def test_misra_gries_guarantees_property(spark):
         ).collect()
     ]
     assert two == exact
+
+
+def test_unimax_waterfilling_properties(spark):
+    """Over seeded random source sizes: Σalloc == min(budget, Σcap),
+    no alloc exceeds its cap, every UNCAPPED source gets the same
+    share, and no capped source's cap exceeds an uncapped share
+    (the waterfilling optimality conditions). One Spark job per case."""
+    from wimbd_spark.operators.mixture import unimax_allocation
+    from pyspark.sql import Row
+
+    rng = random.Random(SEED + 11)
+    for case in range(6):
+        n_sources = rng.randint(1, 9)
+        sizes = {f"s{i}": rng.randint(1, 400) for i in range(n_sources)}
+        budget = rng.randint(1, sum(sizes.values()) * 3)
+        epochs = rng.choice([0.5, 1.0, 2.0])
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=i, source=s, text=" ".join(["w"] * k))
+                for i, (s, k) in enumerate(sizes.items())
+            ]
+        )
+        rows = unimax_allocation(
+            df, budget_tokens=budget, max_epochs=epochs
+        ).collect()
+        caps = {r["source"]: r["cap"] for r in rows}
+        allocs = {r["source"]: r["alloc"] for r in rows}
+        total_cap = sum(caps.values())
+        assert sum(allocs.values()) == pytest.approx(
+            min(budget, total_cap), abs=1e-3
+        ), (case, sizes, budget, epochs)
+        uncapped = [a for s, a in allocs.items() if a < caps[s] - 1e-9]
+        for s, a in allocs.items():
+            assert a <= caps[s] + 1e-9
+        if uncapped:
+            share = uncapped[0]
+            assert all(abs(a - share) < 1e-6 for a in uncapped)
+            # optimality: every fully-allocated (capped) source has
+            # cap <= the uncapped share (else budget should flow there)
+            for s, a in allocs.items():
+                if a >= caps[s] - 1e-9:
+                    assert caps[s] <= share + 1e-6
