@@ -403,3 +403,70 @@ def test_unimax_waterfilling_properties(spark):
             for s, a in allocs.items():
                 if a >= caps[s] - 1e-9:
                     assert caps[s] <= share + 1e-6
+
+
+def test_funnel_matches_python_reimplementation(spark):
+    """Random texts through the funnel vs an independent pure-Python
+    computation of every stage (nonempty, length, stopword-profile
+    langid with the engine's tie-break, md5 keep-first dedup)."""
+    import hashlib
+
+    from wimbd_spark.operators.funnel import quality_funnel
+    from wimbd_spark.operators.textqc import STOPWORDS
+
+    rng = random.Random(SEED + 13)
+    en = STOPWORDS["en"][:6]
+    es = STOPWORDS["es"][:6]
+    pool = en + es + ["xq1", "xq2", "xq3"]
+    rows = []
+    for i in range(120):
+        k = rng.randint(0, 14)
+        text = " ".join(rng.choice(pool) for _ in range(k))
+        if i % 17 == 0:
+            text = None
+        elif i % 19 == 0:
+            text = "   "
+        rows.append((i, text))
+    # force duplicates
+    rows += [(1000 + i, rows[i][1]) for i in range(0, 40, 5)]
+
+    def py_funnel(min_t, max_t, lang):
+        s = [0, 0, 0, 0, 0]
+        seen = set()
+        for _, text in sorted(rows):
+            s[0] += 1
+            if text is None or text.strip() == "":
+                continue
+            s[1] += 1
+            toks = text.split()
+            if not (min_t <= len(toks) <= max_t):
+                continue
+            s[2] += 1
+            scores = {
+                lg: sum(1 for t in toks if t.lower() in ws)
+                for lg, ws in STOPWORDS.items()
+            }
+            mx = max(scores.values())
+            pred = "un"
+            if mx > 0:
+                for lg in STOPWORDS:  # engine tie-break: profile order
+                    if scores[lg] == mx:
+                        pred = lg
+                        break
+            if pred != lang:
+                continue
+            s[3] += 1
+            h = hashlib.md5(text.encode()).hexdigest()
+            if h not in seen:
+                seen.add(h)
+                s[4] += 1
+        return s
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        r["survivors"]
+        for r in quality_funnel(df, min_tokens=2, max_tokens=10, lang="en")
+        .orderBy("stage")
+        .collect()
+    ]
+    assert got == py_funnel(2, 10, "en")
