@@ -23,7 +23,7 @@ wimbd/language/map_count.py:7-16), keep-first dedup key md5(text)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -34,11 +34,11 @@ STAGE_NAMES = ("ingest", "nonempty", "token_length", "langid", "dedup_exact")
 
 
 def stage_flags(
-    text: "F.Column",
+    text: Column,
     min_tokens: int,
     max_tokens: int,
     lang: str,
-):
+) -> tuple[Column, Column, Column]:
     """The funnel's cumulative gate flags (f1 nonempty, f2 length,
     f3 langid) as pure JVM boolean Columns — shared by the batch
     report and the streaming gate so the two can never drift. Never
