@@ -63,3 +63,53 @@ def test_monotone_nonincreasing(spark, documents):
     assert survivors == sorted(survivors, reverse=True)
     for prev, cur in zip(rows, rows[1:]):
         assert cur["dropped"] == prev["survivors"] - cur["survivors"]
+
+
+def test_funnel_by_group_matches_per_group_global_funnel(spark, documents):
+    from wimbd_spark.operators.funnel import quality_funnel_by
+
+    by = quality_funnel_by(documents, min_tokens=1, max_tokens=10**6)
+    got = {
+        (r["source"], r["stage_name"]): (r["survivors"], r["dropped"])
+        for r in by.collect()
+    }
+    sources = [r["source"] for r in documents.select("source").distinct().collect()]
+    assert len(got) == 5 * len(sources)
+    for s in sources[:3]:  # spot-check three groups against the global funnel
+        sub = documents.filter(F.col("source") == s)
+        expect = {
+            r["stage_name"]: (r["survivors"], r["dropped"])
+            for r in quality_funnel(sub, min_tokens=1, max_tokens=10**6).collect()
+        }
+        for name, v in expect.items():
+            assert got[(s, name)] == v, (s, name)
+
+
+def test_funnel_by_group_all_filtered_group(spark):
+    from pyspark.sql import Row
+
+    from wimbd_spark.operators.funnel import quality_funnel_by
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="a", text="the of and to in is it for on the"),
+            Row(doc_id=2, source="b", text=None),  # whole group fails stage 1
+        ]
+    )
+    got = {
+        (r["source"], r["stage_name"]): r["survivors"]
+        for r in quality_funnel_by(df, min_tokens=1, max_tokens=100).collect()
+    }
+    assert got[("b", "ingest")] == 1 and got[("b", "dedup_exact")] == 0
+    assert got[("a", "dedup_exact")] == 1
+
+
+def test_two_pass_threshold_matches_exact(spark, documents):
+    from wimbd_spark.operators.heavyhitters import topk_ngrams_2pass
+    from wimbd_spark.operators.topk import topk_ngrams
+
+    exact = topk_ngrams(documents, n=1, k=10, threshold=5)
+    two = topk_ngrams_2pass(
+        documents, n=1, k=10, capacity=50_000, threshold=5
+    )
+    assert [tuple(r) for r in two.collect()] == [tuple(r) for r in exact.collect()]

@@ -105,7 +105,7 @@ from wimbd_spark.operators.dsir import (
     hashed_feature_counts,
 )
 from wimbd_spark.operators.mixture import unimax_allocation
-from wimbd_spark.operators.funnel import quality_funnel
+from wimbd_spark.operators.funnel import quality_funnel, quality_funnel_by
 
 __all__ = [
     "botk_ngrams", "ngram_counts", "topk_ngrams", "unique_ngrams",
@@ -139,5 +139,6 @@ __all__ = [
     "ngram_summary", "topk_ngrams_2pass",
     "dsir_log_weights", "dsir_top_fraction", "fit_log_ratio",
     "hashed_feature_counts",
-    "unimax_allocation", "quality_funnel", "cluster_balanced_sample",
+    "unimax_allocation", "quality_funnel", "quality_funnel_by",
+    "cluster_balanced_sample",
 ]

@@ -107,3 +107,68 @@ def quality_funnel(
         F.col("survivors").cast("long").alias("survivors"),
         F.col("dropped").cast("long").alias("dropped"),
     )
+
+
+def quality_funnel_by(
+    df: DataFrame,
+    group_col: str = "source",
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group funnel → (group_col, stage, stage_name, survivors,
+    dropped): the same five stages as :func:`quality_funnel`, broken
+    down by ``group_col`` (dedup runs WITHIN each group — identical to
+    running the global funnel on each group's subset, pinned in
+    tests). Same two-scan shape, with the aggregations keyed on the
+    group: one conditional groupBy(group) plus a survivor-only window
+    keyed (group, md5). Groups with no surviving duplicates still get
+    all five rows; a group whose every doc fails stage 3 gets s4=0.
+    """
+    c = F.col(text_col)
+    f1, f2, f3 = stage_flags(c, min_tokens, max_tokens, lang)
+    flagged = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        c.alias("_text"),
+        f1.alias("_f1"),
+        f2.alias("_f2"),
+        f3.alias("_f3"),
+    )
+    counts = flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.coalesce(F.sum(F.col("_f1").cast("long")), F.lit(0)).alias("s1"),
+        F.coalesce(F.sum(F.col("_f2").cast("long")), F.lit(0)).alias("s2"),
+        F.coalesce(F.sum(F.col("_f3").cast("long")), F.lit(0)).alias("s3"),
+    )
+    w = Window.partitionBy(group_col, F.md5("_text")).orderBy(
+        F.col(id_col).asc()
+    )
+    s4 = (
+        flagged.filter(F.col("_f3"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("s4"))
+    )
+    joined = counts.join(s4, group_col, "left").withColumn(
+        "s4", F.coalesce(F.col("s4"), F.lit(0))
+    )
+    return joined.selectExpr(
+        group_col,
+        """stack(5,
+             0, 'ingest',       s0, CAST(0 AS BIGINT),
+             1, 'nonempty',     s1, s0 - s1,
+             2, 'token_length', s2, s1 - s2,
+             3, 'langid',       s3, s2 - s3,
+             4, 'dedup_exact',  s4, s3 - s4
+           ) AS (stage, stage_name, survivors, dropped)""",
+    ).select(
+        group_col,
+        F.col("stage").cast("int").alias("stage"),
+        "stage_name",
+        F.col("survivors").cast("long").alias("survivors"),
+        F.col("dropped").cast("long").alias("dropped"),
+    )

@@ -118,6 +118,7 @@ def topk_ngrams_2pass(
     capacity: int = 100_000,
     candidate_factor: int = 10,
     text_col: str = "text",
+    threshold: int | None = None,
 ) -> DataFrame:
     """Heavy-hitter top-k n-grams → (ngram, count, rank), counts EXACT.
 
@@ -150,4 +151,8 @@ def topk_ngrams_2pass(
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("count"))
     )
+    if threshold is not None:
+        # same count-floor semantics as the exact operator
+        # (src/cmd/topk.rs:226-235) — applied to the EXACT recounts
+        exact = exact.filter(F.col("count") >= threshold)
     return _ranked(exact, k, ascending=False)
