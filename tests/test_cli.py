@@ -664,3 +664,14 @@ def test_cli_unimax(capsys):
     assert len(rows) == 20
     total = sum(r["alloc"] for r in rows)
     assert abs(total - 10000) < 1e-3
+
+
+def test_cli_funnel_by_source(capsys):
+    rows = _run(
+        capsys,
+        ["funnel", DOCS, "--min-tokens", "1", "--max-tokens", "9999",
+         "--by", "source"],
+    )
+    assert len(rows) == 5 * 20  # 20 sources x 5 stages
+    ingest = sum(r["survivors"] for r in rows if r["stage_name"] == "ingest")
+    assert ingest == 500

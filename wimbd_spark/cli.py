@@ -430,6 +430,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--min-tokens", type=int, default=5)
     sp.add_argument("--max-tokens", type=int, default=5000)
     sp.add_argument("--lang", default="en")
+    sp.add_argument("--by", default=None, metavar="COL",
+                    help="per-group breakdown keyed on this column "
+                    "(dedup within group)")
     sp.add_argument("--id-col", default=None,
                     help="doc id for the dedup stage's keep-first "
                     "order (default: doc_id if present, else the "
@@ -1196,21 +1199,29 @@ def main(argv: list[str] | None = None) -> int:
                     args.output,
                 )
         elif args.cmd == "funnel":
-            from wimbd_spark.operators.funnel import quality_funnel
+            from wimbd_spark.operators.funnel import (
+                quality_funnel,
+                quality_funnel_by,
+            )
 
             id_col = args.id_col or (
                 "doc_id" if "doc_id" in df.columns else df.columns[0]
             )
-            res = quality_funnel(
-                df,
+            kw = dict(
                 min_tokens=args.min_tokens,
                 max_tokens=args.max_tokens,
                 lang=args.lang,
                 text_col=t,
                 id_col=id_col,
             )
+            if args.by:
+                res = quality_funnel_by(df, group_col=args.by, **kw)
+                order = [args.by, "stage"]
+            else:
+                res = quality_funnel(df, **kw)
+                order = ["stage"]
             _emit(
-                [r.asDict() for r in res.orderBy("stage").collect()],
+                [r.asDict() for r in res.orderBy(*order).collect()],
                 args.output,
             )
         elif args.cmd == "dsir":
