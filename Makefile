@@ -1,4 +1,4 @@
-.PHONY: test check bench smoke lint
+.PHONY: test check bench smoke lint examples
 
 test:
 	python -m pytest tests/ -q
@@ -16,3 +16,6 @@ smoke:
 	python -c "import __spark_entry__ as e; from wimbd_spark import get_spark; \
 s = get_spark(master='local[4]', shuffle_partitions=4); \
 df = e.entry(s); print(df.count(), 'rows'); s.stop()"
+
+examples:
+	for f in examples/*.py; do echo "== $$f"; python $$f || exit 1; done
