@@ -9,20 +9,29 @@ window for five consecutive rounds while a hand-maintained comment
 claimed otherwise — this test replaces that comment with a failing
 check (r5 VERDICT item 2).
 
-Invariant (r6 VERDICT item 1, tightened after r7 review): any query
-absent from the newest CORRECTNESS file the CURRENT REGISTRY ORDERING
-COULD HAVE KNOWN ABOUT must be inside the first-50 window. "Could have
-known about" = committed no later than the last commit touching
-__spark_entry__.py; a CORRECTNESS file newer than the registry's last
-commit (the driver's round-end write) is excluded, so the suite stays
-GREEN at round boundaries — but the moment the next round touches the
-registry, that file becomes binding and the same commit must carry the
-rotation. This keeps the STRICT at-most-one-rested-round guarantee
-(checked against the newest binding file, not a union: a plain
-union-of-last-two would quietly permit two consecutive rested rounds,
-because during round N+1 the round-(N-1) file is still in the union).
-Fallback when git metadata is unavailable: union of the last two files
-(weaker, never wrongly red).
+Invariant (r6 VERDICT item 1, tightened after r7 review, generalized
+for registries >100 in r8): with N registry queries, any query absent
+from the union of the newest ``ceil(N/50) - 1`` CORRECTNESS files the
+CURRENT REGISTRY ORDERING COULD HAVE KNOWN ABOUT must be inside the
+first-50 window. "Could have known about" = committed no later than
+the last commit touching __spark_entry__.py; a CORRECTNESS file newer
+than the registry's last commit (the driver's round-end write) is
+excluded, so the suite stays GREEN at round boundaries — but the
+moment the next round touches the registry, that file becomes binding
+and the same commit must carry the rotation.
+
+For N <= 100, ceil(N/50) - 1 = 1, so this is EXACTLY the r7 strict
+rule: checked against the single newest binding file, not a union (a
+plain union-of-last-two at N <= 100 would quietly permit two
+consecutive rested rounds, because during round N+1 the round-(N-1)
+file is still in the union). For N > 100 the strict rule is
+pigeonhole-impossible — N queries, 50 driver rows per round, so over
+any 2 rounds at most 100 distinct queries get a row — and a
+``ceil(N/50)``-round revisit is the tightest guarantee ANY ordering
+can provide; the union width grows exactly as slowly as N forces it
+to. Fallback when git metadata is unavailable: union of the last
+``ceil(N/50)`` files (one wider than binding — weaker, never wrongly
+red).
 """
 
 import json
@@ -80,18 +89,23 @@ def test_window_is_50_or_registry_smaller():
         return
 
 
-def test_no_query_rests_more_than_one_round():
+def test_no_query_rests_more_than_its_share_of_rounds():
     order = _registry_order()
     if len(order) <= WINDOW:
         return
     files = _correctness_files()
     assert files, "no CORRECTNESS_r*.json present — driver never ran?"
+    # tightest achievable revisit period: ceil(N / WINDOW) rounds, so
+    # a query may be absent from at most ceil(N/WINDOW) - 1 consecutive
+    # driver windows. For N <= 2*WINDOW this is the strict single
+    # -binding-file rule from r7.
+    width = -(-len(order) // WINDOW) - 1
     reg_t = _commit_time(REPO / "__spark_entry__.py")
     if reg_t is None:
-        # no git metadata: fall back to the union-of-last-two form
-        binding = None
+        # no git metadata: one file wider (weaker, never wrongly red)
+        binding_names = [p.name for p in files[-(width + 1) :]]
         covered: set[str] = set()
-        for p in files[-2:]:
+        for p in files[-(width + 1) :]:
             covered |= set(json.loads(p.read_text()).keys())
     else:
         known = [
@@ -101,8 +115,11 @@ def test_no_query_rests_more_than_one_round():
         ]
         if not known:
             return  # ordering predates every committed driver file
-        binding = known[-1]
-        covered = set(json.loads(binding.read_text()).keys())
+        binding = known[-width:]
+        binding_names = [p.name for p in binding]
+        covered = set()
+        for p in binding:
+            covered |= set(json.loads(p.read_text()).keys())
     window = set(order[:WINDOW])
     stale = [
         name
@@ -110,13 +127,13 @@ def test_no_query_rests_more_than_one_round():
         if name not in covered and name not in window
     ]
     assert not stale, (
-        f"registry queries absent from the newest driver window the "
-        f"current ordering is accountable to "
-        f"({binding.name if binding else [p.name for p in files[-2:]]}) "
-        f"AND outside the current first-{WINDOW}: {stale} — move them "
-        f"to the front of _REGISTRY (every query must get a driver row "
-        f"at least every other round; if this fired on a registry "
-        f"edit, rotate the window in the same change)"
+        f"registry queries absent from the newest {width} driver "
+        f"window(s) the current ordering is accountable to "
+        f"({binding_names}) AND outside the current first-{WINDOW}: "
+        f"{stale} — move them to the front of _REGISTRY (every query "
+        f"must get a driver row at least every ceil(N/{WINDOW}) "
+        f"rounds; if this fired on a registry edit, rotate the window "
+        f"in the same change)"
     )
 
 
