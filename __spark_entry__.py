@@ -2784,6 +2784,71 @@ def o_contamination_rate_indexed():
     """
 
 
+def q_contamination_slop1_indexed(spark, sf_dir):
+    """SLOP-WINDOWED contamination sweep from the posting index (r8,
+    VERDICT r7 item 3): every distinct src0 4-gram counted against the
+    non-src0 corpus with slop=1 — the phrase's 4 tokens must appear in
+    order within a 5-token window (ES match_phrase slop semantics,
+    wimbd/es/__init__.py:120-153). Fully distributed: corpus slop-gram
+    keys are reconstructed from postings via the anchored-subsequence
+    enumeration (index.corpus_grams_from_postings slop=1 → C(4,3)=4
+    combos per position), then one semi-join against the eval grams —
+    no driver phrase collect (pinned in test_contamination_sweep)."""
+    from wimbd_spark.operators.dedup import contamination_rate_indexed
+
+    docs = _docs(spark, sf_dir)
+    evalset = (
+        docs.filter(F.col("source") == "src0")
+        .select(
+            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+                "phrase"
+            )
+        )
+        .distinct()
+    )
+    corpus = docs.filter(F.col("source") != "src0")
+    idx = _phrase_index(spark, sf_dir, docs=corpus, name="contam")
+    out = contamination_rate_indexed(idx, evalset, "phrase", slop=1)
+    return out.select(
+        F.col("contaminated").cast("long").alias("contaminated"),
+        F.col("total").cast("long").alias("total"),
+        "rate",
+    )
+
+
+def o_contamination_slop1_indexed():
+    # ordered-subsequence-within-window mirror: a 4-gram slop-1-matches
+    # a doc iff its tokens sit at positions (i, i+o1, i+o2, i+o3) for
+    # one of the C(4,3) anchored offset combos with span o3 ≤ 4 =
+    # L+slop−1 — enumerated per anchor exactly like the Spark plan
+    return r"""
+      WITH toks AS (
+        SELECT source,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      ev AS (
+        SELECT DISTINCT array_to_string(list_slice(t, i, i+3), ' ') AS g
+        FROM toks, unnest(generate_series(1, len(t)-3)) AS u(i)
+        WHERE len(t) >= 4 AND source = 'src0'
+      ),
+      cg AS (
+        SELECT DISTINCT
+               array_to_string([t[i], t[i+o1], t[i+o2], t[i+o3]], ' ') AS g
+        FROM toks,
+             unnest(generate_series(1, len(t)-3)) AS u(i),
+             (VALUES (1,2,3),(1,2,4),(1,3,4),(2,3,4)) AS c(o1,o2,o3)
+        WHERE len(t) >= 4 AND source <> 'src0' AND i + o3 <= len(t)
+      ),
+      hits AS (SELECT g FROM ev WHERE g IN (SELECT g FROM cg))
+      SELECT CAST((SELECT count(*) FROM hits) AS BIGINT) AS contaminated,
+             CAST((SELECT count(*) FROM ev) AS BIGINT) AS total,
+             (SELECT count(*) FROM hits)
+               / (SELECT count(*)::DOUBLE FROM ev) AS rate
+    """
+
+
 def q_phrase_df_counts(spark, sf_dir):
     """Eval-scale per-phrase doc counts with the phrase set kept as a
     DATAFRAME end-to-end (count_documents_for_each_phrase_df): every
@@ -3988,6 +4053,11 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # must lead the window); each insertion displaces the tail of the
     # returning half to just past the window, where it stays covered
     # by the r6 file under the ceil(N/50)-round rule and leads in r9.
+    # -- NEW in round 8 (never driver-checked, must lead the window):
+    "contamination_slop1_indexed": (
+        q_contamination_slop1_indexed,
+        o_contamination_slop1_indexed,
+    ),
     # -- rested in r7, returning per the rotation rule; first the 7
     # whose code paths round 7 touched (r6-green, judge re-verified):
     "multimodal_bytes_meta": (

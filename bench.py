@@ -104,6 +104,8 @@ HEADLINE = [
     "unimax_mixture_weights",
     "quality_funnel_report",
     "cluster_balanced_sample_q3",
+    # r8 additions
+    "contamination_slop1_indexed",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)

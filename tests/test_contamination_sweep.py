@@ -114,9 +114,9 @@ def test_dense_batch_routes_to_gram_join(index, monkeypatch):
     calls = []
     orig = index_mod._phrase_matches_gram_join
 
-    def spy(idx, ptoks):
+    def spy(idx, ptoks, slop=0):
         calls.append(len(ptoks))
-        return orig(idx, ptoks)
+        return orig(idx, ptoks, slop)
 
     monkeypatch.setattr(index_mod, "_phrase_matches_gram_join", spy)
     phrase_matches_batch(index, _dense_phrases(), fanout_budget=100)
@@ -156,16 +156,59 @@ def test_dense_routing_parity(index):
     assert len(slot) > 0  # the fixture corpus matches some trigrams
 
 
-def test_dense_slop_batch_warns_but_answers(index):
+def test_dense_slop_batch_routes_to_gram_join(index):
+    # r8: dense slop>0 batches now ride the windowed-subsequence gram
+    # join (no warning, no slot fan-out) and must agree with the
+    # slot-join plan exactly
     phrases = _dense_phrases()
-    with pytest.warns(UserWarning, match="dense batch"):
-        out = phrase_matches_batch(
-            index, phrases, slop=1, fanout_budget=100
-        )
+    out = phrase_matches_batch(index, phrases, slop=1, fanout_budget=100)
     ref = phrase_matches_batch(index, phrases, slop=1, fanout_budget=None)
+    got = sorted(map(tuple, out.collect()))
+    assert got == sorted(map(tuple, ref.collect()))
+    assert len(got) > 0
+
+
+def test_gram_join_slop_parity(index):
+    phrases = _dense_phrases()[:30]
+    for slop in (1, 2):
+        slot = sorted(
+            map(
+                tuple,
+                phrase_matches_batch(
+                    index, phrases, slop=slop, fanout_budget=None
+                ).collect(),
+            )
+        )
+        gram = sorted(
+            map(
+                tuple,
+                index_mod._phrase_matches_gram_join(
+                    index, [p.split() for p in phrases], slop
+                ).collect(),
+            )
+        )
+        assert slot == gram, f"slop={slop}"
+        assert len(slot) > 0
+
+
+def test_dense_slop_combo_blowup_warns_but_answers(index):
+    # trigrams at slop=40 enumerate C(42,2)=861 > MAX_SLOP_COMBINATIONS
+    # per position — past the gram join's bounds, so the dense guard
+    # warns and stays on the slot join (whose cost ignores slop)
+    phrases = _dense_phrases()
+    with pytest.warns(UserWarning, match="combo blow-up"):
+        out = phrase_matches_batch(
+            index, phrases, slop=40, fanout_budget=100
+        )
+    ref = phrase_matches_batch(index, phrases, slop=40, fanout_budget=None)
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, ref.collect())
     )
+
+
+def test_slop_combo_budget_raises_on_direct_call(index):
+    with pytest.raises(ValueError, match="slot-join"):
+        corpus_grams_from_postings(index, [3], slop=40)
 
 
 # ------------------------------------------------ DataFrame-native counts
@@ -232,6 +275,67 @@ def test_sweep_collects_no_phrases(spark, corpus, index, monkeypatch):
     assert sum(collected) <= 8, collected
 
 
+def test_slop_sweep_matches_slot_join_path(spark, corpus, index):
+    # r8 (VERDICT item 3): slop>0 sweeps ride the distributed
+    # windowed-subsequence gram join; the collected slot-join path
+    # (forced via analyzer=) is the established oracle-gated twin
+    ev = _eval_grams(corpus.limit(40), n=4)
+    for slop in (1, 2):
+        fast = contamination_rate_indexed(
+            index, ev, "phrase", slop=slop
+        ).collect()[0]
+        legacy = contamination_rate_indexed(
+            index, ev, "phrase", slop=slop, analyzer=lambda s: s.split()
+        ).collect()[0]
+        assert fast["contaminated"] == legacy["contaminated"], slop
+        assert fast["total"] == legacy["total"], slop
+    # slop can only widen the hit set
+    base = contamination_rate_indexed(index, ev, "phrase").collect()[0]
+    wide = contamination_rate_indexed(
+        index, ev, "phrase", slop=2
+    ).collect()[0]
+    assert wide["contaminated"] >= base["contaminated"]
+    assert base["contaminated"] > 0
+
+
+def test_slop_sweep_collects_no_phrases(spark, corpus, index, monkeypatch):
+    # the r8 contract extends the r5 one to slop>0: the only collected
+    # state is the distinct phrase LENGTHS
+    from pyspark.sql import DataFrame
+
+    ev = _eval_grams(corpus, n=4)
+    n_phrases = ev.count()
+    assert n_phrases > 100
+
+    collected = []
+    orig = DataFrame.collect
+
+    def counting(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+    out = contamination_rate_indexed(index, ev, "phrase", slop=1)
+    row = orig(out)[0]
+    assert row["total"] == n_phrases
+    assert sum(collected) <= 8, collected
+
+
+def test_slop_sweep_combo_blowup_falls_back_correctly(spark, corpus, index):
+    # a slop × length combination past MAX_SLOP_COMBINATIONS routes
+    # every phrase through the bounded slot-join batch — same answers
+    ev = _eval_grams(corpus.limit(6), n=4)
+    fast = contamination_rate_indexed(
+        index, ev, "phrase", slop=40
+    ).collect()[0]
+    legacy = contamination_rate_indexed(
+        index, ev, "phrase", slop=40, analyzer=lambda s: s.split()
+    ).collect()[0]
+    assert fast["contaminated"] == legacy["contaminated"]
+    assert fast["total"] == legacy["total"]
+
+
 def test_sweep_plan_has_no_slot_fanout_and_no_corpus_scan(
     spark, corpus, index, monkeypatch
 ):
@@ -243,6 +347,9 @@ def test_sweep_plan_has_no_slot_fanout_and_no_corpus_scan(
     monkeypatch.setattr(index_mod, "phrase_matches_batch", boom)
     ev = _eval_grams(corpus, n=4)
     out = contamination_rate_indexed(index, ev, "phrase")
+    out.collect()
+    # r8: the slop>0 sweep holds the same structural contract
+    out = contamination_rate_indexed(index, ev, "phrase", slop=1)
     out.collect()
 
 

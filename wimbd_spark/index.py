@@ -34,8 +34,10 @@ slice of the index regardless of corpus size.
 
 from __future__ import annotations
 
+import math
 import warnings
 from collections import Counter
+from itertools import combinations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -279,38 +281,88 @@ def _greedy_window_cond_map(pm: Column, L: Column, slop: int) -> Column:
     )
 
 
+#: Budget for the per-position subsequence enumeration of the slop>0
+#: gram reconstruction: Σ_L C(L+slop−1, L−1) literal index combos, each
+#: a cheap array probe evaluated map-side per (pruned) corpus position.
+#: n-gram-shaped eval sweeps stay tiny (L=4 slop=1 → 4; L=13 slop=3 →
+#: 455); past this the multiplier itself is the cost and the slot-join
+#: plan (cost L × postings, independent of slop) is the right shape.
+MAX_SLOP_COMBINATIONS = 512
+
+
+def _slop_combos(L: int, slop: int) -> list[tuple[int, ...]]:
+    """All 1-based index tuples (c0=1 < c1 < … < c(L-1) ≤ L+slop) into
+    a position-ordered lookahead — every way L in-order tokens can sit
+    inside a window of L+slop token positions, anchored at the window
+    start. Anchoring loses nothing: each occurrence is enumerated at
+    the lookahead that starts at its own first matched position."""
+    return [(1, *rest) for rest in combinations(range(2, L + slop + 1), L - 1)]
+
+
+def slop_combination_count(lengths: list[int], slop: int) -> int:
+    """Per-position combo count the slop>0 gram plan would evaluate."""
+    return sum(math.comb(L + slop - 1, L - 1) for L in set(lengths))
+
+
 def corpus_grams_from_postings(
     index: DataFrame,
     lengths: list[int],
     with_doc: bool = False,
     vocab: DataFrame | None = None,
+    slop: int = 0,
 ) -> DataFrame:
-    """Distinct contiguous token L-grams of the INDEXED corpus for every
-    L in ``lengths``, reconstructed from postings alone (positions →
+    """Distinct token L-gram keys of the INDEXED corpus for every L in
+    ``lengths``, reconstructed from postings alone (positions →
     position-ordered token stream → sliding windows) — the corpus text
     is never read. Output: (_L int, _toks array<string>), plus
     ``doc_id`` when ``with_doc`` (then distinct per document).
 
+    ``slop=0`` (default): contiguous L-grams. ``slop>0``: every ordered
+    L-token subsequence whose original positions span ≤ L+slop−1 —
+    exactly the windowed match_phrase semantics of the query tier
+    (_greedy_window_cond_map; reference wimbd/es/__init__.py:120-153),
+    so ``phrase ∈ result set`` ⇔ the phrase slop-matches the document.
+    Each corpus position enumerates the C(L+slop−1, L−1) anchored index
+    combinations into its lookahead (all-Column array probes, no UDF);
+    the per-position multiplier is guarded by MAX_SLOP_COMBINATIONS —
+    callers with long-phrase × large-slop workloads belong on the
+    slot-join plan (phrase_matches_batch), whose cost doesn't grow
+    with slop.
+
     ``vocab`` (a DataFrame with a ``token`` column) prunes the postings
     scan to the query vocabulary before reconstruction: a gram can only
     match a query gram if EVERY token in it is a query token, so
-    non-vocab postings are irrelevant. Pruning leaves gaps in the
-    position stream, so each window slice additionally checks position
-    contiguity (last − first == L − 1) — without pruning positions are
-    dense and the check is trivially true.
+    non-vocab postings are irrelevant (slop included: skipped window
+    positions may hold any token, matched ones must be vocab). Pruning
+    leaves gaps in the position stream, so each candidate additionally
+    checks original-position span (contiguity when slop=0) — without
+    pruning positions are dense and the check is trivially true. A
+    lookahead of L+slop PRUNED entries suffices: every matched entry
+    lies within L+slop original positions of the anchor, and at most
+    L+slop pruned entries fit in that span.
 
     Plan shape (the 100 TB contract): one semi-join postings⋈vocab
     (AQE broadcasts small vocabularies), ONE window shuffle on doc_id
     to reassemble token order, map-side slicing for all requested Ls at
     once, one distinct. Work is linear in (pruned) corpus token count ×
-    len(lengths); plan size is constant in the number of query phrases
-    — this is what makes eval-scale contamination sweeps viable where
-    the postings×slot fan-out (phrase_matches_batch's slot join) is
-    quadratic in shared-vocabulary batches.
+    len(lengths) (× combo count when slop>0); plan size is constant in
+    the number of query phrases — this is what makes eval-scale
+    contamination sweeps viable where the postings×slot fan-out
+    (phrase_matches_batch's slot join) is quadratic in
+    shared-vocabulary batches.
     """
     Ls = sorted({int(L) for L in lengths if int(L) >= 1})
     if not Ls:
         raise ValueError("lengths must contain at least one L >= 1")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    if slop and (n := slop_combination_count(Ls, slop)) > MAX_SLOP_COMBINATIONS:
+        raise ValueError(
+            f"slop={slop} over lengths {Ls} enumerates {n:,} per-position"
+            f" combinations (> {MAX_SLOP_COMBINATIONS}); this workload"
+            " belongs on the slot-join plan — use phrase_matches_batch,"
+            " whose cost does not grow with slop"
+        )
     max_l = Ls[-1]
     tokpos = index.select(
         "doc_id", "token", F.explode("positions").alias("_pos")
@@ -322,7 +374,7 @@ def corpus_grams_from_postings(
     w = (
         Window.partitionBy("doc_id")
         .orderBy("_pos")
-        .rowsBetween(Window.currentRow, max_l - 1)
+        .rowsBetween(Window.currentRow, max_l + slop - 1)
     )
     ahead = F.collect_list(F.struct(F.col("_pos"), F.col("token"))).over(w)
     first_pos = F.element_at(F.col("_ahead"), 1)["_pos"]
@@ -342,13 +394,37 @@ def corpus_grams_from_postings(
             ),
         )
 
+    def gram_combo(L: int, combo: tuple[int, ...]) -> Column:
+        ok = (F.size(F.col("_ahead")) >= combo[-1]) & (
+            F.element_at(F.col("_ahead"), combo[-1])["_pos"] - first_pos
+            <= F.lit(L + slop - 1)
+        )
+        return F.when(
+            ok,
+            F.struct(
+                F.lit(L).alias("_L"),
+                F.array(
+                    *[
+                        F.element_at(F.col("_ahead"), i)["token"]
+                        for i in combo
+                    ]
+                ).alias("_toks"),
+            ),
+        )
+
+    if slop == 0:
+        gram_cols = [gram(L) for L in Ls]
+    else:
+        gram_cols = [
+            gram_combo(L, c) for L in Ls for c in _slop_combos(L, slop)
+        ]
     out = (
         tokpos.withColumn("_ahead", ahead)
         .select(
             "doc_id",
             F.explode(
                 F.filter(
-                    F.array(*[gram(L) for L in Ls]),
+                    F.array(*gram_cols),
                     lambda s: s.isNotNull(),
                 )
             ).alias("_g"),
@@ -361,15 +437,15 @@ def corpus_grams_from_postings(
 
 
 def _phrase_matches_gram_join(
-    index: DataFrame, ptoks: list[list[str]]
+    index: DataFrame, ptoks: list[list[str]], slop: int = 0
 ) -> DataFrame:
-    """(pid, doc_id) for slop=0 phrase batches via the distributed gram
-    join — the dense-batch escape hatch from phrase_matches_batch's
-    slot plan. Corpus L-grams (pruned to the query vocabulary) are
-    reconstructed once and hash-joined against the broadcast
-    (pid, L, toks) query table on the token-array key, so fan-out is
-    bounded by the corpus's distinct per-doc gram count — never
-    postings × slots.
+    """(pid, doc_id) for phrase batches via the distributed gram join —
+    the dense-batch escape hatch from phrase_matches_batch's slot plan.
+    Corpus L-gram keys (pruned to the query vocabulary; windowed
+    subsequences when slop>0) are reconstructed once and hash-joined
+    against the broadcast (pid, L, toks) query table on the token-array
+    key, so fan-out is bounded by the corpus's distinct per-doc gram
+    count (× the slop combo multiplier) — never postings × slots.
     """
     spark = index.sparkSession
     lengths = sorted({len(t) for t in ptoks})
@@ -382,7 +458,7 @@ def _phrase_matches_gram_join(
         schema="token string",
     )
     cg = corpus_grams_from_postings(
-        index, lengths, with_doc=True, vocab=vocab
+        index, lengths, with_doc=True, vocab=vocab, slop=slop
     )
     return cg.join(F.broadcast(qdf), ["_L", "_toks"]).select("pid", "doc_id")
 
@@ -447,10 +523,13 @@ def phrase_matches_batch(
     quadratic when many phrases share a small vocabulary. When the
     batch looks dense (slots/token ≥ DENSE_SLOTS_PER_TOKEN), one cheap
     per-token postings count over the pruned index estimates the
-    fan-out; estimates above ``fanout_budget`` route slop=0 batches to
-    the distributed gram-join plan (_phrase_matches_gram_join — same
-    (pid, doc_id) contract) and warn on slop>0 batches, which have no
-    gram-join equivalent. ``fanout_budget=None`` disables the guard.
+    fan-out; estimates above ``fanout_budget`` route the batch to the
+    distributed gram-join plan (_phrase_matches_gram_join — same
+    (pid, doc_id) contract; slop>0 handled via windowed-subsequence
+    keys) and warn only when that plan's own bounds are exceeded
+    (phrase length > GRAM_JOIN_MAX_PHRASE_TOKENS, or a slop × length
+    combination past MAX_SLOP_COMBINATIONS). ``fanout_budget=None``
+    disables the guard.
     """
     if not phrases:
         raise ValueError("phrases must be non-empty")
@@ -495,13 +574,19 @@ def phrase_matches_batch(
             )
         if est > fanout_budget:
             max_l = max(len(p) for p in ptoks_list)
-            if slop == 0 and max_l <= GRAM_JOIN_MAX_PHRASE_TOKENS:
-                return _phrase_matches_gram_join(index, ptoks_list)
+            lens = sorted({len(p) for p in ptoks_list})
+            if max_l <= GRAM_JOIN_MAX_PHRASE_TOKENS and (
+                slop == 0
+                or slop_combination_count(lens, slop)
+                <= MAX_SLOP_COMBINATIONS
+            ):
+                return _phrase_matches_gram_join(index, ptoks_list, slop)
             warnings.warn(
                 f"phrase_matches_batch: dense batch (est. slot-join "
                 f"fan-out ~{est:,} rows) with "
-                f"{'slop=' + str(slop) if slop else f'max phrase length {max_l}'}"
-                " has no gram-join fast path; expect a heavy shuffle",
+                f"{f'slop={slop} combo blow-up' if slop else f'max phrase length {max_l}'}"
+                " exceeds the gram-join fast path's bounds; expect a "
+                "heavy shuffle",
                 stacklevel=2,
             )
     qdf = spark.createDataFrame(

@@ -749,11 +749,13 @@ def contamination_report(
     Routes by available inputs, mirroring how contamination_rate
     already cost-models direct vs prefilter internally:
 
-    - ``index`` given, slop=0, default analyzer → the distributed
-      gram semi-join (contamination_rate_indexed fast path — eval set
-      stays a DataFrame, corpus never scanned).
-    - ``index`` given, slop>0 or driver-side ``analyzer`` → the
-      batched slot-join fallback inside contamination_rate_indexed
+    - ``index`` given, default analyzer → the distributed gram
+      semi-join (contamination_rate_indexed fast path — eval set stays
+      a DataFrame, corpus never scanned; slop>0 included via
+      windowed-subsequence gram keys).
+    - ``index`` given, driver-side ``analyzer`` (or a slop × length
+      combination past index.MAX_SLOP_COMBINATIONS) → the batched
+      slot-join fallback inside contamination_rate_indexed
       (phrase_matches_batch; collects the phrase list — interactive
       batches only).
     - no index, ``token_aligned=True`` → index-free token-aligned
@@ -892,7 +894,7 @@ def contamination_rate_ngrams(
 MAX_OVERLONG_PHRASES = 10_000
 
 
-def _overlong_phrase_hits(index, evp, cap: int) -> int:
+def _overlong_phrase_hits(index, evp, cap: int, slop: int = 0) -> int:
     """Distinct overlong eval phrases matching ≥1 doc, via the
     slot-join path — the right plan for long phrases (cost
     L × postings(query tokens), where gram reconstruction would pay
@@ -915,7 +917,7 @@ def _overlong_phrase_hits(index, evp, cap: int) -> int:
     from wimbd_spark.index import phrase_matches_batch
 
     m = phrase_matches_batch(
-        index, sorted(long_list), 0, None, fanout_budget=None
+        index, sorted(long_list), slop, None, fanout_budget=None
     )
     return m.select("pid").distinct().count()
 
@@ -934,31 +936,42 @@ def contamination_rate_indexed(
 
     This is the reference's actual contamination semantics — ES
     match_phrase counts per eval row (wimbd/es/corpus_contamination.py:
-    28-58, batched 500/msearch via es/__init__.py:269-345) — with the
-    eval set kept as a DATAFRAME end-to-end. A slop=0 phrase matches a
-    document iff its token sequence appears among that document's
-    contiguous L-grams, so the sweep compiles to the distributed plan
+    28-58, batched 500/msearch via es/__init__.py:269-345; slop
+    windows: es/__init__.py:120-153) — with the eval set kept as a
+    DATAFRAME end-to-end. A phrase matches a document iff its token
+    sequence appears in order within a window of L+slop tokens —
+    membership of the phrase key in the document's slop-gram key set
+    (contiguous L-grams when slop=0) — so the sweep compiles to the
+    distributed plan
 
-        distinct eval phrases ⟕semi distinct corpus L-grams
+        distinct eval phrases ⟕semi distinct corpus (slop-)gram keys
 
-    with corpus L-grams reconstructed from the postings pruned to the
-    eval vocabulary (index.corpus_grams_from_postings) — the corpus is
-    never scanned, no phrase list is collected to the driver, and no
-    postings×slot fan-out occurs. Plan size is constant in phrase
-    count; the only driver-collected state is the set of distinct
-    phrase LENGTHS (a handful of ints). Counts (`total`, hits) come
-    from distributed aggregations, like the scan twin.
+    with corpus gram keys reconstructed from the postings pruned to
+    the eval vocabulary (index.corpus_grams_from_postings) — the
+    corpus is never scanned, no phrase list is collected to the
+    driver, and no postings×slot fan-out occurs. Plan size is constant
+    in phrase count; the only driver-collected state is the set of
+    distinct phrase LENGTHS (a handful of ints). Counts (`total`,
+    hits) come from distributed aggregations, like the scan twin.
+    slop>0 multiplies the map-side reconstruction by the
+    C(L+slop−1, L−1) per-position combination count — bounded by
+    index.MAX_SLOP_COMBINATIONS, past which the sweep falls back to
+    the collected slot-join batch below.
 
     ``tokenizer`` (Column → array<string>) must mirror the tokenizer
-    the index was built with (defaults pair). slop>0, or a driver-side
-    ``analyzer`` with no Column equivalent, falls back to the batched
+    the index was built with (defaults pair). A driver-side
+    ``analyzer`` with no Column equivalent falls back to the batched
     slot-join path (index.phrase_matches_batch), which collects the
-    phrase list — use it only for genuinely windowed/slop queries.
+    phrase list — interactive-batch territory, not eval-scale.
 
     The substring-semantics scan twin is `contamination_rate` (use it
     when no index exists or substring matching is wanted).
     """
     from wimbd_spark.functions.text import tokenize
+    from wimbd_spark.index import (
+        MAX_SLOP_COMBINATIONS,
+        slop_combination_count,
+    )
 
     spark = eval_df.sparkSession
     phrases = (
@@ -966,7 +979,7 @@ def contamination_rate_indexed(
         .filter(F.col("_p").isNotNull() & (F.trim(F.col("_p")) != ""))
         .distinct()
     )
-    if slop == 0 and analyzer is None:
+    if analyzer is None:
         from wimbd_spark.index import (
             GRAM_JOIN_MAX_PHRASE_TOKENS,
             corpus_grams_from_postings,
@@ -983,17 +996,26 @@ def contamination_rate_indexed(
             .distinct()
             .collect()
         )
-        lengths = [
-            L for L in all_lengths if L <= GRAM_JOIN_MAX_PHRASE_TOKENS
-        ]
+        cap = GRAM_JOIN_MAX_PHRASE_TOKENS
+        lengths = [L for L in all_lengths if L <= cap]
+        if slop and lengths and (
+            slop_combination_count(lengths, slop) > MAX_SLOP_COMBINATIONS
+        ):
+            # long-phrase × large-slop sweeps would pay a combinatorial
+            # map-side multiplier; cap=0 routes EVERY phrase through
+            # the bounded slot-join batch below (collected, the
+            # msearch-client shape — the honest plan for this shape,
+            # its cost doesn't grow with slop)
+            cap = 0
+            lengths = []
         if not lengths:
             n_hit, n_tot = 0, evp.count()
         else:
-            evs = evp.filter(
-                F.col("_L") <= GRAM_JOIN_MAX_PHRASE_TOKENS
-            )
+            evs = evp.filter(F.col("_L") <= cap)
             vocab = evs.select(F.explode("_toks").alias("token"))
-            cg = corpus_grams_from_postings(index, lengths, vocab=vocab)
+            cg = corpus_grams_from_postings(
+                index, lengths, vocab=vocab, slop=slop
+            )
             # cg is distinct on the gram key → left join is 1:≤1, so
             # ONE aggregation job yields both counts; overlong phrases
             # stay in the total (no cg row of their length can match)
@@ -1010,24 +1032,21 @@ def contamination_rate_indexed(
                 .collect()[0]
             )
             n_hit, n_tot = row["_c"], row["_t"]
-        if all_lengths and all_lengths[-1] > GRAM_JOIN_MAX_PHRASE_TOKENS:
+        if all_lengths and all_lengths[-1] > cap:
             if tokenizer is not None:
                 raise ValueError(
-                    "phrases longer than "
-                    f"{GRAM_JOIN_MAX_PHRASE_TOKENS} tokens fall back "
+                    f"phrases longer than {cap} tokens fall back "
                     "to the slot-join path, which tokenizes driver-"
                     "side with the DEFAULT analyzer — incompatible "
                     "with a custom tokenizer=; chunk long phrases "
                     "through phrase_matches_batch with a matching "
                     "analyzer instead"
                 )
-            n_hit += _overlong_phrase_hits(
-                index, evp, GRAM_JOIN_MAX_PHRASE_TOKENS
-            )
+            n_hit += _overlong_phrase_hits(index, evp, cap, slop)
         return _rate_row(spark, n_hit, n_tot)
-    # slop>0 / custom analyzer: the batched slot-join fallback. The
-    # phrase list is collected (the reference's msearch client shape);
-    # acceptable for interactive batches, not for eval-scale sweeps.
+    # custom analyzer: the batched slot-join fallback. The phrase list
+    # is collected (the reference's msearch client shape); acceptable
+    # for interactive batches, not for eval-scale sweeps.
     phrase_list = sorted(r[0] for r in phrases.collect())
     n_tot = len(phrase_list)
     if not n_tot:
