@@ -75,3 +75,38 @@ def test_rejects_bad_parameters(spark, documents):
         topk_ngrams_2pass(documents, n=1, k=0)
     with pytest.raises(ValueError):
         topk_ngrams_2pass(documents, n=1, k=50, capacity=10)
+
+
+def test_chunked_compaction_single_oversized_batch():
+    # r8 (ADVICE r7): one Arrow batch whose distinct-gram count dwarfs
+    # capacity — compaction must run WITHIN the batch (chunks of
+    # `capacity` items, peak table <= 2*capacity) and the classic MG
+    # undercount bound (true - lb <= N_p / capacity) must survive the
+    # more frequent compactions.
+    from collections import Counter
+
+    import pandas as pd
+
+    from wimbd_spark.operators.heavyhitters import _misra_gries_partition
+
+    cap = 100
+    # 40 heavy grams (x400 each = well above N/cap = 210) buried in
+    # 5000 singletons, all in ONE batch
+    arrays = [[f"h{i % 40}"] for i in range(16000)] + [
+        [f"rare{i}"] for i in range(5000)
+    ]
+    pdf = pd.DataFrame({"grams": arrays})
+    out = list(_misra_gries_partition(iter([pdf]), cap))
+    assert len(out) == 1
+    summary = dict(zip(out[0]["ngram"], out[0]["lb"]))
+    assert len(summary) <= cap
+    true = Counter(g for arr in arrays for g in arr)
+    n_items = sum(true.values())
+    for g, lb in summary.items():
+        assert 0 < lb <= true[g]
+        assert true[g] - lb <= n_items / cap
+    # every heavy hitter whose count clears the global undercount
+    # bound must be present
+    for g, c in true.items():
+        if c > n_items / cap:
+            assert g in summary, g

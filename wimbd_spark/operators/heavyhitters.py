@@ -44,7 +44,7 @@ distinct gram once (the exact path's cost).
 
 from __future__ import annotations
 
-from itertools import chain
+from itertools import chain, islice
 from typing import Iterator
 
 import pandas as pd
@@ -61,28 +61,38 @@ def _misra_gries_partition(
 ) -> Iterator[pd.DataFrame]:
     """One Misra-Gries summary per partition over arrays of gram strings.
 
-    Batched compaction: when the counter table exceeds ``capacity``
-    after absorbing an Arrow batch, subtract the excess-th smallest
-    value ``d`` from every counter and drop the non-positive ones —
-    survivors number <= capacity, and each compaction removes >=
-    capacity * d total mass, so the cumulative decrement (the
-    undercount of any key) is <= N_p / capacity.
+    Chunked compaction (ADVICE r7): grams are absorbed in chunks of
+    ``capacity`` items with a compaction after each chunk, so the peak
+    counter-table size is <= 2 * capacity (capacity survivors + one
+    chunk's <= capacity new keys) REGARDLESS of Arrow batch size — the
+    bounded-memory claim is a function of capacity alone. Each
+    compaction subtracts the excess-th smallest value ``d`` from every
+    counter and drops the non-positive ones — survivors number <=
+    capacity, and each compaction removes >= capacity * d total mass,
+    so the cumulative decrement (the undercount of any key) stays
+    <= N_p / capacity however often compaction runs.
     """
     from collections import Counter
 
+    import numpy as np
+
     counts: Counter = Counter()
     for pdf in batches:
-        batch = Counter(chain.from_iterable(pdf["grams"]))
-        counts.update(batch)
-        excess = len(counts) - capacity
-        if excess > 0:
-            import numpy as np
-
-            vals = np.fromiter(counts.values(), dtype="int64", count=len(counts))
-            d = int(np.partition(vals, excess - 1)[excess - 1])
-            counts = Counter(
-                {g: c - d for g, c in counts.items() if c > d}
-            )
+        stream = chain.from_iterable(pdf["grams"])
+        while True:
+            chunk = list(islice(stream, capacity))
+            if not chunk:
+                break
+            counts.update(chunk)
+            excess = len(counts) - capacity
+            if excess > 0:
+                vals = np.fromiter(
+                    counts.values(), dtype="int64", count=len(counts)
+                )
+                d = int(np.partition(vals, excess - 1)[excess - 1])
+                counts = Counter(
+                    {g: c - d for g, c in counts.items() if c > d}
+                )
     if counts:
         yield pd.DataFrame(
             {"ngram": list(counts.keys()), "lb": list(counts.values())}
