@@ -525,3 +525,78 @@ def test_cluster_balanced_sample_empty_and_bad_args(spark, embeddings):
     assert cluster_balanced_sample(empty, per_cluster=2).count() == 0
     with pytest.raises(ValueError):
         cluster_balanced_sample(embeddings, per_cluster=0)
+
+
+def test_cluster_sample_preprune_bounds_window_input(spark):
+    # r8 (VERDICT r7 item 5): the quota window's input is the map-side
+    # pre-pruned set — <= input_partitions x n_centroids x per_cluster
+    # rows — never the corpus.
+    import pandas as pd
+
+    from wimbd_spark.operators.similarity import (
+        _quota_preprune,
+        cluster_balanced_sample,
+    )
+
+    # unit level: two Arrow batches, 3 centroids, per_cluster=2 —
+    # bounded output, smallest (hash, id) kept per centroid
+    b1 = pd.DataFrame(
+        {"vec_id": [1, 2, 3, 4], "centroid_id": [0, 0, 1, 1],
+         "_h": [40, 10, 30, 20]}
+    )
+    b2 = pd.DataFrame(
+        {"vec_id": [5, 6, 7], "centroid_id": [0, 0, 2], "_h": [5, 50, 1]}
+    )
+    out = pd.concat(list(_quota_preprune(2)(iter([b1, b2]))))
+    got = {
+        c: sorted(zip(g["_h"], g["vec_id"]))
+        for c, g in out.groupby("centroid_id")
+    }
+    assert got == {
+        0: [(5, 5), (10, 2)],  # 40 and 50 pruned in-partition
+        1: [(20, 4), (30, 3)],
+        2: [(1, 7)],
+    }
+
+    # integration: plan shows the python prune feeding the window, and
+    # the result is the global smallest-(hash,id) quota per centroid
+    import random
+
+    random.seed(3)
+    rows = [
+        (i, [random.gauss(0, 1) for _ in range(8)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(6)
+    out = cluster_balanced_sample(df, per_cluster=3, n_centroids=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    res = out.collect()
+    from collections import Counter
+
+    per = Counter(r["centroid_id"] for r in res)
+    assert all(v <= 3 for v in per.values())
+    # parity with the unpruned definition: global smallest (hash32, id)
+    from wimbd_spark.functions.text import hash32 as h32
+    from wimbd_spark.operators.similarity import (
+        _deterministic_centroids,
+        _nearest_centroids,
+        _to_double,
+    )
+    from pyspark.sql import functions as F
+
+    cent = _deterministic_centroids(df, "vec_id", "embedding", 4)
+    assigned = df.select(
+        "vec_id",
+        _nearest_centroids(_to_double(F.col("embedding")), cent, 1)[0][
+            "cid"
+        ].alias("centroid_id"),
+        h32(F.col("vec_id")).alias("_h"),
+    ).collect()
+    expect = set()
+    byc = {}
+    for r in assigned:
+        byc.setdefault(r["centroid_id"], []).append((r["_h"], r["vec_id"]))
+    for c, lst in byc.items():
+        for _, vid in sorted(lst)[:3]:
+            expect.add((vid, c))
+    assert {(r["vec_id"], r["centroid_id"]) for r in res} == expect

@@ -357,6 +357,35 @@ def drop_semantic_duplicates(
     return df.join(drops, id_col, "left_anti")
 
 
+def _quota_preprune(per_cluster: int):
+    """Per-input-partition prune for cluster_balanced_sample: keep the
+    ``per_cluster`` smallest (_h, id) rows per centroid seen in THIS
+    partition. The global per-centroid smallest-k is a subset of the
+    union of per-partition smallest-k (the heavy-hitters pre-prune
+    pattern), so the downstream window sees <= input_partitions ×
+    n_centroids × per_cluster rows instead of the corpus. State is
+    bounded (n_centroids × per_cluster narrow rows) across Arrow
+    batches; ordering parity with the JVM window holds because _h is
+    int64 and string-id ties compare identically (UTF-8 byte order ==
+    code-point order)."""
+
+    def run(batches):
+        import pandas as pd
+
+        cols = None
+        best = None
+        for pdf in batches:
+            if cols is None:
+                cols = list(pdf.columns)  # (id, centroid_id, _h)
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            cur = cur.sort_values([cols[2], cols[0]], kind="mergesort")
+            best = cur.groupby(cols[1], sort=False).head(per_cluster)
+        if best is not None and len(best):
+            yield best
+
+    return run
+
+
 def cluster_balanced_sample(
     df: DataFrame,
     per_cluster: int,
@@ -374,9 +403,16 @@ def cluster_balanced_sample(
     SemDeDup's cluster stage).
 
     Scale shape: centroid assignment is a map-only projection against
-    a folded literal (zero shuffle); the ONLY shuffle is the
-    per-cluster window keyed on centroid_id — n_centroids partitions,
-    each holding its member ids. Deterministic at any layout.
+    a folded literal (zero shuffle). Quota selection is a map-side
+    pre-prune (each input partition keeps its own per-centroid
+    smallest ``per_cluster`` (hash, id) rows — _quota_preprune,
+    VERDICT r7 item 5) followed by the centroid-keyed window, so the
+    window's shuffle carries <= input_partitions × n_centroids ×
+    per_cluster narrow rows — never the corpus — and a low
+    ``n_centroids`` no longer bounds the heavy stage's parallelism
+    (the prune runs at input parallelism; only the bounded residue
+    funnels through n_centroids window partitions). Deterministic at
+    any layout.
     """
     if per_cluster <= 0:
         raise ValueError(f"per_cluster must be positive, got {per_cluster}")
@@ -391,12 +427,16 @@ def cluster_balanced_sample(
         _nearest_centroids(_to_double(F.col(vec_col)), cent_arr, 1)[0][
             "cid"
         ].alias("centroid_id"),
+        hash32(F.col(id_col)).alias("_h"),
+    )
+    pruned = assigned.mapInPandas(
+        _quota_preprune(per_cluster), schema=assigned.schema
     )
     w = Window.partitionBy("centroid_id").orderBy(
-        hash32(F.col(id_col)), F.col(id_col).asc()
+        F.col("_h").asc(), F.col(id_col).asc()
     )
     return (
-        assigned.withColumn("_rn", F.row_number().over(w))
+        pruned.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= per_cluster)
         .select(id_col, "centroid_id")
     )
