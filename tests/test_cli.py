@@ -603,13 +603,32 @@ def test_cli_ann_methods(spark, tmp_path, capsys):
     assert rows[0]["neighbor_id"] == 10
     # persisted IVF index: built on first use, reused on the second
     idx = str(tmp_path / "annidx")
-    for _ in range(2):
+    rows = _run(
+        capsys,
+        ["ann", src, "--queries", q, "-k", "1", "--method", "ivf",
+         "--index", idx, "--n-centroids", "1"],
+    )
+    assert rows[0]["neighbor_id"] == 10
+    # second run must REUSE, not rebuild (r8: existence probed via the
+    # Hadoop FileSystem API so non-local URIs behave the same): a
+    # rebuild would clobber an index concurrent readers may be using
+    import wimbd_spark.operators.similarity as sim
+
+    orig_build = sim.build_ivf_index
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("existing index must not be rebuilt")
+
+    sim.build_ivf_index = boom
+    try:
         rows = _run(
             capsys,
             ["ann", src, "--queries", q, "-k", "1", "--method", "ivf",
              "--index", idx, "--n-centroids", "1"],
         )
         assert rows[0]["neighbor_id"] == 10
+    finally:
+        sim.build_ivf_index = orig_build
     with pytest.raises(SystemExit, match="--index requires"):
         main(["ann", src, "--method", "exact", "--index", idx])
 

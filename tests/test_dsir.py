@@ -139,3 +139,26 @@ def test_rejects_bad_buckets(spark):
     target = spark.createDataFrame(TARGET)
     with pytest.raises(ValueError):
         dsir_log_weights(pool, target, buckets=0)
+
+
+def test_top_fraction_persists_weights(spark, documents):
+    # ADVICE r7: count() + TakeOrdered must not re-run the weights DAG
+    # (model fits + gram scans) — the input is cached by the call
+    from wimbd_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_top_fraction,
+    )
+
+    target = documents.filter("source = 'src0'").select("text")
+    w = dsir_log_weights(documents.limit(50), target)
+    assert not w.is_cached
+    kept = dsir_top_fraction(w, 0.2)
+    assert w.is_cached
+    n = w.count()
+    got = kept.collect()
+    assert len(got) == max(1, int(n * 0.2))
+    # deterministic: repeated execution returns the same selection
+    assert [r["doc_id"] for r in kept.collect()] == [
+        r["doc_id"] for r in got
+    ]
+    w.unpersist()

@@ -1152,16 +1152,24 @@ def main(argv: list[str] | None = None) -> int:
             if args.index and args.method != "ivf":
                 raise SystemExit("--index requires --method ivf")
             if args.index:
-                import os as _os
-
                 from wimbd_spark.operators.similarity import (
                     build_ivf_index,
                     cosine_topk_ivf_indexed,
                 )
 
-                if not _os.path.exists(
-                    _os.path.join(args.index, "centroids")
-                ):
+                # probe through the Hadoop FileSystem API, not
+                # os.path: for s3a://hdfs:// URIs a local-path check
+                # is always False and would silently REBUILD (mode=
+                # overwrite) an index a concurrent reader may be using
+                # (ADVICE r7)
+                jvm = spark._jvm
+                hpath = jvm.org.apache.hadoop.fs.Path(
+                    args.index + "/centroids"
+                )
+                fs = hpath.getFileSystem(
+                    spark._jsc.hadoopConfiguration()
+                )
+                if not fs.exists(hpath):
                     build_ivf_index(
                         df,
                         args.index,

@@ -142,9 +142,22 @@ def dsir_top_fraction(
     """Deterministic top-fraction selection by log weight (ties broken
     by id): the greedy variant of the paper's Gumbel resampling —
     reproducible, which matters more in a data pipeline than sampling
-    noise. Uses exact count + TakeOrdered, no global window."""
+    noise. Uses exact count + TakeOrdered, no global window.
+
+    The weights DataFrame is persisted here (ADVICE r7): count() and
+    the TakeOrdered would otherwise each re-run the full weights DAG —
+    model fits AND corpus gram scans — doubling (tripling, with the
+    CLI's select join) the dominant cost. The cache is left in place
+    because the returned plan is lazy and reads from it when the
+    caller executes (and any further reuse, e.g. the --select
+    semi-join, rides it too); call ``weights.unpersist()`` after the
+    last job over the selection when memory matters — otherwise
+    Spark's LRU block eviction reclaims it.
+    """
     if not (0.0 < fraction <= 1.0):
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    if not weights.is_cached:
+        weights = weights.persist()
     n = weights.count()
     k = max(1, int(n * fraction)) if n else 0
     return weights.orderBy(
