@@ -3980,6 +3980,159 @@ def o_quality_funnel():
     """
 
 
+def q_quality_funnel_by(spark, sf_dir):
+    """Per-source cleaning-funnel report (operators/funnel.py
+    quality_funnel_by, r8): the same five cumulative gates as
+    quality_funnel_report, broken down by source — dedup runs WITHIN
+    each source. One conditional groupBy(source) + one survivor-only
+    window keyed (source, md5(text)); agrees with running the global
+    funnel per subset (pinned in tests/test_funnel.py)."""
+    from wimbd_spark.operators.funnel import quality_funnel_by
+
+    return quality_funnel_by(
+        _docs(spark, sf_dir),
+        group_col="source",
+        min_tokens=5,
+        max_tokens=5000,
+        lang="en",
+    )
+
+
+def o_quality_funnel_by():
+    from wimbd_spark.operators.textqc import STOPWORDS
+
+    score = {
+        lang: f"len(list_filter(t, x -> lower(x) IN ({', '.join(chr(39) + w + chr(39) for w in words)})))"
+        for lang, words in STOPWORDS.items()
+    }
+    mx = "greatest(" + ", ".join(score.values()) + ")"
+    case = f"CASE WHEN {mx} <= 0 THEN 'un' " + " ".join(
+        f"WHEN {score[lang]} = {mx} THEN '{lang}'" for lang in STOPWORDS
+    ) + " ELSE 'un' END"
+    return f"""
+      WITH base AS (
+        SELECT source, doc_id, text,
+               list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                                 '\\s+'), x -> x <> '') AS t,
+               (text IS NOT NULL AND trim(text) <> '') AS f1
+        FROM documents
+      ),
+      flags AS (
+        SELECT source, doc_id, text, f1,
+               (f1 AND len(t) BETWEEN 5 AND 5000) AS f2,
+               (f1 AND len(t) BETWEEN 5 AND 5000
+                   AND ({case}) = 'en') AS f3
+        FROM base
+      ),
+      counts AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS s0,
+               CAST(coalesce(sum(CASE WHEN f1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s1,
+               CAST(coalesce(sum(CASE WHEN f2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s2,
+               CAST(coalesce(sum(CASE WHEN f3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS s3
+        FROM flags GROUP BY source
+      ),
+      ded AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS s4 FROM (
+          SELECT source, row_number() OVER (PARTITION BY source, md5(text)
+                                            ORDER BY doc_id) AS rn
+          FROM flags WHERE f3
+        ) WHERE rn = 1 GROUP BY source
+      ),
+      j AS (
+        SELECT c.source, s0, s1, s2, s3, coalesce(d.s4, 0) AS s4
+        FROM counts c LEFT JOIN ded d ON c.source = d.source
+      )
+      SELECT source, CAST(0 AS INT) AS stage, 'ingest' AS stage_name,
+             s0 AS survivors, CAST(0 AS BIGINT) AS dropped FROM j
+      UNION ALL SELECT source, 1, 'nonempty', s1, s0 - s1 FROM j
+      UNION ALL SELECT source, 2, 'token_length', s2, s1 - s2 FROM j
+      UNION ALL SELECT source, 3, 'langid', s3, s2 - s3 FROM j
+      UNION ALL SELECT source, 4, 'dedup_exact', s4, s3 - s4 FROM j
+    """
+
+
+#: simhash62_pairs synthetic near-dup construction: every doc_id
+#: divisible by this gets a variant copy (id + VARIANT_ID_OFFSET, one
+#: appended token) so the pair query exercises real near-but-not-equal
+#: clusters at 62 bits, not just exact duplicates.
+SIMHASH_VARIANT_MOD = 25
+SIMHASH_VARIANT_ID_OFFSET = 10_000_000
+SIMHASH_PAIRS_MAX_HAMMING = 6
+
+
+def q_simhash62_pairs(spark, sf_dir):
+    """ALL document pairs at 62-bit SimHash Hamming distance ≤ 6 over
+    the corpus plus a deterministic synthetic near-dup cluster (every
+    25th doc gets a one-token-appended variant) — exercising the
+    pigeonhole-blocked pair join (neardup.simhash_pairs: 7 segment
+    blockings, complete recall, never a global cross join) at the
+    corpus-scale signature width. The oracle mirrors the full 62-bit
+    signature construction AND does the all-pairs comparison, so the
+    blocking's completeness is value-checked, not assumed."""
+    from wimbd_spark.operators.neardup import simhash_pairs
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.size(tokenize(F.col("text"))) > 0)
+    )
+    variants = docs.filter(
+        F.col("doc_id") % SIMHASH_VARIANT_MOD == 0
+    ).select(
+        (F.col("doc_id") + SIMHASH_VARIANT_ID_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzvariant")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(variants)
+    return simhash_pairs(
+        corpus, max_hamming=SIMHASH_PAIRS_MAX_HAMMING, nbits=62
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def o_simhash62_pairs():
+    h1 = _sql_hash32("w", "sh640")
+    h2 = _sql_hash32("w", "sh641")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h{1 if j < 32 else 2} >> {j % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(62)
+    )
+    total = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(62)
+    )
+    ntok = "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))"
+    return f"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND {ntok} > 0
+        UNION ALL
+        SELECT doc_id + {SIMHASH_VARIANT_ID_OFFSET},
+               text || ' zzvariant'
+        FROM documents
+        WHERE text IS NOT NULL AND {ntok} > 0
+          AND doc_id % {SIMHASH_VARIANT_MOD} = 0
+      ),
+      toks AS (
+        SELECT doc_id, list_sort(list_distinct(
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS t
+        FROM corpus
+      ),
+      words AS (
+        SELECT doc_id, {h1} AS h1, {h2} AS h2
+        FROM toks, unnest(t) AS u(w)
+      ),
+      votes AS (SELECT doc_id, {votes} FROM words GROUP BY doc_id),
+      sig AS (SELECT doc_id, CAST({total} AS BIGINT) AS sh FROM votes)
+      SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+             CAST(b.doc_id AS BIGINT) AS id_b,
+             CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_PAIRS_MAX_HAMMING}
+    """
+
+
 def q_cluster_balanced_sample(spark, sf_dir):
     """Diversity-preserving embedding sample (similarity.
     cluster_balanced_sample): nearest-deterministic-centroid assignment
@@ -4053,11 +4206,19 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # must lead the window); each insertion displaces the tail of the
     # returning half to just past the window, where it stays covered
     # by the r6 file under the ceil(N/50)-round rule and leads in r9.
-    # -- NEW in round 8 (never driver-checked, must lead the window):
+    # -- NEW in round 8 (never driver-checked, must lead the window;
+    # the 3 insertions displace the last 3 returning queries to
+    # positions 51-53, where the r06 file still covers them under the
+    # ceil(N/50)-round rule — they lead the r9 rotation):
     "contamination_slop1_indexed": (
         q_contamination_slop1_indexed,
         o_contamination_slop1_indexed,
     ),
+    "quality_funnel_by_source": (
+        q_quality_funnel_by,
+        o_quality_funnel_by,
+    ),
+    "simhash62_pairs": (q_simhash62_pairs, o_simhash62_pairs),
     # -- rested in r7, returning per the rotation rule; first the 7
     # whose code paths round 7 touched (r6-green, judge re-verified):
     "multimodal_bytes_meta": (

@@ -105,6 +105,8 @@ HEADLINE = [
     "quality_funnel_report",
     "cluster_balanced_sample_q3",
     # r8 additions
+    "quality_funnel_by_source",
+    "simhash62_pairs",
     "contamination_slop1_indexed",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping

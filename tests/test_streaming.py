@@ -885,3 +885,59 @@ def test_streaming_dsir_gate_matches_batch(spark, tmp_path):
         assert rows == expect
     finally:
         q.stop()
+
+
+def test_streaming_funnel_by_matches_batch(spark, tmp_path):
+    # r8 (VERDICT r7 item 7): the grouped streaming funnel must agree
+    # per group with the batch quality_funnel_by stages 0-3
+    from wimbd_spark.operators.funnel import quality_funnel_by
+    from wimbd_spark.streaming import (
+        read_doc_stream,
+        streaming_funnel_counts_by,
+    )
+
+    docs = [
+        _doc(1, "the of and to in is it for on the", source="sA"),
+        _doc(2, "the of and to in is it for on the", source="sA"),
+        _doc(3, "el la de que en un es los el la", source="sB"),
+        _doc(4, "tiny", source="sB"),
+        _doc(5, None, source="sB"),
+        _doc(7, "the and of it is on for to the in", source="sC"),
+    ]
+    d = str(tmp_path / "docs_in")
+    _write_batch(d, docs[:3], "b0.json")
+    _write_batch(d, docs[3:], "b1.json")
+
+    counts = streaming_funnel_counts_by(
+        read_doc_stream(spark, d), min_tokens=5, max_tokens=100
+    )
+    q = _run_to_memory(counts, "funnel_counts_by", "complete")
+    try:
+        got = {
+            r["source"]: (r["s0"], r["s1"], r["s2"], r["s3"])
+            for r in spark.sql("SELECT * FROM funnel_counts_by").collect()
+        }
+        batch_docs = spark.createDataFrame(
+            [(x["doc_id"], x["text"], x["source"]) for x in docs],
+            "doc_id long, text string, source string",
+        )
+        batch = {}
+        for r in quality_funnel_by(
+            batch_docs, group_col="source", min_tokens=5, max_tokens=100
+        ).collect():
+            batch.setdefault(r["source"], {})[r["stage_name"]] = r[
+                "survivors"
+            ]
+        expect = {
+            src: (
+                b["ingest"],
+                b["nonempty"],
+                b["token_length"],
+                b["langid"],
+            )
+            for src, b in batch.items()
+        }
+        assert got == expect
+        assert set(got) == {"sA", "sB", "sC"}
+    finally:
+        q.stop()

@@ -599,6 +599,51 @@ def streaming_funnel_counts(
     )
 
 
+def streaming_funnel_counts_by(
+    docs: DataFrame,
+    group_col: str = "source",
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    lang: str = "en",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group cumulative stage-0..3 survivor counts over the whole
+    stream — one row (group, s0, s1, s2, s3) per group, updating every
+    micro-batch (run with outputMode "complete"); the grouped twin of
+    :func:`streaming_funnel_counts` and the streaming counterpart of
+    the batch ``quality_funnel_by`` stages 0-3 (agreement pinned in
+    tests). Gate flags come from the shared ``stage_flags`` so the
+    three tiers can never drift. State is one row per group (the
+    complete-mode aggregation), nothing per-document; stage 4 needs
+    dedup STATE — compose streaming_funnel_gate ∘
+    streaming_dedup_exact and count per group, as the global form
+    documents."""
+    from wimbd_spark.operators.funnel import stage_flags
+
+    f1, f2, f3 = stage_flags(F.col(text_col), min_tokens, max_tokens, lang)
+    return (
+        docs.select(
+            F.col(group_col),
+            f1.alias("_f1"),
+            f2.alias("_f2"),
+            f3.alias("_f3"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("s0"),
+            F.coalesce(F.sum(F.col("_f1").cast("long")), F.lit(0)).alias(
+                "s1"
+            ),
+            F.coalesce(F.sum(F.col("_f2").cast("long")), F.lit(0)).alias(
+                "s2"
+            ),
+            F.coalesce(F.sum(F.col("_f3").cast("long")), F.lit(0)).alias(
+                "s3"
+            ),
+        )
+    )
+
+
 def dsir_map_table(ratio: DataFrame) -> DataFrame:
     """Fold a (bucket, log_ratio) DSIR model (operators.dsir.
     fit_log_ratio) into ONE row (ratios: map<bigint,decimal>) — the
