@@ -2849,6 +2849,38 @@ def o_contamination_slop1_indexed():
     """
 
 
+def q_contamination_tokens_slop1(spark, sf_dir):
+    """Index-FREE slop-1 contamination scan (r8,
+    dedup.contamination_rate_ngrams slop=1): identical windowed
+    semantics and oracle as the indexed sweep, with corpus slop-gram
+    keys enumerated MAP-SIDE over token arrays (_text_grams combos)
+    instead of reconstructed from postings — the route for corpora
+    nobody indexed."""
+    from wimbd_spark.operators.dedup import contamination_rate_ngrams
+
+    docs = _docs(spark, sf_dir)
+    evalset = (
+        docs.filter(F.col("source") == "src0")
+        .select(
+            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+                "phrase"
+            )
+        )
+        .distinct()
+    )
+    corpus = docs.filter(F.col("source") != "src0")
+    out = contamination_rate_ngrams(evalset, corpus, "phrase", slop=1)
+    return out.select(
+        F.col("contaminated").cast("long").alias("contaminated"),
+        F.col("total").cast("long").alias("total"),
+        "rate",
+    )
+
+
+def o_contamination_tokens_slop1():
+    return o_contamination_slop1_indexed()
+
+
 def q_phrase_df_counts(spark, sf_dir):
     """Eval-scale per-phrase doc counts with the phrase set kept as a
     DATAFRAME end-to-end (count_documents_for_each_phrase_df): every
@@ -4213,6 +4245,10 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "contamination_slop1_indexed": (
         q_contamination_slop1_indexed,
         o_contamination_slop1_indexed,
+    ),
+    "contamination_tokens_slop1": (
+        q_contamination_tokens_slop1,
+        o_contamination_tokens_slop1,
     ),
     "quality_funnel_by_source": (
         q_quality_funnel_by,

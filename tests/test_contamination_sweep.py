@@ -506,3 +506,69 @@ def test_scan_token_aligned_overlong_phrase(spark):
     # hits: the long phrase (aligned in doc 1) and "a b"; "w0 w2" not
     # contiguous; "x <long>" absent
     assert (row["contaminated"], row["total"]) == (2, 4)
+
+
+def test_scan_path_slop_matches_indexed(spark, corpus, index):
+    # r8: the index-free token-aligned scan supports slop via the same
+    # anchored-subsequence enumeration, map-side over token arrays
+    from wimbd_spark.operators.dedup import contamination_rate_ngrams
+
+    ev = _eval_grams(corpus.limit(40), n=4)
+    for slop in (1, 2):
+        scan = contamination_rate_ngrams(
+            ev, corpus, "phrase", slop=slop
+        ).collect()[0]
+        idx = contamination_rate_indexed(
+            index, ev, "phrase", slop=slop
+        ).collect()[0]
+        assert (scan["contaminated"], scan["total"]) == (
+            idx["contaminated"],
+            idx["total"],
+        ), slop
+
+
+def test_scan_path_slop_guards(spark, corpus):
+    from wimbd_spark.operators.dedup import contamination_rate_ngrams
+
+    ev = _eval_grams(corpus.limit(5), n=3)
+    with pytest.raises(ValueError, match="indexed sweep"):
+        contamination_rate_ngrams(ev, corpus, "phrase", slop=40)
+    long_phrase = " ".join(f"w{i}" for i in range(40))
+    evl = spark.createDataFrame([(long_phrase,)], ["phrase"])
+    with pytest.raises(ValueError, match="contiguous-only"):
+        contamination_rate_ngrams(evl, corpus, "phrase", slop=1)
+
+
+def test_phrase_df_counts_slop_matches_list_api(spark, index):
+    phrases = _dense_phrases()[:25] + ["zzz missing gram"]
+    for slop in (1,):
+        lst = {
+            r["phrase"]: r["count"]
+            for r in count_documents_for_each_phrase_indexed(
+                index, phrases, slop=slop
+            ).collect()
+        }
+        pdf = spark.createDataFrame([(p,) for p in phrases], ["phrase"])
+        got = {
+            r["phrase"]: r["count"]
+            for r in count_documents_for_each_phrase_df(
+                index, pdf, slop=slop
+            ).collect()
+        }
+        assert got == lst
+        assert got["zzz missing gram"] == 0
+        assert max(got.values()) > 0
+
+
+def test_router_scan_slop(spark, corpus):
+    # the contamination router accepts slop on the token-aligned scan
+    # path now; substring scan still rejects it
+    from wimbd_spark.operators.dedup import contamination_report
+
+    ev = _eval_grams(corpus.limit(10), n=4)
+    out = contamination_report(
+        ev, "phrase", corpus=corpus, slop=1, token_aligned=True
+    ).collect()[0]
+    assert out["total"] > 0
+    with pytest.raises(ValueError, match="substring"):
+        contamination_report(ev, "phrase", corpus=corpus, slop=1)

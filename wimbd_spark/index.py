@@ -762,6 +762,7 @@ def count_documents_for_each_phrase_df(
     phrases_df: DataFrame,
     phrase_col: str = "phrase",
     tokenizer=None,
+    slop: int = 0,
 ) -> DataFrame:
     """(phrase, count) for EVERY distinct phrase in a phrase DATAFRAME
     — the eval-scale twin of count_documents_for_each_phrase_indexed.
@@ -769,15 +770,19 @@ def count_documents_for_each_phrase_df(
     per-phrase plan nodes), so this serves the reference's
     contamination workloads (wimbd/es/corpus_contamination.py:28-58 —
     one ES count per eval row, 10⁵–10⁶ rows in real sweeps) at any
-    eval-set size. slop=0 token-aligned semantics, single phrases only.
+    eval-set size. Token-aligned semantics, single phrases only;
+    ``slop>0`` counts windowed matches via the anchored-subsequence
+    gram keys (a slop × length combination past MAX_SLOP_COMBINATIONS
+    routes every phrase through the bounded slot-join batch, like the
+    contamination sweep).
 
     Plan: distinct phrases tokenized JVM-side (``tokenizer`` must
     mirror the index's build tokenizer; default pairs with the
-    default) → corpus L-grams reconstructed from vocabulary-pruned
-    postings (corpus_grams_from_postings) → one hash join on the
-    (L, token-array) key → groupBy(phrase) count. Zero-hit phrases
-    report 0. The only driver-collected state is the set of distinct
-    phrase LENGTHS (a handful of ints).
+    default) → corpus (slop-)gram keys reconstructed from
+    vocabulary-pruned postings (corpus_grams_from_postings) → one hash
+    join on the (L, token-array) key → groupBy(phrase) count. Zero-hit
+    phrases report 0. The only driver-collected state is the set of
+    distinct phrase LENGTHS (a handful of ints).
     """
     tok = tokenizer if tokenizer is not None else tokenize
     evp = (
@@ -796,10 +801,15 @@ def count_documents_for_each_phrase_df(
         .distinct()
         .collect()
     )
-    lengths = [
-        L for L in all_lengths if L <= GRAM_JOIN_MAX_PHRASE_TOKENS
-    ]
     cap = GRAM_JOIN_MAX_PHRASE_TOKENS
+    lengths = [L for L in all_lengths if L <= cap]
+    if slop and lengths and (
+        slop_combination_count(lengths, slop) > MAX_SLOP_COMBINATIONS
+    ):
+        # over-budget windowed batch: every phrase rides the bounded
+        # slot-join collect below (cap=0 makes them all "overlong")
+        cap = 0
+        lengths = []
     if not lengths:
         out_short = evp.filter(F.col("_L") <= cap).select(
             "phrase", F.lit(0).cast("long").alias("count")
@@ -808,7 +818,7 @@ def count_documents_for_each_phrase_df(
         evs = evp.filter(F.col("_L") <= cap)
         vocab = evs.select(F.explode("_toks").alias("token"))
         cg = corpus_grams_from_postings(
-            index, lengths, with_doc=True, vocab=vocab
+            index, lengths, with_doc=True, vocab=vocab, slop=slop
         )
         hits = (
             evs.join(cg, ["_L", "_toks"])
@@ -850,7 +860,7 @@ def count_documents_for_each_phrase_df(
             "count_documents_for_each_phrase_indexed"
         )
     out_long = count_documents_for_each_phrase_indexed(
-        index, sorted(long_list), slop=0
+        index, sorted(long_list), slop=slop
     ).select("phrase", F.col("count").cast("long").alias("count"))
     return out_short.unionByName(out_long)
 

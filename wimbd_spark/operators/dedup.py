@@ -565,13 +565,22 @@ def _text_grams(
     lengths: list[int],
     text_col: str = "text",
     tokenizer=None,
+    slop: int = 0,
 ) -> DataFrame:
-    """Explode every contiguous token L-gram of each row's text, for
-    every L in ``lengths``, in ONE map-side pass (no shuffle, no UDF):
-    output = input columns (minus text) + (_L int, _toks array<string>).
-    Rows with NULL text contribute nothing. Sub-L texts contribute no
-    L-grams (the guarded sequence never emits partial windows)."""
+    """Explode every token L-gram KEY of each row's text, for every L
+    in ``lengths``, in ONE map-side pass (no shuffle, no UDF): output
+    = input columns (minus text) + (_L int, _toks array<string>).
+    ``slop=0``: contiguous L-grams. ``slop>0``: every anchored ordered
+    L-token subsequence within a window of L+slop tokens — the same
+    enumeration as index.corpus_grams_from_postings (one literal combo
+    set per L, C(L+slop−1, L−1) combos, budget-guarded there by the
+    callers), over dense token arrays so no span check is needed
+    beyond the window bound. A multi-combo anchor can emit duplicate
+    keys — callers wanting set semantics (contamination) already
+    ``distinct``. Rows with NULL text contribute nothing. Sub-window
+    texts contribute no partial grams."""
     from wimbd_spark.functions.text import tokenize
+    from wimbd_spark.index import _slop_combos
 
     tok = tokenizer if tokenizer is not None else tokenize
     toks = tok(F.col(text_col))
@@ -594,14 +603,53 @@ def _text_grams(
             lambda s: F.size(s["_toks"]) == L,
         )
 
+    def windows_combo(L: int, combo: tuple[int, ...]) -> Column:
+        # anchored subsequence: token positions i, i+combo[1]-1, …
+        # (combo is 1-based with combo[0] == 1); F.get is the
+        # bounds-safe accessor, the when() guard keeps only anchors
+        # whose furthest offset stays inside the array
+        last = combo[-1]
+        return F.filter(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(toks) - F.lit(last - 1), F.lit(1)),
+                ),
+                lambda i: F.when(
+                    i + F.lit(last - 1) <= F.size(toks),
+                    F.struct(
+                        F.lit(L).alias("_L"),
+                        F.array(
+                            *[
+                                F.get(toks, i + F.lit(c - 2))
+                                for c in combo
+                            ]
+                        ).alias("_toks"),
+                    ),
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        )
+
     Ls = sorted({int(L) for L in lengths if int(L) >= 1})
     if not Ls:
         raise ValueError("lengths must contain at least one L >= 1")
-    allw = (
-        windows(Ls[0])
-        if len(Ls) == 1
-        else F.concat(*[windows(L) for L in Ls])
-    )
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    if slop:
+        allw = F.concat(
+            *[
+                windows_combo(L, c)
+                for L in Ls
+                for c in _slop_combos(L, slop)
+            ]
+        )
+    else:
+        allw = (
+            windows(Ls[0])
+            if len(Ls) == 1
+            else F.concat(*[windows(L) for L in Ls])
+        )
     keep = [c for c in df.columns if c != text_col]
     return df.select(*keep, F.explode(allw).alias("_g")).select(
         *keep,
@@ -760,12 +808,14 @@ def contamination_report(
       batches only).
     - no index, ``token_aligned=True`` → index-free token-aligned
       scan (contamination_rate_ngrams — same answers as the indexed
-      path, corpus gram-exploded instead of postings-reconstructed).
+      path, corpus gram-exploded instead of postings-reconstructed;
+      slop>0 included since r8 via the same anchored-subsequence
+      enumeration, map-side over the token arrays).
     - no index, default → substring scan over ``corpus``
       (contamination_rate; its own cost model picks broadcast
       nested-loop vs the rare-anchor prefilter, steered by
-      ``prefilter``). slop needs the index — rejected on the scan
-      paths rather than silently ignored.
+      ``prefilter``). slop has no substring meaning — rejected on
+      that path rather than silently ignored.
 
     Parity: the reference's single contamination workflow
     (wimbd/es/corpus_contamination.py:28-58) always runs against ES;
@@ -783,16 +833,16 @@ def contamination_report(
         )
     if corpus is None:
         raise ValueError("contamination_report needs corpus= or index=")
-    if slop:
-        raise ValueError(
-            "slop (token-window matching) requires a posting index; "
-            "the scan paths have no positional window — build one "
-            "with build_phrase_index or drop slop"
-        )
     if token_aligned:
         return contamination_rate_ngrams(
             eval_df, corpus, phrase_col, text_col=text_col,
-            tokenizer=tokenizer,
+            tokenizer=tokenizer, slop=slop,
+        )
+    if slop:
+        raise ValueError(
+            "slop (token-window matching) has no substring-scan "
+            "meaning — pass token_aligned=True for the index-free "
+            "windowed scan, or an index= for the postings sweep"
         )
     return contamination_rate(
         eval_df, corpus, phrase_col, text_col=text_col, prefilter=prefilter
@@ -805,25 +855,34 @@ def contamination_rate_ngrams(
     phrase_col: str,
     text_col: str = "text",
     tokenizer=None,
+    slop: int = 0,
 ) -> DataFrame:
     """TOKEN-ALIGNED contamination WITHOUT an index: fraction of
-    distinct eval phrases whose token sequence appears contiguously in
-    ≥1 corpus doc → (contaminated, total, rate). Same semantics as
-    contamination_rate_indexed (they agree row-for-row); use this when
-    no posting index exists. The substring-semantics cousin is
-    contamination_rate.
+    distinct eval phrases whose token sequence appears in ≥1 corpus
+    doc (contiguously when ``slop=0``; in order within a window of
+    L+slop tokens when ``slop>0``) → (contaminated, total, rate).
+    Same semantics as contamination_rate_indexed at every slop (they
+    agree row-for-row); use this when no posting index exists. The
+    substring-semantics cousin is contamination_rate.
 
     Plan: eval phrases stay a DataFrame; corpus docs gram-explode
-    map-side for the eval set's distinct lengths (_text_grams) into a
-    distinct (L, gram) table, one left join + ONE aggregation yields
-    both counts. Phrases longer than GRAM_JOIN_MAX_PHRASE_TOKENS match
-    via normalized-text `contains` (token-aligned containment ==
-    substring containment on space-normalized text) — fully
+    map-side for the eval set's distinct lengths (_text_grams — the
+    slop>0 form enumerates the anchored subsequence combos, budgeted
+    by index.MAX_SLOP_COMBINATIONS) into a distinct (L, gram) table,
+    one left join + ONE aggregation yields both counts. Phrases longer
+    than GRAM_JOIN_MAX_PHRASE_TOKENS match via normalized-text
+    `contains` (token-aligned containment == substring containment on
+    space-normalized text) — contiguous-only, so overlong + slop>0 is
+    rejected (route that shape through the indexed sweep). Fully
     distributed at any phrase length, no driver collect beyond the
     distinct-length set.
     """
     from wimbd_spark.functions.text import tokenize
-    from wimbd_spark.index import GRAM_JOIN_MAX_PHRASE_TOKENS
+    from wimbd_spark.index import (
+        GRAM_JOIN_MAX_PHRASE_TOKENS,
+        MAX_SLOP_COMBINATIONS,
+        slop_combination_count,
+    )
 
     spark = eval_df.sparkSession
     tok = tokenizer if tokenizer is not None else tokenize
@@ -843,10 +902,32 @@ def contamination_rate_ngrams(
     )
     cap = GRAM_JOIN_MAX_PHRASE_TOKENS
     short_lengths = [L for L in lengths if L <= cap]
+    if slop and short_lengths and (
+        slop_combination_count(short_lengths, slop)
+        > MAX_SLOP_COMBINATIONS
+    ):
+        raise ValueError(
+            f"slop={slop} over phrase lengths {short_lengths} exceeds "
+            f"the {MAX_SLOP_COMBINATIONS}-combination map-side budget; "
+            "this shape belongs on the indexed sweep "
+            "(contamination_rate_indexed routes it through the "
+            "bounded slot-join batch)"
+        )
+    if slop and lengths and lengths[-1] > cap:
+        raise ValueError(
+            f"phrases longer than {cap} tokens match via normalized-"
+            "text contains, which is contiguous-only — incompatible "
+            "with slop>0; use contamination_rate_indexed for "
+            "overlong windowed phrases"
+        )
     if short_lengths:
         cg = (
             _text_grams(
-                corpus.select(text_col), short_lengths, text_col, tokenizer
+                corpus.select(text_col),
+                short_lengths,
+                text_col,
+                tokenizer,
+                slop=slop,
             )
             .select("_L", "_toks")
             .distinct()
