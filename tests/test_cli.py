@@ -224,9 +224,18 @@ def test_cli_contamination(spark, tmp_path, capsys):
          "--slop", "1"],
     )
     assert rows[0]["contaminated"] == 1 and rows[0]["total"] == 1
-    # slop without an index is token-window semantics the substring
-    # scan cannot honor → hard error, not a silent wrong answer
-    with pytest.raises(ValueError, match="posting index"):
+    # r8: slop without an index rides the token-aligned gram scan when
+    # asked for explicitly…
+    rows = _run(
+        capsys,
+        ["contamination", str(tmp_path / "corpus.parquet"),
+         "--eval", str(tmp_path / "eval2.parquet"),
+         "--token-aligned", "--slop", "1"],
+    )
+    assert rows[0]["contaminated"] == 1 and rows[0]["total"] == 1
+    # …but the substring scan still cannot honor token windows → hard
+    # error, not a silent wrong answer
+    with pytest.raises(ValueError, match="substring"):
         main(["contamination", str(tmp_path / "corpus.parquet"),
               "--eval", str(tmp_path / "eval2.parquet"), "--slop", "1"])
 

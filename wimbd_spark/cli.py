@@ -274,6 +274,9 @@ def main(argv: list[str] | None = None) -> int:
                     "index-build): switches to token-aligned matching "
                     "answered from postings (ES match_phrase "
                     "semantics); without it, substring scan")
+    sp.add_argument("--token-aligned", action="store_true",
+                    help="index-free token-aligned matching (gram "
+                    "scan; required for --slop without --index)")
     sp.add_argument("--slop", type=int, default=0)
 
     sp = sub.add_parser(
@@ -890,6 +893,7 @@ def main(argv: list[str] | None = None) -> int:
                 index=idx,
                 slop=args.slop,
                 text_col=t,
+                token_aligned=args.token_aligned,
             )
             _emit([r.asDict() for r in res.collect()], args.output)
         elif args.cmd == "pack":
