@@ -366,3 +366,52 @@ def test_repeated_spans_and_removal(spark):
     )
     sp2 = sorted(map(tuple, repeated_spans(df2, k=3).collect()))
     assert sp2 == [(0, 0, 2), (0, 4, 6), (1, 0, 2), (1, 4, 6)]
+
+
+def test_decontaminate_by_ngrams_slop(spark):
+    # r8: slop widens containment to in-order-within-window matching
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+
+    train = spark.createDataFrame(
+        [
+            (0, "quick brown fox"),          # contiguous hit
+            (1, "quick red brown fox"),      # 1 intervening token
+            (2, "quick red blue brown"),     # 2 intervening tokens
+            (3, "brown then quick"),         # wrong order at any slop
+            (4, "nothing here"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([("quick brown",)], ["phrase"])
+    kept0 = sorted(
+        r["doc_id"] for r in decontaminate_by_ngrams(train, ev).collect()
+    )
+    assert kept0 == [1, 2, 3, 4]
+    kept1 = sorted(
+        r["doc_id"]
+        for r in decontaminate_by_ngrams(train, ev, slop=1).collect()
+    )
+    assert kept1 == [2, 3, 4]
+    kept2 = sorted(
+        r["doc_id"]
+        for r in decontaminate_by_ngrams(train, ev, slop=2).collect()
+    )
+    assert kept2 == [3, 4]
+    # flag mode agrees with drop mode at slop
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_by_ngrams(
+            train, ev, mode="flag", slop=1
+        ).collect()
+    }
+    assert flags == {0: True, 1: True, 2: False, 3: False, 4: False}
+    # guards: combo blow-up (trigrams at slop=40: C(42,2)=861 > 512)
+    # and overlong + slop both raise
+    ev3 = spark.createDataFrame([("quick brown fox",)], ["phrase"])
+    with pytest.raises(ValueError, match="budget"):
+        decontaminate_by_ngrams(train, ev3, slop=40)
+    long_ev = spark.createDataFrame(
+        [(" ".join(f"w{i}" for i in range(40)),)], ["phrase"]
+    )
+    with pytest.raises(ValueError, match="contiguous-only"):
+        decontaminate_by_ngrams(train, long_ev, slop=1)

@@ -166,6 +166,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="near-duplicate mode: drop docs whose "
                     "shingle-set Jaccard against any blocklist doc "
                     "reaches TAU (catches lightly-edited leaks)")
+    sp.add_argument("--slop", type=int, default=0,
+                    help="token-window slack for --by-ngrams matching "
+                    "(phrase tokens in order within len+slop tokens)")
     sp.add_argument("--shingle-n", type=int, default=3,
                     help="shingle size for --fuzzy (default 3)")
 
@@ -666,6 +669,11 @@ def main(argv: list[str] | None = None) -> int:
                     "--fuzzy and --by-ngrams are different semantics "
                     "(doc-level Jaccard vs phrase containment); pick one"
                 )
+            if args.slop and not args.by_ngrams:
+                raise SystemExit(
+                    "--slop requires --by-ngrams (token-window "
+                    "matching has no exact-hash or Jaccard meaning)"
+                )
             if args.fuzzy is not None:
                 from pyspark.sql import functions as F
 
@@ -693,6 +701,7 @@ def main(argv: list[str] | None = None) -> int:
                     phrase_col=args.phrase_field,
                     text_col=t,
                     id_col=args.id_col,
+                    slop=args.slop,
                 )
             else:
                 kept = decontaminate(df, bl, text_col=t)

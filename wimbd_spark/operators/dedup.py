@@ -681,10 +681,13 @@ def decontaminate_by_ngrams(
     flag_col: str = "contaminated",
     tokenizer=None,
     broadcast_eval: bool = True,
+    slop: int = 0,
 ) -> DataFrame:
     """Remove (``mode='drop'``) or flag (``mode='flag'``) every train
-    doc whose token stream CONTAINS any eval phrase (token-aligned,
-    slop=0) — n-gram decontamination, the drop-side twin of the
+    doc whose token stream CONTAINS any eval phrase (token-aligned;
+    ``slop>0`` widens containment to in-order-within-a-window of
+    L+slop tokens via the anchored-subsequence gram keys, r8) —
+    n-gram decontamination, the drop-side twin of the
     contamination sweep. The reference's decontaminate removes exact
     text-hash matches (decontaminate.py:10-22) and its contamination
     report counts per-phrase ES hits (corpus_contamination.py:28-58);
@@ -708,7 +711,11 @@ def decontaminate_by_ngrams(
     (doc, overlong phrase), fully distributed at any phrase length.
     """
     from wimbd_spark.functions.text import tokenize
-    from wimbd_spark.index import GRAM_JOIN_MAX_PHRASE_TOKENS
+    from wimbd_spark.index import (
+        GRAM_JOIN_MAX_PHRASE_TOKENS,
+        MAX_SLOP_COMBINATIONS,
+        slop_combination_count,
+    )
 
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
@@ -731,6 +738,23 @@ def decontaminate_by_ngrams(
         return train.withColumn(flag_col, F.lit(False))
     cap = GRAM_JOIN_MAX_PHRASE_TOKENS
     short_lengths = [L for L in lengths if L <= cap]
+    if slop and short_lengths and (
+        slop_combination_count(short_lengths, slop)
+        > MAX_SLOP_COMBINATIONS
+    ):
+        raise ValueError(
+            f"slop={slop} over phrase lengths {short_lengths} exceeds "
+            f"the {MAX_SLOP_COMBINATIONS}-combination map-side budget; "
+            "decontaminate via the indexed matcher "
+            "(index.phrase_matches_batch) and anti-join the hit ids"
+        )
+    if slop and lengths[-1] > cap:
+        raise ValueError(
+            f"phrases longer than {cap} tokens match via normalized-"
+            "text contains, which is contiguous-only — incompatible "
+            "with slop>0; split the overlong phrases or use the "
+            "indexed matcher"
+        )
     hit_parts = []
     if short_lengths:
         evs = evg.filter(F.col("_L") <= cap)
@@ -742,6 +766,7 @@ def decontaminate_by_ngrams(
                 short_lengths,
                 text_col,
                 tokenizer,
+                slop=slop,
             )
             .join(evs, ["_L", "_toks"], "left_semi")
             .select(id_col)

@@ -294,10 +294,12 @@ def streaming_decontaminate_by_ngrams(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokenizer=None,
+    slop: int = 0,
 ):
     """EXACT n-gram decontamination on ingest: each micro-batch runs
     the batch operator (decontaminate_by_ngrams — doc-level semantics,
-    drop any doc containing any eval phrase) and appends survivors as
+    drop any doc containing any eval phrase; ``slop>0`` widens to the
+    windowed match, r8) and appends survivors as
     parquet under ``path``. Doc-level dropping needs a per-doc
     aggregation over exploded grams, which pure streaming can only do
     with a state store; foreachBatch gets batch semantics per
@@ -317,6 +319,7 @@ def streaming_decontaminate_by_ngrams(
             text_col=text_col,
             id_col=id_col,
             tokenizer=tokenizer,
+            slop=slop,
         )
         out.write.mode("overwrite").parquet(f"{path}/batch={epoch}")
 
