@@ -941,3 +941,40 @@ def test_streaming_funnel_by_matches_batch(spark, tmp_path):
         assert set(got) == {"sA", "sB", "sC"}
     finally:
         q.stop()
+
+
+def test_streaming_contamination_hits_slop(spark, tmp_path):
+    # r8: the audit stream honors slop — windowed matches surface
+    from wimbd_spark.streaming import (
+        eval_gram_table,
+        read_doc_stream,
+        streaming_contamination_hits,
+    )
+
+    d = str(tmp_path / "docs_chs")
+    _write_batch(
+        d,
+        [
+            _doc(1, "quick brown fox"),        # contiguous
+            _doc(2, "quick red brown fox"),    # 1 intervening token
+            _doc(3, "quick red blue brown"),   # 2 intervening
+            _doc(4, "brown then quick"),       # wrong order
+        ],
+        "b0.json",
+    )
+    ev = spark.createDataFrame([("quick brown",)], ["phrase"])
+    grams = eval_gram_table(ev)
+    out = streaming_contamination_hits(
+        read_doc_stream(spark, d), grams, slop=1
+    )
+    q = _run_to_memory(
+        out.select("doc_id", "phrase").dropDuplicates(),
+        "chs_stream",
+        "append",
+    )
+    try:
+        rows = spark.sql("select * from chs_stream").collect()
+        hits = sorted({(r["doc_id"], r["phrase"]) for r in rows})
+        assert hits == [(1, "quick brown"), (2, "quick brown")]
+    finally:
+        q.stop()

@@ -214,6 +214,7 @@ def streaming_contamination_hits(
     eval_grams: DataFrame,
     text_col: str = "text",
     tokenizer=None,
+    slop: int = 0,
 ) -> DataFrame:
     """STATELESS contamination AUDIT stream: one output row per
     (stream doc, matching eval phrase) — the doc's columns (minus
@@ -226,11 +227,18 @@ def streaming_contamination_hits(
     Plan: the eval set's distinct phrase LENGTHS are read once at
     STREAM SETUP (a handful of ints — the static side's only
     driver-visible state); each micro-batch then gram-explodes its
-    docs map-side (_text_grams — no shuffle, no UDF) and inner-joins
-    the broadcast static gram table. No watermark, no state store:
-    composes anywhere in a stateless gate chain.
+    docs map-side (_text_grams — no shuffle, no UDF; ``slop>0`` uses
+    the anchored-subsequence keys, r8, multiplying the explode by the
+    combo count and possibly emitting several rows per (doc, phrase)
+    window hit, like multiple contiguous occurrences already do) and
+    inner-joins the broadcast static gram table. No watermark, no
+    state store: composes anywhere in a stateless gate chain.
     """
-    from wimbd_spark.index import GRAM_JOIN_MAX_PHRASE_TOKENS
+    from wimbd_spark.index import (
+        GRAM_JOIN_MAX_PHRASE_TOKENS,
+        MAX_SLOP_COMBINATIONS,
+        slop_combination_count,
+    )
     from wimbd_spark.operators.dedup import (
         _normalized_tokens_text,
         _text_grams,
@@ -243,9 +251,25 @@ def streaming_contamination_hits(
         raise ValueError("eval_grams is empty — nothing to match")
     cap = GRAM_JOIN_MAX_PHRASE_TOKENS
     short_lengths = [L for L in lengths if L <= cap]
+    if slop and short_lengths and (
+        slop_combination_count(short_lengths, slop)
+        > MAX_SLOP_COMBINATIONS
+    ):
+        raise ValueError(
+            f"slop={slop} over phrase lengths {short_lengths} exceeds "
+            f"the {MAX_SLOP_COMBINATIONS}-combination map-side budget"
+        )
+    if slop and lengths[-1] > cap:
+        raise ValueError(
+            f"phrases longer than {cap} tokens match via normalized-"
+            "text contains (contiguous-only) — incompatible with "
+            "slop>0"
+        )
     parts = []
     if short_lengths:
-        grams = _text_grams(docs, short_lengths, text_col, tokenizer)
+        grams = _text_grams(
+            docs, short_lengths, text_col, tokenizer, slop=slop
+        )
         parts.append(
             grams.join(
                 F.broadcast(eval_grams.filter(F.col("_L") <= cap)),
