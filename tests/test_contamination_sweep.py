@@ -572,3 +572,26 @@ def test_router_scan_slop(spark, corpus):
     assert out["total"] > 0
     with pytest.raises(ValueError, match="substring"):
         contamination_report(ev, "phrase", corpus=corpus, slop=1)
+
+
+def test_contaminated_examples_slop(spark, tmp_path):
+    from wimbd_spark.index import contaminated_examples
+
+    df = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "quick red brown"), (3, "brown quick")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "exsidx")
+    build_phrase_index(df, path, num_files=1)
+    idx = load_phrase_index(spark, path)
+    ev = spark.createDataFrame([("quick brown",)], ["phrase"])
+    base = {
+        (r["phrase"], r["doc_id"])
+        for r in contaminated_examples(idx, ev).collect()
+    }
+    assert base == {("quick brown", 1)}
+    slop1 = {
+        (r["phrase"], r["doc_id"])
+        for r in contaminated_examples(idx, ev, slop=1).collect()
+    }
+    assert slop1 == {("quick brown", 1), ("quick brown", 2)}

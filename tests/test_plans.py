@@ -233,6 +233,16 @@ def test_contamination_sweep_no_positions_fanout(spark, tmp_path, raw_docs):
     opt = None
     specs = re.findall(r"windowspecdefinition\((\w+)", plan)
     assert specs and all(s.startswith("doc_id") for s in specs)
+    # r8: the slop>0 reconstruction holds the same contract — no slot
+    # table, doc_id-partitioned window, and no Python boundary (the
+    # combo enumeration is pure Column expressions)
+    plan1 = explain_str(
+        corpus_grams_from_postings(idx, [2], vocab=vocab, slop=1)
+    )
+    assert "slot" not in plan1
+    specs1 = re.findall(r"windowspecdefinition\((\w+)", plan1)
+    assert specs1 and all(s.startswith("doc_id") for s in specs1)
+    assert "pythonUDF" not in plan1 and "MapInPandas" not in plan1
 
 
 def test_phrase_df_counts_corpus_never_scanned(spark, tmp_path, raw_docs):

@@ -871,6 +871,7 @@ def contaminated_examples(
     k: int = 3,
     phrase_col: str = "phrase",
     tokenizer=None,
+    slop: int = 0,
 ) -> DataFrame:
     """(phrase, doc_id, rank) — up to ``k`` example documents per
     distinct eval phrase, the audit companion to the contamination
@@ -885,8 +886,10 @@ def contaminated_examples(
     reconstruction), then ONE window partitioned by phrase — bounded
     output k rows/phrase, never a per-phrase query loop. Phrases with
     no matches emit no rows (join the phrase table back if you need
-    explicit empties). slop=0, ≤ GRAM_JOIN_MAX_PHRASE_TOKENS tokens
-    per phrase (longer phrases: route through
+    explicit empties). ``slop>0`` audits windowed matches via the
+    anchored-subsequence keys (combo-budget-guarded in the gram
+    reconstruction). ≤ GRAM_JOIN_MAX_PHRASE_TOKENS tokens per phrase
+    (longer phrases: route through
     get_documents_containing_phrases_indexed per phrase).
     """
     if k < 1:
@@ -915,7 +918,7 @@ def contaminated_examples(
         )
     vocab = evp.select(F.explode("_toks").alias("token"))
     cg = corpus_grams_from_postings(
-        index, lengths, with_doc=True, vocab=vocab
+        index, lengths, with_doc=True, vocab=vocab, slop=slop
     )
     w = (
         Window.partitionBy("phrase")
