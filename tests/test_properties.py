@@ -470,3 +470,64 @@ def test_funnel_matches_python_reimplementation(spark):
         .collect()
     ]
     assert got == py_funnel(2, 10, "en")
+
+
+def test_slop_combos_cover_all_window_assignments():
+    # r8: the anchored combo enumeration (_slop_combos) must agree with
+    # a brute-force matcher — "phrase occurs as an in-order subsequence
+    # within a window of L+slop tokens" — on random token streams.
+    # Pure-Python property: the enumeration IS the semantics every
+    # slop path (indexed, scan, decontaminate, streaming) compiles to.
+    import math
+
+    from wimbd_spark.index import _slop_combos
+
+    rng = random.Random(42)
+    voc = ["a", "b", "c", "d"]
+    for trial in range(300):
+        L = rng.randint(1, 4)
+        slop = rng.randint(0, 3)
+        toks = [rng.choice(voc) for _ in range(rng.randint(0, 12))]
+        phrase = [rng.choice(voc) for _ in range(L)]
+        combos = _slop_combos(L, slop)
+        # structural invariants
+        assert len(combos) == math.comb(L + slop - 1, L - 1)
+        for c in combos:
+            assert c[0] == 1 and list(c) == sorted(set(c))
+            assert c[-1] <= L + slop
+
+        # brute force: any strictly-increasing position assignment
+        # with span <= L + slop - 1
+        def brute():
+            n = len(toks)
+
+            def rec(slot, prev, first):
+                if slot == L:
+                    return True
+                for p in range(prev + 1, n):
+                    if toks[p] == phrase[slot] and (
+                        first is None or p - first <= L + slop - 1
+                    ):
+                        if rec(slot + 1, p, first if first is not None else p):
+                            return True
+                return False
+
+            return rec(0, -1, None)
+
+        # combo evaluation: anchored at every position (mirrors the
+        # per-anchor Column expression: token at anchor+c_j-1)
+        def via_combos():
+            n = len(toks)
+            for i in range(n):
+                for c in combos:
+                    if i + c[-1] - 1 < n and all(
+                        toks[i + cj - 1] == phrase[j]
+                        for j, cj in enumerate(c)
+                    ):
+                        return True
+            return False
+
+        assert via_combos() == brute(), (
+            f"trial {trial}: L={L} slop={slop} toks={toks} "
+            f"phrase={phrase}"
+        )
