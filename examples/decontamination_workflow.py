@@ -76,4 +76,13 @@ clean = decontaminate_by_ngrams(train, evalset)
 after = clean.count()
 print(f"train docs: {before} -> {after} ({before - after} dropped)")
 
+print("== 6. slop: windowed matching (r8 — eval tokens in order")
+print("   within a window of len+slop, still fully distributed) ==")
+contamination_report(evalset, "phrase", index=idx, slop=1).show()
+slop_after = decontaminate_by_ngrams(train, evalset, slop=1).count()
+print(
+    f"slop=1 widens the drop set: {before - after} -> "
+    f"{before - slop_after} docs dropped"
+)
+
 spark.stop()
