@@ -2036,6 +2036,99 @@ def o_ann_cosine_topk():
     """
 
 
+def q_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN (similarity.cosine_topk_pq, r8): each
+    corpus vector stored as m=8 codes over 16-entry per-subspace
+    codebooks (the IVF-PQ memory recipe, Jégou et al. 2011 — at scale
+    the corpus side reads m bytes/vector instead of dim floats);
+    scoring is asymmetric (exact query vs reconstruction). The
+    deterministic hash-picked codebook (iters=0) makes the ENTIRE
+    approximate pipeline reproducible in SQL, so the oracle gates the
+    approximate semantics bit-for-bit — sample pick, per-subspace
+    argmin encode, lookup-table scoring, rounded ranking."""
+    from wimbd_spark.operators.similarity import cosine_topk_pq
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_pq(emb, queries, k=5, m=8, n_codes=16)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "approx_cosine",
+        "rank",
+    )
+
+
+def o_pq_ann_topk():
+    return """
+      WITH samp AS (
+        SELECT row_number() OVER (
+                 ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT,
+                          vec_id) - 1 AS j,
+               embedding::DOUBLE[] AS v
+        FROM embeddings
+        ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT, vec_id
+        LIMIT 16
+      ),
+      cb AS (
+        SELECT s, j, list_slice(v, s*8+1, s*8+8) AS cv
+        FROM samp, (SELECT unnest(generate_series(0,7)) AS s)
+      ),
+      corp AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+               WHERE embedding IS NOT NULL),
+      dists AS (
+        SELECT c.vec_id, b.s, b.j,
+               list_sum(list_transform(generate_series(1,8), i ->
+                 (c.x[b.s*8+i] - b.cv[i])*(c.x[b.s*8+i] - b.cv[i]))) AS dist
+        FROM corp c, cb b
+      ),
+      codes AS (
+        SELECT vec_id, s, j FROM (
+          SELECT vec_id, s, j,
+                 row_number() OVER (PARTITION BY vec_id, s
+                                    ORDER BY dist, j) AS rn
+          FROM dists) WHERE rn = 1
+      ),
+      rn2 AS (
+        SELECT c.vec_id,
+               sum(list_sum(list_transform(b.cv, x -> x*x))) AS recon2
+        FROM codes c JOIN cb b ON b.s = c.s AND b.j = c.j
+        GROUP BY c.vec_id
+      ),
+      qn AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding::DOUBLE[], x ->
+                 x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                  y -> y*y)))) AS qu
+        FROM embeddings WHERE vec_id < 5
+      ),
+      sdot AS (
+        SELECT qn.query_id, c.vec_id AS neighbor_id,
+               sum(list_sum(list_transform(generate_series(1,8), i ->
+                 qn.qu[c.s*8+i]*b.cv[i]))) AS sd
+        FROM qn, codes c JOIN cb b ON b.s = c.s AND b.j = c.j
+        GROUP BY qn.query_id, c.vec_id
+      ),
+      scored AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(s.sd / sqrt(r.recon2), 6) AS approx_cosine
+        FROM sdot s JOIN rn2 r ON r.vec_id = s.neighbor_id
+        WHERE s.query_id <> s.neighbor_id
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_cosine DESC,
+                                              neighbor_id) AS rank
+        FROM scored
+      )
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             approx_cosine,
+             CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 5
+    """
+
+
 def q_ivf_index_topk(spark, sf_dir):
     """Build-once/query-many ANN (similarity.build_ivf_index /
     cosine_topk_ivf_indexed): inverted lists materialized as a
@@ -4246,6 +4339,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         q_contamination_slop1_indexed,
         o_contamination_slop1_indexed,
     ),
+    "pq_ann_topk": (q_pq_ann_topk, o_pq_ann_topk),
     "contamination_tokens_slop1": (
         q_contamination_tokens_slop1,
         o_contamination_tokens_slop1,

@@ -105,6 +105,7 @@ HEADLINE = [
     "quality_funnel_report",
     "cluster_balanced_sample_q3",
     # r8 additions
+    "pq_ann_topk",
     "quality_funnel_by_source",
     "simhash62_pairs",
     "contamination_slop1_indexed",

@@ -610,6 +610,14 @@ def test_cli_ann_methods(spark, tmp_path, capsys):
         capsys, ["ann", src, "--queries", q, "-k", "1", "--method", "lsh"]
     )
     assert rows[0]["neighbor_id"] == 10
+    # pq (r8): m=4 one-dim subspaces over 5 sample codes reconstruct
+    # this tiny set exactly, so the asymmetric scorer agrees too
+    rows = _run(
+        capsys,
+        ["ann", src, "--queries", q, "-k", "1", "--method", "pq",
+         "--pq-m", "4"],
+    )
+    assert rows[0]["neighbor_id"] == 10
     # persisted IVF index: built on first use, reused on the second
     idx = str(tmp_path / "annidx")
     rows = _run(

@@ -600,3 +600,56 @@ def test_cluster_sample_preprune_bounds_window_input(spark):
         for _, vid in sorted(lst)[:3]:
             expect.add((vid, c))
     assert {(r["vec_id"], r["centroid_id"]) for r in res} == expect
+
+
+def test_pq_topk_properties(spark):
+    # r8: product-quantized ANN — structure, determinism, and quality
+    # on clusterable data (same-cluster precision; plain recall@k is
+    # the wrong metric here because PQ collapses same-cluster near-
+    # ties to identical codes and reorders them by id)
+    import random
+
+    from wimbd_spark.operators.similarity import (
+        cosine_topk_pq,
+        pq_codebooks,
+    )
+
+    rng = random.Random(5)
+    protos = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(6)]
+    rows = [
+        (i, [p + rng.gauss(0, 0.05) for p in protos[i % 6]])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 8")
+    out = cosine_topk_pq(emb, queries, k=4, m=4, n_codes=8)
+    res = out.collect()
+    # shape: <= k rows per query, ranks 1..k, no self matches
+    per = {}
+    for r in res:
+        per.setdefault(r["query_id"], []).append(r)
+        assert r["query_id"] != r["neighbor_id"]
+    for q, lst in per.items():
+        assert [r["rank"] for r in sorted(lst, key=lambda r: r["rank"])] == list(
+            range(1, len(lst) + 1)
+        )
+    # quality: every returned neighbor is from the query's own cluster
+    assert all(
+        r["neighbor_id"] % 6 == r["query_id"] % 6 for r in res
+    )
+    # determinism: identical output across invocations
+    again = cosine_topk_pq(emb, queries, k=4, m=4, n_codes=8).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, again))
+    # codebook shape + dim guard
+    cb = pq_codebooks(emb, m=4, n_codes=8)
+    assert len(cb) == 4 and all(len(b) <= 8 for b in cb)
+    assert all(len(cv) == 4 for b in cb for cv in b)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(emb, m=5)
+    # lloyd refinement runs and stays deterministic within a session
+    r1 = cosine_topk_pq(emb, queries, k=4, m=4, n_codes=8, iters=1).collect()
+    r2 = cosine_topk_pq(emb, queries, k=4, m=4, n_codes=8, iters=1).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    # empty corpus -> typed empty result
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert cosine_topk_pq(empty, queries, k=3).count() == 0

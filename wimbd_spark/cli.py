@@ -413,10 +413,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="query-vector parquet (default: the corpus "
                     "itself = all-pairs kNN)")
     sp.add_argument("-k", "--topk", type=int, default=3)
-    sp.add_argument("--method", choices=["exact", "lsh", "ivf"],
+    sp.add_argument("--method", choices=["exact", "lsh", "ivf", "pq"],
                     default="exact",
                     help="exact = broadcast scan (small query sets); "
-                    "lsh/ivf = the corpus-scale candidate pruners")
+                    "lsh/ivf = the corpus-scale candidate pruners; "
+                    "pq = product-quantized asymmetric scoring "
+                    "(m-byte codes per corpus vector)")
     sp.add_argument("--id-col", default="vec_id")
     sp.add_argument("--vec-col", default="embedding")
     sp.add_argument("--index", default=None,
@@ -424,6 +426,11 @@ def main(argv: list[str] | None = None) -> int:
                     "built here on first use (centroid-partitioned "
                     "lists), then queries read only probed partitions "
                     "— build-once/query-many, corpus never rescanned")
+    sp.add_argument("--pq-m", type=int, default=8,
+                    help="PQ subspace count (pq method; embedding dim "
+                    "must be divisible by it)")
+    sp.add_argument("--pq-codes", type=int, default=16,
+                    help="PQ codebook entries per subspace (pq method)")
     sp.add_argument("--n-centroids", type=int, default=16,
                     help="centroid count when building --index")
     sp.add_argument("--out", default=None,
@@ -1203,6 +1210,14 @@ def main(argv: list[str] | None = None) -> int:
                 res = cosine_topk_lsh(
                     df, queries, nbits=None, dim=None, **kw
                 )
+            elif args.method == "pq":
+                from wimbd_spark.operators.similarity import (
+                    cosine_topk_pq,
+                )
+
+                res = cosine_topk_pq(
+                    df, queries, m=args.pq_m, n_codes=args.pq_codes, **kw
+                ).drop("approx_cosine")
             else:
                 res = cosine_topk_ivf(
                     df, queries, n_centroids=16, **kw

@@ -55,6 +55,8 @@ from wimbd_spark.operators.similarity import (
     cluster_balanced_sample,
     cosine_topk,
     cosine_topk_lsh,
+    cosine_topk_pq,
+    pq_codebooks,
 )
 from wimbd_spark.operators.urlfilter import (
     filter_by_domain_blocklist,
@@ -126,7 +128,7 @@ __all__ = [
     "drop_near_duplicates", "neardup_components",
     "jaccard_pairs", "lsh_candidate_pairs", "minhash_dedup_pairs",
     "minhash_signatures", "simhash16", "simhash_pairs",
-    "cosine_topk", "cosine_topk_lsh",
+    "cosine_topk", "cosine_topk_lsh", "cosine_topk_pq", "pq_codebooks",
     "doc_fingerprint", "langid_heuristic", "quality_scores",
     "token_count", "token_count_bpe_ish",
     "pack_documents", "pack_stats", "packed_sequences",

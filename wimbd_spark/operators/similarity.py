@@ -809,3 +809,245 @@ def ivf_list_sizes(spark, path: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("size"))
         .orderBy(F.col("size").desc(), "centroid")
     )
+
+
+# ------------------------------------------------------------ product
+# quantization (IVF-PQ family; Jégou, Douze, Schmid 2011 — public)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 0,
+) -> list | None:
+    """``m`` per-subspace codebooks, each with ``n_codes`` entries,
+    sampled DETERMINISTICALLY from the corpus: the same smallest-
+    (hash32(id), id) rows as the IVF centroid pick, sliced into
+    subvectors — codebook[s][j] = sample_j's s-th subvector. No Lloyd
+    iterations, so the pick is reproducible across engines and cluster
+    layouts (DuckDB mirrors it exactly — the same trade the IVF tier
+    makes; refinement passes can be layered on identically at build
+    and query time). Returns None on an empty corpus.
+
+    Codebook size is m × n_codes × (dim/m) = n_codes × dim floats —
+    literal-foldable at any realistic setting (256 codes × 1024 dims
+    = 256k literals would be the ceiling; ship as a broadcast table
+    past that, like the centroid rule).
+    """
+    if m < 1 or n_codes < 1:
+        raise ValueError("m and n_codes must be >= 1")
+    rows = _centroid_rows(corpus, id_col, vec_col, n_codes)
+    if not rows:
+        return None
+    dim = len(rows[0]["_cent"])
+    if dim % m:
+        raise ValueError(
+            f"embedding dim {dim} is not divisible by m={m} subspaces"
+        )
+    d = dim // m
+    cb = [
+        [[float(x) for x in r["_cent"][s * d : (s + 1) * d]] for r in rows]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        cb = _pq_lloyd_step(corpus, cb, vec_col)
+    return cb
+
+
+def _pq_lloyd_step(corpus: DataFrame, cb: list, vec_col: str) -> list:
+    """One distributed Lloyd iteration over every subspace at once:
+    encode with the current codebooks (map-only), explode (subspace,
+    code, dim, value) and average per cell — ONE groupBy shuffle whose
+    row count equals the corpus element count, aggregating down to
+    m × n_codes × (dim/m) means (collected, bounded). Cells with no
+    members keep their previous entry. Means are rounded to 6 dp so
+    the collected codebook is stable against partition-order float
+    summation; ``iters>0`` trades the bit-exact cross-engine oracle
+    property of the raw sample pick for recall — the registry oracle
+    stays on iters=0.
+    """
+    m, d = len(cb), len(cb[0][0])
+    vec = _to_double(F.col(vec_col))
+    enc = corpus.filter(F.col(vec_col).isNotNull()).select(
+        vec.alias("_v"), pq_encode_col(vec, cb).alias("_codes")
+    )
+    cells = (
+        enc.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.element_at(F.col("_codes"), s + 1).alias(
+                                "j"
+                            ),
+                            F.slice(F.col("_v"), s * d + 1, d).alias(
+                                "sub"
+                            ),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("_c")
+        )
+        .select("_c.s", "_c.j", F.posexplode("_c.sub").alias("dim", "x"))
+        .groupBy("s", "j", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("mean"))
+        .collect()
+    )
+    new = [[list(cv) for cv in book] for book in cb]
+    by_cell: dict = {}
+    for r in cells:
+        by_cell.setdefault((r["s"], r["j"]), {})[r["dim"]] = r["mean"]
+    for (s, j), dims in by_cell.items():
+        new[s][j] = [float(dims[i]) for i in range(d)]
+    return new
+
+
+def pq_encode_col(vec: Column, codebooks: list) -> Column:
+    """PQ code array for a vector Column: code[s] = argmin_j of the
+    squared L2 distance between the s-th subvector and codebook[s][j]
+    (ties → smallest j). Pure collection expressions — the codebook
+    folds into the plan as literals; encoding is map-only."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+
+    def code_for(s: int) -> Column:
+        sub = F.slice(vec, s * d + 1, d)
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(x) for x in cv]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(j).alias("j"),
+                )
+                for j, cv in enumerate(codebooks[s])
+            ]
+        )
+        return F.array_sort(scored)[0]["j"]
+
+    return F.array(*[code_for(s) for s in range(m)])
+
+
+def _pq_recon_norm2(codes: Column, codebooks: list) -> Column:
+    """|x̂|² of the PQ reconstruction — decomposes as Σ_s |cb[s][code_s]|²
+    (subspaces are orthogonal coordinate blocks)."""
+    total = F.lit(0.0)
+    for s, book in enumerate(codebooks):
+        norms = F.array(
+            *[F.lit(float(sum(x * x for x in cv))) for cv in book]
+        )
+        total = total + F.element_at(norms, F.element_at(codes, s + 1) + 1)
+    return total
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+    iters: int = 0,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via PRODUCT QUANTIZATION →
+    (query_id, neighbor_id, approx_cosine, rank). The billion-vector
+    memory recipe (IVF-PQ's PQ half): each corpus vector is stored as
+    ``m`` small codes (m bytes at n_codes ≤ 256) instead of dim
+    floats, and scoring is asymmetric — the query stays exact, the
+    corpus side is its reconstruction:
+
+        cos(q, x̂) = Σ_s qtableₛ[codeₛ] / (|q| · |x̂|)
+
+    with qtableₛ[j] = q_subₛ · cb[s][j] (m × n_codes dot products per
+    QUERY, built as literal lookup arrays) and |x̂|² = Σ_s |cb[s][codeₛ]|²
+    (a per-corpus-row lookup). The corpus scan touches ONLY (id,
+    codes, recon-norm) — at 100 TB that is a ~dim×4/m-fold read
+    reduction, and the codes column can be persisted alongside the IVF
+    partitioning for the full IVF-PQ read path. approx_cosine is
+    rounded to 6 dp and ranked on the rounded value (deterministic
+    cross-engine ordering, tie → smallest neighbor_id).
+
+    Exactness: results are approximate in RECALL (the reconstruction
+    reorders near-ties); the exact twin is cosine_topk. Oracle
+    strategy mirrors the IVF tier: the deterministic codebook makes
+    the whole pipeline reproducible in SQL, so correctness is gated
+    bit-for-bit on the approximate semantics itself, not on a recall
+    bound.
+    """
+    cb = pq_codebooks(corpus, m, n_codes, id_col, vec_col, iters=iters)
+    if cb is None:
+        qt = queries.schema[query_id_col or id_col].dataType.simpleString()
+        ct = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"query_id {qt}, neighbor_id {ct}, "
+            "approx_cosine double, rank long",
+        )
+    d = len(cb[0][0])
+    qid = query_id_col or id_col
+    enc = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode_col(_to_double(F.col(vec_col)), cb).alias("_codes"),
+    )
+    enc = enc.withColumn("_rn2", _pq_recon_norm2(F.col("_codes"), cb))
+
+    qv = _unit(_to_double(F.col(vec_col)))
+    qtables = F.array(
+        *[
+            F.array(
+                *[
+                    dot(
+                        F.slice(qv, s * d + 1, d),
+                        F.array(*[F.lit(x) for x in cv]),
+                    )
+                    for cv in cb[s]
+                ]
+            )
+            for s in range(len(cb))
+        ]
+    )
+    q = F.broadcast(
+        queries.filter(F.col(vec_col).isNotNull()).select(
+            F.col(qid).alias("query_id"), qtables.alias("_qt")
+        )
+    )
+    sdot = F.lit(0.0)
+    for s in range(len(cb)):
+        sdot = sdot + F.element_at(
+            F.element_at(F.col("_qt"), s + 1),
+            F.element_at(F.col("_codes"), s + 1) + 1,
+        )
+    scored = q.crossJoin(enc).select(
+        "query_id",
+        "neighbor_id",
+        F.round(sdot / F.sqrt(F.col("_rn2")), 6).alias("approx_cosine"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
