@@ -907,6 +907,18 @@ def _pq_lloyd_step(corpus: DataFrame, cb: list, vec_col: str) -> list:
     return new
 
 
+def _cb_literal(book: list) -> Column:
+    """One subspace codebook as a literal array<array<double>> — a
+    single plan node, so downstream argmin/dot run as ONE transform
+    over it (index-aware lambda) instead of n_codes unrolled
+    expression trees. The unrolled form compiled ~6 s of fixed plan
+    overhead at m=8, n_codes=16 (measured r8); this form is
+    corpus-size-bound instead."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in cv]) for cv in book]
+    )
+
+
 def pq_encode_col(vec: Column, codebooks: list) -> Column:
     """PQ code array for a vector Column: code[s] = argmin_j of the
     squared L2 distance between the s-th subvector and codebook[s][j]
@@ -917,22 +929,18 @@ def pq_encode_col(vec: Column, codebooks: list) -> Column:
 
     def code_for(s: int) -> Column:
         sub = F.slice(vec, s * d + 1, d)
-        scored = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            sub,
-                            F.array(*[F.lit(x) for x in cv]),
-                            lambda x, y: (x - y) * (x - y),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("dist"),
-                    F.lit(j).alias("j"),
-                )
-                for j, cv in enumerate(codebooks[s])
-            ]
+        scored = F.transform(
+            _cb_literal(codebooks[s]),
+            lambda cv, j: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub, cv, lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                j.alias("j"),
+            ),
         )
         return F.array_sort(scored)[0]["j"]
 
@@ -1006,20 +1014,17 @@ def cosine_topk_pq(
     enc = enc.withColumn("_rn2", _pq_recon_norm2(F.col("_codes"), cb))
 
     qv = _unit(_to_double(F.col(vec_col)))
-    qtables = F.array(
-        *[
-            F.array(
-                *[
-                    dot(
-                        F.slice(qv, s * d + 1, d),
-                        F.array(*[F.lit(x) for x in cv]),
-                    )
-                    for cv in cb[s]
-                ]
-            )
-            for s in range(len(cb))
-        ]
-    )
+
+    def qtable_for(s: int) -> Column:
+        # closure factory, NOT a default-arg lambda: a second lambda
+        # parameter (even defaulted) makes pyspark treat it as the
+        # (element, index) form and bind the index column over it
+        return F.transform(
+            _cb_literal(cb[s]),
+            lambda cv: dot(F.slice(qv, s * d + 1, d), cv),
+        )
+
+    qtables = F.array(*[qtable_for(s) for s in range(len(cb))])
     q = F.broadcast(
         queries.filter(F.col(vec_col).isNotNull()).select(
             F.col(qid).alias("query_id"), qtables.alias("_qt")
