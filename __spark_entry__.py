@@ -573,6 +573,9 @@ def prepare_benchmark(spark, sf_dir) -> dict:
     t0 = _time.perf_counter()
     _ivf_index(spark, sf_dir)
     out["ivf_index"] = round(_time.perf_counter() - t0, 4)
+    t0 = _time.perf_counter()
+    _ivfpq_index(spark, sf_dir)
+    out["ivfpq_index"] = round(_time.perf_counter() - t0, 4)
     return out
 
 
@@ -585,6 +588,25 @@ def _ivf_index(spark, sf_dir) -> str:
     if path not in _BUILT_INDEX_PATHS:
         build_ivf_index(
             _tbl(spark, sf_dir, "embeddings"), path, n_centroids=8
+        )
+        _BUILT_INDEX_PATHS.add(path)
+    return path
+
+
+def _ivfpq_index(spark, sf_dir) -> str:
+    """Build (memoized per sf_dir) the PQ-enabled IVF index; returns
+    its path. Kept separate from the plain IVF index so both read
+    paths stay benchable."""
+    from wimbd_spark.operators.similarity import build_ivf_index
+
+    path = _index_path(sf_dir, "ivfpq")
+    if path not in _BUILT_INDEX_PATHS:
+        build_ivf_index(
+            _tbl(spark, sf_dir, "embeddings"),
+            path,
+            n_centroids=8,
+            pq_m=8,
+            pq_codes=16,
         )
         _BUILT_INDEX_PATHS.add(path)
     return path
@@ -623,6 +645,15 @@ def prepare_benchmark_warm(spark, sf_dir) -> dict:
         n_centroids=8,
     )
     out["ivf_index"] = round(_time.perf_counter() - t0, 4)
+    t0 = _time.perf_counter()
+    build_ivf_index(
+        _tbl(spark, sf_dir, "embeddings"),
+        _index_path(sf_dir, "ivfpq"),
+        n_centroids=8,
+        pq_m=8,
+        pq_codes=16,
+    )
+    out["ivfpq_index"] = round(_time.perf_counter() - t0, 4)
     return out
 
 
@@ -2114,6 +2145,125 @@ def o_pq_ann_topk():
                round(s.sd / sqrt(r.recon2), 6) AS approx_cosine
         FROM sdot s JOIN rn2 r ON r.vec_id = s.neighbor_id
         WHERE s.query_id <> s.neighbor_id
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_cosine DESC,
+                                              neighbor_id) AS rank
+        FROM scored
+      )
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             approx_cosine,
+             CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 5
+    """
+
+
+def q_ivf_pq_topk(spark, sf_dir):
+    """The FULL IVF-PQ read path (r8): PQ codes persisted inside the
+    centroid-partitioned IVF index; a query prunes the lists scan to
+    its 2 probed partitions (static PartitionFilters) AND reads only
+    (id, codes, rn2) — never the full-precision vectors (both
+    plan-pinned in tests). Scoring is the asymmetric lookup-table
+    form against the persisted codebooks. The oracle composes the two
+    proven mirrors end-to-end: hash-picked centroids → argmax-cosine
+    assignment → top-2 probe, then sample codebooks → per-subspace
+    argmin encode → table scoring → rounded rank within candidates."""
+    from wimbd_spark.operators.similarity import cosine_topk_ivf_pq_indexed
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    path = _ivfpq_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivf_pq_indexed(spark, path, queries, k=5, n_probe=2)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "approx_cosine",
+        "rank",
+    )
+
+
+def o_ivf_pq_topk():
+    return """
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings
+        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                 vec_id
+        LIMIT 8
+      ),
+      assigned AS (
+        SELECT e.vec_id,
+               (SELECT c.cid FROM cents c
+                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                         DESC, c.cid
+                LIMIT 1) AS centroid
+        FROM embeddings e
+      ),
+      samp AS (
+        SELECT row_number() OVER (
+                 ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT,
+                          vec_id) - 1 AS j,
+               embedding::DOUBLE[] AS v
+        FROM embeddings
+        ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT, vec_id
+        LIMIT 16
+      ),
+      cb AS (
+        SELECT s, j, list_slice(v, s*8+1, s*8+8) AS cv
+        FROM samp, (SELECT unnest(generate_series(0,7)) AS s)
+      ),
+      corp AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+               WHERE embedding IS NOT NULL),
+      dists AS (
+        SELECT c.vec_id, b.s, b.j,
+               list_sum(list_transform(generate_series(1,8), i ->
+                 (c.x[b.s*8+i] - b.cv[i])*(c.x[b.s*8+i] - b.cv[i]))) AS dist
+        FROM corp c, cb b
+      ),
+      codes AS (
+        SELECT vec_id, s, j FROM (
+          SELECT vec_id, s, j,
+                 row_number() OVER (PARTITION BY vec_id, s
+                                    ORDER BY dist, j) AS rn
+          FROM dists) WHERE rn = 1
+      ),
+      rn2 AS (
+        SELECT c.vec_id,
+               sum(list_sum(list_transform(b.cv, x -> x*x))) AS recon2
+        FROM codes c JOIN cb b ON b.s = c.s AND b.j = c.j
+        GROUP BY c.vec_id
+      ),
+      probes AS (
+        SELECT q.vec_id AS query_id,
+               list_transform(q.embedding::DOUBLE[], x ->
+                 x / sqrt(list_sum(list_transform(q.embedding::DOUBLE[],
+                                                  y -> y*y)))) AS qu,
+               p.cid
+        FROM embeddings q, LATERAL (
+          SELECT cid FROM cents
+          ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], cv)
+                   DESC, cid
+          LIMIT 2
+        ) p
+        WHERE q.vec_id < 5
+      ),
+      sdot AS (
+        SELECT pr.query_id, a.vec_id AS neighbor_id,
+               sum(list_sum(list_transform(generate_series(1,8), i ->
+                 pr.qu[c.s*8+i]*b.cv[i]))) AS sd
+        FROM probes pr
+        JOIN assigned a ON a.centroid = pr.cid
+        JOIN codes c ON c.vec_id = a.vec_id
+        JOIN cb b ON b.s = c.s AND b.j = c.j
+        WHERE a.vec_id <> pr.query_id
+        GROUP BY pr.query_id, a.vec_id
+      ),
+      scored AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(s.sd / sqrt(r.recon2), 6) AS approx_cosine
+        FROM sdot s JOIN rn2 r ON r.vec_id = s.neighbor_id
       ),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4340,6 +4490,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         o_contamination_slop1_indexed,
     ),
     "pq_ann_topk": (q_pq_ann_topk, o_pq_ann_topk),
+    "ivf_pq_topk": (q_ivf_pq_topk, o_ivf_pq_topk),
     "contamination_tokens_slop1": (
         q_contamination_tokens_slop1,
         o_contamination_tokens_slop1,

@@ -106,6 +106,7 @@ HEADLINE = [
     "cluster_balanced_sample_q3",
     # r8 additions
     "pq_ann_topk",
+    "ivf_pq_topk",
     "quality_funnel_by_source",
     "simhash62_pairs",
     "contamination_slop1_indexed",

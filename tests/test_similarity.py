@@ -653,3 +653,59 @@ def test_pq_topk_properties(spark):
     # empty corpus -> typed empty result
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert cosine_topk_pq(empty, queries, k=3).count() == 0
+
+
+def test_ivf_pq_indexed_path(spark, tmp_path):
+    # r8: PQ codes persisted inside the IVF index — probe-all equals
+    # the in-memory PQ exactly; the probed scan reads neither the
+    # full-precision vectors nor unprobed partitions (plan-pinned)
+    import random
+
+    from wimbd_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf_pq_indexed,
+        cosine_topk_pq,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(9)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(160)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfpq")
+    build_ivf_index(emb, path, n_centroids=4, pq_m=4, pq_codes=8)
+    queries = emb.filter("vec_id < 6")
+    got = sorted(
+        map(
+            tuple,
+            cosine_topk_ivf_pq_indexed(
+                spark, path, queries, k=4, n_probe=4
+            ).collect(),
+        )
+    )
+    ref = sorted(
+        map(
+            tuple,
+            cosine_topk_pq(emb, queries, k=4, m=4, n_codes=8).collect(),
+        )
+    )
+    assert got == ref and len(got) > 0
+    # partial probe: compressed read path — no uvec, pruned partitions
+    out = cosine_topk_ivf_pq_indexed(spark, path, queries, k=4, n_probe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "uvec" not in plan
+    assert "PartitionFilters" in plan
+    assert out.count() > 0
+    # an index built WITHOUT pq refuses the pq read path
+    plain = str(tmp_path / "plainivf")
+    build_ivf_index(emb, plain, n_centroids=4)
+    with pytest.raises(Exception):
+        cosine_topk_ivf_pq_indexed(spark, plain, queries, k=2).collect()
+    # empty corpus: builds a valid empty pq index, queries return empty
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    epath = str(tmp_path / "emptyivfpq")
+    build_ivf_index(empty, epath, n_centroids=4, pq_m=4, pq_codes=8)
+    assert (
+        cosine_topk_ivf_pq_indexed(spark, epath, queries, k=2).count() == 0
+    )

@@ -54,6 +54,7 @@ from wimbd_spark.operators.lm import (
 from wimbd_spark.operators.similarity import (
     cluster_balanced_sample,
     cosine_topk,
+    cosine_topk_ivf_pq_indexed,
     cosine_topk_lsh,
     cosine_topk_pq,
     pq_codebooks,
@@ -129,6 +130,7 @@ __all__ = [
     "jaccard_pairs", "lsh_candidate_pairs", "minhash_dedup_pairs",
     "minhash_signatures", "simhash16", "simhash_pairs",
     "cosine_topk", "cosine_topk_lsh", "cosine_topk_pq", "pq_codebooks",
+    "cosine_topk_ivf_pq_indexed",
     "doc_fingerprint", "langid_heuristic", "quality_scores",
     "token_count", "token_count_bpe_ish",
     "pack_documents", "pack_stats", "packed_sequences",

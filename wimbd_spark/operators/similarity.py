@@ -647,6 +647,9 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     mode: str = "overwrite",
+    pq_m: int | None = None,
+    pq_codes: int = 16,
+    pq_iters: int = 0,
 ) -> None:
     """Materialize the IVF index at ``path``:
 
@@ -656,6 +659,15 @@ def build_ivf_index(
     - ``path``/lists — (id, uvec) partitioned by ``centroid``: every
       corpus vector, unit-normalized at build time (queries then score
       with a single dot product), in its nearest-centroid list.
+
+    ``pq_m`` additionally stores PRODUCT-QUANTIZED columns in the
+    lists — ``codes`` (the vector's pq_m PQ codes, encoded on the RAW
+    vector like cosine_topk_pq) and ``rn2`` (reconstruction norm²) —
+    plus the codebooks at ``path``/pq_codebooks (s, j, cv). The
+    compressed query path (cosine_topk_ivf_pq_indexed) then reads
+    ONLY (id, codes, rn2) from the probed partitions: the full
+    IVF-PQ read recipe, ~n_probe/n_centroids of the rows × m bytes
+    per row instead of dim floats.
 
     Assignment is a map-only projection against the literal centroid
     array — the only cluster work is the partitioned write.
@@ -671,14 +683,41 @@ def build_ivf_index(
         spark.createDataFrame(
             [], f"id {id_t}, uvec array<double>, centroid {id_t}"
         ).write.mode(mode).partitionBy("centroid").parquet(f"{path}/lists")
+        if pq_m is not None:
+            spark.createDataFrame(
+                [], "s int, j int, cv array<double>"
+            ).write.mode(mode).parquet(f"{path}/pq_codebooks")
         return
     cent_arr = _centroid_literal(cents)
+    cb = (
+        pq_codebooks(df, pq_m, pq_codes, id_col, vec_col, iters=pq_iters)
+        if pq_m is not None
+        else None
+    )
+    pq_cols = (
+        [pq_encode_col(_to_double(F.col(vec_col)), cb).alias("codes")]
+        if cb is not None
+        else []
+    )
     assigned = df.select(
         F.col(id_col).alias("id"),
         _unit(_to_double(F.col(vec_col))).alias("uvec"),
+        *pq_cols,
     ).withColumn(
         "centroid", _nearest_centroids(F.col("uvec"), cent_arr, 1)[0]["cid"]
     )
+    if cb is not None:
+        assigned = assigned.withColumn(
+            "rn2", _pq_recon_norm2(F.col("codes"), cb)
+        )
+        spark.createDataFrame(
+            [
+                (s, j, cv)
+                for s, book in enumerate(cb)
+                for j, cv in enumerate(book)
+            ],
+            "s int, j int, cv array<double>",
+        ).write.mode(mode).parquet(f"{path}/pq_codebooks")
     spark.createDataFrame(
         [(r["centroid_id"], list(r["_cent"])) for r in cents],
         ["centroid_id", "v"],
@@ -758,6 +797,132 @@ def cosine_topk_ivf_indexed(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+def cosine_topk_ivf_pq_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k neighbors from the materialized IVF index using its
+    STORED PQ codes → (query_id, neighbor_id, approx_cosine, rank) —
+    the full IVF-PQ read path: the probed centroid ids prune the lists
+    scan to ~n_probe/n_centroids of the partitions (static partition
+    filter, like cosine_topk_ivf_indexed) AND column pruning keeps the
+    full-precision ``uvec`` out of the read entirely — the scan
+    touches only (id, codes, rn2), i.e. m small ints + one double per
+    candidate instead of dim floats (plan-pinned in tests). Scoring is
+    the asymmetric lookup-table form of cosine_topk_pq against the
+    persisted codebooks; identical to running cosine_topk_pq over the
+    probed lists with the build-time codebooks. Requires an index
+    built with ``pq_m`` (raises otherwise).
+    """
+    try:
+        cb_rows = spark.read.parquet(f"{path}/pq_codebooks").collect()
+    except Exception as exc:
+        raise ValueError(
+            f"index at {path} has no pq_codebooks — rebuild with "
+            "build_ivf_index(..., pq_m=)"
+        ) from exc
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    if not cents:
+        # empty index (never reads the partitioned lists: an empty
+        # partitionBy write leaves no partition dirs to infer from)
+        qt = queries.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"query_id {qt}, neighbor_id {qt}, "
+            "approx_cosine double, rank long",
+        )
+    if not cb_rows:
+        raise ValueError(
+            f"index at {path} has empty pq_codebooks for a non-empty "
+            "corpus — rebuild with build_ivf_index(..., pq_m=)"
+        )
+    by_s: dict = {}
+    for r in cb_rows:
+        by_s.setdefault(r["s"], {})[r["j"]] = list(r["cv"])
+    cb = [
+        [by_s[s][j] for j in sorted(by_s[s])] for s in sorted(by_s)
+    ]
+    d = len(cb[0][0])
+    cent_arr = _centroid_literal(
+        [{"centroid_id": r["centroid_id"], "_cent": r["v"]} for r in cents]
+    )
+    qv = _unit(_to_double(F.col(vec_col)))
+
+    def qtable_for(s: int) -> Column:
+        return F.transform(
+            _cb_literal(cb[s]),
+            lambda cv: dot(F.slice(qv, s * d + 1, d), cv),
+        )
+
+    q = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.array(*[qtable_for(s) for s in range(len(cb))]).alias(
+                "_qt"
+            ),
+            qv.alias("_qv"),
+        )
+        .withColumn(
+            "centroid",
+            F.explode(
+                F.transform(
+                    _nearest_centroids(F.col("_qv"), cent_arr, n_probe),
+                    lambda c: c["cid"],
+                )
+            ),
+        )
+        .drop("_qv")
+    )
+    probed = sorted(
+        {r["centroid"] for r in q.select("centroid").distinct().collect()}
+    )
+    lists = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("centroid").isin(probed))
+        .select("centroid", "id", "codes", "rn2")
+    )
+    sdot = F.lit(0.0)
+    for s in range(len(cb)):
+        sdot = sdot + F.element_at(
+            F.element_at(F.col("_qt"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+    scored = (
+        F.broadcast(q)
+        .join(lists, "centroid")
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(sdot / F.sqrt(F.col("rn2")), 6).alias(
+                "approx_cosine"
+            ),
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_cosine",
+            F.col("rank").cast("long").alias("rank"),
         )
     )
 
