@@ -4458,6 +4458,261 @@ def o_cluster_balanced_sample():
     """
 
 
+# ---------------------------------------------- as-of / interval joins
+
+
+def q_events_asof_attribution(spark, sf_dir):
+    """Last-click attribution: each purchase joined to the most recent
+    click (ts <= purchase ts, greatest event_id on ties) of the same
+    user via the union-tag windowed as-of join (operators/asof.py) —
+    ONE shuffle on user_id, no range self-join, both sides unbounded."""
+    from wimbd_spark.operators.asof import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = asof_join(
+        purch, clicks, on="user_id", tiebreak="event_id",
+        right_cols=["event_id"],
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("r_event_id").cast("long").alias("click_event_id"),
+        F.col("r_ts_us").cast("long").alias("click_ts_us"),
+    )
+
+
+def o_events_asof_attribution():
+    return """
+      SELECT CAST(l.event_id AS BIGINT) AS event_id,
+             CAST(l.user_id AS BIGINT) AS user_id,
+             epoch_us(l.ts) AS purchase_ts_us,
+             CAST((SELECT r.event_id FROM events r
+                   WHERE r.user_id = l.user_id AND r.event_type = 'click'
+                     AND r.ts <= l.ts
+                   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS BIGINT)
+               AS click_event_id,
+             (SELECT epoch_us(r.ts) FROM events r
+              WHERE r.user_id = l.user_id AND r.event_type = 'click'
+                AND r.ts <= l.ts
+              ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS click_ts_us
+      FROM events l WHERE l.event_type = 'purchase'
+    """
+
+
+def q_events_click_window_hist(spark, sf_dir):
+    """Clicks-before-purchase histogram: per purchase, the number of
+    same-user clicks in the trailing 24 h, bucketed. The pair
+    generation is the bucketed interval join (operators/asof.py) — an
+    equi-join on (user, time-bucket) with <=3 bucket probes per left
+    row; never an inequality/nested-loop join."""
+    from wimbd_spark.operators.asof import interval_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    pairs = interval_join(
+        purch, clicks, on="user_id", lower_s=-86400, upper_s=0
+    )
+    per = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
+    withz = (
+        purch.select("event_id")
+        .join(per, "event_id", "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("n_nearby_clicks"))
+    )
+    return withz.groupBy("n_nearby_clicks").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases")
+    ).select(
+        F.col("n_nearby_clicks").cast("long").alias("n_nearby_clicks"),
+        "n_purchases",
+    )
+
+
+def o_events_click_window_hist():
+    return """
+      WITH c AS (
+        SELECT l.event_id, count(r.event_id) AS n
+        FROM events l
+        LEFT JOIN events r
+          ON l.user_id = r.user_id AND r.event_type = 'click'
+         AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 86400000000
+                                AND epoch_us(l.ts)
+        WHERE l.event_type = 'purchase'
+        GROUP BY 1
+      )
+      SELECT CAST(n AS BIGINT) AS n_nearby_clicks,
+             CAST(count(*) AS BIGINT) AS n_purchases
+      FROM c GROUP BY 1
+    """
+
+
+# -------------------------------------------------- winnowing / bloom
+
+
+# Relational winnowing mirror (Schleimer et al. 2003): per-doc k-gram
+# hash positions; per window start j, the min over the next w hashes
+# (window-frame min); winner = RIGHTMOST position attaining it.
+def _sql_winnow_sel(k: int, w: int, extra_cols: str, doc_filter: str) -> str:
+    g = f"array_to_string(list_slice(t, i, i+{k - 1}), ' ')"
+    return f"""
+      toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL {doc_filter}
+      ),
+      pos AS (
+        SELECT doc_id, source, i AS p,
+               ('0x' || substr(md5({g}), 1, 8))::BIGINT AS h
+        FROM toks, unnest(generate_series(1, len(t)-{k - 1})) AS u(i)
+        WHERE len(t) >= {k}
+      ),
+      wins AS (
+        SELECT doc_id, source, p AS j,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m,
+               count(*) OVER (PARTITION BY doc_id) AS g
+        FROM pos
+      ),
+      sel AS (
+        SELECT DISTINCT wi.doc_id, {extra_cols} mx.pos, wi.m AS fp
+        FROM wins wi
+        JOIN LATERAL (
+          SELECT max(p.p) AS pos FROM pos p
+          WHERE p.doc_id = wi.doc_id
+            AND p.p BETWEEN wi.j AND wi.j + {w - 1} AND p.h = wi.m
+        ) mx ON true
+        WHERE wi.j + {w - 1} <= wi.g
+      )
+    """
+
+
+def q_winnow_fingerprints_head(spark, sf_dir):
+    """Winnowing fingerprints (k=3 grams, w=4 windows) for the first 50
+    docs — gates hash, window min, rightmost tie-break, and position
+    dedup bit-for-bit. Selection is a pure per-row expression chain
+    (zero shuffle); see operators/winnow.py."""
+    from wimbd_spark.operators.winnow import winnow_fingerprints
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    return winnow_fingerprints(docs, k=3, w=4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("fp").cast("long").alias("fp"),
+    )
+
+
+def o_winnow_fingerprints_head():
+    return f"""
+      WITH {_sql_winnow_sel(3, 4, "", "AND doc_id < 50")}
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(pos AS BIGINT) AS pos,
+             CAST(fp AS BIGINT) AS fp
+      FROM sel
+    """
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """Corpus-level winnowing overlap src0 vs src1: distinct selected
+    fingerprints per source, shared count, Jaccard — the MOSS-style
+    shared->=(w+k-1)-token-substring witness between two corpora.
+    Shuffle carries only distinct (source, fp) pairs."""
+    from wimbd_spark.operators.winnow import winnow_overlap
+
+    docs = _docs(spark, sf_dir)
+    return winnow_overlap(docs, "src0", "src1", k=3, w=4)
+
+
+def o_winnow_overlap():
+    return f"""
+      WITH {_sql_winnow_sel(3, 4, "wi.source,", "AND source IN ('src0','src1')")},
+      f AS (SELECT DISTINCT source, fp FROM sel),
+      per AS (
+        SELECT fp,
+               max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS in_b
+        FROM f GROUP BY fp
+      )
+      SELECT CAST(coalesce(sum(in_a), 0) AS BIGINT) AS n_fp_a,
+             CAST(coalesce(sum(in_b), 0) AS BIGINT) AS n_fp_b,
+             CAST(coalesce(sum(in_a * in_b), 0) AS BIGINT) AS n_shared,
+             CASE WHEN count(*) > 0 THEN
+               round(coalesce(sum(in_a * in_b), 0)
+                     / CAST(count(*) AS DOUBLE), 6)
+             END AS jaccard
+      FROM per
+    """
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-gated n-gram decontamination: drop non-src0 docs whose
+    4-gram stream hits the m=2^20-bit, k=2 Bloom filter of src0's
+    distinct 4-grams. Train side is a PURE MAP filter over one binary
+    literal (operators/bloom.py) — no join, no shuffle; the
+    deterministic false-positive set is part of the gated semantics
+    (conservative: only extra drops, never missed contamination)."""
+    from wimbd_spark.operators.bloom import bloom_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = (
+        docs.filter(F.col("source") == "src0")
+        .select(
+            F.explode(
+                ngram_strings(tokenize(F.col("text")), 4)
+            ).alias("phrase")
+        )
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != "src0")
+    kept = bloom_decontaminate(
+        train, ev, n=4, m_bits=1 << 20, n_hashes=2
+    )
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
+def o_bloom_decontaminate():
+    m = 1 << 20
+    probe = (
+        "('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || g), 1, 8))"
+        f"::BIGINT % {m}"
+    )
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      ev AS (
+        SELECT DISTINCT array_to_string(list_slice(t, i, i+3), ' ') AS g
+        FROM toks, unnest(generate_series(1, len(t)-3)) AS u(i)
+        WHERE len(t) >= 4 AND source = 'src0'
+      ),
+      bits AS (
+        SELECT DISTINCT {probe.format(i="k")} AS pos
+        FROM ev, unnest([0, 1]) AS u(k)
+      ),
+      tg AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i+3), ' ') AS g
+        FROM toks, unnest(generate_series(1, len(t)-3)) AS u(i)
+        WHERE len(t) >= 4 AND source <> 'src0'
+      ),
+      hits AS (
+        SELECT DISTINCT doc_id FROM tg
+        WHERE {probe.format(i="0")} IN (SELECT pos FROM bits)
+          AND {probe.format(i="1")} IN (SELECT pos FROM bits)
+      )
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source AS source
+      FROM documents d
+      WHERE d.source <> 'src0'
+        AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+    """
+
+
 # ------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
@@ -4482,9 +4737,26 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # returning half to just past the window, where it stays covered
     # by the r6 file under the ceil(N/50)-round rule and leads in r9.
     # -- NEW in round 8 (never driver-checked, must lead the window;
-    # the 3 insertions displace the last 3 returning queries to
-    # positions 51-53, where the r06 file still covers them under the
-    # ceil(N/50)-round rule — they lead the r9 rotation):
+    # each insertion displaces the tail of the returning half to just
+    # past the window, where the r06 file still covers it under the
+    # ceil(N/50)-round rule — displaced queries lead the r9 rotation):
+    "events_asof_attribution": (
+        q_events_asof_attribution,
+        o_events_asof_attribution,
+    ),
+    "events_click_window_hist": (
+        q_events_click_window_hist,
+        o_events_click_window_hist,
+    ),
+    "winnow_fingerprints_head": (
+        q_winnow_fingerprints_head,
+        o_winnow_fingerprints_head,
+    ),
+    "winnow_overlap_src0_src1": (q_winnow_overlap, o_winnow_overlap),
+    "bloom_decontaminate_src0": (
+        q_bloom_decontaminate,
+        o_bloom_decontaminate,
+    ),
     "contamination_slop1_indexed": (
         q_contamination_slop1_indexed,
         o_contamination_slop1_indexed,

@@ -1,0 +1,229 @@
+"""As-of/interval joins, winnowing fingerprints, Bloom decontamination."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from wimbd_spark.operators.asof import asof_join, interval_join
+from wimbd_spark.operators.bloom import (
+    bloom_build,
+    bloom_contains,
+    bloom_decontaminate,
+)
+from wimbd_spark.operators.winnow import (
+    winnow_fingerprints,
+    winnow_overlap,
+    winnow_select,
+)
+
+
+# ------------------------------------------------------------- as-of
+
+
+def _ev(spark, rows):
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "kind", "ts_s"]
+    )
+    return df.withColumn("ts", F.timestamp_seconds(F.col("ts_s"))).drop(
+        "ts_s"
+    )
+
+
+def test_asof_basic_and_ties(spark):
+    left = _ev(spark, [(100, 1, "p", 50), (101, 1, "p", 10), (102, 2, "p", 50)])
+    right = _ev(
+        spark,
+        [
+            (1, 1, "c", 20),
+            (2, 1, "c", 40),
+            (3, 1, "c", 40),  # tie at ts=40 -> greatest event_id wins
+            (4, 3, "c", 5),
+        ],
+    )
+    out = asof_join(
+        left, right, on="user_id", tiebreak="event_id",
+        right_cols=["event_id"],
+    )
+    got = {r.event_id: r.r_event_id for r in out.collect()}
+    assert got == {100: 3, 101: None, 102: None}
+
+
+def test_asof_inclusive_vs_strict(spark):
+    left = _ev(spark, [(100, 1, "p", 40)])
+    right = _ev(spark, [(1, 1, "c", 40), (2, 1, "c", 30)])
+    inc = asof_join(left, right, on="user_id", tiebreak="event_id",
+                    right_cols=["event_id"]).collect()[0]
+    assert inc.r_event_id == 1  # equal ts matches when inclusive
+    st = asof_join(left, right, on="user_id", tiebreak="event_id",
+                   right_cols=["event_id"], strict=True).collect()[0]
+    assert st.r_event_id == 2
+
+
+def test_asof_tolerance(spark):
+    left = _ev(spark, [(100, 1, "p", 1000)])
+    right = _ev(spark, [(1, 1, "c", 10)])
+    out = asof_join(left, right, on="user_id", tiebreak="event_id",
+                    right_cols=["event_id"], tolerance_s=60).collect()[0]
+    assert out.r_event_id is None  # match older than tolerance dropped
+    out2 = asof_join(left, right, on="user_id", tiebreak="event_id",
+                     right_cols=["event_id"], tolerance_s=1000).collect()[0]
+    assert out2.r_event_id == 1
+
+
+def test_interval_join_bounds(spark):
+    left = _ev(spark, [(100, 1, "p", 100)])
+    right = _ev(
+        spark,
+        [(1, 1, "c", 40), (2, 1, "c", 41), (3, 1, "c", 100), (4, 1, "c", 101)],
+    )
+    out = interval_join(
+        left, right, on="user_id", lower_s=-60, upper_s=0
+    )
+    got = sorted(r.r_event_id for r in out.collect())
+    assert got == [1, 2, 3]  # 40 == lower bound (inclusive); 101 after
+
+
+def test_interval_join_vs_bruteforce(spark, tables):
+    ev = tables["events"].where(F.col("event_id") < 400)
+    a = ev.where(F.col("event_type") == "purchase")
+    b = ev.where(F.col("event_type") == "click")
+    fast = interval_join(a, b, on="user_id", lower_s=-7200, upper_s=3600)
+    slow = (
+        a.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (
+                F.unix_micros(F.col("r.ts")).between(
+                    F.unix_micros(F.col("l.ts")) - 7200 * 1_000_000,
+                    F.unix_micros(F.col("l.ts")) + 3600 * 1_000_000,
+                )
+            ),
+        )
+        .select(
+            F.col("l.event_id").alias("lid"),
+            F.col("r.event_id").alias("rid"),
+        )
+    )
+    got = {(r.event_id, r.r_event_id) for r in fast.collect()}
+    exp = {(r.lid, r.rid) for r in slow.collect()}
+    assert got == exp
+
+
+# --------------------------------------------------------- winnowing
+
+
+def _py_winnow(text, k=3, w=4):
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    toks = [t for t in text.strip().split() if t] if text else []
+    if len(toks) < k:
+        return set()
+    hs = [h32(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+    sel = set()
+    for j in range(len(hs) - w + 1):
+        m = min(hs[j : j + w])
+        pos = max(i for i in range(j, j + w) if hs[i] == m)
+        sel.add((pos + 1, m))
+    return sel
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "a b c d e f g h i j k l",
+        "x x x x x x x x",  # all-equal hashes: rightmost-tie path
+        "one two three",  # exactly k tokens -> 1 hash < w -> empty
+        "",
+    ],
+)
+def test_winnow_matches_reference_impl(spark, text):
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = {
+        (r.pos, r.fp)
+        for r in winnow_fingerprints(df, k=3, w=4).collect()
+    }
+    assert got == _py_winnow(text, 3, 4)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # any shared run of >= w + k - 1 tokens must share a fingerprint
+    base = "alpha beta gamma delta epsilon zeta".split()
+    a = "p q r s " + " ".join(base)
+    b = " ".join(base) + " t u v w"
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    rows = winnow_fingerprints(df, k=3, w=4).collect()
+    fa = {r.fp for r in rows if r.doc_id == 1}
+    fb = {r.fp for r in rows if r.doc_id == 2}
+    assert fa & fb
+
+
+def test_winnow_select_null_text(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id: long, text: string")
+    out = df.select(winnow_select("text").alias("s")).collect()[0]["s"]
+    assert out in ([], None)
+
+
+def test_winnow_overlap_counts(spark, documents):
+    row = winnow_overlap(documents, "src0", "src1").collect()[0]
+    assert row.n_shared <= min(row.n_fp_a, row.n_fp_b)
+    union = row.n_fp_a + row.n_fp_b - row.n_shared
+    assert row.jaccard == pytest.approx(row.n_shared / union, abs=1e-6)
+
+
+# ------------------------------------------------------------- bloom
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    grams = spark.createDataFrame(
+        [("alpha beta",), ("gamma delta",)], ["phrase"]
+    )
+    bm = bloom_build(grams, m_bits=1 << 10, n_hashes=3)
+    df = spark.createDataFrame(
+        [("alpha beta",), ("gamma delta",), ("zzz qqq",)], ["g"]
+    )
+    got = {
+        r.g: r.hit
+        for r in df.select(
+            "g",
+            bloom_contains(F.col("g"), bm, 1 << 10, 3).alias("hit"),
+        ).collect()
+    }
+    assert got["alpha beta"] and got["gamma delta"]  # never miss members
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, documents):
+    from wimbd_spark.functions.text import ngram_strings, tokenize
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+
+    ev = (
+        documents.filter(F.col("source") == "src0")
+        .select(
+            F.explode(
+                ngram_strings(tokenize(F.col("text")), 4)
+            ).alias("phrase")
+        )
+        .distinct()
+    )
+    train = documents.filter(F.col("source") != "src0")
+    bloom_kept = {
+        r.doc_id
+        for r in bloom_decontaminate(
+            train, ev, n=4, m_bits=1 << 18
+        ).select("doc_id").collect()
+    }
+    exact_kept = {
+        r.doc_id
+        for r in decontaminate_by_ngrams(train, ev)
+        .select("doc_id")
+        .collect()
+    }
+    # bloom drops are a superset of exact drops (FPs only drop more)
+    assert bloom_kept <= exact_kept
+
+
+def test_bloom_build_rejects_bad_m():
+    with pytest.raises(ValueError):
+        bloom_build(None, m_bits=1001)

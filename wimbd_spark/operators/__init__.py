@@ -85,6 +85,17 @@ from wimbd_spark.operators.windows import (
     sliding_agg,
     tumbling_agg,
 )
+from wimbd_spark.operators.asof import asof_join, interval_join
+from wimbd_spark.operators.winnow import (
+    winnow_fingerprints,
+    winnow_overlap,
+    winnow_select,
+)
+from wimbd_spark.operators.bloom import (
+    bloom_build,
+    bloom_contains,
+    bloom_decontaminate,
+)
 from wimbd_spark.operators.pii import (
     demographic_cooccurrence,
     extract_pii,
@@ -145,4 +156,7 @@ __all__ = [
     "hashed_feature_counts",
     "unimax_allocation", "quality_funnel", "quality_funnel_by",
     "cluster_balanced_sample",
+    "asof_join", "interval_join",
+    "winnow_fingerprints", "winnow_overlap", "winnow_select",
+    "bloom_build", "bloom_contains", "bloom_decontaminate",
 ]

@@ -1,0 +1,132 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+SIGMOD 2003 — the MOSS local fingerprinting algorithm).
+
+Beyond-reference operator in the fingerprint/near-dup family
+(reference has no positional fingerprinting; its nearest neighbor is
+the whole-doc hash at helper_scripts/get_text_hashes.py:11-17, covered
+by functions.text.doc_hash). Winnowing selects, from the sequence of
+k-gram hashes of a document, the minimum hash of every w-hash window
+(rightmost occurrence on ties). Guarantees: any shared substring of
+length >= w + k - 1 tokens between two documents yields at least one
+shared selected fingerprint, making the selected set a provable
+overlap witness — the property MOSS uses for plagiarism detection and
+data-pipeline users use for boilerplate/near-dup audit.
+
+Plan shape (100 TB posture): fingerprint selection is a pure per-row
+expression chain — tokenize -> gram hash array -> per-window
+rightmost-argmin via nested higher-order functions. ZERO shuffle to
+select; all JVM/codegen (hash32 = md5-slice, portable to the DuckDB
+oracle). Cost O(grams * w) per document, map-side. The overlap
+aggregate shuffles only DISTINCT (source, fingerprint) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wimbd_spark.functions.text import hash32, ngram_strings, tokenize
+
+
+def winnow_select(text: Column | str, k: int = 3, w: int = 4) -> Column:
+    """Selected fingerprints as array<struct<pos:int, fp:bigint>>.
+
+    ``pos`` is the 1-based k-gram position; ``fp`` the 32-bit gram
+    hash (hash32). Only full windows are considered: a document with
+    fewer than w k-gram hashes (fewer than w + k - 1 tokens) selects
+    nothing. Ties inside a window resolve to the RIGHTMOST minimal
+    hash (the paper's rule), so consecutive windows sharing a minimum
+    re-select the same position and dedupe away.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    c = F.col(text) if isinstance(text, str) else text
+    hashes = F.transform(ngram_strings(tokenize(c), k), lambda g: hash32(g))
+
+    def pick(j: Column) -> Column:
+        window_min = F.array_min(F.slice(hashes, j, w))
+        # rightmost index attaining the min: later matches overwrite
+        pos = F.aggregate(
+            F.sequence(j, j + F.lit(w - 1)),
+            F.lit(0),
+            lambda acc, p: F.when(
+                F.element_at(hashes, p) == window_min, p
+            ).otherwise(acc),
+        )
+        return F.struct(
+            pos.cast("int").alias("pos"), window_min.alias("fp")
+        )
+
+    selected = F.when(
+        F.size(hashes) >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(hashes) - F.lit(w - 1)), pick
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,fp:bigint>>"))
+    return selected
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """One row per selected fingerprint: (id_col, pos, fp)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(winnow_select(F.col(text_col), k=k, w=w)).alias("__s"),
+    ).select(
+        id_col,
+        F.col("__s.pos").alias("pos"),
+        F.col("__s.fp").alias("fp"),
+    )
+
+
+def winnow_overlap(
+    df: DataFrame,
+    source_a: str,
+    source_b: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Corpus-level fingerprint overlap between two sources.
+
+    Returns ONE row: (n_fp_a, n_fp_b, n_shared, jaccard) over the
+    DISTINCT fingerprint sets of each source — the winnowing estimate
+    of shared >= (w + k - 1)-token substrings. Shuffle carries only
+    distinct (source, fp) pairs; one aggregation.
+    """
+    fps = (
+        df.filter(F.col(source_col).isin(source_a, source_b))
+        .select(
+            F.col(source_col).alias("__src"),
+            F.explode(winnow_select(F.col(text_col), k=k, w=w)).alias(
+                "__s"
+            ),
+        )
+        .select("__src", F.col("__s.fp").alias("fp"))
+        .distinct()
+    )
+    per_fp = fps.groupBy("fp").agg(
+        F.max((F.col("__src") == source_a).cast("int")).alias("in_a"),
+        F.max((F.col("__src") == source_b).cast("int")).alias("in_b"),
+    )
+    n_union = F.count(F.lit(1))
+    n_shared = F.coalesce(
+        F.sum(F.col("in_a") * F.col("in_b")), F.lit(0)
+    )
+    return per_fp.agg(
+        F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_fp_a"),
+        F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_fp_b"),
+        n_shared.cast("long").alias("n_shared"),
+        F.when(
+            n_union > 0,
+            F.round(n_shared / n_union.cast("double"), 6),
+        ).alias("jaccard"),
+    )
