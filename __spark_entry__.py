@@ -4713,6 +4713,182 @@ def o_bloom_decontaminate():
     """
 
 
+# ------------------------------- weighted sampling / k-means clustering
+
+
+def q_weighted_sample_chars(spark, sf_dir):
+    """Weighted sample without replacement (A-ES, operators/sampling.py):
+    50 docs drawn proportional to n_chars, deterministic via the
+    md5-uniform key — global top-k compiles to TakeOrderedAndProject
+    (per-partition heap, driver merge of k rows, no full sort)."""
+    from wimbd_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    return weighted_sample(docs, 50, "n_chars").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("sample_key").cast("decimal(8,6)").alias("sample_key"),
+    )
+
+
+def o_weighted_sample_chars():
+    u = f"({_sql_hash32('CAST(doc_id AS VARCHAR)')} + 1) / 4294967296.0"
+    return f"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(round(pow({u}, 1.0 / n_chars), 6) AS DECIMAL(8,6))
+               AS sample_key
+      FROM documents
+      WHERE n_chars > 0
+      ORDER BY round(pow({u}, 1.0 / n_chars), 6) DESC, doc_id ASC
+      LIMIT 50
+    """
+
+
+def q_weighted_sample_by_source(spark, sf_dir):
+    """Per-group weighted sample: 10 docs per source, weight n_chars —
+    one window shuffle on source (per-group top-k cost class)."""
+    from wimbd_spark.operators.sampling import weighted_sample_by
+
+    docs = _docs(spark, sf_dir)
+    return weighted_sample_by(
+        docs, 10, "n_chars", group_col="source"
+    ).select(
+        F.col("source"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("sample_key").cast("decimal(8,6)").alias("sample_key"),
+    )
+
+
+def o_weighted_sample_by_source():
+    u = f"({_sql_hash32('CAST(doc_id AS VARCHAR)')} + 1) / 4294967296.0"
+    return f"""
+      WITH keyed AS (
+        SELECT source, doc_id,
+               round(pow({u}, 1.0 / n_chars), 6) AS k
+        FROM documents WHERE n_chars > 0
+      ),
+      ranked AS (
+        SELECT source, doc_id, k,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY k DESC, doc_id ASC) AS rn
+        FROM keyed
+      )
+      SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(k AS DECIMAL(8,6)) AS sample_key
+      FROM ranked WHERE rn <= 10
+    """
+
+
+KMEANS_K = 8
+KMEANS_ITER = 2
+
+
+def _sql_kmeans_cents(n_clusters: int, n_iter: int) -> str:
+    """CTE chain mirroring kmeans_fit's determinism contract exactly:
+    hash-seeded centroids, argmin-L2 assignment (tie -> smaller cid),
+    per-dim mean as CAST(exact-decimal-sum AS DOUBLE)/count (the same
+    single IEEE division the Spark side performs), empty clusters keep
+    their centroid. Final centroids land in CTE ``c{n_iter}``."""
+    h = _sql_hash32("CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"""
+      v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM v
+             ORDER BY {h}, vec_id LIMIT {n_clusters})"""
+    ]
+    for t in range(n_iter):
+        parts.append(f"""
+      a{t} AS (
+        SELECT v.vec_id, v.v,
+               (SELECT c.cid FROM c{t} c
+                ORDER BY list_distance(v.v, c.cv) ASC, c.cid ASC
+                LIMIT 1) AS cl
+        FROM v),
+      s{t} AS (
+        SELECT cl, pos,
+               CAST(sum(CAST(round(val, 9) AS DECIMAL(20,9))) AS DOUBLE)
+                 / count(*) AS m
+        FROM (SELECT cl, unnest(v) AS val,
+                     generate_subscripts(v, 1) AS pos
+              FROM a{t})
+        GROUP BY cl, pos),
+      c{t + 1} AS (
+        SELECT c.cid, COALESCE(n.nv, c.cv) AS cv
+        FROM c{t} c LEFT JOIN
+          (SELECT cl, list(m ORDER BY pos) AS nv FROM s{t}
+           GROUP BY cl) n
+          ON n.cl = c.cid)""")
+    return ",".join(parts)
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Distributed Lloyd's k-means (operators/clustering.py), k=8,
+    2 iterations: integer-only (vec_id, cluster) output. Assignment is
+    a map-only literal-centroid projection; each update shuffles only
+    k x dim partial-sum rows. Cross-engine argmin agreement is
+    margin-guarded (tests/test_clustering -> test_kmeans_assignment_
+    margin at every oracle-checked SF)."""
+    from wimbd_spark.operators.clustering import kmeans
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return kmeans(emb, n_clusters=KMEANS_K, n_iter=KMEANS_ITER).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
+def o_kmeans_assign():
+    T = KMEANS_ITER
+    return f"""
+      WITH {_sql_kmeans_cents(KMEANS_K, T)}
+      SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+             CAST((SELECT c.cid FROM c{T} c
+                   ORDER BY list_distance(v.v, c.cv) ASC, c.cid ASC
+                   LIMIT 1) AS BIGINT) AS cluster
+      FROM v
+    """
+
+
+def q_kmeans_stats(spark, sf_dir):
+    """Fitted-cluster profile: size + within-cluster inertia (squared
+    L2 to the fitted centroid, rounded to 6 dp as DECIMAL before the
+    sum -> order-independent, engine-exact)."""
+    from wimbd_spark.operators.clustering import kmeans_cluster_stats
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return kmeans_cluster_stats(
+        emb, n_clusters=KMEANS_K, n_iter=KMEANS_ITER
+    ).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("inertia6").cast("decimal(24,6)").alias("inertia6"),
+    )
+
+
+def o_kmeans_stats():
+    T = KMEANS_ITER
+    # squared L2 mirrored as an in-order list_sum fold (same
+    # element-order summation as the Spark aggregate fold)
+    d2 = ("list_sum(list_transform(generate_series(1, len(v.v)), i ->"
+          " (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i])))")
+    return f"""
+      WITH {_sql_kmeans_cents(KMEANS_K, T)},
+      scored AS (
+        SELECT v.vec_id,
+               (SELECT c.cid FROM c{T} c
+                ORDER BY list_distance(v.v, c.cv) ASC, c.cid ASC
+                LIMIT 1) AS cluster,
+               (SELECT CAST(round({d2}, 6) AS DECIMAL(18,6))
+                FROM c{T} c
+                ORDER BY list_distance(v.v, c.cv) ASC, c.cid ASC
+                LIMIT 1) AS d6
+        FROM v)
+      SELECT CAST(cluster AS BIGINT) AS cluster,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(d6) AS DECIMAL(24,6)) AS inertia6
+      FROM scored GROUP BY cluster
+    """
+
+
 # ------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
@@ -4740,6 +4916,16 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # each insertion displaces the tail of the returning half to just
     # past the window, where the r06 file still covers it under the
     # ceil(N/50)-round rule — displaced queries lead the r9 rotation):
+    "weighted_sample_chars_k50": (
+        q_weighted_sample_chars,
+        o_weighted_sample_chars,
+    ),
+    "weighted_sample_by_source_k10": (
+        q_weighted_sample_by_source,
+        o_weighted_sample_by_source,
+    ),
+    "kmeans_assign_k8_i2": (q_kmeans_assign, o_kmeans_assign),
+    "kmeans_cluster_stats_k8_i2": (q_kmeans_stats, o_kmeans_stats),
     "events_asof_attribution": (
         q_events_asof_attribution,
         o_events_asof_attribution,

@@ -711,3 +711,55 @@ def test_cli_funnel_by_source(capsys):
     assert len(rows) == 5 * 20  # 20 sources x 5 stages
     ingest = sum(r["survivors"] for r in rows if r["stage_name"] == "ingest")
     assert ingest == 500
+
+
+def test_cli_weighted_sample(capsys, tmp_path):
+    rows = _run(
+        capsys,
+        ["weighted-sample", DOCS, "-k", "5", "--weight-col", "n_chars"],
+    )
+    assert len(rows) == 5
+    assert all(0 < r["sample_key"] <= 1 for r in rows)
+    # per-group form
+    rows = _run(
+        capsys,
+        ["weighted-sample", DOCS, "-k", "2", "--weight-col", "n_chars",
+         "--group-col", "source"],
+    )
+    per = {}
+    for r in rows:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert per and all(v == 2 for v in per.values())
+    # --out writes parquet and reports count
+    out = str(tmp_path / "ws")
+    rows = _run(
+        capsys,
+        ["weighted-sample", DOCS, "-k", "7", "--weight-col", "n_chars",
+         "--out", out],
+    )
+    assert rows[0]["rows"] == 7
+
+
+def test_cli_kmeans(capsys, tmp_path):
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "km")
+    rows = _run(
+        capsys,
+        ["kmeans", emb, "-k", "4", "--iters", "1", "--out", out],
+    )
+    sizes = [r for r in rows if "cluster" in r]
+    assert len(sizes) == 4
+    assert sum(r["n_members"] for r in sizes) == 500
+    assert rows[-1]["out"] == out
+
+
+def test_cli_train_bpe(capsys, tmp_path):
+    out = str(tmp_path / "tok")
+    rows = _run(
+        capsys,
+        ["train-bpe", DOCS, "--vocab-size", "300",
+         "--min-frequency", "2", "--out", out],
+    )
+    assert rows[0]["n_merges"] > 0
+    assert os.path.exists(os.path.join(out, "merges.txt"))
+    assert os.path.exists(os.path.join(out, "vocab.json"))

@@ -484,6 +484,49 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--source-col", default="source")
 
     sp = sub.add_parser(
+        "weighted-sample",
+        help="weighted sample without replacement (A-ES, "
+        "deterministic hash draw)",
+    )
+    common(sp)
+    sp.add_argument("-k", "--topk", type=int, default=1000,
+                    help="rows to draw (per group with --group-col)")
+    sp.add_argument("--weight-col", required=True)
+    sp.add_argument("--group-col", default=None,
+                    help="draw k per group instead of globally")
+    sp.add_argument("--key-col", default="doc_id")
+    sp.add_argument("--salt", default="",
+                    help="independent redraw handle")
+    sp.add_argument("--out", default=None,
+                    help="write sampled rows parquet here")
+
+    sp = sub.add_parser(
+        "kmeans",
+        help="distributed Lloyd's k-means over an embedding column "
+        "(deterministic seeds; map-only assign, bounded update)",
+    )
+    common(sp)
+    sp.add_argument("-k", "--clusters", type=int, default=8)
+    sp.add_argument("--iters", type=int, default=2)
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--out", default=None,
+                    help="write (id, cluster) assignment parquet here")
+
+    sp = sub.add_parser(
+        "train-bpe",
+        help="train a byte-level BPE tokenizer over the corpus "
+        "(writes merges.txt + vocab.json)",
+    )
+    common(sp)
+    sp.add_argument("--vocab-size", type=int, default=8192)
+    sp.add_argument("--min-frequency", type=int, default=2)
+    sp.add_argument("--max-words", type=int, default=1_000_000,
+                    help="word-type table cap (driver memory bound)")
+    sp.add_argument("--out", required=True,
+                    help="tokenizer asset directory")
+
+    sp = sub.add_parser(
         "ingest",
         help="foreign dataset → canonical parquet corpus "
         "(HF dir: parquet/arrow shards; TFRecord files)",
@@ -1307,6 +1350,81 @@ def main(argv: list[str] | None = None) -> int:
             )
             _emit(
                 [r.asDict() for r in res.orderBy(args.source_col).collect()],
+                args.output,
+            )
+        elif args.cmd == "weighted-sample":
+            from wimbd_spark.operators.sampling import (
+                weighted_sample,
+                weighted_sample_by,
+            )
+
+            if args.group_col:
+                out_df = weighted_sample_by(
+                    df, args.topk, args.weight_col,
+                    group_col=args.group_col, key=args.key_col,
+                    salt=args.salt,
+                )
+            else:
+                out_df = weighted_sample(
+                    df, args.topk, args.weight_col,
+                    key=args.key_col, salt=args.salt,
+                )
+            if args.out:
+                out_df.write.mode("overwrite").parquet(args.out)
+                n = spark.read.parquet(args.out).count()
+                _emit([{"rows": n, "out": args.out}], args.output)
+            else:
+                _emit(
+                    [r.asDict() for r in out_df.collect()],
+                    args.output,
+                )
+        elif args.cmd == "kmeans":
+            from wimbd_spark.operators.clustering import (
+                assign_clusters,
+                kmeans_fit,
+            )
+
+            cents = kmeans_fit(
+                df, n_clusters=args.clusters, n_iter=args.iters,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            assigned = assign_clusters(
+                df, cents, id_col=args.id_col, vec_col=args.vec_col
+            )
+            if args.out:
+                assigned.write.mode("overwrite").parquet(args.out)
+            from pyspark.sql import functions as F
+
+            sizes = [
+                r.asDict()
+                for r in assigned.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n_members"))
+                .orderBy("cluster")
+                .collect()
+            ]
+            if args.out:
+                sizes.append({"out": args.out})
+            _emit(sizes, args.output)
+        elif args.cmd == "train-bpe":
+            from wimbd_spark.functions.bpe_train import (
+                save_bpe_assets,
+                train_bpe,
+            )
+
+            ranks, vocab = train_bpe(
+                df,
+                vocab_size=args.vocab_size,
+                text_col=t,
+                min_frequency=args.min_frequency,
+                max_words=args.max_words,
+            )
+            save_bpe_assets(args.out, ranks, vocab)
+            _emit(
+                [{
+                    "vocab_size": len(vocab),
+                    "n_merges": len(ranks),
+                    "out": args.out,
+                }],
                 args.output,
             )
         return 0

@@ -96,6 +96,17 @@ from wimbd_spark.operators.bloom import (
     bloom_contains,
     bloom_decontaminate,
 )
+from wimbd_spark.operators.sampling import (
+    sample_key,
+    weighted_sample,
+    weighted_sample_by,
+)
+from wimbd_spark.operators.clustering import (
+    assign_clusters,
+    kmeans,
+    kmeans_cluster_stats,
+    kmeans_fit,
+)
 from wimbd_spark.operators.pii import (
     demographic_cooccurrence,
     extract_pii,
@@ -159,4 +170,6 @@ __all__ = [
     "asof_join", "interval_join",
     "winnow_fingerprints", "winnow_overlap", "winnow_select",
     "bloom_build", "bloom_contains", "bloom_decontaminate",
+    "sample_key", "weighted_sample", "weighted_sample_by",
+    "assign_clusters", "kmeans", "kmeans_fit", "kmeans_cluster_stats",
 ]

@@ -1,0 +1,205 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+The similarity/IVF tier (operators/similarity.py) picks its centroids
+by deterministic hash sample — cheap and good enough for routing, but
+not a fitted clustering. This module runs real Lloyd iterations on
+top of the same deterministic seeding, giving the data-curation jobs
+that want *fitted* clusters (cluster-balanced sampling, SemDeDup-style
+pruning, corpus cartography) a proper k-means while staying exactly
+reproducible — every run, partition layout, and the DuckDB oracle
+produce identical assignments. No reference equivalent (the reference
+has no embedding operators at all).
+
+Spark-first shape, per iteration:
+
+* **assign** — centroids ride the plan as ONE literal
+  array<struct<cid, v>> (same trick as the IVF tier); the argmin over
+  squared L2 is a pure collection expression (`transform` +
+  `array_min` struct ordering), map-only, zero shuffle, no UDF.
+* **update** — `posexplode` the vector and aggregate per (cluster,
+  dim): ONE shuffle of partial sums whose width is n_clusters x dim
+  rows, independent of corpus size. Components are rounded to 9 dp
+  and summed as DECIMAL, so the per-cluster mean is order-independent
+  (bit-identical under any partitioning — and reproducible by the
+  oracle, which mirrors the same decimal sum). Only the
+  n_clusters x dim aggregate rows reach the driver.
+
+Determinism contract (what makes the oracle exact):
+seeds = the ``n_clusters`` rows with the smallest (hash32(id), id) —
+cluster ids are the seed row ids; new centroid component =
+float(decimal_sum) / count, a single IEEE division both engines
+perform on identical inputs; empty clusters keep their previous
+centroid; assignment ties break toward the smaller cluster id.
+Cross-engine argmin agreement additionally needs a best-vs-second
+distance margin (same guard as the IVF tier's
+test_centroid_assignment_margin) — asserted for the registry
+parameters in tests/test_clustering.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wimbd_spark.operators.similarity import (
+    _centroid_rows,
+    _to_double,
+)
+
+SUM_SCALE = 9  # component rounding before the exact decimal sum
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance — left-to-right fold, no sqrt (monotone for
+    argmin, one less op per comparison)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cent_literal(cents: list[tuple[int, list[float]]]) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in v]).alias("v"),
+            )
+            for cid, v in cents
+        ]
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, cluster): each vector's argmin-squared-L2 centroid,
+    ties to the smaller cluster id. Map-only projection."""
+    v = _to_double(F.col(vec_col))
+    scored = F.transform(
+        _cent_literal(centroids),
+        lambda c: F.struct(
+            l2sq(v, c["v"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_min(scored)["cid"].alias("cluster"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """``n_iter`` Lloyd iterations from the deterministic hash seeds;
+    returns the fitted centroids as (cluster_id, vector) pairs.
+
+    Each iteration runs one assign+update job (one bounded shuffle);
+    the driver only ever holds n_clusters x dim aggregate cells.
+    """
+    if n_clusters < 1:
+        raise ValueError("n_clusters must be >= 1")
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    seeds = _centroid_rows(df, id_col, vec_col, n_clusters)
+    cents = [(r["centroid_id"], list(r["_cent"])) for r in seeds]
+    if not cents:
+        return []
+    for _ in range(n_iter):
+        assigned = assign_clusters(df, cents, id_col, vec_col)
+        comp = (
+            df.join(assigned, id_col)
+            .select(
+                F.col("cluster"),
+                F.posexplode(_to_double(F.col(vec_col))).alias(
+                    "pos", "val"
+                ),
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("val"), SUM_SCALE).cast(
+                        "decimal(20,9)"
+                    )
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in comp:
+            by_cid.setdefault(r["cluster"], {})[r["pos"]] = float(
+                r["s"]
+            ) / r["n"]
+        cents = [
+            (
+                cid,
+                [by_cid[cid][p] for p in range(len(old))]
+                if cid in by_cid
+                else old,  # empty cluster keeps its centroid
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
+def kmeans(
+    df: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit + final assignment: (id_col, cluster), cluster = the seed
+    row id of the fitted centroid. Integer-only output (float-free,
+    so oracle hashing is exact)."""
+    cents = kmeans_fit(df, n_clusters, n_iter, id_col, vec_col)
+    if not cents:
+        return df.select(
+            F.col(id_col), F.lit(None).cast("long").alias("cluster")
+        ).where(F.lit(False))
+    return assign_clusters(df, cents, id_col, vec_col)
+
+
+def kmeans_cluster_stats(
+    df: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, n_members, inertia6): size and within-cluster sum of
+    squared distances (rounded to 6 dp as DECIMAL before the sum, so
+    the total is order-independent) per fitted cluster."""
+    cents = kmeans_fit(df, n_clusters, n_iter, id_col, vec_col)
+    if not cents:
+        return df.sparkSession.createDataFrame(
+            [], "cluster long, n_members long, inertia6 decimal(24,6)"
+        )
+    v = _to_double(F.col(vec_col))
+    scored = F.transform(
+        _cent_literal(cents),
+        lambda c: F.struct(
+            l2sq(v, c["v"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    best = F.array_min(scored)
+    return (
+        df.select(
+            best["cid"].alias("cluster"),
+            F.round(best["d"], 6).cast("decimal(18,6)").alias("d6"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("d6").alias("inertia6"),
+        )
+    )
