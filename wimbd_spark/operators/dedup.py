@@ -216,29 +216,31 @@ def repeated_spans(
     if k < 1:
         raise ValueError("k must be >= 1")
     tok = tokenizer if tokenizer is not None else tokenize
-    toks = tok(F.col(text_col))
+    from wimbd_spark.functions.text import let
+
+    # token array let-bound: each window start slices a bound value
+    # (functions.text.let — the O(n²) re-evaluation hazard)
+    gram_hashes = let(
+        tok(F.col(text_col)),
+        lambda t: F.transform(
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(t) - F.lit(k - 1), F.lit(1)),
+                    ),
+                    lambda i: F.slice(t, i, k),
+                ),
+                lambda a: F.size(a) == k,
+            ),
+            lambda a: F.md5(F.array_join(a, " ")),
+        ),
+    )
     grams = (
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.filter(
-                        F.transform(
-                            F.sequence(
-                                F.lit(1),
-                                F.greatest(
-                                    F.size(toks) - F.lit(k - 1),
-                                    F.lit(1),
-                                ),
-                            ),
-                            lambda i: F.slice(toks, i, k),
-                        ),
-                        lambda a: F.size(a) == k,
-                    ),
-                    lambda a: F.md5(F.array_join(a, " ")),
-                )
-            ).alias("pos", "_gh"),
+            F.posexplode(gram_hashes).alias("pos", "_gh"),
         )
     )
     rep = (
@@ -583,9 +585,9 @@ def _text_grams(
     from wimbd_spark.index import _slop_combos
 
     tok = tokenizer if tokenizer is not None else tokenize
-    toks = tok(F.col(text_col))
+    from wimbd_spark.functions.text import let
 
-    def windows(L: int) -> Column:
+    def windows(t: Column, L: int) -> Column:
         # greatest(…, 1): sequence(1, 0) would render DESCENDING
         # [1, 0]; the lone undersized candidate it forces instead is
         # dropped by the size filter
@@ -593,17 +595,17 @@ def _text_grams(
             F.transform(
                 F.sequence(
                     F.lit(1),
-                    F.greatest(F.size(toks) - F.lit(L - 1), F.lit(1)),
+                    F.greatest(F.size(t) - F.lit(L - 1), F.lit(1)),
                 ),
                 lambda i: F.struct(
                     F.lit(L).alias("_L"),
-                    F.slice(toks, i, L).alias("_toks"),
+                    F.slice(t, i, L).alias("_toks"),
                 ),
             ),
             lambda s: F.size(s["_toks"]) == L,
         )
 
-    def windows_combo(L: int, combo: tuple[int, ...]) -> Column:
+    def windows_combo(t: Column, L: int, combo: tuple[int, ...]) -> Column:
         # anchored subsequence: token positions i, i+combo[1]-1, …
         # (combo is 1-based with combo[0] == 1); F.get is the
         # bounds-safe accessor, the when() guard keeps only anchors
@@ -613,15 +615,15 @@ def _text_grams(
             F.transform(
                 F.sequence(
                     F.lit(1),
-                    F.greatest(F.size(toks) - F.lit(last - 1), F.lit(1)),
+                    F.greatest(F.size(t) - F.lit(last - 1), F.lit(1)),
                 ),
                 lambda i: F.when(
-                    i + F.lit(last - 1) <= F.size(toks),
+                    i + F.lit(last - 1) <= F.size(t),
                     F.struct(
                         F.lit(L).alias("_L"),
                         F.array(
                             *[
-                                F.get(toks, i + F.lit(c - 2))
+                                F.get(t, i + F.lit(c - 2))
                                 for c in combo
                             ]
                         ).alias("_toks"),
@@ -636,19 +638,27 @@ def _text_grams(
         raise ValueError("lengths must contain at least one L >= 1")
     if slop < 0:
         raise ValueError("slop must be >= 0")
+    # token array let-bound once for the whole multi-L / multi-combo
+    # window expression (functions.text.let — O(n²) hazard otherwise)
     if slop:
-        allw = F.concat(
-            *[
-                windows_combo(L, c)
-                for L in Ls
-                for c in _slop_combos(L, slop)
-            ]
+        allw = let(
+            tok(F.col(text_col)),
+            lambda t: F.concat(
+                *[
+                    windows_combo(t, L, c)
+                    for L in Ls
+                    for c in _slop_combos(L, slop)
+                ]
+            ),
         )
     else:
-        allw = (
-            windows(Ls[0])
-            if len(Ls) == 1
-            else F.concat(*[windows(L) for L in Ls])
+        allw = let(
+            tok(F.col(text_col)),
+            lambda t: (
+                windows(t, Ls[0])
+                if len(Ls) == 1
+                else F.concat(*[windows(t, L) for L in Ls])
+            ),
         )
     keep = [c for c in df.columns if c != text_col]
     return df.select(*keep, F.explode(allw).alias("_g")).select(

@@ -42,30 +42,36 @@ def winnow_select(text: Column | str, k: int = 3, w: int = 4) -> Column:
         raise ValueError("k and w must be >= 1")
     c = F.col(text) if isinstance(text, str) else text
     hashes = F.transform(ngram_strings(tokenize(c), k), lambda g: hash32(g))
+    empty = F.array().cast("array<struct<pos:int,fp:bigint>>")
 
-    def pick(j: Column) -> Column:
-        window_min = F.array_min(F.slice(hashes, j, w))
-        # rightmost index attaining the min: later matches overwrite
-        pos = F.aggregate(
-            F.sequence(j, j + F.lit(w - 1)),
-            F.lit(0),
-            lambda acc, p: F.when(
-                F.element_at(hashes, p) == window_min, p
-            ).otherwise(acc),
-        )
-        return F.struct(
-            pos.cast("int").alias("pos"), window_min.alias("fp")
-        )
+    # hash array LET-BOUND (functions.text.let): inside `build`, ``h``
+    # is a bound lambda variable, evaluated ONCE per row. Referencing
+    # the raw `hashes` expression from the per-window lambda instead
+    # re-embeds (and re-evaluates) the whole tokenize → ngram → md5
+    # subtree at EVERY reference — measured O(windows·w) re-hashings
+    # per document, minutes instead of seconds at sf0.1 (r8 finding).
+    def build(h: Column) -> Column:
+        def pick(j: Column) -> Column:
+            # rightmost index attaining the window min = FIRST position
+            # of the min in the REVERSED window (array_position is
+            # first-occurrence, 1-based)
+            rev = F.reverse(F.slice(h, j, w))
+            m = F.array_min(rev)
+            pos = j + F.lit(w) - F.array_position(rev, m)
+            return F.struct(pos.cast("int").alias("pos"), m.alias("fp"))
 
-    selected = F.when(
-        F.size(hashes) >= w,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(hashes) - F.lit(w - 1)), pick
-            )
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,fp:bigint>>"))
-    return selected
+        return F.when(
+            F.size(h) >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(h) - F.lit(w - 1)), pick
+                )
+            ),
+        ).otherwise(empty)
+
+    from wimbd_spark.functions.text import let
+
+    return let(hashes, build)
 
 
 def winnow_fingerprints(

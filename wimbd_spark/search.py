@@ -71,28 +71,38 @@ def _phrase_window_match(tokens: Column, phrase: str, slop: int = 0) -> Column:
         return F.lit(False)
     phrase_arr = F.array(*[F.lit(t) for t in ptoks])
 
-    # Subsequence check on slice(tokens, i, W): acc counts phrase
-    # tokens matched in order so far; window matches iff acc == L.
-    # slice() past the array end just yields a shorter window, so one
-    # exists() over all candidate starts covers the tail.
-    def window_ok(i):
-        return (
-            F.aggregate(
-                F.slice(tokens, i, W),
-                F.lit(0),
-                lambda acc, x: F.when(
-                    (acc < L) & (x == F.element_at(phrase_arr, acc + 1)),
-                    acc + 1,
-                ).otherwise(acc),
+    # Subsequence check on slice(t, i, W): acc counts phrase tokens
+    # matched in order so far; window matches iff acc == L. slice()
+    # past the array end just yields a shorter window, so one exists()
+    # over all candidate starts covers the tail. The token array is
+    # let-bound so each candidate start slices a bound value instead of
+    # re-evaluating the tokens expression (the O(n²) hazard on
+    # functions.text.let — `tokens` is often tokenize(text)).
+    from wimbd_spark.functions.text import let
+
+    def check(t):
+        def window_ok(i):
+            return (
+                F.aggregate(
+                    F.slice(t, i, W),
+                    F.lit(0),
+                    lambda acc, x: F.when(
+                        (acc < L) & (x == F.element_at(phrase_arr, acc + 1)),
+                        acc + 1,
+                    ).otherwise(acc),
+                )
+                == L
             )
-            == L
+
+        nstart = F.size(t) - F.lit(L - 1)
+        return F.coalesce(
+            F.when(
+                nstart >= 1, F.exists(F.sequence(F.lit(1), nstart), window_ok)
+            ),
+            F.lit(False),
         )
 
-    nstart = F.size(tokens) - F.lit(L - 1)
-    return F.coalesce(
-        F.when(nstart >= 1, F.exists(F.sequence(F.lit(1), nstart), window_ok)),
-        F.lit(False),
-    )
+    return let(tokens, check)
 
 
 def build_phrase_predicate(
