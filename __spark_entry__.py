@@ -4889,6 +4889,96 @@ def o_kmeans_stats():
     """
 
 
+# --------------------------------------------------- BM25 ranked search
+# ES-parity ranked retrieval (Lucene BM25Similarity — the default
+# scoring behind any ES `match` query; the reference's ES tier exposes
+# counting/retrieval, ranked search comes free with the same index).
+# Deterministic: per-term contribution rounded once to 6 dp and summed
+# as DECIMAL (operators/bm25.py docstring), ties broken by doc_id.
+
+BM25_QUERY = "table scan fast query"
+BM25_K = 10
+
+
+def q_bm25_rank(spark, sf_dir):
+    from wimbd_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERY, k=BM25_K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_bm25_index(spark, sf_dir):
+    """Postings-path twin: same ranking answered from the phrase index
+    + its _doclens sidecar — the corpus is never scanned at query time.
+    Shares q_bm25_rank's oracle (row-identical by construction)."""
+    from wimbd_spark.operators.bm25 import bm25_topk_indexed
+
+    _phrase_index(spark, sf_dir)  # ensure built (memoized)
+    return bm25_topk_indexed(
+        spark, _index_path(sf_dir, "phrase"), BM25_QUERY, k=BM25_K
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def o_bm25_rank():
+    terms = []
+    for t in BM25_QUERY.split():
+        if t and t not in terms:
+            terms.append(t)
+    tf_defs = ",\n               ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ",\n               ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    # expression shape mirrors operators/bm25.py:_contribution verbatim
+    # (same parenthesization -> identical IEEE doubles cross-engine)
+    contribs = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN CAST(round(round(ln(1.0 + "
+        f"(n - df{i} + 0.5) / (df{i} + 0.5)), 6) * (tf{i} / (tf{i} + "
+        f"1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sdl AS DOUBLE) / n)))), 6) "
+        f"AS DECIMAL(12,6)) ELSE CAST(0 AS DECIMAL(12,6)) END)"
+        for i in range(len(terms))
+    )
+    any_tf = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    return f"""
+      WITH tok AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      d AS (
+        SELECT doc_id, len(t) AS dl,
+               {tf_defs}
+        FROM tok
+      ),
+      stats AS (
+        SELECT sum(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS n,
+               sum(dl) AS sdl,
+               {df_defs}
+        FROM d
+      ),
+      scored AS (
+        SELECT doc_id, {contribs} AS sc
+        FROM d CROSS JOIN stats
+        WHERE {any_tf}
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(sc AS DOUBLE) AS score,
+             CAST(row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS INT)
+               AS rank
+      FROM scored ORDER BY sc DESC, doc_id ASC LIMIT {BM25_K}
+    """
+
+
 # ------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
@@ -4916,6 +5006,8 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # each insertion displaces the tail of the returning half to just
     # past the window, where the r06 file still covers it under the
     # ceil(N/50)-round rule — displaced queries lead the r9 rotation):
+    "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
+    "bm25_index_top10": (q_bm25_index, o_bm25_rank),
     "weighted_sample_chars_k50": (
         q_weighted_sample_chars,
         o_weighted_sample_chars,

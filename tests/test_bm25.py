@@ -1,0 +1,146 @@
+"""BM25 ranked retrieval: scan path, postings path, sidecar plumbing."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wimbd_spark.index import build_phrase_index, load_phrase_index
+from wimbd_spark.operators.bm25 import (
+    analyze_query,
+    bm25_topk,
+    bm25_topk_indexed,
+    build_doclen_stats,
+)
+
+DOCS = [
+    (1, "spark table scan fast"),
+    (2, "spark spark spark join"),
+    (3, "slow table merge"),
+    (4, "fast fast query"),
+    (5, "unrelated words only here"),
+    (6, ""),  # zero tokens: excluded from N/avgdl (Lucene field stats)
+    (7, None),  # null text: ignored entirely
+]
+
+
+def _py_bm25(docs, query, k1=1.2, b=0.75):
+    """Independent pure-Python mirror with the engine's rounding."""
+    terms = []
+    for t in query.split():
+        if t and t not in terms:
+            terms.append(t)
+    toks = {i: (t.split() if t else []) for i, t in docs if t is not None}
+    dls = {i: len(ts) for i, ts in toks.items()}
+    n = sum(1 for d in dls.values() if d > 0)
+    sum_dl = sum(dls.values())
+    avgdl = sum_dl / n
+    scores = {}
+    for term in terms:
+        df = sum(1 for ts in toks.values() if term in ts)
+        if df == 0:
+            continue
+        idf6 = round(math.log(1 + (n - df + 0.5) / (df + 0.5)), 6)
+        for i, ts in toks.items():
+            tf = ts.count(term)
+            if tf:
+                contrib = round(
+                    idf6 * (tf / (tf + k1 * (1 - b + b * dls[i] / avgdl))), 6
+                )
+                scores[i] = round(scores.get(i, 0.0) + contrib, 6)
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_analyze_query_dedup_and_order():
+    assert analyze_query("b a  b c a") == ["b", "a", "c"]
+    assert analyze_query("   ") == []
+
+
+def test_scan_matches_python_mirror(docs_df):
+    got = bm25_topk(docs_df, "spark fast table", k=10).collect()
+    want = _py_bm25(DOCS, "spark fast table")
+    assert [(r.doc_id, r.score) for r in got] == [
+        (i, pytest.approx(s, abs=1e-9)) for i, s in want
+    ]
+    assert [r.rank for r in got] == list(range(1, len(want) + 1))
+
+
+def test_scan_excludes_nonmatching_docs(docs_df):
+    rows = bm25_topk(docs_df, "spark", k=10).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    # doc 2 has tf=3 of "spark" in dl=4: highest score
+    assert rows[0].doc_id == 2
+
+
+def test_k_limits_and_ties_break_by_id(spark):
+    df = spark.createDataFrame(
+        [(i, "same text here") for i in range(1, 6)], ["doc_id", "text"]
+    )
+    rows = bm25_topk(df, "same", k=3).collect()
+    assert [r.doc_id for r in rows] == [1, 2, 3]
+    assert len({r.score for r in rows}) == 1
+
+
+def test_zero_term_query_raises(docs_df):
+    with pytest.raises(ValueError):
+        bm25_topk(docs_df, "   ")
+    with pytest.raises(ValueError):
+        bm25_topk(docs_df, "x", k=0)
+
+
+def test_empty_corpus_returns_typed_empty(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = bm25_topk(empty, "anything", k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "score", "rank"]
+
+
+def test_indexed_matches_scan(docs_df, tmp_path):
+    idx = str(tmp_path / "bm25idx")
+    build_phrase_index(docs_df, idx, num_files=2)
+    got_scan = bm25_topk(docs_df, "spark fast table", k=10).collect()
+    got_idx = bm25_topk_indexed(
+        docs_df.sparkSession, idx, "spark fast table", k=10
+    ).collect()
+    assert [(r.doc_id, r.score, r.rank) for r in got_idx] == [
+        (r.doc_id, r.score, r.rank) for r in got_scan
+    ]
+
+
+def test_doclens_sidecar_hidden_from_postings_reader(docs_df, tmp_path):
+    spark = docs_df.sparkSession
+    idx = str(tmp_path / "idx2")
+    build_phrase_index(docs_df, idx, num_files=2)
+    before = load_phrase_index(spark, idx).count()
+    out = build_doclen_stats(spark, idx)
+    assert os.path.isdir(out)
+    # postings reader must not pick up the underscore-prefixed sidecar
+    assert load_phrase_index(spark, idx).count() == before
+    lens = {
+        r.doc_id: r.dl for r in spark.read.parquet(out).collect()
+    }
+    assert lens == {1: 4, 2: 4, 3: 3, 4: 3, 5: 4}
+
+
+def test_indexed_builds_doclens_lazily(docs_df, tmp_path):
+    spark = docs_df.sparkSession
+    idx = str(tmp_path / "idx3")
+    build_phrase_index(docs_df, idx, num_files=2)
+    assert not os.path.exists(os.path.join(idx, "_doclens"))
+    rows = bm25_topk_indexed(spark, idx, "spark", k=5).collect()
+    assert os.path.exists(os.path.join(idx, "_doclens"))
+    assert rows[0].doc_id == 2
+
+
+def test_duplicate_query_terms_score_once(docs_df):
+    once = bm25_topk(docs_df, "spark fast", k=10).collect()
+    twice = bm25_topk(docs_df, "spark fast spark", k=10).collect()
+    assert [(r.doc_id, r.score) for r in once] == [
+        (r.doc_id, r.score) for r in twice
+    ]

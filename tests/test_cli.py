@@ -763,3 +763,15 @@ def test_cli_train_bpe(capsys, tmp_path):
     assert rows[0]["n_merges"] > 0
     assert os.path.exists(os.path.join(out, "merges.txt"))
     assert os.path.exists(os.path.join(out, "vocab.json"))
+
+
+def test_cli_bm25_scan_and_indexed(capsys, tmp_path):
+    rows = _run(capsys, ["bm25", DOCS, "-q", "table scan", "-k", "5"])
+    assert len(rows) == 5
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[0]["score"] >= rows[-1]["score"]
+    idx = str(tmp_path / "bidx")
+    _run(capsys, ["index-build", DOCS, "--out", idx])
+    rows_idx = _run(capsys, ["bm25", DOCS, "-q", "table scan", "-k", "5",
+                             "--index", idx])
+    assert rows_idx == rows

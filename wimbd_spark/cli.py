@@ -262,6 +262,25 @@ def main(argv: list[str] | None = None) -> int:
                     "corpus paths are ignored when given")
 
     sp = sub.add_parser(
+        "bm25",
+        help="BM25 ranked retrieval (ES match-query scoring): top-k "
+        "documents for a term query; --index answers from a prebuilt "
+        "posting-list index (+ its _doclens sidecar) without scanning "
+        "the corpus",
+    )
+    common(sp)
+    sp.add_argument("-q", "--query", required=True,
+                    help="query string (whitespace-analyzed, like the "
+                    "corpus tokenizer)")
+    sp.add_argument("-k", "--topk", type=int, default=10)
+    sp.add_argument("--k1", type=float, default=1.2)
+    sp.add_argument("--b", type=float, default=0.75)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--index", default=None,
+                    help="posting-list index path (from index-build); "
+                    "corpus paths are ignored when given")
+
+    sp = sub.add_parser(
         "contamination",
         help="eval-set contamination report: fraction of eval phrases "
         "appearing in the corpus (substring scan, or token-aligned "
@@ -577,6 +596,16 @@ def main(argv: list[str] | None = None) -> int:
             out.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
             _emit([{"rows": n, "out": args.out}], args.output)
+            return 0
+        if args.cmd == "bm25" and args.index:
+            # indexed ranking never touches the corpus
+            from wimbd_spark.operators.bm25 import bm25_topk_indexed
+
+            res = bm25_topk_indexed(
+                spark, args.index, args.query, k=args.topk,
+                k1=args.k1, b=args.b,
+            )
+            _emit([r.asDict() for r in res.collect()], args.output)
             return 0
         if args.cmd == "phrases" and args.index:
             # indexed counts never touch the corpus — skip loading it
@@ -934,6 +963,14 @@ def main(argv: list[str] | None = None) -> int:
 
             res = count_documents_for_each_phrase(
                 df, args.phrase, slop=args.slop, text_col=t
+            )
+            _emit([r.asDict() for r in res.collect()], args.output)
+        elif args.cmd == "bm25":
+            from wimbd_spark.operators.bm25 import bm25_topk
+
+            res = bm25_topk(
+                df, args.query, k=args.topk, k1=args.k1, b=args.b,
+                id_col=args.id_col, text_col=t,
             )
             _emit([r.asDict() for r in res.collect()], args.output)
         elif args.cmd == "contamination":

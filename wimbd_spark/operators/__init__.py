@@ -96,6 +96,11 @@ from wimbd_spark.operators.bloom import (
     bloom_contains,
     bloom_decontaminate,
 )
+from wimbd_spark.operators.bm25 import (
+    bm25_topk,
+    bm25_topk_indexed,
+    build_doclen_stats,
+)
 from wimbd_spark.operators.sampling import (
     sample_key,
     weighted_sample,
@@ -170,6 +175,7 @@ __all__ = [
     "asof_join", "interval_join",
     "winnow_fingerprints", "winnow_overlap", "winnow_select",
     "bloom_build", "bloom_contains", "bloom_decontaminate",
+    "bm25_topk", "bm25_topk_indexed", "build_doclen_stats",
     "sample_key", "weighted_sample", "weighted_sample_by",
     "assign_clusters", "kmeans", "kmeans_fit", "kmeans_cluster_stats",
 ]
