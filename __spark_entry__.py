@@ -4979,6 +4979,79 @@ def o_bm25_rank():
     """
 
 
+# ------------------------------------- NB quality classifier (CCNet/GPT-3)
+
+NB_MIN_COUNT = 2
+NB_MAX_VOCAB = 8192
+
+
+def q_nb_quality_scores(spark, sf_dir):
+    """Naive-Bayes quality-classifier scores (operators/classifier.py):
+    train positive = src0 docs vs negative = the whole pool (the GPT-3
+    quality-filter convention: positive corpus vs raw pool), score
+    every pool document. Per-token weights rounded once to 6 dp and
+    accumulated as DECIMAL — hash-compares exactly against DuckDB."""
+    from wimbd_spark.operators.classifier import (
+        fit_nb_classifier,
+        nb_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    model = fit_nb_classifier(
+        docs.filter(F.col("source") == "src0"),
+        docs,
+        min_count=NB_MIN_COUNT,
+        max_vocab=NB_MAX_VOCAB,
+    )
+    return nb_score(docs, model).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "score"
+    )
+
+
+def o_nb_quality_scores():
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      words AS (
+        SELECT doc_id, source, t[i] AS token
+        FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+      ),
+      counts AS (
+        SELECT token,
+               sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS cp,
+               sum(1) AS cn
+        FROM words GROUP BY token
+      ),
+      vocab AS (
+        SELECT token, cp, cn FROM counts WHERE cp + cn >= {NB_MIN_COUNT}
+        ORDER BY cp + cn DESC, token ASC LIMIT {NB_MAX_VOCAB}
+      ),
+      tot AS (
+        SELECT coalesce(sum(cp), 0) AS np, coalesce(sum(cn), 0) AS nn,
+               count(*) AS v
+        FROM vocab
+      ),
+      weights AS (
+        SELECT token,
+               CAST(round(ln((cp + 1.0) / (np + v))
+                          - ln((cn + 1.0) / (nn + v)), 6)
+                    AS DECIMAL(12,6)) AS weight
+        FROM vocab, tot
+      ),
+      s AS (
+        SELECT w.doc_id, sum(weight) AS sc
+        FROM words w JOIN weights USING (token) GROUP BY w.doc_id
+      )
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             CAST(coalesce(sc, 0) AS DOUBLE) AS score
+      FROM documents d LEFT JOIN s USING (doc_id)
+    """
+
+
 # ------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
@@ -5008,6 +5081,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # ceil(N/50)-round rule — displaced queries lead the r9 rotation):
     "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
     "bm25_index_top10": (q_bm25_index, o_bm25_rank),
+    "nb_quality_scores_src0": (q_nb_quality_scores, o_nb_quality_scores),
     "weighted_sample_chars_k50": (
         q_weighted_sample_chars,
         o_weighted_sample_chars,

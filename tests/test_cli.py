@@ -775,3 +775,14 @@ def test_cli_bm25_scan_and_indexed(capsys, tmp_path):
     rows_idx = _run(capsys, ["bm25", DOCS, "-q", "table scan", "-k", "5",
                              "--index", idx])
     assert rows_idx == rows
+
+
+def test_cli_nb_classify(capsys, tmp_path):
+    # score mode: top rows by classifier score
+    rows = _run(capsys, ["nb-classify", DOCS, "--pos", DOCS, "--show", "5"])
+    assert len(rows) == 5 and "score" in rows[0]
+    # filter mode writes kept docs
+    out = str(tmp_path / "kept")
+    rows = _run(capsys, ["nb-classify", DOCS, "--pos", DOCS,
+                         "--threshold", "-1000000", "--out", out])
+    assert rows[0]["kept"] == 500 and rows[0]["out"] == out

@@ -492,6 +492,29 @@ def main(argv: list[str] | None = None) -> int:
                     help="weight rows to emit when not selecting")
 
     sp = sub.add_parser(
+        "nb-classify",
+        help="Naive-Bayes quality classifier (the GPT-3/CCNet quality-"
+        "filter stage): train on a positive corpus vs the pool, score "
+        "or filter the pool",
+    )
+    common(sp)
+    sp.add_argument("--pos", action="append", required=True,
+                    help="positive (high-quality) corpus path "
+                    "(repeatable)")
+    sp.add_argument("--min-count", type=int, default=2)
+    sp.add_argument("--max-vocab", type=int, default=8192)
+    sp.add_argument("--id-col", default=None,
+                    help="doc id column (default: doc_id if present, "
+                    "else the first column)")
+    sp.add_argument("--threshold", type=float, default=None,
+                    help="keep docs scoring >= this (filter mode)")
+    sp.add_argument("--out", default=None,
+                    help="write kept docs parquet here "
+                    "(requires --threshold)")
+    sp.add_argument("--show", type=int, default=20,
+                    help="score rows to emit when not filtering")
+
+    sp = sub.add_parser(
         "unimax",
         help="UniMax token-budget allocation across sources",
     )
@@ -1374,6 +1397,45 @@ def main(argv: list[str] | None = None) -> int:
                 top = weights.orderBy(
                     F.col("log_weight").desc(), F.col(id_col).asc()
                 ).limit(args.show)
+                _emit([r.asDict() for r in top.collect()], args.output)
+        elif args.cmd == "nb-classify":
+            from pyspark.sql import functions as F
+
+            from wimbd_spark.operators.classifier import (
+                fit_nb_classifier,
+                nb_quality_filter,
+                nb_score,
+            )
+
+            if args.out and args.threshold is None:
+                raise SystemExit("--out requires --threshold")
+            pos = _load(spark, args.pos, args.limit, args.file_limit)
+            id_col = args.id_col or (
+                "doc_id" if "doc_id" in df.columns else df.columns[0]
+            )
+            model = fit_nb_classifier(
+                pos, df, text_col=t,
+                min_count=args.min_count, max_vocab=args.max_vocab,
+            )
+            if args.threshold is not None:
+                kept = nb_quality_filter(
+                    df, model, args.threshold,
+                    text_col=t, id_col=id_col,
+                )
+                if args.out:
+                    kept.write.mode("overwrite").parquet(args.out)
+                    n = spark.read.parquet(args.out).count()
+                    _emit([{"kept": n, "out": args.out}], args.output)
+                else:
+                    _emit(
+                        [{"kept": kept.count()}], args.output
+                    )
+            else:
+                top = (
+                    nb_score(df, model, text_col=t, id_col=id_col)
+                    .orderBy(F.col("score").desc(), F.col(id_col).asc())
+                    .limit(args.show)
+                )
                 _emit([r.asDict() for r in top.collect()], args.output)
         elif args.cmd == "unimax":
             from wimbd_spark.operators.mixture import unimax_allocation
