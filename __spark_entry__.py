@@ -563,6 +563,11 @@ def prepare_benchmark(spark, sf_dir) -> dict:
     _phrase_index(spark, sf_dir)
     out["phrase_index"] = round(_time.perf_counter() - t0, 4)
     t0 = _time.perf_counter()
+    from wimbd_spark.operators.bm25 import build_doclen_stats
+
+    build_doclen_stats(spark, _index_path(sf_dir, "phrase"))
+    out["bm25_doclens"] = round(_time.perf_counter() - t0, 4)
+    t0 = _time.perf_counter()
     _phrase_index(
         spark,
         sf_dir,
@@ -632,6 +637,11 @@ def prepare_benchmark_warm(spark, sf_dir) -> dict:
     t0 = _time.perf_counter()
     build_phrase_index(_docs(spark, sf_dir), _index_path(sf_dir, "phrase"))
     out["phrase_index"] = round(_time.perf_counter() - t0, 4)
+    t0 = _time.perf_counter()
+    from wimbd_spark.operators.bm25 import build_doclen_stats
+
+    build_doclen_stats(spark, _index_path(sf_dir, "phrase"))
+    out["bm25_doclens"] = round(_time.perf_counter() - t0, 4)
     t0 = _time.perf_counter()
     build_phrase_index(
         _docs(spark, sf_dir).filter(F.col("source") != "src0"),

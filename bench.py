@@ -110,6 +110,16 @@ HEADLINE = [
     "quality_funnel_by_source",
     "simhash62_pairs",
     "contamination_slop1_indexed",
+    # late-r8 additions (one representative per new family; doclens
+    # build rides prepare_benchmark so bm25_index measures query only)
+    "bm25_rank_top10",
+    "bm25_index_top10",
+    "nb_quality_scores_src0",
+    "weighted_sample_chars_k50",
+    "kmeans_assign_k8_i2",
+    "events_asof_attribution",
+    "winnow_overlap_src0_src1",
+    "bloom_decontaminate_src0",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)

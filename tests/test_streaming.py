@@ -978,3 +978,52 @@ def test_streaming_contamination_hits_slop(spark, tmp_path):
         assert hits == [(1, "quick brown"), (2, "quick brown")]
     finally:
         q.stop()
+
+
+def test_streaming_nb_gate_matches_batch(spark, tmp_path):
+    from wimbd_spark.operators.classifier import fit_nb_classifier, nb_score
+    from wimbd_spark.streaming import (
+        nb_map_table,
+        read_doc_stream,
+        streaming_nb_gate,
+    )
+
+    pool_rows = [
+        (1, "good clean prose good"),
+        (2, "spam junk spam junk spam"),
+        (3, None),
+        (4, "good spam clean junk"),
+    ]
+    pool = spark.createDataFrame(pool_rows, "doc_id long, text string")
+    pos = spark.createDataFrame(
+        [(100, "good clean prose clean good")], "doc_id long, text string"
+    )
+    model = fit_nb_classifier(pos, pool, min_count=1)
+    nmap = nb_map_table(model)
+
+    batch_s = {
+        r["doc_id"]: r["score"] for r in nb_score(pool, model).collect()
+    }
+    thr = sorted(batch_s.values(), reverse=True)[1]
+    expect = sorted(d for d, s in batch_s.items() if s >= thr)
+    assert 0 < len(expect) < len(batch_s)
+    got = sorted(
+        r["doc_id"] for r in streaming_nb_gate(pool, nmap, thr).collect()
+    )
+    assert got == expect
+
+    # real micro-batch run
+    d = str(tmp_path / "nb_in")
+    _write_batch(d, [_doc(i, t) for i, t in pool_rows[:2]], "b0.json")
+    _write_batch(d, [_doc(i, t) for i, t in pool_rows[2:]], "b1.json")
+    out = streaming_nb_gate(read_doc_stream(spark, d), nmap, thr).select(
+        "doc_id"
+    )
+    q = _run_to_memory(out, "nb_gate", "append")
+    try:
+        rows = sorted(
+            r["doc_id"] for r in spark.sql("select * from nb_gate").collect()
+        )
+        assert rows == expect
+    finally:
+        q.stop()

@@ -728,3 +728,58 @@ def streaming_dsir_gate(
     )
     keep = weight.cast("double") >= F.lit(float(min_log_weight))
     return docs.join(F.broadcast(dsir_map)).filter(keep).drop("ratios")
+
+
+def nb_map_table(model: DataFrame) -> DataFrame:
+    """Fold a (token, weight) NB classifier model (operators.
+    classifier.fit_nb_classifier) into ONE row (nb_weights:
+    map<string,decimal>) — the static side of streaming_nb_gate. At
+    most max_vocab entries (default 8192), the same single-row-map
+    bound as dsir_map_table / lm_map_table; materialize it alongside
+    the model snapshot."""
+    return model.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("token", "weight"))
+        ).alias("nb_weights")
+    )
+
+
+def streaming_nb_gate(
+    docs: DataFrame,
+    nb_map: DataFrame,
+    min_score: float,
+    text_col: str = "text",
+) -> DataFrame:
+    """NB-quality-filter-on-ingest: keep stream docs whose classifier
+    score under a STATIC model (operators.classifier) is ≥
+    ``min_score``.
+
+    The score is a pure per-row expression — F.aggregate over the
+    doc's lowercased tokens with a broadcast map lookup — so the gate
+    is STATELESS, unlike the batch scorer's explode + groupBy shape (a
+    stateful aggregation on a stream). The accumulator stays DECIMAL
+    at every step, so the per-row sum is exactly the batch operator's
+    order-independent decimal sum: batch rows through this gate agree
+    with nb_score ≥ threshold row-for-row (tested). Featureless docs
+    score 0.0, same as batch.
+    """
+    from wimbd_spark.operators.classifier import _class_tokens
+
+    zero = F.lit(0).cast("decimal(24,6)")
+    score = F.aggregate(
+        _class_tokens(text_col),
+        zero,
+        lambda acc, tkn: (
+            acc
+            + F.coalesce(
+                F.element_at(F.col("nb_weights"), tkn),
+                F.lit(0).cast("decimal(12,6)"),
+            )
+        ).cast("decimal(24,6)"),
+    )
+    # NULL text → NULL token array → NULL aggregate; batch scores such
+    # docs 0.0 (explode_outer), so coalesce before the threshold
+    keep = F.coalesce(score.cast("double"), F.lit(0.0)) >= F.lit(
+        float(min_score)
+    )
+    return docs.join(F.broadcast(nb_map)).filter(keep).drop("nb_weights")
