@@ -4936,9 +4936,14 @@ def q_bm25_index(spark, sf_dir):
     )
 
 
-def o_bm25_rank():
+def _sql_bm25_ctes(query: str) -> str:
+    """CTE block `btok/bd/bstats/bscored` ending in (doc_id, sc) BM25
+    scores for ``query`` — reused by the standalone oracle and the RRF
+    hybrid oracle. Expression shape mirrors operators/bm25.py:
+    _contribution verbatim (same parenthesization → identical IEEE
+    doubles cross-engine)."""
     terms = []
-    for t in BM25_QUERY.split():
+    for t in query.split():
         if t and t not in terms:
             terms.append(t)
     tf_defs = ",\n               ".join(
@@ -4949,8 +4954,6 @@ def o_bm25_rank():
         f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
         for i in range(len(terms))
     )
-    # expression shape mirrors operators/bm25.py:_contribution verbatim
-    # (same parenthesization -> identical IEEE doubles cross-engine)
     contribs = " + ".join(
         f"(CASE WHEN tf{i} > 0 THEN CAST(round(round(ln(1.0 + "
         f"(n - df{i} + 0.5) / (df{i} + 0.5)), 6) * (tf{i} / (tf{i} + "
@@ -4959,33 +4962,104 @@ def o_bm25_rank():
         for i in range(len(terms))
     )
     any_tf = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
-    return f"""
-      WITH tok AS (
+    return f"""btok AS (
         SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
                                    x -> x <> '') AS t
         FROM documents WHERE text IS NOT NULL
       ),
-      d AS (
+      bd AS (
         SELECT doc_id, len(t) AS dl,
                {tf_defs}
-        FROM tok
+        FROM btok
       ),
-      stats AS (
+      bstats AS (
         SELECT sum(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS n,
                sum(dl) AS sdl,
                {df_defs}
-        FROM d
+        FROM bd
       ),
-      scored AS (
+      bscored AS (
         SELECT doc_id, {contribs} AS sc
-        FROM d CROSS JOIN stats
+        FROM bd CROSS JOIN bstats
         WHERE {any_tf}
-      )
+      )"""
+
+
+def o_bm25_rank():
+    return f"""
+      WITH {_sql_bm25_ctes(BM25_QUERY)}
       SELECT CAST(doc_id AS BIGINT) AS doc_id,
              CAST(sc AS DOUBLE) AS score,
              CAST(row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS INT)
                AS rank
-      FROM scored ORDER BY sc DESC, doc_id ASC LIMIT {BM25_K}
+      FROM bscored ORDER BY sc DESC, doc_id ASC LIMIT {BM25_K}
+    """
+
+
+# ----------------------------------------- hybrid retrieval (RRF fusion)
+
+RRF_DEPTH = 20
+RRF_K = 10
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Sparse+dense hybrid search (operators/fusion.py, Cormack et al.
+    2009 RRF): fuse the BM25 top-20 for BM25_QUERY with the exact-
+    cosine top-20 neighbors of embedding vec 0 (ids shared with the
+    documents table), 1/(60+rank) contributions rounded to 6 dp and
+    summed as DECIMAL. End-to-end composition of two independently
+    oracle-proven rankers."""
+    from wimbd_spark.operators.fusion import hybrid_search
+
+    return hybrid_search(
+        _docs(spark, sf_dir),
+        _tbl(spark, sf_dir, "embeddings"),
+        BM25_QUERY,
+        query_vec_id=0,
+        k=RRF_K,
+        depth=RRF_DEPTH,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rrf_score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def o_hybrid_rrf():
+    return f"""
+      WITH {_sql_bm25_ctes(BM25_QUERY)},
+      sparse AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS r
+        FROM bscored
+        ORDER BY sc DESC, doc_id ASC LIMIT {RRF_DEPTH}
+      ),
+      qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+             WHERE vec_id = 0),
+      dense0 AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(v, embedding::DOUBLE[])
+                   DESC, vec_id ASC
+               ) AS r
+        FROM embeddings, qv WHERE vec_id <> 0
+      ),
+      dense AS (SELECT doc_id, r FROM dense0 WHERE r <= {RRF_DEPTH}),
+      contrib AS (
+        SELECT doc_id,
+               CAST(round(1.0 / (60 + r), 6) AS DECIMAL(12,6)) AS ct
+        FROM sparse
+        UNION ALL
+        SELECT doc_id,
+               CAST(round(1.0 / (60 + r), 6) AS DECIMAL(12,6)) AS ct
+        FROM dense
+      ),
+      fused AS (SELECT doc_id, sum(ct) AS s FROM contrib GROUP BY doc_id)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(s AS DOUBLE) AS rrf_score,
+             CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INT)
+               AS rank
+      FROM fused ORDER BY s DESC, doc_id ASC LIMIT {RRF_K}
     """
 
 
@@ -5092,6 +5166,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
     "bm25_index_top10": (q_bm25_index, o_bm25_rank),
     "nb_quality_scores_src0": (q_nb_quality_scores, o_nb_quality_scores),
+    "hybrid_rrf_top10": (q_hybrid_rrf, o_hybrid_rrf),
     "weighted_sample_chars_k50": (
         q_weighted_sample_chars,
         o_weighted_sample_chars,

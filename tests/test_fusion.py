@@ -1,0 +1,73 @@
+"""RRF fusion: formula, tie-breaks, hybrid composition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wimbd_spark.operators.fusion import hybrid_search, rrf_fuse
+
+
+def _r(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, rank int")
+
+
+def test_rrf_matches_hand_computation(spark):
+    a = _r(spark, [(1, 1), (2, 2), (3, 3)])
+    b = _r(spark, [(3, 1), (1, 2), (4, 3)])
+    got = {r.doc_id: r.rrf_score for r in rrf_fuse([a, b], k=10).collect()}
+    want = {
+        1: round(round(1 / 61, 6) + round(1 / 62, 6), 6),
+        2: round(1 / 62, 6),
+        3: round(round(1 / 63, 6) + round(1 / 61, 6), 6),
+        4: round(1 / 63, 6),
+    }
+    assert got == {k: pytest.approx(v, abs=1e-9) for k, v in want.items()}
+
+
+def test_rrf_rank_and_ties(spark):
+    # docs 1 and 2 get identical fused scores -> tie broken by id
+    a = _r(spark, [(1, 1), (2, 2)])
+    b = _r(spark, [(2, 1), (1, 2)])
+    rows = rrf_fuse([a, b], k=10).collect()
+    assert [r.doc_id for r in rows] == [1, 2]
+    assert [r.rank for r in rows] == [1, 2]
+    assert rows[0].rrf_score == rows[1].rrf_score
+
+
+def test_rrf_k_and_validation(spark):
+    a = _r(spark, [(i, i) for i in range(1, 8)])
+    assert rrf_fuse([a], k=3).count() == 3
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=3)
+    with pytest.raises(ValueError):
+        rrf_fuse([a], k=0)
+    with pytest.raises(ValueError):
+        rrf_fuse([a], k=3, c=-1)
+
+
+def test_hybrid_search_composes(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "anchor text about tables"),
+            (1, "spark table scan"),
+            (2, "table scan table scan"),
+            (3, "unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.95, 0.05]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = hybrid_search(docs, emb, "table scan", query_vec_id=0, k=4).collect()
+    got = {r.doc_id: r for r in rows}
+    # doc 1: dense rank 2 (cos .994) + sparse rank 2; doc 2: sparse 1,
+    # dense 3; doc 3: dense 1 (cos .998) only — all present, fused
+    assert set(got) == {1, 2, 3}
+    assert [r.rank for r in rows] == [1, 2, 3]
+    # two-list docs beat single-list docs here
+    assert got[1].rrf_score > got[3].rrf_score

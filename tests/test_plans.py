@@ -434,3 +434,52 @@ def test_unimax_single_corpus_aggregation(raw_docs):
     exch = _re.findall(r"^\(\d+\) Exchange\s*\nInput[^\n]*\nArguments: (\S+)",
                        plan, _re.MULTILINE)
     assert sum(a.startswith("hashpartitioning(source") for a in exch) == 1, exch
+
+
+def test_bm25_indexed_never_scans_corpus(spark, tmp_path, raw_docs):
+    from wimbd_spark.index import build_phrase_index
+    from wimbd_spark.operators.bm25 import bm25_topk_indexed, build_doclen_stats
+
+    path = str(tmp_path / "bm25idx")
+    build_phrase_index(raw_docs.limit(50), path, num_files=1)
+    build_doclen_stats(spark, path)
+    plan = explain_str(bm25_topk_indexed(spark, path, "alpha beta"))
+    # postings + _doclens sidecar only — the corpus is never read
+    assert "documents.parquet" not in plan
+    assert "bm25idx" in plan
+    # token-equality pushdown on the postings scan
+    assert "token" in plan
+
+
+def test_bm25_scan_two_projected_scans(raw_docs):
+    from wimbd_spark.operators.bm25 import bm25_topk
+
+    plan = explain_str(bm25_topk(raw_docs, "alpha beta", k=5))
+    # exactly two scans: the stats pass prunes to text only, the
+    # scoring pass to (doc_id, text)
+    assert plan.count("ReadSchema") == 2
+    assert "ReadSchema: struct<text:string>" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_nb_score_single_doc_shuffle(spark, raw_docs):
+    from wimbd_spark.operators.classifier import fit_nb_classifier, nb_score
+
+    pos = raw_docs.filter(F.col("source") == "src0")
+    model = fit_nb_classifier(pos, raw_docs, min_count=1)
+    # model is materialized (persisted) by fit; scoring itself is
+    # explode -> BROADCAST model join -> one groupBy(id): the corpus
+    # side shuffles once, the model side never does
+    plan = explain_str(nb_score(raw_docs, model))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rrf_fuse_no_corpus_touch(spark):
+    from wimbd_spark.operators.fusion import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+    plan = explain_str(rrf_fuse([a, b], k=2))
+    assert "FileScan" not in plan  # pure fusion over the given lists
