@@ -4996,6 +4996,127 @@ def o_bm25_rank():
     """
 
 
+# --------------------------------------------------- more_like_this (ES)
+
+MLT_ANCHOR = 42
+MLT_TERMS = 5
+MLT_K = 10
+
+
+def q_more_like_this(spark, sf_dir):
+    """ES more_like_this (operators/bm25.py): the anchor doc's top-5
+    smooth-TF-IDF terms become a BM25 query over the corpus, anchor
+    excluded from candidates (stats keep it, matching ES index
+    stats). Composes two independently oracle-proven rankers."""
+    from wimbd_spark.operators.bm25 import more_like_this
+
+    return more_like_this(
+        _docs(spark, sf_dir), MLT_ANCHOR, k=MLT_K, n_terms=MLT_TERMS
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def o_more_like_this():
+    return f"""
+      WITH ttoks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents WHERE text IS NOT NULL
+      ), ttf AS (
+        SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY 1, 2
+      ), tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+      tn AS (SELECT count(DISTINCT doc_id) AS n FROM ttf),
+      tscored AS (
+        SELECT ttf.doc_id, ttf.term,
+               ttf.tf * (ln((1 + tn.n)::DOUBLE / (1 + d.df)) + 1) AS tfidf
+        FROM ttf JOIN tdf d USING (term), tn
+      ),
+      mterms AS (
+        SELECT term FROM (
+          SELECT term,
+                 row_number() OVER (ORDER BY tfidf DESC, term ASC) AS r
+          FROM tscored WHERE doc_id = {MLT_ANCHOR}
+        ) WHERE r <= {MLT_TERMS}
+      ),
+      btok AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      bd AS (SELECT doc_id, len(t) AS dl FROM btok),
+      bstats AS (
+        SELECT sum(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS n,
+               sum(dl) AS sdl
+        FROM bd
+      ),
+      btf AS (
+        SELECT w.doc_id, w.term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS term FROM btok) w
+        JOIN mterms USING (term)
+        GROUP BY 1, 2
+      ),
+      bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+      bscored AS (
+        SELECT btf.doc_id,
+               sum(CAST(round(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)), 6)
+                    * (tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                             (CAST(sdl AS DOUBLE) / n)))), 6)
+                   AS DECIMAL(12,6))) AS sc
+        FROM btf JOIN bdf USING (term) JOIN bd USING (doc_id), bstats
+        WHERE btf.doc_id <> {MLT_ANCHOR}
+        GROUP BY btf.doc_id
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(sc AS DOUBLE) AS score,
+             CAST(row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS INT)
+               AS rank
+      FROM bscored ORDER BY sc DESC, doc_id ASC LIMIT {MLT_K}
+    """
+
+
+# ------------------------------------ temperature-sampled mixture weights
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature sampling weights (operators/mixture.py, the mT5/
+    XLM-R multilingual rule): w_i = n_i^0.3 / Σ n_j^0.3 over per-source
+    token counts — one corpus aggregation, per-source pow rounded once
+    to 6 dp, DECIMAL denominator."""
+    from wimbd_spark.operators.mixture import temperature_allocation
+
+    return temperature_allocation(_docs(spark, sf_dir), alpha=0.3).select(
+        "source",
+        F.col("tokens").cast("long").alias("tokens"),
+        "weight",
+    )
+
+
+def o_temperature_mixture():
+    return """
+      WITH per_src AS (
+        SELECT source,
+               coalesce(sum(len(list_filter(
+                 regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''
+               ))), 0) AS tokens
+        FROM documents GROUP BY source
+      ),
+      powed AS (
+        SELECT source, tokens,
+               CAST(round(pow(CAST(tokens AS DOUBLE), 0.3), 6)
+                    AS DECIMAL(18,6)) AS p
+        FROM per_src
+      )
+      SELECT source, CAST(tokens AS BIGINT) AS tokens,
+             round(CAST(p AS DOUBLE) /
+                   CAST(sum(p) OVER () AS DOUBLE), 6) AS weight
+      FROM powed
+    """
+
+
 # ----------------------------------------- hybrid retrieval (RRF fusion)
 
 RRF_DEPTH = 20
@@ -5167,6 +5288,11 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "bm25_index_top10": (q_bm25_index, o_bm25_rank),
     "nb_quality_scores_src0": (q_nb_quality_scores, o_nb_quality_scores),
     "hybrid_rrf_top10": (q_hybrid_rrf, o_hybrid_rrf),
+    "more_like_this_top10": (q_more_like_this, o_more_like_this),
+    "temperature_mixture_weights": (
+        q_temperature_mixture,
+        o_temperature_mixture,
+    ),
     "weighted_sample_chars_k50": (
         q_weighted_sample_chars,
         o_weighted_sample_chars,

@@ -144,3 +144,24 @@ def test_duplicate_query_terms_score_once(docs_df):
     assert [(r.doc_id, r.score) for r in once] == [
         (r.doc_id, r.score) for r in twice
     ]
+
+
+def test_more_like_this_excludes_anchor(docs_df):
+    from wimbd_spark.operators.bm25 import more_like_this
+
+    rows = more_like_this(docs_df, 1, k=10, n_terms=3).collect()
+    ids = [r.doc_id for r in rows]
+    assert 1 not in ids and len(ids) >= 1
+    assert [r.rank for r in rows] == list(range(1, len(ids) + 1))
+    # doc 1 = "spark table scan fast": docs sharing those terms rank
+    assert set(ids) <= {2, 3, 4}
+
+
+def test_more_like_this_missing_anchor_raises(docs_df):
+    from wimbd_spark.operators.bm25 import more_like_this
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        more_like_this(docs_df, 999, k=5)
+    with _pytest.raises(ValueError):
+        more_like_this(docs_df, 6, k=5)  # empty-text anchor

@@ -225,3 +225,25 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert len(cents) == 3
     out = kmeans(df, 3, 2).collect()
     assert len(out) == 6
+
+
+def test_temperature_allocation(spark):
+    from wimbd_spark.operators.mixture import temperature_allocation
+
+    df = spark.createDataFrame(
+        [("a", "x " * 99 + "x"), ("b", "y"), ("c", None)],
+        ["source", "text"],
+    )
+    rows = {r.source: r for r in temperature_allocation(df, alpha=0.5).collect()}
+    assert rows["a"].tokens == 100 and rows["b"].tokens == 1
+    assert rows["c"].tokens == 0
+    # 100^.5=10, 1^.5=1, 0^.5=0 -> weights 10/11, 1/11, 0
+    assert rows["a"].weight == round(10 / 11, 6)
+    assert rows["b"].weight == round(1 / 11, 6)
+    assert rows["c"].weight == 0.0
+    # alpha=0 flattens to uniform over sources (0^0=1 in IEEE pow)
+    flat = {r.source: r.weight for r in temperature_allocation(df, alpha=0.0).collect()}
+    assert all(w == round(1 / 3, 6) for w in flat.values())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_allocation(df, alpha=-0.1)

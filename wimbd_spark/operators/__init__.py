@@ -100,7 +100,14 @@ from wimbd_spark.operators.bm25 import (
     bm25_topk,
     bm25_topk_indexed,
     build_doclen_stats,
+    more_like_this,
 )
+from wimbd_spark.operators.classifier import (
+    fit_nb_classifier,
+    nb_quality_filter,
+    nb_score,
+)
+from wimbd_spark.operators.fusion import hybrid_search, rrf_fuse
 from wimbd_spark.operators.sampling import (
     sample_key,
     weighted_sample,
@@ -134,7 +141,10 @@ from wimbd_spark.operators.dsir import (
     fit_log_ratio,
     hashed_feature_counts,
 )
-from wimbd_spark.operators.mixture import unimax_allocation
+from wimbd_spark.operators.mixture import (
+    temperature_allocation,
+    unimax_allocation,
+)
 from wimbd_spark.operators.funnel import quality_funnel, quality_funnel_by
 
 __all__ = [
@@ -170,12 +180,15 @@ __all__ = [
     "ngram_summary", "topk_ngrams_2pass",
     "dsir_log_weights", "dsir_top_fraction", "fit_log_ratio",
     "hashed_feature_counts",
-    "unimax_allocation", "quality_funnel", "quality_funnel_by",
+    "temperature_allocation", "unimax_allocation", "quality_funnel", "quality_funnel_by",
     "cluster_balanced_sample",
     "asof_join", "interval_join",
     "winnow_fingerprints", "winnow_overlap", "winnow_select",
     "bloom_build", "bloom_contains", "bloom_decontaminate",
     "bm25_topk", "bm25_topk_indexed", "build_doclen_stats",
+    "more_like_this",
+    "fit_nb_classifier", "nb_quality_filter", "nb_score",
+    "hybrid_search", "rrf_fuse",
     "sample_key", "weighted_sample", "weighted_sample_by",
     "assign_clusters", "kmeans", "kmeans_fit", "kmeans_cluster_stats",
 ]

@@ -102,6 +102,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokenizer=None,
+    exclude_id=None,
 ) -> DataFrame:
     """Scan-path BM25 top-k → (id_col, score double, rank int).
 
@@ -109,7 +110,11 @@ def bm25_topk(
     containing at least one query term are candidates; `k` rows or
     fewer come back. `tokenizer` (Column → array<string>) overrides
     the canonical whitespace `tokenize` — use the same analyzer the
-    comparison index was built with.
+    comparison index was built with. ``exclude_id`` drops that
+    document from the CANDIDATES (before ranking) — the
+    more_like_this convention of not returning the anchor.
+    Corpus stats (N, avgdl, df) still include it, matching ES, where
+    the index stats don't change because one query excludes a doc.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -173,6 +178,8 @@ def bm25_topk(
     any_tf = F.col(tf_cols[0]) > 0
     for c in tf_cols[1:]:
         any_tf = any_tf | (F.col(c) > 0)
+    if exclude_id is not None:
+        any_tf = any_tf & (F.col(id_col) != F.lit(exclude_id))
     scored = (
         base.filter(any_tf)
         .crossJoin(F.broadcast(stats))
@@ -300,3 +307,58 @@ def bm25_topk_indexed(
         .agg(F.sum("contrib").cast("double").alias("score"))
     )
     return _ranked_topk(scored, k, "doc_id")
+
+
+def more_like_this(
+    df: DataFrame,
+    anchor_id,
+    k: int = 10,
+    *,
+    n_terms: int = 5,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES more_like_this: top-``k`` documents similar to the anchor
+    document → (id_col, score double, rank int), anchor excluded.
+
+    Follows the ES MLT recipe (select the input doc's most
+    distinctive terms, form a query, rank by relevance): the anchor's
+    top-``n_terms`` smooth-TF-IDF terms (operators.textqc.
+    tfidf_top_terms — deterministic, ties by term) become a BM25
+    query over the same corpus. The reference's ES tier carries this
+    API implicitly like ranked match queries.
+
+    The term extraction collects ≤ ``n_terms`` rows to the driver
+    (bounded metadata, the phrase-list convention) because BM25 needs
+    the terms as plan literals; the TF-IDF pass and the BM25 ranking
+    are each one corpus-scale job.
+    """
+    from wimbd_spark.operators.textqc import tfidf_top_terms
+
+    if n_terms < 1:
+        raise ValueError(f"n_terms must be >= 1, got {n_terms}")
+    terms = [
+        r.term
+        for r in tfidf_top_terms(
+            df, k=n_terms, id_col=id_col, text_col=text_col
+        )
+        .filter(F.col(id_col) == F.lit(anchor_id))
+        .orderBy("rank")
+        .collect()
+    ]
+    if not terms:
+        raise ValueError(
+            f"anchor {anchor_id!r} has no terms (missing doc or empty text)"
+        )
+    return bm25_topk(
+        df,
+        " ".join(terms),
+        k=k,
+        k1=k1,
+        b=b,
+        id_col=id_col,
+        text_col=text_col,
+        exclude_id=anchor_id,
+    )

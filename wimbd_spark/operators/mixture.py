@@ -111,3 +111,57 @@ def unimax_allocation(
             ).alias("weight"),
         )
     )
+
+
+def temperature_allocation(
+    df: DataFrame,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-sampled mixture weights → (source, tokens, weight).
+
+    Method source (public): the multilingual sampling rule of mT5/XLM-R
+    (and the multi-corpus mixing of GPT-3 appx A): sample source i with
+
+        w_i = n_i^alpha / Σ_j n_j^alpha
+
+    ``alpha`` < 1 flattens the natural distribution toward uniform
+    (alpha=0), alpha=1 keeps it proportional. Complements
+    ``unimax_allocation`` (hard epoch caps) — this is the smooth
+    exponent form; both feed ``mixture_sample``.
+
+    Plan shape: ONE groupBy(source) token aggregation (the only
+    corpus-scale work, map-side combinable) + arithmetic over one row
+    per source — the denominator rides an unpartitioned window over
+    the per-source rows, which is bounded-metadata scale here exactly
+    as in unimax_allocation (and avoids a second execution of the
+    corpus aggregation that a totals crossJoin would hang off it).
+    Determinism: each n_i^alpha is rounded once to 6 dp and cast
+    DECIMAL, the denominator is the exact DECIMAL sum of those, and
+    the final weight is one IEEE division — oracle-hashable.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    per_src = df.groupBy(source_col).agg(
+        F.coalesce(F.sum(token_count(F.col(text_col))), F.lit(0)).alias(
+            "tokens"
+        )
+    )
+    powed = per_src.select(
+        source_col,
+        "tokens",
+        F.round(F.pow(F.col("tokens").cast("double"), F.lit(float(alpha))), 6)
+        .cast("decimal(18,6)")
+        .alias("_p"),
+    )
+    w_all = Window.partitionBy()
+    return powed.select(
+        source_col,
+        "tokens",
+        F.round(
+            F.col("_p").cast("double")
+            / F.sum("_p").over(w_all).cast("double"),
+            6,
+        ).alias("weight"),
+    )
