@@ -157,11 +157,13 @@ def test_more_like_this_excludes_anchor(docs_df):
     assert set(ids) <= {2, 3, 4}
 
 
-def test_more_like_this_missing_anchor_raises(docs_df):
+def test_more_like_this_missing_anchor_zero_hits(docs_df):
+    # ES semantics: MLT on a missing or empty document -> no hits
     from wimbd_spark.operators.bm25 import more_like_this
 
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
-        more_like_this(docs_df, 999, k=5)
-    with _pytest.raises(ValueError):
-        more_like_this(docs_df, 6, k=5)  # empty-text anchor
+    for anchor in (999, 6):  # missing id / empty-text doc
+        out = more_like_this(docs_df, anchor, k=5)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "doc_id", "score", "rank",
+        ]

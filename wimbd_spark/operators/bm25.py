@@ -349,8 +349,11 @@ def more_like_this(
         .collect()
     ]
     if not terms:
-        raise ValueError(
-            f"anchor {anchor_id!r} has no terms (missing doc or empty text)"
+        # ES semantics: MLT on a missing/empty document has no query
+        # terms and returns zero hits — typed empty, not an error
+        id_type = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, score double, rank int"
         )
     return bm25_topk(
         df,
