@@ -115,7 +115,9 @@ HEADLINE = [
     "bm25_rank_top10",
     "bm25_index_top10",
     "hybrid_rrf_top10",
+    "more_like_this_top10",
     "nb_quality_scores_src0",
+    "temperature_mixture_weights",
     "weighted_sample_chars_k50",
     "kmeans_assign_k8_i2",
     "events_asof_attribution",

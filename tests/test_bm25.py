@@ -167,3 +167,31 @@ def test_more_like_this_missing_anchor_zero_hits(docs_df):
         assert [f.name for f in out.schema.fields] == [
             "doc_id", "score", "rank",
         ]
+
+
+def test_compaction_rebuilds_doclens(docs_df, tmp_path):
+    from wimbd_spark.index import compact_phrase_index
+
+    spark = docs_df.sparkSession
+    idx = str(tmp_path / "cidx")
+    fresh = str(tmp_path / "cidx_fresh")
+    build_phrase_index(docs_df, idx, num_files=2)
+    build_doclen_stats(spark, idx)
+    compact_phrase_index(spark, idx, fresh, num_files=1)
+    assert os.path.isdir(os.path.join(fresh, "_doclens"))
+    got = bm25_topk_indexed(spark, fresh, "spark fast table", k=10).collect()
+    want = bm25_topk(docs_df, "spark fast table", k=10).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want
+    ]
+
+
+def test_compaction_without_doclens_stays_sidecar_free(docs_df, tmp_path):
+    from wimbd_spark.index import compact_phrase_index
+
+    spark = docs_df.sparkSession
+    idx = str(tmp_path / "nidx")
+    fresh = str(tmp_path / "nidx_fresh")
+    build_phrase_index(docs_df, idx, num_files=2)
+    compact_phrase_index(spark, idx, fresh, num_files=1)
+    assert not os.path.exists(os.path.join(fresh, "_doclens"))

@@ -786,3 +786,12 @@ def test_cli_nb_classify(capsys, tmp_path):
     rows = _run(capsys, ["nb-classify", DOCS, "--pos", DOCS,
                          "--threshold", "-1000000", "--out", out])
     assert rows[0]["kept"] == 500 and rows[0]["out"] == out
+
+
+def test_cli_bm25_like(capsys):
+    rows = _run(capsys, ["bm25", DOCS, "--like", "42", "-k", "3"])
+    assert len(rows) == 3 and 42 not in {r["doc_id"] for r in rows}
+    with pytest.raises(SystemExit):
+        main(["bm25", DOCS])  # neither -q nor --like
+    with pytest.raises(SystemExit):
+        main(["bm25", DOCS, "-q", "x", "--like", "1"])  # both

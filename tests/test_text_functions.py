@@ -194,3 +194,21 @@ def test_url_suffix_full_psl(spark):
     )
     got = {r["url"]: r["s"] for r in out}
     assert got == cases
+
+
+def test_let_single_evaluation_binding(spark):
+    from pyspark.sql import functions as F
+
+    from wimbd_spark.functions.text import let
+
+    df = spark.createDataFrame([("a b c",), (None,)], ["t"])
+    out = df.select(
+        let(
+            F.split(F.trim("t"), r"\s+"),
+            lambda arr: F.when(F.size(arr) > 0, F.element_at(arr, 1)),
+        ).alias("first"),
+        let(F.col("t"), lambda c: F.length(c)).alias("n"),
+    ).collect()
+    assert (out[0].first, out[0].n) == ("a", 5)
+    # NULL passes through the binding exactly like a direct reference
+    assert (out[1].first, out[1].n) == (None, None)

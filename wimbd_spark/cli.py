@@ -269,9 +269,15 @@ def main(argv: list[str] | None = None) -> int:
         "the corpus",
     )
     common(sp)
-    sp.add_argument("-q", "--query", required=True,
+    sp.add_argument("-q", "--query", default=None,
                     help="query string (whitespace-analyzed, like the "
                     "corpus tokenizer)")
+    sp.add_argument("--like", default=None, metavar="DOC_ID",
+                    help="more_like_this: rank by similarity to this "
+                    "document instead of a query string (its top "
+                    "TF-IDF terms become the query; anchor excluded)")
+    sp.add_argument("--like-terms", type=int, default=5,
+                    help="terms to extract from the --like anchor")
     sp.add_argument("-k", "--topk", type=int, default=10)
     sp.add_argument("--k1", type=float, default=1.2)
     sp.add_argument("--b", type=float, default=0.75)
@@ -624,6 +630,11 @@ def main(argv: list[str] | None = None) -> int:
             # indexed ranking never touches the corpus
             from wimbd_spark.operators.bm25 import bm25_topk_indexed
 
+            if args.query is None:
+                raise SystemExit(
+                    "--like needs the corpus for term extraction; "
+                    "use -q with --index"
+                )
             res = bm25_topk_indexed(
                 spark, args.index, args.query, k=args.topk,
                 k1=args.k1, b=args.b,
@@ -989,12 +1000,24 @@ def main(argv: list[str] | None = None) -> int:
             )
             _emit([r.asDict() for r in res.collect()], args.output)
         elif args.cmd == "bm25":
-            from wimbd_spark.operators.bm25 import bm25_topk
+            from wimbd_spark.operators.bm25 import bm25_topk, more_like_this
 
-            res = bm25_topk(
-                df, args.query, k=args.topk, k1=args.k1, b=args.b,
-                id_col=args.id_col, text_col=t,
-            )
+            if (args.query is None) == (args.like is None):
+                raise SystemExit("bm25 needs exactly one of -q / --like")
+            if args.like is not None:
+                anchor = (
+                    int(args.like) if args.like.lstrip("-").isdigit()
+                    else args.like
+                )
+                res = more_like_this(
+                    df, anchor, k=args.topk, n_terms=args.like_terms,
+                    k1=args.k1, b=args.b, id_col=args.id_col, text_col=t,
+                )
+            else:
+                res = bm25_topk(
+                    df, args.query, k=args.topk, k1=args.k1, b=args.b,
+                    id_col=args.id_col, text_col=t,
+                )
             _emit([r.asDict() for r in res.collect()], args.output)
         elif args.cmd == "contamination":
             from wimbd_spark.operators.dedup import contamination_report

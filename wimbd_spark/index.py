@@ -235,6 +235,16 @@ def compact_phrase_index(
         .write.mode(mode)
         .parquet(fresh_path)
     )
+    # if the source index carried a BM25 _doclens sidecar, rebuild it
+    # for the compacted generation — appends are exactly when the
+    # sidecar goes stale (operators/bm25.build_doclen_stats docstring)
+    from wimbd_spark.operators.bm25 import _doclens_path, build_doclen_stats
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(_doclens_path(path))
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        build_doclen_stats(spark, fresh_path)
 
 
 def _greedy_window_cond_map(pm: Column, L: Column, slop: int) -> Column:
