@@ -483,3 +483,24 @@ def test_rrf_fuse_no_corpus_touch(spark):
     b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
     plan = explain_str(rrf_fuse([a, b], k=2))
     assert "FileScan" not in plan  # pure fusion over the given lists
+
+
+def test_gram_primitives_single_tokenize_in_plan(raw_docs):
+    """Regression guard for the O(n²) lambda-capture hazard (r8,
+    SCALE.md document-length section): the tokenize subtree must
+    appear ONCE in the optimized plan of each sliding-window
+    primitive — a per-element lambda referencing the raw expression
+    re-embeds it, which shows up as multiple split() occurrences."""
+    from wimbd_spark.functions.text import char_ngrams, ngram_strings, tokenize
+    from wimbd_spark.operators.winnow import winnow_select
+
+    def occurrences(col, needle="split("):
+        df = raw_docs.select(col.alias("_x"))
+        return (
+            df._jdf.queryExecution().optimizedPlan().toString().count(needle)
+        )
+
+    assert occurrences(ngram_strings(tokenize(F.col("text")), 3)) == 1
+    assert occurrences(winnow_select(F.col("text"))) == 1
+    # char_ngrams splits to chars once (its own single split)
+    assert occurrences(char_ngrams(F.col("text"), 5)) == 1
