@@ -4936,12 +4936,12 @@ def q_bm25_index(spark, sf_dir):
     )
 
 
-def _sql_bm25_ctes(query: str) -> str:
-    """CTE block `btok/bd/bstats/bscored` ending in (doc_id, sc) BM25
-    scores for ``query`` — reused by the standalone oracle and the RRF
-    hybrid oracle. Expression shape mirrors operators/bm25.py:
-    _contribution verbatim (same parenthesization → identical IEEE
-    doubles cross-engine)."""
+def _sql_bm25_ctes(query: str, p: str = "b") -> str:
+    """CTE block `{p}tok/{p}d/{p}stats/{p}scored` ending in (doc_id,
+    sc) BM25 scores for ``query`` — reused by the standalone oracle,
+    the RRF hybrid oracle, and (prefixed per query) the batch oracle.
+    Expression shape mirrors operators/bm25.py:_contribution verbatim
+    (same parenthesization → identical IEEE doubles cross-engine)."""
     terms = []
     for t in query.split():
         if t and t not in terms:
@@ -4962,25 +4962,25 @@ def _sql_bm25_ctes(query: str) -> str:
         for i in range(len(terms))
     )
     any_tf = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
-    return f"""btok AS (
+    return f"""{p}tok AS (
         SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
                                    x -> x <> '') AS t
         FROM documents WHERE text IS NOT NULL
       ),
-      bd AS (
+      {p}d AS (
         SELECT doc_id, len(t) AS dl,
                {tf_defs}
-        FROM btok
+        FROM {p}tok
       ),
-      bstats AS (
+      {p}stats AS (
         SELECT sum(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS n,
                sum(dl) AS sdl,
                {df_defs}
-        FROM bd
+        FROM {p}d
       ),
-      bscored AS (
+      {p}scored AS (
         SELECT doc_id, {contribs} AS sc
-        FROM bd CROSS JOIN bstats
+        FROM {p}d CROSS JOIN {p}stats
         WHERE {any_tf}
       )"""
 
@@ -4993,6 +4993,52 @@ def o_bm25_rank():
              CAST(row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS INT)
                AS rank
       FROM bscored ORDER BY sc DESC, doc_id ASC LIMIT {BM25_K}
+    """
+
+
+# ------------------------------------------------- batch BM25 (msearch)
+
+BM25_BATCH_QUERIES = ["table scan", "spark merge fast", "window"]
+BM25_BATCH_K = 5
+
+
+def q_bm25_batch(spark, sf_dir):
+    """Ranked msearch parity (operators/bm25.bm25_topk_batch): every
+    query's BM25 top-k in ONE corpus pass — the union of all queries'
+    tf columns in one projection, all stats in one aggregation, one
+    candidate rank shuffle. Per-query rows pinned identical to
+    bm25_topk by test; this row gates the batch plan's values."""
+    from wimbd_spark.operators.bm25 import bm25_topk_batch
+
+    return bm25_topk_batch(
+        _docs(spark, sf_dir), BM25_BATCH_QUERIES, k=BM25_BATCH_K
+    ).select(
+        "query",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def o_bm25_batch():
+    blocks = ",\n      ".join(
+        _sql_bm25_ctes(q, p=f"q{i}_")
+        for i, q in enumerate(BM25_BATCH_QUERIES)
+    )
+    selects = "\n      UNION ALL\n".join(
+        f"""SELECT * FROM (
+        SELECT '{q}' AS query, CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(sc AS DOUBLE) AS score,
+               CAST(row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS INT)
+                 AS rank
+        FROM q{i}_scored ORDER BY sc DESC, doc_id ASC
+        LIMIT {BM25_BATCH_K}
+      )"""
+        for i, q in enumerate(BM25_BATCH_QUERIES)
+    )
+    return f"""
+      WITH {blocks}
+      {selects}
     """
 
 
@@ -5286,6 +5332,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # ceil(N/50)-round rule — displaced queries lead the r9 rotation):
     "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
     "bm25_index_top10": (q_bm25_index, o_bm25_rank),
+    "bm25_batch_top5": (q_bm25_batch, o_bm25_batch),
     "nb_quality_scores_src0": (q_nb_quality_scores, o_nb_quality_scores),
     "hybrid_rrf_top10": (q_hybrid_rrf, o_hybrid_rrf),
     "more_like_this_top10": (q_more_like_this, o_more_like_this),

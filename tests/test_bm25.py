@@ -195,3 +195,30 @@ def test_compaction_without_doclens_stays_sidecar_free(docs_df, tmp_path):
     build_phrase_index(docs_df, idx, num_files=2)
     compact_phrase_index(spark, idx, fresh, num_files=1)
     assert not os.path.exists(os.path.join(fresh, "_doclens"))
+
+
+def test_batch_matches_per_query_singles(docs_df):
+    from wimbd_spark.operators.bm25 import bm25_topk_batch
+
+    qs = ["spark fast table", "slow merge", "query"]
+    batch = bm25_topk_batch(docs_df, qs, k=4).collect()
+    for q in qs:
+        single = [
+            (r.doc_id, r.score, r.rank)
+            for r in bm25_topk(docs_df, q, k=4).collect()
+        ]
+        got = [
+            (r.doc_id, r.score, r.rank) for r in batch if r.query == q
+        ]
+        assert got == single, q
+
+
+def test_batch_validation(docs_df):
+    from wimbd_spark.operators.bm25 import bm25_topk_batch
+
+    with pytest.raises(ValueError):
+        bm25_topk_batch(docs_df, [], k=3)
+    with pytest.raises(ValueError):
+        bm25_topk_batch(docs_df, ["ok", "  "], k=3)
+    with pytest.raises(ValueError):
+        bm25_topk_batch(docs_df, ["ok"], k=0)

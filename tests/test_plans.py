@@ -504,3 +504,14 @@ def test_gram_primitives_single_tokenize_in_plan(raw_docs):
     assert occurrences(winnow_select(F.col("text"))) == 1
     # char_ngrams splits to chars once (its own single split)
     assert occurrences(char_ngrams(F.col("text"), 5)) == 1
+
+
+def test_bm25_batch_single_corpus_scan_pair(raw_docs):
+    from wimbd_spark.operators.bm25 import bm25_topk_batch
+
+    plan = explain_str(
+        bm25_topk_batch(raw_docs, ["alpha beta", "gamma", "delta e f"], k=3)
+    )
+    # the msearch point: ONE scan pair (stats + scoring) regardless of
+    # the number of queries — not one pair per query
+    assert plan.count("ReadSchema") == 2

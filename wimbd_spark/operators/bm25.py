@@ -365,3 +365,117 @@ def more_like_this(
         text_col=text_col,
         exclude_id=anchor_id,
     )
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: list[str],
+    k: int = 10,
+    *,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """Ranked msearch: BM25 top-k for EVERY query in ONE corpus pass →
+    (query string, id_col, score double, rank int).
+
+    Per-query rows are identical to ``bm25_topk`` on the same corpus
+    (pinned by test). The ES parity point is the batch shape: where a
+    client loops `search` requests, this computes the UNION of all
+    queries' term tf columns in one projection, all corpus stats in
+    ONE aggregation, then explodes one (query, score) struct array per
+    matching document — so a 100-query batch costs one corpus scan +
+    one rank shuffle of candidate (query, id, score) rows instead of
+    100 scans. Rank = per-query window over candidates only.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    per_q = [analyze_query(q) for q in queries]
+    if any(not t for t in per_q):
+        raise ValueError("every query must analyze to >= 1 term")
+    all_terms = sorted({t for ts in per_q for t in ts})
+    t_idx = {t: i for i, t in enumerate(all_terms)}
+    tok = tokenizer if tokenizer is not None else tokenize
+
+    tf_cols = [f"tf{i}" for i in range(len(all_terms))]
+    toked = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tok(F.col(text_col)).alias("toks")
+    )
+
+    def tf_of(term):
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
+
+    base = toked.select(
+        id_col,
+        F.size("toks").alias("dl"),
+        *[tf_of(all_terms[i]).alias(tf_cols[i]) for i in range(len(all_terms))],
+    )
+    stats = base.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)), F.lit(0)
+        ).alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col(c) > 0, 1).otherwise(0)), F.lit(0)
+            ).alias(f"df{i}")
+            for i, c in enumerate(tf_cols)
+        ],
+    )
+
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+
+    def q_struct(q_str: str, terms: list[str]):
+        contribs = None
+        any_tf = None
+        for t in terms:
+            i = t_idx[t]
+            cond = F.col(tf_cols[i]) > 0
+            any_tf = cond if any_tf is None else (any_tf | cond)
+            c = F.when(
+                cond,
+                _contribution(
+                    F.col(tf_cols[i]),
+                    F.col("dl"),
+                    _idf6(F.col(f"df{i}"), F.col("n_docs")),
+                    avgdl,
+                    k1,
+                    b,
+                ),
+            ).otherwise(F.lit(0).cast("decimal(12,6)"))
+            contribs = c if contribs is None else (contribs + c)
+        return F.when(
+            any_tf,
+            F.struct(
+                F.lit(q_str).alias("query"),
+                contribs.cast("double").alias("score"),
+            ),
+        )
+
+    hits = (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[q_struct(queries[j], per_q[j]) for j in range(len(queries))]
+                    ),
+                    lambda s: s.isNotNull(),
+                )
+            ).alias("_h"),
+        )
+        .select("_h.query", id_col, "_h.score")
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query", "rank")
+    )
