@@ -114,6 +114,7 @@ HEADLINE = [
     # build rides prepare_benchmark so bm25_index measures query only)
     "bm25_rank_top10",
     "bm25_index_top10",
+    "bm25_batch_top5",
     "hybrid_rrf_top10",
     "more_like_this_top10",
     "nb_quality_scores_src0",
