@@ -5042,6 +5042,27 @@ def o_bm25_batch():
     """
 
 
+def q_bm25_batch_indexed(spark, sf_dir):
+    """Postings-form ranked msearch (bm25_topk_batch_indexed): the
+    (query, term) pairs are a broadcast mapping table — constant plan
+    shape at any query count (plan-pinned), union-postings reads only.
+    Row-identical to the scan batch; shares its oracle."""
+    from wimbd_spark.operators.bm25 import bm25_topk_batch_indexed
+
+    _phrase_index(spark, sf_dir)
+    return bm25_topk_batch_indexed(
+        spark,
+        _index_path(sf_dir, "phrase"),
+        BM25_BATCH_QUERIES,
+        k=BM25_BATCH_K,
+    ).select(
+        "query",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # --------------------------------------------------- more_like_this (ES)
 
 MLT_ANCHOR = 42
@@ -5333,6 +5354,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
     "bm25_index_top10": (q_bm25_index, o_bm25_rank),
     "bm25_batch_top5": (q_bm25_batch, o_bm25_batch),
+    "bm25_batch_indexed_top5": (q_bm25_batch_indexed, o_bm25_batch),
     "nb_quality_scores_src0": (q_nb_quality_scores, o_nb_quality_scores),
     "hybrid_rrf_top10": (q_hybrid_rrf, o_hybrid_rrf),
     "more_like_this_top10": (q_more_like_this, o_more_like_this),

@@ -115,6 +115,7 @@ HEADLINE = [
     "bm25_rank_top10",
     "bm25_index_top10",
     "bm25_batch_top5",
+    "bm25_batch_indexed_top5",
     "hybrid_rrf_top10",
     "more_like_this_top10",
     "nb_quality_scores_src0",

@@ -222,3 +222,23 @@ def test_batch_validation(docs_df):
         bm25_topk_batch(docs_df, ["ok", "  "], k=3)
     with pytest.raises(ValueError):
         bm25_topk_batch(docs_df, ["ok"], k=0)
+
+
+def test_batch_indexed_matches_singles_and_scan_batch(docs_df, tmp_path):
+    from wimbd_spark.operators.bm25 import (
+        bm25_topk_batch,
+        bm25_topk_batch_indexed,
+    )
+
+    spark = docs_df.sparkSession
+    idx = str(tmp_path / "batchidx")
+    build_phrase_index(docs_df, idx, num_files=2)
+    qs = ["spark fast table", "slow merge", "query"]
+    got = bm25_topk_batch_indexed(spark, idx, qs, k=4).collect()
+    want = bm25_topk_batch(docs_df, qs, k=4).collect()
+    key = lambda r: (r.query, r.rank)  # noqa: E731
+    assert [
+        (r.query, r.doc_id, r.score, r.rank) for r in sorted(got, key=key)
+    ] == [
+        (r.query, r.doc_id, r.score, r.rank) for r in sorted(want, key=key)
+    ]

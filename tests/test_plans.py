@@ -515,3 +515,21 @@ def test_bm25_batch_single_corpus_scan_pair(raw_docs):
     # the msearch point: ONE scan pair (stats + scoring) regardless of
     # the number of queries — not one pair per query
     assert plan.count("ReadSchema") == 2
+
+
+def test_bm25_batch_indexed_plan_constant_in_queries(spark, tmp_path, raw_docs):
+    from wimbd_spark.operators.bm25 import (
+        bm25_topk_batch_indexed,
+        build_doclen_stats,
+    )
+    from wimbd_spark.index import build_phrase_index
+
+    idx = str(tmp_path / "cqidx")
+    build_phrase_index(raw_docs.limit(50), idx, num_files=1)
+    build_doclen_stats(spark, idx)
+    p3 = explain_str(bm25_topk_batch_indexed(spark, idx, ["a b", "c", "d e"]))
+    p1 = explain_str(bm25_topk_batch_indexed(spark, idx, ["a b"]))
+    # the (query, term) pairs are DATA, not plan: same node count at
+    # any batch size (the phrase_matches_batch property)
+    assert p3.count("(") == p1.count("(")
+    assert "documents.parquet" not in p3

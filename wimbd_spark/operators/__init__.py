@@ -99,6 +99,7 @@ from wimbd_spark.operators.bloom import (
 from wimbd_spark.operators.bm25 import (
     bm25_topk,
     bm25_topk_batch,
+    bm25_topk_batch_indexed,
     bm25_topk_indexed,
     build_doclen_stats,
     more_like_this,
@@ -186,7 +187,8 @@ __all__ = [
     "asof_join", "interval_join",
     "winnow_fingerprints", "winnow_overlap", "winnow_select",
     "bloom_build", "bloom_contains", "bloom_decontaminate",
-    "bm25_topk", "bm25_topk_batch", "bm25_topk_indexed", "build_doclen_stats",
+    "bm25_topk", "bm25_topk_batch", "bm25_topk_batch_indexed",
+    "bm25_topk_indexed", "build_doclen_stats",
     "more_like_this",
     "fit_nb_classifier", "nb_quality_filter", "nb_score",
     "hybrid_search", "rrf_fuse",

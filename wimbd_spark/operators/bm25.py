@@ -479,3 +479,80 @@ def bm25_topk_batch(
         .filter(F.col("rank") <= k)
         .orderBy("query", "rank")
     )
+
+
+def bm25_topk_batch_indexed(
+    spark: SparkSession,
+    index_path: str,
+    queries: list[str],
+    k: int = 10,
+    *,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Ranked msearch from postings: BM25 top-k for EVERY query →
+    (query, doc_id, score double, rank int), per-query rows identical
+    to ``bm25_topk_indexed`` (pinned by test).
+
+    The eval-scale batch shape: the (query, term) pairs become a
+    broadcast MAPPING TABLE, so the plan is the same handful of joins
+    at ANY query count (pinned constant-in-Q, the phrase_matches_batch
+    property) — where the scan batch's per-term tf columns grow the
+    plan linearly. Reads only the union of all queries' postings plus
+    the `_doclens` sidecar; work is O(Σ df over distinct query terms)
+    + one (query, doc) aggregation over matches.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    per_q = {q: analyze_query(q) for q in queries}
+    if any(not t for t in per_q.values()):
+        raise ValueError("every query must analyze to >= 1 term")
+    all_terms = sorted({t for ts in per_q.values() for t in ts})
+    qmap = spark.createDataFrame(
+        [(q, t) for q, ts in per_q.items() for t in ts],
+        "query string, token string",
+    )
+    from wimbd_spark.index import load_phrase_index
+
+    posts = (
+        load_phrase_index(spark, index_path)
+        .filter(F.col("token").isin(all_terms))
+        .select("token", "doc_id", F.size("positions").alias("tf"))
+    )
+    doclens = _load_doclens(spark, index_path)
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+    )
+    dfs = posts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    scored = (
+        posts.join(F.broadcast(qmap), "token")
+        .join(F.broadcast(dfs), "token")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query",
+            "doc_id",
+            _contribution(
+                F.col("tf"),
+                F.col("dl"),
+                _idf6(F.col("df"), F.col("n_docs")),
+                avgdl,
+                k1,
+                b,
+            ).alias("contrib"),
+        )
+        .groupBy("query", "doc_id")
+        .agg(F.sum("contrib").cast("double").alias("score"))
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query", "rank")
+    )

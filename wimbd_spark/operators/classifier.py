@@ -83,7 +83,12 @@ def fit_nb_classifier(
         .limit(max_vocab)
         # persisted: totals AND the weight projection both read vocab —
         # without the cache each consumer re-runs the corpus token
-        # aggregation (the double-subtree hazard fit_log_ratio documents)
+        # aggregation (the double-subtree hazard fit_log_ratio
+        # documents). The cached block is ≤ max_vocab narrow rows
+        # (~100 KB at the default) — bounded, unlike the corpus-sized
+        # tf cache the r5 tfidf leak removed; long-lived applications
+        # fitting many models can reclaim via Spark's LRU or
+        # spark.catalog.clearCache()
         .persist()
     )
     # smoothing totals over the SELECTED vocab (one tiny agg over
