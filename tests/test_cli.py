@@ -795,3 +795,13 @@ def test_cli_bm25_like(capsys):
         main(["bm25", DOCS])  # neither -q nor --like
     with pytest.raises(SystemExit):
         main(["bm25", DOCS, "-q", "x", "--like", "1"])  # both
+
+
+def test_cli_hybrid_and_doclens_flag(capsys, tmp_path):
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    rows = _run(capsys, ["hybrid", DOCS, "-q", "table scan",
+                         "--embeddings", emb, "--vec-id", "0", "-k", "3"])
+    assert len(rows) == 3 and rows[0]["rank"] == 1
+    idx = str(tmp_path / "didx")
+    _run(capsys, ["index-build", DOCS, "--out", idx, "--doclens"])
+    assert os.path.isdir(os.path.join(idx, "_doclens"))

@@ -248,6 +248,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--id-col", default=None,
                     help="doc id column (default: first column)")
     sp.add_argument("--num-files", type=int, default=32)
+    sp.add_argument("--doclens", action="store_true",
+                    help="also build the BM25 _doclens sidecar (done "
+                    "lazily by the first ranked query otherwise)")
 
     sp = sub.add_parser(
         "phrases",
@@ -285,6 +288,23 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--index", default=None,
                     help="posting-list index path (from index-build); "
                     "corpus paths are ignored when given")
+
+    sp = sub.add_parser(
+        "hybrid",
+        help="hybrid sparse+dense search: BM25 for the query fused "
+        "with cosine neighbors of a query embedding (RRF)",
+    )
+    common(sp)
+    sp.add_argument("-q", "--query", required=True)
+    sp.add_argument("--embeddings", required=True,
+                    help="embeddings path (vec_id must match the "
+                    "corpus doc ids)")
+    sp.add_argument("--vec-id", type=int, required=True,
+                    help="query embedding id")
+    sp.add_argument("-k", "--topk", type=int, default=10)
+    sp.add_argument("--depth", type=int, default=20,
+                    help="per-list depth fed into the fusion")
+    sp.add_argument("--id-col", default="doc_id")
 
     sp = sub.add_parser(
         "contamination",
@@ -991,12 +1011,26 @@ def main(argv: list[str] | None = None) -> int:
                 num_files=args.num_files,
             )
             n = spark.read.parquet(args.out).count()
+            if args.doclens:
+                from wimbd_spark.operators.bm25 import build_doclen_stats
+
+                build_doclen_stats(spark, args.out)
             _emit([{"postings": n, "out": args.out}], args.output)
         elif args.cmd == "phrases":
             from wimbd_spark.search import count_documents_for_each_phrase
 
             res = count_documents_for_each_phrase(
                 df, args.phrase, slop=args.slop, text_col=t
+            )
+            _emit([r.asDict() for r in res.collect()], args.output)
+        elif args.cmd == "hybrid":
+            from wimbd_spark.operators.fusion import hybrid_search
+
+            emb = _load(spark, [args.embeddings], None, None)
+            res = hybrid_search(
+                df, emb, args.query, query_vec_id=args.vec_id,
+                k=args.topk, depth=args.depth,
+                id_col=args.id_col, text_col=t,
             )
             _emit([r.asDict() for r in res.collect()], args.output)
         elif args.cmd == "bm25":
