@@ -1,5 +1,6 @@
-"""Data-selection walkthrough: funnel audit → DSIR target-matching →
-UniMax budget allocation → mixture materialization.
+"""Data-selection walkthrough: funnel audit → quality classifier →
+DSIR target-matching → UniMax/temperature budget allocation →
+mixture materialization.
 
 The four stages answer the four questions a curation run asks, in
 order: (1) where do documents drop out of my cleaning pipeline?
@@ -29,9 +30,15 @@ docs = load_tables(spark, sf_dir, names=["documents"])["documents"]
 print("== 1. funnel: where do documents go? ==")
 quality_funnel(docs, min_tokens=3, max_tokens=10_000).orderBy("stage").show()
 
-print("== 2. DSIR: score the pool against a target corpus ==")
+print("== 2a. NB quality classifier: train pos-vs-pool, score ==")
 # pretend src0 is the curated high-quality target
 target = docs.filter(F.col("source") == "src0")
+from wimbd_spark.operators.classifier import fit_nb_classifier, nb_score
+
+model = fit_nb_classifier(target, docs)
+nb_score(docs, model).orderBy(F.desc("score")).show(5)
+
+print("== 2b. DSIR: score the pool against the same target ==")
 weights = dsir_log_weights(docs, target, buckets=4096)
 weights.orderBy(F.desc("log_weight")).show(5)
 selected = dsir_top_fraction(weights, fraction=0.25)
@@ -40,6 +47,11 @@ print(f"selected top 25%: {selected.count()} docs")
 print("== 3. UniMax: spread a 50k-token budget, max 2 epochs/source ==")
 alloc = unimax_allocation(docs, budget_tokens=50_000, max_epochs=2.0)
 alloc.orderBy(F.desc("alloc")).show(10)
+
+print("== 3b. or the smooth form: temperature sampling (alpha=0.3) ==")
+from wimbd_spark.operators.mixture import temperature_allocation
+
+temperature_allocation(docs, alpha=0.3).orderBy(F.desc("weight")).show(5)
 
 print("== 4. materialize the mixture with the UniMax weights ==")
 w = {r["source"]: r["weight"] for r in alloc.collect()}
