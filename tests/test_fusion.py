@@ -71,3 +71,27 @@ def test_hybrid_search_composes(spark):
     assert [r.rank for r in rows] == [1, 2, 3]
     # two-list docs beat single-list docs here
     assert got[1].rrf_score > got[3].rrf_score
+
+
+def test_hybrid_with_ivf_dense_leg(spark, tmp_path):
+    """The documented scale swap: any (id, rank) list fuses — here the
+    dense leg comes from the persisted IVF index instead of the exact
+    cosine scan."""
+    from wimbd_spark.operators.bm25 import bm25_topk
+    from wimbd_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf_indexed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_centroids=4)
+    sparse = bm25_topk(docs, "table scan", k=10).select("doc_id", "rank")
+    dense = cosine_topk_ivf_indexed(
+        spark, idx, emb.filter(F.col("vec_id") == 0), k=10, n_probe=2
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("int"))
+    fused = rrf_fuse([sparse, dense], k=5).collect()
+    assert len(fused) == 5
+    assert [r.rank for r in fused] == [1, 2, 3, 4, 5]
+    assert fused[0].rrf_score >= fused[-1].rrf_score
