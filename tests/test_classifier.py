@@ -124,3 +124,19 @@ def test_empty_corpora(spark):
     scored = nb_score(empty, m)
     assert scored.count() == 0
     assert [f.name for f in scored.schema.fields] == ["doc_id", "score"]
+
+
+def test_nb_top_fraction(corpora):
+    from wimbd_spark.operators.classifier import nb_top_fraction
+
+    pos, neg = corpora
+    both = pos.unionByName(neg)
+    scores = nb_score(both, fit_nb_classifier(pos, neg, min_count=1))
+    top = nb_top_fraction(scores, 0.5).collect()
+    assert len(top) == 3  # 6 docs -> top 3
+    assert {r.doc_id for r in top} == {1, 2, 3}  # the positives win
+    with pytest.raises(ValueError):
+        nb_top_fraction(scores, 0.0)
+    # empty input selects nothing
+    empty = scores.filter("doc_id > 1000")
+    assert nb_top_fraction(empty, 0.5).count() == 0

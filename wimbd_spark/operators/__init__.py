@@ -108,6 +108,7 @@ from wimbd_spark.operators.classifier import (
     fit_nb_classifier,
     nb_quality_filter,
     nb_score,
+    nb_top_fraction,
 )
 from wimbd_spark.operators.fusion import hybrid_search, rrf_fuse
 from wimbd_spark.operators.sampling import (
@@ -191,6 +192,7 @@ __all__ = [
     "bm25_topk_indexed", "build_doclen_stats",
     "more_like_this",
     "fit_nb_classifier", "nb_quality_filter", "nb_score",
+    "nb_top_fraction",
     "hybrid_search", "rrf_fuse",
     "sample_key", "weighted_sample", "weighted_sample_by",
     "assign_clusters", "kmeans", "kmeans_fit", "kmeans_cluster_stats",

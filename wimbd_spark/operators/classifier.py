@@ -163,3 +163,23 @@ def nb_quality_filter(
         keep.withColumn(flag_col, F.lit(True)), id_col, "left"
     )
     return flagged.withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))
+
+
+def nb_top_fraction(
+    scores: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic top-fraction selection by classifier score (ties
+    by id) — the same reproducible greedy selection dsir_top_fraction
+    gives importance weights, so the two scorers are drop-in
+    interchangeable in a selection pipeline. Persists ``scores`` for
+    the count + TakeOrdered pair (and any caller reuse), exactly like
+    the dsir twin (ADVICE r7)."""
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    if not scores.is_cached:
+        scores = scores.persist()
+    n = scores.count()
+    k = max(1, int(n * fraction)) if n else 0
+    return scores.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
