@@ -50,6 +50,8 @@ def winnow_select(text: Column | str, k: int = 3, w: int = 4) -> Column:
     # re-embeds (and re-evaluates) the whole tokenize → ngram → md5
     # subtree at EVERY reference — measured O(windows·w) re-hashings
     # per document, minutes instead of seconds at sf0.1 (r8 finding).
+    from wimbd_spark.functions.text import let
+
     def build(h: Column) -> Column:
         def pick(j: Column) -> Column:
             # rightmost index attaining the window min = FIRST position
@@ -60,16 +62,31 @@ def winnow_select(text: Column | str, k: int = 3, w: int = 4) -> Column:
             pos = j + F.lit(w) - F.array_position(rev, m)
             return F.struct(pos.cast("int").alias("pos"), m.alias("fp"))
 
+        # adjacent-dedupe, NOT array_distinct: repeats of a selected
+        # (pos, fp) are provably CONSECUTIVE (two windows picking
+        # position p are ≤ w−1 apart, and every window between them
+        # contains p and must also pick it — anything beating p in an
+        # in-between window would beat it in one of the outer two), so
+        # keeping each run's first element equals array_distinct.
+        # array_distinct on STRUCT elements has no hash-set fast path —
+        # O(n²) pairwise compares, measured minutes-not-seconds on
+        # 5000-token documents (r8, same sweep as the `let` finding).
+        def dedupe_adjacent(picks: Column) -> Column:
+            return F.filter(
+                picks,
+                lambda x, i: (i == F.lit(0))
+                | ~(x == F.element_at(picks, i)),
+            )
+
         return F.when(
             F.size(h) >= w,
-            F.array_distinct(
+            let(
                 F.transform(
                     F.sequence(F.lit(1), F.size(h) - F.lit(w - 1)), pick
-                )
+                ),
+                dedupe_adjacent,
             ),
         ).otherwise(empty)
-
-    from wimbd_spark.functions.text import let
 
     return let(hashes, build)
 
