@@ -5327,41 +5327,23 @@ def o_nb_quality_scores():
 # ------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
-    # ROTATION POLICY (round-robin): the driver records correctness rows
-    # for the FIRST 50 entries only, so with >50 queries the window
-    # rotates each round. Invariant (tests/test_rotation.py): with N
-    # registry queries, every query must appear in the union of the
-    # newest ceil(N/50)-1 binding CORRECTNESS files or sit inside the
-    # current first-50 — for N <= 100 this is exactly the strict
-    # every-other-round rule from r7 (binding-file form: the driver's
-    # round-end file becomes binding at the next registry edit); for
-    # N > 100 the strict rule is pigeonhole-impossible (N queries,
-    # 50 rows/round) and ceil(N/50) rounds is the tightest guarantee
-    # any ordering can provide.
+    # ROTATION POLICY (round-robin): the driver records correctness
+    # rows for the FIRST 50 entries only; with N registry queries every
+    # query must reappear in the window within ceil(N/50) DISTINCT
+    # driver windows (tests/test_rotation.py — a stalled round that
+    # re-records the previous window verbatim, like r9, is collapsed).
     # tools/check_oracles.py additionally covers ALL entries locally
     # every round regardless of position.
-    # Round 8 window: the 50 queries rested in r7 (every one green in
-    # CORRECTNESS_r06) return to the front per the rotation rule; the
-    # 50 r7-green queries rest at positions 51-100. New r8 queries
-    # are inserted AT THE HEAD as they land (never-checked queries
-    # must lead the window); each insertion displaces the tail of the
-    # returning half to just past the window, where it stays covered
-    # by the r6 file under the ceil(N/50)-round rule and leads in r9.
-    # -- NEW in round 8 (never driver-checked, must lead the window;
-    # each insertion displaces the tail of the returning half to just
-    # past the window, where the r06 file still covers it under the
-    # ceil(N/50)-round rule — displaced queries lead the r9 rotation):
-    "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
-    "bm25_index_top10": (q_bm25_index, o_bm25_rank),
-    "bm25_batch_top5": (q_bm25_batch, o_bm25_batch),
-    "bm25_batch_indexed_top5": (q_bm25_batch_indexed, o_bm25_batch),
-    "nb_quality_scores_src0": (q_nb_quality_scores, o_nb_quality_scores),
-    "hybrid_rrf_top10": (q_hybrid_rrf, o_hybrid_rrf),
-    "more_like_this_top10": (q_more_like_this, o_more_like_this),
-    "temperature_mixture_weights": (
-        q_temperature_mixture,
-        o_temperature_mixture,
-    ),
+    #
+    # Round 10 window: the 3 r9-red queries lead (their
+    # implementations changed this round — ln(u)/w A-ES ranking,
+    # integer-nano inertia — and must be re-driver-checked), then the
+    # 23 queries last driver-checked in r6 (stale-most), then the 24
+    # oldest r7-checked queries. New r10 queries are inserted AT THE
+    # HEAD as they land (never-checked queries must lead the window);
+    # each insertion displaces the window tail to 51+, where the r07
+    # binding file still covers it. Everything at 51+ is covered by
+    # the r07/r08 distinct binding windows.
     "weighted_sample_chars_k50": (
         q_weighted_sample_chars,
         o_weighted_sample_chars,
@@ -5370,79 +5352,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         q_weighted_sample_by_source,
         o_weighted_sample_by_source,
     ),
-    "kmeans_assign_k8_i2": (q_kmeans_assign, o_kmeans_assign),
     "kmeans_cluster_stats_k8_i2": (q_kmeans_stats, o_kmeans_stats),
-    "events_asof_attribution": (
-        q_events_asof_attribution,
-        o_events_asof_attribution,
-    ),
-    "events_click_window_hist": (
-        q_events_click_window_hist,
-        o_events_click_window_hist,
-    ),
-    "winnow_fingerprints_head": (
-        q_winnow_fingerprints_head,
-        o_winnow_fingerprints_head,
-    ),
-    "winnow_overlap_src0_src1": (q_winnow_overlap, o_winnow_overlap),
-    "bloom_decontaminate_src0": (
-        q_bloom_decontaminate,
-        o_bloom_decontaminate,
-    ),
-    "contamination_slop1_indexed": (
-        q_contamination_slop1_indexed,
-        o_contamination_slop1_indexed,
-    ),
-    "pq_ann_topk": (q_pq_ann_topk, o_pq_ann_topk),
-    "ivf_pq_topk": (q_ivf_pq_topk, o_ivf_pq_topk),
-    "contamination_tokens_slop1": (
-        q_contamination_tokens_slop1,
-        o_contamination_tokens_slop1,
-    ),
-    "quality_funnel_by_source": (
-        q_quality_funnel_by,
-        o_quality_funnel_by,
-    ),
-    "simhash62_pairs": (q_simhash62_pairs, o_simhash62_pairs),
-    # -- rested in r7, returning per the rotation rule; first the 7
-    # whose code paths round 7 touched (r6-green, judge re-verified):
-    "multimodal_bytes_meta": (
-        q_multimodal_bytes_meta,
-        o_multimodal_bytes_meta,
-    ),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, o_ngram_jaccard_pairs),
-    "unique_ngrams_approx": (q_unique_ngrams_approx, o_unique_ngrams_approx),
-    "corpus_stats": (q_corpus_stats, o_corpus_stats),
-    "length_percentiles": (q_length_percentiles, o_length_percentiles),
-    "quality_scores": (q_quality_scores, o_quality_scores),
-    "repetition_scores": (q_repetition_scores, o_repetition_scores),
-    # --- and the 43 r6-green queries on paths round 7 left untouched:
-    "repeated_spans_k8": (q_repeated_spans, o_repeated_spans),
-    "dedup_lines_within_doc": (q_dedup_lines, o_dedup_lines),
-    "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
-    "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
-    "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
-    "find_examples": (q_find_examples, o_find_examples),
-    "semantic_dedup_drops": (q_semantic_dedup_drops, o_semantic_dedup_drops),
-    "embedding_cosine_pairs_lsh_auto": (
-        q_embedding_cosine_pairs_lsh_auto,
-        o_embedding_cosine_pairs_lsh_auto,
-    ),
-    "source_log_odds": (q_source_log_odds, o_source_log_odds),
-    "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
-    "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
-    "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
-    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
-    "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
-    "mixture_sample": (q_mixture_sample, o_mixture_sample),
-    "pack_documents_512": (q_pack_documents, o_pack_documents),
-    "neardup_cluster_dedup": (
-        q_neardup_cluster_dedup,
-        o_neardup_cluster_dedup,
-    ),
-    "lang_counts": (q_lang_counts, o_lang_counts),
-    "token_length_dist": (q_token_length_dist, o_token_length_dist),
-    "pricing_summary": (q_pricing_summary, o_pricing_summary),
     "events_json_stats": (q_events_json_stats, o_events_json_stats),
     "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
     "simhash16": (q_simhash, o_simhash),
@@ -5478,7 +5388,6 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         o_domain_blocklist_filter,
     ),
     "search_snippets_w20": (q_search_snippets, o_search_snippets),
-    # -- r7-green (CORRECTNESS_r07 50/50), resting this round:
     "topk_ngrams_2pass_n2_k20": (
         q_topk_ngrams_2pass,
         o_topk_ngrams_2pass,
@@ -5499,7 +5408,6 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         q_cluster_balanced_sample,
         o_cluster_balanced_sample,
     ),
-    # -- (r7-green continued):
     "top_orders_by_revenue": (
         q_top_orders_by_revenue,
         o_top_orders_by_revenue,
@@ -5531,6 +5439,86 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "source_counts": (q_source_counts, o_source_counts),
     "top_purchase_users": (q_top_purchase_users, o_top_purchase_users),
     "top_customers": (q_top_customers, o_top_customers),
+    "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
+    "bm25_index_top10": (q_bm25_index, o_bm25_rank),
+    "bm25_batch_top5": (q_bm25_batch, o_bm25_batch),
+    "bm25_batch_indexed_top5": (q_bm25_batch_indexed, o_bm25_batch),
+    "nb_quality_scores_src0": (q_nb_quality_scores, o_nb_quality_scores),
+    "hybrid_rrf_top10": (q_hybrid_rrf, o_hybrid_rrf),
+    "more_like_this_top10": (q_more_like_this, o_more_like_this),
+    "temperature_mixture_weights": (
+        q_temperature_mixture,
+        o_temperature_mixture,
+    ),
+    "kmeans_assign_k8_i2": (q_kmeans_assign, o_kmeans_assign),
+    "events_asof_attribution": (
+        q_events_asof_attribution,
+        o_events_asof_attribution,
+    ),
+    "events_click_window_hist": (
+        q_events_click_window_hist,
+        o_events_click_window_hist,
+    ),
+    "winnow_fingerprints_head": (
+        q_winnow_fingerprints_head,
+        o_winnow_fingerprints_head,
+    ),
+    "winnow_overlap_src0_src1": (q_winnow_overlap, o_winnow_overlap),
+    "bloom_decontaminate_src0": (
+        q_bloom_decontaminate,
+        o_bloom_decontaminate,
+    ),
+    "contamination_slop1_indexed": (
+        q_contamination_slop1_indexed,
+        o_contamination_slop1_indexed,
+    ),
+    "pq_ann_topk": (q_pq_ann_topk, o_pq_ann_topk),
+    "ivf_pq_topk": (q_ivf_pq_topk, o_ivf_pq_topk),
+    "contamination_tokens_slop1": (
+        q_contamination_tokens_slop1,
+        o_contamination_tokens_slop1,
+    ),
+    "quality_funnel_by_source": (
+        q_quality_funnel_by,
+        o_quality_funnel_by,
+    ),
+    "simhash62_pairs": (q_simhash62_pairs, o_simhash62_pairs),
+    "multimodal_bytes_meta": (
+        q_multimodal_bytes_meta,
+        o_multimodal_bytes_meta,
+    ),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, o_ngram_jaccard_pairs),
+    "unique_ngrams_approx": (q_unique_ngrams_approx, o_unique_ngrams_approx),
+    "corpus_stats": (q_corpus_stats, o_corpus_stats),
+    "length_percentiles": (q_length_percentiles, o_length_percentiles),
+    "quality_scores": (q_quality_scores, o_quality_scores),
+    "repetition_scores": (q_repetition_scores, o_repetition_scores),
+    "repeated_spans_k8": (q_repeated_spans, o_repeated_spans),
+    "dedup_lines_within_doc": (q_dedup_lines, o_dedup_lines),
+    "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
+    "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
+    "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
+    "find_examples": (q_find_examples, o_find_examples),
+    "semantic_dedup_drops": (q_semantic_dedup_drops, o_semantic_dedup_drops),
+    "embedding_cosine_pairs_lsh_auto": (
+        q_embedding_cosine_pairs_lsh_auto,
+        o_embedding_cosine_pairs_lsh_auto,
+    ),
+    "source_log_odds": (q_source_log_odds, o_source_log_odds),
+    "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
+    "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
+    "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
+    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
+    "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
+    "mixture_sample": (q_mixture_sample, o_mixture_sample),
+    "pack_documents_512": (q_pack_documents, o_pack_documents),
+    "neardup_cluster_dedup": (
+        q_neardup_cluster_dedup,
+        o_neardup_cluster_dedup,
+    ),
+    "lang_counts": (q_lang_counts, o_lang_counts),
+    "token_length_dist": (q_token_length_dist, o_token_length_dist),
+    "pricing_summary": (q_pricing_summary, o_pricing_summary),
     "events_sliding_1h_30m": (q_events_sliding, o_events_sliding),
     "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
     "orders_by_year_priority": (
@@ -5576,7 +5564,6 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "decontaminate_src0": (q_decontaminate, o_decontaminate),
     "pii_redaction": (q_pii_redaction, o_pii_redaction),
     "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
-    # -- (r7-green continued; new-in-r7, driver-checked in r7):
     "jpeg_decode_check": (q_jpeg_decode_check, o_jpeg_decode_check),
     "ivf_index_topk": (q_ivf_index_topk, o_ivf_index_topk),
 }

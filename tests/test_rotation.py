@@ -63,6 +63,27 @@ def _correctness_files() -> list[Path]:
     )
 
 
+def _dedupe_windows(files: list[Path]) -> list[Path]:
+    """Collapse consecutive files with IDENTICAL key sets, keeping the
+    newest of each run. A stalled round (r9: zero builder turns) makes
+    the driver re-record the previous round's window verbatim; that
+    duplicate carries no new coverage information, and counting it
+    against the ``ceil(N/50)-1`` union width would make ANY rotation
+    pigeonhole-impossible (two binding files, 50 distinct keys, N-50
+    queries left outside). The revisit guarantee is therefore stated
+    over DISTINCT driver windows."""
+    out: list[Path] = []
+    prev: frozenset[str] | None = None
+    for p in files:
+        keys = frozenset(json.loads(p.read_text()).keys())
+        if keys == prev:
+            out[-1] = p  # same window, newer file — keep the newest
+        else:
+            out.append(p)
+        prev = keys
+    return out
+
+
 def _commit_time(path: Path) -> int | None:
     """Unix time of the last commit touching ``path`` (None if never
     committed or git unavailable)."""
@@ -103,9 +124,10 @@ def test_no_query_rests_more_than_its_share_of_rounds():
     reg_t = _commit_time(REPO / "__spark_entry__.py")
     if reg_t is None:
         # no git metadata: one file wider (weaker, never wrongly red)
-        binding_names = [p.name for p in files[-(width + 1) :]]
+        distinct = _dedupe_windows(files)
+        binding_names = [p.name for p in distinct[-(width + 1) :]]
         covered: set[str] = set()
-        for p in files[-(width + 1) :]:
+        for p in distinct[-(width + 1) :]:
             covered |= set(json.loads(p.read_text()).keys())
     else:
         known = [
@@ -115,7 +137,7 @@ def test_no_query_rests_more_than_its_share_of_rounds():
         ]
         if not known:
             return  # ordering predates every committed driver file
-        binding = known[-width:]
+        binding = _dedupe_windows(known)[-width:]
         binding_names = [p.name for p in binding]
         covered = set()
         for p in binding:
