@@ -4728,34 +4728,44 @@ def o_bloom_decontaminate():
 
 def q_weighted_sample_chars(spark, sf_dir):
     """Weighted sample without replacement (A-ES, operators/sampling.py):
-    50 docs drawn proportional to n_chars, deterministic via the
-    md5-uniform key — global top-k compiles to TakeOrderedAndProject
-    (per-partition heap, driver merge of k rows, no full sort)."""
+    50 docs drawn proportional to n_chars, ranked on the exponential
+    key e = -ln(u)/w ASCENDING (full dynamic range at any weight — the
+    r8/r9 round(pow(u,1/w),6) key collapsed to 1.000000 for w >~ 1e4
+    and sat 3.7e-10 from rounding midpoints). The compared output is
+    the integer RANK, never the float key; order robustness is audited
+    by tests/test_sampling_clustering.py::test_sample_key_order_margin.
+    Global top-k compiles to TakeOrderedAndProject (per-partition
+    heap, driver merge of k rows, no full sort)."""
     from wimbd_spark.operators.sampling import weighted_sample
 
     docs = _docs(spark, sf_dir)
     return weighted_sample(docs, 50, "n_chars").select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("sample_key").cast("decimal(8,6)").alias("sample_key"),
+        F.col("sample_rank").cast("int").alias("sample_rank"),
     )
 
 
 def o_weighted_sample_chars():
     u = f"({_sql_hash32('CAST(doc_id AS VARCHAR)')} + 1) / 4294967296.0"
     return f"""
+      WITH keyed AS (
+        SELECT doc_id, -ln({u}) / n_chars AS e
+        FROM documents WHERE n_chars > 0
+      )
       SELECT CAST(doc_id AS BIGINT) AS doc_id,
-             CAST(round(pow({u}, 1.0 / n_chars), 6) AS DECIMAL(8,6))
-               AS sample_key
-      FROM documents
-      WHERE n_chars > 0
-      ORDER BY round(pow({u}, 1.0 / n_chars), 6) DESC, doc_id ASC
+             CAST(row_number() OVER (ORDER BY e ASC, doc_id ASC)
+                  AS INT) AS sample_rank
+      FROM keyed
+      ORDER BY e ASC, doc_id ASC
       LIMIT 50
     """
 
 
 def q_weighted_sample_by_source(spark, sf_dir):
-    """Per-group weighted sample: 10 docs per source, weight n_chars —
-    one window shuffle on source (per-group top-k cost class)."""
+    """Per-group weighted sample: 10 docs per source, weight n_chars,
+    exponential-key ranking (see q_weighted_sample_chars) — one window
+    shuffle on source (per-group top-k cost class); integer per-group
+    rank output."""
     from wimbd_spark.operators.sampling import weighted_sample_by
 
     docs = _docs(spark, sf_dir)
@@ -4764,7 +4774,7 @@ def q_weighted_sample_by_source(spark, sf_dir):
     ).select(
         F.col("source"),
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("sample_key").cast("decimal(8,6)").alias("sample_key"),
+        F.col("sample_rank").cast("int").alias("sample_rank"),
     )
 
 
@@ -4772,18 +4782,17 @@ def o_weighted_sample_by_source():
     u = f"({_sql_hash32('CAST(doc_id AS VARCHAR)')} + 1) / 4294967296.0"
     return f"""
       WITH keyed AS (
-        SELECT source, doc_id,
-               round(pow({u}, 1.0 / n_chars), 6) AS k
+        SELECT source, doc_id, -ln({u}) / n_chars AS e
         FROM documents WHERE n_chars > 0
       ),
       ranked AS (
-        SELECT source, doc_id, k,
+        SELECT source, doc_id,
                row_number() OVER (PARTITION BY source
-                                  ORDER BY k DESC, doc_id ASC) AS rn
+                                  ORDER BY e ASC, doc_id ASC) AS rn
         FROM keyed
       )
       SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
-             CAST(k AS DECIMAL(8,6)) AS sample_key
+             CAST(rn AS INT) AS sample_rank
       FROM ranked WHERE rn <= 10
     """
 
@@ -4859,9 +4868,12 @@ def o_kmeans_assign():
 
 
 def q_kmeans_stats(spark, sf_dir):
-    """Fitted-cluster profile: size + within-cluster inertia (squared
-    L2 to the fitted centroid, rounded to 6 dp as DECIMAL before the
-    sum -> order-independent, engine-exact)."""
+    """Fitted-cluster profile: size + within-cluster inertia in
+    integer NANO units (clustering.l2sq_nano: each per-dim term
+    round(t*1e9) as BIGINT — every term a product of bit-identical
+    doubles, the sum integer-exact and order-free; replaces the
+    r8/r9 per-row round-6dp float d2 whose rounding-grid midpoints
+    the driver engine crossed)."""
     from wimbd_spark.operators.clustering import kmeans_cluster_stats
 
     emb = _tbl(spark, sf_dir, "embeddings")
@@ -4870,16 +4882,18 @@ def q_kmeans_stats(spark, sf_dir):
     ).select(
         F.col("cluster").cast("long").alias("cluster"),
         F.col("n_members").cast("long").alias("n_members"),
-        F.col("inertia6").cast("decimal(24,6)").alias("inertia6"),
+        F.col("inertia_nano").cast("long").alias("inertia_nano"),
     )
 
 
 def o_kmeans_stats():
     T = KMEANS_ITER
-    # squared L2 mirrored as an in-order list_sum fold (same
-    # element-order summation as the Spark aggregate fold)
-    d2 = ("list_sum(list_transform(generate_series(1, len(v.v)), i ->"
-          " (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i])))")
+    # integer-nano squared L2: same left-assoc parenthesization as
+    # clustering.l2sq_nano -> identical IEEE doubles, identical
+    # nearest-integer rounding, exact BIGINT sum on both engines
+    dn = ("list_sum(list_transform(generate_series(1, len(v.v)), i ->"
+          " CAST(round((v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]) * 1e9)"
+          " AS BIGINT)))")
     return f"""
       WITH {_sql_kmeans_cents(KMEANS_K, T)},
       scored AS (
@@ -4887,14 +4901,14 @@ def o_kmeans_stats():
                (SELECT c.cid FROM c{T} c
                 ORDER BY list_distance(v.v, c.cv) ASC, c.cid ASC
                 LIMIT 1) AS cluster,
-               (SELECT CAST(round({d2}, 6) AS DECIMAL(18,6))
+               (SELECT {dn}
                 FROM c{T} c
                 ORDER BY list_distance(v.v, c.cv) ASC, c.cid ASC
-                LIMIT 1) AS d6
+                LIMIT 1) AS dn
         FROM v)
       SELECT CAST(cluster AS BIGINT) AS cluster,
              CAST(count(*) AS BIGINT) AS n_members,
-             CAST(sum(d6) AS DECIMAL(24,6)) AS inertia6
+             CAST(sum(dn) AS BIGINT) AS inertia_nano
       FROM scored GROUP BY cluster
     """
 

@@ -719,7 +719,8 @@ def test_cli_weighted_sample(capsys, tmp_path):
         ["weighted-sample", DOCS, "-k", "5", "--weight-col", "n_chars"],
     )
     assert len(rows) == 5
-    assert all(0 < r["sample_key"] <= 1 for r in rows)
+    assert all(r["sample_key"] >= 0 for r in rows)
+    assert sorted(r["sample_rank"] for r in rows) == [1, 2, 3, 4, 5]
     # per-group form
     rows = _run(
         capsys,

@@ -169,6 +169,29 @@ def kmeans(
     return assign_clusters(df, cents, id_col, vec_col)
 
 
+def l2sq_nano(a: Column, b: Column) -> Column:
+    """Squared L2 distance in integer NANO units: each per-dimension
+    term (x-y)^2 * 1e9 is rounded to the nearest integer and summed as
+    BIGINT. Every term is a product/difference of bit-identical
+    doubles (no libm), so both engines round the SAME double to the
+    SAME integer, and the integer sum is exact and order-independent —
+    unlike a float fold, whose summation order/algorithm differs
+    across engines and whose 6dp-rounded total sat on rounding-grid
+    midpoints (the r8/r9 driver-red mechanism). The only residual
+    hazard is a term landing EXACTLY on x.5 nano, audited at every
+    oracle-checked SF by tests/test_clustering.py."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.round((x - y) * (x - y) * F.lit(1e9), 0)
+            .cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def kmeans_cluster_stats(
     df: DataFrame,
     n_clusters: int = 8,
@@ -176,30 +199,33 @@ def kmeans_cluster_stats(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(cluster, n_members, inertia6): size and within-cluster sum of
-    squared distances (rounded to 6 dp as DECIMAL before the sum, so
-    the total is order-independent) per fitted cluster."""
+    """(cluster, n_members, inertia_nano): size and within-cluster sum
+    of squared distances per fitted cluster, in integer nano units
+    (see ``l2sq_nano`` — exact, order-independent, float-free output
+    so oracle hashing is exact)."""
     cents = kmeans_fit(df, n_clusters, n_iter, id_col, vec_col)
     if not cents:
         return df.sparkSession.createDataFrame(
-            [], "cluster long, n_members long, inertia6 decimal(24,6)"
+            [], "cluster long, n_members long, inertia_nano long"
         )
     v = _to_double(F.col(vec_col))
     scored = F.transform(
         _cent_literal(cents),
         lambda c: F.struct(
-            l2sq(v, c["v"]).alias("d"), c["cid"].alias("cid")
+            l2sq(v, c["v"]).alias("d"),
+            c["cid"].alias("cid"),
+            l2sq_nano(v, c["v"]).alias("dn"),
         ),
     )
     best = F.array_min(scored)
     return (
         df.select(
             best["cid"].alias("cluster"),
-            F.round(best["d"], 6).cast("decimal(18,6)").alias("d6"),
+            best["dn"].alias("dn"),
         )
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.sum("d6").alias("inertia6"),
+            F.sum("dn").alias("inertia_nano"),
         )
     )
