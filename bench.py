@@ -169,17 +169,25 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort
 
-    # best-of-2 per query: local[32] on a shared box is noisy; min of
-    # two runs is a stabler point estimate of steady-state cost
+    # best-of-2 per query, INTERLEAVED passes: local[32] on a shared
+    # box is noisy. Back-to-back repeats (the r8 form) still inflate a
+    # query whose contention burst spans both runs — the r8/r9 driver
+    # records of IDENTICAL code differed 1.46x in-sequence. Running
+    # pass 1 over every query, then pass 2, means a burst must span
+    # the WHOLE bench to survive the per-query min.
+    try:
+        load_start = round(os.getloadavg()[0], 1)
+    except OSError:
+        load_start = -1.0
     timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(2):
+    for _pass in range(2):
+        for name in names:
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            dt = time.perf_counter() - t0
+            if dt < timings.get(name, float("inf")):
+                timings[name] = round(dt, 4)
 
     # warm rebuild AFTER the timed pass (so it cannot perturb query
     # timings): build_s absorbs the first-job JVM constant and varies
@@ -197,6 +205,10 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    try:  # machine-state context for round-over-round comparison
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1 = -1.0
     # per-query detail to a sidecar; the driver only tail-captures the
     # last ~2000 bytes of stdout, so the FINAL line must stay compact
     detail = {
@@ -207,6 +219,8 @@ def main() -> None:
         "build_s": build_s,
         "build_warm_s": build_warm_s,
         "sf": sf,
+        "loadavg_start": load_start,
+        "loadavg_end": load1,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -214,7 +228,7 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(final_line(timings, build_s, build_warm_s, sf))
+    print(final_line(timings, build_s, build_warm_s, sf, load1))
     spark.stop()
 
 
@@ -223,6 +237,7 @@ def final_line(
     build_s: dict[str, float],
     build_warm_s: dict[str, float],
     sf: float,
+    loadavg: float = -1.0,
 ) -> str:
     """The ONE driver-parsed stdout line. Fixed-width by construction
     (no per-query keys), so it stays under the driver's 2000-byte tail
@@ -241,6 +256,7 @@ def final_line(
         "build_warm_total_s": round(
             sum(v for v in build_warm_s.values() if v >= 0), 4
         ),
+        "loadavg": loadavg,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)
