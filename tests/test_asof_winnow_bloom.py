@@ -49,6 +49,31 @@ def test_asof_basic_and_ties(spark):
     assert got == {100: 3, 101: None, 102: None}
 
 
+def test_asof_string_tiebreak_native_order(spark):
+    """r9 ADVICE regression: the tiebreak used to be cast to long, so
+    a STRING id column became NULL silently and equal-ts ties went
+    nondeterministic. The tiebreak now orders on its native type."""
+    left = _ev(spark, [(100, 1, "p", 50)])
+    right = spark.createDataFrame(
+        [("a", 1, 40), ("b", 1, 40), ("c", 1, 10)],
+        ["sid", "user_id", "ts_s"],
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts_s"))).drop("ts_s")
+    out = asof_join(
+        left, right, on="user_id", tiebreak="sid", right_cols=["sid"]
+    ).collect()
+    assert out[0].r_sid == "b"  # greatest string id wins the tie
+
+
+def test_asof_unorderable_tiebreak_raises(spark):
+    left = _ev(spark, [(100, 1, "p", 50)])
+    right = spark.createDataFrame(
+        [({"k": 1}, 1, 40)], "m map<string,int>, user_id long, ts_s long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts_s"))).drop("ts_s")
+    with pytest.raises(TypeError, match="unorderable"):
+        asof_join(left, right, on="user_id", tiebreak="m",
+                  right_cols=["m"])
+
+
 def test_asof_inclusive_vs_strict(spark):
     left = _ev(spark, [(100, 1, "p", 40)])
     right = _ev(spark, [(1, 1, "c", 40), (2, 1, "c", 30)])

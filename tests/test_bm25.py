@@ -138,6 +138,49 @@ def test_indexed_builds_doclens_lazily(docs_df, tmp_path):
     assert rows[0].doc_id == 2
 
 
+def test_appended_docs_rejoin_ranked_results(docs_df, tmp_path):
+    """r9 ADVICE regression: documents appended to the index after the
+    `_doclens` sidecar was built used to be inner-joined away —
+    silently absent from ranked results. The sidecar now records a
+    data-file manifest and rebuilds itself when the index grows."""
+    spark = docs_df.sparkSession
+    idx = str(tmp_path / "sidx")
+    build_phrase_index(docs_df, idx, num_files=2)
+    # first ranked query builds the sidecar for the 7-doc corpus
+    assert bm25_topk_indexed(spark, idx, "fast", k=10).count() > 0
+    extra = spark.createDataFrame(
+        [(99, "fast fast fast fast")], ["doc_id", "text"]
+    )
+    build_phrase_index(extra, idx, num_files=1, mode="append")
+    got = bm25_topk_indexed(spark, idx, "fast", k=10).collect()
+    assert 99 in {r.doc_id for r in got}
+    # exact parity with the scan path over the combined corpus
+    want = bm25_topk(docs_df.unionByName(extra), "fast", k=10).collect()
+    assert [(r.doc_id, r.score, r.rank) for r in got] == [
+        (r.doc_id, r.score, r.rank) for r in want
+    ]
+
+
+def test_fresh_sidecar_not_rebuilt(docs_df, tmp_path):
+    """The staleness probe is metadata-only: an unchanged index must
+    NOT trigger a sidecar rebuild on later queries."""
+    spark = docs_df.sparkSession
+    idx = str(tmp_path / "fidx")
+    build_phrase_index(docs_df, idx, num_files=2)
+    bm25_topk_indexed(spark, idx, "fast", k=5).collect()
+    side = os.path.join(idx, "_doclens")
+    before = {
+        f: os.path.getmtime(os.path.join(side, f))
+        for f in os.listdir(side)
+    }
+    bm25_topk_indexed(spark, idx, "table", k=5).collect()
+    after = {
+        f: os.path.getmtime(os.path.join(side, f))
+        for f in os.listdir(side)
+    }
+    assert after == before
+
+
 def test_duplicate_query_terms_score_once(docs_df):
     once = bm25_topk(docs_df, "spark fast", k=10).collect()
     twice = bm25_topk(docs_df, "spark fast spark", k=10).collect()

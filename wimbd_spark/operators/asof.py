@@ -77,17 +77,33 @@ def asof_join(
     # side ordering at equal ts: inclusive -> right sorts BEFORE left
     # (visible); strict -> right sorts AFTER left (invisible).
     r_side, l_side = (0, 1) if not strict else (1, 0)
-    tb = (
-        F.col(tiebreak)
-        if tiebreak is not None
-        else F.lit(0)
-    )
+    if tiebreak is not None:
+        # order on the column's NATIVE type: the old cast("long")
+        # turned a string id into NULL silently, making equal-ts ties
+        # nondeterministic (r9 ADVICE). Any orderable type works;
+        # maps are the one unorderable Spark type.
+        from pyspark.sql.types import MapType
+
+        tb_type = right.select(
+            F.col(tiebreak).alias("t")
+        ).schema["t"].dataType
+        if isinstance(tb_type, MapType):
+            raise TypeError(
+                f"tiebreak column {tiebreak!r} has unorderable type "
+                f"{tb_type.simpleString()}"
+            )
+        tb = F.col(tiebreak)
+    else:
+        from pyspark.sql.types import LongType
+
+        tb_type = LongType()
+        tb = F.lit(0).cast("long")
 
     lhs = left.select(
         *[F.col(k) for k in keys],
         _us(left_ts).alias("__t"),
         F.lit(l_side).alias("__side"),
-        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(tb_type).alias("__tb"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
         F.lit(None).cast(payload_type).alias("__r"),
     )
@@ -95,7 +111,7 @@ def asof_join(
         *[F.col(k) for k in keys],
         _us(right_ts).alias("__t"),
         F.lit(r_side).alias("__side"),
-        tb.cast("long").alias("__tb"),
+        tb.alias("__tb"),
         F.lit(None).cast(lhs.schema["__l"].dataType).alias("__l"),
         payload.alias("__r"),
     )

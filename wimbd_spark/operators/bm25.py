@@ -51,6 +51,7 @@ DEFAULT_B = 0.75
 _SCALE = 6  # decimal places kept per term contribution
 
 _DOCLENS_DIR = "_doclens"
+_MANIFEST_FILE = "_SOURCE_MANIFEST"
 
 
 def analyze_query(query: str) -> list[str]:
@@ -212,21 +213,89 @@ def build_doclen_stats(
 
     Maintenance: `build_phrase_index(mode='overwrite')` wipes the index
     directory including this sidecar (it is lazily rebuilt on the next
-    ranked query), but APPEND-mode maintenance (streaming_phrase_index)
-    adds documents the sidecar does not know about — re-run
-    build_doclen_stats after appends or compaction, or ranked scores
-    will use stale corpus stats (counts stay per-posting correct; N
-    and avgdl lag)."""
+    ranked query). APPEND-mode maintenance (streaming_phrase_index)
+    adds documents the sidecar does not know about; the sidecar
+    records a manifest of the index data files it was built from, and
+    `_load_doclens` rebuilds automatically when the index's file set
+    no longer matches — so appended documents can never silently
+    vanish from ranked results (the pre-r10 failure mode: the
+    postings-doclens inner join dropped them)."""
     from wimbd_spark.index import load_phrase_index
 
     out = _doclens_path(index_path)
+    # snapshot the data-file set BEFORE the aggregation scan: an
+    # append racing the build leaves the manifest stale, which errs
+    # toward an unnecessary rebuild, never toward a silent drop
+    manifest = _index_data_manifest(spark, index_path)
     doclens = (
         load_phrase_index(spark, index_path)
         .groupBy("doc_id")
         .agg(F.sum(F.size("positions")).alias("dl"))
     )
     doclens.repartition(num_files).write.mode("overwrite").parquet(out)
+    _write_small_file(
+        spark, out.rstrip("/") + "/" + _MANIFEST_FILE, manifest
+    )
     return out
+
+
+def _index_data_manifest(spark: SparkSession, index_path: str) -> str:
+    """Canonical JSON of the index's data files: sorted (relative
+    path, byte length) pairs, hidden files/dirs (`_`/`.` prefixed —
+    the `_doclens` sidecar itself, `_spark_metadata`, ...) excluded.
+    Pure filesystem-metadata listing — the same listing any parquet
+    scan of the index performs, so this is cheap at any index size
+    and works on every Hadoop-supported filesystem."""
+    import json as _json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    root = fs.getFileStatus(hpath).getPath().toString()
+    it = fs.listFiles(hpath, True)
+    entries = []
+    while it.hasNext():
+        st = it.next()
+        rel = st.getPath().toString()[len(root):].lstrip("/")
+        if any(s.startswith(("_", ".")) for s in rel.split("/")):
+            continue
+        entries.append([rel, st.getLen()])
+    entries.sort()
+    return _json.dumps(entries, separators=(",", ":"))
+
+
+def _write_small_file(spark: SparkSession, path: str, text: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_small_file(spark: SparkSession, path: str) -> str | None:
+    """Contents of a small text file via the Hadoop FS API, or None if
+    absent/unreadable (treated as stale by the caller)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        if not fs.exists(hpath):
+            return None
+        stream = fs.open(hpath)
+        try:
+            # py4j passes bytearray by value, so read JVM-side and
+            # return the bytes (commons-io ships with Hadoop)
+            data = jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream
+            )
+            return bytes(data).decode("utf-8")
+        finally:
+            stream.close()
+    except Exception:
+        return None
 
 
 def _doclens_path(index_path: str) -> str:
@@ -237,13 +306,25 @@ def _load_doclens(spark: SparkSession, index_path: str) -> DataFrame:
     """Read the `_doclens` sidecar, building it on first use if the
     index predates it (Hadoop-FS existence probe — works for any
     supported filesystem, not just local paths; cf. the ann CLI's
-    probe, ADVICE r7)."""
+    probe, ADVICE r7) and REBUILDING it if the index's data-file set
+    no longer matches the manifest the sidecar was built from (r9
+    ADVICE: documents appended after the sidecar was built used to be
+    inner-joined away, silently vanishing from ranked results — the
+    worst failure mode; a stale manifest now costs one sidecar
+    rebuild instead). The staleness probe is a filesystem-metadata
+    listing only — no data is scanned unless a rebuild is needed."""
     path = _doclens_path(index_path)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         build_doclen_stats(spark, index_path)
+    else:
+        recorded = _read_small_file(
+            spark, path.rstrip("/") + "/" + _MANIFEST_FILE
+        )
+        if recorded != _index_data_manifest(spark, index_path):
+            build_doclen_stats(spark, index_path)
     return spark.read.parquet(path)
 
 
