@@ -4950,6 +4950,72 @@ def q_bm25_index(spark, sf_dir):
     )
 
 
+BM25_FILTER_SRC = "src0"
+
+
+def q_bm25_filtered(spark, sf_dir):
+    """ES bool.filter composition on the scan ranker
+    (operators/bm25.bm25_topk filters=, reference
+    wimbd/es/__init__.py:170-181): candidates restricted to
+    source='src0', corpus statistics (N, avgdl, df) index-wide exactly
+    as ES keeps them under a non-scoring filter clause. The filter is
+    one extra boolean column in the SAME tokenizing scan — no second
+    corpus pass."""
+    from wimbd_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir),
+        BM25_QUERY,
+        k=BM25_K,
+        filters=F.col("source") == BM25_FILTER_SRC,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_bm25_filtered_indexed(spark, sf_dir):
+    """Postings-path twin of q_bm25_filtered: the source filter needs
+    a column the index doesn't carry, so it arrives as a CANDIDATES
+    doc-id table (broadcast LEFT SEMI on the postings — the ES
+    terms-lookup filter analogue); stats stay index-wide. Shares
+    q_bm25_filtered's oracle (row-identical by construction)."""
+    from wimbd_spark.operators.bm25 import bm25_topk_indexed
+
+    _phrase_index(spark, sf_dir)
+    cand = (
+        _docs(spark, sf_dir)
+        .where(F.col("source") == BM25_FILTER_SRC)
+        .select("doc_id")
+    )
+    return bm25_topk_indexed(
+        spark,
+        _index_path(sf_dir, "phrase"),
+        BM25_QUERY,
+        k=BM25_K,
+        candidates=cand,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def o_bm25_filtered():
+    return f"""
+      WITH {_sql_bm25_ctes(BM25_QUERY)}
+      SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+             CAST(s.sc AS DOUBLE) AS score,
+             CAST(row_number() OVER (ORDER BY s.sc DESC, s.doc_id ASC)
+                  AS INT) AS rank
+      FROM bscored s
+      WHERE s.doc_id IN (SELECT doc_id FROM documents
+                         WHERE source = '{BM25_FILTER_SRC}')
+      ORDER BY s.sc DESC, s.doc_id ASC LIMIT {BM25_K}
+    """
+
+
 def _sql_bm25_ctes(query: str, p: str = "b") -> str:
     """CTE block `{p}tok/{p}d/{p}stats/{p}scored` ending in (doc_id,
     sc) BM25 scores for ``query`` — reused by the standalone oracle,
@@ -5340,6 +5406,43 @@ def o_nb_quality_scores():
 
 # ------------------------------------------------------------ registry
 
+def q_bpe_train_roundtrip(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (functions/bpe_train.py —
+    Sennrich 2016 / byte-level per Radford 2019) gated by the
+    losslessness property: train a 320-symbol byte-level BPE over the
+    corpus (ONE word-count aggregation + a driver merge loop over
+    ≤50k word types, corpus-size-independent), encode EVERY document
+    with the trained merges, decode back from the token strings, and
+    return (doc_id, text=decoded). The oracle is the documents table
+    itself, so the driver's value-hash passes iff
+    decode(encode(text)) is byte-exact for every document — a strict
+    check of the pretokenizer, byte→unicode map, merge table, and
+    decoder together."""
+    from wimbd_spark.functions.bpe import (
+        bpe_detokenize,
+        bpe_tokenize_with,
+    )
+    from wimbd_spark.functions.bpe_train import train_bpe
+
+    docs = _docs(spark, sf_dir)
+    ranks, vocab = train_bpe(
+        docs, vocab_size=320, min_frequency=2, max_words=50_000
+    )
+    toks = bpe_tokenize_with(F.col("text"), ranks, vocab)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .otherwise(bpe_detokenize(toks))
+        .alias("text"),
+    )
+
+
+def o_bpe_train_roundtrip():
+    return """
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+    """
+
+
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # ROTATION POLICY (round-robin): the driver records correctness
     # rows for the FIRST 50 entries only; with N registry queries every
@@ -5358,6 +5461,9 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # each insertion displaces the window tail to 51+, where the r07
     # binding file still covers it. Everything at 51+ is covered by
     # the r07/r08 distinct binding windows.
+    "bpe_train_roundtrip": (q_bpe_train_roundtrip, o_bpe_train_roundtrip),
+    "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
+    "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
     "weighted_sample_chars_k50": (
         q_weighted_sample_chars,
         o_weighted_sample_chars,

@@ -285,3 +285,90 @@ def test_batch_indexed_matches_singles_and_scan_batch(docs_df, tmp_path):
     ] == [
         (r.query, r.doc_id, r.score, r.rank) for r in sorted(want, key=key)
     ]
+
+
+# ------------------------------------------------ ES bool.filter parity
+
+FILTERED_DOCS = [
+    (1, "spark table scan fast", "a"),
+    (2, "spark spark spark join", "b"),
+    (3, "slow table merge", "a"),
+    (4, "fast fast query", "b"),
+    (5, "unrelated words only here", "a"),
+    (6, "table table fast", "a"),
+]
+
+
+@pytest.fixture(scope="module")
+def filtered_df(spark):
+    return spark.createDataFrame(FILTERED_DOCS, ["doc_id", "text", "src"])
+
+
+def test_filters_restrict_candidates_not_stats(filtered_df):
+    """ES bool.filter: the filtered ranking is the UNfiltered ranking
+    with non-matching docs removed — identical scores (index-wide
+    stats), never a re-score over the subset."""
+    unfiltered = bm25_topk(filtered_df, "spark fast table", k=10).collect()
+    got = bm25_topk(
+        filtered_df, "spark fast table", k=10, filters=F.col("src") == "a"
+    ).collect()
+    srcs = {i: s for i, _, s in FILTERED_DOCS}
+    want = [r for r in unfiltered if srcs[r.doc_id] == "a"]
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want
+    ]
+    # ranks re-number densely within the filtered result
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+
+
+def test_filters_null_predicate_drops_row(spark):
+    df = spark.createDataFrame(
+        [(1, "fast table", "a"), (2, "fast table", None)],
+        ["doc_id", "text", "src"],
+    )
+    got = bm25_topk(df, "fast", k=10, filters=F.col("src") == "a").collect()
+    assert [r.doc_id for r in got] == [1]
+
+
+def test_indexed_candidates_match_scan_filters(filtered_df, tmp_path):
+    """candidates= (terms-lookup form) is row-identical to the scan
+    path's filters= — same scores, same ranks."""
+    spark = filtered_df.sparkSession
+    idx = str(tmp_path / "fidx")
+    build_phrase_index(filtered_df, idx, num_files=2)
+    cand = filtered_df.where(F.col("src") == "a").select("doc_id")
+    got = bm25_topk_indexed(
+        spark, idx, "spark fast table", k=10, candidates=cand
+    ).collect()
+    want = bm25_topk(
+        filtered_df, "spark fast table", k=10, filters=F.col("src") == "a"
+    ).collect()
+    assert [(r.doc_id, r.score, r.rank) for r in got] == [
+        (r.doc_id, r.score, r.rank) for r in want
+    ]
+
+
+def test_indexed_filters_pushed_into_postings_scan(filtered_df, tmp_path):
+    """filters= (doc_id predicate form) reaches the postings parquet
+    reader as a pushed filter — row-group pruning, not a post-join
+    filter — and matches the scan path's rows."""
+    from wimbd_spark.plans import explain_str
+
+    spark = filtered_df.sparkSession
+    idx = str(tmp_path / "fidx2")
+    build_phrase_index(filtered_df, idx, num_files=2)
+    q = bm25_topk_indexed(
+        spark, idx, "spark fast table", k=10, filters=F.col("doc_id") <= 4
+    )
+    plan = explain_str(q)
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("doc_id" in p for p in pushed), plan
+    want = bm25_topk(
+        filtered_df, "spark fast table", k=10,
+        filters=F.col("doc_id") <= 4,
+    ).collect()
+    assert [(r.doc_id, r.score, r.rank) for r in q.collect()] == [
+        (r.doc_id, r.score, r.rank) for r in want
+    ]

@@ -136,3 +136,50 @@ def test_train_on_corpus_sample(spark):
     assert len(ranks) > 0
     toks, _ = make_encoder(ranks, vocab)("the quick brown fox")
     assert toks
+
+
+def test_distributed_roundtrip_column(spark):
+    """bpe_tokenize_with ∘ bpe_detokenize is byte-exact over a
+    DataFrame — unicode, emoji, empty, and None texts included."""
+    from wimbd_spark.functions.bpe import bpe_detokenize, bpe_tokenize_with
+
+    texts = [
+        (0, "the cat sat on the mat"),
+        (1, "naïve café — résumé 🚀 日本語"),
+        (2, ""),
+        (3, None),
+        (4, "  leading and   irregular\tspacing\n"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    ranks, vocab = train_bpe(_df(spark), vocab_size=60, min_frequency=2)
+    toks = bpe_tokenize_with(F.col("text"), ranks, vocab)
+    got = (
+        df.select(
+            "doc_id",
+            F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+            .otherwise(bpe_detokenize(toks))
+            .alias("rt"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r.doc_id, r.rt) for r in got] == texts
+
+
+def test_tokenize_with_ids_match_asset_path(spark, tmp_path):
+    """bpe_tokenize_with (in-memory model) emits the same ids as the
+    asset-file path bpe_tokenize reads back from disk."""
+    from wimbd_spark.functions.bpe import bpe_tokenize, bpe_tokenize_with
+
+    ranks, vocab = train_bpe(_df(spark), vocab_size=60, min_frequency=2)
+    save_bpe_assets(str(tmp_path), ranks, vocab)
+    df = _df(spark)
+    a = df.select(
+        "doc_id", bpe_tokenize_with(F.col("text"), ranks, vocab, emit="ids")
+        .alias("ids")
+    ).orderBy("doc_id").collect()
+    b = df.select(
+        "doc_id", bpe_tokenize(F.col("text"), str(tmp_path), emit="ids")
+        .alias("ids")
+    ).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.ids) for r in a] == [(r.doc_id, r.ids) for r in b]

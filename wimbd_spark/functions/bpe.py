@@ -139,6 +139,16 @@ def bpe_tokenize(
     """Column of BPE ``tokens`` (array<string>) or ``ids``
     (array<bigint>) from local tokenizer assets."""
     ranks, vocab = load_bpe_assets(tokenizer_path)
+    return bpe_tokenize_with(text, ranks, vocab, emit=emit)
+
+
+def bpe_tokenize_with(
+    text: Column, ranks: dict, vocab: dict, emit: str = "tokens"
+) -> Column:
+    """`bpe_tokenize` over in-memory (ranks, vocab) — the shape
+    `bpe_train.train_bpe` returns — skipping the asset files (train →
+    tokenize in one session). The tables travel in the UDF closure
+    (broadcast once per executor, the model-UDF convention)."""
     want_ids = emit == "ids"
 
     @pandas_udf("array<bigint>" if want_ids else "array<string>")
@@ -155,3 +165,29 @@ def bpe_tokenize(
             yield s.map(one)
 
     return _tok(text)
+
+
+def bpe_detokenize(tokens: Column) -> Column:
+    """Inverse of ``bpe_tokenize(emit='tokens')``: concatenate the
+    token strings, invert the byte→unicode map, decode UTF-8. For any
+    token sequence a byte-level BPE produced from valid UTF-8 this is
+    a BYTE-EXACT round-trip (the GPT-2 losslessness property — every
+    input byte maps to exactly one printable unicode char and merges
+    only concatenate), so decode(encode(text)) == text identically.
+    NULL stays NULL; an empty array decodes to the empty string."""
+    u2b = {u: b for b, u in _bytes_to_unicode().items()}
+
+    @pandas_udf("string")
+    def _detok(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def one(toks):
+            if toks is None:
+                return None
+            joined = "".join(toks)
+            return bytes(u2b[ch] for ch in joined).decode(
+                "utf-8", errors="strict"
+            )
+
+        for s in it:
+            yield s.map(one)
+
+    return _detok(tokens)

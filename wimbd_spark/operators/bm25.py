@@ -104,6 +104,7 @@ def bm25_topk(
     text_col: str = "text",
     tokenizer=None,
     exclude_id=None,
+    filters=None,
 ) -> DataFrame:
     """Scan-path BM25 top-k → (id_col, score double, rank int).
 
@@ -116,6 +117,15 @@ def bm25_topk(
     more_like_this convention of not returning the anchor.
     Corpus stats (N, avgdl, df) still include it, matching ES, where
     the index stats don't change because one query excludes a doc.
+
+    ``filters`` (boolean Column over the corpus columns, e.g.
+    ``F.col("source") == "src0"``) restricts CANDIDATES exactly like
+    an ES ``bool.filter`` clause: non-scoring, evaluated in the same
+    corpus scan (one extra projected column, no second pass), and —
+    matching ES — corpus statistics stay index-wide (the reference's
+    wrapper composes relevance with subset/date filters this way,
+    wimbd/es/__init__.py:170-181). NULL filter values drop the row
+    (SQL predicate semantics).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -128,8 +138,11 @@ def bm25_topk(
     # tokenize once; the follow-up projection derives dl + per-term tf
     # from the array (CollapseProject only inlines the array expression
     # if it judges that cheap — the split stays single-evaluation)
+    keep = [] if filters is None else [
+        F.coalesce(filters, F.lit(False)).alias("__keep")
+    ]
     toked = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), tok(F.col(text_col)).alias("toks")
+        F.col(id_col), tok(F.col(text_col)).alias("toks"), *keep
     )
     def tf_of(term):
         # closure factory, NOT a default arg: a second lambda param
@@ -140,6 +153,7 @@ def bm25_topk(
         id_col,
         F.size("toks").alias("dl"),
         *[tf_of(terms[i]).alias(tf_cols[i]) for i in range(len(terms))],
+        *([F.col("__keep")] if filters is not None else []),
     )
 
     # ONE corpus aggregation → one-row broadcast (dsir totals pattern).
@@ -181,6 +195,8 @@ def bm25_topk(
         any_tf = any_tf | (F.col(c) > 0)
     if exclude_id is not None:
         any_tf = any_tf & (F.col(id_col) != F.lit(exclude_id))
+    if filters is not None:
+        any_tf = any_tf & F.col("__keep")
     scored = (
         base.filter(any_tf)
         .crossJoin(F.broadcast(stats))
@@ -336,6 +352,8 @@ def bm25_topk_indexed(
     *,
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
+    filters=None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Postings-path BM25 top-k → (doc_id, score double, rank int);
     row-identical to `bm25_topk` on the corpus the index was built
@@ -346,7 +364,24 @@ def bm25_topk_indexed(
     corpus is never scanned. Per-term df and the corpus N/avgdl are
     two tiny aggregations crossJoined back as one-row broadcasts; the
     scoring aggregation shuffles only documents that matched ≥1 term,
-    keyed on doc_id — query cost tracks Σ df_t, not corpus size."""
+    keyed on doc_id — query cost tracks Σ df_t, not corpus size.
+
+    ES ``bool.filter`` composition (non-scoring; index-wide stats,
+    matching ES and the scan path's ``filters=``), two forms:
+
+    * ``filters`` — boolean Column over ``doc_id``: applied to the
+      postings scan itself, so it reaches the parquet reader as a
+      pushed filter (`PushedFilters` — plan-pinned by test) and prunes
+      row groups by doc_id min/max stats before any join. This is the
+      ES date-math/id-range filter analogue for id schemes that encode
+      the partition key (date-prefixed ids, shard ranges).
+    * ``candidates`` — a DataFrame with a ``doc_id`` column (e.g. a
+      metadata table filtered on source/date): LEFT SEMI broadcast
+      join on the postings, the ES terms-lookup filter analogue. Use
+      this when the filter needs columns the index doesn't carry.
+
+    Both restrict candidates only; N/avgdl/df stay index-wide.
+    """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     terms = analyze_query(query)
@@ -359,6 +394,20 @@ def bm25_topk_indexed(
         .filter(F.col("token").isin(terms))
         .select("token", "doc_id", F.size("positions").alias("tf"))
     )
+    # per-term df BEFORE any candidate restriction — ES keeps idf
+    # index-wide under bool.filter, and the scan path's stats pass
+    # does the same (filters only gate candidacy there too)
+    dfs = posts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if filters is not None:
+        # on the scan side of the join → parquet PushedFilters on the
+        # postings files (doc_id min/max row-group pruning)
+        posts = posts.filter(filters)
+    if candidates is not None:
+        posts = posts.join(
+            F.broadcast(candidates.select("doc_id").distinct()),
+            "doc_id",
+            "left_semi",
+        )
     doclens = _load_doclens(spark, index_path)
 
     # every doclens row has dl ≥ 1 by construction → N = count(*)
@@ -366,7 +415,6 @@ def bm25_topk_indexed(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
     )
-    dfs = posts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     scored = (
