@@ -119,6 +119,41 @@ def test_char_ngrams(spark):
     assert len(grams) == len("test string") - 4 + 1
 
 
+def test_char_ngrams_regimes_agree_at_crossover(spark):
+    """The short-doc substring path and the long-doc char-array path
+    emit identical grams around the _CHAR_NGRAM_SHORT boundary, on
+    multi-byte text, and on degenerate inputs (empty → NO grams, even
+    at n=1 — the pre-r10 array form emitted a phantom '' there)."""
+    from wimbd_spark.functions.text import _CHAR_NGRAM_SHORT
+
+    B = _CHAR_NGRAM_SHORT
+    cases = [
+        "αβγδε" * (B // 5),        # exactly B chars, multibyte
+        "αβγδε" * (B // 5) + "ζ",  # B+1 → long path
+        "x" * (B - 1),
+        "naïve café 🚀 日本語",
+        "",
+        "ab",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], ["id", "t"]
+    )
+    for n in (1, 3, 5):
+        got = {
+            r.id: r.g
+            for r in df.select(
+                "id", char_ngrams(F.col("t"), n).alias("g")
+            ).collect()
+        }
+        for i, t in enumerate(cases):
+            want = (
+                [t[j : j + n] for j in range(len(t) - n + 1)]
+                if len(t) >= n
+                else []
+            )
+            assert got[i] == want, (n, i, t[:20])
+
+
 def test_doc_hash_none_convention(spark):
     # helper_scripts/get_text_hashes.py:11-17
     import hashlib

@@ -250,26 +250,50 @@ def ngram_strings(tokens: Column | str, n: int, sep: str = " ") -> Column:
     )
 
 
+_CHAR_NGRAM_SHORT = 200  # chars; crossover measured in SCALE.md (r10)
+
+
 def char_ngrams(text: Column | str, n: int) -> Column:
     """Character n-grams (src/ngrams/mod.rs:150-173 char case).
 
     Used as shingles for near-dup (MinHash/SimHash) too.
+
+    Two regimes (both over a let-bound input, single evaluation):
+
+    * short documents (≤ ``_CHAR_NGRAM_SHORT`` chars): per-window
+      ``substring(s, i, n)`` directly on the string. substring's
+      position seek is a byte scan — O(i) per call, O(len²) per doc —
+      but at ≤200 chars that is ≤ ~40k byte reads, cheaper than
+      materializing a char array and per-window slice+join (measured
+      r8: the array form cost 1.7× on 50-token docs).
+    * long documents: split-to-chars ONCE, then slice+array_join over
+      the bound char array — O(n) per window at ANY offset, which is
+      what keeps gram generation linear in doc length (measured 22 s →
+      2 s for 400×5000-token docs, SCALE.md document-length section).
+
+    split("") advances by codepoint (Java 8+ regex), matching
+    substring's character counting, so both regimes emit identical
+    grams on any UTF-8 text.
     """
     empty = F.array().cast("array<string>")
-    # split-to-chars ONCE, then slide over the bound array: per-window
-    # substring(c, i, n) on a UTF-8 string costs O(i) (position seek is
-    # a byte scan), which is O(len²) per document — measured 22 s for
-    # 400×5000-token docs vs 2 s for the same volume in short docs.
-    # slice+array_join over the let-bound char array is O(n) per
-    # window at any offset. split("") advances by codepoint (Java 8+
-    # regex), matching substring's character counting.
     return let(
-        F.split(_col(text), ""),
-        lambda ch: F.when(
-            F.size(ch) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(ch) - F.lit(n - 1)),
-                lambda i: F.array_join(F.slice(ch, i, n), ""),
+        _col(text),
+        lambda s: F.when(
+            F.length(s) >= n,
+            F.when(
+                F.length(s) <= _CHAR_NGRAM_SHORT,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
+                    lambda i: F.substring(s, i, F.lit(n)),
+                ),
+            ).otherwise(
+                let(
+                    F.split(s, ""),
+                    lambda ch: F.transform(
+                        F.sequence(F.lit(1), F.size(ch) - F.lit(n - 1)),
+                        lambda i: F.array_join(F.slice(ch, i, n), ""),
+                    ),
+                )
             ),
         ).otherwise(empty),
     )
