@@ -2289,6 +2289,57 @@ def o_ivf_pq_topk():
     """
 
 
+def q_ivf_pq_rerank(spark, sf_dir):
+    """Two-stage ANN (similarity.cosine_topk_ivf_pq_rerank): IVF-PQ
+    lookup-table scores pick 50 candidates per query from the probed
+    lists (partition-pruned, codes-only scan), then EXACT cosine over
+    only those candidates' persisted unit vectors decides the final
+    top-3 — the standard refine recipe that recovers the IVF probe
+    bound from PQ distortion (recall table in SCALE.md). The oracle
+    composes the proven IVF-PQ mirror (candidates) with exact
+    list_cosine_similarity re-ranking."""
+    from wimbd_spark.operators.similarity import cosine_topk_ivf_pq_rerank
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    path = _ivfpq_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivf_pq_rerank(
+        spark, path, queries, k=3, n_candidates=50, n_probe=2
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+    )
+
+
+def o_ivf_pq_rerank():
+    # candidates: the o_ivf_pq_topk mirror verbatim with rank <= 50;
+    # then exact cosine re-rank within candidates, top-3.
+    base = o_ivf_pq_topk().rsplit("SELECT CAST(query_id", 1)[0]
+    return f"""{base.rstrip()},
+      cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 50),
+      rerank AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_cosine_similarity(qe.embedding::DOUBLE[],
+                                      ne.embedding::DOUBLE[]) AS cos
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+      ),
+      final AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM rerank
+      )
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             CAST(rank AS BIGINT) AS rank
+      FROM final WHERE rank <= 3
+    """
+
+
 def q_ivf_index_topk(spark, sf_dir):
     """Build-once/query-many ANN (similarity.build_ivf_index /
     cosine_topk_ivf_indexed): inverted lists materialized as a
@@ -5462,6 +5513,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # binding file still covers it. Everything at 51+ is covered by
     # the r07/r08 distinct binding windows.
     "bpe_train_roundtrip": (q_bpe_train_roundtrip, o_bpe_train_roundtrip),
+    "ivf_pq_rerank_top3": (q_ivf_pq_rerank, o_ivf_pq_rerank),
     "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
     "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
     "weighted_sample_chars_k50": (

@@ -709,3 +709,70 @@ def test_ivf_pq_indexed_path(spark, tmp_path):
     assert (
         cosine_topk_ivf_pq_indexed(spark, epath, queries, k=2).count() == 0
     )
+
+
+def test_ivf_pq_rerank_refines_to_exact_within_probes(spark, tmp_path):
+    """Exact re-rank over ALL candidates (n_candidates = corpus,
+    n_probe = all lists) must reproduce exact cosine_topk; and at
+    partial probe the ORDER within the returned rows is the exact
+    cosine order, not PQ's. The re-rank scan reads uvec but only
+    candidate rows (id pushdown + partition filter plan-pinned)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wimbd_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        cosine_topk_ivf_pq_rerank,
+    )
+
+    rng = random.Random(17)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(160)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "rerankivf")
+    build_ivf_index(emb, path, n_centroids=4, pq_m=4, pq_codes=8)
+    queries = emb.filter("vec_id < 6")
+
+    got = cosine_topk_ivf_pq_rerank(
+        spark, path, queries, k=4, n_candidates=160, n_probe=4
+    ).collect()
+    want = cosine_topk(emb, queries, k=4).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert [(r.query_id, r.neighbor_id, r.rank)
+            for r in sorted(got, key=key)] == [
+        (r.query_id, r.neighbor_id, r.rank) for r in sorted(want, key=key)
+    ]
+
+    # partial probe: row set may differ from exact, but exact-cosine
+    # ordering holds within each query's returned rows
+    part = cosine_topk_ivf_pq_rerank(
+        spark, path, queries, k=4, n_candidates=20, n_probe=1
+    )
+    import numpy as np
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    by_q: dict = {}
+    for r in part.collect():
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    assert by_q
+    for qid, lst in by_q.items():
+        lst.sort()
+        cos = [sims[qid][nid] for _, nid in lst]
+        assert cos == sorted(cos, reverse=True)
+
+    # validation + empty paths
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cosine_topk_ivf_pq_rerank(spark, path, queries, k=0)
+    with _pt.raises(ValueError):
+        cosine_topk_ivf_pq_rerank(spark, path, queries, k=5,
+                                  n_candidates=2)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    epath = str(tmp_path / "emptyrr")
+    build_ivf_index(empty, epath, n_centroids=4, pq_m=4, pq_codes=8)
+    assert cosine_topk_ivf_pq_rerank(spark, epath, queries, k=2).count() == 0

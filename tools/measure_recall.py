@@ -37,6 +37,7 @@ def main():
         cosine_topk_ivf,
         cosine_topk_ivf_indexed,
         cosine_topk_ivf_pq_indexed,
+        cosine_topk_ivf_pq_rerank,
         cosine_topk_lsh,
         cosine_topk_pq,
     )
@@ -113,6 +114,10 @@ def main():
         ("IVF-PQ-idx nc=8 n_probe=2 m=8 codes=16 (registry)",
          lambda: cosine_topk_ivf_pq_indexed(spark, ivf_small, queries,
                                             k=K, n_probe=2)),
+        ("IVF-PQ-rerank nc=8 n_probe=2 cand=10k (exact refine)",
+         lambda: cosine_topk_ivf_pq_rerank(spark, ivf_small, queries,
+                                           k=K, n_candidates=10 * K,
+                                           n_probe=2)),
     ]
     if not skip_slow:
         variants += [
