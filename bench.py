@@ -125,6 +125,12 @@ HEADLINE = [
     "events_asof_attribution",
     "winnow_overlap_src0_src1",
     "bloom_decontaminate_src0",
+    # r10 additions (filtered ranked retrieval, BPE training gated by
+    # round-trip, two-stage ANN refine)
+    "bm25_filtered_top10",
+    "bm25_filtered_indexed_top10",
+    "bpe_train_roundtrip",
+    "ivf_pq_rerank_top3",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)
