@@ -5201,6 +5201,29 @@ MLT_TERMS = 5
 MLT_K = 10
 
 
+def q_more_like_this_indexed(spark, sf_dir):
+    """ES MLT from the index alone (bm25.more_like_this_indexed): the
+    anchor's term vector comes from its own postings (doc_id pushdown),
+    df/N from postings + doclens, and the ranking stage is the indexed
+    BM25 with the anchor excluded — the corpus is never scanned, which
+    is how ES itself serves MLT. Row-identical to the scan MLT by
+    construction; shares its oracle."""
+    from wimbd_spark.operators.bm25 import more_like_this_indexed
+
+    _phrase_index(spark, sf_dir)
+    return more_like_this_indexed(
+        spark,
+        _index_path(sf_dir, "phrase"),
+        MLT_ANCHOR,
+        k=MLT_K,
+        n_terms=MLT_TERMS,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_more_like_this(spark, sf_dir):
     """ES more_like_this (operators/bm25.py): the anchor doc's top-5
     smooth-TF-IDF terms become a BM25 query over the corpus, anchor
@@ -5514,6 +5537,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # the r07/r08 distinct binding windows.
     "bpe_train_roundtrip": (q_bpe_train_roundtrip, o_bpe_train_roundtrip),
     "ivf_pq_rerank_top3": (q_ivf_pq_rerank, o_ivf_pq_rerank),
+    "more_like_this_indexed_top10": (q_more_like_this_indexed, o_more_like_this),
     "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
     "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
     "weighted_sample_chars_k50": (

@@ -131,6 +131,7 @@ HEADLINE = [
     "bm25_filtered_indexed_top10",
     "bpe_train_roundtrip",
     "ivf_pq_rerank_top3",
+    "more_like_this_indexed_top10",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)

@@ -372,3 +372,53 @@ def test_indexed_filters_pushed_into_postings_scan(filtered_df, tmp_path):
     assert [(r.doc_id, r.score, r.rank) for r in q.collect()] == [
         (r.doc_id, r.score, r.rank) for r in want
     ]
+
+
+def test_more_like_this_indexed_matches_scan(docs_df, tmp_path):
+    """Indexed MLT (term vector from postings, ranking from the
+    indexed BM25 with exclude_id) is row-identical to the scan MLT."""
+    from wimbd_spark.operators.bm25 import (
+        more_like_this,
+        more_like_this_indexed,
+    )
+
+    spark = docs_df.sparkSession
+    idx = str(tmp_path / "mltidx")
+    build_phrase_index(docs_df, idx, num_files=2)
+    for anchor in (1, 2, 4):
+        got = more_like_this_indexed(
+            spark, idx, anchor, k=10, n_terms=3
+        ).collect()
+        want = more_like_this(docs_df, anchor, k=10, n_terms=3).collect()
+        assert [(r.doc_id, r.score, r.rank) for r in got] == [
+            (r.doc_id, r.score, r.rank) for r in want
+        ], anchor
+
+
+def test_more_like_this_indexed_missing_anchor(docs_df, tmp_path):
+    from wimbd_spark.operators.bm25 import more_like_this_indexed
+
+    spark = docs_df.sparkSession
+    idx = str(tmp_path / "mltidx2")
+    build_phrase_index(docs_df, idx, num_files=2)
+    out = more_like_this_indexed(spark, idx, 999, k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "score", "rank",
+    ]
+
+
+def test_indexed_exclude_id_matches_scan(docs_df, tmp_path):
+    spark = docs_df.sparkSession
+    idx = str(tmp_path / "exclidx")
+    build_phrase_index(docs_df, idx, num_files=2)
+    got = bm25_topk_indexed(
+        spark, idx, "spark fast table", k=10, exclude_id=1
+    ).collect()
+    want = bm25_topk(
+        docs_df, "spark fast table", k=10, exclude_id=1
+    ).collect()
+    assert 1 not in {r.doc_id for r in got}
+    assert [(r.doc_id, r.score, r.rank) for r in got] == [
+        (r.doc_id, r.score, r.rank) for r in want
+    ]

@@ -354,6 +354,7 @@ def bm25_topk_indexed(
     b: float = DEFAULT_B,
     filters=None,
     candidates: DataFrame | None = None,
+    exclude_id=None,
 ) -> DataFrame:
     """Postings-path BM25 top-k → (doc_id, score double, rank int);
     row-identical to `bm25_topk` on the corpus the index was built
@@ -398,6 +399,10 @@ def bm25_topk_indexed(
     # index-wide under bool.filter, and the scan path's stats pass
     # does the same (filters only gate candidacy there too)
     dfs = posts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if exclude_id is not None:
+        # candidate exclusion only (the more_like_this anchor
+        # convention, matching the scan path): stats keep the doc
+        posts = posts.filter(F.col("doc_id") != F.lit(exclude_id))
     if filters is not None:
         # on the scan side of the join → parquet PushedFilters on the
         # postings files (doc_id min/max row-group pruning)
@@ -492,6 +497,85 @@ def more_like_this(
         b=b,
         id_col=id_col,
         text_col=text_col,
+        exclude_id=anchor_id,
+    )
+
+
+def more_like_this_indexed(
+    spark: SparkSession,
+    index_path: str,
+    anchor_id,
+    k: int = 10,
+    *,
+    n_terms: int = 5,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """ES more_like_this answered ENTIRELY from the posting-list index
+    (+ `_doclens`) — row-identical to `more_like_this` on the corpus
+    the index was built from; the corpus is never scanned. This is how
+    ES itself serves MLT: term vectors come from the index.
+
+    Term selection mirrors `textqc.tfidf_top_terms` exactly, but from
+    postings: the anchor's tf is size(positions) of its own postings
+    (doc_id pushdown — one seek-sized read), df is the posting count
+    per token restricted to the anchor's tokens (token-equality
+    pushdown; the anchor's distinct tokens are bounded driver metadata,
+    the phrase-list convention), N is the doclens row count, and the
+    smooth tfidf ln((1+N)/(1+df)) + 1 with (tfidf desc, term asc) ties
+    is evaluated JVM-side — the same F.log the scan path uses, so the
+    selected terms are identical doubles. The ranking stage is
+    `bm25_topk_indexed(exclude_id=anchor)`: per-query cost tracks the
+    anchor's posting sizes + Σ df of its top terms, never corpus size.
+    """
+    from wimbd_spark.index import load_phrase_index
+
+    if n_terms < 1:
+        raise ValueError(f"n_terms must be >= 1, got {n_terms}")
+    posts = load_phrase_index(spark, index_path)
+    anchor_tf = posts.filter(
+        F.col("doc_id") == F.lit(anchor_id)
+    ).select("token", F.size("positions").alias("tf"))
+    tokens = sorted({r["token"] for r in anchor_tf.collect()})
+    if not tokens:
+        # missing/empty anchor: zero query terms -> zero hits (ES)
+        id_type = posts.schema["doc_id"].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"doc_id {id_type}, score double, rank int"
+        )
+    dfs = (
+        posts.filter(F.col("token").isin(tokens))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = _load_doclens(spark, index_path).count()
+    sel = (
+        anchor_tf.join(F.broadcast(dfs), "token")
+        .select(
+            "token",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1) + F.lit(n_docs))
+                        / (F.lit(1) + F.col("df"))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("token"))
+        .limit(n_terms)
+        .collect()
+    )
+    terms = [r["token"] for r in sel]
+    return bm25_topk_indexed(
+        spark,
+        index_path,
+        " ".join(terms),
+        k=k,
+        k1=k1,
+        b=b,
         exclude_id=anchor_id,
     )
 
