@@ -806,3 +806,39 @@ def test_cli_hybrid_and_doclens_flag(capsys, tmp_path):
     idx = str(tmp_path / "didx")
     _run(capsys, ["index-build", DOCS, "--out", idx, "--doclens"])
     assert os.path.isdir(os.path.join(idx, "_doclens"))
+
+
+def test_cli_bm25_filter_and_indexed_like(capsys, tmp_path):
+    # ES bool.filter on the scan path: all hits from src0, scores are
+    # the unfiltered scores (index-wide stats) for those docs
+    base = _run(capsys, ["bm25", DOCS, "-q", "table scan", "-k", "50"])
+    rows = _run(capsys, ["bm25", DOCS, "-q", "table scan", "-k", "5",
+                         "--filter", "source = 'src0'"])
+    assert 1 <= len(rows) <= 5
+    by_id = {r["doc_id"]: r["score"] for r in base}
+    assert all(r["score"] == by_id[r["doc_id"]] for r in rows
+               if r["doc_id"] in by_id)
+    # indexed candidates form agrees with the scan filter
+    idx = str(tmp_path / "fcidx")
+    _run(capsys, ["index-build", DOCS, "--out", idx])
+    rows_idx = _run(capsys, ["bm25", DOCS, "-q", "table scan", "-k", "5",
+                             "--filter", "source = 'src0'",
+                             "--index", idx])
+    assert rows_idx == rows
+    # indexed --like now runs corpus-free
+    like_scan = _run(capsys, ["bm25", DOCS, "--like", "42", "-k", "3"])
+    like_idx = _run(capsys, ["bm25", DOCS, "--like", "42", "-k", "3",
+                             "--index", idx])
+    assert like_idx == like_scan
+    with pytest.raises(SystemExit):
+        main(["bm25", DOCS, "--like", "42", "--filter", "source='src0'"])
+
+
+def test_cli_ann_rerank(capsys, tmp_path):
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "rrankidx")
+    rows = _run(capsys, ["ann", emb, "--method", "ivf", "--index", idx,
+                         "--rerank", "20", "-k", "3", "--queries", emb])
+    assert rows and all(r["rank"] <= 3 for r in rows)
+    with pytest.raises(SystemExit):
+        main(["ann", emb, "--rerank", "20"])  # no index

@@ -287,7 +287,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--index", default=None,
                     help="posting-list index path (from index-build); "
-                    "corpus paths are ignored when given")
+                    "corpus paths are ignored when given (except for "
+                    "--filter, which reads them for candidate ids)")
+    sp.add_argument("--filter", default=None, metavar="SQL_EXPR",
+                    help="ES bool.filter: boolean SQL expression over "
+                    "corpus columns (e.g. \"source = 'src0'\") — "
+                    "restricts candidates, stats stay index-wide")
 
     sp = sub.add_parser(
         "hybrid",
@@ -478,6 +483,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="PQ codebook entries per subspace (pq method)")
     sp.add_argument("--n-centroids", type=int, default=16,
                     help="centroid count when building --index")
+    sp.add_argument("--rerank", type=int, default=None, metavar="N_CAND",
+                    help="two-stage refine (ivf --index only, built "
+                    "with PQ): PQ scores pick N_CAND candidates per "
+                    "query, exact cosine over their full-precision "
+                    "vectors decides the final top-k")
     sp.add_argument("--out", default=None,
                     help="write neighbor rows parquet here")
 
@@ -647,18 +657,43 @@ def main(argv: list[str] | None = None) -> int:
             _emit([{"rows": n, "out": args.out}], args.output)
             return 0
         if args.cmd == "bm25" and args.index:
-            # indexed ranking never touches the corpus
-            from wimbd_spark.operators.bm25 import bm25_topk_indexed
+            # indexed ranking never touches the corpus — except
+            # --filter, whose metadata columns live only there: the
+            # corpus then supplies CANDIDATE ids (ES terms-lookup
+            # form), still never the ranked scan itself
+            from pyspark.sql import functions as F
 
-            if args.query is None:
-                raise SystemExit(
-                    "--like needs the corpus for term extraction; "
-                    "use -q with --index"
-                )
-            res = bm25_topk_indexed(
-                spark, args.index, args.query, k=args.topk,
-                k1=args.k1, b=args.b,
+            from wimbd_spark.operators.bm25 import (
+                bm25_topk_indexed,
+                more_like_this_indexed,
             )
+
+            if (args.query is None) == (args.like is None):
+                raise SystemExit("bm25 needs exactly one of -q / --like")
+            cand = None
+            if args.filter:
+                cdf = _load(spark, args.paths, args.limit, args.file_limit)
+                cand = cdf.where(F.expr(args.filter)).select(
+                    F.col(args.id_col).alias("doc_id")
+                )
+            if args.like is not None:
+                if cand is not None:
+                    raise SystemExit(
+                        "--filter is not supported with --like"
+                    )
+                anchor = (
+                    int(args.like) if args.like.lstrip("-").isdigit()
+                    else args.like
+                )
+                res = more_like_this_indexed(
+                    spark, args.index, anchor, k=args.topk,
+                    n_terms=args.like_terms, k1=args.k1, b=args.b,
+                )
+            else:
+                res = bm25_topk_indexed(
+                    spark, args.index, args.query, k=args.topk,
+                    k1=args.k1, b=args.b, candidates=cand,
+                )
             _emit([r.asDict() for r in res.collect()], args.output)
             return 0
         if args.cmd == "phrases" and args.index:
@@ -1034,11 +1069,17 @@ def main(argv: list[str] | None = None) -> int:
             )
             _emit([r.asDict() for r in res.collect()], args.output)
         elif args.cmd == "bm25":
+            from pyspark.sql import functions as F
+
             from wimbd_spark.operators.bm25 import bm25_topk, more_like_this
 
             if (args.query is None) == (args.like is None):
                 raise SystemExit("bm25 needs exactly one of -q / --like")
             if args.like is not None:
+                if args.filter:
+                    raise SystemExit(
+                        "--filter is not supported with --like"
+                    )
                 anchor = (
                     int(args.like) if args.like.lstrip("-").isdigit()
                     else args.like
@@ -1051,6 +1092,7 @@ def main(argv: list[str] | None = None) -> int:
                 res = bm25_topk(
                     df, args.query, k=args.topk, k1=args.k1, b=args.b,
                     id_col=args.id_col, text_col=t,
+                    filters=F.expr(args.filter) if args.filter else None,
                 )
             _emit([r.asDict() for r in res.collect()], args.output)
         elif args.cmd == "contamination":
@@ -1331,6 +1373,8 @@ def main(argv: list[str] | None = None) -> int:
             kw = dict(k=args.topk, id_col=args.id_col, vec_col=args.vec_col)
             if args.index and args.method != "ivf":
                 raise SystemExit("--index requires --method ivf")
+            if args.rerank and not args.index:
+                raise SystemExit("--rerank requires --index")
             if args.index:
                 from wimbd_spark.operators.similarity import (
                     build_ivf_index,
@@ -1356,10 +1400,23 @@ def main(argv: list[str] | None = None) -> int:
                         id_col=args.id_col,
                         vec_col=args.vec_col,
                         n_centroids=args.n_centroids,
+                        # --rerank needs persisted PQ codes
+                        pq_m=args.pq_m if args.rerank else None,
+                        pq_codes=args.pq_codes,
                     )
-                res = cosine_topk_ivf_indexed(
-                    spark, args.index, queries, **kw
-                )
+                if args.rerank:
+                    from wimbd_spark.operators.similarity import (
+                        cosine_topk_ivf_pq_rerank,
+                    )
+
+                    res = cosine_topk_ivf_pq_rerank(
+                        spark, args.index, queries,
+                        n_candidates=args.rerank, **kw
+                    )
+                else:
+                    res = cosine_topk_ivf_indexed(
+                        spark, args.index, queries, **kw
+                    )
             elif args.method == "exact":
                 res = cosine_topk(df, queries, **kw)
             elif args.method == "lsh":
