@@ -5480,6 +5480,87 @@ def o_nb_quality_scores():
 
 # ------------------------------------------------------------ registry
 
+def q_ngram_spectrum(spark, sf_dir):
+    """Frequency-of-frequencies over bigrams (topk.ngram_count_spectrum
+    — the Good-Turing N_c table / Zipf-plot distribution): same single
+    gram shuffle as topk, plus one bounded groupBy over the count
+    column (output ≤ max-count rows)."""
+    from wimbd_spark.operators.topk import ngram_count_spectrum
+
+    return ngram_count_spectrum(_docs(spark, sf_dir), 2).select(
+        F.col("occurrences").cast("long").alias("occurrences"),
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+    )
+
+
+def o_ngram_spectrum():
+    return f"""
+      WITH {_sql_grams(2)},
+      counts AS (SELECT ngram, count(*) AS c FROM grams GROUP BY ngram)
+      SELECT CAST(c AS BIGINT) AS occurrences,
+             CAST(count(*) AS BIGINT) AS n_ngrams
+      FROM counts GROUP BY c
+    """
+
+
+PMI_K = 20
+PMI_MIN_COUNT = 5
+
+
+def q_top_pmi_bigrams(spark, sf_dir):
+    """Top-20 bigram collocations by PMI (topk.top_pmi_bigrams, Church
+    & Hanks 1990) at min_count=5: two standard gram shuffles + two
+    word-keyed joins (no broadcast assumption — the unigram side is
+    vocabulary-sized), one-row total broadcasts, TakeOrdered tail.
+    pmi rounded once to 6 dp (decimal convention), ties (pmi desc,
+    w1, w2)."""
+    from wimbd_spark.operators.topk import top_pmi_bigrams
+
+    return top_pmi_bigrams(
+        _docs(spark, sf_dir), k=PMI_K, min_count=PMI_MIN_COUNT
+    ).select(
+        "w1",
+        "w2",
+        F.col("pair_count").cast("long").alias("pair_count"),
+        "pmi",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def o_top_pmi_bigrams():
+    return f"""
+      WITH {_sql_grams(2)},
+      uni AS (
+        SELECT w, count(*) AS wc
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+      ),
+      bi AS (
+        SELECT ngram, count(*) AS c FROM grams GROUP BY ngram
+        HAVING count(*) >= {PMI_MIN_COUNT}
+      ),
+      tot AS (
+        SELECT (SELECT sum(wc) FROM uni) AS tu,
+               (SELECT count(*) FROM grams) AS tb
+      ),
+      scored AS (
+        SELECT list_extract(str_split(b.ngram, ' '), 1) AS w1,
+               list_extract(str_split(b.ngram, ' '), 2) AS w2,
+               b.c AS pair_count,
+               round(ln((CAST(b.c AS DOUBLE) / tb) /
+                        ((CAST(u1.wc AS DOUBLE) / tu) *
+                         (CAST(u2.wc AS DOUBLE) / tu))), 6) AS pmi
+        FROM bi b
+        JOIN uni u1 ON u1.w = list_extract(str_split(b.ngram, ' '), 1)
+        JOIN uni u2 ON u2.w = list_extract(str_split(b.ngram, ' '), 2)
+        CROSS JOIN tot
+      )
+      SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count, pmi,
+             CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT)
+               AS rank
+      FROM scored ORDER BY pmi DESC, w1, w2 LIMIT {PMI_K}
+    """
+
+
 def q_bpe_train_roundtrip(spark, sf_dir):
     """Distributed BPE tokenizer TRAINING (functions/bpe_train.py —
     Sennrich 2016 / byte-level per Radford 2019) gated by the
@@ -5538,6 +5619,8 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "bpe_train_roundtrip": (q_bpe_train_roundtrip, o_bpe_train_roundtrip),
     "ivf_pq_rerank_top3": (q_ivf_pq_rerank, o_ivf_pq_rerank),
     "more_like_this_indexed_top10": (q_more_like_this_indexed, o_more_like_this),
+    "ngram_spectrum_n2": (q_ngram_spectrum, o_ngram_spectrum),
+    "top_pmi_bigrams_k20": (q_top_pmi_bigrams, o_top_pmi_bigrams),
     "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
     "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
     "weighted_sample_chars_k50": (

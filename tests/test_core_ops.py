@@ -256,3 +256,46 @@ def test_search_snippets_kwic(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         search_snippets(docs, ["fox"], window=-1)
+
+
+def test_ngram_count_spectrum(spark, tiny):
+    from wimbd_spark.operators.topk import ngram_count_spectrum
+
+    # tiny bigrams: "a b"x2, "b a", "b c", "b x", "a b" (doc2) ->
+    # counts: "a b"=3, others 1 each
+    got = {
+        r.occurrences: r.n_ngrams
+        for r in ngram_count_spectrum(tiny, 2).collect()
+    }
+    counts = {
+        r.ngram: r["count"] for r in ngram_counts(tiny, 2).collect()
+    }
+    want: dict = {}
+    for c in counts.values():
+        want[c] = want.get(c, 0) + 1
+    assert got == want
+    assert sum(k * v for k, v in got.items()) == sum(counts.values())
+
+
+def test_top_pmi_bigrams_hand_math(spark):
+    import math
+
+    from wimbd_spark.operators.topk import top_pmi_bigrams
+
+    # "x y" always co-occurs (PMI high); "a b" co-occurs at chance-ish
+    rows = [
+        (1, "x y a c"),
+        (2, "x y b d"),
+        (3, "a d x y"),
+        (4, "b c x y"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = top_pmi_bigrams(df, k=3, min_count=2).collect()
+    assert got[0].w1 == "x" and got[0].w2 == "y"
+    assert got[0].pair_count == 4
+    # hand PMI: p(xy) = 4/12 bigrams, p(x) = p(y) = 4/16 tokens
+    want = round(math.log((4 / 12) / ((4 / 16) * (4 / 16))), 6)
+    assert got[0].pmi == pytest.approx(want, abs=1e-9)
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+    with pytest.raises(ValueError):
+        top_pmi_bigrams(df, k=0)

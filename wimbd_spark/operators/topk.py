@@ -113,3 +113,101 @@ def unique_ngrams(
         F.approx_count_distinct("ngram", rsd) if approx else F.countDistinct("ngram")
     )
     return exploded.agg(agg.alias("unique_count"))
+
+
+def ngram_count_spectrum(
+    df: DataFrame, n: int, text_col: str = "text"
+) -> DataFrame:
+    """Frequency-of-frequencies ("count spectrum"): for each
+    occurrence count c, how many DISTINCT n-grams occur exactly c
+    times → (occurrences, n_ngrams), the classic corpus-statistics
+    view (Good-Turing's N_c table; the shape behind every Zipf plot).
+    The reference's summary analyses report totals and top-k heads
+    (src/cmd/stats.rs, topk.rs); the spectrum is the whole
+    distribution in one bounded table.
+
+    100 TB plan: the gram-count aggregation is the SAME single shuffle
+    every topk/botk query pays; the second groupBy runs over the
+    count column of that table and its output is at most
+    max-count rows (real corpora: a few thousand — Zipf tails make
+    counts sparse), with map-side partial aggregation on both stages.
+    """
+    return (
+        ngram_counts(df, n, text_col)
+        .groupBy(F.col("count").alias("occurrences"))
+        .agg(F.count(F.lit(1)).alias("n_ngrams"))
+    )
+
+
+def top_pmi_bigrams(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information →
+    (w1, w2, pair_count, pmi, rank). PMI = ln(p(w1 w2)/(p(w1)p(w2)))
+    with p() over the corpus bigram/unigram totals (Church & Hanks
+    1990) — "which word pairs co-occur far more than chance", the
+    collocation analysis a corpus-exploration toolkit pairs with
+    top-k n-grams. ``min_count`` drops rare pairs (PMI's classic
+    low-frequency instability).
+
+    Determinism: pmi is rounded once to 6 dp (the engine's decimal
+    convention); ties break (pmi desc, w1, w2).
+
+    100 TB plan: one bigram agg + one unigram agg (the two standard
+    gram shuffles); unigram counts join the bigram table keyed on the
+    gram words — two shuffled equi-joins on word keys (no broadcast
+    assumption: the unigram table is corpus-vocabulary-sized); totals
+    are one-row broadcasts; final selection is TakeOrderedAndProject.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = tokenize(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    bi = ngram_counts(df, 2, text_col).filter(
+        F.col("count") >= F.lit(min_count)
+    )
+    n_uni = F.broadcast(uni.agg(F.sum("wc").alias("_tu")))
+    n_bi = F.broadcast(
+        ngram_counts(df, 2, text_col).agg(F.sum("count").alias("_tb"))
+    )
+    parts = F.split(F.col("ngram"), " ", 2)
+    pairs = bi.select(
+        parts.getItem(0).alias("w1"),
+        parts.getItem(1).alias("w2"),
+        F.col("count").alias("pair_count"),
+    )
+    w1c = uni.select(F.col("w").alias("w1"), F.col("wc").alias("c1"))
+    w2c = uni.select(F.col("w").alias("w2"), F.col("wc").alias("c2"))
+    scored = (
+        pairs.join(w1c, "w1")
+        .join(w2c, "w2")
+        .crossJoin(n_uni)
+        .crossJoin(n_bi)
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count").cast("double") / F.col("_tb"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("_tu"))
+                        * (F.col("c2").cast("double") / F.col("_tu"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    order = [F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    top = scored.orderBy(*order).limit(k)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )
