@@ -422,3 +422,37 @@ def test_indexed_exclude_id_matches_scan(docs_df, tmp_path):
     assert [(r.doc_id, r.score, r.rank) for r in got] == [
         (r.doc_id, r.score, r.rank) for r in want
     ]
+
+
+def test_batch_filters_match_per_query_filters(filtered_df, tmp_path):
+    """Batch filters= (scan and indexed/candidates) are row-identical
+    to the per-query filtered singles."""
+    from wimbd_spark.operators.bm25 import (
+        bm25_topk_batch,
+        bm25_topk_batch_indexed,
+    )
+
+    spark = filtered_df.sparkSession
+    qs = ["spark fast table", "slow merge"]
+    flt = F.col("src") == "a"
+    got = bm25_topk_batch(filtered_df, qs, k=5, filters=flt).collect()
+    want = []
+    for q in qs:
+        want += [
+            (q, r.doc_id, r.score, r.rank)
+            for r in bm25_topk(filtered_df, q, k=5, filters=flt).collect()
+        ]
+    key = lambda t: (t[0], t[3])  # noqa: E731
+    assert sorted(
+        [(r.query, r.doc_id, r.score, r.rank) for r in got], key=key
+    ) == sorted(want, key=key)
+
+    idx = str(tmp_path / "bfidx")
+    build_phrase_index(filtered_df, idx, num_files=2)
+    cand = filtered_df.where(flt).select("doc_id")
+    got_idx = bm25_topk_batch_indexed(
+        spark, idx, qs, k=5, candidates=cand
+    ).collect()
+    assert sorted(
+        [(r.query, r.doc_id, r.score, r.rank) for r in got_idx], key=key
+    ) == sorted(want, key=key)

@@ -533,3 +533,21 @@ def test_bm25_batch_indexed_plan_constant_in_queries(spark, tmp_path, raw_docs):
     # any batch size (the phrase_matches_batch property)
     assert p3.count("(") == p1.count("(")
     assert "documents.parquet" not in p3
+
+
+def test_pmi_joins_are_equi_joins_totals_broadcast(spark, raw_docs):
+    """top_pmi_bigrams: the unigram joins must be EQUI joins
+    (broadcast-hash or sort-merge — never a cartesian product), the
+    two corpus totals ride one-row broadcast crossJoins (the dsir
+    totals pattern — BNLJ over exactly one row), and the tail is
+    TakeOrderedAndProject, not a global sort."""
+    from wimbd_spark.operators.topk import top_pmi_bigrams
+
+    q = top_pmi_bigrams(raw_docs, k=5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    equi = plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin")
+    assert equi >= 2, plan  # the w1/w2 vocabulary joins
+    # BNLJ appearances are only the two one-row totals crossJoins
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan

@@ -590,6 +590,7 @@ def bm25_topk_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokenizer=None,
+    filters=None,
 ) -> DataFrame:
     """Ranked msearch: BM25 top-k for EVERY query in ONE corpus pass →
     (query string, id_col, score double, rank int).
@@ -602,6 +603,11 @@ def bm25_topk_batch(
     matching document — so a 100-query batch costs one corpus scan +
     one rank shuffle of candidate (query, id, score) rows instead of
     100 scans. Rank = per-query window over candidates only.
+
+    ``filters`` (boolean Column over corpus columns) applies the same
+    ES bool.filter semantics as ``bm25_topk``: one shared non-scoring
+    candidate gate for every query in the batch (an msearch where each
+    request carries the same filter clause); stats stay index-wide.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -615,8 +621,11 @@ def bm25_topk_batch(
     tok = tokenizer if tokenizer is not None else tokenize
 
     tf_cols = [f"tf{i}" for i in range(len(all_terms))]
+    keep = [] if filters is None else [
+        F.coalesce(filters, F.lit(False)).alias("__keep")
+    ]
     toked = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), tok(F.col(text_col)).alias("toks")
+        F.col(id_col), tok(F.col(text_col)).alias("toks"), *keep
     )
 
     def tf_of(term):
@@ -626,6 +635,7 @@ def bm25_topk_batch(
         id_col,
         F.size("toks").alias("dl"),
         *[tf_of(all_terms[i]).alias(tf_cols[i]) for i in range(len(all_terms))],
+        *([F.col("__keep")] if filters is not None else []),
     )
     stats = base.agg(
         F.coalesce(
@@ -661,6 +671,8 @@ def bm25_topk_batch(
                 ),
             ).otherwise(F.lit(0).cast("decimal(12,6)"))
             contribs = c if contribs is None else (contribs + c)
+        if filters is not None:
+            any_tf = any_tf & F.col("__keep")
         return F.when(
             any_tf,
             F.struct(
@@ -702,10 +714,16 @@ def bm25_topk_batch_indexed(
     *,
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
+    filters=None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Ranked msearch from postings: BM25 top-k for EVERY query →
     (query, doc_id, score double, rank int), per-query rows identical
-    to ``bm25_topk_indexed`` (pinned by test).
+    to ``bm25_topk_indexed`` (pinned by test). ``filters`` (doc_id
+    predicate, pushed into the postings scan) and ``candidates``
+    (doc-id DataFrame, broadcast LEFT SEMI) compose exactly as on
+    ``bm25_topk_indexed``: one shared non-scoring gate for the whole
+    batch, stats index-wide.
 
     The eval-scale batch shape: the (query, term) pairs become a
     broadcast MAPPING TABLE, so the plan is the same handful of joins
@@ -739,7 +757,16 @@ def bm25_topk_batch_indexed(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
     )
+    # index-wide df BEFORE any candidate restriction (ES bool.filter)
     dfs = posts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if filters is not None:
+        posts = posts.filter(filters)
+    if candidates is not None:
+        posts = posts.join(
+            F.broadcast(candidates.select("doc_id").distinct()),
+            "doc_id",
+            "left_semi",
+        )
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     scored = (
         posts.join(F.broadcast(qmap), "token")
