@@ -5344,6 +5344,71 @@ RRF_DEPTH = 20
 RRF_K = 10
 
 
+def q_hybrid_rrf_filtered(spark, sf_dir):
+    """Filtered hybrid search: the ES bool.filter gate applied to BOTH
+    legs' candidate generation (fusion.hybrid_search filters=) — the
+    sparse leg inside its BM25 scan (stats index-wide), the dense
+    leg's corpus semi-joined to the allowed ids BEFORE ranking, so the
+    fusion sees a full depth of eligible docs per leg."""
+    from wimbd_spark.operators.fusion import hybrid_search
+
+    return hybrid_search(
+        _docs(spark, sf_dir),
+        _tbl(spark, sf_dir, "embeddings"),
+        BM25_QUERY,
+        query_vec_id=0,
+        k=RRF_K,
+        depth=RRF_DEPTH,
+        filters=F.col("source") == BM25_FILTER_SRC,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rrf_score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def o_hybrid_rrf_filtered():
+    return f"""
+      WITH {_sql_bm25_ctes(BM25_QUERY)},
+      allowed AS (SELECT doc_id FROM documents
+                  WHERE source = '{BM25_FILTER_SRC}'),
+      sparse AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS r
+        FROM bscored WHERE doc_id IN (SELECT doc_id FROM allowed)
+        ORDER BY sc DESC, doc_id ASC LIMIT {RRF_DEPTH}
+      ),
+      qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+             WHERE vec_id = 0),
+      dense0 AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(v, embedding::DOUBLE[])
+                   DESC, vec_id ASC
+               ) AS r
+        FROM embeddings, qv
+        WHERE vec_id <> 0
+          AND vec_id IN (SELECT doc_id FROM allowed)
+      ),
+      dense AS (SELECT doc_id, r FROM dense0 WHERE r <= {RRF_DEPTH}),
+      contrib AS (
+        SELECT doc_id,
+               CAST(round(1.0 / (60 + r), 6) AS DECIMAL(12,6)) AS ct
+        FROM sparse
+        UNION ALL
+        SELECT doc_id,
+               CAST(round(1.0 / (60 + r), 6) AS DECIMAL(12,6)) AS ct
+        FROM dense
+      ),
+      fused AS (SELECT doc_id, sum(ct) AS s FROM contrib GROUP BY doc_id)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(s AS DOUBLE) AS rrf_score,
+             CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INT)
+               AS rank
+      FROM fused ORDER BY s DESC, doc_id ASC LIMIT {RRF_K}
+    """
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Sparse+dense hybrid search (operators/fusion.py, Cormack et al.
     2009 RRF): fuse the BM25 top-20 for BM25_QUERY with the exact-
@@ -5621,6 +5686,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "more_like_this_indexed_top10": (q_more_like_this_indexed, o_more_like_this),
     "ngram_spectrum_n2": (q_ngram_spectrum, o_ngram_spectrum),
     "top_pmi_bigrams_k20": (q_top_pmi_bigrams, o_top_pmi_bigrams),
+    "hybrid_rrf_filtered_top10": (q_hybrid_rrf_filtered, o_hybrid_rrf_filtered),
     "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
     "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
     "weighted_sample_chars_k50": (

@@ -95,3 +95,55 @@ def test_hybrid_with_ivf_dense_leg(spark, tmp_path):
     assert len(fused) == 5
     assert [r.rank for r in fused] == [1, 2, 3, 4, 5]
     assert fused[0].rrf_score >= fused[-1].rrf_score
+
+
+def test_hybrid_filters_gate_both_legs(spark):
+    """filters= restricts candidate generation in BOTH legs: the fused
+    result only contains allowed docs, each leg's ranks re-number
+    within the filtered candidates (full depth of eligible docs), and
+    the query embedding may itself be outside the filter."""
+    docs = spark.createDataFrame(
+        [
+            (0, "anchor text about tables", "b"),
+            (1, "spark table scan", "a"),
+            (2, "table scan table scan", "a"),
+            (3, "unrelated words", "a"),
+            (4, "table scan fast", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.95, 0.05]),
+            (4, [0.8, 0.2]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = hybrid_search(
+        docs, emb, "table scan", query_vec_id=0, k=5,
+        filters=F.col("source") == "a",
+    ).collect()
+    ids = {r.doc_id for r in rows}
+    assert ids == {1, 2, 3}  # doc 4 (src b) filtered; 0 is the anchor
+    # equivalent to fusing the hand-filtered legs
+    from wimbd_spark.operators.bm25 import bm25_topk
+    from wimbd_spark.operators.similarity import cosine_topk
+
+    sparse = bm25_topk(
+        docs, "table scan", k=20, filters=F.col("source") == "a"
+    ).select("doc_id", "rank")
+    allowed = docs.filter(F.col("source") == "a").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    dense = cosine_topk(
+        emb.join(allowed, "vec_id", "left_semi"),
+        emb.filter(F.col("vec_id") == 0),
+        k=20,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    want = rrf_fuse([sparse, dense], k=5).collect()
+    assert [(r.doc_id, r.rrf_score, r.rank) for r in rows] == [
+        (r.doc_id, r.rrf_score, r.rank) for r in want
+    ]

@@ -310,6 +310,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--depth", type=int, default=20,
                     help="per-list depth fed into the fusion")
     sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--filter", default=None, metavar="SQL_EXPR",
+                    help="ES bool.filter over corpus columns, gating "
+                    "candidate generation in BOTH legs")
 
     sp = sub.add_parser(
         "contamination",
@@ -1061,11 +1064,14 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "hybrid":
             from wimbd_spark.operators.fusion import hybrid_search
 
+            from pyspark.sql import functions as F
+
             emb = _load(spark, [args.embeddings], None, None)
             res = hybrid_search(
                 df, emb, args.query, query_vec_id=args.vec_id,
                 k=args.topk, depth=args.depth,
                 id_col=args.id_col, text_col=t,
+                filters=F.expr(args.filter) if args.filter else None,
             )
             _emit([r.asDict() for r in res.collect()], args.output)
         elif args.cmd == "bm25":

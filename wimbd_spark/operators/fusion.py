@@ -85,22 +85,41 @@ def hybrid_search(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filters=None,
 ) -> DataFrame:
     """BM25 + exact-cosine hybrid: fuse the sparse top-``depth`` for
     ``query`` with the dense top-``depth`` neighbors of the embedding
     at ``query_vec_id`` (ids shared between ``docs`` and
     ``embeddings``). Returns (id_col, rrf_score, rank), top-k fused.
     Swap the dense side for the IVF/PQ paths at scale — any
-    (id, rank) list fuses."""
+    (id, rank) list fuses.
+
+    ``filters`` (boolean Column over ``docs`` columns) applies the ES
+    bool.filter convention to BOTH legs' CANDIDATE GENERATION: the
+    sparse leg gates candidacy inside its scan (``bm25_topk
+    filters=``, stats index-wide); the dense leg's corpus side is
+    semi-joined to the allowed ids before ranking, so each leg's
+    top-``depth`` is a full depth of eligible documents (filtering
+    AFTER ranking would silently thin the lists the fusion sees). The
+    query embedding is looked up in the UNfiltered embeddings — an
+    anchor outside the filter is still a valid query, matching MLT's
+    anchor convention."""
     from wimbd_spark.operators.bm25 import bm25_topk
     from wimbd_spark.operators.similarity import cosine_topk
 
     sparse = bm25_topk(
-        docs, query, k=depth, id_col=id_col, text_col=text_col
+        docs, query, k=depth, id_col=id_col, text_col=text_col,
+        filters=filters,
     ).select(id_col, "rank")
     queries = embeddings.filter(F.col(vec_id_col) == query_vec_id)
+    corpus = embeddings
+    if filters is not None:
+        allowed = docs.filter(filters).select(
+            F.col(id_col).alias(vec_id_col)
+        )
+        corpus = embeddings.join(allowed, vec_id_col, "left_semi")
     dense = cosine_topk(
-        embeddings, queries, k=depth, id_col=vec_id_col, vec_col=vec_col
+        corpus, queries, k=depth, id_col=vec_id_col, vec_col=vec_col
     ).select(F.col("neighbor_id").alias(id_col), "rank")
     return rrf_fuse(
         [sparse, dense], k=k, c=c, id_col=id_col, rank_col="rank"
