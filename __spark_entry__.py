@@ -4563,6 +4563,100 @@ def o_events_asof_attribution():
     """
 
 
+def q_events_asof_next_click(spark, sf_dir):
+    """FORWARD as-of: each purchase joined to the EARLIEST click at or
+    after it (same user; smallest event_id on ties — the forward
+    scan's natural order), with a 24 h tolerance. Same single-shuffle
+    union-tag window plan as the backward join, mirrored frame
+    (operators/asof.py direction=forward)."""
+    from wimbd_spark.operators.asof import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = asof_join(
+        purch, clicks, on="user_id", tiebreak="event_id",
+        right_cols=["event_id"], direction="forward",
+        tolerance_s=86400,
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("r_event_id").cast("long").alias("next_click_event_id"),
+        F.col("r_ts_us").cast("long").alias("next_click_ts_us"),
+    )
+
+
+def o_events_asof_next_click():
+    return """
+      SELECT CAST(l.event_id AS BIGINT) AS event_id,
+             CAST(l.user_id AS BIGINT) AS user_id,
+             epoch_us(l.ts) AS purchase_ts_us,
+             CAST((SELECT r.event_id FROM events r
+                   WHERE r.user_id = l.user_id AND r.event_type = 'click'
+                     AND r.ts >= l.ts
+                     AND epoch_us(r.ts) - epoch_us(l.ts) <= 86400000000
+                   ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) AS BIGINT)
+               AS next_click_event_id,
+             (SELECT epoch_us(r.ts) FROM events r
+              WHERE r.user_id = l.user_id AND r.event_type = 'click'
+                AND r.ts >= l.ts
+                AND epoch_us(r.ts) - epoch_us(l.ts) <= 86400000000
+              ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) AS next_click_ts_us
+      FROM events l WHERE l.event_type = 'purchase'
+    """
+
+
+def q_events_asof_nearest_click(spark, sf_dir):
+    """NEAREST as-of: each purchase joined to the time-closest click of
+    the same user; distance ties resolve backward (pandas convention),
+    same-timestamp ties to the greatest event_id on the backward side
+    and the smallest on the forward side. Both frames evaluate over
+    ONE sorted partition — still a single key shuffle."""
+    from wimbd_spark.operators.asof import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = asof_join(
+        purch, clicks, on="user_id", tiebreak="event_id",
+        right_cols=["event_id"], direction="nearest",
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("r_event_id").cast("long").alias("nearest_click_event_id"),
+        F.col("r_ts_us").cast("long").alias("nearest_click_ts_us"),
+    )
+
+
+def o_events_asof_nearest_click():
+    # nearest = min |Δts|; distance ties -> backward; equal-ts ties ->
+    # greatest id backward / smallest id forward (the engine's scan
+    # orders). The CASE negates the id on the backward side so one
+    # ascending ORDER BY expresses both tie directions.
+    return """
+      SELECT CAST(l.event_id AS BIGINT) AS event_id,
+             CAST(l.user_id AS BIGINT) AS user_id,
+             CAST((SELECT r.event_id FROM events r
+                   WHERE r.user_id = l.user_id AND r.event_type = 'click'
+                   ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)) ASC,
+                            (r.ts > l.ts) ASC,
+                            CASE WHEN r.ts <= l.ts THEN -r.event_id
+                                 ELSE r.event_id END ASC
+                   LIMIT 1) AS BIGINT) AS nearest_click_event_id,
+             (SELECT epoch_us(r.ts) FROM events r
+              WHERE r.user_id = l.user_id AND r.event_type = 'click'
+              ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)) ASC,
+                       (r.ts > l.ts) ASC,
+                       CASE WHEN r.ts <= l.ts THEN -r.event_id
+                            ELSE r.event_id END ASC
+              LIMIT 1) AS nearest_click_ts_us
+      FROM events l WHERE l.event_type = 'purchase'
+    """
+
+
 def q_events_click_window_hist(spark, sf_dir):
     """Clicks-before-purchase histogram: per purchase, the number of
     same-user clicks in the trailing 24 h, bucketed. The pair
@@ -5687,6 +5781,11 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "ngram_spectrum_n2": (q_ngram_spectrum, o_ngram_spectrum),
     "top_pmi_bigrams_k20": (q_top_pmi_bigrams, o_top_pmi_bigrams),
     "hybrid_rrf_filtered_top10": (q_hybrid_rrf_filtered, o_hybrid_rrf_filtered),
+    "events_asof_next_click": (q_events_asof_next_click, o_events_asof_next_click),
+    "events_asof_nearest_click": (
+        q_events_asof_nearest_click,
+        o_events_asof_nearest_click,
+    ),
     "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
     "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
     "weighted_sample_chars_k50": (

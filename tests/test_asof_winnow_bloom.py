@@ -252,3 +252,68 @@ def test_bloom_decontaminate_superset_of_exact(spark, documents):
 def test_bloom_build_rejects_bad_m():
     with pytest.raises(ValueError):
         bloom_build(None, m_bits=1001)
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """backward / forward / nearest (± strict, ± tolerance) agree with
+    pandas.merge_asof on randomized per-key series (right timestamps
+    unique per key so value-tiebreak vs pandas' positional tiebreak
+    cannot diverge)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    lrows, rrows = [], []
+    rid = 0
+    for u in range(6):
+        for i in range(12):
+            lrows.append((1000 + u * 100 + i, u, "p", rng.randint(0, 500)))
+        for t in rng.sample(range(0, 500), 15):  # unique ts per key
+            rrows.append((rid, u, "c", t))
+            rid += 1
+    left, right = _ev(spark, lrows), _ev(spark, rrows)
+
+    lp = pd.DataFrame(
+        [(e, u, t) for e, u, _, t in lrows],
+        columns=["event_id", "user_id", "ts_s"],
+    ).sort_values(["ts_s", "event_id"])
+    rp = pd.DataFrame(
+        [(e, u, t) for e, u, _, t in rrows],
+        columns=["r_event_id", "user_id", "r_ts_s"],
+    ).sort_values(["r_ts_s", "r_event_id"])
+
+    for direction in ("backward", "forward", "nearest"):
+        for strict in (False, True):
+            if direction == "nearest" and strict:
+                with pytest.raises(ValueError):
+                    asof_join(left, right, on="user_id",
+                              direction="nearest", strict=True)
+                continue
+            for tol in (None, 60):
+                got = {
+                    r.event_id: r.r_event_id
+                    for r in asof_join(
+                        left, right, on="user_id",
+                        right_cols=["event_id"],
+                        tiebreak="event_id", strict=strict,
+                        tolerance_s=tol, direction=direction,
+                    ).select(
+                        "event_id",
+                        F.col("r_event_id").alias("r_event_id"),
+                    ).collect()
+                }
+                want_df = pd.merge_asof(
+                    lp, rp, left_on="ts_s", right_on="r_ts_s",
+                    by="user_id", direction=direction,
+                    allow_exact_matches=not strict,
+                    tolerance=tol,
+                )
+                want = {
+                    int(r.event_id): (
+                        None if pd.isna(r.r_event_id)
+                        else int(r.r_event_id)
+                    )
+                    for r in want_df.itertuples()
+                }
+                assert got == want, (direction, strict, tol)

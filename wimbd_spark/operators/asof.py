@@ -48,21 +48,43 @@ def asof_join(
     strict: bool = False,
     tolerance_s: int | None = None,
     prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.ts <= left.ts`` (``<`` when ``strict``) sharing the join
-    key(s). Unmatched left rows keep NULL right columns (left outer
-    as-of semantics).
+    """For each left row, attach one right row sharing the join
+    key(s), by ``direction`` (the pandas ``merge_asof`` directions):
+
+    * ``backward`` (default): most recent right with
+      ``right.ts <= left.ts`` (``<`` when ``strict``);
+    * ``forward``: earliest right with ``right.ts >= left.ts``
+      (``>`` when ``strict``);
+    * ``nearest``: whichever of the two is closer in time; exact ties
+      in distance resolve backward (pandas convention). ``strict`` is
+      not supported with nearest (raise) — exclude exact matches by
+      pre-filtering instead.
+
+    Unmatched left rows keep NULL right columns (left outer as-of
+    semantics).
 
     Ties among right rows at the same timestamp resolve to the
-    greatest ``tiebreak`` value (pass a unique id column for
-    determinism). ``tolerance_s`` drops matches older than the
-    window (match becomes NULL, the left row stays).
+    greatest ``tiebreak`` value for backward matches and the SMALLEST
+    for forward matches (each side's natural scan order; pass a unique
+    id column for determinism). ``tolerance_s`` drops matches farther
+    than the window in the match direction (match becomes NULL, the
+    left row stays).
 
     Returns left columns + ``{prefix}{c}`` for each right column in
     ``right_cols`` (default: all non-key, non-ts right columns) +
     ``{prefix}ts_us`` (matched right timestamp, epoch µs).
+
+    Plan shape is ONE key shuffle for every direction: forward is the
+    mirrored window frame (first-following instead of last-preceding)
+    over the same union; nearest evaluates both frames over the same
+    sorted partition and picks per-row — still no self-join.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if direction == "nearest" and strict:
+        raise ValueError("strict is not supported with nearest")
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [
@@ -74,9 +96,15 @@ def asof_join(
     )
     payload_type = right.select(payload.alias("p")).schema["p"].dataType
 
-    # side ordering at equal ts: inclusive -> right sorts BEFORE left
-    # (visible); strict -> right sorts AFTER left (invisible).
-    r_side, l_side = (0, 1) if not strict else (1, 0)
+    # side ordering at equal ts, per direction:
+    # backward/nearest: inclusive -> right sorts BEFORE left (visible
+    #   to the preceding frame); strict backward -> right AFTER left.
+    # forward: inclusive -> right sorts AFTER left (visible to the
+    #   following frame); strict forward -> right BEFORE left.
+    if direction == "forward":
+        r_side, l_side = (1, 0) if not strict else (0, 1)
+    else:
+        r_side, l_side = (0, 1) if not strict else (1, 0)
     if tiebreak is not None:
         # order on the column's NATIVE type: the old cast("long")
         # turned a string id into NULL silently, making equal-ts ties
@@ -116,27 +144,65 @@ def asof_join(
         payload.alias("__r"),
     )
 
-    w = (
+    order = [
+        F.col("__t").asc(),
+        F.col("__side").asc(),
+        F.col("__tb").asc_nulls_first(),
+    ]
+    w_back = (
         Window.partitionBy(*keys)
-        .orderBy(
-            F.col("__t").asc(),
-            F.col("__side").asc(),
-            F.col("__tb").asc_nulls_first(),
-        )
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    merged = lhs.unionByName(rhs).withColumn(
-        "__m", F.last("__r", ignorenulls=True).over(w)
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
     )
+    tol_us = (
+        None if tolerance_s is None else int(tolerance_s) * 1_000_000
+    )
+
+    def within(cand, dist):
+        # tolerance applies PER CANDIDATE (pandas: a too-far candidate
+        # is no candidate at all — nearest may then take the other
+        # direction's match instead)
+        if tol_us is None:
+            return cand
+        return F.when(dist <= F.lit(tol_us), cand)
+
+    mb = within(
+        F.last("__r", ignorenulls=True).over(w_back),
+        F.col("__t") - F.last("__r", ignorenulls=True).over(w_back)[
+            "__ts_us"
+        ],
+    )
+    mf = within(
+        F.first("__r", ignorenulls=True).over(w_fwd),
+        F.first("__r", ignorenulls=True).over(w_fwd)["__ts_us"]
+        - F.col("__t"),
+    )
+    merged = lhs.unionByName(rhs)
+    if direction == "backward":
+        merged = merged.withColumn("__m", mb)
+    elif direction == "forward":
+        merged = merged.withColumn("__m", mf)
+    else:  # nearest: both frames over the SAME sorted partition
+        merged = merged.withColumn(
+            "__m",
+            F.when(mf.isNull(), mb)
+            .when(mb.isNull(), mf)
+            .when(
+                # backward wins distance ties (pandas convention)
+                (F.col("__t") - mb["__ts_us"])
+                <= (mf["__ts_us"] - F.col("__t")),
+                mb,
+            )
+            .otherwise(mf),
+        )
     matched = merged.where(F.col("__side") == l_side)
 
     m = F.col("__m")
-    if tolerance_s is not None:
-        tol_us = int(tolerance_s) * 1_000_000
-        m = F.when(
-            (F.col("__t") - F.col("__m.__ts_us")) <= F.lit(tol_us),
-            F.col("__m"),
-        )
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     out_cols.append(m["__ts_us"].alias(f"{prefix}ts_us"))
     out_cols.extend(m[c].alias(f"{prefix}{c}") for c in right_cols)
