@@ -3672,6 +3672,50 @@ _SQL_URL_BASE = """
 """
 
 
+def q_url_normalized(spark, sf_dir):
+    """URL canonicalization (functions.text.url_normalize — the
+    C4/CCNet URL-dedup convention the reference's raw-string URL
+    overlaps miss). Each doc's base URL is wrapped in a doc_id-keyed
+    MESS — tracking params, #fragment, trailing slash, uppercased
+    scheme+host with an explicit default port — every variant of which
+    normalizes back to the base EXACTLY, so the oracle is the plain
+    base-URL construction and the driver value-hash verifies the whole
+    normalization pipeline per document."""
+    from wimbd_spark.functions.text import url_normalize
+
+    docs = _docs_with_urls(spark, sf_dir)
+    url = F.col("url")
+    messy = (
+        F.when(F.col("doc_id") % 5 == 1,
+               F.concat(url, F.lit("?utm_source=news&utm_medium=rss")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(url, F.lit("#section-2")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(url, F.lit("/")))
+        .when(
+            F.col("doc_id") % 5 == 4,
+            # uppercase scheme+www host, insert the default port
+            F.regexp_replace(
+                F.regexp_replace(
+                    url, r"^http://www\.([^/]+)", "HTTP://WWW.$1:80"
+                ),
+                r"^https://www\.([^/]+)",
+                "HTTPS://WWW.$1:443",
+            ),
+        )
+        .otherwise(url)
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        url_normalize(messy).alias("url_norm"),
+    )
+
+
+def o_url_normalized():
+    return f"""
+      WITH {_SQL_URL_BASE}
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, url AS url_norm FROM base
+    """
+
+
 def q_url_analysis(spark, sf_dir):
     from wimbd_spark.functions.text import (
         url_ext_bucket,
@@ -5786,6 +5830,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         q_events_asof_nearest_click,
         o_events_asof_nearest_click,
     ),
+    "url_normalized": (q_url_normalized, o_url_normalized),
     "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
     "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
     "weighted_sample_chars_k50": (

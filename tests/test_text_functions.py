@@ -247,3 +247,35 @@ def test_let_single_evaluation_binding(spark):
     assert (out[0].first, out[0].n) == ("a", 5)
     # NULL passes through the binding exactly like a direct reference
     assert (out[1].first, out[1].n) == (None, None)
+
+
+def test_url_normalize_cases(spark):
+    from wimbd_spark.functions.text import url_normalize
+
+    cases = [
+        # (input, expected)
+        ("HTTP://WWW.Ex.COM:80/A/b/?utm_source=x&q=1#frag",
+         "http://www.ex.com/A/b?q=1"),
+        ("https://host.com:443/p/", "https://host.com/p"),
+        ("https://host.com:8443/p", "https://host.com:8443/p"),  # non-default port kept
+        ("http://host.com:443/p", "http://host.com:443/p"),  # wrong-scheme port kept
+        ("https://h.com/x?gclid=1&fbclid=2&utm_medium=a", "https://h.com/x"),
+        ("https://h.com/x?a=1&utm_source=s&b=2", "https://h.com/x?a=1&b=2"),
+        ("https://h.com", "https://h.com"),
+        ("https://h.com///", "https://h.com"),
+        ("not a url", "not a url"),  # scheme-less passthrough
+        ("", ""),
+        (None, None),
+        ("ftp://Files.Example.ORG/Pub/", "ftp://files.example.org/Pub"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["i", "u"]
+    )
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i", url_normalize(F.col("u")).alias("n")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)

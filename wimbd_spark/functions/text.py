@@ -341,6 +341,64 @@ def url_scheme(url: Column | str) -> Column:
     return F.regexp_extract(_col(url), r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
 
 
+# tracking query params dropped by url_normalize (the C4/CCNet
+# canonicalization set: UTM campaign tags + the big ad-click ids)
+_URL_TRACKING_RE = r"^(utm_[^=&]*|gclid|fbclid|msclkid|mc_eid)="
+_URL_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+
+
+def url_normalize(url: Column | str) -> Column:
+    """Canonical URL for URL-level dedup (the C4/CCNet convention —
+    the reference's URL-overlap analyses,
+    wimbd/text_and_url_overlaps/, compare raw strings and so miss
+    `http://HOST/x#frag` == `https://host/x`-class duplicates):
+
+    1. strip the ``#fragment``;
+    2. lowercase the scheme and authority (path/query case preserved —
+       paths are case-sensitive, hosts are not);
+    3. drop the scheme's default port (``:80`` http / ``:443`` https);
+    4. drop tracking query params (``utm_*``, ``gclid``, ``fbclid``,
+       ``msclkid``, ``mc_eid``), and the ``?`` when none survive;
+    5. strip trailing ``/`` from the path.
+
+    Scheme-less strings pass through unchanged (normalize what parses;
+    don't invent structure); NULL stays NULL. Pure Column expressions
+    — whole-stage-codegen'd, one evaluation of the input via let().
+    """
+
+    def norm(u: Column) -> Column:
+        nofrag = F.regexp_replace(u, r"#.*", "")
+        scheme = F.lower(
+            F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+        )
+        auth = F.lower(
+            F.regexp_extract(nofrag, _URL_SCHEME_RE + r"([^/?#]*)", 1)
+        )
+        rest = F.regexp_extract(nofrag, _URL_SCHEME_RE + r"[^/?#]*(.*)", 1)
+        auth = (
+            F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+            .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+            .otherwise(auth)
+        )
+        path = F.regexp_replace(
+            F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", ""
+        )
+        query = F.regexp_extract(rest, r"\?(.*)", 1)
+        kept = F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_URL_TRACKING_RE),
+        )
+        qpart = F.when(
+            F.size(kept) > 0,
+            F.concat(F.lit("?"), F.array_join(kept, "&")),
+        ).otherwise(F.lit(""))
+        return F.when(
+            scheme == "", u  # scheme-less: pass through
+        ).otherwise(F.concat(scheme, F.lit("://"), auth, path, qpart))
+
+    return let(_col(url), norm)
+
+
 # Full Mozilla Public Suffix List (vendored snapshot of the
 # publicsuffix.org dat file — ICANN + private sections, ~9.5k rules),
 # parsed once per process into exact / wildcard / exception sets.
