@@ -3716,6 +3716,70 @@ def o_url_normalized():
     """
 
 
+def q_url_dedup_keepfirst(spark, sf_dir):
+    """URL-level dedup (dedup_keep_first key=url_normalize — the C4
+    convention): docs sharing a page URL collapse to the lowest doc_id.
+    URLs collide by construction (path keyed doc_id % 50) and each
+    doc's copy is messied differently (tracking params / #fragment /
+    trailing slash / uppercased scheme+host with default port), so the
+    groups only form AFTER normalization — raw strings are all
+    distinct. One md5-keyed window shuffle, same plan as text dedup."""
+    from wimbd_spark.functions.text import url_normalize
+    from wimbd_spark.operators.dedup import dedup_keep_first
+
+    docs = _docs(spark, sf_dir)
+    tld = F.lit(".co.uk")
+    for lang, t in _TLD_BY_LANG.items():
+        tld = F.when(F.col("lang") == lang, F.lit(t)).otherwise(tld)
+    base = F.concat(
+        F.lit("https://www."), F.col("source"), tld, F.lit("/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+    )
+    messy = (
+        F.when(F.col("doc_id") % 4 == 1,
+               F.concat(base, F.lit("?utm_campaign=x")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(base, F.lit("#top")))
+        .when(F.col("doc_id") % 4 == 3, F.concat(base, F.lit("/")))
+        .otherwise(base)
+    )
+    withurl = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "source",
+        messy.alias("url"),
+    )
+    kept = dedup_keep_first(
+        withurl, order_cols=("doc_id",),
+        key=url_normalize(F.col("url")),
+    )
+    return kept.select(
+        "doc_id", url_normalize(F.col("url")).alias("url_norm")
+    )
+
+
+def o_url_dedup_keepfirst():
+    # groups key on (source, tld, doc_id % 50); keep-first = min doc_id
+    return """
+      WITH u AS (
+        SELECT doc_id,
+               'https://www.' || source
+               || (CASE lang WHEN 'en' THEN '.com' WHEN 'de' THEN '.github.io'
+                             WHEN 'fr' THEN '.com.tr' WHEN 'es' THEN '.es'
+                             ELSE '.co.uk' END)
+               || '/p/' || (doc_id % 50)::VARCHAR AS url_norm
+        FROM documents
+      ),
+      ranked AS (
+        SELECT doc_id, url_norm,
+               row_number() OVER (PARTITION BY url_norm
+                                  ORDER BY doc_id) AS rn
+        FROM u
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, url_norm
+      FROM ranked WHERE rn = 1
+    """
+
+
 def q_url_analysis(spark, sf_dir):
     from wimbd_spark.functions.text import (
         url_ext_bucket,
@@ -5831,6 +5895,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         o_events_asof_nearest_click,
     ),
     "url_normalized": (q_url_normalized, o_url_normalized),
+    "url_dedup_keepfirst": (q_url_dedup_keepfirst, o_url_dedup_keepfirst),
     "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
     "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
     "weighted_sample_chars_k50": (

@@ -842,3 +842,27 @@ def test_cli_ann_rerank(capsys, tmp_path):
     assert rows and all(r["rank"] <= 3 for r in rows)
     with pytest.raises(SystemExit):
         main(["ann", emb, "--rerank", "20"])  # no index
+
+
+def test_cli_dedup_by_url(capsys, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "urldocs.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a", "b", "c", "d"],
+            "url": [
+                "https://h.com/p",
+                "https://h.com/p?utm_source=x",   # dup of 1 after norm
+                "HTTPS://H.COM:443/p#frag",       # dup of 1 after norm
+                "https://h.com/q",
+            ],
+        }),
+        src,
+    )
+    out = str(tmp_path / "kept")
+    rows = _run(capsys, ["dedup", src, "--out", out,
+                         "--by-url", "url", "--order-col", "doc_id"])
+    assert rows[0] == {"input": 4, "kept": 2, "dropped": 2}

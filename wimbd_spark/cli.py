@@ -143,6 +143,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--out", required=True, help="output parquet path")
     sp.add_argument("--order-col", default=None,
                     help="column defining 'first' (default: _file or first column)")
+    sp.add_argument("--by-url", default=None, metavar="URL_COL",
+                    help="dedup on the NORMALIZED url in this column "
+                    "(url_normalize: fragments/tracking params/default "
+                    "ports/case/trailing slashes canonicalized — the "
+                    "C4 URL-dedup convention) instead of the text hash")
 
     sp = sub.add_parser(
         "decontaminate",
@@ -820,7 +825,16 @@ def main(argv: list[str] | None = None) -> int:
 
             order = args.order_col or ("_file" if "_file" in df.columns else df.columns[0])
             before = df.count()
-            kept = dedup_keep_first(df, text_col=t, order_cols=(order,))
+            key = None
+            if args.by_url:
+                from pyspark.sql import functions as F
+
+                from wimbd_spark.functions.text import url_normalize
+
+                key = url_normalize(F.col(args.by_url))
+            kept = dedup_keep_first(
+                df, text_col=t, order_cols=(order,), key=key
+            )
             kept.write.mode("overwrite").parquet(args.out)
             after = spark.read.parquet(args.out).count()
             _emit(

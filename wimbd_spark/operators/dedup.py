@@ -34,14 +34,19 @@ def dedup_keep_first(
     df: DataFrame,
     text_col: str = "text",
     order_cols: tuple[str, ...] = ("doc_id",),
+    key: Column | None = None,
 ) -> DataFrame:
     """Drop exact-duplicate texts, keeping the first occurrence in
     (order_cols) order. Deterministic replacement for the reference's
     scheduling-order "first" (deduplicate_by_hash.py:48-62).
+
+    ``key`` overrides the duplicate key (default md5(text)) — e.g.
+    ``url_normalize(F.col("url"))`` for URL-level dedup (the C4
+    convention), or any other canonical-form Column.
     """
-    w = Window.partitionBy(doc_hash(F.col(text_col))).orderBy(
-        *[F.col(c).asc() for c in order_cols]
-    )
+    w = Window.partitionBy(
+        key if key is not None else doc_hash(F.col(text_col))
+    ).orderBy(*[F.col(c).asc() for c in order_cols])
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -54,15 +59,17 @@ def mark_duplicates(
     text_col: str = "text",
     order_cols: tuple[str, ...] = ("doc_id",),
     flag_col: str = "duplicate",
+    key: Column | None = None,
 ) -> DataFrame:
     """Attribute mode: keep every row, flag non-first duplicates.
 
     Parity: deduplicate_by_hash.py:22,46 emits `{id, source,
-    contaminated}` attributes instead of dropping rows.
+    contaminated}` attributes instead of dropping rows. ``key``
+    overrides the duplicate key like ``dedup_keep_first``.
     """
-    w = Window.partitionBy(doc_hash(F.col(text_col))).orderBy(
-        *[F.col(c).asc() for c in order_cols]
-    )
+    w = Window.partitionBy(
+        key if key is not None else doc_hash(F.col(text_col))
+    ).orderBy(*[F.col(c).asc() for c in order_cols])
     return df.withColumn(flag_col, F.row_number().over(w) > 1)
 
 
