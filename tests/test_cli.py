@@ -866,3 +866,11 @@ def test_cli_dedup_by_url(capsys, tmp_path):
     rows = _run(capsys, ["dedup", src, "--out", out,
                          "--by-url", "url", "--order-col", "doc_id"])
     assert rows[0] == {"input": 4, "kept": 2, "dropped": 2}
+
+
+def test_cli_spectrum_and_pmi(capsys, shard_dir):
+    # shards: 20 docs of "a b c d|e" -> unigrams a,b,c x20; d,e x10
+    rows = _run(capsys, ["spectrum", shard_dir, "-n", "1"])
+    assert {r["occurrences"]: r["n_ngrams"] for r in rows} == {20: 3, 10: 2}
+    rows = _run(capsys, ["pmi", shard_dir, "-k", "3", "--min-count", "5"])
+    assert rows and rows[0]["rank"] == 1 and "pmi" in rows[0]

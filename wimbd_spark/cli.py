@@ -137,6 +137,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="HyperLogLog++ instead of exact")
 
     sp = sub.add_parser(
+        "spectrum",
+        help="n-gram count spectrum: how many distinct n-grams occur "
+        "exactly c times, for every c (Good-Turing N_c / Zipf table)",
+    )
+    common(sp)
+    sp.add_argument("-n", "--ngram", type=int, default=1)
+
+    sp = sub.add_parser(
+        "pmi",
+        help="top-k bigram collocations by pointwise mutual "
+        "information (Church & Hanks)",
+    )
+    common(sp)
+    sp.add_argument("-k", "--topk", type=int, default=20)
+    sp.add_argument("--min-count", type=int, default=5,
+                    help="minimum bigram count (PMI's low-frequency "
+                    "instability gate)")
+
+    sp = sub.add_parser(
         "dedup", help="drop exact-duplicate texts (keep first)"
     )
     common(sp)
@@ -820,6 +839,24 @@ def main(argv: list[str] | None = None) -> int:
                 df, args.ngram, text_col=t, approx=args.approx
             ).collect()[0]
             _emit([row.asDict()], args.output)
+        elif args.cmd == "spectrum":
+            from wimbd_spark.operators.topk import ngram_count_spectrum
+
+            res = ngram_count_spectrum(df, args.ngram, text_col=t)
+            _emit(
+                [r.asDict() for r in res.orderBy("occurrences").collect()],
+                args.output,
+            )
+        elif args.cmd == "pmi":
+            from wimbd_spark.operators.topk import top_pmi_bigrams
+
+            res = top_pmi_bigrams(
+                df, k=args.topk, min_count=args.min_count, text_col=t
+            )
+            _emit(
+                [r.asDict() for r in res.orderBy("rank").collect()],
+                args.output,
+            )
         elif args.cmd == "dedup":
             from wimbd_spark.operators.dedup import dedup_keep_first
 
