@@ -551,3 +551,22 @@ def test_pmi_joins_are_equi_joins_totals_broadcast(spark, raw_docs):
     assert equi >= 2, plan  # the w1/w2 vocabulary joins
     # BNLJ appearances are only the two one-row totals crossJoins
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_asof_nearest_single_exchange(spark):
+    """Every asof direction is ONE key shuffle; nearest's two frames
+    (last-preceding + first-following) share the same sorted partition
+    and compile into a single Window operator — no second exchange."""
+    from wimbd_spark.operators.asof import asof_join
+    from wimbd_spark.session import load_tables
+
+    t = load_tables(spark, SF, names=["events"], register_views=False)
+    ev = t["events"]
+    p = ev.where(F.col("event_type") == "purchase")
+    c = ev.where(F.col("event_type") == "click")
+    for d in ("backward", "forward", "nearest"):
+        q = asof_join(p, c, on="user_id", tiebreak="event_id",
+                      right_cols=["event_id"], direction=d)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, (d, plan)
+        assert plan.count("Window") == 1, (d, plan)

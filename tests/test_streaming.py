@@ -1027,3 +1027,79 @@ def test_streaming_nb_gate_matches_batch(spark, tmp_path):
         assert rows == expect
     finally:
         q.stop()
+
+
+def test_streaming_url_dedup_normalized_key(spark, tmp_path):
+    """URL-level stream dedup keys on the NORMALIZED form: messy
+    variants of one page collapse across micro-batches; batch twin
+    (dedup_keep_first key=url_normalize) agrees on survivors."""
+    import json as _json
+    import os as _os
+
+    from wimbd_spark.streaming import read_doc_stream, streaming_url_dedup
+
+    def _u(doc_id, url, minute=0):
+        return {
+            "doc_id": doc_id,
+            "ts": f"2024-01-01T00:{minute:02d}:00.000Z",
+            "text": "x",
+            "source": "s0",
+            "url": url,
+        }
+
+    d = str(tmp_path / "url_in")
+    _write_batch(
+        d,
+        [
+            _u(1, "https://h.com/p"),
+            _u(2, "https://h.com/p?utm_source=a"),  # dup of 1
+            _u(3, "https://h.com/q"),
+        ],
+        "b0.json",
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, ts string, text string, source string, url string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    out = streaming_url_dedup(stream).select("doc_id")
+    q = _run_to_memory(out, "url_dedup_stream", "append")
+    _write_batch(
+        d,
+        [
+            _u(4, "HTTPS://H.COM:443/p#top"),  # dup of 1, later batch
+            _u(5, "https://h.com/r/"),
+        ],
+        "b1.json",
+    )
+    q.processAllAvailable()
+    got = sorted(
+        r["doc_id"] for r in spark.sql("select * from url_dedup_stream").collect()
+    )
+    q.stop()
+    assert got == [1, 3, 5]
+
+    from pyspark.sql import functions as F
+
+    from wimbd_spark.functions.text import url_normalize
+    from wimbd_spark.operators.dedup import dedup_keep_first
+
+    batch = spark.createDataFrame(
+        [
+            (1, "https://h.com/p"),
+            (2, "https://h.com/p?utm_source=a"),
+            (3, "https://h.com/q"),
+            (4, "HTTPS://H.COM:443/p#top"),
+            (5, "https://h.com/r/"),
+        ],
+        ["doc_id", "url"],
+    ).withColumn("text", F.lit("x"))
+    want = sorted(
+        r["doc_id"]
+        for r in dedup_keep_first(
+            batch, key=url_normalize(F.col("url"))
+        ).collect()
+    )
+    assert got == want

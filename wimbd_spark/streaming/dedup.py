@@ -78,6 +78,33 @@ def streaming_dedup_exact(
     return out.dropDuplicates(["hash"])
 
 
+def streaming_url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keep the first-arriving document per NORMALIZED URL (the C4
+    URL-dedup convention as a stream gate): the canonical form comes
+    from ``functions.text.url_normalize`` — a stateless codegen'd
+    scalar — so the only stateful piece is the same
+    dropDuplicates(WithinWatermark) machinery as
+    ``streaming_dedup_exact``, keyed on md5(normalized url). State is
+    bounded by the watermark horizon when ``ts_col`` is given."""
+    from wimbd_spark.functions.text import url_normalize
+
+    out = docs.withColumn(
+        "__ukey", F.md5(url_normalize(F.col(url_col)))
+    )
+    if ts_col is not None:
+        return (
+            out.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__ukey"])
+            .drop("__ukey")
+        )
+    return out.dropDuplicates(["__ukey"]).drop("__ukey")
+
+
 def streaming_decontaminate(
     docs: DataFrame,
     eval_df: DataFrame,
