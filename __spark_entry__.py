@@ -685,6 +685,23 @@ def o_phrase_index_counts():
     return o_phrase_doc_counts()
 
 
+def q_phrase_ac_counts(spark, sf_dir):
+    """Index-FREE many-phrase batch via the Aho-Corasick automaton
+    (operators/multipattern.py): 122 phrases in ONE document pass,
+    per-doc cost independent of the phrase count (measured at sf0.1:
+    flat ~1.5 s vs 16 s / 142 s for the per-phrase aggregates at
+    P=100 / 1000 — SCALE.md). Row-identical to the aggregate and
+    indexed batches; shares their oracle. Shuffle carries only
+    per-partition (phrase, n) partials — the bounded-summary shape."""
+    from wimbd_spark.operators.multipattern import (
+        count_documents_for_each_phrase_ac,
+    )
+
+    return count_documents_for_each_phrase_ac(
+        _docs(spark, sf_dir), BATCH_PHRASES
+    ).select("phrase", F.col("count").cast("long").alias("count"))
+
+
 def q_phrase_batch_counts(spark, sf_dir):
     """ES-batch-workload parity: 122 phrases counted from the posting
     index in ONE batched pass (phrase_matches_batch — postings filtered
@@ -5896,6 +5913,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     ),
     "url_normalized": (q_url_normalized, o_url_normalized),
     "url_dedup_keepfirst": (q_url_dedup_keepfirst, o_url_dedup_keepfirst),
+    "phrase_ac_counts": (q_phrase_ac_counts, o_phrase_batch_counts),
     "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
     "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
     "weighted_sample_chars_k50": (

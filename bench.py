@@ -136,6 +136,7 @@ HEADLINE = [
     "top_pmi_bigrams_k20",
     "hybrid_rrf_filtered_top10",
     "events_asof_nearest_click",
+    "phrase_ac_counts",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)

@@ -1,0 +1,108 @@
+"""Aho-Corasick multi-pattern batch counting: automaton correctness,
+row-identity with the per-phrase aggregate scan, and auto routing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wimbd_spark.operators.multipattern import (
+    _build_automaton,
+    _matched_ids,
+    count_documents_for_each_phrase_ac,
+)
+from wimbd_spark.search import count_documents_for_each_phrase
+
+
+def test_automaton_overlaps_and_nesting():
+    pats = [" a b ", " b c ", " a b c d ", " b ", " zz "]
+    goto, fail, out = _build_automaton(pats)
+
+    def ids(text):
+        return _matched_ids(" " + text + " ", goto, fail, out)
+
+    assert ids("a b c d") == {0, 1, 2, 3}  # overlapping + nested
+    assert ids("a b x") == {0, 3}
+    assert ids("b") == {3}
+    assert ids("zz") == {4}
+    assert ids("ab") == set()  # no token boundary
+    assert ids("a bc") == set()
+
+
+def test_ac_matches_aggregate_scan(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "beta gamma delta"),
+        (3, "alpha   beta"),  # irregular spacing
+        (4, ""),
+        (5, None),
+        (6, "gamma"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    phrases = [
+        "alpha beta", "beta gamma", "gamma", "delta",
+        "missing phrase", "  beta   gamma  ",  # analyzer-normalized dup
+    ]
+    got = sorted(
+        (r.phrase, r["count"])
+        for r in count_documents_for_each_phrase_ac(df, phrases).collect()
+    )
+    want = sorted(
+        (r.phrase, r["count"])
+        for r in count_documents_for_each_phrase(
+            df, phrases, method="agg"
+        ).collect()
+    )
+    assert got == want
+    d = dict(got)
+    assert d["alpha beta"] == 2 and d["gamma"] == 3
+    assert d["missing phrase"] == 0  # zero-count phrases restored
+
+
+def test_auto_routing_and_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    many = [f"tok{i}" for i in range(40)]
+    # auto with >= 32 plain phrases routes to the automaton: the plan
+    # must contain the Python map stage, not 40 conditional aggregates
+    q = count_documents_for_each_phrase(df, many)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    # AND-groups / slop stay on the aggregate path
+    q2 = count_documents_for_each_phrase(df, [["a", "b"]] * 40)
+    assert "MapInPandas" not in (
+        q2._jdf.queryExecution().executedPlan().toString()
+    )
+    q3 = count_documents_for_each_phrase(df, many, slop=1)
+    assert "MapInPandas" not in (
+        q3._jdf.queryExecution().executedPlan().toString()
+    )
+    with pytest.raises(ValueError):
+        count_documents_for_each_phrase(df, [["a"]], method="ac")
+    with pytest.raises(ValueError):
+        count_documents_for_each_phrase_ac(df, [])
+    with pytest.raises(ValueError):
+        count_documents_for_each_phrase_ac(df, ["ok", "   "])
+
+
+def test_ac_on_documents_table(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = [
+        r[0]
+        for r in docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+"))
+        )
+        .distinct()
+        .limit(60)
+        .collect()
+    ]
+    phrases = toks[:30] + [f"{a} {b}" for a, b in zip(toks[:15], toks[15:30])]
+    got = sorted(
+        map(tuple, count_documents_for_each_phrase_ac(docs, phrases).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            count_documents_for_each_phrase(
+                docs, phrases, method="agg"
+            ).collect(),
+        )
+    )
+    assert got == want

@@ -1,0 +1,146 @@
+"""Aho-Corasick multi-pattern phrase counting — the many-phrase scale
+path.
+
+The engine answers per-phrase doc counts two ways already: the scan
+batch (search.count_documents_for_each_phrase — ONE corpus pass, but
+each document's token array is probed once PER PHRASE, so per-doc cost
+and plan size grow linearly in the phrase count) and the postings
+batch (index.count_documents_for_each_phrase_indexed — constant plan,
+needs a prebuilt index). The reference's ES tier pays the scan shape
+through 500-query msearch chunks (wimbd/es/__init__.py:308-344). At
+eval-decontamination scale — tens of thousands of phrases, no index —
+the right tool is a multi-pattern automaton (Aho & Corasick 1975):
+build the trie + failure links ONCE (O(total pattern chars)), stream
+each document through it once (O(doc chars + matches)) — per-document
+cost independent of the phrase count.
+
+Token alignment: the canonical tokenizer is whitespace split, so
+"phrase tokens appear consecutively" is EXACTLY "' phrase '" being a
+substring of "' ' + ' '.join(tokens) + ' '". Tokenization stays
+JVM-side (the same `tokenize` every other operator uses — no Python
+re-implementation to drift); Python only joins the tokens and walks
+the automaton. Row-identity with the scan batch is test-pinned.
+
+Plan shape: iterator mapInPandas emits per-PARTITION partial
+(pattern_id, n_docs) counts — the shuffle carries at most
+partitions × P tiny rows (the bounded-summary convention of
+heavyhitters.py), never per-document rows; a final groupBy sums, and a
+broadcast join against the pattern table restores zero-count phrases.
+The automaton is built once per partition from the closure-shipped
+pattern list. Pure-Python walking runs ~10-50 MB/s/core; the crossover
+vs the JVM per-phrase conditional aggregates is measured in SCALE.md
+(the automaton wins once P is in the hundreds).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, deque
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wimbd_spark.functions.text import tokenize
+
+
+def _build_automaton(patterns: list[str]):
+    """Dict-based Aho-Corasick: returns (goto, fail, out) where
+    goto[s] maps char -> state, fail[s] is the failure link, and
+    out[s] is the frozenset of pattern ids ending at state s."""
+    goto: list[dict] = [{}]
+    out: list[set] = [set()]
+    fail: list[int] = [0]
+    for pid, pat in enumerate(patterns):
+        s = 0
+        for ch in pat:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append(set())
+                fail.append(0)
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].add(pid)
+    q: deque = deque()
+    for s in goto[0].values():
+        q.append(s)
+    while q:
+        r = q.popleft()
+        for ch, s in goto[r].items():
+            q.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            nxt = goto[f].get(ch, 0)
+            fail[s] = nxt if nxt != s else 0
+            out[s] |= out[fail[s]]
+    return goto, fail, out
+
+
+def _matched_ids(text: str, goto, fail, out) -> set:
+    s = 0
+    hits: set = set()
+    root = goto[0]
+    for ch in text:
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0) if s else root.get(ch, 0)
+        if out[s]:
+            hits |= out[s]
+    return hits
+
+
+def count_documents_for_each_phrase_ac(
+    df: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-phrase document counts → (phrase, count), row-identical to
+    ``search.count_documents_for_each_phrase(phrases)`` (token-aligned,
+    slop=0) — one automaton pass per document instead of one predicate
+    per phrase."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    # analyze each phrase with the engine's query convention
+    # (whitespace split, drop empties), space-pad for token alignment
+    analyzed = [" ".join(p.split()) for p in phrases]
+    if any(not a for a in analyzed):
+        raise ValueError("every phrase must contain >= 1 token")
+    pats = [f" {a} " for a in analyzed]
+
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        tokenize(F.col(text_col)).alias("toks")
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        goto, fail, out = _build_automaton(pats)
+        c: Counter = Counter()
+        for pdf in batches:
+            for arr in pdf["toks"]:
+                if arr is None or len(arr) == 0:
+                    continue
+                padded = " " + " ".join(arr) + " "
+                for pid in _matched_ids(padded, goto, fail, out):
+                    c[pid] += 1
+        if c:
+            yield pd.DataFrame(
+                {"pid": list(c.keys()), "n": list(c.values())}
+            )
+
+    partial = toks.mapInPandas(gen, "pid long, n long")
+    totals = partial.groupBy("pid").agg(F.sum("n").alias("count"))
+    names = df.sparkSession.createDataFrame(
+        [(i, p) for i, p in enumerate(phrases)], "pid long, phrase string"
+    )
+    return (
+        F.broadcast(names)
+        .join(totals, "pid", "left")
+        .select(
+            "phrase",
+            F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("count"),
+        )
+        .orderBy("phrase")
+    )

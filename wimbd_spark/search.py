@@ -202,6 +202,9 @@ def get_documents_containing_phrases(
     return out
 
 
+_AC_MIN_PHRASES = 32  # measured crossover is ~tens of phrases (SCALE.md)
+
+
 def count_documents_for_each_phrase(
     df: DataFrame,
     phrases: list[str] | list[list[str]],
@@ -209,6 +212,7 @@ def count_documents_for_each_phrase(
     filters: dict[str, str] | None = None,
     text_col: str = "text",
     token_aligned: bool = True,
+    method: str = "auto",
 ) -> DataFrame:
     """Per-phrase (or per AND-group) doc counts → (phrase, count).
 
@@ -216,7 +220,40 @@ def count_documents_for_each_phrase(
     (:308-344); here every phrase is one conditional-count aggregate
     over a SINGLE corpus scan — no batching protocol at any corpus
     size, and no shuffle (final agg of partial counts only).
+
+    ``method``: ``"agg"`` = the per-phrase conditional aggregates
+    (per-doc cost and plan size grow with the phrase count);
+    ``"ac"`` = the Aho-Corasick automaton pass
+    (operators.multipattern — per-doc cost independent of the phrase
+    count; row-identical, pinned); ``"auto"`` (default) routes plain
+    token-aligned slop=0 string batches of ≥ 32 phrases to the
+    automaton (measured at sf0.1: agg 16 s / 142 s at P=100 / 1000 vs
+    a FLAT ~1.5 s for the automaton — SCALE.md) and everything else
+    (AND-groups, slop, regexp-ish, substring mode) to the aggregates.
     """
+    ac_eligible = (
+        token_aligned
+        and slop == 0
+        and bool(phrases)
+        and all(isinstance(p, str) for p in phrases)
+    )
+    if method == "ac" or (
+        method == "auto"
+        and ac_eligible
+        and len(phrases) >= _AC_MIN_PHRASES
+    ):
+        if not ac_eligible:
+            raise ValueError(
+                "method='ac' needs plain string phrases, "
+                "token_aligned=True, slop=0"
+            )
+        from wimbd_spark.operators.multipattern import (
+            count_documents_for_each_phrase_ac,
+        )
+
+        return count_documents_for_each_phrase_ac(
+            apply_filters(df, filters), phrases, text_col=text_col
+        )
     out = apply_filters(df, filters)
     # Tokenize once for all phrases (projected column, not re-derived
     # inside each predicate).
