@@ -5891,15 +5891,14 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # tools/check_oracles.py additionally covers ALL entries locally
     # every round regardless of position.
     #
-    # Round 10 window: the 3 r9-red queries lead (their
-    # implementations changed this round — ln(u)/w A-ES ranking,
-    # integer-nano inertia — and must be re-driver-checked), then the
-    # 23 queries last driver-checked in r6 (stale-most), then the 24
-    # oldest r7-checked queries. New r10 queries are inserted AT THE
-    # HEAD as they land (never-checked queries must lead the window);
-    # each insertion displaces the window tail to 51+, where the r07
-    # binding file still covers it. Everything at 51+ is covered by
-    # the r07/r08 distinct binding windows.
+    # Round 10 window: 11 never-driver-checked r10 queries lead
+    # (bpe_train_roundtrip … phrase_ac_counts, bm25_filtered twins),
+    # then the 3 r9-red queries (implementations changed this round —
+    # ln(u)/w A-ES ranking, integer-nano inertia — and must be
+    # re-driver-checked), then the r6-stale queries and the oldest
+    # r7-checked ones up to position 50. Each head insertion displaces
+    # the window tail to 51+, where the r07/r08 distinct binding
+    # windows still cover it (test_rotation enforces).
     "bpe_train_roundtrip": (q_bpe_train_roundtrip, o_bpe_train_roundtrip),
     "ivf_pq_rerank_top3": (q_ivf_pq_rerank, o_ivf_pq_rerank),
     "more_like_this_indexed_top10": (q_more_like_this_indexed, o_more_like_this),
