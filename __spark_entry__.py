@@ -5845,6 +5845,46 @@ def o_top_pmi_bigrams():
     """
 
 
+def q_topk_ngrams_by_source(spark, sf_dir):
+    """Per-source top-5 bigrams (topk.topk_ngrams_by): ONE
+    (source, gram)-keyed aggregation + a map-side per-group top-k
+    pre-prune so the rank window reads ≤ partitions × groups × k rows
+    — "run wimbd topk once per dataset" as a single job."""
+    from wimbd_spark.operators.topk import topk_ngrams_by
+
+    return topk_ngrams_by(_docs(spark, sf_dir), 2, 5).select(
+        "source",
+        "ngram",
+        F.col("count").cast("long").alias("count"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def o_topk_ngrams_by_source():
+    return """
+      WITH toks AS (
+        SELECT source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      grams AS (
+        SELECT source, array_to_string(list_slice(t, i, i+1), ' ') AS ngram
+        FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+        WHERE len(t) >= 2
+      ),
+      c AS (SELECT source, ngram, count(*) AS cnt
+            FROM grams GROUP BY source, ngram),
+      r AS (SELECT source, ngram, cnt,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY cnt DESC, ngram ASC) AS rank
+            FROM c)
+      SELECT source, ngram, CAST(cnt AS BIGINT) AS count,
+             CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5
+    """
+
+
 def q_bpe_train_roundtrip(spark, sf_dir):
     """Distributed BPE tokenizer TRAINING (functions/bpe_train.py —
     Sennrich 2016 / byte-level per Radford 2019) gated by the
@@ -5913,6 +5953,10 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "url_normalized": (q_url_normalized, o_url_normalized),
     "url_dedup_keepfirst": (q_url_dedup_keepfirst, o_url_dedup_keepfirst),
     "phrase_ac_counts": (q_phrase_ac_counts, o_phrase_batch_counts),
+    "topk_ngrams_by_source_n2_k5": (
+        q_topk_ngrams_by_source,
+        o_topk_ngrams_by_source,
+    ),
     "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
     "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
     "weighted_sample_chars_k50": (

@@ -299,3 +299,45 @@ def test_top_pmi_bigrams_hand_math(spark):
     assert [r.rank for r in got] == list(range(1, len(got) + 1))
     with pytest.raises(ValueError):
         top_pmi_bigrams(df, k=0)
+
+
+def test_topk_ngrams_by_group(spark):
+    from wimbd_spark.operators.topk import topk_ngrams_by
+
+    rows = [
+        (1, "a", "x y x y z"),
+        (2, "a", "x y q"),
+        (3, "b", "m n m n"),
+        (4, "b", None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        (r.source, r.rank): (r.ngram, r["count"])
+        for r in topk_ngrams_by(df, 2, 2, by="source").collect()
+    }
+    assert got[("a", 1)] == ("x y", 3)   # 2 in doc1 + 1 in doc2
+    assert got[("a", 2)] == ("y q", 1)   # tie broken by ngram asc
+    assert got[("b", 1)] == ("m n", 2)
+    assert got[("b", 2)] == ("n m", 1)
+    # pre-pruned result equals the naive unpruned window on all counts
+    from pyspark.sql.window import Window as W
+
+    from wimbd_spark.operators.topk import ngram_counts
+    counts = (
+        df.select("source", F.explode(
+            __import__("wimbd_spark.functions.text", fromlist=["ngram_strings"])
+            .ngram_strings(
+                __import__("wimbd_spark.functions.text", fromlist=["tokenize"])
+                .tokenize(F.col("text")), 2)
+        ).alias("ngram"))
+        .groupBy("source", "ngram").count()
+    )
+    w = W.partitionBy("source").orderBy(F.desc("count"), F.asc("ngram"))
+    naive = {
+        (r.source, r.rank): (r.ngram, r["count"])
+        for r in counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2).collect()
+    }
+    assert got == naive
+    with pytest.raises(ValueError):
+        topk_ngrams_by(df, 2, 0)

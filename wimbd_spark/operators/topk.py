@@ -211,3 +211,62 @@ def top_pmi_bigrams(
     return top.withColumn(
         "rank", F.row_number().over(Window.orderBy(*order))
     )
+
+
+def topk_ngrams_by(
+    df: DataFrame,
+    n: int,
+    k: int,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group top-k n-grams → (by, ngram, count, rank) — "what does
+    each subset talk about", the per-corpus view of `wimbd topk` (the
+    reference runs its CLI once per dataset and diffs by hand;
+    SURVEY §2.3's key-count family keyed on (group, gram) gives every
+    subset's head in ONE job). Ties (count desc, ngram asc).
+
+    100 TB plan: one (group, gram)-keyed aggregation (map-side partial
+    combine) — the same shuffle class as global topk with a wider key —
+    then a rank window PARTITIONED BY group whose input was pre-pruned
+    map-side: a per-partition mapInPandas keeps only each partition's
+    per-group top-k rows before the window shuffle (the heavy-hitters
+    pre-prune pattern, similarity._quota_preprune class), so the
+    window reads ≤ partitions × groups × k rows, never the gram table.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    counts = (
+        df.select(
+            F.col(by),
+            F.explode(ngram_strings(tokenize(F.col(text_col)), n)).alias(
+                "ngram"
+            ),
+        )
+        .groupBy(by, "ngram")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+    def preprune(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            cur = cur.sort_values(
+                ["count", "ngram"],
+                ascending=[False, True],
+                kind="mergesort",
+            )
+            best = cur.groupby(by, sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    pruned = counts.mapInPandas(preprune, counts.schema)
+    w = Window.partitionBy(by).orderBy(
+        F.col("count").desc(), F.col("ngram").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
