@@ -4926,6 +4926,61 @@ def o_winnow_overlap():
     """
 
 
+def q_shared_span_coverage(spark, sf_dir):
+    """Cross-document boilerplate coverage (winnow.shared_span_coverage
+    — the Lee et al. 2021 audit, winnowing witnesses instead of a
+    suffix array): per doc, the union length of k-token spans whose
+    selected fingerprint hash appears in >=2 documents. One fp-keyed
+    aggregation + one fp-keyed join + a per-doc window; sound lower
+    bound on shared >=(w+k-1)-token substrings."""
+    from wimbd_spark.operators.winnow import shared_span_coverage
+
+    return shared_span_coverage(_docs(spark, sf_dir), k=3, w=4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_shared_fp",
+        "covered_tokens",
+        "n_tokens",
+        "coverage",
+    )
+
+
+def o_shared_span_coverage():
+    return f"""
+      WITH {_sql_winnow_sel(3, 4, "", "")},
+      multi AS (
+        SELECT fp FROM (
+          SELECT fp, count(DISTINCT doc_id) AS nd FROM sel GROUP BY fp
+        ) WHERE nd > 1
+      ),
+      sh AS (
+        SELECT s.doc_id, s.pos,
+               lead(s.pos) OVER (PARTITION BY s.doc_id
+                                 ORDER BY s.pos) AS np
+        FROM sel s WHERE s.fp IN (SELECT fp FROM multi)
+      ),
+      cov AS (
+        SELECT doc_id, count(*) AS n_shared_fp,
+               sum(CASE WHEN np IS NULL THEN 3
+                        ELSE least(np - pos, 3) END) AS covered
+        FROM sh GROUP BY doc_id
+      ),
+      dtoks AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '')) AS nt
+        FROM documents WHERE text IS NOT NULL
+      )
+      SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+             CAST(coalesce(c.n_shared_fp, 0) AS BIGINT) AS n_shared_fp,
+             CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+             CAST(t.nt AS BIGINT) AS n_tokens,
+             CASE WHEN t.nt > 0 THEN
+               round(coalesce(c.covered, 0) / CAST(t.nt AS DOUBLE), 6)
+             ELSE 0.0 END AS coverage
+      FROM dtoks t LEFT JOIN cov c ON c.doc_id = t.doc_id
+    """
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-gated n-gram decontamination: drop non-src0 docs whose
     4-gram stream hits the m=2^20-bit, k=2 Bloom filter of src0's
@@ -5957,6 +6012,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         q_topk_ngrams_by_source,
         o_topk_ngrams_by_source,
     ),
+    "shared_span_coverage": (q_shared_span_coverage, o_shared_span_coverage),
     "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
     "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
     "weighted_sample_chars_k50": (

@@ -317,3 +317,29 @@ def test_asof_directions_match_pandas_merge_asof(spark):
                     for r in want_df.itertuples()
                 }
                 assert got == want, (direction, strict, tol)
+
+
+def test_shared_span_coverage_hand_math(spark):
+    """Two docs share the substring 'p q r s t u' (>= w+k-1 = 6 tokens
+    -> guaranteed shared fingerprint); a third shares nothing."""
+    from wimbd_spark.operators.winnow import shared_span_coverage
+
+    rows = [
+        (1, "p q r s t u alpha beta gamma delta"),
+        (2, "zeta p q r s t u omega"),
+        (3, "entirely different words in here now"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in shared_span_coverage(df).collect()}
+    assert set(got) == {1, 2, 3}  # null text excluded
+    assert got[1].covered_tokens > 0 and got[2].covered_tokens > 0
+    assert got[3].covered_tokens == 0 and got[3].coverage == 0.0
+    for d in (1, 2):
+        r = got[d]
+        assert 0 < r.coverage <= 1.0
+        assert r.covered_tokens <= r.n_tokens
+        # winnow spans sit inside the doc: covered <= shared run + slack
+        assert r.n_shared_fp >= 1
+    # coverage is a LOWER bound: doc1 shares 6 of 10 tokens
+    assert got[1].covered_tokens <= 6 + 2  # k-1 tail slack

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from wimbd_spark.functions.text import hash32, ngram_strings, tokenize
 
@@ -152,4 +153,77 @@ def winnow_overlap(
             n_union > 0,
             F.round(n_shared / n_union.cast("double"), 6),
         ).alias("jaccard"),
+    )
+
+
+def shared_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Cross-document boilerplate audit → one row per document:
+    (id_col, n_shared_fp, covered_tokens, n_tokens, coverage).
+
+    The Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better") use case — how much of each document is text
+    shared with OTHER documents — answered with winnowing witnesses
+    instead of a suffix array: a selected fingerprint whose hash
+    appears in >= 2 documents marks a k-token span of cross-document
+    text; per document, ``covered_tokens`` is the union length of
+    those spans. The winnowing guarantee makes this a sound LOWER
+    BOUND on shared >= (w + k - 1)-token substrings (every such
+    substring yields at least one shared selected fingerprint) — an
+    audit/triage signal, not an exact shared-byte count.
+
+    Plan: fingerprint selection map-side (zero shuffle); ONE
+    fp-keyed aggregation finds multi-document hashes; ONE fp-keyed
+    equi-join marks them; the interval union is a per-document window
+    (lead over pos — partitioned, bounded by each doc's selected
+    fingerprints, never the corpus). Docs with no shared spans keep a
+    zero row (left join against the corpus id/token table).
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    multi = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") > 1)
+        .select("fp")
+    )
+    sh = fps.join(multi, "fp")
+    wlead = Window.partitionBy(id_col).orderBy("pos")
+    cov = (
+        sh.withColumn("__np", F.lead("pos").over(wlead))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_fp"),
+            F.sum(
+                F.when(F.col("__np").isNull(), F.lit(k)).otherwise(
+                    F.least(F.col("__np") - F.col("pos"), F.lit(k))
+                )
+            ).alias("covered_tokens"),
+        )
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(tokenize(F.col(text_col))).alias("n_tokens"),
+    )
+    return base.join(cov, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_shared_fp"), F.lit(0))
+        .cast("long")
+        .alias("n_shared_fp"),
+        F.coalesce(F.col("covered_tokens"), F.lit(0))
+        .cast("long")
+        .alias("covered_tokens"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce(F.col("covered_tokens"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("coverage"),
     )
