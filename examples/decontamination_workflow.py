@@ -86,3 +86,41 @@ print(
 )
 
 spark.stop()
+
+# -- r10 additions -----------------------------------------------------
+# Re-create the session (the walkthrough above stopped it) to show the
+# two r10 paths: the index-free Aho-Corasick batch (tens of thousands
+# of eval phrases, ONE document pass, per-doc cost independent of the
+# phrase count) and URL-level dedup (C4 convention) as a pre-step.
+from wimbd_spark import get_spark as _get_spark  # noqa: E402
+
+spark = _get_spark(app_name="decontamination-demo-r10")
+train = load_tables(spark, sf_dir, names=["documents"])["documents"]
+phrases = [r.phrase for r in spark.createDataFrame(
+    [(p,) for p in ["table scan", "merge join", "no such phrase"]],
+    ["phrase"],
+).collect()]
+
+print("== 7. index-free many-phrase batch (Aho-Corasick, r10) ==")
+from wimbd_spark.search import count_documents_for_each_phrase  # noqa: E402
+
+# method='auto' routes >=32-phrase plain batches to the automaton;
+# force it here to demo on a small list
+count_documents_for_each_phrase(train, phrases, method="ac").show()
+
+print("== 8. URL-level dedup before text dedup (C4 convention) ==")
+from pyspark.sql import functions as F  # noqa: E402
+
+from wimbd_spark.functions.text import url_normalize  # noqa: E402
+from wimbd_spark.operators.dedup import dedup_keep_first  # noqa: E402
+
+with_url = train.withColumn(
+    "url",
+    F.concat(F.lit("https://www."), F.col("source"),
+             F.lit(".com/p/"), (F.col("doc_id") % 100).cast("string"),
+             F.when(F.col("doc_id") % 2 == 0, "?utm_source=x")
+             .otherwise("#frag")),
+)
+kept = dedup_keep_first(with_url, key=url_normalize(F.col("url")))
+print(f"url dedup: {with_url.count()} -> {kept.count()}")
+spark.stop()
