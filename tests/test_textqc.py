@@ -393,3 +393,43 @@ def test_script_profile_unicode_whitespace(spark):
     assert got[2]["n_chars"] == 2
     assert got[2]["cjk_frac"] == 1.0 and got[2]["main_script"] == "cjk"
     assert got[3]["n_chars"] == 0 and got[3]["main_script"] == "none"
+
+
+def test_compression_ratio_signal(spark):
+    from wimbd_spark.operators.textqc import (
+        compression_filter,
+        compression_ratio,
+    )
+    from pyspark.sql import functions as F
+
+    import random
+    rng = random.Random(5)
+    noise = "".join(chr(rng.randint(0x21, 0x7E)) for _ in range(2000))
+    rows = [
+        (1, "spam " * 400),          # heavy repetition -> very low
+        (2, noise),                  # random printable -> high
+        (3, "the quick brown fox jumps over the lazy dog. " * 20),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.cr
+        for r in df.select(
+            "doc_id", compression_ratio(F.col("text")).alias("cr")
+        ).collect()
+    }
+    assert got[1] < 0.05                 # boilerplate compresses away
+    assert got[2] > 0.7                  # noise is incompressible
+    assert got[1] < got[3] < got[2]      # prose sits between
+    assert got[4] is None and got[5] is None
+    # determinism across partitionings
+    again = {
+        r.doc_id: r.cr
+        for r in df.repartition(7)
+        .select("doc_id", compression_ratio(F.col("text")).alias("cr"))
+        .collect()
+    }
+    assert got == again
+    kept = {r.doc_id for r in compression_filter(df, 0.05, 0.7).collect()}
+    assert kept == {3}

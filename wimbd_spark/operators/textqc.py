@@ -11,8 +11,12 @@ see wimbd_spark.operators.models.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from wimbd_spark.functions.text import hash32, ngram_strings, tokenize
@@ -691,4 +695,54 @@ def script_profile(
         ],
         (other / nz).alias("other_frac"),
         main.alias("main_script"),
+    )
+
+
+def compression_ratio(text: Column | str, level: int = 6) -> Column:
+    """zlib-compressed size / raw UTF-8 size per document — the
+    incompressibility quality signal (RefinedWeb/Gopher-family
+    pipelines drop the extremes: very LOW ratios are boilerplate/
+    repetition, very HIGH ratios are noise or binary junk). NULL text
+    → NULL; empty text → NULL (no ratio to speak of).
+
+    Needs Python (no JVM zlib expression), so: Arrow-batched iterator
+    pandas_udf, one pass, the model-UDF cost class — a gate/audit
+    column, not a hot-path primitive. zlib is deterministic for a
+    fixed (level, strategy), so the column is stable across runs and
+    partitionings; it is NOT oracle-comparable (DuckDB has no zlib),
+    which keeps it out of the driver registry by design — unit tests
+    pin known-compressible vs incompressible inputs instead.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+
+    @pandas_udf("double")
+    def _ratio(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import zlib
+
+        def one(t):
+            if not t:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        for s in it:
+            yield s.map(one)
+
+    return _ratio(c)
+
+
+def compression_filter(
+    df: DataFrame,
+    min_ratio: float = 0.25,
+    max_ratio: float = 1.05,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep documents whose compression ratio lies inside
+    [min_ratio, max_ratio] — drops heavy-repetition boilerplate (low)
+    and incompressible noise (high). NULL/empty text is dropped (no
+    signal). Composable with the other gates (gopher_quality_filter,
+    perplexity filter) as one more map-side predicate."""
+    r = compression_ratio(F.col(text_col))
+    return df.filter(
+        r.isNotNull() & (r >= min_ratio) & (r <= max_ratio)
     )
