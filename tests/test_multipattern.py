@@ -106,3 +106,51 @@ def test_ac_on_documents_table(spark):
         )
     )
     assert got == want
+
+
+def test_retrieval_ac_matches_predicate(spark):
+    from wimbd_spark.search import get_documents_containing_phrases
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "beta gamma delta"),
+        (3, "alpha only here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for all_p in (False, True):
+        got = sorted(
+            r.doc_id
+            for r in get_documents_containing_phrases(
+                df, ["alpha", "beta gamma"], num_documents=None,
+                all_phrases=all_p, method="ac",
+            ).collect()
+        )
+        want = sorted(
+            r.doc_id
+            for r in get_documents_containing_phrases(
+                df, ["alpha", "beta gamma"], num_documents=None,
+                all_phrases=all_p, method="pred",
+            ).collect()
+        )
+        assert got == want, all_p
+    # ANY: docs 1,2,3; ALL: doc 1 only
+    assert sorted(
+        r.doc_id
+        for r in get_documents_containing_phrases(
+            df, ["alpha", "beta gamma"], num_documents=None,
+            all_phrases=True, method="ac",
+        ).collect()
+    ) == [1]
+    # duplicate phrases don't inflate the ALL requirement
+    assert sorted(
+        r.doc_id
+        for r in get_documents_containing_phrases(
+            df, ["alpha", "alpha", "beta gamma"], num_documents=None,
+            all_phrases=True, method="ac",
+        ).collect()
+    ) == [1]
+    with pytest.raises(ValueError):
+        get_documents_containing_phrases(
+            df, ["a"], slop=1, method="ac"
+        )

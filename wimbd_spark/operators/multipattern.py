@@ -144,3 +144,66 @@ def count_documents_for_each_phrase_ac(
         )
         .orderBy("phrase")
     )
+
+
+def matching_doc_ids_ac(
+    df: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    all_phrases: bool = False,
+) -> DataFrame:
+    """Ids of documents containing ANY (or, with ``all_phrases``,
+    EVERY) phrase — the automaton form of the OR-of-contains
+    predicate, for phrase lists too large to compile into a plan.
+    Returns a (id_col) DataFrame to LEFT SEMI join against the corpus
+    (`search.get_documents_containing_phrases(method="ac")` does
+    exactly that); per-doc cost independent of the phrase count."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    analyzed = [" ".join(p.split()) for p in phrases]
+    if any(not a for a in analyzed):
+        raise ValueError("every phrase must contain >= 1 token")
+    pats = [f" {a} " for a in analyzed]
+    need = len(set(pats)) if all_phrases else 1
+
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        tokenize(F.col(text_col)).alias("toks"),
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        goto, fail, out = _build_automaton(pats)
+        # distinct-pattern ids per trie (duplicate phrases share a
+        # terminal state; ALL-mode needs the distinct count)
+        for pdf in batches:
+            ids = []
+            for i, arr in zip(pdf["__id"], pdf["toks"]):
+                if arr is None or len(arr) == 0:
+                    continue
+                padded = " " + " ".join(arr) + " "
+                if all_phrases:
+                    hit = _matched_ids(padded, goto, fail, out)
+                    # count distinct PATTERN STRINGS matched (dup
+                    # phrases in the input list count once)
+                    if len({pats[p] for p in hit}) >= need:
+                        ids.append(i)
+                else:
+                    s = 0
+                    root = goto[0]
+                    for ch in padded:
+                        while s and ch not in goto[s]:
+                            s = fail[s]
+                        s = goto[s].get(ch, 0) if s else root.get(ch, 0)
+                        if out[s]:
+                            ids.append(i)
+                            break
+            if ids:
+                yield pd.DataFrame({"__id": ids})
+
+    schema = toks.select("__id").schema
+    return toks.mapInPandas(gen, schema).withColumnRenamed(
+        "__id", id_col
+    )

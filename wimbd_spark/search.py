@@ -187,14 +187,55 @@ def get_documents_containing_phrases(
     sort_field: str | None = None,
     text_col: str = "text",
     token_aligned: bool = True,
+    method: str = "auto",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Retrieve matching docs; num_documents=None returns all hits
     (≙ the PIT + search_after pagination loop, which Spark replaces
-    with plain partition streaming via toLocalIterator)."""
-    pred = build_phrase_predicate(
-        phrases, text_col, all_phrases, slop, is_regexp, token_aligned
+    with plain partition streaming via toLocalIterator).
+
+    ``method``: ``"pred"`` = the compiled OR/AND predicate (plan size
+    grows with the phrase count); ``"ac"`` = the Aho-Corasick pass
+    (operators.multipattern.matching_doc_ids_ac + LEFT SEMI join —
+    per-doc cost independent of the phrase count; needs ``id_col``);
+    ``"auto"`` routes plain token-aligned slop=0 batches of ≥ 32
+    phrases to the automaton when ``id_col`` exists, like the
+    counting batch."""
+    ac_eligible = (
+        token_aligned
+        and slop == 0
+        and not is_regexp
+        and bool(phrases)
+        and all(isinstance(p, str) for p in phrases)
+        and id_col in df.columns
     )
-    out = apply_filters(df, filters).filter(pred)
+    if method == "ac" or (
+        method == "auto"
+        and ac_eligible
+        and len(phrases) >= _AC_MIN_PHRASES
+    ):
+        if not ac_eligible:
+            raise ValueError(
+                "method='ac' needs plain string phrases, "
+                "token_aligned=True, slop=0, is_regexp=False, and an "
+                f"existing id column ({id_col!r})"
+            )
+        from wimbd_spark.operators.multipattern import (
+            matching_doc_ids_ac,
+        )
+
+        base = apply_filters(df, filters)
+        ids = matching_doc_ids_ac(
+            base, phrases, id_col=id_col, text_col=text_col,
+            all_phrases=all_phrases,
+        )
+        out = base.join(ids, id_col, "left_semi")
+    else:
+        pred = build_phrase_predicate(
+            phrases, text_col, all_phrases, slop, is_regexp,
+            token_aligned,
+        )
+        out = apply_filters(df, filters).filter(pred)
     if sort_field:
         out = out.orderBy(F.col(sort_field).asc())
     if num_documents is not None:
