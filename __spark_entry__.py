@@ -5940,6 +5940,41 @@ def o_topk_ngrams_by_source():
     """
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf power-law fit over the unigram head (topk.zipf_fit): OLS
+    of ln(count) on ln(rank) for the top-200 unigrams — a corpus sits
+    near slope ≈ −1; deviations flag synthetic/boilerplate data. Gram
+    agg + TakeOrdered(200) + a bounded regression aggregate."""
+    from wimbd_spark.operators.topk import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), n=1, top=200)
+
+
+def o_zipf_fit():
+    return """
+      WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      c AS (SELECT w AS ngram, count(*) AS cnt
+            FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      head AS (SELECT ngram, cnt FROM c
+               ORDER BY cnt DESC, ngram ASC LIMIT 200),
+      r AS (SELECT cnt,
+                   row_number() OVER (ORDER BY cnt DESC, ngram ASC)
+                     AS rank
+            FROM head)
+      SELECT round(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                              ln(CAST(rank AS DOUBLE))), 6) AS slope,
+             round(regr_intercept(ln(CAST(cnt AS DOUBLE)),
+                                  ln(CAST(rank AS DOUBLE))), 6)
+               AS intercept,
+             CAST(count(*) AS BIGINT) AS n_points
+      FROM r
+    """
+
+
 def q_bpe_train_roundtrip(spark, sf_dir):
     """Distributed BPE tokenizer TRAINING (functions/bpe_train.py —
     Sennrich 2016 / byte-level per Radford 2019) gated by the
@@ -6013,6 +6048,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         o_topk_ngrams_by_source,
     ),
     "shared_span_coverage": (q_shared_span_coverage, o_shared_span_coverage),
+    "zipf_fit_unigrams": (q_zipf_fit, o_zipf_fit),
     "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
     "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
     "weighted_sample_chars_k50": (

@@ -341,3 +341,24 @@ def test_topk_ngrams_by_group(spark):
     assert got == naive
     with pytest.raises(ValueError):
         topk_ngrams_by(df, 2, 0)
+
+
+def test_zipf_fit(spark):
+    import math
+
+    from wimbd_spark.operators.topk import zipf_fit
+
+    # exact power law count = 1000 / rank -> slope -1, intercept ln(1000)
+    rows = []
+    did = 0
+    for rank in range(1, 21):
+        for _ in range(round(1000 / rank)):
+            rows.append((did, f"w{rank:02d}"))
+            did += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = zipf_fit(df, n=1, top=20).collect()[0]
+    assert got.n_points == 20
+    assert got.slope == pytest.approx(-1.0, abs=0.01)
+    assert got.intercept == pytest.approx(math.log(1000), abs=0.05)
+    with pytest.raises(ValueError):
+        zipf_fit(df, top=1)

@@ -270,3 +270,42 @@ def topk_ngrams_by(
         pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    n: int = 1,
+    top: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf power-law fit over the n-gram frequency head → one row
+    (slope, intercept, n_points): OLS of ln(count) on ln(rank) for the
+    ``top`` most frequent n-grams (ties rank (count desc, ngram) so
+    the fit is deterministic). A natural-language corpus sits near
+    slope ≈ −1 (Zipf 1949); strong deviations flag synthetic, heavily
+    boilerplated, or truncated-vocabulary data — the one-number
+    summary next to the full `ngram_count_spectrum` table.
+
+    Plan: the standard gram aggregation + TakeOrderedAndProject(top),
+    then regr_slope/intercept over ≤ top rows (bounded, one partition
+    is fine). Values rounded once to 6 dp (the decimal convention).
+    """
+    if top < 2:
+        raise ValueError("top must be >= 2")
+    order = [F.col("count").desc(), F.col("ngram").asc()]
+    head = ngram_counts(df, n, text_col).orderBy(*order).limit(top)
+    ranked = head.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("count").cast("double"))
+    return (
+        ranked.select(y.alias("__y"), x.alias("__x"))
+        .agg(
+            F.round(F.expr("regr_slope(__y, __x)"), 6).alias("slope"),
+            F.round(
+                F.expr("regr_intercept(__y, __x)"), 6
+            ).alias("intercept"),
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+        )
+    )
