@@ -139,6 +139,8 @@ HEADLINE = [
     "phrase_ac_counts",
     "topk_ngrams_by_source_n2_k5",
     "shared_span_coverage",
+    "zipf_fit_unigrams",
+    "url_dedup_keepfirst",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)
