@@ -6021,14 +6021,163 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # tools/check_oracles.py additionally covers ALL entries locally
     # every round regardless of position.
     #
-    # Round 10 window: 11 never-driver-checked r10 queries lead
-    # (bpe_train_roundtrip … phrase_ac_counts, bm25_filtered twins),
-    # then the 3 r9-red queries (implementations changed this round —
-    # ln(u)/w A-ES ranking, integer-nano inertia — and must be
-    # re-driver-checked), then the r6-stale queries and the oldest
-    # r7-checked ones up to position 50. Each head insertion displaces
-    # the window tail to 51+, where the r07/r08 distinct binding
-    # windows still cover it (test_rotation enforces).
+    # Round 11 window: the 42 queries last driver-checked in r7 lead
+    # (absent from both binding windows r9-dedup and r10 — the
+    # pigeonhole maximum rest for N=139), followed by this round's new
+    # queries up to position 50. Tail order = r9-checked then
+    # r10-checked, so future rotations surface the oldest first.
+    "session_stats_30m_gap": (q_session_stats, o_session_stats),
+    "embedding_cosine_pairs": (
+        q_embedding_cosine_pairs,
+        o_embedding_cosine_pairs,
+    ),
+    "phrase_count_filtered": (
+        q_phrase_count_filtered,
+        o_phrase_count_filtered,
+    ),
+    "top2_orders_per_customer": (
+        q_top2_orders_per_customer,
+        o_top2_orders_per_customer,
+    ),
+    "topk_ngrams_n3_k20": (q_topk_ngrams, o_topk_ngrams),
+    "botk_ngrams_n1_k20": (q_botk_ngrams, o_botk_ngrams),
+    "unique_ngrams_n2": (q_unique_ngrams, o_unique_ngrams),
+    "count_sequences": (q_count_sequences, o_count_sequences),
+    "search_regex_counts": (q_search_regex, o_search_regex),
+    "topk_ngrams_n10_k10": (q_topk_ngrams_n10, o_topk_ngrams_n10),
+    "char_length_dist": (q_char_length_dist, o_char_length_dist),
+    "url_host_counts": (q_url_host_counts, o_url_host_counts),
+    "pii_kind_counts": (q_pii_kind_counts, o_pii_kind_counts),
+    "source_counts": (q_source_counts, o_source_counts),
+    "top_purchase_users": (q_top_purchase_users, o_top_purchase_users),
+    "top_customers": (q_top_customers, o_top_customers),
+    "events_sliding_1h_30m": (q_events_sliding, o_events_sliding),
+    "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
+    "orders_by_year_priority": (
+        q_orders_by_year_priority,
+        o_orders_by_year_priority,
+    ),
+    "contaminated_examples": (
+        q_contaminated_examples,
+        o_contaminated_examples,
+    ),
+    "gram_overlap_src0_src1": (q_gram_overlap, o_gram_overlap),
+    "decontaminate_ngrams_src0": (
+        q_decontaminate_ngrams,
+        o_decontaminate_ngrams,
+    ),
+    "phrase_df_counts": (q_phrase_df_counts, o_phrase_df_counts),
+    "cross_jaccard_src0": (q_cross_jaccard_src0, o_cross_jaccard_src0),
+    "fuzzy_decontaminate_src0": (
+        q_fuzzy_decontaminate_src0,
+        o_fuzzy_decontaminate_src0,
+    ),
+    "gram_novelty_n4": (q_gram_novelty, o_gram_novelty),
+    "vocab_stats_by_source": (
+        q_vocab_stats_by_source,
+        o_vocab_stats_by_source,
+    ),
+    "stratified_sample_k5": (q_stratified_sample_k5, o_stratified_sample_k5),
+    "contamination_rate_indexed": (
+        q_contamination_rate_indexed,
+        o_contamination_rate_indexed,
+    ),
+    "contamination_rate": (q_contamination_rate, o_contamination_rate),
+    "contamination_rate_tokens": (
+        q_contamination_rate_tokens,
+        o_contamination_rate_tokens,
+    ),
+    "phrase_batch_counts": (q_phrase_batch_counts, o_phrase_batch_counts),
+    "phrase_index_counts": (q_phrase_index_counts, o_phrase_index_counts),
+    "phrase_doc_counts": (q_phrase_doc_counts, o_phrase_doc_counts),
+    "phrase_retrieval_top10": (q_phrase_retrieval, o_phrase_retrieval),
+    "phrase_slop_count": (q_phrase_slop_count, o_phrase_slop_count),
+    "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
+    "decontaminate_src0": (q_decontaminate, o_decontaminate),
+    "pii_redaction": (q_pii_redaction, o_pii_redaction),
+    "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
+    "jpeg_decode_check": (q_jpeg_decode_check, o_jpeg_decode_check),
+    "ivf_index_topk": (q_ivf_index_topk, o_ivf_index_topk),
+    "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
+    "bm25_index_top10": (q_bm25_index, o_bm25_rank),
+    "bm25_batch_top5": (q_bm25_batch, o_bm25_batch),
+    "bm25_batch_indexed_top5": (q_bm25_batch_indexed, o_bm25_batch),
+    "nb_quality_scores_src0": (q_nb_quality_scores, o_nb_quality_scores),
+    "hybrid_rrf_top10": (q_hybrid_rrf, o_hybrid_rrf),
+    "more_like_this_top10": (q_more_like_this, o_more_like_this),
+    "temperature_mixture_weights": (
+        q_temperature_mixture,
+        o_temperature_mixture,
+    ),
+    "kmeans_assign_k8_i2": (q_kmeans_assign, o_kmeans_assign),
+    "events_asof_attribution": (
+        q_events_asof_attribution,
+        o_events_asof_attribution,
+    ),
+    "events_click_window_hist": (
+        q_events_click_window_hist,
+        o_events_click_window_hist,
+    ),
+    "winnow_fingerprints_head": (
+        q_winnow_fingerprints_head,
+        o_winnow_fingerprints_head,
+    ),
+    "winnow_overlap_src0_src1": (q_winnow_overlap, o_winnow_overlap),
+    "bloom_decontaminate_src0": (
+        q_bloom_decontaminate,
+        o_bloom_decontaminate,
+    ),
+    "contamination_slop1_indexed": (
+        q_contamination_slop1_indexed,
+        o_contamination_slop1_indexed,
+    ),
+    "pq_ann_topk": (q_pq_ann_topk, o_pq_ann_topk),
+    "ivf_pq_topk": (q_ivf_pq_topk, o_ivf_pq_topk),
+    "contamination_tokens_slop1": (
+        q_contamination_tokens_slop1,
+        o_contamination_tokens_slop1,
+    ),
+    "quality_funnel_by_source": (
+        q_quality_funnel_by,
+        o_quality_funnel_by,
+    ),
+    "simhash62_pairs": (q_simhash62_pairs, o_simhash62_pairs),
+    "multimodal_bytes_meta": (
+        q_multimodal_bytes_meta,
+        o_multimodal_bytes_meta,
+    ),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, o_ngram_jaccard_pairs),
+    "unique_ngrams_approx": (q_unique_ngrams_approx, o_unique_ngrams_approx),
+    "corpus_stats": (q_corpus_stats, o_corpus_stats),
+    "length_percentiles": (q_length_percentiles, o_length_percentiles),
+    "quality_scores": (q_quality_scores, o_quality_scores),
+    "repetition_scores": (q_repetition_scores, o_repetition_scores),
+    "repeated_spans_k8": (q_repeated_spans, o_repeated_spans),
+    "dedup_lines_within_doc": (q_dedup_lines, o_dedup_lines),
+    "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
+    "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
+    "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
+    "find_examples": (q_find_examples, o_find_examples),
+    "semantic_dedup_drops": (q_semantic_dedup_drops, o_semantic_dedup_drops),
+    "embedding_cosine_pairs_lsh_auto": (
+        q_embedding_cosine_pairs_lsh_auto,
+        o_embedding_cosine_pairs_lsh_auto,
+    ),
+    "source_log_odds": (q_source_log_odds, o_source_log_odds),
+    "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
+    "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
+    "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
+    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
+    "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
+    "mixture_sample": (q_mixture_sample, o_mixture_sample),
+    "pack_documents_512": (q_pack_documents, o_pack_documents),
+    "neardup_cluster_dedup": (
+        q_neardup_cluster_dedup,
+        o_neardup_cluster_dedup,
+    ),
+    "lang_counts": (q_lang_counts, o_lang_counts),
+    "token_length_dist": (q_token_length_dist, o_token_length_dist),
+    "pricing_summary": (q_pricing_summary, o_pricing_summary),
     "bpe_train_roundtrip": (q_bpe_train_roundtrip, o_bpe_train_roundtrip),
     "ivf_pq_rerank_top3": (q_ivf_pq_rerank, o_ivf_pq_rerank),
     "more_like_this_indexed_top10": (q_more_like_this_indexed, o_more_like_this),
@@ -6121,158 +6270,6 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     ),
     "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
     "events_tumbling_1h": (q_events_tumbling, o_events_tumbling),
-    "session_stats_30m_gap": (q_session_stats, o_session_stats),
-    "embedding_cosine_pairs": (
-        q_embedding_cosine_pairs,
-        o_embedding_cosine_pairs,
-    ),
-    "phrase_count_filtered": (
-        q_phrase_count_filtered,
-        o_phrase_count_filtered,
-    ),
-    "top2_orders_per_customer": (
-        q_top2_orders_per_customer,
-        o_top2_orders_per_customer,
-    ),
-    "topk_ngrams_n3_k20": (q_topk_ngrams, o_topk_ngrams),
-    "botk_ngrams_n1_k20": (q_botk_ngrams, o_botk_ngrams),
-    "unique_ngrams_n2": (q_unique_ngrams, o_unique_ngrams),
-    "count_sequences": (q_count_sequences, o_count_sequences),
-    "search_regex_counts": (q_search_regex, o_search_regex),
-    "topk_ngrams_n10_k10": (q_topk_ngrams_n10, o_topk_ngrams_n10),
-    "char_length_dist": (q_char_length_dist, o_char_length_dist),
-    "url_host_counts": (q_url_host_counts, o_url_host_counts),
-    "pii_kind_counts": (q_pii_kind_counts, o_pii_kind_counts),
-    "source_counts": (q_source_counts, o_source_counts),
-    "top_purchase_users": (q_top_purchase_users, o_top_purchase_users),
-    "top_customers": (q_top_customers, o_top_customers),
-    "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
-    "bm25_index_top10": (q_bm25_index, o_bm25_rank),
-    "bm25_batch_top5": (q_bm25_batch, o_bm25_batch),
-    "bm25_batch_indexed_top5": (q_bm25_batch_indexed, o_bm25_batch),
-    "nb_quality_scores_src0": (q_nb_quality_scores, o_nb_quality_scores),
-    "hybrid_rrf_top10": (q_hybrid_rrf, o_hybrid_rrf),
-    "more_like_this_top10": (q_more_like_this, o_more_like_this),
-    "temperature_mixture_weights": (
-        q_temperature_mixture,
-        o_temperature_mixture,
-    ),
-    "kmeans_assign_k8_i2": (q_kmeans_assign, o_kmeans_assign),
-    "events_asof_attribution": (
-        q_events_asof_attribution,
-        o_events_asof_attribution,
-    ),
-    "events_click_window_hist": (
-        q_events_click_window_hist,
-        o_events_click_window_hist,
-    ),
-    "winnow_fingerprints_head": (
-        q_winnow_fingerprints_head,
-        o_winnow_fingerprints_head,
-    ),
-    "winnow_overlap_src0_src1": (q_winnow_overlap, o_winnow_overlap),
-    "bloom_decontaminate_src0": (
-        q_bloom_decontaminate,
-        o_bloom_decontaminate,
-    ),
-    "contamination_slop1_indexed": (
-        q_contamination_slop1_indexed,
-        o_contamination_slop1_indexed,
-    ),
-    "pq_ann_topk": (q_pq_ann_topk, o_pq_ann_topk),
-    "ivf_pq_topk": (q_ivf_pq_topk, o_ivf_pq_topk),
-    "contamination_tokens_slop1": (
-        q_contamination_tokens_slop1,
-        o_contamination_tokens_slop1,
-    ),
-    "quality_funnel_by_source": (
-        q_quality_funnel_by,
-        o_quality_funnel_by,
-    ),
-    "simhash62_pairs": (q_simhash62_pairs, o_simhash62_pairs),
-    "multimodal_bytes_meta": (
-        q_multimodal_bytes_meta,
-        o_multimodal_bytes_meta,
-    ),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, o_ngram_jaccard_pairs),
-    "unique_ngrams_approx": (q_unique_ngrams_approx, o_unique_ngrams_approx),
-    "corpus_stats": (q_corpus_stats, o_corpus_stats),
-    "length_percentiles": (q_length_percentiles, o_length_percentiles),
-    "quality_scores": (q_quality_scores, o_quality_scores),
-    "repetition_scores": (q_repetition_scores, o_repetition_scores),
-    "repeated_spans_k8": (q_repeated_spans, o_repeated_spans),
-    "dedup_lines_within_doc": (q_dedup_lines, o_dedup_lines),
-    "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
-    "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
-    "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
-    "find_examples": (q_find_examples, o_find_examples),
-    "semantic_dedup_drops": (q_semantic_dedup_drops, o_semantic_dedup_drops),
-    "embedding_cosine_pairs_lsh_auto": (
-        q_embedding_cosine_pairs_lsh_auto,
-        o_embedding_cosine_pairs_lsh_auto,
-    ),
-    "source_log_odds": (q_source_log_odds, o_source_log_odds),
-    "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
-    "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
-    "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
-    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
-    "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
-    "mixture_sample": (q_mixture_sample, o_mixture_sample),
-    "pack_documents_512": (q_pack_documents, o_pack_documents),
-    "neardup_cluster_dedup": (
-        q_neardup_cluster_dedup,
-        o_neardup_cluster_dedup,
-    ),
-    "lang_counts": (q_lang_counts, o_lang_counts),
-    "token_length_dist": (q_token_length_dist, o_token_length_dist),
-    "pricing_summary": (q_pricing_summary, o_pricing_summary),
-    "events_sliding_1h_30m": (q_events_sliding, o_events_sliding),
-    "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
-    "orders_by_year_priority": (
-        q_orders_by_year_priority,
-        o_orders_by_year_priority,
-    ),
-    "contaminated_examples": (
-        q_contaminated_examples,
-        o_contaminated_examples,
-    ),
-    "gram_overlap_src0_src1": (q_gram_overlap, o_gram_overlap),
-    "decontaminate_ngrams_src0": (
-        q_decontaminate_ngrams,
-        o_decontaminate_ngrams,
-    ),
-    "phrase_df_counts": (q_phrase_df_counts, o_phrase_df_counts),
-    "cross_jaccard_src0": (q_cross_jaccard_src0, o_cross_jaccard_src0),
-    "fuzzy_decontaminate_src0": (
-        q_fuzzy_decontaminate_src0,
-        o_fuzzy_decontaminate_src0,
-    ),
-    "gram_novelty_n4": (q_gram_novelty, o_gram_novelty),
-    "vocab_stats_by_source": (
-        q_vocab_stats_by_source,
-        o_vocab_stats_by_source,
-    ),
-    "stratified_sample_k5": (q_stratified_sample_k5, o_stratified_sample_k5),
-    "contamination_rate_indexed": (
-        q_contamination_rate_indexed,
-        o_contamination_rate_indexed,
-    ),
-    "contamination_rate": (q_contamination_rate, o_contamination_rate),
-    "contamination_rate_tokens": (
-        q_contamination_rate_tokens,
-        o_contamination_rate_tokens,
-    ),
-    "phrase_batch_counts": (q_phrase_batch_counts, o_phrase_batch_counts),
-    "phrase_index_counts": (q_phrase_index_counts, o_phrase_index_counts),
-    "phrase_doc_counts": (q_phrase_doc_counts, o_phrase_doc_counts),
-    "phrase_retrieval_top10": (q_phrase_retrieval, o_phrase_retrieval),
-    "phrase_slop_count": (q_phrase_slop_count, o_phrase_slop_count),
-    "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
-    "decontaminate_src0": (q_decontaminate, o_decontaminate),
-    "pii_redaction": (q_pii_redaction, o_pii_redaction),
-    "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
-    "jpeg_decode_check": (q_jpeg_decode_check, o_jpeg_decode_check),
-    "ivf_index_topk": (q_ivf_index_topk, o_ivf_index_topk),
 }
 
 
