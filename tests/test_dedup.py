@@ -41,6 +41,38 @@ def test_mark_duplicates(corpus):
     assert flags == {1: False, 2: False, 3: True, 4: True, 5: False, 6: False, 7: True}
 
 
+def test_dedup_null_key_rows_all_kept(spark):
+    """A NULL dedup key (e.g. a document with no URL) must never form
+    a duplicate group: url_normalize(NULL)=NULL and
+    Window.partitionBy groups all NULLs together, which would silently
+    drop every URL-less document but one (r10 ADVICE). NULL key =
+    unknown, keep unconditionally."""
+    from pyspark.sql import functions as F
+
+    from wimbd_spark.functions.text import url_normalize
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "https://h.com/p"),
+            (2, "b", "https://h.com/p?utm_source=x"),  # dup of 1
+            (3, "c", None),
+            (4, "d", None),
+            (5, "e", None),
+        ],
+        ["doc_id", "text", "url"],
+    )
+    key = url_normalize(F.col("url"))
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_first(df, key=key).collect()
+    )
+    assert kept == [1, 3, 4, 5]
+    flags = {
+        r["doc_id"]: r["duplicate"]
+        for r in mark_duplicates(df, key=key).collect()
+    }
+    assert flags == {1: False, 2: True, 3: False, 4: False, 5: False}
+
+
 def test_decontaminate(spark, corpus):
     evalset = spark.createDataFrame([("alpha beta",)], ["text"])
     kept = sorted(

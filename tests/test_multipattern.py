@@ -80,6 +80,16 @@ def test_auto_routing_and_validation(spark):
         count_documents_for_each_phrase_ac(df, [])
     with pytest.raises(ValueError):
         count_documents_for_each_phrase_ac(df, ["ok", "   "])
+    # a typo'd method must error, not silently run the slow path
+    # (r10 ADVICE: method='AC'/'aho' fell through to the default)
+    from wimbd_spark.search import get_documents_containing_phrases
+
+    for bad in ("AC", "aho", "pred"):  # 'pred' is retrieval-only
+        with pytest.raises(ValueError, match="method"):
+            count_documents_for_each_phrase(df, ["a"], method=bad)
+    for bad in ("AC", "aho", "agg"):  # 'agg' is counting-only
+        with pytest.raises(ValueError, match="method"):
+            get_documents_containing_phrases(df, ["a"], method=bad)
 
 
 def test_ac_on_documents_table(spark):

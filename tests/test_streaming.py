@@ -1103,3 +1103,44 @@ def test_streaming_url_dedup_normalized_key(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_streaming_url_dedup_null_urls_pass_through(spark, tmp_path):
+    """Documents with no URL must NOT be deduped against each other:
+    md5(url_normalize(NULL))=NULL and dropDuplicates groups NULL keys,
+    which would keep one URL-less doc per horizon (r10 ADVICE). The
+    NULL branch bypasses the stateful operator entirely."""
+    from wimbd_spark.streaming import streaming_url_dedup
+
+    def _u(doc_id, url, minute=0):
+        return {
+            "doc_id": doc_id,
+            "ts": f"2024-01-01T00:{minute:02d}:00.000Z",
+            "text": "x",
+            "source": "s0",
+            "url": url,
+        }
+
+    d = str(tmp_path / "url_null_in")
+    _write_batch(
+        d,
+        [_u(1, "https://h.com/p"), _u(2, None), _u(3, None)],
+        "b0.json",
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, ts string, text string, source string, url string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    out = streaming_url_dedup(stream).select("doc_id")
+    q = _run_to_memory(out, "url_dedup_null_stream", "append")
+    _write_batch(d, [_u(4, None), _u(5, "https://h.com/p")], "b1.json")
+    q.processAllAvailable()
+    got = sorted(
+        r["doc_id"]
+        for r in spark.sql("select * from url_dedup_null_stream").collect()
+    )
+    q.stop()
+    assert got == [1, 2, 3, 4]

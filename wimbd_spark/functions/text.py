@@ -351,7 +351,11 @@ def url_normalize(url: Column | str) -> Column:
     """Canonical URL for URL-level dedup (the C4/CCNet convention —
     the reference's URL-overlap analyses,
     wimbd/text_and_url_overlaps/, compare raw strings and so miss
-    `http://HOST/x#frag` == `https://host/x`-class duplicates):
+    `https://HOST:443/x/#frag?utm_source=a` == `https://host/x`-class
+    duplicates). The scheme is lowercased but PRESERVED: http:// and
+    https:// copies of one page stay distinct keys — protocol-folding
+    is a recall/precision trade this function deliberately does not
+    make (an http and an https URL can serve different content):
 
     1. strip the ``#fragment``;
     2. lowercase the scheme and authority (path/query case preserved —

@@ -30,6 +30,26 @@ from pyspark.sql.window import Window
 from wimbd_spark.functions.text import doc_hash
 
 
+def _null_safe_partition(key: Column) -> list[Column]:
+    """Window partition spec that never collapses NULL keys.
+
+    ``Window.partitionBy(key)`` groups every NULL-key row together
+    (SQL GROUP BY semantics), so URL-keyed dedup would silently drop
+    all but one document lacking a URL. A doc with no key carries no
+    evidence of duplication — it must be kept unconditionally. We add
+    a tiebreaker column that is a constant for real keys and a
+    per-row-unique id for NULL keys, so each NULL-key row is its own
+    size-1 partition (row_number()==1 → kept / not flagged). Single
+    pass, no union branch, type-agnostic (no key cast).
+    """
+    return [
+        key,
+        F.when(key.isNull(), F.monotonically_increasing_id()).otherwise(
+            F.lit(0).cast("long")
+        ),
+    ]
+
+
 def dedup_keep_first(
     df: DataFrame,
     text_col: str = "text",
@@ -42,10 +62,14 @@ def dedup_keep_first(
 
     ``key`` overrides the duplicate key (default md5(text)) — e.g.
     ``url_normalize(F.col("url"))`` for URL-level dedup (the C4
-    convention), or any other canonical-form Column.
+    convention), or any other canonical-form Column. Rows whose key is
+    NULL (e.g. no URL) are kept unconditionally — NULL is "unknown",
+    not a duplicate group.
     """
     w = Window.partitionBy(
-        key if key is not None else doc_hash(F.col(text_col))
+        *_null_safe_partition(
+            key if key is not None else doc_hash(F.col(text_col))
+        )
     ).orderBy(*[F.col(c).asc() for c in order_cols])
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -65,10 +89,13 @@ def mark_duplicates(
 
     Parity: deduplicate_by_hash.py:22,46 emits `{id, source,
     contaminated}` attributes instead of dropping rows. ``key``
-    overrides the duplicate key like ``dedup_keep_first``.
+    overrides the duplicate key like ``dedup_keep_first``; NULL-key
+    rows are never flagged as duplicates.
     """
     w = Window.partitionBy(
-        key if key is not None else doc_hash(F.col(text_col))
+        *_null_safe_partition(
+            key if key is not None else doc_hash(F.col(text_col))
+        )
     ).orderBy(*[F.col(c).asc() for c in order_cols])
     return df.withColumn(flag_col, F.row_number().over(w) > 1)
 

@@ -200,7 +200,21 @@ def get_documents_containing_phrases(
     per-doc cost independent of the phrase count; needs ``id_col``);
     ``"auto"`` routes plain token-aligned slop=0 batches of ≥ 32
     phrases to the automaton when ``id_col`` exists, like the
-    counting batch."""
+    counting batch. Anything else (slop>0, regexp, AND-groups over
+    non-strings) raises under ``"ac"`` and routes to the predicate
+    under ``"auto"`` — the fast path never silently changes
+    semantics.
+
+    The ``"ac"`` path assumes ``id_col`` uniquely identifies rows:
+    match resolution is a LEFT SEMI join on ``id_col``, so a
+    non-matching row sharing an id with a matching row would also be
+    returned (the predicate path has no such divergence). Pass a
+    row-unique id or use ``method="pred"`` when ids can repeat."""
+    if method not in ("auto", "ac", "pred"):
+        raise ValueError(
+            f"unknown method {method!r}: expected 'auto', 'ac' or "
+            "'pred'"
+        )
     ac_eligible = (
         token_aligned
         and slop == 0
@@ -271,7 +285,14 @@ def count_documents_for_each_phrase(
     automaton (measured at sf0.1: agg 16 s / 142 s at P=100 / 1000 vs
     a FLAT ~1.5 s for the automaton — SCALE.md) and everything else
     (AND-groups, slop, regexp-ish, substring mode) to the aggregates.
+    ``method="ac"`` with an ineligible query (slop>0, AND-groups)
+    raises rather than silently degrading.
     """
+    if method not in ("auto", "ac", "agg"):
+        raise ValueError(
+            f"unknown method {method!r}: expected 'auto', 'ac' or "
+            "'agg'"
+        )
     ac_eligible = (
         token_aligned
         and slop == 0

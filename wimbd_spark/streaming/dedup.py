@@ -90,19 +90,29 @@ def streaming_url_dedup(
     scalar — so the only stateful piece is the same
     dropDuplicates(WithinWatermark) machinery as
     ``streaming_dedup_exact``, keyed on md5(normalized url). State is
-    bounded by the watermark horizon when ``ts_col`` is given."""
+    bounded by the watermark horizon when ``ts_col`` is given.
+
+    Rows with a NULL url pass through un-deduped: dropDuplicates
+    groups all NULL keys together, which would silently keep only one
+    URL-less document per horizon. A missing URL is "unknown", not a
+    duplicate group, so the stream is split on ``url_col IS NULL`` and
+    the NULL branch unioned back stateless (deterministic across
+    micro-batches — no per-row synthetic keys in the state store)."""
     from wimbd_spark.functions.text import url_normalize
 
-    out = docs.withColumn(
+    no_url = docs.filter(F.col(url_col).isNull())
+    out = docs.filter(F.col(url_col).isNotNull()).withColumn(
         "__ukey", F.md5(url_normalize(F.col(url_col)))
     )
     if ts_col is not None:
-        return (
+        deduped = (
             out.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["__ukey"])
             .drop("__ukey")
         )
-    return out.dropDuplicates(["__ukey"]).drop("__ukey")
+    else:
+        deduped = out.dropDuplicates(["__ukey"]).drop("__ukey")
+    return deduped.unionByName(no_url)
 
 
 def streaming_decontaminate(
