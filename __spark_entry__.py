@@ -4981,6 +4981,74 @@ def o_shared_span_coverage():
     """
 
 
+def q_remove_shared_spans(spark, sf_dir):
+    """Cross-document shared-span REMOVAL (winnow.remove_shared_spans,
+    keep='first') — the enforcement half of shared_span_coverage: every
+    winnow-witnessed cross-doc fingerprint keeps its min-doc_id copy
+    and is excised everywhere else, text rebuilt from surviving tokens
+    (single-space canonical form). Selection map-side; ONE fp agg, ONE
+    fp join, one per-doc interval fold, one id-probe join for surgery.
+    Output pins the rebuilt text by md5 (doc_hash convention: literal
+    'None' for null text)."""
+    from wimbd_spark.functions.text import doc_hash
+    from wimbd_spark.operators.winnow import remove_shared_spans
+
+    out = remove_shared_spans(
+        _docs(spark, sf_dir), k=3, w=4, keep="first"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(
+            F.size(tokenize(F.col("text"))), F.lit(-1)
+        ).cast("long").alias("n_tokens_after"),
+        doc_hash(F.col("text")).alias("text_hash"),
+    )
+
+
+def o_remove_shared_spans():
+    return f"""
+      WITH {_sql_winnow_sel(3, 4, "", "")},
+      winner AS (
+        SELECT fp, min(doc_id) AS keep_id
+        FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) > 1
+      ),
+      rem AS (
+        SELECT s.doc_id, s.pos FROM sel s
+        JOIN winner w ON s.fp = w.fp AND s.doc_id <> w.keep_id
+      ),
+      surv AS (
+        SELECT tk.doc_id, tk.j, tk.tok FROM (
+          SELECT doc_id, j, t[j] AS tok
+          FROM toks, unnest(generate_series(1, len(t))) AS u(j)
+        ) tk
+        WHERE NOT EXISTS (
+          SELECT 1 FROM rem r
+          WHERE r.doc_id = tk.doc_id
+            AND tk.j BETWEEN r.pos AND r.pos + 2
+        )
+      ),
+      rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS text2,
+               count(*) AS nt2
+        FROM surv GROUP BY doc_id
+      ),
+      final AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id IN (SELECT DISTINCT doc_id FROM rem)
+                    THEN coalesce(b.text2, '')
+                    ELSE d.text END AS text_out
+        FROM documents d LEFT JOIN rebuilt b ON b.doc_id = d.doc_id
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(CASE WHEN text_out IS NULL THEN -1
+                  ELSE len(list_filter(
+                         regexp_split_to_array(trim(text_out), '\\s+'),
+                         x -> x <> '')) END AS BIGINT) AS n_tokens_after,
+             coalesce(md5(text_out), 'None') AS text_hash
+      FROM final
+    """
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-gated n-gram decontamination: drop non-src0 docs whose
     4-gram stream hits the m=2^20-bit, k=2 Bloom filter of src0's
@@ -6098,6 +6166,12 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
     "jpeg_decode_check": (q_jpeg_decode_check, o_jpeg_decode_check),
     "ivf_index_topk": (q_ivf_index_topk, o_ivf_index_topk),
+    # --- new in r11 (never driver-checked → must sit inside the
+    # first-50 window; positions 43+) ---
+    "remove_shared_spans_keepfirst": (
+        q_remove_shared_spans,
+        o_remove_shared_spans,
+    ),
     "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
     "bm25_index_top10": (q_bm25_index, o_bm25_rank),
     "bm25_batch_top5": (q_bm25_batch, o_bm25_batch),

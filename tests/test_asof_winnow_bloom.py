@@ -343,3 +343,67 @@ def test_shared_span_coverage_hand_math(spark):
         assert r.n_shared_fp >= 1
     # coverage is a LOWER bound: doc1 shares 6 of 10 tokens
     assert got[1].covered_tokens <= 6 + 2  # k-1 tail slack
+
+
+def test_shared_spans_and_removal(spark):
+    """Enforcement half of the Lee-et-al audit: remove_shared_spans
+    excises winnow-witnessed cross-doc intervals; keep='first' leaves
+    the min-doc_id copy intact; untouched docs pass byte-identical;
+    re-auditing the keep='none' output shows coverage collapses."""
+    from wimbd_spark.operators.winnow import (
+        remove_shared_spans,
+        shared_span_coverage,
+        shared_spans,
+    )
+
+    rows = [
+        (1, "p q r s t u alpha beta gamma delta"),
+        (2, "zeta p q r s t u omega"),
+        (3, "entirely different words in here now"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    spans = {
+        (r.doc_id, r.start_pos, r.end_pos)
+        for r in shared_spans(df).collect()
+    }
+    assert spans and all(d in (1, 2) for d, _, _ in spans)
+    # keep='first': doc 1 (min id) is exempt per shared fingerprint
+    spans_kf = shared_spans(df, keep="first").collect()
+    assert {r.doc_id for r in spans_kf} == {2}
+
+    out = {
+        r.doc_id: r.text
+        for r in remove_shared_spans(df, keep="none").collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3] == rows[2][1]  # untouched doc: byte-identical
+    assert out[4] is None
+    # the shared run is gone from BOTH docs under keep='none'
+    for d in (1, 2):
+        assert "q r s" not in out[d]
+    # keep='first': doc 1 keeps its copy, doc 2 loses it
+    out_kf = {
+        r.doc_id: r.text
+        for r in remove_shared_spans(df, keep="first").collect()
+    }
+    assert "p q r s t u" in out_kf[1]
+    assert "q r s" not in out_kf[2]
+
+    # re-audit: coverage of the keep='none' output collapses
+    before = sum(
+        r.covered_tokens for r in shared_span_coverage(df).collect()
+    )
+    after = sum(
+        r.covered_tokens
+        for r in shared_span_coverage(
+            spark.createDataFrame(
+                [(k, v) for k, v in out.items()], ["doc_id", "text"]
+            )
+        ).collect()
+    )
+    assert before > 0 and after == 0
+
+    with __import__("pytest").raises(ValueError):
+        shared_spans(df, keep="last")

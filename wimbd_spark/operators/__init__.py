@@ -87,6 +87,8 @@ from wimbd_spark.operators.windows import (
 )
 from wimbd_spark.operators.asof import asof_join, interval_join
 from wimbd_spark.operators.winnow import (
+    remove_shared_spans,
+    shared_spans,
     winnow_fingerprints,
     winnow_overlap,
     winnow_select,
@@ -187,6 +189,7 @@ __all__ = [
     "cluster_balanced_sample",
     "asof_join", "interval_join",
     "winnow_fingerprints", "winnow_overlap", "winnow_select",
+    "shared_spans", "remove_shared_spans",
     "bloom_build", "bloom_contains", "bloom_decontaminate",
     "bm25_topk", "bm25_topk_batch", "bm25_topk_batch_indexed",
     "bm25_topk_indexed", "build_doclen_stats",

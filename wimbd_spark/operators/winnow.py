@@ -227,3 +227,122 @@ def shared_span_coverage(
             ),
         ).otherwise(F.lit(0.0)).alias("coverage"),
     )
+
+
+def shared_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    keep: str = "none",
+) -> DataFrame:
+    """Token intervals of winnow-witnessed CROSS-DOCUMENT text, per
+    document → (id_col, start_pos, end_pos), 0-based inclusive,
+    overlaps merged. The span table ``shared_span_coverage`` audits,
+    materialized for enforcement.
+
+    ``keep``: ``"none"`` marks every copy of a shared fingerprint for
+    removal (the ExactSubstr-paper convention — all occurrences go);
+    ``"first"`` exempts, per fingerprint, the document with the
+    minimal ``id_col`` (keep-one: boilerplate survives exactly once in
+    the corpus). Both are deterministic — no scheduling-order "first".
+
+    Plan: map-side fingerprint selection (winnow_select, zero
+    shuffle); ONE fp-keyed aggregation finds multi-document hashes
+    (and, under keep="first", their min-id winner in the same pass);
+    ONE fp equi-join marks occurrences; one per-doc groupBy folds
+    sorted k-token windows into maximal intervals (the repeated_spans
+    merge — per-doc state bounded by the doc's own fingerprints).
+    """
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    agg = fps.groupBy("fp").agg(
+        F.count_distinct(id_col).alias("__nd"),
+        F.min(id_col).alias("__keep_id"),
+    )
+    multi = agg.filter(F.col("__nd") > 1).select("fp", "__keep_id")
+    marked = fps.join(multi, "fp")
+    if keep == "first":
+        marked = marked.filter(F.col(id_col) != F.col("__keep_id"))
+    # pos is the 1-based gram start; it covers tokens
+    # [pos-1, pos+k-2] 0-based — fold sorted starts into maximal
+    # intervals exactly like dedup.repeated_spans.
+    starts = marked.select(
+        F.col(id_col), (F.col("pos") - 1).alias("__p")
+    )
+    first = F.element_at(F.col("_arr"), 1)
+    rest = F.slice(
+        F.col("_arr"), 2, F.greatest(F.size("_arr") - 1, F.lit(0))
+    )
+    init = F.array(
+        F.struct(first.alias("s"), (first + F.lit(k - 1)).alias("e"))
+    )
+
+    def merge(acc, p):
+        last = F.element_at(acc, -1)
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["s"].alias("s"),
+                    F.greatest(last["e"], p + F.lit(k - 1)).alias("e"),
+                )
+            ),
+        )
+        appended = F.concat(
+            acc,
+            F.array(
+                F.struct(p.alias("s"), (p + F.lit(k - 1)).alias("e"))
+            ),
+        )
+        return F.when(p <= last["e"], extended).otherwise(appended)
+
+    return (
+        starts.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("__p")).alias("_arr"))
+        .select(
+            F.col(id_col),
+            F.explode(F.aggregate(rest, init, merge)).alias("_sp"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_sp.s").alias("start_pos"),
+            F.col("_sp.e").alias("end_pos"),
+        )
+    )
+
+
+def remove_shared_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    keep: str = "none",
+) -> DataFrame:
+    """Excise winnow-witnessed cross-document spans from every (or,
+    with keep="first", every non-first) document — the ENFORCEMENT
+    half of ``shared_span_coverage`` (Lee et al. 2021 remove repeated
+    training text; the reference only drops whole duplicate docs,
+    deduplicate_by_hash.py:40-62 — span-level surgery is the
+    beyond-reference tier). Tokens at marked positions are dropped and
+    the text rebuilt from survivors joined with single spaces (the
+    engine's canonical whitespace form, same contract as
+    dedup.remove_repeated_spans, whose surgery this reuses verbatim);
+    docs with no shared spans pass through byte-identical.
+
+    Soundness note: winnowing witnesses are a LOWER bound on shared
+    >=(w+k-1)-token substrings, so removal is conservative — short
+    shared snippets below the guarantee length may survive, and
+    excision can splice previously-distant tokens into new adjacent
+    grams. Re-audit the output with shared_span_coverage when
+    enforcing to a budget.
+    """
+    from wimbd_spark.operators.dedup import remove_repeated_spans
+
+    spans = shared_spans(df, id_col, text_col, k=k, w=w, keep=keep)
+    return remove_repeated_spans(
+        df, k=k, text_col=text_col, id_col=id_col, spans=spans
+    )
