@@ -3350,6 +3350,67 @@ def o_decontaminate_ngrams():
     """
 
 
+def q_decontaminate_ac_src0(spark, sf_dir):
+    """Aho-Corasick decontamination (method='ac' pinned): drop every
+    non-src0 doc containing any distinct src0 n-gram for n in 3..6 —
+    the 4-distinct-length mix where the gram explode pays 4x corpus
+    tokens map-side and the automaton walks each doc ONCE (measured
+    sf0.1, P=10k over 8 lengths: gram 3.1-3.7 s vs AC 1.0-2.4 s;
+    dedup.decontaminate_by_ngrams routing notes). Row-identical to
+    method='gram'; this row pins the automaton path against the gram
+    oracle."""
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+
+    docs = _docs(spark, sf_dir)
+    parts = [
+        docs.filter(F.col("source") == "src0").select(
+            F.explode(
+                ngram_strings(tokenize(F.col("text")), n)
+            ).alias("phrase")
+        )
+        for n in (3, 4, 5, 6)
+    ]
+    ev = parts[0]
+    for part in parts[1:]:
+        ev = ev.unionByName(part)
+    train = docs.filter(F.col("source") != "src0")
+    out = decontaminate_by_ngrams(train, ev.distinct(), method="ac")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
+def o_decontaminate_ac_src0():
+    gram = (
+        "SELECT {cols} array_to_string(list_slice(t, i, i+{n1}), ' ') AS g"
+        " FROM toks, unnest(generate_series(1, len(t)-{n1})) AS u(i)"
+        " WHERE len(t) >= {n} AND {cond}"
+    )
+    ev = " UNION ALL ".join(
+        gram.format(cols="", n=n, n1=n - 1, cond="source = 'src0'")
+        for n in (3, 4, 5, 6)
+    )
+    tg = " UNION ALL ".join(
+        gram.format(cols="doc_id,", n=n, n1=n - 1, cond="source <> 'src0'")
+        for n in (3, 4, 5, 6)
+    )
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      ev AS (SELECT DISTINCT g FROM ({ev})),
+      tg AS (SELECT DISTINCT doc_id, g FROM ({tg})),
+      hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN ev USING (g))
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source AS source
+      FROM documents d
+      WHERE d.source <> 'src0'
+        AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+    """
+
+
 def q_contaminated_examples(spark, sf_dir):
     """Audit companion to the sweep: up to 2 example doc_ids per
     leaked src0 4-gram (index.contaminated_examples — one gram-join
@@ -6171,6 +6232,10 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "remove_shared_spans_keepfirst": (
         q_remove_shared_spans,
         o_remove_shared_spans,
+    ),
+    "decontaminate_ac_src0": (
+        q_decontaminate_ac_src0,
+        o_decontaminate_ac_src0,
     ),
     "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
     "bm25_index_top10": (q_bm25_index, o_bm25_rank),

@@ -447,3 +447,84 @@ def test_decontaminate_by_ngrams_slop(spark):
     )
     with pytest.raises(ValueError, match="contiguous-only"):
         decontaminate_by_ngrams(train, long_ev, slop=1)
+
+
+def test_decontaminate_ac_routing_and_parity(spark):
+    """method='ac' is row-identical to the gram join; 'auto' routes to
+    the automaton only where the gram multipliers bite (>= 4 distinct
+    short lengths), stays on grams for single-length sets, and always
+    under slop>0 / custom tokenizers (r10 VERDICT #3)."""
+    from wimbd_spark.functions.text import ngram_strings, tokenize
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    train = docs.filter(F.col("source") != "src0")
+    src0 = docs.filter(F.col("source") == "src0")
+    parts = [
+        src0.select(
+            F.explode(ngram_strings(tokenize("text"), n)).alias("phrase")
+        )
+        .distinct()
+        .limit(40)
+        for n in (3, 4, 5, 6)
+    ]
+    ev = parts[0]
+    for p in parts[1:]:
+        ev = ev.unionByName(p)
+    ev = ev.distinct()
+
+    got = {}
+    for m in ("gram", "ac", "auto"):
+        got[m] = sorted(
+            r.doc_id
+            for r in decontaminate_by_ngrams(train, ev, method=m)
+            .select("doc_id")
+            .collect()
+        )
+    assert got["gram"] == got["ac"] == got["auto"]
+
+    def plan_of(q):
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    # 4 distinct lengths, >= 32 phrases -> auto takes the automaton
+    assert "MapInPandas" in plan_of(
+        decontaminate_by_ngrams(train, ev, method="auto")
+    )
+    # single-length set is flat in P on the gram join -> stays gram
+    ev4 = (
+        src0.select(
+            F.explode(ngram_strings(tokenize("text"), 4)).alias("phrase")
+        )
+        .distinct()
+        .limit(200)
+    )
+    assert "MapInPandas" not in plan_of(
+        decontaminate_by_ngrams(train, ev4, method="auto")
+    )
+    # flag mode parity on the AC path
+    fa = {
+        (r.doc_id, r.contaminated)
+        for r in decontaminate_by_ngrams(
+            train, ev, mode="flag", method="gram"
+        )
+        .select("doc_id", "contaminated")
+        .collect()
+    }
+    fb = {
+        (r.doc_id, r.contaminated)
+        for r in decontaminate_by_ngrams(
+            train, ev, mode="flag", method="ac"
+        )
+        .select("doc_id", "contaminated")
+        .collect()
+    }
+    assert fa == fb
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        decontaminate_by_ngrams(train, ev, method="AC")
+    with _pytest.raises(ValueError, match="slop"):
+        decontaminate_by_ngrams(train, ev, method="ac", slop=1)

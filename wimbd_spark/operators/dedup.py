@@ -715,6 +715,32 @@ def _normalized_tokens_text(text: Column, tokenizer=None) -> Column:
     return F.concat(F.lit(" "), F.array_join(tok(text), " "), F.lit(" "))
 
 
+# Aho-Corasick routing bounds for decontaminate_by_ngrams: below MIN
+# the compiled gram join beats the Python automaton walk (measured
+# crossover ~tens of phrases, SCALE.md); above MAX the per-TASK trie
+# cost dominates — every concurrent partition task builds its own
+# automaton (measured: 20k 4-gram phrases ≈ 0.7 s build / ~300k
+# states ≈ 100 MB; 100k ≈ 6.6 s / 1.5M states) and executor memory is
+# the binding constraint at cluster scale. Beyond MAX, route back to
+# the distributed gram join, which never materializes the phrase set
+# in one process.
+_AC_DECON_MIN_PHRASES = 32
+_AC_DECON_MAX_PHRASES = 20_000
+# auto routes to AC only where the gram path's cost MULTIPLIERS bite
+# (single-length sets are flat in P on the gram join — measured):
+# >= MIN_LENGTHS distinct short lengths (map-side explode emits one
+# gram per token per length) or > MAX_OVERLONG overlong phrases (each
+# adds a per-doc contains to the broadcast nested loop).
+_AC_DECON_MIN_LENGTHS = 4
+_AC_DECON_MAX_OVERLONG = 32
+
+
+def _gram_cap() -> int:
+    from wimbd_spark.index import GRAM_JOIN_MAX_PHRASE_TOKENS
+
+    return GRAM_JOIN_MAX_PHRASE_TOKENS
+
+
 def decontaminate_by_ngrams(
     train: DataFrame,
     eval_df: DataFrame,
@@ -726,6 +752,7 @@ def decontaminate_by_ngrams(
     tokenizer=None,
     broadcast_eval: bool = True,
     slop: int = 0,
+    method: str = "auto",
 ) -> DataFrame:
     """Remove (``mode='drop'``) or flag (``mode='flag'``) every train
     doc whose token stream CONTAINS any eval phrase (token-aligned;
@@ -737,6 +764,27 @@ def decontaminate_by_ngrams(
     report counts per-phrase ES hits (corpus_contamination.py:28-58);
     this operator closes the loop: the docs the sweep would count are
     the docs this removes.
+
+    ``method``: ``"gram"`` = the gram-explode semi-join below;
+    ``"ac"`` = one Aho-Corasick pass
+    (operators.multipattern.matching_doc_ids_ac — per-doc cost
+    independent of the phrase count AND the length mix, phrases
+    collected to the driver and compiled into a per-task automaton;
+    slop=0 and the default tokenizer only, raises otherwise);
+    ``"auto"`` (default) routes to the automaton exactly where the
+    gram path's cost multipliers bite — the map-side explode emits one
+    gram per (token, DISTINCT PHRASE LENGTH) and each overlong phrase
+    (> GRAM_JOIN_MAX_PHRASE_TOKENS) adds a per-doc `contains` to a
+    broadcast nested loop, so a single-length set is flat in the
+    phrase count and stays on grams (measured sf0.1, P=12.5k single
+    length: gram 1.35 s ≈ AC 1.2 s), while ≥ _AC_DECON_MIN_LENGTHS
+    distinct short lengths or > _AC_DECON_MAX_OVERLONG overlong
+    phrases route to AC (measured sf0.1, P=10k over 8 lengths: gram
+    3.1–3.7 s vs AC 1.0–2.4 s). Both paths are row-identical
+    (parity-pinned); auto additionally requires
+    [_AC_DECON_MIN_PHRASES, _AC_DECON_MAX_PHRASES] distinct phrases
+    (below, automaton build cost isn't worth it; above, the per-task
+    trie memory is).
 
     100 TB plan shape: eval phrases → distinct (L, token-array) grams
     (broadcast by default — eval sets are small; pass
@@ -763,6 +811,18 @@ def decontaminate_by_ngrams(
 
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    if method not in ("auto", "ac", "gram"):
+        raise ValueError(
+            f"unknown method {method!r}: expected 'auto', 'ac' or "
+            "'gram'"
+        )
+    ac_eligible = slop == 0 and tokenizer is None
+    if method == "ac" and not ac_eligible:
+        raise ValueError(
+            "method='ac' needs slop=0 and the default tokenizer "
+            "(the automaton matches on canonical whitespace "
+            "tokenization)"
+        )
     tok = tokenizer if tokenizer is not None else tokenize
     evg = (
         eval_df.select(F.col(phrase_col).alias("_p"))
@@ -773,9 +833,66 @@ def decontaminate_by_ngrams(
         .select("_L", "_toks")
         .distinct()
     )
-    lengths = sorted(
-        r["_L"] for r in evg.select("_L").distinct().collect()
-    )
+    if method == "ac" or (method == "auto" and ac_eligible):
+        # one small aggregate decides the route: distinct-phrase count
+        # per length (eval sets are small; this replaces the gram
+        # path's lengths collect below when AC is taken)
+        per_len = {
+            r["_L"]: r["_n"]
+            for r in evg.groupBy("_L")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+        n = sum(per_len.values())
+        cap_probe = _gram_cap()
+        n_short_lengths = sum(1 for L in per_len if L <= cap_probe)
+        n_over = sum(c for L, c in per_len.items() if L > cap_probe)
+        gram_multiplier_bites = (
+            n_short_lengths >= _AC_DECON_MIN_LENGTHS
+            or n_over > _AC_DECON_MAX_OVERLONG
+        )
+        if method == "ac" or (
+            _AC_DECON_MIN_PHRASES <= n <= _AC_DECON_MAX_PHRASES
+            and gram_multiplier_bites
+        ):
+            if not 1 <= n <= _AC_DECON_MAX_PHRASES:
+                raise ValueError(
+                    f"method='ac' got {n} distinct phrases; the "
+                    f"automaton budget is [1, {_AC_DECON_MAX_PHRASES}]"
+                    " — use method='gram' beyond it (the gram join "
+                    "never materializes the phrase set in one process)"
+                )
+            from wimbd_spark.operators.multipattern import (
+                matching_doc_ids_ac,
+            )
+
+            hits = matching_doc_ids_ac(
+                train.select(id_col, text_col),
+                [
+                    " ".join(r["_toks"])
+                    for r in evg.select("_toks").collect()
+                ],
+                id_col=id_col,
+                text_col=text_col,
+            )
+            if mode == "drop":
+                return train.join(hits, id_col, "left_anti")
+            return (
+                train.join(
+                    hits.withColumn("_hit", F.lit(True)),
+                    id_col,
+                    "left",
+                )
+                .withColumn(
+                    flag_col, F.coalesce(F.col("_hit"), F.lit(False))
+                )
+                .drop("_hit")
+            )
+        lengths = sorted(per_len)
+    else:
+        lengths = sorted(
+            r["_L"] for r in evg.select("_L").distinct().collect()
+        )
     if not lengths:
         if mode == "drop":
             return train

@@ -356,11 +356,13 @@ def streaming_decontaminate_by_ngrams(
     id_col: str = "doc_id",
     tokenizer=None,
     slop: int = 0,
+    method: str = "auto",
 ):
     """EXACT n-gram decontamination on ingest: each micro-batch runs
     the batch operator (decontaminate_by_ngrams — doc-level semantics,
     drop any doc containing any eval phrase; ``slop>0`` widens to the
-    windowed match, r8) and appends survivors as
+    windowed match, r8; ``method`` routes big slop=0 phrase sets to
+    the Aho-Corasick pass exactly like batch) and appends survivors as
     parquet under ``path``. Doc-level dropping needs a per-doc
     aggregation over exploded grams, which pure streaming can only do
     with a state store; foreachBatch gets batch semantics per
@@ -381,6 +383,7 @@ def streaming_decontaminate_by_ngrams(
             id_col=id_col,
             tokenizer=tokenizer,
             slop=slop,
+            method=method,
         )
         out.write.mode("overwrite").parquet(f"{path}/batch={epoch}")
 
