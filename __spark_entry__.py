@@ -3300,6 +3300,61 @@ def o_gram_overlap():
     """
 
 
+def q_streaming_decontaminate_src0(spark, sf_dir):
+    """Streaming-tier driver surface (r10 VERDICT #8): the corpus
+    replayed as 4 single-file micro-batches through
+    streaming.streaming_decontaminate_by_ngrams (foreachBatch gate,
+    exactly-once batch=<epoch> parquet sink), survivors read back.
+    The gate is per-row deterministic — no cross-row streaming state —
+    so the survivor SET is batching-independent and equals the batch
+    operator's output (the oracle below is the batch decontaminate
+    SQL). The 14 other streaming gates share this substrate and are
+    batch-twin pinned in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from wimbd_spark.streaming.dedup import (
+        streaming_decontaminate_by_ngrams,
+    )
+
+    docs = _docs(spark, sf_dir)
+    evalset = (
+        docs.filter(F.col("source") == "src0")
+        .select(
+            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+                "phrase"
+            )
+        )
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != "src0")
+    root = tempfile.mkdtemp(prefix="wimbd_stream_decon_")
+    try:
+        feed = f"{root}/feed"
+        train.repartition(4).write.parquet(feed)
+        stream = (
+            spark.readStream.schema(train.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = streaming_decontaminate_by_ngrams(
+            stream,
+            evalset,
+            path=f"{root}/out",
+            checkpoint=f"{root}/ckpt",
+        )
+        q.processAllAvailable()
+        q.stop()
+        kept = spark.read.parquet(f"{root}/out").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "source"
+        )
+        # materialize before the temp dir disappears
+        rows = kept.collect()
+        return spark.createDataFrame(rows, kept.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_decontaminate_ngrams(spark, sf_dir):
     """N-gram decontamination (drop-side twin of the contamination
     sweep): remove every non-src0 doc whose token stream contains any
@@ -6029,6 +6084,70 @@ def o_top_pmi_bigrams():
     """
 
 
+def q_top_npmi_bigrams(spark, sf_dir):
+    """Top-20 bigram collocations by NORMALIZED PMI (Bouma 2009):
+    npmi = pmi / -ln(p(pair)) in [-1, 1], correcting raw PMI's
+    over-weighting of rare pairs (r10 VERDICT #4). Same two gram
+    shuffles + word-keyed joins as the pmi row; npmi rounded once to
+    6 dp and ranked ON the rounded value, ties (npmi desc, w1, w2)."""
+    from wimbd_spark.operators.topk import top_pmi_bigrams
+
+    return top_pmi_bigrams(
+        _docs(spark, sf_dir),
+        k=PMI_K,
+        min_count=PMI_MIN_COUNT,
+        rank_by="npmi",
+    ).select(
+        "w1",
+        "w2",
+        F.col("pair_count").cast("long").alias("pair_count"),
+        "pmi",
+        "npmi",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def o_top_npmi_bigrams():
+    return f"""
+      WITH {_sql_grams(2)},
+      uni AS (
+        SELECT w, count(*) AS wc
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+      ),
+      bi AS (
+        SELECT ngram, count(*) AS c FROM grams GROUP BY ngram
+        HAVING count(*) >= {PMI_MIN_COUNT}
+      ),
+      tot AS (
+        SELECT (SELECT sum(wc) FROM uni) AS tu,
+               (SELECT count(*) FROM grams) AS tb
+      ),
+      scored AS (
+        SELECT list_extract(str_split(b.ngram, ' '), 1) AS w1,
+               list_extract(str_split(b.ngram, ' '), 2) AS w2,
+               b.c AS pair_count,
+               round(ln((CAST(b.c AS DOUBLE) / tb) /
+                        ((CAST(u1.wc AS DOUBLE) / tu) *
+                         (CAST(u2.wc AS DOUBLE) / tu))), 6) AS pmi,
+               CASE WHEN -ln(CAST(b.c AS DOUBLE) / tb) > 0 THEN
+                 round(ln((CAST(b.c AS DOUBLE) / tb) /
+                          ((CAST(u1.wc AS DOUBLE) / tu) *
+                           (CAST(u2.wc AS DOUBLE) / tu)))
+                       / (-ln(CAST(b.c AS DOUBLE) / tb)), 6)
+               END AS npmi
+        FROM bi b
+        JOIN uni u1 ON u1.w = list_extract(str_split(b.ngram, ' '), 1)
+        JOIN uni u2 ON u2.w = list_extract(str_split(b.ngram, ' '), 2)
+        CROSS JOIN tot
+      )
+      SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count, pmi,
+             npmi,
+             CAST(row_number() OVER (ORDER BY npmi DESC, w1, w2) AS INT)
+               AS rank
+      FROM scored ORDER BY npmi DESC, w1, w2 LIMIT {PMI_K}
+    """
+
+
 def q_topk_ngrams_by_source(spark, sf_dir):
     """Per-source top-5 bigrams (topk.topk_ngrams_by): ONE
     (source, gram)-keyed aggregation + a map-side per-group top-k
@@ -6236,6 +6355,14 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "decontaminate_ac_src0": (
         q_decontaminate_ac_src0,
         o_decontaminate_ac_src0,
+    ),
+    "top_npmi_bigrams_k20": (
+        q_top_npmi_bigrams,
+        o_top_npmi_bigrams,
+    ),
+    "streaming_decontaminate_src0": (
+        q_streaming_decontaminate_src0,
+        o_decontaminate_ngrams,
     ),
     "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
     "bm25_index_top10": (q_bm25_index, o_bm25_rank),

@@ -874,3 +874,20 @@ def test_cli_spectrum_and_pmi(capsys, shard_dir):
     assert {r["occurrences"]: r["n_ngrams"] for r in rows} == {20: 3, 10: 2}
     rows = _run(capsys, ["pmi", shard_dir, "-k", "3", "--min-count", "5"])
     assert rows and rows[0]["rank"] == 1 and "pmi" in rows[0]
+    assert "npmi" in rows[0] and rows[0]["npmi"] is not None
+    rows = _run(
+        capsys,
+        ["pmi", shard_dir, "-k", "3", "--min-count", "5",
+         "--rank-by", "npmi"],
+    )
+    # ranked on npmi: non-increasing down the list
+    vals = [r["npmi"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_cli_zipf(capsys, shard_dir):
+    rows = _run(capsys, ["zipf", shard_dir, "-n", "1", "--top", "5"])
+    assert len(rows) == 1
+    r = rows[0]
+    assert set(r) == {"slope", "intercept", "n_points"}
+    assert r["n_points"] == 5 and r["slope"] <= 0

@@ -297,8 +297,27 @@ def test_top_pmi_bigrams_hand_math(spark):
     want = round(math.log((4 / 12) / ((4 / 16) * (4 / 16))), 6)
     assert got[0].pmi == pytest.approx(want, abs=1e-9)
     assert [r.rank for r in got] == list(range(1, len(got) + 1))
+    # NPMI (Bouma 2009): pmi / -ln p(pair), in [-1, 1]
+    want_npmi = round(
+        math.log((4 / 12) / ((4 / 16) * (4 / 16)))
+        / -math.log(4 / 12),
+        6,
+    )
+    assert got[0].npmi == pytest.approx(want_npmi, abs=1e-9)
+    # Bouma's [-1,1] bound assumes one probability space; the engine's
+    # convention (unigram p over tokens, pair p over bigram slots —
+    # same as the pmi column) can push very frequent pairs slightly
+    # above 1, so only the lower bound is universal.
+    assert all(r.npmi >= -1.0 for r in got)
+    # rank_by="npmi" orders on the npmi column
+    byn = top_pmi_bigrams(df, k=3, min_count=2, rank_by="npmi").collect()
+    vals = [r.npmi for r in byn]
+    assert vals == sorted(vals, reverse=True)
+    assert [r.rank for r in byn] == list(range(1, len(byn) + 1))
     with pytest.raises(ValueError):
         top_pmi_bigrams(df, k=0)
+    with pytest.raises(ValueError):
+        top_pmi_bigrams(df, rank_by="mi")
 
 
 def test_topk_ngrams_by_group(spark):

@@ -154,6 +154,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--min-count", type=int, default=5,
                     help="minimum bigram count (PMI's low-frequency "
                     "instability gate)")
+    sp.add_argument("--rank-by", choices=["pmi", "npmi"], default="pmi",
+                    help="npmi = pmi normalized by -ln p(pair) to "
+                    "[-1, 1] (Bouma 2009) — corrects raw PMI's "
+                    "over-weighting of rare pairs")
+
+    sp = sub.add_parser(
+        "zipf",
+        help="Zipf power-law fit over the n-gram frequency head: OLS "
+        "slope/intercept of ln(count) on ln(rank) (slope near -1 = "
+        "natural language)",
+    )
+    common(sp)
+    sp.add_argument("-n", "--ngram", type=int, default=1)
+    sp.add_argument("--top", type=int, default=200,
+                    help="number of head n-grams to fit")
 
     sp = sub.add_parser(
         "dedup", help="drop exact-duplicate texts (keep first)"
@@ -851,12 +866,20 @@ def main(argv: list[str] | None = None) -> int:
             from wimbd_spark.operators.topk import top_pmi_bigrams
 
             res = top_pmi_bigrams(
-                df, k=args.topk, min_count=args.min_count, text_col=t
+                df, k=args.topk, min_count=args.min_count, text_col=t,
+                rank_by=args.rank_by,
             )
             _emit(
                 [r.asDict() for r in res.orderBy("rank").collect()],
                 args.output,
             )
+        elif args.cmd == "zipf":
+            from wimbd_spark.operators.topk import zipf_fit
+
+            row = zipf_fit(
+                df, n=args.ngram, top=args.top, text_col=t
+            ).collect()[0]
+            _emit([row.asDict()], args.output)
         elif args.cmd == "dedup":
             from wimbd_spark.operators.dedup import dedup_keep_first
 

@@ -144,17 +144,26 @@ def top_pmi_bigrams(
     k: int = 20,
     min_count: int = 5,
     text_col: str = "text",
+    rank_by: str = "pmi",
 ) -> DataFrame:
     """Top-k bigram collocations by pointwise mutual information →
-    (w1, w2, pair_count, pmi, rank). PMI = ln(p(w1 w2)/(p(w1)p(w2)))
-    with p() over the corpus bigram/unigram totals (Church & Hanks
-    1990) — "which word pairs co-occur far more than chance", the
-    collocation analysis a corpus-exploration toolkit pairs with
-    top-k n-grams. ``min_count`` drops rare pairs (PMI's classic
-    low-frequency instability).
+    (w1, w2, pair_count, pmi, npmi, rank). PMI = ln(p(w1 w2)/
+    (p(w1)p(w2))) with p() over the corpus bigram/unigram totals
+    (Church & Hanks 1990) — "which word pairs co-occur far more than
+    chance", the collocation analysis a corpus-exploration toolkit
+    pairs with top-k n-grams. ``min_count`` drops rare pairs (PMI's
+    classic low-frequency instability); NPMI = pmi / -ln(p(w1 w2))
+    (Bouma 2009) additionally normalizes toward [-1, 1], correcting
+    raw PMI's over-weighting of rare pairs — ``rank_by="npmi"``
+    orders by it (a pair seen exactly once with singleton words maxes
+    raw PMI but not NPMI). The -1 floor is universal; the +1 ceiling
+    assumes one probability space, and this function keeps the pmi
+    column's convention (unigram p over tokens, pair p over bigram
+    slots), under which very frequent pairs can exceed it slightly.
 
-    Determinism: pmi is rounded once to 6 dp (the engine's decimal
-    convention); ties break (pmi desc, w1, w2).
+    Determinism: pmi/npmi are each rounded once to 6 dp from the raw
+    ratio (the engine's decimal convention) and the rank is computed
+    ON the rounded value; ties break (score desc, w1, w2).
 
     100 TB plan: one bigram agg + one unigram agg (the two standard
     gram shuffles); unigram counts join the bigram table keyed on the
@@ -164,6 +173,10 @@ def top_pmi_bigrams(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if rank_by not in ("pmi", "npmi"):
+        raise ValueError(
+            f"rank_by must be 'pmi' or 'npmi', got {rank_by!r}"
+        )
     toks = tokenize(F.col(text_col))
     uni = (
         df.select(F.explode(toks).alias("w"))
@@ -194,19 +207,33 @@ def top_pmi_bigrams(
             "w1",
             "w2",
             "pair_count",
-            F.round(
-                F.log(
-                    (F.col("pair_count").cast("double") / F.col("_tb"))
-                    / (
-                        (F.col("c1").cast("double") / F.col("_tu"))
-                        * (F.col("c2").cast("double") / F.col("_tu"))
-                    )
-                ),
-                6,
-            ).alias("pmi"),
+            F.log(
+                (F.col("pair_count").cast("double") / F.col("_tb"))
+                / (
+                    (F.col("c1").cast("double") / F.col("_tu"))
+                    * (F.col("c2").cast("double") / F.col("_tu"))
+                )
+            ).alias("_raw_pmi"),
+            (-F.log(
+                F.col("pair_count").cast("double") / F.col("_tb")
+            )).alias("_h"),
+        )
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(F.col("_raw_pmi"), 6).alias("pmi"),
+            F.when(
+                F.col("_h") > 0,
+                F.round(F.col("_raw_pmi") / F.col("_h"), 6),
+            ).alias("npmi"),
         )
     )
-    order = [F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    order = [
+        F.col(rank_by).desc(),
+        F.col("w1").asc(),
+        F.col("w2").asc(),
+    ]
     top = scored.orderBy(*order).limit(k)
     return top.withColumn(
         "rank", F.row_number().over(Window.orderBy(*order))
