@@ -3417,8 +3417,16 @@ def q_decontaminate_ac_src0(spark, sf_dir):
     from wimbd_spark.operators.dedup import decontaminate_by_ngrams
 
     docs = _docs(spark, sf_dir)
+    # eval side thinned to doc_id % 25 == 0 (doc_ids stripe by
+    # source, so every src0 id is ≡ 0 mod 5 — %25 keeps every 5th
+    # src0 doc): the distinct phrase count stays inside the [32, 20k]
+    # automaton budget at sf0.1 (~10k vs ~47k unthinned) while
+    # spanning 4 distinct lengths — the routing regime this row pins
+    ev_docs = docs.filter(
+        (F.col("source") == "src0") & (F.col("doc_id") % 25 == 0)
+    )
     parts = [
-        docs.filter(F.col("source") == "src0").select(
+        ev_docs.select(
             F.explode(
                 ngram_strings(tokenize(F.col("text")), n)
             ).alias("phrase")
@@ -3442,7 +3450,10 @@ def o_decontaminate_ac_src0():
         " WHERE len(t) >= {n} AND {cond}"
     )
     ev = " UNION ALL ".join(
-        gram.format(cols="", n=n, n1=n - 1, cond="source = 'src0'")
+        gram.format(
+            cols="", n=n, n1=n - 1,
+            cond="source = 'src0' AND doc_id % 25 = 0",
+        )
         for n in (3, 4, 5, 6)
     )
     tg = " UNION ALL ".join(

