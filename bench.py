@@ -141,6 +141,11 @@ HEADLINE = [
     "shared_span_coverage",
     "zipf_fit_unigrams",
     "url_dedup_keepfirst",
+    # r11 additions: collocation normalization, cross-doc span
+    # surgery, AC-routed decontamination (trie-regex walker)
+    "top_npmi_bigrams_k20",
+    "remove_shared_spans_keepfirst",
+    "decontaminate_ac_src0",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)
