@@ -164,3 +164,46 @@ def test_retrieval_ac_matches_predicate(spark):
         get_documents_containing_phrases(
             df, ["a"], slop=1, method="ac"
         )
+
+
+def test_trie_regex_equals_automaton_pure():
+    """Pure-Python property: the trie-structured regex's existence
+    answer and prefilter soundness match the exact automaton walk over
+    adversarial pattern sets — shared prefixes, patterns nested inside
+    others, regex metacharacters in tokens, overlapping plants."""
+    import random
+
+    from wimbd_spark.operators.multipattern import (
+        _build_automaton,
+        _matched_ids,
+        _trie_regex,
+    )
+
+    rng = random.Random(20260815)
+    words = ["a", "ab", "a.b", "(x)", "zz+", "the", "q"]
+    for trial in range(60):
+        n_pats = rng.randint(1, 12)
+        pats = []
+        for _ in range(n_pats):
+            L = rng.randint(1, 4)
+            pats.append(
+                " " + " ".join(rng.choice(words) for _ in range(L)) + " "
+            )
+        # adversarial: make one pattern a strict prefix of another
+        if len(pats) >= 2:
+            pats[1] = pats[0].rstrip() + " " + rng.choice(words) + " "
+        goto, fail, out = _build_automaton(pats)
+        rx = _trie_regex(pats)
+        for _ in range(20):
+            toks = [rng.choice(words) for _ in range(rng.randint(0, 15))]
+            if toks and rng.random() < 0.5:
+                # plant a pattern (possibly overlapping an existing one)
+                plant = rng.choice(pats).split()
+                i = rng.randrange(0, len(toks) + 1)
+                toks[i:i] = plant
+            padded = " " + " ".join(toks) + " "
+            exact = _matched_ids(padded, goto, fail, out)
+            assert (rx.search(padded) is not None) == bool(exact), (
+                pats,
+                padded,
+            )

@@ -851,11 +851,18 @@ def decontaminate_by_ngrams(
             n_short_lengths >= _AC_DECON_MIN_LENGTHS
             or n_over > _AC_DECON_MAX_OVERLONG
         )
+        if n == 0:
+            # nothing to match (empty/blank eval set) — same contract
+            # as the gram path's empty-lengths return below
+            if mode == "drop":
+                return train
+            return train.withColumn(flag_col, F.lit(False))
         if method == "ac" or (
-            _AC_DECON_MIN_PHRASES <= n <= _AC_DECON_MAX_PHRASES
+            n <= _AC_DECON_MAX_PHRASES
+            and n >= _AC_DECON_MIN_PHRASES
             and gram_multiplier_bites
         ):
-            if not 1 <= n <= _AC_DECON_MAX_PHRASES:
+            if n > _AC_DECON_MAX_PHRASES:
                 raise ValueError(
                     f"method='ac' got {n} distinct phrases; the "
                     f"automaton budget is [1, {_AC_DECON_MAX_PHRASES}]"
