@@ -80,6 +80,44 @@ def test_cli_decontaminate_by_ngrams(capsys, tmp_path):
     # hash mode would keep all 3 (no exact text match); containment
     # drops docs 1 and 3
     assert rows[0] == {"input": 3, "kept": 1, "removed": 2}
+    # --method ac: same survivors via the automaton pass
+    out2 = str(tmp_path / "clean_ng_ac")
+    rows = _run(
+        capsys,
+        ["decontaminate", str(tmp_path / "train.parquet"),
+         "--blocklist", str(tmp_path / "bl.parquet"),
+         "--out", out2, "--by-ngrams", "--method", "ac"],
+    )
+    assert rows[0] == {"input": 3, "kept": 1, "removed": 2}
+
+
+def test_cli_despan(capsys, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "p q r s t u alpha beta gamma delta",
+                "zeta p q r s t u omega",
+                "entirely different words in here now",
+            ],
+        }
+    ).to_parquet(tmp_path / "docs.parquet")
+    out = str(tmp_path / "despanned")
+    rows = _run(
+        capsys,
+        ["despan", str(tmp_path / "docs.parquet"), "--out", out],
+    )
+    assert rows[0]["input"] == 3 and rows[0]["modified"] == 2
+    # keep='first': only the non-first copy (doc 2) is modified
+    out2 = str(tmp_path / "despanned_kf")
+    rows = _run(
+        capsys,
+        ["despan", str(tmp_path / "docs.parquet"), "--out", out2,
+         "--keep", "first"],
+    )
+    assert rows[0]["modified"] == 1
 
 
 def test_cli_output_file(tmp_path, shard_dir):

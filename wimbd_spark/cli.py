@@ -210,6 +210,30 @@ def main(argv: list[str] | None = None) -> int:
                     "(phrase tokens in order within len+slop tokens)")
     sp.add_argument("--shingle-n", type=int, default=3,
                     help="shingle size for --fuzzy (default 3)")
+    sp.add_argument("--method", choices=["auto", "ac", "gram"],
+                    default="auto",
+                    help="--by-ngrams matcher: 'ac' = one Aho-Corasick "
+                    "pass (flat in phrase count; slop=0 only), 'gram' "
+                    "= the distributed gram semi-join, 'auto' routes "
+                    "by the measured cost multipliers")
+
+    sp = sub.add_parser(
+        "despan",
+        help="excise CROSS-DOCUMENT shared spans (winnowing-witnessed "
+        "boilerplate; Lee et al. 2021): rebuild each doc without the "
+        "spans other docs also contain",
+    )
+    common(sp)
+    sp.add_argument("--out", required=True, help="output parquet path")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("-k", type=int, default=3,
+                    help="fingerprint gram size")
+    sp.add_argument("-w", type=int, default=4,
+                    help="winnowing window (guarantee: shared runs of "
+                    ">= w+k-1 tokens are witnessed)")
+    sp.add_argument("--keep", choices=["none", "first"], default="none",
+                    help="'first' leaves the min-id copy of each "
+                    "shared span intact; 'none' removes every copy")
 
     sp = sub.add_parser(
         "ppl-filter",
@@ -947,6 +971,7 @@ def main(argv: list[str] | None = None) -> int:
                     text_col=t,
                     id_col=args.id_col,
                     slop=args.slop,
+                    method=args.method,
                 )
             else:
                 kept = decontaminate(df, bl, text_col=t)
@@ -954,6 +979,33 @@ def main(argv: list[str] | None = None) -> int:
             after = spark.read.parquet(args.out).count()
             _emit(
                 [{"input": before, "kept": after, "removed": before - after}],
+                args.output,
+            )
+        elif args.cmd == "despan":
+            from pyspark.sql import functions as F
+
+            from wimbd_spark.operators.winnow import remove_shared_spans
+
+            before = df.count()
+            out = remove_shared_spans(
+                df, id_col=args.id_col, text_col=t,
+                k=args.k, w=args.w, keep=args.keep,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            written = spark.read.parquet(args.out)
+            # modified = docs whose text changed (span surgery applied)
+            modified = (
+                written.select(args.id_col, F.col(t).alias("_new"))
+                .join(df.select(args.id_col, F.col(t).alias("_old")),
+                      args.id_col)
+                .filter(
+                    F.col("_new").isNotNull()
+                    & (F.col("_new") != F.col("_old"))
+                )
+                .count()
+            )
+            _emit(
+                [{"input": before, "modified": modified}],
                 args.output,
             )
         elif args.cmd == "ppl-filter":
