@@ -1144,3 +1144,60 @@ def test_streaming_url_dedup_null_urls_pass_through(spark, tmp_path):
     )
     q.stop()
     assert got == [1, 2, 3, 4]
+
+
+def test_streaming_contamination_hits_ac_parity(spark, tmp_path):
+    """method='ac' on the hits audit stream is row-MULTISET-identical
+    to the gram explode-join, including multiple occurrences of one
+    phrase in one doc and overlapping occurrences."""
+    from wimbd_spark.streaming import (
+        eval_gram_table,
+        read_doc_stream,
+        streaming_contamination_hits,
+    )
+
+    d1 = str(tmp_path / "docs_ch_ac")
+    d2 = str(tmp_path / "docs_ch_gram")
+    batch = [
+        _doc(1, "the quick brown fox quick brown again"),  # 2 occurrences
+        _doc(2, "nothing to see"),
+        _doc(3, "a a a"),  # overlapping "a a" occurrences
+        _doc(4, None),
+    ]
+    _write_batch(d1, batch, "b0.json")
+    _write_batch(d2, batch, "b0.json")
+    ev = spark.createDataFrame(
+        [("quick brown",), ("a a",), ("turtle",)], ["phrase"]
+    )
+    grams = eval_gram_table(ev)
+
+    got = {}
+    for name, src, method in (
+        ("ac", d1, "ac"),
+        ("gram", d2, "gram"),
+    ):
+        out = streaming_contamination_hits(
+            read_doc_stream(spark, src), grams, method=method
+        ).select("doc_id", "phrase")
+        q = _run_to_memory(out, f"ch_{name}_parity", "append")
+        q.processAllAvailable()
+        got[name] = sorted(
+            (r["doc_id"], r["phrase"])
+            for r in spark.sql(f"select * from ch_{name}_parity").collect()
+        )
+        q.stop()
+    assert got["ac"] == got["gram"]
+    # the multiset shape itself: 2 quick-brown rows, 2 overlapping a-a
+    assert got["ac"].count((1, "quick brown")) == 2
+    assert got["ac"].count((3, "a a")) == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        streaming_contamination_hits(
+            read_doc_stream(spark, d1), grams, method="aho"
+        )
+    with _pytest.raises(ValueError, match="slop"):
+        streaming_contamination_hits(
+            read_doc_stream(spark, d1), grams, slop=1, method="ac"
+        )

@@ -141,6 +141,23 @@ def _compiled(pats: list[str], kind: str):
     return hit
 
 
+def _matched_counts(text: str, goto, fail, out) -> Counter:
+    """Occurrence counts per pattern id — every end-state visit counts
+    (overlapping occurrences included, the AC guarantee), so the count
+    equals the number of gram positions the explode-join path emits."""
+    s = 0
+    c: Counter = Counter()
+    root = goto[0]
+    for ch in text:
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0) if s else root.get(ch, 0)
+        if out[s]:
+            for pid in out[s]:
+                c[pid] += 1
+    return c
+
+
 def _matched_ids(text: str, goto, fail, out) -> set:
     s = 0
     hits: set = set()
@@ -272,3 +289,61 @@ def matching_doc_ids_ac(
     return toks.mapInPandas(gen, schema).withColumnRenamed(
         "__id", id_col
     )
+
+
+def phrase_hits_ac(
+    df: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-OCCURRENCE phrase hits: one output row per (doc, phrase
+    occurrence) carrying the doc's columns (minus ``text_col``) plus
+    ``phrase`` — the automaton form of the contamination-audit
+    explode-join (streaming.streaming_contamination_hits routes here),
+    row-multiset-identical to it: ``_matched_counts`` counts every
+    end-state visit, which is exactly the number of gram positions the
+    explode emits, overlapping occurrences included. Works on batch
+    AND streaming DataFrames (stateless mapInPandas)."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    analyzed = [" ".join(p.split()) for p in phrases]
+    if any(not a for a in analyzed):
+        raise ValueError("every phrase must contain >= 1 token")
+    pats = [f" {a} " for a in analyzed]
+    names = [p.strip() for p in pats]
+
+    keep = [c for c in df.columns if c != text_col]
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        *keep, tokenize(F.col(text_col)).alias("__toks")
+    )
+    out_schema = toks.drop("__toks").withColumn(
+        "phrase", F.lit("")
+    ).schema
+
+    def gen(batches: Iterator) -> Iterator:
+        rx = _compiled(pats, "regex")
+        goto, fail, out = _compiled(pats, "automaton")
+        for pdf in batches:
+            rows = {c: [] for c in keep}
+            ph: list = []
+            for idx in range(len(pdf)):
+                arr = pdf["__toks"].iloc[idx]
+                if arr is None or len(arr) == 0:
+                    continue
+                padded = " " + " ".join(arr) + " "
+                if rx.search(padded) is None:
+                    continue
+                for pid, cnt in _matched_counts(
+                    padded, goto, fail, out
+                ).items():
+                    for _ in range(cnt):
+                        for c in keep:
+                            rows[c].append(pdf[c].iloc[idx])
+                        ph.append(names[pid])
+            if ph:
+                import pandas as pd
+
+                rows["phrase"] = ph
+                yield pd.DataFrame(rows)
+
+    return toks.mapInPandas(gen, out_schema)

@@ -252,6 +252,7 @@ def streaming_contamination_hits(
     text_col: str = "text",
     tokenizer=None,
     slop: int = 0,
+    method: str = "auto",
 ) -> DataFrame:
     """STATELESS contamination AUDIT stream: one output row per
     (stream doc, matching eval phrase) — the doc's columns (minus
@@ -270,6 +271,16 @@ def streaming_contamination_hits(
     window hit, like multiple contiguous occurrences already do) and
     inner-joins the broadcast static gram table. No watermark, no
     state store: composes anywhere in a stateless gate chain.
+
+    ``method`` mirrors dedup.decontaminate_by_ngrams: ``"ac"`` = one
+    Aho-Corasick occurrence-counting pass per micro-batch
+    (multipattern.phrase_hits_ac — stateless mapInPandas, per-doc cost
+    flat in the phrase count AND the length mix; slop=0 and the
+    default tokenizer only), row-MULTISET-identical to the gram join
+    (one row per occurrence, overlaps included); ``"auto"`` routes by
+    the same measured multipliers (≥ distinct-length / overlong
+    thresholds, phrase-count budget); ``"gram"`` pins the explode
+    join.
     """
     from wimbd_spark.index import (
         GRAM_JOIN_MAX_PHRASE_TOKENS,
@@ -277,9 +288,63 @@ def streaming_contamination_hits(
         slop_combination_count,
     )
     from wimbd_spark.operators.dedup import (
+        _AC_DECON_MAX_OVERLONG,
+        _AC_DECON_MAX_PHRASES,
+        _AC_DECON_MIN_LENGTHS,
+        _AC_DECON_MIN_PHRASES,
         _normalized_tokens_text,
         _text_grams,
     )
+
+    if method not in ("auto", "ac", "gram"):
+        raise ValueError(
+            f"unknown method {method!r}: expected 'auto', 'ac' or "
+            "'gram'"
+        )
+    ac_eligible = slop == 0 and tokenizer is None
+    if method == "ac" and not ac_eligible:
+        raise ValueError(
+            "method='ac' needs slop=0 and the default tokenizer"
+        )
+    if method in ("ac", "auto") and ac_eligible:
+        per_len = {
+            r["_L"]: r["_n"]
+            for r in eval_grams.groupBy("_L")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+        n = sum(per_len.values())
+        cap_probe = GRAM_JOIN_MAX_PHRASE_TOKENS
+        n_short_lengths = sum(1 for L in per_len if L <= cap_probe)
+        n_over = sum(c for L, c in per_len.items() if L > cap_probe)
+        bites = (
+            n_short_lengths >= _AC_DECON_MIN_LENGTHS
+            or n_over > _AC_DECON_MAX_OVERLONG
+        )
+        if n == 0:
+            raise ValueError("eval_grams is empty — nothing to match")
+        if method == "ac" or (
+            _AC_DECON_MIN_PHRASES <= n <= _AC_DECON_MAX_PHRASES
+            and bites
+        ):
+            if n > _AC_DECON_MAX_PHRASES:
+                raise ValueError(
+                    f"method='ac' got {n} distinct phrases; the "
+                    f"automaton budget is [1, {_AC_DECON_MAX_PHRASES}]"
+                    " — use method='gram' beyond it"
+                )
+            from wimbd_spark.operators.multipattern import (
+                phrase_hits_ac,
+            )
+
+            return phrase_hits_ac(
+                docs,
+                [
+                    " ".join(r["_toks"])
+                    for r in eval_grams.select("_toks").collect()
+                ],
+                text_col=text_col,
+            )
 
     lengths = sorted(
         r["_L"] for r in eval_grams.select("_L").distinct().collect()
