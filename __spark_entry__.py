@@ -2094,6 +2094,48 @@ def o_ann_cosine_topk():
     """
 
 
+def q_ann_cosine_filtered_topk(spark, sf_dir):
+    """Filtered exact ANN (the vector-DB pre-filter pattern): top-3
+    cosine neighbors per query AMONG label=2 vectors only —
+    cosine_topk(filters=) routes through search.apply_filters (one
+    filter semantics for sparse AND dense tiers) and the equality
+    predicate reaches the parquet scan, never a post-rank discard."""
+    from wimbd_spark.operators.similarity import cosine_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=3, filters={"label": 2})
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+    )
+
+
+def o_ann_cosine_filtered_topk():
+    return """
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 5),
+           c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE label = 2),
+           scored AS (
+             SELECT query_id, neighbor_id,
+                    list_cosine_similarity(qv, cv) AS cos
+             FROM q, c WHERE query_id <> neighbor_id
+           ),
+           ranked AS (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+             FROM scored
+           )
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 3
+    """
+
+
 def q_pq_ann_topk(spark, sf_dir):
     """Product-quantization ANN (similarity.cosine_topk_pq, r8): each
     corpus vector stored as m=8 codes over 16-entry per-subspace
@@ -5176,6 +5218,120 @@ def o_remove_shared_spans():
     """
 
 
+def q_phrase_hits_ac(spark, sf_dir):
+    """Per-OCCURRENCE contamination-audit hit table via the
+    Aho-Corasick counting walk (multipattern.phrase_hits_ac — the
+    substrate behind streaming_contamination_hits method='ac'): one
+    row per (doc, BATCH_PHRASES occurrence), overlapping occurrences
+    included. The oracle is the gram explode-join — one row per
+    matching gram POSITION — pinning the multiset equivalence
+    end-to-end (every end-state visit == one gram position)."""
+    from wimbd_spark.operators.multipattern import phrase_hits_ac
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    out = phrase_hits_ac(docs, BATCH_PHRASES)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "phrase",
+    )
+
+
+def o_phrase_hits_ac():
+    values = ", ".join(
+        "('" + p.replace("'", "''") + "')" for p in BATCH_PHRASES
+    )
+    per_len = " UNION ALL ".join(
+        f"SELECT doc_id, source, {L} AS L,"
+        f" array_to_string(list_slice(t, i, i+{L - 1}), ' ') AS g"
+        f" FROM toks, unnest(generate_series(1, len(t)-{L - 1})) AS u(i)"
+        f" WHERE len(t) >= {L}"
+        for L in (1, 2, 3)
+    )
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      phr AS (
+        SELECT phrase,
+               len(list_filter(regexp_split_to_array(phrase, ' '),
+                               x -> x <> '')) AS L
+        FROM (VALUES {values}) v(phrase)
+      ),
+      tg AS ({per_len})
+      SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.source AS source,
+             p.phrase AS phrase
+      FROM tg t JOIN phr p ON t.L = p.L AND t.g = p.phrase
+    """
+
+
+def q_remove_shared_spans_none(spark, sf_dir):
+    """Cross-document shared-span removal, keep='none' (the
+    ExactSubstr-paper convention: EVERY copy of a winnow-witnessed
+    shared span goes — no exempt winner). Same plan as the keep-first
+    row minus the winner filter; this is the policy whose re-audit
+    coverage collapses to ~0 (tests/test_asof_winnow_bloom.py)."""
+    from wimbd_spark.functions.text import doc_hash
+    from wimbd_spark.operators.winnow import remove_shared_spans
+
+    out = remove_shared_spans(
+        _docs(spark, sf_dir), k=3, w=4, keep="none"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(
+            F.size(tokenize(F.col("text"))), F.lit(-1)
+        ).cast("long").alias("n_tokens_after"),
+        doc_hash(F.col("text")).alias("text_hash"),
+    )
+
+
+def o_remove_shared_spans_none():
+    return f"""
+      WITH {_sql_winnow_sel(3, 4, "", "")},
+      multi AS (
+        SELECT fp FROM sel GROUP BY fp
+        HAVING count(DISTINCT doc_id) > 1
+      ),
+      rem AS (
+        SELECT s.doc_id, s.pos FROM sel s
+        WHERE s.fp IN (SELECT fp FROM multi)
+      ),
+      surv AS (
+        SELECT tk.doc_id, tk.j, tk.tok FROM (
+          SELECT doc_id, j, t[j] AS tok
+          FROM toks, unnest(generate_series(1, len(t))) AS u(j)
+        ) tk
+        WHERE NOT EXISTS (
+          SELECT 1 FROM rem r
+          WHERE r.doc_id = tk.doc_id
+            AND tk.j BETWEEN r.pos AND r.pos + 2
+        )
+      ),
+      rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS text2
+        FROM surv GROUP BY doc_id
+      ),
+      final AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id IN (SELECT DISTINCT doc_id FROM rem)
+                    THEN coalesce(b.text2, '')
+                    ELSE d.text END AS text_out
+        FROM documents d LEFT JOIN rebuilt b ON b.doc_id = d.doc_id
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(CASE WHEN text_out IS NULL THEN -1
+                  ELSE len(list_filter(
+                         regexp_split_to_array(trim(text_out), '\\s+'),
+                         x -> x <> '')) END AS BIGINT) AS n_tokens_after,
+             coalesce(md5(text_out), 'None') AS text_hash
+      FROM final
+    """
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-gated n-gram decontamination: drop non-src0 docs whose
     4-gram stream hits the m=2^20-bit, k=2 Bloom filter of src0's
@@ -6374,6 +6530,15 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "streaming_decontaminate_src0": (
         q_streaming_decontaminate_src0,
         o_decontaminate_ngrams,
+    ),
+    "phrase_hits_ac": (q_phrase_hits_ac, o_phrase_hits_ac),
+    "remove_shared_spans_none": (
+        q_remove_shared_spans_none,
+        o_remove_shared_spans_none,
+    ),
+    "ann_cosine_filtered_topk": (
+        q_ann_cosine_filtered_topk,
+        o_ann_cosine_filtered_topk,
     ),
     "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
     "bm25_index_top10": (q_bm25_index, o_bm25_rank),

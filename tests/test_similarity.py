@@ -776,3 +776,52 @@ def test_ivf_pq_rerank_refines_to_exact_within_probes(spark, tmp_path):
     epath = str(tmp_path / "emptyrr")
     build_ivf_index(empty, epath, n_centroids=4, pq_m=4, pq_codes=8)
     assert cosine_topk_ivf_pq_rerank(spark, epath, queries, k=2).count() == 0
+
+
+def test_cosine_topk_filters_and_ivf_candidates(spark, tmp_path):
+    """Filtered ANN: cosine_topk(filters=) is a PRE-filter (exact
+    top-k among matching vectors); cosine_topk_ivf_indexed(candidates=)
+    semi-joins the probed lists against an id allowlist."""
+    from wimbd_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        cosine_topk_ivf_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = cosine_topk(emb, queries, k=3, filters={"label": 2}).collect()
+    allowed = {
+        r.vec_id for r in emb.filter(F.col("label") == 2).collect()
+    }
+    assert got and all(r.neighbor_id in allowed for r in got)
+    # pre-filter semantics: equals brute force over the filtered corpus
+    want = sorted(
+        map(
+            tuple,
+            cosine_topk(
+                emb.filter(F.col("label") == 2).unionByName(
+                    queries.filter(~F.col("vec_id").isin(*allowed))
+                ),
+                queries,
+                k=3,
+                filters={"label": 2},
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, got)) == want
+
+    path = str(tmp_path / "ivf_f")
+    build_ivf_index(emb, path, n_centroids=4)
+    allow = emb.filter(F.col("label") == 2).select("vec_id")
+    got_ivf = cosine_topk_ivf_indexed(
+        spark, path, queries, k=3, n_probe=4, candidates=allow
+    ).collect()
+    assert got_ivf and all(r.neighbor_id in allowed for r in got_ivf)
+    # n_probe = n_centroids probes everything -> equals exact filtered
+    assert sorted(map(tuple, got_ivf)) == sorted(
+        map(
+            tuple,
+            cosine_topk(emb, queries, k=3, filters={"label": 2}).collect(),
+        )
+    )

@@ -65,6 +65,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     exclude_self: bool = True,
+    filters: dict[str, str] | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query →
     (query_id, neighbor_id, rank).
@@ -72,7 +73,17 @@ def cosine_topk(
     queries is broadcast (small); scoring is a map-side projection over
     the corpus; the per-query top-k is a window rank — at scale,
     replace with groupBy(query).agg(max_by-style heap) if k is tiny.
+
+    ``filters`` = equality attribute filters on CORPUS columns (the
+    vector-DB "filtered ANN" pattern; same search.apply_filters
+    semantics as the BM25 tier, so sparse and dense filtering cannot
+    drift). Applied BEFORE scoring — a pre-filter, so the result is
+    the exact top-k AMONG matching vectors (never fewer than k when k
+    matches exist), and the predicate reaches the parquet scan
+    (PushedFilters) instead of discarding scored rows.
     """
+    from wimbd_spark.search import apply_filters
+
     qid = query_id_col or id_col
     q = F.broadcast(
         queries.select(
@@ -80,7 +91,7 @@ def cosine_topk(
             _unit(_to_double(F.col(vec_col))).alias("_qv"),
         )
     )
-    c = corpus.select(
+    c = apply_filters(corpus, filters).select(
         F.col(id_col).alias("neighbor_id"),
         _unit(_to_double(F.col(vec_col))).alias("_cv"),
     )
@@ -736,13 +747,23 @@ def cosine_topk_ivf_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors answered FROM the materialized IVF index
     — row-identical to cosine_topk_ivf(corpus, queries, ...) with the
     build-time n_centroids, but the corpus is never scanned: the probed
     centroid ids are resolved driver-side from the (tiny) centroid
     table and pushed into the lists scan as a static partition filter,
-    so only ~n_probe/n_centroids of the index is read."""
+    so only ~n_probe/n_centroids of the index is read.
+
+    ``candidates`` = optional one-column id allowlist (filtered ANN on
+    an index that carries no metadata — the same candidates= semi-join
+    convention as bm25_topk_indexed): probed list entries are LEFT
+    SEMI joined against it before scoring. Filtering happens INSIDE
+    the probed partitions, so ranks are the top-k among allowed ids
+    within the probe set — fewer than k rows can come back when the
+    allowed ids live outside the probed centroids (raise n_probe, or
+    use cosine_topk(filters=) for exact filtered search)."""
     cents = spark.read.parquet(f"{path}/centroids").collect()
     if not cents:
         qt = queries.schema[id_col].dataType.simpleString()
@@ -777,6 +798,9 @@ def cosine_topk_ivf_indexed(
     lists = spark.read.parquet(f"{path}/lists").filter(
         F.col("centroid").isin(probed)
     )
+    if candidates is not None:
+        allow = candidates.toDF("id").distinct()
+        lists = lists.join(F.broadcast(allow), "id", "left_semi")
     scored = (
         F.broadcast(q)
         .join(lists, "centroid")
