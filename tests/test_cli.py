@@ -686,6 +686,21 @@ def test_cli_ann_methods(spark, tmp_path, capsys):
         sim.build_ivf_index = orig_build
     with pytest.raises(SystemExit, match="--index requires"):
         main(["ann", src, "--method", "exact", "--index", idx])
+    # filtered ANN: vec 10 excluded -> nearest allowed neighbor changes
+    rows = _run(
+        capsys,
+        ["ann", src, "--queries", q, "-k", "1", "--method", "exact",
+         "--filter", "vec_id < 10"],
+    )
+    assert rows[0]["neighbor_id"] != 10 and rows[0]["neighbor_id"] < 10
+    # same allowlist through the persisted index (all lists probed)
+    rows = _run(
+        capsys,
+        ["ann", src, "--queries", q, "-k", "1", "--method", "ivf",
+         "--index", idx, "--n-centroids", "1",
+         "--filter", "vec_id < 10"],
+    )
+    assert rows[0]["neighbor_id"] != 10 and rows[0]["neighbor_id"] < 10
 
 
 def test_cli_topk_two_pass(capsys):

@@ -542,6 +542,14 @@ def main(argv: list[str] | None = None) -> int:
                     "built here on first use (centroid-partitioned "
                     "lists), then queries read only probed partitions "
                     "— build-once/query-many, corpus never rescanned")
+    sp.add_argument("--filter", default=None, metavar="SQL_EXPR",
+                    help="filtered ANN: boolean SQL expression over "
+                    "corpus columns (e.g. \"label = 2\") — exact/lsh/"
+                    "ivf/pq pre-filter the corpus (top-k among "
+                    "matches); with --index, matching ids become a "
+                    "candidates= allowlist inside the probed "
+                    "partitions (can return < k when allowed ids "
+                    "fall outside the probe set)")
     sp.add_argument("--pq-m", type=int, default=8,
                     help="PQ subspace count (pq method; embedding dim "
                     "must be divisible by it)")
@@ -1507,6 +1515,17 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--index requires --method ivf")
             if args.rerank and not args.index:
                 raise SystemExit("--rerank requires --index")
+            if args.filter and args.rerank:
+                raise SystemExit(
+                    "--filter with --rerank is not supported (the "
+                    "re-rank stage reads candidate ids from PQ "
+                    "scores; filter the output instead)"
+                )
+            if args.filter and not args.index:
+                # pre-filter: exact top-k among matching vectors
+                from pyspark.sql import functions as F
+
+                df = df.where(F.expr(args.filter))
             if args.index:
                 from wimbd_spark.operators.similarity import (
                     build_ivf_index,
@@ -1546,8 +1565,16 @@ def main(argv: list[str] | None = None) -> int:
                         n_candidates=args.rerank, **kw
                     )
                 else:
+                    cand = None
+                    if args.filter:
+                        from pyspark.sql import functions as F
+
+                        cand = df.where(F.expr(args.filter)).select(
+                            args.id_col
+                        )
                     res = cosine_topk_ivf_indexed(
-                        spark, args.index, queries, **kw
+                        spark, args.index, queries,
+                        candidates=cand, **kw
                     )
             elif args.method == "exact":
                 res = cosine_topk(df, queries, **kw)

@@ -65,7 +65,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     exclude_self: bool = True,
-    filters: dict[str, str] | None = None,
+    filters=None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query →
     (query_id, neighbor_id, rank).
@@ -74,13 +74,15 @@ def cosine_topk(
     the corpus; the per-query top-k is a window rank — at scale,
     replace with groupBy(query).agg(max_by-style heap) if k is tiny.
 
-    ``filters`` = equality attribute filters on CORPUS columns (the
-    vector-DB "filtered ANN" pattern; same search.apply_filters
-    semantics as the BM25 tier, so sparse and dense filtering cannot
-    drift). Applied BEFORE scoring — a pre-filter, so the result is
-    the exact top-k AMONG matching vectors (never fewer than k when k
-    matches exist), and the predicate reaches the parquet scan
-    (PushedFilters) instead of discarding scored rows.
+    ``filters`` = attribute filter on CORPUS columns (the vector-DB
+    "filtered ANN" pattern): either an equality dict routed through
+    search.apply_filters, or a boolean Column — the bm25_topk
+    convention — so sparse and dense filtering compose identically
+    (CLI --filter passes F.expr to both). Applied BEFORE scoring — a
+    pre-filter, so the result is the exact top-k AMONG matching
+    vectors (never fewer than k when k matches exist), and the
+    predicate reaches the parquet scan (PushedFilters) instead of
+    discarding scored rows.
     """
     from wimbd_spark.search import apply_filters
 
@@ -91,7 +93,11 @@ def cosine_topk(
             _unit(_to_double(F.col(vec_col))).alias("_qv"),
         )
     )
-    c = apply_filters(corpus, filters).select(
+    if filters is None or isinstance(filters, dict):
+        filtered = apply_filters(corpus, filters)
+    else:
+        filtered = corpus.filter(filters)
+    c = filtered.select(
         F.col(id_col).alias("neighbor_id"),
         _unit(_to_double(F.col(vec_col))).alias("_cv"),
     )
