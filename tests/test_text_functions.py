@@ -279,3 +279,33 @@ def test_url_normalize_cases(spark):
     }
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_url_normalize_idempotent_property(spark):
+    """normalize(normalize(u)) == normalize(u) over a generated URL
+    grid (schemes x cases x ports x fragments x tracking params x
+    trailing slashes x scheme-less strings) — canonical forms must be
+    fixed points, or URL-dedup keys would depend on how many times a
+    pipeline stage ran. ONE Spark job for the whole grid."""
+    import itertools
+
+    from wimbd_spark.functions.text import url_normalize
+
+    schemes = ["https://", "HTTP://", ""]
+    hosts = ["Host.COM", "host.com:443", "host.com:8080"]
+    paths = ["", "/A/b", "/A/b/", "/x//"]
+    queries = ["", "?utm_source=a", "?q=1&utm_medium=x", "?q=1&r=2"]
+    frags = ["", "#Frag"]
+    urls = [
+        "".join(parts)
+        for parts in itertools.product(schemes, hosts, paths, queries, frags)
+    ] + ["not a url", "", "mailto:a@b.c", "ftp://h/p?utm_source=x"]
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    once = url_normalize(F.col("u"))
+    rows = df.select(
+        F.col("u"),
+        once.alias("n1"),
+        url_normalize(once).alias("n2"),
+    ).collect()
+    bad = [(r.u, r.n1, r.n2) for r in rows if r.n1 != r.n2]
+    assert not bad, bad
