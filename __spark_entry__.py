@@ -2783,6 +2783,126 @@ def o_jpeg_decode_check():
     """
 
 
+def q_resize_dims_check(spark, sf_dir):
+    """End-to-end image RESIZE gate (decode -> box downsample ->
+    baseline-JPEG re-encode, operators/multimodal.resize_image): for
+    every JPEG_DECODE_MOD-th doc, build a doc_id-derived flat gray
+    image, encode it as baseline JPEG, run resize_image(max_side=6),
+    then decode the emitted thumbnail and check dims + bounded pixel
+    error. The oracle recomputes the HALF-UP dimension arithmetic in
+    SQL and expects resize_ok=TRUE — a driver-green row proves the
+    full decode/resize/re-encode pipeline end-to-end."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    docs = _docs(spark, sf_dir).where(
+        F.col("doc_id") % JPEG_DECODE_MOD == 0
+    ).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("resize_ok", BooleanType()),
+        ]
+    )
+
+    def build(batches):
+        import numpy as np
+
+        from wimbd_spark.operators.multimodal import (
+            encode_baseline_jpeg,
+        )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + doc_id % 9
+                h = 8 + doc_id % 7
+                val = 32 + doc_id % 160  # flat image, mid-range value
+                img = np.full((h, w), val, dtype=np.uint8)
+                ids.append(doc_id)
+                payloads.append(encode_baseline_jpeg(img, quant=4))
+            import pandas as pd
+
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    from pyspark.sql.types import BinaryType
+
+    media = docs.mapInPandas(
+        build,
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+    from wimbd_spark.operators.multimodal import resize_image
+
+    small = resize_image(media, max_side=6, quant=4)
+
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        from wimbd_spark.operators.multimodal import decode_jpeg
+
+        for pdf in batches:
+            ids, ws, hs, oks = [], [], [], []
+            for i in range(len(pdf)):
+                doc_id = int(pdf["doc_id"].iloc[i])
+                val = 32 + doc_id % 160
+                ww, hh, nch, pix = decode_jpeg(
+                    bytes(pdf["payload"].iloc[i])
+                )
+                arr = np.frombuffer(bytes(pix), dtype=np.uint8)
+                ok = (
+                    ww == int(pdf["width"].iloc[i])
+                    and hh == int(pdf["height"].iloc[i])
+                    and nch == 1
+                    # flat fixture: reconstruction within quant error
+                    and abs(float(arr.mean()) - val) <= 4.0
+                )
+                ids.append(doc_id)
+                ws.append(ww)
+                hs.append(hh)
+                oks.append(bool(ok))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "resize_ok": oks,
+                }
+            )
+
+    return small.mapInPandas(verify, schema)
+
+
+def o_resize_dims_check():
+    # HALF-UP rounding of w*6/max(w,h), floored at 1 — matches
+    # resize_image's explicit int(x + 0.5)
+    dims = "8 + doc_id % 9", "8 + doc_id % 7"
+    w, h = dims
+    mx = f"greatest({w}, {h})"
+    nw = f"greatest(CAST(floor(({w}) * 6.0 / {mx} + 0.5) AS BIGINT), 1)"
+    nh = f"greatest(CAST(floor(({h}) * 6.0 / {mx} + 0.5) AS BIGINT), 1)"
+    return f"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             {nw} AS width,
+             {nh} AS height,
+             TRUE AS resize_ok
+      FROM documents WHERE doc_id % {JPEG_DECODE_MOD} = 0
+    """
+
+
 # ---------------------------------------- remaining reference operators
 
 def q_phrase_slop_count(spark, sf_dir):
@@ -6540,6 +6660,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         q_ann_cosine_filtered_topk,
         o_ann_cosine_filtered_topk,
     ),
+    "resize_dims_check": (q_resize_dims_check, o_resize_dims_check),
     "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
     "bm25_index_top10": (q_bm25_index, o_bm25_rank),
     "bm25_batch_top5": (q_bm25_batch, o_bm25_batch),

@@ -609,3 +609,56 @@ def test_extract_features_on_error_null(spark):
         extract_features(df, dim=2, deterministic_fake=False).collect()
     with pytest.raises(ValueError, match="on_error"):
         extract_features(df, on_error="skip")
+
+
+def test_resize_image_real_roundtrip(spark):
+    """resize_image: real decode -> box downsample -> baseline-JPEG
+    re-encode, aspect preserved, never upscaled; output decodable by
+    this module's own JPEG decoder with bounded reconstruction error
+    on flat images; on_error='null' isolates undecodable rows."""
+    import numpy as np
+
+    from wimbd_spark.operators.multimodal import (
+        decode_jpeg,
+        resize_image,
+    )
+
+    # 16x8 RGB PNG: left half dark (40), right half bright (200)
+    h, w = 8, 16
+    rows = []
+    for _ in range(h):
+        row = []
+        for x in range(w):
+            v = 40 if x < w // 2 else 200
+            row += [v, v, v]
+        rows.append(row)
+    png = make_png(rows, color_type=2)
+    media = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    with __import__("pytest").raises(Exception):
+        resize_image(media, max_side=4).collect()
+    got = {
+        r.doc_id: r
+        for r in resize_image(
+            media, max_side=4, quant=4, on_error="null"
+        ).collect()
+    }
+    r1 = got[1]
+    assert (r1.orig_width, r1.orig_height) == (16, 8)
+    assert (r1.width, r1.height) == (4, 2)  # aspect preserved
+    ww, hh, nch, pix = decode_jpeg(bytes(r1.payload))
+    assert (ww, hh, nch) == (4, 2, 3)
+    arr = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(2, 4, 3)
+    # flat halves survive the resize + JPEG within quant error
+    assert abs(int(arr[:, :2].mean()) - 40) <= 12
+    assert abs(int(arr[:, 2:].mean()) - 200) <= 12
+    # undecodable row isolated, not fatal
+    r2 = got[2]
+    assert r2.payload is None and r2.width is None
+    # no upscale: small image keeps dims
+    small = resize_image(
+        media.filter("doc_id = 1"), max_side=64
+    ).collect()[0]
+    assert (small.width, small.height) == (16, 8)
