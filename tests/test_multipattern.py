@@ -207,3 +207,18 @@ def test_trie_regex_equals_automaton_pure():
                 pats,
                 padded,
             )
+
+
+def test_matcher_cache_bounded_and_reused():
+    """_compiled caches per pattern set + kind and stays bounded (the
+    entries are ~100 MB at the routing cap — unbounded growth would
+    OOM a long-lived Python worker)."""
+    from wimbd_spark.operators import multipattern as mp
+
+    mp._MATCHER_CACHE.clear()
+    a = mp._compiled([" a "], "regex")
+    assert mp._compiled([" a "], "regex") is a  # reused, not rebuilt
+    mp._compiled([" a "], "automaton")
+    for i in range(6):
+        mp._compiled([f" p{i} "], "regex")
+    assert len(mp._MATCHER_CACHE) <= 4
