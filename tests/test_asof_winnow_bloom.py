@@ -407,3 +407,35 @@ def test_shared_spans_and_removal(spark):
 
     with __import__("pytest").raises(ValueError):
         shared_spans(df, keep="last")
+
+
+def test_shared_spans_min_docs_threshold(spark):
+    """min_docs raises the document-frequency bar: a span shared by 2
+    docs survives min_docs=3; a span shared by 3 docs does not."""
+    from wimbd_spark.operators.winnow import (
+        remove_shared_spans,
+        shared_spans,
+    )
+
+    rows = [
+        (1, "p q r s t u one two three"),       # run A in docs 1,2
+        (2, "zero p q r s t u four"),
+        (3, "m n o v w x five six seven"),      # run B in docs 3,4,5
+        (4, "eight m n o v w x nine"),
+        (5, "m n o v w x ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    docs2 = {r.doc_id for r in shared_spans(df, min_docs=2).collect()}
+    assert docs2 == {1, 2, 3, 4, 5}
+    docs3 = {r.doc_id for r in shared_spans(df, min_docs=3).collect()}
+    assert docs3 == {3, 4, 5}  # the 2-doc run A is below the bar
+    out = {
+        r.doc_id: r.text
+        for r in remove_shared_spans(df, min_docs=3).collect()
+    }
+    assert "p q r s t u" in out[1]  # below bar -> untouched
+    assert "n o v" not in out[3]    # above bar -> excised
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_docs"):
+        shared_spans(df, min_docs=1)

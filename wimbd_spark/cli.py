@@ -234,6 +234,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--keep", choices=["none", "first"], default="none",
                     help="'first' leaves the min-id copy of each "
                     "shared span intact; 'none' removes every copy")
+    sp.add_argument("--min-docs", type=int, default=2,
+                    help="document-frequency bar: only spans whose "
+                    "fingerprint appears in >= this many DISTINCT "
+                    "docs are removed (precision knob for true "
+                    "boilerplate vs a shared quote)")
 
     sp = sub.add_parser(
         "ppl-filter",
@@ -998,6 +1003,7 @@ def main(argv: list[str] | None = None) -> int:
             out = remove_shared_spans(
                 df, id_col=args.id_col, text_col=t,
                 k=args.k, w=args.w, keep=args.keep,
+                min_docs=args.min_docs,
             )
             out.write.mode("overwrite").parquet(args.out)
             written = spark.read.parquet(args.out)

@@ -236,6 +236,7 @@ def shared_spans(
     k: int = 3,
     w: int = 4,
     keep: str = "none",
+    min_docs: int = 2,
 ) -> DataFrame:
     """Token intervals of winnow-witnessed CROSS-DOCUMENT text, per
     document → (id_col, start_pos, end_pos), 0-based inclusive,
@@ -248,6 +249,12 @@ def shared_spans(
     minimal ``id_col`` (keep-one: boilerplate survives exactly once in
     the corpus). Both are deterministic — no scheduling-order "first".
 
+    ``min_docs`` (default 2 = any cross-document sharing) raises the
+    document-frequency bar: only fingerprints appearing in >=
+    ``min_docs`` DISTINCT documents are marked — the precision knob
+    for true boilerplate (headers/footers in hundreds of docs) vs a
+    quote two documents happen to share.
+
     Plan: map-side fingerprint selection (winnow_select, zero
     shuffle); ONE fp-keyed aggregation finds multi-document hashes
     (and, under keep="first", their min-id winner in the same pass);
@@ -257,12 +264,16 @@ def shared_spans(
     """
     if keep not in ("none", "first"):
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (cross-document)")
     fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
     agg = fps.groupBy("fp").agg(
         F.count_distinct(id_col).alias("__nd"),
         F.min(id_col).alias("__keep_id"),
     )
-    multi = agg.filter(F.col("__nd") > 1).select("fp", "__keep_id")
+    multi = agg.filter(F.col("__nd") >= min_docs).select(
+        "fp", "__keep_id"
+    )
     marked = fps.join(multi, "fp")
     if keep == "first":
         marked = marked.filter(F.col(id_col) != F.col("__keep_id"))
@@ -321,6 +332,7 @@ def remove_shared_spans(
     k: int = 3,
     w: int = 4,
     keep: str = "none",
+    min_docs: int = 2,
 ) -> DataFrame:
     """Excise winnow-witnessed cross-document spans from every (or,
     with keep="first", every non-first) document — the ENFORCEMENT
@@ -342,7 +354,9 @@ def remove_shared_spans(
     """
     from wimbd_spark.operators.dedup import remove_repeated_spans
 
-    spans = shared_spans(df, id_col, text_col, k=k, w=w, keep=keep)
+    spans = shared_spans(
+        df, id_col, text_col, k=k, w=w, keep=keep, min_docs=min_docs
+    )
     return remove_repeated_spans(
         df, k=k, text_col=text_col, id_col=id_col, spans=spans
     )
