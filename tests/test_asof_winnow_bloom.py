@@ -439,3 +439,31 @@ def test_shared_spans_min_docs_threshold(spark):
 
     with _pytest.raises(ValueError, match="min_docs"):
         shared_spans(df, min_docs=1)
+
+
+def test_shared_span_examples_triage_view(spark):
+    from wimbd_spark.operators.winnow import shared_span_examples
+
+    rows = [
+        (1, "p q r s t u one two three"),
+        (2, "zero p q r s t u four"),
+        (3, "m n o v w x five six seven"),
+        (4, "eight m n o v w x nine"),
+        (5, "m n o v w x ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = shared_span_examples(df, k=10).collect()
+    assert got, "shared runs must surface"
+    # most-shared first: the 3-doc run B outranks the 2-doc run A
+    assert got[0].n_docs == 3
+    # snippet is a real witnessed 3-gram from the min (doc, pos) copy
+    run_b_tokens = set("m n o v w x".split())
+    assert set(got[0].snippet.split()) <= run_b_tokens
+    assert got[0].example_doc == 3
+    # min_docs bar prunes the 2-doc run
+    only3 = shared_span_examples(df, k=10, min_docs=3).collect()
+    assert all(r.n_docs >= 3 for r in only3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shared_span_examples(df, k=0)

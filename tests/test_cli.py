@@ -944,3 +944,28 @@ def test_cli_zipf(capsys, shard_dir):
     r = rows[0]
     assert set(r) == {"slope", "intercept", "n_points"}
     assert r["n_points"] == 5 and r["slope"] <= 0
+
+
+def test_cli_despan_report(capsys, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "p q r s t u alpha beta gamma delta",
+                "zeta p q r s t u omega",
+                "entirely different words in here now",
+            ],
+        }
+    ).to_parquet(tmp_path / "docs.parquet")
+    rows = _run(
+        capsys,
+        ["despan", str(tmp_path / "docs.parquet"), "--out", "/dev/null",
+         "--report", "5"],
+    )
+    assert rows and all(
+        set(r) == {"fp", "n_docs", "example_doc", "snippet"} for r in rows
+    )
+    assert rows[0]["n_docs"] == 2
+    assert rows[0]["snippet"] in "p q r s t u"

@@ -239,6 +239,11 @@ def main(argv: list[str] | None = None) -> int:
                     "fingerprint appears in >= this many DISTINCT "
                     "docs are removed (precision knob for true "
                     "boilerplate vs a shared quote)")
+    sp.add_argument("--report", type=int, default=None, metavar="K",
+                    help="triage instead of enforce: print the top-K "
+                    "shared fingerprints (n_docs + witnessed snippet) "
+                    "that the current --min-docs bar would excise, "
+                    "write nothing")
 
     sp = sub.add_parser(
         "ppl-filter",
@@ -999,6 +1004,17 @@ def main(argv: list[str] | None = None) -> int:
 
             from wimbd_spark.operators.winnow import remove_shared_spans
 
+            if args.report is not None:
+                from wimbd_spark.operators.winnow import (
+                    shared_span_examples,
+                )
+
+                res = shared_span_examples(
+                    df, k=args.report, id_col=args.id_col, text_col=t,
+                    kgram=args.k, w=args.w, min_docs=args.min_docs,
+                )
+                _emit([r.asDict() for r in res.collect()], args.output)
+                return 0
             before = df.count()
             out = remove_shared_spans(
                 df, id_col=args.id_col, text_col=t,

@@ -325,6 +325,69 @@ def shared_spans(
     )
 
 
+def shared_span_examples(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kgram: int = 3,
+    w: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """WHAT is the boilerplate: the top-``k`` shared fingerprints by
+    document frequency → (fp, n_docs, example_doc, snippet), where
+    ``snippet`` is the witnessed ``kgram``-token span from the
+    fingerprint's first occurrence (min (doc, pos) — deterministic).
+    The triage view to run BEFORE remove_shared_spans: inspect what a
+    given ``min_docs`` bar would excise, then enforce.
+
+    Plan: fingerprint selection map-side; ONE fp aggregation carrying
+    (count_distinct doc, min (doc, pos)) — no per-occurrence rows
+    survive the shuffle; TakeOrdered(k); one id-probe join of the k
+    winners back to the corpus for the snippet slice. Ties break
+    (n_docs desc, fp asc).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (cross-document)")
+    fps = winnow_fingerprints(df, text_col, id_col, k=kgram, w=w)
+    top = (
+        fps.groupBy("fp")
+        .agg(
+            F.count_distinct(id_col).alias("n_docs"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("__first"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("fp").asc())
+        .limit(k)
+        .select(
+            "fp",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("__first.d").alias("example_doc"),
+            F.col("__first.p").alias("__pos"),
+        )
+    )
+    docs = df.select(
+        F.col(id_col).alias("example_doc"),
+        tokenize(F.col(text_col)).alias("__toks"),
+    )
+    return (
+        top.join(docs, "example_doc")
+        .select(
+            "fp",
+            "n_docs",
+            "example_doc",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__pos"), kgram), " "
+            ).alias("snippet"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("fp").asc())
+    )
+
+
 def remove_shared_spans(
     df: DataFrame,
     id_col: str = "doc_id",
