@@ -467,3 +467,91 @@ def test_shared_span_examples_triage_view(spark):
 
     with _pytest.raises(ValueError):
         shared_span_examples(df, k=0)
+
+
+def test_remove_spans_by_fingerprint_batch_parity(spark):
+    """Scrubbing against boilerplate_fingerprints of the SAME corpus
+    (min_docs=2) reproduces remove_shared_spans(keep='none') row for
+    row — the static-blocklist form is the same marking rule with the
+    multi-doc decision precomputed."""
+    from wimbd_spark.operators.winnow import (
+        boilerplate_fingerprints,
+        remove_shared_spans,
+        remove_spans_by_fingerprint,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    fps = boilerplate_fingerprints(docs)
+    got = {
+        r.doc_id: r.text
+        for r in remove_spans_by_fingerprint(docs, fps).collect()
+    }
+    want = {
+        r.doc_id: r.text
+        for r in remove_shared_spans(docs, keep="none").collect()
+    }
+    assert got == want
+    # iterable-of-ints form agrees with the DataFrame form
+    fp_list = [r.fp for r in fps.collect()]
+    got2 = {
+        r.doc_id: r.text
+        for r in remove_spans_by_fingerprint(docs, fp_list).collect()
+    }
+    assert got2 == want
+    # column order and non-text columns pass through
+    out = remove_spans_by_fingerprint(docs, fps)
+    assert out.columns == ["doc_id", "source", "text"]
+
+
+def test_remove_spans_by_fingerprint_streaming_gate(spark, tmp_path):
+    """The scrub is STATELESS: replayed as micro-batches against a
+    static fp table it emits exactly the batch output (no state store,
+    no watermark)."""
+    import json as _json
+    import os as _os
+
+    from wimbd_spark.operators.winnow import (
+        boilerplate_fingerprints,
+        remove_spans_by_fingerprint,
+    )
+
+    rows = [
+        (1, "p q r s t u alpha beta gamma delta"),
+        (2, "zeta p q r s t u omega"),
+        (3, "entirely different words in here now"),
+    ]
+    ref = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = boilerplate_fingerprints(ref)
+
+    d = str(tmp_path / "scrub_in")
+    _os.makedirs(d, exist_ok=True)
+    for name, batch in (("b0.json", rows[:2]), ("b1.json", rows[2:])):
+        with open(_os.path.join(d, name), "w") as f:
+            for doc_id, text in batch:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    out = remove_spans_by_fingerprint(stream, fps)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scrub_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    got = {
+        r.doc_id: r.text
+        for r in spark.sql("select * from scrub_stream").collect()
+    }
+    q.stop()
+    want = {
+        r.doc_id: r.text
+        for r in remove_spans_by_fingerprint(ref, fps).collect()
+    }
+    assert got == want
+    assert "q r s" not in got[1] and got[3] == rows[2][1]

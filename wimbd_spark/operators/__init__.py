@@ -87,7 +87,10 @@ from wimbd_spark.operators.windows import (
 )
 from wimbd_spark.operators.asof import asof_join, interval_join
 from wimbd_spark.operators.winnow import (
+    boilerplate_fingerprints,
     remove_shared_spans,
+    remove_spans_by_fingerprint,
+    shared_span_examples,
     shared_spans,
     winnow_fingerprints,
     winnow_overlap,
@@ -189,7 +192,8 @@ __all__ = [
     "cluster_balanced_sample",
     "asof_join", "interval_join",
     "winnow_fingerprints", "winnow_overlap", "winnow_select",
-    "shared_spans", "remove_shared_spans",
+    "shared_spans", "remove_shared_spans", "shared_span_examples",
+    "boilerplate_fingerprints", "remove_spans_by_fingerprint",
     "bloom_build", "bloom_contains", "bloom_decontaminate",
     "bm25_topk", "bm25_topk_batch", "bm25_topk_batch_indexed",
     "bm25_topk_indexed", "build_doclen_stats",

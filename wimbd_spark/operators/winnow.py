@@ -325,6 +325,133 @@ def shared_spans(
     )
 
 
+def boilerplate_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The corpus's cross-document fingerprint TABLE → (fp, n_docs):
+    every winnow-selected hash appearing in >= ``min_docs`` distinct
+    documents. Materialize once from a reference corpus, then scrub
+    any batch OR stream against it with
+    ``remove_spans_by_fingerprint`` — the static-blocklist half of
+    boilerplate removal on ingest."""
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (cross-document)")
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    return (
+        fps.groupBy("fp")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fp", F.col("n_docs").cast("long").alias("n_docs"))
+    )
+
+
+#: driver-side cap on the scrub fingerprint set: the set ships to every
+#: Python worker inside the mapInPandas closure (a frozenset of longs,
+#: ~50 B/entry), so 2^21 entries ≈ 100 MB — the same per-task memory
+#: budget as the AC automaton cap.
+MAX_SCRUB_FINGERPRINTS = 1 << 21
+
+
+def remove_spans_by_fingerprint(
+    docs: DataFrame,
+    fps,
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Excise every winnow-selected span whose fingerprint is in a
+    STATIC set — boilerplate scrub against a known blocklist
+    (``boilerplate_fingerprints`` of a reference corpus). Works on
+    batch AND STREAMING DataFrames: fingerprint selection is the same
+    map-side winnow_select expression chain, the fp set is collected
+    once at plan time and shipped in the task closure, and the
+    surgery is a stateless mapInPandas — no state store, no
+    watermark, composes anywhere in an ingest gate chain.
+
+    Parity: on the corpus the fingerprints came from (min_docs=2),
+    output text equals ``remove_shared_spans(keep='none')`` row for
+    row (test-pinned) — this is the same marking rule with the fp->
+    multi-doc decision PRECOMPUTED.
+
+    ``fps``: a one-column DataFrame (fp [, ...]) or an iterable of
+    ints; capped at MAX_SCRUB_FINGERPRINTS (per-task closure memory).
+    """
+    from pyspark.sql.types import StructType
+
+    if hasattr(fps, "select"):
+        rows = fps.select(fps.columns[0]).limit(
+            MAX_SCRUB_FINGERPRINTS + 1
+        ).collect()
+        fp_set = frozenset(int(r[0]) for r in rows)
+    else:
+        fp_set = frozenset(int(x) for x in fps)
+    if len(fp_set) > MAX_SCRUB_FINGERPRINTS:
+        raise ValueError(
+            f"fingerprint set exceeds MAX_SCRUB_FINGERPRINTS "
+            f"({MAX_SCRUB_FINGERPRINTS}) — scrub per-partition via the "
+            "batch remove_shared_spans instead of a shipped closure"
+        )
+
+    others = [c for c in docs.columns if c != text_col]
+    prepared = docs.select(
+        *others,
+        F.col(text_col),
+        tokenize(F.col(text_col)).alias("__toks"),
+        winnow_select(F.col(text_col), k=k, w=w).alias("__sel"),
+    )
+    out_schema = StructType(
+        [f for f in docs.schema.fields]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            texts = []
+            for i in range(len(pdf)):
+                toks = pdf["__toks"].iloc[i]
+                sel = pdf["__sel"].iloc[i]
+                text = pdf[text_col].iloc[i]
+                if text is None or sel is None or len(sel) == 0:
+                    texts.append(text)
+                    continue
+                starts = sorted(
+                    int(s["pos"]) - 1
+                    for s in sel
+                    if int(s["fp"]) in fp_set
+                )
+                if not starts:
+                    texts.append(text)
+                    continue
+                drop = []
+                for p in starts:
+                    if drop and p <= drop[-1][1]:
+                        drop[-1] = (
+                            drop[-1][0],
+                            max(drop[-1][1], p + k - 1),
+                        )
+                    else:
+                        drop.append((p, p + k - 1))
+                kept = [
+                    t
+                    for j, t in enumerate(toks)
+                    if not any(s <= j <= e for s, e in drop)
+                ]
+                texts.append(" ".join(kept))
+            data = {c: pdf[c] for c in others}
+            data[text_col] = texts
+            yield pd.DataFrame(data)[
+                [f.name for f in out_schema.fields]
+            ]
+
+    return prepared.mapInPandas(gen, out_schema)
+
+
 def shared_span_examples(
     df: DataFrame,
     k: int = 20,
