@@ -570,3 +570,30 @@ def test_asof_nearest_single_exchange(spark):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1, (d, plan)
         assert plan.count("Window") == 1, (d, plan)
+
+
+def test_filtered_ann_pushes_predicate(spark, tables):
+    """cosine_topk(filters=) is a PRE-filter: the label predicate must
+    reach the embeddings parquet scan (PushedFilters), not discard
+    scored rows post-hoc."""
+    from wimbd_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    q = cosine_topk(emb, queries, k=3, filters={"label": 2})
+    assert has_pushed_filters(q)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the equality literal itself sits in a scan-adjacent filter
+    assert "label" in plan
+
+
+def test_despan_surgery_single_fp_aggregation(raw_docs):
+    """remove_shared_spans: exactly one fp-keyed aggregation decides
+    multi-doc-ness — the marking side never shuffles document rows."""
+    from wimbd_spark.operators.winnow import shared_spans
+
+    q = shared_spans(raw_docs.select("doc_id", "text"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # fp selection is map-side: no Python stage anywhere in the span
+    # table's plan (surgery joins happen in remove_shared_spans)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
