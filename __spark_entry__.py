@@ -6561,106 +6561,6 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # pigeonhole maximum rest for N=139), followed by this round's new
     # queries up to position 50. Tail order = r9-checked then
     # r10-checked, so future rotations surface the oldest first.
-    "session_stats_30m_gap": (q_session_stats, o_session_stats),
-    "embedding_cosine_pairs": (
-        q_embedding_cosine_pairs,
-        o_embedding_cosine_pairs,
-    ),
-    "phrase_count_filtered": (
-        q_phrase_count_filtered,
-        o_phrase_count_filtered,
-    ),
-    "top2_orders_per_customer": (
-        q_top2_orders_per_customer,
-        o_top2_orders_per_customer,
-    ),
-    "topk_ngrams_n3_k20": (q_topk_ngrams, o_topk_ngrams),
-    "botk_ngrams_n1_k20": (q_botk_ngrams, o_botk_ngrams),
-    "unique_ngrams_n2": (q_unique_ngrams, o_unique_ngrams),
-    "count_sequences": (q_count_sequences, o_count_sequences),
-    "search_regex_counts": (q_search_regex, o_search_regex),
-    "topk_ngrams_n10_k10": (q_topk_ngrams_n10, o_topk_ngrams_n10),
-    "char_length_dist": (q_char_length_dist, o_char_length_dist),
-    "url_host_counts": (q_url_host_counts, o_url_host_counts),
-    "pii_kind_counts": (q_pii_kind_counts, o_pii_kind_counts),
-    "source_counts": (q_source_counts, o_source_counts),
-    "top_purchase_users": (q_top_purchase_users, o_top_purchase_users),
-    "top_customers": (q_top_customers, o_top_customers),
-    "events_sliding_1h_30m": (q_events_sliding, o_events_sliding),
-    "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
-    "orders_by_year_priority": (
-        q_orders_by_year_priority,
-        o_orders_by_year_priority,
-    ),
-    "contaminated_examples": (
-        q_contaminated_examples,
-        o_contaminated_examples,
-    ),
-    "gram_overlap_src0_src1": (q_gram_overlap, o_gram_overlap),
-    "decontaminate_ngrams_src0": (
-        q_decontaminate_ngrams,
-        o_decontaminate_ngrams,
-    ),
-    "phrase_df_counts": (q_phrase_df_counts, o_phrase_df_counts),
-    "cross_jaccard_src0": (q_cross_jaccard_src0, o_cross_jaccard_src0),
-    "fuzzy_decontaminate_src0": (
-        q_fuzzy_decontaminate_src0,
-        o_fuzzy_decontaminate_src0,
-    ),
-    "gram_novelty_n4": (q_gram_novelty, o_gram_novelty),
-    "vocab_stats_by_source": (
-        q_vocab_stats_by_source,
-        o_vocab_stats_by_source,
-    ),
-    "stratified_sample_k5": (q_stratified_sample_k5, o_stratified_sample_k5),
-    "contamination_rate_indexed": (
-        q_contamination_rate_indexed,
-        o_contamination_rate_indexed,
-    ),
-    "contamination_rate": (q_contamination_rate, o_contamination_rate),
-    "contamination_rate_tokens": (
-        q_contamination_rate_tokens,
-        o_contamination_rate_tokens,
-    ),
-    "phrase_batch_counts": (q_phrase_batch_counts, o_phrase_batch_counts),
-    "phrase_index_counts": (q_phrase_index_counts, o_phrase_index_counts),
-    "phrase_doc_counts": (q_phrase_doc_counts, o_phrase_doc_counts),
-    "phrase_retrieval_top10": (q_phrase_retrieval, o_phrase_retrieval),
-    "phrase_slop_count": (q_phrase_slop_count, o_phrase_slop_count),
-    "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
-    "decontaminate_src0": (q_decontaminate, o_decontaminate),
-    "pii_redaction": (q_pii_redaction, o_pii_redaction),
-    "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
-    "jpeg_decode_check": (q_jpeg_decode_check, o_jpeg_decode_check),
-    "ivf_index_topk": (q_ivf_index_topk, o_ivf_index_topk),
-    # --- new in r11 (never driver-checked → must sit inside the
-    # first-50 window; positions 43+) ---
-    "remove_shared_spans_keepfirst": (
-        q_remove_shared_spans,
-        o_remove_shared_spans,
-    ),
-    "decontaminate_ac_src0": (
-        q_decontaminate_ac_src0,
-        o_decontaminate_ac_src0,
-    ),
-    "top_npmi_bigrams_k20": (
-        q_top_npmi_bigrams,
-        o_top_npmi_bigrams,
-    ),
-    "streaming_decontaminate_src0": (
-        q_streaming_decontaminate_src0,
-        o_decontaminate_ngrams,
-    ),
-    "phrase_hits_ac": (q_phrase_hits_ac, o_phrase_hits_ac),
-    "remove_shared_spans_none": (
-        q_remove_shared_spans_none,
-        o_remove_shared_spans_none,
-    ),
-    "ann_cosine_filtered_topk": (
-        q_ann_cosine_filtered_topk,
-        o_ann_cosine_filtered_topk,
-    ),
-    "resize_dims_check": (q_resize_dims_check, o_resize_dims_check),
     "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
     "bm25_index_top10": (q_bm25_index, o_bm25_rank),
     "bm25_batch_top5": (q_bm25_batch, o_bm25_batch),
@@ -6741,6 +6641,104 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "lang_counts": (q_lang_counts, o_lang_counts),
     "token_length_dist": (q_token_length_dist, o_token_length_dist),
     "pricing_summary": (q_pricing_summary, o_pricing_summary),
+    "session_stats_30m_gap": (q_session_stats, o_session_stats),
+    "embedding_cosine_pairs": (
+        q_embedding_cosine_pairs,
+        o_embedding_cosine_pairs,
+    ),
+    "phrase_count_filtered": (
+        q_phrase_count_filtered,
+        o_phrase_count_filtered,
+    ),
+    "top2_orders_per_customer": (
+        q_top2_orders_per_customer,
+        o_top2_orders_per_customer,
+    ),
+    "topk_ngrams_n3_k20": (q_topk_ngrams, o_topk_ngrams),
+    "botk_ngrams_n1_k20": (q_botk_ngrams, o_botk_ngrams),
+    "unique_ngrams_n2": (q_unique_ngrams, o_unique_ngrams),
+    "count_sequences": (q_count_sequences, o_count_sequences),
+    "search_regex_counts": (q_search_regex, o_search_regex),
+    "topk_ngrams_n10_k10": (q_topk_ngrams_n10, o_topk_ngrams_n10),
+    "char_length_dist": (q_char_length_dist, o_char_length_dist),
+    "url_host_counts": (q_url_host_counts, o_url_host_counts),
+    "pii_kind_counts": (q_pii_kind_counts, o_pii_kind_counts),
+    "source_counts": (q_source_counts, o_source_counts),
+    "top_purchase_users": (q_top_purchase_users, o_top_purchase_users),
+    "top_customers": (q_top_customers, o_top_customers),
+    "events_sliding_1h_30m": (q_events_sliding, o_events_sliding),
+    "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
+    "orders_by_year_priority": (
+        q_orders_by_year_priority,
+        o_orders_by_year_priority,
+    ),
+    "contaminated_examples": (
+        q_contaminated_examples,
+        o_contaminated_examples,
+    ),
+    "gram_overlap_src0_src1": (q_gram_overlap, o_gram_overlap),
+    "decontaminate_ngrams_src0": (
+        q_decontaminate_ngrams,
+        o_decontaminate_ngrams,
+    ),
+    "phrase_df_counts": (q_phrase_df_counts, o_phrase_df_counts),
+    "cross_jaccard_src0": (q_cross_jaccard_src0, o_cross_jaccard_src0),
+    "fuzzy_decontaminate_src0": (
+        q_fuzzy_decontaminate_src0,
+        o_fuzzy_decontaminate_src0,
+    ),
+    "gram_novelty_n4": (q_gram_novelty, o_gram_novelty),
+    "vocab_stats_by_source": (
+        q_vocab_stats_by_source,
+        o_vocab_stats_by_source,
+    ),
+    "stratified_sample_k5": (q_stratified_sample_k5, o_stratified_sample_k5),
+    "contamination_rate_indexed": (
+        q_contamination_rate_indexed,
+        o_contamination_rate_indexed,
+    ),
+    "contamination_rate": (q_contamination_rate, o_contamination_rate),
+    "contamination_rate_tokens": (
+        q_contamination_rate_tokens,
+        o_contamination_rate_tokens,
+    ),
+    "phrase_batch_counts": (q_phrase_batch_counts, o_phrase_batch_counts),
+    "phrase_index_counts": (q_phrase_index_counts, o_phrase_index_counts),
+    "phrase_doc_counts": (q_phrase_doc_counts, o_phrase_doc_counts),
+    "phrase_retrieval_top10": (q_phrase_retrieval, o_phrase_retrieval),
+    "phrase_slop_count": (q_phrase_slop_count, o_phrase_slop_count),
+    "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
+    "decontaminate_src0": (q_decontaminate, o_decontaminate),
+    "pii_redaction": (q_pii_redaction, o_pii_redaction),
+    "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
+    "jpeg_decode_check": (q_jpeg_decode_check, o_jpeg_decode_check),
+    "ivf_index_topk": (q_ivf_index_topk, o_ivf_index_topk),
+    "remove_shared_spans_keepfirst": (
+        q_remove_shared_spans,
+        o_remove_shared_spans,
+    ),
+    "decontaminate_ac_src0": (
+        q_decontaminate_ac_src0,
+        o_decontaminate_ac_src0,
+    ),
+    "top_npmi_bigrams_k20": (
+        q_top_npmi_bigrams,
+        o_top_npmi_bigrams,
+    ),
+    "streaming_decontaminate_src0": (
+        q_streaming_decontaminate_src0,
+        o_decontaminate_ngrams,
+    ),
+    "phrase_hits_ac": (q_phrase_hits_ac, o_phrase_hits_ac),
+    "remove_shared_spans_none": (
+        q_remove_shared_spans_none,
+        o_remove_shared_spans_none,
+    ),
+    "ann_cosine_filtered_topk": (
+        q_ann_cosine_filtered_topk,
+        o_ann_cosine_filtered_topk,
+    ),
+    "resize_dims_check": (q_resize_dims_check, o_resize_dims_check),
     "bpe_train_roundtrip": (q_bpe_train_roundtrip, o_bpe_train_roundtrip),
     "ivf_pq_rerank_top3": (q_ivf_pq_rerank, o_ivf_pq_rerank),
     "more_like_this_indexed_top10": (q_more_like_this_indexed, o_more_like_this),

@@ -1,0 +1,87 @@
+"""Mechanically reorder the `_REGISTRY` dict in __spark_entry__.py.
+
+The driver checks only the FIRST 50 registry entries each round, so the
+window must rotate (tests/test_rotation.py). Hand-reordering a ~300-line
+dict literal is error-prone; this tool does it with ast-located source
+segments so the entry bodies are moved verbatim.
+
+Usage:
+    python tools/rotate_registry.py name1 name2 ...   # names to move
+                                                      # to the FRONT,
+                                                      # in this order
+The remaining entries keep their current relative order after the
+front block. The leading comment block (ROTATION POLICY) is preserved.
+"""
+
+from __future__ import annotations
+
+import ast
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+ENTRY = REPO / "__spark_entry__.py"
+
+
+def main(front: list[str]) -> None:
+    src = ENTRY.read_text()
+    lines = src.splitlines(keepends=True)
+    tree = ast.parse(src)
+    reg = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.AnnAssign) and getattr(
+            node.target, "id", None
+        ) == "_REGISTRY":
+            reg = node.value
+            break
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", None) == "_REGISTRY" for t in node.targets
+        ):
+            reg = node.value
+            break
+    assert isinstance(reg, ast.Dict), "_REGISTRY dict literal not found"
+
+    # Source segment for each entry: from the key's start line to the
+    # value's end line (entries in this file never share a line).
+    entries: dict[str, str] = {}
+    order: list[str] = []
+    first_key_line = None
+    for k, v in zip(reg.keys, reg.values):
+        name = ast.literal_eval(k)
+        if first_key_line is None:
+            first_key_line = k.lineno
+        seg = "".join(lines[k.lineno - 1 : v.end_lineno])
+        entries[name] = seg
+        order.append(name)
+
+    missing = [n for n in front if n not in entries]
+    assert not missing, f"unknown registry names: {missing}"
+    rest = [n for n in order if n not in set(front)]
+    new_order = list(front) + rest
+
+    # Preamble = dict-open line(s) + leading comment block, i.e.
+    # everything from the dict's start line up to the first key line.
+    pre = "".join(lines[reg.lineno - 1 : first_key_line - 1])
+    body = "".join(entries[n] for n in new_order)
+    post = "".join(lines[reg.end_lineno - 1 : reg.end_lineno])  # "}\n"
+    new_src = (
+        "".join(lines[: reg.lineno - 1]) + pre + body + post
+        + "".join(lines[reg.end_lineno :])
+    )
+    ENTRY.write_text(new_src)
+
+    # sanity: reparse, same key multiset, new order
+    tree2 = ast.parse(new_src)
+    for node in ast.walk(tree2):
+        if isinstance(node, ast.AnnAssign) and getattr(
+            node.target, "id", None
+        ) == "_REGISTRY":
+            keys2 = [ast.literal_eval(k) for k in node.value.keys]
+            assert keys2 == new_order, "rotation produced wrong order"
+            print(f"rotated: {len(front)} to front, {len(keys2)} total")
+            return
+    raise AssertionError("reparse failed")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
