@@ -555,3 +555,31 @@ def test_remove_spans_by_fingerprint_streaming_gate(spark, tmp_path):
     }
     assert got == want
     assert "q r s" not in got[1] and got[3] == rows[2][1]
+
+
+def test_remove_spans_by_fingerprint_distinct_before_cap(
+    spark, monkeypatch
+):
+    """The MAX_SCRUB_FINGERPRINTS cap must count DISTINCT
+    fingerprints (r11 ADVICE): with duplicate fp rows a bare
+    limit(cap+1) could truncate distinct values while the post-dedup
+    size check still passes — a silently incomplete blocklist. Over
+    the cap must RAISE; duplicates within the cap must scrub exactly
+    like the deduplicated list."""
+    import wimbd_spark.operators.winnow as w
+
+    docs = spark.createDataFrame(
+        [(1, "some text here")], ["doc_id", "text"]
+    )
+    monkeypatch.setattr(w, "MAX_SCRUB_FINGERPRINTS", 2)
+    # 3 distinct fps hidden behind 7 rows: must raise, not truncate
+    dup = spark.createDataFrame(
+        [(10,), (10,), (10,), (11,), (11,), (12,), (12,)], ["fp"]
+    )
+    with pytest.raises(ValueError, match="MAX_SCRUB_FINGERPRINTS"):
+        w.remove_spans_by_fingerprint(docs, dup)
+    # 2 distinct behind 4 rows: within cap, equals the deduped form
+    ok = spark.createDataFrame([(10,), (10,), (11,), (11,)], ["fp"])
+    got = w.remove_spans_by_fingerprint(docs, ok).collect()
+    want = w.remove_spans_by_fingerprint(docs, [10, 11]).collect()
+    assert got == want

@@ -528,3 +528,34 @@ def test_decontaminate_ac_routing_and_parity(spark):
         decontaminate_by_ngrams(train, ev, method="AC")
     with _pytest.raises(ValueError, match="slop"):
         decontaminate_by_ngrams(train, ev, method="ac", slop=1)
+
+
+def test_decontaminate_ac_flag_parity_duplicate_ids(spark):
+    """Flag-mode AC decontamination must not fan out rows when train
+    carries duplicate ids (r11 ADVICE): the gram path distincts its
+    hit set before the left join, so the AC path must too, keeping
+    the documented row-identical parity between method='ac' and
+    method='gram'."""
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (1, "the quick brown fox"),  # duplicate id AND text
+            (2, "irrelevant words only"),
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [("quick brown",)], ["phrase"]
+    )
+    got_ac = decontaminate_by_ngrams(
+        train, evals, mode="flag", method="ac"
+    ).collect()
+    got_gram = decontaminate_by_ngrams(
+        train, evals, mode="flag", method="gram"
+    ).collect()
+    assert len(got_ac) == train.count() == 3
+    key = lambda r: (r.doc_id, r.text, r.contaminated)
+    assert sorted(map(key, got_ac)) == sorted(map(key, got_gram))
+    assert sum(r.contaminated for r in got_ac) == 2

@@ -222,3 +222,61 @@ def test_matcher_cache_bounded_and_reused():
     for i in range(6):
         mp._compiled([f" p{i} "], "regex")
     assert len(mp._MATCHER_CACHE) <= 4
+
+
+def test_phrase_hits_ac_overlong_existence_parity(spark):
+    """Route-independence of the contamination-audit row multiset
+    (r11 ADVICE, medium): for phrases LONGER than
+    GRAM_JOIN_MAX_PHRASE_TOKENS the gram path matches via a contains
+    EXISTENCE join (one row per (doc, phrase) however many
+    occurrences), so phrase_hits_ac must cap overlong counts at 1 —
+    otherwise method='auto' silently changes audit row counts when it
+    flips routes on phrase-set shape."""
+    from wimbd_spark.index import GRAM_JOIN_MAX_PHRASE_TOKENS
+    from wimbd_spark.operators.multipattern import phrase_hits_ac
+    from wimbd_spark.streaming import (
+        eval_gram_table,
+        streaming_contamination_hits,
+    )
+
+    L = GRAM_JOIN_MAX_PHRASE_TOKENS + 3
+    long_seq = " ".join(f"w{i}" for i in range(L))
+    rows = [
+        # overlong phrase appears TWICE; short phrase appears twice
+        (1, f"{long_seq} mid quick brown x {long_seq} quick brown"),
+        (2, "quick brown once"),
+        (3, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    phrases = [long_seq, "quick brown"]
+
+    ac = sorted(
+        (r.doc_id, r.phrase)
+        for r in phrase_hits_ac(df, phrases).collect()
+    )
+    # overlong: existence (1 row for doc 1); short: per-occurrence
+    assert ac == [
+        (1, "quick brown"),
+        (1, "quick brown"),
+        (1, long_seq),
+        (2, "quick brown"),
+    ]
+    # the gram route on the same static frame agrees as a MULTISET
+    grams = eval_gram_table(
+        spark.createDataFrame([(p,) for p in phrases], ["phrase"])
+    )
+    gram = sorted(
+        (r.doc_id, r.phrase)
+        for r in streaming_contamination_hits(
+            df, grams, method="gram"
+        ).collect()
+    )
+    assert gram == ac
+    # and the ac route of the streaming entry point routes here
+    via = sorted(
+        (r.doc_id, r.phrase)
+        for r in streaming_contamination_hits(
+            df, grams, method="ac"
+        ).collect()
+    )
+    assert via == ac

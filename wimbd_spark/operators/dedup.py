@@ -881,7 +881,11 @@ def decontaminate_by_ngrams(
                 ],
                 id_col=id_col,
                 text_col=text_col,
-            )
+            ).distinct()
+            # distinct matches the gram path's hits.distinct(): with
+            # duplicate ids in train, a bare left join in flag mode
+            # would fan out rows and break the documented row-identical
+            # parity between method='ac' and method='gram' (r11 ADVICE)
             if mode == "drop":
                 return train.join(hits, id_col, "left_anti")
             return (

@@ -114,10 +114,12 @@ def _trie_regex(patterns: list[str]):
 
 # Per-PROCESS compiled-matcher cache: Python workers are reused across
 # partitions (and micro-batches), so the O(total pattern chars) builds
-# amortize to once per executor instead of once per task. Two slots —
-# an automaton plus its prefilter regex for one pattern set — evicted
-# FIFO; entries for 20k phrases are ~100 MB, so the cache must stay
-# tiny.
+# amortize to once per executor instead of once per task. FOUR slots —
+# (automaton + prefilter regex) for TWO pattern sets — evicted FIFO,
+# so a job that interleaves two phrase sets (e.g. two eval suites in
+# one contamination audit) doesn't rebuild per batch. Worst-case
+# per-worker budget: 2 × ~100 MB at the 20k-phrase automaton cap
+# (r11 ADVICE: the comment previously claimed two slots).
 _MATCHER_CACHE: dict = {}
 
 
@@ -302,8 +304,14 @@ def phrase_hits_ac(
     explode-join (streaming.streaming_contamination_hits routes here),
     row-multiset-identical to it: ``_matched_counts`` counts every
     end-state visit, which is exactly the number of gram positions the
-    explode emits, overlapping occurrences included. Works on batch
-    AND streaming DataFrames (stateless mapInPandas)."""
+    explode emits, overlapping occurrences included. Phrases LONGER
+    than GRAM_JOIN_MAX_PHRASE_TOKENS are capped at ONE row per doc —
+    the gram path matches those via a contains EXISTENCE join (one
+    row per (doc, phrase), however many occurrences), and the parity
+    contract follows the gram semantics (r11 ADVICE: method='auto'
+    flips routes on phrase-set shape, so the audit row multiset must
+    not depend on the route). Works on batch AND streaming DataFrames
+    (stateless mapInPandas)."""
     if not phrases:
         raise ValueError("phrases must be non-empty")
     analyzed = [" ".join(p.split()) for p in phrases]
@@ -311,6 +319,11 @@ def phrase_hits_ac(
         raise ValueError("every phrase must contain >= 1 token")
     pats = [f" {a} " for a in analyzed]
     names = [p.strip() for p in pats]
+    from wimbd_spark.index import GRAM_JOIN_MAX_PHRASE_TOKENS
+
+    overlong = [
+        len(a.split()) > GRAM_JOIN_MAX_PHRASE_TOKENS for a in analyzed
+    ]
 
     keep = [c for c in df.columns if c != text_col]
     toks = df.filter(F.col(text_col).isNotNull()).select(
@@ -336,6 +349,8 @@ def phrase_hits_ac(
                 for pid, cnt in _matched_counts(
                     padded, goto, fail, out
                 ).items():
+                    if overlong[pid]:
+                        cnt = 1  # gram path = contains existence join
                     for _ in range(cnt):
                         for c in keep:
                             rows[c].append(pdf[c].iloc[idx])

@@ -1071,6 +1071,12 @@ def simhash_bits(
     )
 
 
+MAX_PIGEONHOLE_COMBINATIONS = 512
+"""Cap on C(nseg, max_hamming) composite blockings in simhash_pairs —
+each combination is one more explode row per doc, and past a few
+hundred the explode volume costs more than the narrower blocks save."""
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1078,28 +1084,55 @@ def simhash_pairs(
     max_hamming: int = 2,
     sig_col: str | None = None,
     nbits: int = 16,
+    nseg: int | None = None,
 ) -> DataFrame:
     """ALL pairs at SimHash Hamming distance ≤ max_hamming — complete,
     not a lossy candidate generator.
 
-    Multi-segment blocking (pigeonhole): the ``nbits`` signature bits
-    split into max_hamming+1 contiguous segments; a pair with
-    ≤ max_hamming differing bits must agree on at least one full
-    segment, so the union of per-segment equality blockings has
-    perfect recall. All-pairs comparison happens only inside
-    (segment, value) blocks — never globally; `distinct` folds pairs
-    found via several segments.
+    Generalized pigeonhole blocking: the ``nbits`` signature bits
+    split into ``nseg`` contiguous segments; a pair with
+    ≤ max_hamming differing bits dirties at most max_hamming
+    segments, so at least nseg − max_hamming segments agree — hence
+    the pair collides on at least one of the C(nseg, max_hamming)
+    composite keys formed by every (nseg − max_hamming)-segment
+    subset. Blocking on the union of those composite-key equalities
+    has perfect recall; all-pairs comparison happens only inside
+    (combination, composite value) blocks — never globally —
+    and `distinct` folds pairs found via several combinations.
+
+    ``nseg`` defaults to max_hamming + 1 (the classic single-segment
+    pigeonhole: C(h+1, h) = h+1 blockings keyed on one segment each).
+    THE DEFAULT IS NOT PRODUCTION-SAFE AT WIDE RADII: within-block
+    join cost is ~N²·C/2^w for composite width w and C combinations,
+    so at nbits=62, max_hamming=6 the classic split leaves w ≈ 9-bit
+    keys — N²·7/512 is quadratic on a 10⁹-doc corpus. Raising nseg
+    trades explode volume for key width: nseg=8 gives C(8,6→2)=28
+    composite ~15.5-bit keys (N²·28/46341, ~23× less join work, and
+    every extra segment buys another ~7.75 bits). Pick nseg so that
+    N²·C(nseg,h)/2^((nseg-h)·nbits/nseg) stays sub-quadratic at your
+    N; C(nseg, max_hamming) is capped at
+    MAX_PIGEONHOLE_COMBINATIONS.
 
     ``nbits`` selects the signature width: 16 (simhash16, oracle-
-    familiar) or up to 62 (simhash_bits — the corpus-scale width;
-    wider signatures also make each segment longer, so blocks are
-    exponentially smaller and the blocking survives 10⁹ docs).
+    familiar) or up to 62 (simhash_bits — the corpus-scale width).
     Pass ``sig_col`` to block on a precomputed signature column
     instead of hashing ``text_col``.
     """
-    nseg = max_hamming + 1
+    from math import comb
+
+    if nseg is None:
+        nseg = max_hamming + 1
+    if nseg < max_hamming + 1:
+        raise ValueError("nseg must be >= max_hamming + 1")
     if nseg > nbits:
-        raise ValueError("max_hamming + 1 must be <= nbits")
+        raise ValueError("nseg must be <= nbits")
+    ncomb = comb(nseg, max_hamming)
+    if ncomb > MAX_PIGEONHOLE_COMBINATIONS:
+        raise ValueError(
+            f"C({nseg}, {max_hamming}) = {ncomb} composite blockings "
+            f"exceeds MAX_PIGEONHOLE_COMBINATIONS "
+            f"({MAX_PIGEONHOLE_COMBINATIONS}) — lower nseg"
+        )
     base, rem = divmod(nbits, nseg)
     widths = [base + (1 if i < rem else 0) for i in range(nseg)]
     shifts = [sum(widths[:i]) for i in range(nseg)]

@@ -384,7 +384,11 @@ def remove_spans_by_fingerprint(
     from pyspark.sql.types import StructType
 
     if hasattr(fps, "select"):
-        rows = fps.select(fps.columns[0]).limit(
+        # distinct BEFORE limit: with duplicate fp rows a bare limit
+        # could truncate distinct fingerprints while the post-dedup
+        # size check still passes — silently scrubbing with an
+        # incomplete blocklist (r11 ADVICE)
+        rows = fps.select(fps.columns[0]).distinct().limit(
             MAX_SCRUB_FINGERPRINTS + 1
         ).collect()
         fp_set = frozenset(int(r[0]) for r in rows)

@@ -277,7 +277,11 @@ def streaming_contamination_hits(
     (multipattern.phrase_hits_ac — stateless mapInPandas, per-doc cost
     flat in the phrase count AND the length mix; slop=0 and the
     default tokenizer only), row-MULTISET-identical to the gram join
-    (one row per occurrence, overlaps included); ``"auto"`` routes by
+    (one row per occurrence for phrases within
+    GRAM_JOIN_MAX_PHRASE_TOKENS, overlaps included; ONE row per doc
+    for overlong phrases — matching the gram path's contains
+    existence join, so the audit multiset is route-independent, r11
+    ADVICE); ``"auto"`` routes by
     the same measured multipliers (≥ distinct-length / overlong
     thresholds, phrase-count budget); ``"gram"`` pins the explode
     join.
