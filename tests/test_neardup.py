@@ -622,3 +622,53 @@ def test_fuzzy_decontaminate_drop_and_flag(spark):
     assert set(kept.columns) == set(train.columns)
     with pytest.raises(ValueError):
         fuzzy_decontaminate(train, ev, mode="nope")
+
+
+def test_simhash_pairs_generalized_pigeonhole_parity(spark):
+    """Production-width blocking (r11 VERDICT): with nseg >
+    max_hamming+1 the blocking keys become (nseg−h)-segment composite
+    values — wider keys, smaller blocks (within-block join cost
+    ~N²·C(nseg,h)/2^w) — and the PAIR SET is identical to the classic
+    single-segment pigeonhole, because both are complete at the same
+    radius. Pinned on sf0.01 documents at the corpus-scale width
+    (nbits=62, max_hamming=6: classic keys are ~9 bits — the
+    quadratic-at-1e9-docs shape; nseg=8 keeps ~15.5-bit keys)."""
+    from wimbd_spark.operators.neardup import simhash_bits, simhash_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    # plant near-dups so the pinned pair set is non-trivial
+    variants = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = (
+        docs.unionByName(variants)
+        .select("doc_id", simhash_bits(F.col("text"), 62).alias("sh"))
+        .cache()
+    )
+    kw = dict(sig_col="sh", max_hamming=6, nbits=62)
+    classic = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(corpus, **kw).collect()
+    }
+    general = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(corpus, nseg=8, **kw).collect()
+    }
+    corpus.unpersist()
+    assert classic == general
+    assert classic  # the planted variants must surface
+
+    one = spark.createDataFrame([(1, 0), (2, 3)], ["doc_id", "sig"])
+    with pytest.raises(ValueError, match="nseg must be >="):
+        simhash_pairs(one, sig_col="sig", max_hamming=2, nseg=2)
+    with pytest.raises(ValueError, match="nseg must be <="):
+        simhash_pairs(one, sig_col="sig", max_hamming=2, nbits=16, nseg=17)
+    with pytest.raises(ValueError, match="MAX_PIGEONHOLE_COMBINATIONS"):
+        simhash_pairs(
+            one, sig_col="sig", max_hamming=10, nbits=62, nseg=40
+        )

@@ -1149,17 +1149,31 @@ def simhash_pairs(
     s = df.select(F.col(id_col), sig.alias("sh")).filter(
         F.col("sh").isNotNull()
     )
-    segs = F.array(
-        *[
+    from itertools import combinations
+
+    def _segval(i):
+        return F.shiftright(F.col("sh"), shifts[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    # One blocking per (nseg − max_hamming)-segment subset; the
+    # composite key packs the subset's segment values into one BIGINT
+    # (total ≤ nbits ≤ 62 bits). With nseg = max_hamming + 1 each
+    # subset is a single segment — the classic pigeonhole unchanged.
+    structs = []
+    for ci, combo in enumerate(
+        combinations(range(nseg), nseg - max_hamming)
+    ):
+        off, val = 0, F.lit(0).cast("long")
+        for i in combo:
+            val = val + F.shiftleft(_segval(i), off)
+            off += widths[i]
+        structs.append(
             F.struct(
-                F.lit(i).alias("seg"),
-                F.shiftright(F.col("sh"), shifts[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .alias("sv"),
+                F.lit(ci).alias("seg"), val.cast("long").alias("sv")
             )
-            for i in range(nseg)
-        ]
-    )
+        )
+    segs = F.array(*structs)
     blocks = s.select(F.col(id_col), "sh", F.explode(segs).alias("b")).select(
         id_col, "sh", "b.seg", "b.sv"
     )
