@@ -6547,6 +6547,96 @@ def o_bpe_train_roundtrip():
     """
 
 
+def q_template_decontaminate(spark, sf_dir):
+    """End-to-end contamination-template pipeline (reference
+    wimbd/contamination/promptsource_parse.py:30-43 + README): parse a
+    checked-in promptsource-style template tree for its {{var}} field
+    names, pull those fields' VALUES from an eval-example table (here:
+    synthetic anli-shaped examples derived from every 25th src0 doc —
+    premise = tokens 1-6, hypothesis = tokens 7-12), and flag corpus
+    docs containing any value (decontaminate_by_ngrams). The oracle
+    reproduces the eval-phrase construction + token-aligned
+    containment in SQL; the parse step is constant-pinned by the
+    fixture (field names asserted in tests/test_templates.py)."""
+    import os
+
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+    from wimbd_spark.sources.templates import (
+        load_template_fields,
+        template_eval_phrases,
+    )
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests",
+        "fixtures",
+        "templates",
+    )
+    fields = load_template_fields(spark, fixture)
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    toks = tokenize(F.col("text"))
+    ex = docs.filter(
+        (F.col("source") == "src0") & (F.col("doc_id") % 25 == 0)
+    ).select(
+        F.array_join(F.slice(toks, 1, 6), " ").alias("premise"),
+        F.array_join(F.slice(toks, 7, 6), " ").alias("hypothesis"),
+    )
+    phrases = template_eval_phrases(ex, fields)
+    flagged = decontaminate_by_ngrams(docs, phrases, mode="flag")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.col("contaminated").cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+def o_template_decontaminate():
+    # the template fields (premise, hypothesis) are constants of the
+    # checked-in fixture — the parse itself is pinned in pytest
+    return r"""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      ex AS (
+        SELECT array_to_string(list_slice(t, 1, 6), ' ') AS premise,
+               array_to_string(list_slice(t, 7, 12), ' ') AS hypothesis
+        FROM toks WHERE source = 'src0' AND doc_id % 25 = 0
+      ),
+      phr AS (
+        SELECT premise AS phrase FROM ex WHERE trim(premise) <> ''
+        UNION
+        SELECT hypothesis FROM ex WHERE trim(hypothesis) <> ''
+      ),
+      flags AS (
+        SELECT d.doc_id, d.source,
+               EXISTS (
+                 SELECT 1 FROM phr p
+                 WHERE position(
+                   ' ' || p.phrase || ' ' IN
+                   ' ' || array_to_string(tk.t, ' ') || ' '
+                 ) > 0
+               ) AS contaminated
+        FROM documents d LEFT JOIN toks tk USING (doc_id)
+      )
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(
+               sum(CASE WHEN contaminated THEN 1 ELSE 0 END), 0
+             ) AS BIGINT) AS n_contaminated
+      FROM flags GROUP BY source ORDER BY source
+    """
+
+
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # ROTATION POLICY (round-robin): the driver records correctness
     # rows for the FIRST 50 entries only; with N registry queries every
@@ -6641,6 +6731,11 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "lang_counts": (q_lang_counts, o_lang_counts),
     "token_length_dist": (q_token_length_dist, o_token_length_dist),
     "pricing_summary": (q_pricing_summary, o_pricing_summary),
+    # --- round-12 additions (positions 48-50 of the driver window) ---
+    "template_decontaminate_src0": (
+        q_template_decontaminate,
+        o_template_decontaminate,
+    ),
     "session_stats_30m_gap": (q_session_stats, o_session_stats),
     "embedding_cosine_pairs": (
         q_embedding_cosine_pairs,

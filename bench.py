@@ -146,6 +146,9 @@ HEADLINE = [
     "top_npmi_bigrams_k20",
     "remove_shared_spans_keepfirst",
     "decontaminate_ac_src0",
+    # r12 additions (isolated warm best-of-3 measured < 2 s before
+    # joining — bench-envelope rule, r11 VERDICT item 7)
+    "template_decontaminate_src0",
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)

@@ -702,6 +702,36 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--out", required=True, help="output parquet path")
     sp.add_argument("--output", "-o", default=None)
 
+    sp = sub.add_parser(
+        "templates",
+        help="contamination-template ingest (≙ wimbd "
+        "promptsource_parse.py): walk a promptsource checkout for "
+        "templates.yaml files and emit (dataset, subset, fields) "
+        "rows; with --examples, join the fields against an eval-"
+        "example parquet and write the eval-PHRASE table that "
+        "`decontaminate` consumes",
+    )
+    sp.add_argument("paths", nargs=1,
+                    help="template tree root (dir containing "
+                    "<dataset>[/<subset>]/templates.yaml)")
+    sp.add_argument("--all-templates", action="store_true",
+                    help="every template per yaml (default: first "
+                    "only — reference parity)")
+    sp.add_argument("--examples", default=None,
+                    help="eval-example parquet whose template-field "
+                    "columns hold the phrase values")
+    sp.add_argument("--out", default=None,
+                    help="phrase-table output parquet (--examples)")
+    sp.add_argument("--output", "-o", default=None)
+
+    sp = sub.add_parser(
+        "indices",
+        help="list the tables of a corpus dir with row counts and "
+        "schemas (≙ wimbd es get_indices)",
+    )
+    sp.add_argument("paths", nargs=1, help="dir of <table>.parquet")
+    sp.add_argument("--output", "-o", default=None)
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -739,6 +769,37 @@ def main(argv: list[str] | None = None) -> int:
             out.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
             _emit([{"rows": n, "out": args.out}], args.output)
+            return 0
+        if args.cmd == "templates":
+            from wimbd_spark.sources.templates import (
+                load_template_fields,
+                template_eval_phrases,
+            )
+
+            fields = load_template_fields(
+                spark,
+                args.paths[0],
+                first_template_only=not args.all_templates,
+            )
+            if args.examples:
+                if not args.out:
+                    p.error("--examples requires --out")
+                ex = spark.read.parquet(args.examples)
+                phrases = template_eval_phrases(ex, fields)
+                phrases.write.mode("overwrite").parquet(args.out)
+                n = spark.read.parquet(args.out).count()
+                _emit([{"rows": n, "out": args.out}], args.output)
+            else:
+                _emit(
+                    [r.asDict() for r in fields.collect()],
+                    args.output,
+                )
+            return 0
+        if args.cmd == "indices":
+            from wimbd_spark.session import load_tables, table_summary
+
+            load_tables(spark, args.paths[0])
+            _emit(table_summary(spark), args.output)
             return 0
         if args.cmd == "bm25" and args.index:
             # indexed ranking never touches the corpus — except
