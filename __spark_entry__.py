@@ -6288,6 +6288,171 @@ def o_nb_quality_scores():
     """
 
 
+def q_streaming_session_stats(spark, sf_dir):
+    """Streaming WINDOW-tier driver surface (r11 VERDICT #4): the
+    events table replayed as 4 parquet micro-batches through
+    streaming.windows.session_window_stream (native session_window
+    state merged across batches), complete-mode memory sink. Session
+    assignment is per-user deterministic — an event merges into a
+    session iff its gap to the previous event is <= 30 min regardless
+    of which micro-batch delivered it — so the final complete-mode
+    table is batching-independent and equals batch sessionization (the
+    oracle below). Watermark is set beyond the table's time span so no
+    replayed row is late-dropped (complete mode keeps all state; the
+    bounded-state behavior is pinned separately in
+    tests/test_streaming.py::test_watermark_drops_late_events)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wimbd_spark.streaming.windows import session_window_stream
+
+    ev = _tbl(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    root = tempfile.mkdtemp(prefix="wimbd_stream_sess_")
+    sink = f"sess_replay_{uuid.uuid4().hex[:8]}"
+    try:
+        feed = f"{root}/feed"
+        ev.repartition(4).write.parquet(feed)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            session_window_stream(
+                stream, gap="30 minutes", watermark="3650 days"
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table(sink).select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_start_s").cast("long").alias("session_start_s"),
+            F.col("session_end_s").cast("long").alias("session_end_s"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        rows = out.collect()  # materialize before the temp dir goes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def o_streaming_session_stats():
+    # Spark session_window: a session extends [first_ts, last_ts+gap);
+    # an event joins when its range TOUCHES the session (diff <= gap,
+    # boundary-merge pinned in tests/test_windows.py) — identical to
+    # the batch sessionize's strict diff > gap new-session rule.
+    # start_s = unix_timestamp(w.start) = floor(first event seconds);
+    # end_s = floor(last event seconds) + 1800.
+    return """
+      WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id, us,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+      )
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(floor(MIN(us) / 1000000) AS BIGINT) AS session_start_s,
+             CAST(floor(MAX(us) / 1000000) + 1800 AS BIGINT) AS session_end_s,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sessions GROUP BY user_id, sid
+    """
+
+
+def q_c4_filter_report(spark, sf_dir):
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) as a per-source
+    audit report: how many documents each named rule would drop, plus
+    the kept count. textqc.c4_quality_filter — pure column expressions
+    (line-retention HOF + doc-level contains/rlike), shuffle-free until
+    the final tiny groupBy(source)."""
+    from wimbd_spark.operators.textqc import c4_quality_filter
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    flagged = c4_quality_filter(docs)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.array_contains("drop_reasons", "lorem_ipsum").cast("long")
+            ).cast("long").alias("n_lorem"),
+            F.sum(
+                F.array_contains("drop_reasons", "curly_brace").cast("long")
+            ).cast("long").alias("n_brace"),
+            F.sum(
+                F.array_contains("drop_reasons", "bad_word").cast("long")
+            ).cast("long").alias("n_bad_word"),
+            F.sum(
+                F.array_contains(
+                    "drop_reasons", "few_kept_lines"
+                ).cast("long")
+            ).cast("long").alias("n_few_lines"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def o_c4_filter_report():
+    # Mirrors textqc.c4_rules / _c4_line_kept exactly: a retained line
+    # (trimmed) ends in [.!?] + optional closing quote, has >= 5
+    # whitespace words, and contains no javascript/policy phrase;
+    # doc-level flags are lorem-ipsum / '{' / \b-bounded bad words;
+    # keep = no flag and >= 3 retained lines.
+    kept_line = (
+        "len(trim(l)) > 0"
+        " AND regexp_matches(trim(l), '[.!?][\"”]?$')"
+        " AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),"
+        "                     x -> x <> '')) >= 5"
+        " AND position('javascript' IN lower(l)) = 0"
+        " AND position('terms of use' IN lower(l)) = 0"
+        " AND position('privacy policy' IN lower(l)) = 0"
+        " AND position('cookie policy' IN lower(l)) = 0"
+        " AND position('uses cookies' IN lower(l)) = 0"
+    )
+    return f"""
+      WITH flags AS (
+        SELECT source,
+               position('lorem ipsum' IN lower(text)) > 0 AS lorem,
+               position('{{' IN text) > 0 AS brace,
+               regexp_matches(lower(text),
+                 '\\b(fuck|shit|bitch|asshole|porn)\\b') AS bad,
+               len(list_filter(string_split(text, chr(10)),
+                               l -> {kept_line})) AS n_kept_lines
+        FROM documents WHERE text IS NOT NULL
+      )
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN lorem THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lorem,
+             CAST(sum(CASE WHEN brace THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_brace,
+             CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bad_word,
+             CAST(sum(CASE WHEN n_kept_lines < 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_few_lines,
+             CAST(sum(CASE WHEN NOT lorem AND NOT brace AND NOT bad
+                            AND n_kept_lines >= 3
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM flags GROUP BY source
+    """
+
+
 # ------------------------------------------------------------ registry
 
 def q_ngram_spectrum(spark, sf_dir):
@@ -6731,16 +6896,18 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "lang_counts": (q_lang_counts, o_lang_counts),
     "token_length_dist": (q_token_length_dist, o_token_length_dist),
     "pricing_summary": (q_pricing_summary, o_pricing_summary),
-    # --- round-12 additions (positions 48-50 of the driver window) ---
+    # --- round-12 additions (positions 48-50 of the driver window;
+    # never driver-checked, so the rotation invariant REQUIRES them
+    # in-window — the 47 r9-stale queries above fill the rest) ---
     "template_decontaminate_src0": (
         q_template_decontaminate,
         o_template_decontaminate,
     ),
-    "session_stats_30m_gap": (q_session_stats, o_session_stats),
-    "embedding_cosine_pairs": (
-        q_embedding_cosine_pairs,
-        o_embedding_cosine_pairs,
+    "streaming_session_stats": (
+        q_streaming_session_stats,
+        o_streaming_session_stats,
     ),
+    "c4_filter_report": (q_c4_filter_report, o_c4_filter_report),
     "phrase_count_filtered": (
         q_phrase_count_filtered,
         o_phrase_count_filtered,
@@ -6926,6 +7093,11 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     ),
     "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
     "events_tumbling_1h": (q_events_tumbling, o_events_tumbling),
+    "session_stats_30m_gap": (q_session_stats, o_session_stats),
+    "embedding_cosine_pairs": (
+        q_embedding_cosine_pairs,
+        o_embedding_cosine_pairs,
+    ),
 }
 
 

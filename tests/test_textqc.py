@@ -433,3 +433,39 @@ def test_compression_ratio_signal(spark):
     assert got == again
     kept = {r.doc_id for r in compression_filter(df, 0.05, 0.7).collect()}
     assert kept == {3}
+
+
+def test_c4_quality_filter_rules(spark):
+    from wimbd_spark.operators.textqc import c4_quality_filter
+
+    good_line = "This sentence has more than five words in it."
+    keeper = "\n".join([good_line] * 3)
+    docs = [
+        ("keeper", keeper),
+        ("lorem", keeper + "\nSome Lorem Ipsum filler text here."),
+        ("brace", keeper + "\nfunction f() { return 1; }"),
+        ("bad", keeper + "\nWell shit, that is unfortunate today."),
+        # substring must NOT fire the \b-bounded bad-word rule
+        ("substr", keeper + "\nThe shiitake mushrooms were great to eat."),
+        # only 2 retained lines: third lacks terminal punctuation
+        ("fewlines", good_line + "\n" + good_line + "\nno punctuation here"),
+        # javascript line is not retained
+        ("js", keeper.replace(
+            good_line, "Please enable javascript to view this page.", 1)),
+        # exactly 5 words + closing quote after terminal punct → retained
+        ("quote", '\n'.join(['He said "this is truly great!"'] * 3)),
+        # policy boilerplate lines not retained
+        ("policy", "\n".join(
+            ["Read our privacy policy for details today."] * 3)),
+    ]
+    df = spark.createDataFrame(docs, ["k", "text"])
+    rows = {r["k"]: r for r in c4_quality_filter(df).collect()}
+    assert rows["keeper"]["keep"] is True
+    assert rows["lorem"]["drop_reasons"] == ["lorem_ipsum"]
+    assert rows["brace"]["drop_reasons"] == ["curly_brace"]
+    assert rows["bad"]["drop_reasons"] == ["bad_word"]
+    assert rows["substr"]["keep"] is True
+    assert rows["fewlines"]["drop_reasons"] == ["few_kept_lines"]
+    assert rows["js"]["drop_reasons"] == ["few_kept_lines"]
+    assert rows["quote"]["keep"] is True
+    assert rows["policy"]["drop_reasons"] == ["few_kept_lines"]

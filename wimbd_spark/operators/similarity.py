@@ -754,6 +754,7 @@ def cosine_topk_ivf_indexed(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     candidates: DataFrame | None = None,
+    k_fill: bool = False,
 ) -> DataFrame:
     """Top-k cosine neighbors answered FROM the materialized IVF index
     — row-identical to cosine_topk_ivf(corpus, queries, ...) with the
@@ -768,8 +769,16 @@ def cosine_topk_ivf_indexed(
     SEMI joined against it before scoring. Filtering happens INSIDE
     the probed partitions, so ranks are the top-k among allowed ids
     within the probe set — fewer than k rows can come back when the
-    allowed ids live outside the probed centroids (raise n_probe, or
-    use cosine_topk(filters=) for exact filtered search)."""
+    allowed ids live outside the probed centroids. ``k_fill=True``
+    adds the vector-DB fill behavior: queries that came back with
+    fewer than k neighbors are re-probed at doubled n_probe until they
+    have k or EVERY list has been probed (so a short result then means
+    the allowlist itself has fewer than k members — exact, not an
+    artifact of probing). Escalation is per-starved-query: satisfied
+    queries keep their original-probe ranks, and the loop is bounded
+    by log2(n_centroids) rounds, each one tiny driver count over
+    |queries| rows. Geometric doubling keeps total re-scored work
+    within ~2× the final round's."""
     cents = spark.read.parquet(f"{path}/centroids").collect()
     if not cents:
         qt = queries.schema[id_col].dataType.simpleString()
@@ -779,56 +788,98 @@ def cosine_topk_ivf_indexed(
     cent_arr = _centroid_literal(
         [{"centroid_id": r["centroid_id"], "_cent": r["v"]} for r in cents]
     )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _unit(_to_double(F.col(vec_col))).alias("_qv"),
+    allow = (
+        candidates.toDF("id").distinct() if candidates is not None else None
+    )
+
+    def run(qdf: DataFrame, np_: int) -> DataFrame:
+        q = (
+            qdf.select(
+                F.col(id_col).alias("query_id"),
+                _unit(_to_double(F.col(vec_col))).alias("_qv"),
+            )
+            .withColumn(
+                "centroid",
+                F.explode(
+                    F.transform(
+                        _nearest_centroids(F.col("_qv"), cent_arr, np_),
+                        lambda s: s["cid"],
+                    )
+                ),
+            )
         )
-        .withColumn(
-            "centroid",
-            F.explode(
-                F.transform(
-                    _nearest_centroids(F.col("_qv"), cent_arr, n_probe),
-                    lambda s: s["cid"],
-                )
-            ),
+        # static partition pruning: the probed id set is bounded by
+        # |queries|·n_probe (queries are the small side by contract),
+        # so collecting it costs one tiny job and turns the lists read
+        # into a PartitionFilters-pruned scan — no dynamic pruning
+        # needed
+        probed = sorted(
+            {
+                r["centroid"]
+                for r in q.select("centroid").distinct().collect()
+            }
         )
-    )
-    # static partition pruning: the probed id set is bounded by
-    # |queries|·n_probe (queries are the small side by contract), so
-    # collecting it costs one tiny job and turns the lists read into
-    # a PartitionFilters-pruned scan — no dynamic pruning needed
-    probed = sorted(
-        {r["centroid"] for r in q.select("centroid").distinct().collect()}
-    )
-    lists = spark.read.parquet(f"{path}/lists").filter(
-        F.col("centroid").isin(probed)
-    )
-    if candidates is not None:
-        allow = candidates.toDF("id").distinct()
-        lists = lists.join(F.broadcast(allow), "id", "left_semi")
-    scored = (
-        F.broadcast(q)
-        .join(lists, "centroid")
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            dot(F.col("_qv"), F.col("uvec")).alias("cosine"),
+        lists = spark.read.parquet(f"{path}/lists").filter(
+            F.col("centroid").isin(probed)
         )
-    )
-    if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        if allow is not None:
+            lists = lists.join(F.broadcast(allow), "id", "left_semi")
+        scored = (
+            F.broadcast(q)
+            .join(lists, "centroid")
+            .select(
+                "query_id",
+                F.col("id").alias("neighbor_id"),
+                dot(F.col("_qv"), F.col("uvec")).alias("cosine"),
+            )
         )
-    )
+        if exclude_self:
+            scored = scored.filter(
+                F.col("query_id") != F.col("neighbor_id")
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+
+    out = run(queries, n_probe)
+    if not k_fill:
+        return out
+    n_cent = len(cents)
+    cur = min(n_probe, n_cent)
+    all_ids = [
+        r["query_id"]
+        for r in queries.select(F.col(id_col).alias("query_id"))
+        .distinct()
+        .collect()
+    ]
+    while cur < n_cent:
+        counts = {
+            r["query_id"]: r["n"]
+            for r in out.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        starved = [qid for qid in all_ids if counts.get(qid, 0) < k]
+        if not starved:
+            break
+        cur = min(cur * 2, n_cent)
+        redo = run(
+            queries.filter(F.col(id_col).isin(starved)), cur
+        )
+        out = out.filter(
+            ~F.col("query_id").isin(starved)
+        ).unionByName(redo)
+    return out
 
 
 def cosine_topk_ivf_pq_indexed(
@@ -1101,6 +1152,137 @@ def ivf_list_sizes(spark, path: str) -> DataFrame:
         .groupBy("centroid")
         .agg(F.count(F.lit(1)).alias("size"))
         .orderBy(F.col("size").desc(), "centroid")
+    )
+
+
+#: needs_recluster() default: recluster once the LARGEST inverted list
+#: exceeds this multiple of the mean list size. 4× means a single
+#: probe of the fat list costs what 4 average probes should — recall
+#: per probe has degraded materially, and at fixed n_probe the fat
+#: list dominates query latency (list scan cost is linear in size).
+DEFAULT_RECLUSTER_SKEW = 4.0
+
+
+def needs_recluster(
+    spark,
+    path: str,
+    skew_factor: float = DEFAULT_RECLUSTER_SKEW,
+    min_rows: int = 1024,
+) -> bool:
+    """True when the IVF index at ``path`` has drifted: the largest
+    inverted list exceeds ``skew_factor`` × the mean list size (mean
+    taken over the BUILT centroid count, so emptied-out lists count as
+    drift too). The documented trigger for recluster_ivf_index — the
+    vector-side twin of index.needs_compaction (call between append
+    batches or from a maintenance cron). Cost: one groupBy over the
+    lists' centroid partition column plus a centroid count — no vector
+    data is read. Indexes under ``min_rows`` total vectors never
+    trigger (tiny lists are noisily skewed and a rewrite buys
+    nothing)."""
+    sizes = ivf_list_sizes(spark, path).collect()
+    if not sizes:
+        return False
+    total = sum(r["size"] for r in sizes)
+    if total < min_rows:
+        return False
+    n_cent = spark.read.parquet(f"{path}/centroids").count()
+    mean = total / max(n_cent, 1)
+    return max(r["size"] for r in sizes) > skew_factor * mean
+
+
+def recluster_ivf_index(
+    spark,
+    path: str,
+    fresh_path: str,
+    n_centroids: int | None = None,
+    n_iter: int = 2,
+    mode: str = "error",
+) -> None:
+    """Rebuild a drifted IVF index into ``fresh_path`` with Lloyd-
+    refined centroids: re-fit (clustering.kmeans_fit — ``n_iter``
+    assign+update rounds from the deterministic hash seeds, one
+    bounded shuffle each) over the CURRENT lists, re-assign every
+    vector, and rewrite centroids + centroid-partitioned lists. If the
+    source index carries PQ sidecars (``pq_codebooks`` + codes/rn2
+    list columns), the codebooks are re-fit over the current vectors
+    at the same (m, n_codes) and the codes re-encoded — append drift
+    is exactly when frozen codebooks go stale too.
+
+    Like compact_phrase_index, ALWAYS rewrites into a FRESH path and
+    the caller repoints readers afterwards: rebuilding in place would
+    have Spark overwrite the very partitions it is reading. The corpus
+    is never re-scanned — the lists' stored unit vectors ARE the data
+    (PQ re-encoding on unit vectors is cosine-equivalent: queries
+    score dot(q, recon)/sqrt(rn2), norm-invariant).
+
+    Centroids from kmeans are means, not corpus rows, so the rebuilt
+    index serves the INDEXED query paths (cosine_topk_ivf_indexed /
+    _pq_indexed / _pq_rerank, which read centroids from the index);
+    row-parity with the UNINDEXED cosine_topk_ivf(corpus, …) — whose
+    contract is the deterministic-sample rule — no longer applies.
+    With ``n_probe = n_centroids`` both generations still return
+    identical rows (every list is scanned; pinned in
+    tests/test_similarity.py).
+
+    ``n_centroids`` defaults to auto_ncentroids(current row count) —
+    reclustering after heavy appends also RESIZES the index, which a
+    centroid-preserving rebalance cannot.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        lists = spark.read.parquet(f"{path}/lists")
+        n_rows = lists.count()
+    except AnalysisException:
+        # an empty-built index writes a schemaless lists dir — same
+        # degenerate case as zero rows
+        n_rows = 0
+    if n_rows == 0:
+        raise ValueError(
+            f"recluster_ivf_index: no vectors at {path!r}/lists — "
+            "rebuild from the corpus with build_ivf_index instead"
+        )
+    k = n_centroids if n_centroids is not None else auto_ncentroids(n_rows)
+    from wimbd_spark.operators.clustering import kmeans_fit
+
+    corpus = lists.select("id", "uvec")
+    fitted = kmeans_fit(
+        corpus, n_clusters=k, n_iter=n_iter, id_col="id", vec_col="uvec"
+    )
+    cent_arr = _centroid_literal(
+        [{"centroid_id": cid, "_cent": v} for cid, v in fitted]
+    )
+    jvm = spark._jvm
+    cb_path = jvm.org.apache.hadoop.fs.Path(f"{path}/pq_codebooks")
+    fs = cb_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    cb = None
+    if fs.exists(cb_path):
+        old_cb = spark.read.parquet(f"{path}/pq_codebooks")
+        m = old_cb.agg(F.max("s")).collect()[0][0] + 1
+        n_codes = old_cb.agg(F.max("j")).collect()[0][0] + 1
+        cb = pq_codebooks(
+            corpus, m=m, n_codes=n_codes, id_col="id", vec_col="uvec"
+        )
+        spark.createDataFrame(
+            [
+                (s, j, cv)
+                for s, book in enumerate(cb)
+                for j, cv in enumerate(book)
+            ],
+            "s int, j int, cv array<double>",
+        ).write.mode(mode).parquet(f"{fresh_path}/pq_codebooks")
+    assigned = corpus.withColumn(
+        "centroid", _nearest_centroids(F.col("uvec"), cent_arr, 1)[0]["cid"]
+    )
+    if cb is not None:
+        assigned = assigned.withColumn(
+            "codes", pq_encode_col(F.col("uvec"), cb)
+        ).withColumn("rn2", _pq_recon_norm2(F.col("codes"), cb))
+    spark.createDataFrame(
+        [(cid, list(v)) for cid, v in fitted], "centroid_id int, v array<double>"
+    ).write.mode(mode).parquet(f"{fresh_path}/centroids")
+    assigned.write.mode(mode).partitionBy("centroid").parquet(
+        f"{fresh_path}/lists"
     )
 
 

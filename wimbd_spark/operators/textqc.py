@@ -746,3 +746,107 @@ def compression_filter(
     return df.filter(
         r.isNotNull() & (r >= min_ratio) & (r <= max_ratio)
     )
+
+
+# ------------------------------------------------------- C4 heuristics
+
+#: Small public-blocklist subset (the full pipeline uses the LDNOOBW
+#: "bad words" list; ship a deterministic built-in head so the rule is
+#: testable offline — pass ``bad_words=`` to supply the full list).
+C4_BAD_WORDS = ["fuck", "shit", "bitch", "asshole", "porn"]
+
+#: Boilerplate-policy phrases (checked case-insensitively per line).
+C4_POLICY_PHRASES = [
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+]
+
+#: A retained line ends in terminal punctuation (optionally followed
+#: by a closing quote) — evaluated on the trimmed line.
+_C4_TERMINAL_RE = '[.!?]["”]?$'
+
+
+def _c4_line_kept(line: Column, policy_phrases: list[str]) -> Column:
+    """C4's line-retention predicate (Raffel et al. 2020 §2.2): the
+    trimmed line ends in terminal punctuation, has >= 5 whitespace
+    words, and mentions neither javascript nor a policy phrase. Pure
+    expression — usable inside F.filter over split lines."""
+    t = F.trim(line)
+    lowered = F.lower(t)
+    words = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
+    cond = (
+        (F.length(t) > 0)
+        & t.rlike(_C4_TERMINAL_RE)
+        & (words >= 5)
+        & ~lowered.contains("javascript")
+    )
+    for p in policy_phrases:
+        cond = cond & ~lowered.contains(p)
+    return cond
+
+
+def c4_rules(
+    text: Column | str,
+    min_kept_lines: int = 3,
+    bad_words: list[str] | None = None,
+    policy_phrases: list[str] | None = None,
+) -> list[tuple[str, Column]]:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the
+    "Colossal Clean Crawled Corpus" rules) as named boolean DROP
+    conditions, like gopher_rules: lorem-ipsum pages, pages with a
+    curly brace (code), pages with a blocklisted word, and pages with
+    fewer than ``min_kept_lines`` retained lines (a line is retained
+    per _c4_line_kept: terminal punctuation, >= 5 words, no
+    javascript/policy boilerplate). All pure column expressions —
+    shuffle-free, whole-stage-codegen corpus-wide.
+
+    Beyond-reference (the wimbd reference stops at counting; this is
+    the standard pretraining-corpus page filter the brief's
+    text-analysis tier calls for)."""
+    c = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(c)
+    bw = bad_words if bad_words is not None else C4_BAD_WORDS
+    pp = (
+        policy_phrases
+        if policy_phrases is not None
+        else C4_POLICY_PHRASES
+    )
+    import re as _re
+
+    bad_re = r"\b(" + "|".join(_re.escape(w) for w in bw) + r")\b"
+    lines = F.split(c, r"\n")
+    n_kept = F.size(F.filter(lines, lambda l: _c4_line_kept(l, pp)))
+    return [
+        ("lorem_ipsum", lowered.contains("lorem ipsum")),
+        ("curly_brace", c.contains("{")),
+        ("bad_word", lowered.rlike(bad_re)),
+        ("few_kept_lines", n_kept < min_kept_lines),
+    ]
+
+
+def c4_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_reasons: bool = True,
+    **thresholds,
+) -> DataFrame:
+    """Apply the C4 rules: adds `keep` (no rule fired) and, when
+    ``keep_reasons``, a `drop_reasons` array naming the rules that
+    fired. Same contract as gopher_quality_filter, so the two gates
+    compose in one projection pass."""
+    rules = c4_rules(F.col(text_col), **thresholds)
+    reasons = F.filter(
+        F.array(
+            *[
+                F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in rules
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    out = df.withColumn("drop_reasons", reasons).withColumn(
+        "keep", F.size("drop_reasons") == 0
+    )
+    return out if keep_reasons else out.drop("drop_reasons")
