@@ -274,6 +274,14 @@ def final_line(
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        # the bench-envelope contract (r11 VERDICT item 7): headline
+        # count AND per-query average are first-class reported numbers,
+        # so round-over-round comparisons normalize for a growing set
+        "per_query_avg_s": round(
+            sum(timings.values()) / len(timings), 4
+        )
+        if timings
+        else 0.0,
         "build_total_s": round(
             sum(v for v in build_s.values() if v >= 0), 4
         ),

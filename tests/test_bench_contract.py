@@ -52,3 +52,89 @@ def test_bench_only_queries_prefixed():
 
     bad = [n for n in entry.bench_only_queries() if not n.startswith("bench_")]
     assert not bad, f"bench-only entries missing the bench_ prefix: {bad}"
+
+
+def test_final_line_reports_count_and_average():
+    """Bench-envelope contract (r11 VERDICT item 7): the driver-parsed
+    line must carry headline count AND per-query average so the
+    envelope stays comparable as the set grows."""
+    import json
+
+    import bench
+
+    parsed = json.loads(bench.final_line({"a": 2.0, "b": 4.0}, {}, {}, 0.1))
+    assert parsed["n_queries"] == 2
+    assert parsed["per_query_avg_s"] == 3.0
+    assert json.loads(bench.final_line({}, {}, {}, 0.1))[
+        "per_query_avg_s"
+    ] == 0.0
+
+
+# The headline set as of r12. Queries may be REMOVED freely; any
+# ADDITION must first land an isolated warm best-of-3 row in SCALE.md
+# (r11 VERDICT item 7: a new >2 s query silently joining the headline
+# set eats the driver's 2x envelope without a recorded baseline).
+# Update this frozenset IN THE SAME COMMIT as the SCALE.md row.
+R12_HEADLINE = frozenset(
+    [
+        "topk_ngrams_n3_k20", "botk_ngrams_n1_k20", "unique_ngrams_n2",
+        "count_sequences", "search_regex_counts", "corpus_stats",
+        "lang_counts", "token_length_dist", "dedup_exact_keepfirst",
+        "duplicate_stats_by_source", "decontaminate_src0",
+        "phrase_doc_counts", "unigram_ttf", "pricing_summary",
+        "top_orders_by_revenue", "nation_revenue_europe",
+        "events_tumbling_1h", "session_stats_30m_gap",
+        "lsh_neardup_pairs", "simhash16", "ann_cosine_topk",
+        "quality_scores", "pii_extraction", "find_examples",
+        "phrase_slop_count", "unique_ngrams_approx", "orders_rollup",
+        "phrase_count_filtered", "top2_orders_per_customer",
+        "ngram_jaccard_pairs", "repetition_scores",
+        "embedding_cosine_pairs_lsh", "phrase_index_counts",
+        "pack_documents_512", "mixture_sample", "neardup_cluster_dedup",
+        "phrase_batch_counts", "embedding_cosine_pairs_lsh_auto",
+        "simhash62", "repeated_spans_k8", "pii_redaction",
+        "dedup_paragraphs", "gram_overlap_src0_src1", "phrase_df_counts",
+        "decontaminate_ngrams_src0", "contaminated_examples",
+        "fuzzy_decontaminate_src0", "lm_ppl_scores",
+        "domain_blocklist_filter", "tfidf_top3_terms",
+        "vocab_stats_by_source", "gram_novelty_n4", "script_profile",
+        "stratified_sample_k5", "search_snippets_w20", "ivf_index_topk",
+        "jpeg_decode_check", "topk_ngrams_2pass_n2_k20",
+        "dsir_log_weights_src0", "unimax_mixture_weights",
+        "quality_funnel_report", "cluster_balanced_sample_q3",
+        "pq_ann_topk", "ivf_pq_topk", "quality_funnel_by_source",
+        "simhash62_pairs", "contamination_slop1_indexed",
+        "bm25_rank_top10", "bm25_index_top10", "bm25_batch_top5",
+        "bm25_batch_indexed_top5", "hybrid_rrf_top10",
+        "more_like_this_top10", "nb_quality_scores_src0",
+        "temperature_mixture_weights", "weighted_sample_chars_k50",
+        "kmeans_assign_k8_i2", "events_asof_attribution",
+        "winnow_overlap_src0_src1", "bloom_decontaminate_src0",
+        "bm25_filtered_top10", "bm25_filtered_indexed_top10",
+        "bpe_train_roundtrip", "ivf_pq_rerank_top3",
+        "more_like_this_indexed_top10", "ngram_spectrum_n2",
+        "top_pmi_bigrams_k20", "hybrid_rrf_filtered_top10",
+        "events_asof_nearest_click", "phrase_ac_counts",
+        "topk_ngrams_by_source_n2_k5", "shared_span_coverage",
+        "zipf_fit_unigrams", "url_dedup_keepfirst",
+        "top_npmi_bigrams_k20", "remove_shared_spans_keepfirst",
+        "decontaminate_ac_src0", "template_decontaminate_src0",
+        "contamination_rate_indexed",
+    ]
+)
+
+
+def test_new_headline_queries_have_scale_rows():
+    from pathlib import Path
+
+    import bench
+
+    new = [n for n in bench.HEADLINE if n not in R12_HEADLINE]
+    scale = (
+        Path(__file__).resolve().parent.parent / "SCALE.md"
+    ).read_text()
+    missing = [n for n in new if n not in scale]
+    assert not missing, (
+        "headline additions need an isolated warm best-of-3 SCALE.md "
+        f"row before joining the benched set: {missing}"
+    )

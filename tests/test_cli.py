@@ -969,3 +969,12 @@ def test_cli_despan_report(capsys, tmp_path):
     )
     assert rows[0]["n_docs"] == 2
     assert rows[0]["snippet"] in "p q r s t u"
+
+
+def test_cli_indices(capsys):
+    # E2 parity verb: table name + row count + schema per catalog table
+    rows = _run(capsys, ["indices", "/root/testdata/sf0.001"])
+    by_name = {r["name"]: r for r in rows}
+    assert {"documents", "events", "lineitem"} <= set(by_name)
+    assert by_name["documents"]["count"] == 500
+    assert by_name["documents"]["columns"]["text"] == "string"
