@@ -978,3 +978,31 @@ def test_cli_indices(capsys):
     assert {"documents", "events", "lineitem"} <= set(by_name)
     assert by_name["documents"]["count"] == 500
     assert by_name["documents"]["columns"]["text"] == "string"
+
+
+def test_cli_ivf_maintain(capsys, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "vec_id": list(range(12)),
+            "embedding": [
+                [1.0, 0.01 * i, 0.0, 0.0] if i < 6
+                else [0.0, 0.0, 1.0, 0.01 * i]
+                for i in range(12)
+            ],
+        }
+    ).to_parquet(tmp_path / "vecs.parquet")
+    idx = str(tmp_path / "ivfidx")
+    # build via the ann verb's first-use path
+    _run(capsys, ["ann", str(tmp_path / "vecs.parquet"), "--method", "ivf",
+                  "--index", idx, "-k", "2"])
+    rows = _run(capsys, ["ivf-maintain", idx])
+    assert rows[0]["n_vectors"] == 12
+    assert rows[0]["needs_recluster"] is False  # under min_rows
+    fresh = str(tmp_path / "ivfidx2")
+    rows = _run(capsys, ["ivf-maintain", idx, "--recluster-to", fresh,
+                         "--n-centroids", "2"])
+    assert rows[0]["reclustered_to"] == fresh
+    rows = _run(capsys, ["ivf-maintain", fresh])
+    assert rows[0]["n_vectors"] == 12 and rows[0]["n_lists"] >= 1

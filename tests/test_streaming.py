@@ -1201,3 +1201,101 @@ def test_streaming_contamination_hits_ac_parity(spark, tmp_path):
         streaming_contamination_hits(
             read_doc_stream(spark, d1), grams, slop=1, method="ac"
         )
+
+
+def test_streaming_ivf_ingest_delta_lifecycle(spark, tmp_path):
+    """Vector-side streaming ingest: micro-batches land in the delta
+    tier (exactly-once epoch dirs), queries see base ∪ delta at once
+    (plain and PQ paths), absorb folds the delta into a fresh
+    partition-pruned generation with identical answers, and recluster
+    consumes the delta too."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wimbd_spark.operators.similarity import (
+        absorb_ivf_delta,
+        build_ivf_index,
+        cosine_topk_ivf_indexed,
+        cosine_topk_ivf_pq_indexed,
+        ivf_list_sizes,
+        recluster_ivf_index,
+    )
+    from wimbd_spark.streaming.vectors import (
+        read_vector_stream,
+        streaming_ivf_ingest,
+    )
+
+    base_rows = []
+    for c, axis in enumerate(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]]
+    ):
+        for i in range(10):
+            v = [float(x) for x in axis]
+            v[(c + 1) % 4] += 0.02 * i
+            base_rows.append((c * 100 + i, v))
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivfstream")
+    build_ivf_index(base, path, n_centroids=4, pq_m=2, pq_codes=4)
+
+    # two micro-batches; vec 9000 is nearly identical to base vec 0
+    b1 = spark.createDataFrame(
+        [(9000, [1.0, 0.001, 0.0, 0.0]), (9001, [0.0, 1.0, 0.001, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    b2 = spark.createDataFrame(
+        [(9002, [0.0, 0.0, 1.0, 0.001])],
+        "vec_id long, embedding array<double>",
+    )
+    feed = str(tmp_path / "vecfeed")
+    b1.coalesce(1).write.mode("append").parquet(feed)
+    b2.coalesce(1).write.mode("append").parquet(feed)
+
+    stream = read_vector_stream(spark, feed, max_files_per_trigger=1)
+    q = streaming_ivf_ingest(
+        stream, path, checkpoint=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sizes = ivf_list_sizes(spark, path).collect()
+    assert sum(r["size"] for r in sizes) == 43  # 40 base + 3 delta
+
+    queries = base.filter(F.col("vec_id") == 0)
+    got = cosine_topk_ivf_indexed(
+        spark, path, queries, k=1, n_probe=4
+    ).collect()
+    assert got[0]["neighbor_id"] == 9000  # delta row won the top rank
+
+    pq_ids = {
+        r["neighbor_id"]
+        for r in cosine_topk_ivf_pq_indexed(
+            spark, path, queries, k=43, n_probe=4
+        ).collect()
+    }
+    assert {9000, 9001, 9002} <= pq_ids  # delta rows carry PQ codes
+
+    fresh = str(tmp_path / "ivfabsorbed")
+    absorb_ivf_delta(spark, path, fresh)
+    import os
+
+    assert not os.path.exists(f"{fresh}/delta")
+    same = cosine_topk_ivf_indexed(
+        spark, fresh, queries, k=5, n_probe=4
+    ).collect()
+    orig = cosine_topk_ivf_indexed(
+        spark, path, queries, k=5, n_probe=4
+    ).collect()
+    assert sorted(map(tuple, same)) == sorted(map(tuple, orig))
+
+    gen2 = str(tmp_path / "ivfgen2s")
+    recluster_ivf_index(spark, path, gen2, n_centroids=4)
+    assert (
+        sum(r["size"] for r in ivf_list_sizes(spark, gen2).collect()) == 43
+    )
+
+    with pytest.raises(ValueError, match="nothing to absorb"):
+        absorb_ivf_delta(spark, fresh, str(tmp_path / "nope2"))

@@ -572,8 +572,34 @@ def main(argv: list[str] | None = None) -> int:
                     "with PQ): PQ scores pick N_CAND candidates per "
                     "query, exact cosine over their full-precision "
                     "vectors decides the final top-k")
+    sp.add_argument("--k-fill", action="store_true",
+                    help="with --index: escalate n_probe per starved "
+                    "query until k neighbors are found or every list "
+                    "is probed (fills filtered queries whose "
+                    "allowlist falls outside the probe set)")
     sp.add_argument("--out", default=None,
                     help="write neighbor rows parquet here")
+
+    sp = sub.add_parser(
+        "ivf-maintain",
+        help="IVF index maintenance: list-size audit, delta-absorb, "
+        "skew-triggered recluster",
+    )
+    sp.add_argument("paths", nargs=1, metavar="INDEX_PATH")
+    sp.add_argument("--output", "-o", default=None)
+    sp.add_argument("--skew-factor", type=float, default=None,
+                    help="needs_recluster trigger: max list > factor "
+                    "x mean (default DEFAULT_RECLUSTER_SKEW)")
+    sp.add_argument("--absorb-to", default=None, metavar="FRESH_PATH",
+                    help="fold the streaming delta tier into a fresh "
+                    "single-tier generation at FRESH_PATH")
+    sp.add_argument("--recluster-to", default=None, metavar="FRESH_PATH",
+                    help="re-fit centroids (k-means over the stored "
+                    "vectors, delta included) and rewrite a fresh "
+                    "generation at FRESH_PATH")
+    sp.add_argument("--n-centroids", type=int, default=None,
+                    help="centroid count for --recluster-to (default "
+                    "auto_ncentroids of the current row count)")
 
     sp = sub.add_parser(
         "funnel", help="cleaning-pipeline stage survivor report"
@@ -800,6 +826,46 @@ def main(argv: list[str] | None = None) -> int:
 
             load_tables(spark, args.paths[0])
             _emit(table_summary(spark), args.output)
+            return 0
+        if args.cmd == "ivf-maintain":
+            from wimbd_spark.operators.similarity import (
+                DEFAULT_RECLUSTER_SKEW,
+                absorb_ivf_delta,
+                ivf_list_sizes,
+                needs_recluster,
+                recluster_ivf_index,
+            )
+
+            idx = args.paths[0]
+            if args.absorb_to and args.recluster_to:
+                raise SystemExit(
+                    "--absorb-to and --recluster-to are exclusive "
+                    "(recluster consumes the delta itself)"
+                )
+            sizes = ivf_list_sizes(spark, idx).collect()
+            skew = (
+                args.skew_factor
+                if args.skew_factor is not None
+                else DEFAULT_RECLUSTER_SKEW
+            )
+            report = {
+                "n_lists": len(sizes),
+                "n_vectors": sum(r["size"] for r in sizes),
+                "max_list": max((r["size"] for r in sizes), default=0),
+                "needs_recluster": needs_recluster(
+                    spark, idx, skew_factor=skew
+                ),
+            }
+            if args.absorb_to:
+                absorb_ivf_delta(spark, idx, args.absorb_to)
+                report["absorbed_to"] = args.absorb_to
+            elif args.recluster_to:
+                recluster_ivf_index(
+                    spark, idx, args.recluster_to,
+                    n_centroids=args.n_centroids,
+                )
+                report["reclustered_to"] = args.recluster_to
+            _emit([report], args.output)
             return 0
         if args.cmd == "bm25" and args.index:
             # indexed ranking never touches the corpus — except
@@ -1598,6 +1664,13 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--index requires --method ivf")
             if args.rerank and not args.index:
                 raise SystemExit("--rerank requires --index")
+            if args.k_fill and not args.index:
+                raise SystemExit("--k-fill requires --index")
+            if args.k_fill and args.rerank:
+                raise SystemExit(
+                    "--k-fill with --rerank is not supported (widen "
+                    "--rerank N_CAND instead)"
+                )
             if args.filter and args.rerank:
                 raise SystemExit(
                     "--filter with --rerank is not supported (the "
@@ -1657,7 +1730,7 @@ def main(argv: list[str] | None = None) -> int:
                         )
                     res = cosine_topk_ivf_indexed(
                         spark, args.index, queries,
-                        candidates=cand, **kw
+                        candidates=cand, k_fill=args.k_fill, **kw
                     )
             elif args.method == "exact":
                 res = cosine_topk(df, queries, **kw)

@@ -819,9 +819,7 @@ def cosine_topk_ivf_indexed(
                 for r in q.select("centroid").distinct().collect()
             }
         )
-        lists = spark.read.parquet(f"{path}/lists").filter(
-            F.col("centroid").isin(probed)
-        )
+        lists = _read_lists(spark, path, probed=probed)
         if allow is not None:
             lists = lists.join(F.broadcast(allow), "id", "left_semi")
         scored = (
@@ -970,10 +968,9 @@ def cosine_topk_ivf_pq_indexed(
     probed = sorted(
         {r["centroid"] for r in q.select("centroid").distinct().collect()}
     )
-    lists = (
-        spark.read.parquet(f"{path}/lists")
-        .filter(F.col("centroid").isin(probed))
-        .select("centroid", "id", "codes", "rn2")
+    lists = _read_lists(
+        spark, path, probed=probed,
+        columns=["centroid", "id", "codes", "rn2"],
     )
     sdot = F.lit(0.0)
     for s in range(len(cb)):
@@ -1069,8 +1066,7 @@ def cosine_topk_ivf_pq_rerank(
     ids = sorted({r["neighbor_id"] for r in pairs})
     cents = sorted({r["centroid"] for r in pairs})
     vecs = (
-        spark.read.parquet(f"{path}/lists")
-        .filter(F.col("centroid").isin(cents))  # partition pruning
+        _read_lists(spark, path, probed=cents)  # partition pruning
         .filter(F.col("id").isin(ids))  # row-group pruning
         .select(F.col("id").alias("neighbor_id"), "uvec")
     )
@@ -1106,6 +1102,71 @@ def cosine_topk_ivf_pq_rerank(
     )
 
 
+def _hadoop_exists(spark, p: str) -> bool:
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(p)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hp)
+
+
+def _load_codebooks(spark, path: str):
+    """The index's persisted PQ codebooks as the nested-list form
+    pq_encode_col expects, or None when the index carries no PQ
+    sidecar."""
+    if not _hadoop_exists(spark, f"{path}/pq_codebooks"):
+        return None
+    rows = spark.read.parquet(f"{path}/pq_codebooks").collect()
+    if not rows:
+        return None
+    by_s: dict = {}
+    for r in rows:
+        by_s.setdefault(r["s"], {})[r["j"]] = list(r["cv"])
+    return [[by_s[s][j] for j in sorted(by_s[s])] for s in sorted(by_s)]
+
+
+def _assign_rows(
+    df: DataFrame, cent_arr: Column, cb, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, uvec, centroid[, codes, rn2]) assignment projection against
+    the literal centroid array — map-only, shared by batch append and
+    streaming delta ingest."""
+    out = df.select(
+        F.col(id_col).alias("id"),
+        _unit(_to_double(F.col(vec_col))).alias("uvec"),
+    ).withColumn(
+        "centroid", _nearest_centroids(F.col("uvec"), cent_arr, 1)[0]["cid"]
+    )
+    if cb is not None:
+        out = out.withColumn(
+            "codes", pq_encode_col(F.col("uvec"), cb)
+        ).withColumn("rn2", _pq_recon_norm2(F.col("codes"), cb))
+    return out
+
+
+def _read_lists(
+    spark, path: str, probed=None, columns=None
+) -> DataFrame:
+    """Every vector the index at ``path`` holds: the centroid-
+    partitioned base lists UNION the streaming ``delta`` tier (see
+    streaming_ivf_ingest) when present. ``probed`` prunes base
+    partitions statically; the delta gets only a row filter on its
+    centroid COLUMN — correct, but unpruned, which is the documented
+    reason the delta must stay small relative to base (absorb or
+    recluster folds it in)."""
+    base = spark.read.parquet(f"{path}/lists")
+    frames = [base]
+    if _hadoop_exists(spark, f"{path}/delta"):
+        frames.append(spark.read.parquet(f"{path}/delta").drop("batch"))
+    out = None
+    for fr in frames:
+        if probed is not None:
+            fr = fr.filter(F.col("centroid").isin(probed))
+        if columns is not None:
+            fr = fr.select(*columns)
+        out = fr if out is None else out.unionByName(fr)
+    return out
+
+
 def append_to_ivf_index(
     df: DataFrame,
     path: str,
@@ -1115,15 +1176,20 @@ def append_to_ivf_index(
     """Incrementally add vectors to an EXISTING IVF index: assign each
     new row against the index's STORED centroids (never recomputed —
     queries stay consistent with every earlier list) and append to the
-    centroid-partitioned lists. The vector-side analogue of
-    streaming_phrase_index's incremental maintenance.
+    centroid-partitioned lists. If the index carries PQ codebooks the
+    appended rows are PQ-encoded against them too, so the compressed
+    query paths keep seeing every vector. The vector-side analogue of
+    streaming_phrase_index's incremental maintenance; for HIGH-
+    FREQUENCY micro-batch ingest use streaming_ivf_ingest instead (a
+    partitioned append touches every assigned partition dir per call —
+    fine occasionally, small-file churn when streamed).
 
     Drift caveat, by design: centroids are frozen at build time, so if
     the appended data's distribution shifts far from the original
     corpus its clusters grow unbalanced and probe recall degrades —
-    the standard IVF tradeoff. Rebuild (build_ivf_index) when the
-    corpus has grown or shifted materially; `ivf_list_sizes` below is
-    the skew audit that tells you when.
+    the standard IVF tradeoff. recluster_ivf_index rebuilds a fresh
+    generation when the corpus has grown or shifted materially;
+    `needs_recluster` is the trigger and `ivf_list_sizes` the audit.
     """
     spark = df.sparkSession
     cents = spark.read.parquet(f"{path}/centroids").collect()
@@ -1135,20 +1201,45 @@ def append_to_ivf_index(
     cent_arr = _centroid_literal(
         [{"centroid_id": r["centroid_id"], "_cent": r["v"]} for r in cents]
     )
-    df.select(
-        F.col(id_col).alias("id"),
-        _unit(_to_double(F.col(vec_col))).alias("uvec"),
-    ).withColumn(
-        "centroid", _nearest_centroids(F.col("uvec"), cent_arr, 1)[0]["cid"]
-    ).write.mode("append").partitionBy("centroid").parquet(f"{path}/lists")
+    cb = _load_codebooks(spark, path)
+    _assign_rows(df, cent_arr, cb, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("centroid").parquet(f"{path}/lists")
+
+
+def absorb_ivf_delta(
+    spark, path: str, fresh_path: str, mode: str = "error"
+) -> None:
+    """Fold the streaming ``delta`` tier into the centroid-partitioned
+    base, writing the merged single-tier index at ``fresh_path``
+    (centroids + codebooks copied verbatim — assignments don't change,
+    so queries against the fresh generation return identical rows with
+    full partition pruning restored). Same fresh-path + repoint
+    contract as compact_phrase_index: never rewrite in place. The
+    running ingest stream keeps writing delta batches under ``path``
+    untouched; epochs ingested after the absorb cut simply ride until
+    the next cycle."""
+    if not _hadoop_exists(spark, f"{path}/delta"):
+        raise ValueError(f"no delta tier at {path!r} — nothing to absorb")
+    spark.read.parquet(f"{path}/centroids").write.mode(mode).parquet(
+        f"{fresh_path}/centroids"
+    )
+    if _hadoop_exists(spark, f"{path}/pq_codebooks"):
+        spark.read.parquet(f"{path}/pq_codebooks").write.mode(
+            mode
+        ).parquet(f"{fresh_path}/pq_codebooks")
+    _read_lists(spark, path).write.mode(mode).partitionBy(
+        "centroid"
+    ).parquet(f"{fresh_path}/lists")
 
 
 def ivf_list_sizes(spark, path: str) -> DataFrame:
     """(centroid, size) per inverted list — the skew audit for an IVF
-    index (append drift, degenerate clusters). One metadata-cheap
-    groupBy over the lists table."""
+    index (append drift, degenerate clusters), delta tier included.
+    One metadata-cheap groupBy over the lists' partition column (plus
+    the delta's centroid column when a stream is feeding the index)."""
     return (
-        spark.read.parquet(f"{path}/lists")
+        _read_lists(spark, path, columns=["centroid"])
         .groupBy("centroid")
         .agg(F.count(F.lit(1)).alias("size"))
         .orderBy(F.col("size").desc(), "centroid")
@@ -1231,7 +1322,9 @@ def recluster_ivf_index(
     from pyspark.errors import AnalysisException
 
     try:
-        lists = spark.read.parquet(f"{path}/lists")
+        # _read_lists: the streaming delta tier is consumed by the
+        # rebuild too — recluster doubles as the absorb
+        lists = _read_lists(spark, path)
         n_rows = lists.count()
     except AnalysisException:
         # an empty-built index writes a schemaless lists dir — same
@@ -1252,11 +1345,8 @@ def recluster_ivf_index(
     cent_arr = _centroid_literal(
         [{"centroid_id": cid, "_cent": v} for cid, v in fitted]
     )
-    jvm = spark._jvm
-    cb_path = jvm.org.apache.hadoop.fs.Path(f"{path}/pq_codebooks")
-    fs = cb_path.getFileSystem(spark._jsc.hadoopConfiguration())
     cb = None
-    if fs.exists(cb_path):
+    if _hadoop_exists(spark, f"{path}/pq_codebooks"):
         old_cb = spark.read.parquet(f"{path}/pq_codebooks")
         m = old_cb.agg(F.max("s")).collect()[0][0] + 1
         n_codes = old_cb.agg(F.max("j")).collect()[0][0] + 1
