@@ -1006,3 +1006,45 @@ def test_cli_ivf_maintain(capsys, tmp_path):
     assert rows[0]["reclustered_to"] == fresh
     rows = _run(capsys, ["ivf-maintain", fresh])
     assert rows[0]["n_vectors"] == 12 and rows[0]["n_lists"] >= 1
+
+
+def test_cli_quality_filter_c4_and_both(spark, tmp_path, capsys):
+    from wimbd_spark.cli import main
+
+    import pandas as pd
+
+    good_line = "This sentence has more than five words in it."
+    # passes BOTH gates: >= 50 tokens, no repeated 2-grams, 3+ kept lines
+    # every bigram contains an indexed word → no repeated 2-grams
+    keeper = "\n".join(
+        f"The alpha{i} of bravo{i} gives charlie{i} and delta{i} more."
+        for i in range(10)
+    )
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                keeper,
+                keeper + "\nfunction f() { return 1; }",  # c4: curly brace
+                # 3 kept lines (passes c4) but 27 tokens (gopher: short)
+                "\n".join([good_line] * 3),
+            ],
+        }
+    ).to_parquet(tmp_path / "in.parquet")
+
+    out = tmp_path / "kept_c4"
+    rc = main(["quality-filter", str(tmp_path / "in.parquet"),
+               "--out", str(out), "--rules", "c4"])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert kept == {1, 3}  # c4 alone doesn't mind short docs
+    assert "curly_brace" in capsys.readouterr().out
+
+    out = tmp_path / "kept_both"
+    rc = main(["quality-filter", str(tmp_path / "in.parquet"),
+               "--out", str(out), "--rules", "both"])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert kept == {1}
+    printed = capsys.readouterr().out
+    assert "curly_brace" in printed and "too_short" in printed

@@ -279,6 +279,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     common(sp)
     sp.add_argument("--out", required=True, help="output parquet path")
+    sp.add_argument("--rules", choices=["gopher", "c4", "both"],
+                    default="gopher",
+                    help="rule set: Gopher (Rae et al. 2021 §A1.1), "
+                    "C4 (Raffel et al. 2020 §2.2), or both composed "
+                    "in one projection pass (keep = passes both)")
 
     sp = sub.add_parser(
         "neardup", help="near-duplicate pairs (minhash-LSH or exact jaccard)"
@@ -1228,9 +1233,30 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "quality-filter":
             from pyspark.sql import functions as F
 
-            from wimbd_spark.operators.textqc import gopher_quality_filter
+            from wimbd_spark.operators.textqc import (
+                c4_quality_filter,
+                gopher_quality_filter,
+            )
 
-            flagged = gopher_quality_filter(df, text_col=t)
+            if args.rules == "gopher":
+                flagged = gopher_quality_filter(df, text_col=t)
+            elif args.rules == "c4":
+                flagged = c4_quality_filter(df, text_col=t)
+            else:  # both gates in ONE projection pass: rename the
+                # gopher verdict columns, run c4 on the survivors'
+                # frame, AND the keeps, concat the reasons
+                g = gopher_quality_filter(df, text_col=t).withColumnsRenamed(
+                    {"keep": "_gk", "drop_reasons": "_gr"}
+                )
+                flagged = (
+                    c4_quality_filter(g, text_col=t)
+                    .withColumn("keep", F.col("keep") & F.col("_gk"))
+                    .withColumn(
+                        "drop_reasons",
+                        F.concat(F.col("_gr"), F.col("drop_reasons")),
+                    )
+                    .drop("_gk", "_gr")
+                )
             flagged.filter("keep").drop("keep", "drop_reasons").write.mode(
                 "overwrite"
             ).parquet(args.out)
