@@ -1048,3 +1048,12 @@ def test_cli_quality_filter_c4_and_both(spark, tmp_path, capsys):
     assert kept == {1}
     printed = capsys.readouterr().out
     assert "curly_brace" in printed and "too_short" in printed
+
+
+def test_cli_datasheet(capsys, shard_dir):
+    rows = _run(capsys, ["datasheet", shard_dir,
+                         "--sections", "overview,languages"])
+    secs = {r["section"] for r in rows}
+    assert secs == {"overview", "languages"}
+    ov = [r for r in rows if r["section"] == "overview"][0]
+    assert ov["n_docs"] > 0 and "total_tokens" in ov

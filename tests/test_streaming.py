@@ -1299,3 +1299,39 @@ def test_streaming_ivf_ingest_delta_lifecycle(spark, tmp_path):
 
     with pytest.raises(ValueError, match="nothing to absorb"):
         absorb_ivf_delta(spark, fresh, str(tmp_path / "nope2"))
+
+
+def test_streaming_ivf_ingest_epoch_redelivery(spark, tmp_path):
+    """At-least-once redelivery of a micro-batch epoch rewrites the
+    same delta/batch=<epoch> directory instead of duplicating vectors
+    (the exactly-once epoch-sink contract)."""
+    from pyspark.sql import functions as F
+
+    from wimbd_spark.operators.similarity import (
+        _assign_rows,
+        _centroid_literal,
+        build_ivf_index,
+        ivf_list_sizes,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.1 * i, 0.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivfredo")
+    build_ivf_index(base, path, n_centroids=2)
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cent_arr = _centroid_literal(
+        [{"centroid_id": r["centroid_id"], "_cent": r["v"]} for r in cents]
+    )
+    newv = spark.createDataFrame(
+        [(100, [0.5, 0.5, 0.0, 0.0]), (101, [0.1, 0.9, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # replay epoch 7 twice — the foreachBatch body's write mode
+    for _ in range(2):
+        _assign_rows(newv, cent_arr, None, "vec_id", "embedding").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/delta/batch=7")
+    total = sum(r["size"] for r in ivf_list_sizes(spark, path).collect())
+    assert total == 10  # 8 base + 2 delta, NOT 12

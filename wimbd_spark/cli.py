@@ -286,6 +286,17 @@ def main(argv: list[str] | None = None) -> int:
                     "in one projection pass (keep = passes both)")
 
     sp = sub.add_parser(
+        "datasheet",
+        help="one-command corpus report: overview, sources, languages, "
+        "quality gates, length percentiles, PII — small aggregate rows",
+    )
+    common(sp)
+    sp.add_argument("--sections", default=None,
+                    help="comma-separated subset of "
+                    "overview,sources,languages,quality,lengths,pii "
+                    "(default: all) — sections are independent jobs")
+
+    sp = sub.add_parser(
         "neardup", help="near-duplicate pairs (minhash-LSH or exact jaccard)"
     )
     common(sp)
@@ -1270,6 +1281,23 @@ def main(argv: list[str] | None = None) -> int:
             summary = [{"kept": kept_n, "out": args.out}]
             summary += [r.asDict() for r in reasons.collect()]
             _emit(summary, args.output)
+        elif args.cmd == "datasheet":
+            from wimbd_spark.operators.report import (
+                SECTIONS,
+                corpus_datasheet,
+            )
+
+            secs = (
+                tuple(s.strip() for s in args.sections.split(","))
+                if args.sections
+                else SECTIONS
+            )
+            sheets = corpus_datasheet(df, text_col=t, sections=secs)
+            rows = []
+            for sec, sdf in sheets.items():
+                for r in sdf.collect():
+                    rows.append({"section": sec, **r.asDict()})
+            _emit(rows, args.output)
         elif args.cmd == "neardup":
             from wimbd_spark.operators.neardup import (
                 minhash_dedup_pairs,

@@ -1,0 +1,160 @@
+"""One-command corpus datasheet: the analysis operators composed into
+a reviewable report.
+
+Beyond-reference composition (every ingredient is an existing
+oracle-gated operator — this module only arranges them): the datasheet
+a data curator wants before training on a corpus, as small DataFrames
+keyed by section. Sections draw from ONE shared staged projection
+(token array, quality verdicts, content hash computed once), so each
+section costs one scan-plus-tiny-aggregation over the corpus and
+nothing is recomputed per section. At 100 TB run the sections you
+need (``sections=``) — they are independent jobs, not one giant plan,
+so a failed/skipped section never poisons the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wimbd_spark.functions.text import tokenize
+
+SECTIONS = (
+    "overview",
+    "sources",
+    "languages",
+    "quality",
+    "lengths",
+    "pii",
+)
+
+
+def _staged(docs: DataFrame, text_col: str) -> DataFrame:
+    """Per-doc feature projection shared by every section — pure
+    column expressions, shuffle-free."""
+    from wimbd_spark.operators.textqc import (
+        c4_quality_filter,
+        gopher_quality_filter,
+        langid_heuristic,
+    )
+
+    base = docs.withColumn("_toks", tokenize(F.col(text_col)))
+    g = gopher_quality_filter(base, text_col=text_col).withColumnsRenamed(
+        {"keep": "_gopher_keep", "drop_reasons": "_gopher_reasons"}
+    )
+    both = c4_quality_filter(g, text_col=text_col).withColumnsRenamed(
+        {"keep": "_c4_keep", "drop_reasons": "_c4_reasons"}
+    )
+    return both.select(
+        "*",
+        F.size("_toks").alias("_ntok"),
+        F.coalesce(F.octet_length(F.col(text_col)), F.lit(0)).alias(
+            "_nbytes"
+        ),
+        langid_heuristic(F.col(text_col), tokens=F.col("_toks")).alias(
+            "_lang"
+        ),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_md5"),
+    )
+
+
+def corpus_datasheet(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str | None = "source",
+    sections: tuple[str, ...] = SECTIONS,
+) -> dict[str, DataFrame]:
+    """The datasheet: {section: small DataFrame}. Sections:
+
+    - overview    — one row: doc/token/byte totals, null-text count,
+                    exact-duplicate count (md5 of the text payload)
+    - sources     — per-``source_col``: docs, tokens (skipped when the
+                    corpus has no source column)
+    - languages   — langid_heuristic counts
+    - quality     — kept counts for the Gopher and C4 gates plus
+                    per-rule drop counts (gate:rule rows)
+    - lengths     — exact token-length percentiles
+    - pii         — occurrence totals per PII kind
+
+    Each section is one scan over the shared staged projection; the
+    collect-side result is always small (aggregates, never documents).
+    """
+    unknown = set(sections) - set(SECTIONS)
+    if unknown:
+        raise ValueError(
+            f"unknown datasheet sections {sorted(unknown)}; "
+            f"pick from {SECTIONS}"
+        )
+    staged = _staged(docs, text_col)
+    out: dict[str, DataFrame] = {}
+    if "overview" in sections:
+        out["overview"] = staged.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.col(text_col).isNull().cast("long")
+            ).alias("n_null_text"),
+            F.sum("_ntok").alias("total_tokens"),
+            F.sum("_nbytes").alias("total_bytes"),
+            F.max("_ntok").alias("max_tokens"),
+            F.min("_ntok").alias("min_tokens"),
+            (F.count(F.lit(1)) - F.countDistinct("_md5")).alias(
+                "n_exact_dup_docs"
+            ),
+        )
+    if "sources" in sections and source_col in docs.columns:
+        out["sources"] = (
+            staged.groupBy(source_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_ntok").alias("n_tokens"),
+            )
+            .orderBy(source_col)
+        )
+    if "languages" in sections:
+        out["languages"] = (
+            staged.groupBy(F.col("_lang").alias("lang"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), "lang")
+        )
+    if "quality" in sections:
+        kept = staged.agg(
+            F.sum(F.col("_gopher_keep").cast("long")).alias("gopher_kept"),
+            F.sum(F.col("_c4_keep").cast("long")).alias("c4_kept"),
+            F.sum(
+                (F.col("_gopher_keep") & F.col("_c4_keep")).cast("long")
+            ).alias("both_kept"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        reasons = (
+            staged.select(
+                F.explode(
+                    F.concat(
+                        F.transform(
+                            "_gopher_reasons",
+                            lambda r: F.concat(F.lit("gopher:"), r),
+                        ),
+                        F.transform(
+                            "_c4_reasons",
+                            lambda r: F.concat(F.lit("c4:"), r),
+                        ),
+                    )
+                ).alias("rule")
+            )
+            .groupBy("rule")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), "rule")
+        )
+        out["quality"] = kept
+        out["quality_rules"] = reasons
+    if "lengths" in sections:
+        from wimbd_spark.operators.stats import length_percentiles
+
+        out["lengths"] = length_percentiles(docs, text_col=text_col)
+    if "pii" in sections:
+        from wimbd_spark.operators.pii import pii_counts
+
+        id_cols = tuple(
+            c for c in ("doc_id", "id") if c in docs.columns
+        ) or (docs.columns[0],)
+        out["pii"] = pii_counts(docs, text_col=text_col, id_cols=id_cols)
+    return out
