@@ -1335,3 +1335,38 @@ def test_streaming_ivf_ingest_epoch_redelivery(spark, tmp_path):
         ).parquet(f"{path}/delta/batch=7")
     total = sum(r["size"] for r in ivf_list_sizes(spark, path).collect())
     assert total == 10  # 8 base + 2 delta, NOT 12
+
+
+def test_session_window_append_emits_finalized(spark, tmp_path):
+    """Production session shape (SCALE.md): append mode + watermark —
+    a session is emitted exactly once, after the watermark passes its
+    end, and its state is dropped; still-open sessions stay unemitted."""
+    from wimbd_spark.streaming import read_event_stream, session_window_stream
+
+    d = str(tmp_path / "sess_append")
+    _write_batch(d, [_ev(1, 0, 1), _ev(2, 10, 1)], "b0.json")
+    ev = read_event_stream(spark, d, max_files_per_trigger=1)
+    q = _run_to_memory(
+        session_window_stream(ev, gap="30 minutes", watermark="0 seconds"),
+        "sess_append_t",
+        "append",
+    )
+    try:
+        q.processAllAvailable()
+        # nothing finalized yet: watermark sits at 00:10, session open
+        assert spark.sql("SELECT * FROM sess_append_t").count() == 0
+        # push event time far past the session end → finalize + emit
+        _write_batch(
+            d,
+            [{**_ev(3, 0, 2), "ts": "2024-01-01T05:00:00.000Z"}],
+            "b1.json",
+        )
+        q.processAllAvailable()
+        rows = {
+            r["user_id"]: r
+            for r in spark.sql("SELECT * FROM sess_append_t").collect()
+        }
+        assert rows[1]["n_events"] == 2  # the closed 2-event session
+        assert 2 not in rows  # user 2's session is still open
+    finally:
+        q.stop()
