@@ -672,3 +672,43 @@ def test_simhash_pairs_generalized_pigeonhole_parity(spark):
         simhash_pairs(
             one, sig_col="sig", max_hamming=10, nbits=62, nseg=40
         )
+
+
+def test_auto_nseg_rule():
+    from wimbd_spark.operators.neardup import (
+        MAX_PIGEONHOLE_COMBINATIONS,
+        auto_nseg,
+    )
+    from math import comb
+
+    # tiny corpus → classic split; growing corpus → wider keys
+    assert auto_nseg(1_000, 62, 6) == 7
+    assert auto_nseg(10**6, 62, 6) == 9
+    assert auto_nseg(10**9, 62, 6) == 11
+    # never exceeds the combination cap or the bit budget
+    for n in (10, 10**4, 10**7, 10**10):
+        for nbits, h in ((16, 2), (62, 3), (62, 6)):
+            nseg = auto_nseg(n, nbits, h)
+            assert h + 1 <= nseg <= nbits
+            assert comb(nseg, h) <= MAX_PIGEONHOLE_COMBINATIONS
+
+
+def test_simhash_pairs_auto_nseg_parity(spark):
+    # auto resolves to SOME valid split — pair set identical to classic
+    from wimbd_spark.operators.neardup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 7} epsilon zeta") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    classic = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, max_hamming=2, nbits=16).collect()
+    }
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(
+            docs, max_hamming=2, nbits=16, nseg="auto"
+        ).collect()
+    }
+    assert auto == classic

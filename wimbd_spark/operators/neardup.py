@@ -1077,6 +1077,35 @@ each combination is one more explode row per doc, and past a few
 hundred the explode volume costs more than the narrower blocks save."""
 
 
+def auto_nseg(n_rows: int, nbits: int, max_hamming: int) -> int:
+    """Segment count minimizing the modeled simhash_pairs cost at
+    ``n_rows`` docs: within-block pair work N²·C(nseg,h)/2^w (composite
+    key width w = (nseg−h)·nbits/nseg, uniform-signature model) plus
+    explode volume N·C(nseg,h). Tiny corpora resolve to the classic
+    h+1 split (the explode term dominates); growing corpora widen the
+    keys until the quadratic term is paid off — e.g. nbits=62, h=6
+    picks 7 at 10³ docs, 9 at 10⁶, 11 at 10⁹ (the cap keeps
+    C(nseg,6) ≤ MAX_PIGEONHOLE_COMBINATIONS). The uniform-signature
+    model is more eager than the measured wall-clock crossover
+    (SCALE.md: nseg=8 beats classic from ~2-4M docs) because it
+    ignores constant factors — harmless either way, since every nseg
+    is pair-set-identical (parity-pinned) and the asymptotic ranking
+    is what matters. Deterministic in (n_rows, nbits, max_hamming)."""
+    from math import comb
+
+    h = max_hamming
+    best, best_cost = h + 1, None
+    for nseg in range(h + 1, min(nbits, h + 24) + 1):
+        c = comb(nseg, h)
+        if c > MAX_PIGEONHOLE_COMBINATIONS:
+            break
+        w = (nseg - h) * nbits / nseg
+        cost = n_rows * n_rows * c / (2.0 ** w) + n_rows * c
+        if best_cost is None or cost < best_cost:
+            best, best_cost = nseg, cost
+    return best
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1084,7 +1113,7 @@ def simhash_pairs(
     max_hamming: int = 2,
     sig_col: str | None = None,
     nbits: int = 16,
-    nseg: int | None = None,
+    nseg: int | str | None = None,
 ) -> DataFrame:
     """ALL pairs at SimHash Hamming distance ≤ max_hamming — complete,
     not a lossy candidate generator.
@@ -1110,7 +1139,8 @@ def simhash_pairs(
     composite ~15.5-bit keys (N²·28/46341, ~23× less join work, and
     every extra segment buys another ~7.75 bits). Pick nseg so that
     N²·C(nseg,h)/2^((nseg-h)·nbits/nseg) stays sub-quadratic at your
-    N; C(nseg, max_hamming) is capped at
+    N — or pass ``nseg="auto"`` to have auto_nseg fit it to the
+    corpus size (one count() job); C(nseg, max_hamming) is capped at
     MAX_PIGEONHOLE_COMBINATIONS.
 
     ``nbits`` selects the signature width: 16 (simhash16, oracle-
@@ -1120,6 +1150,10 @@ def simhash_pairs(
     """
     from math import comb
 
+    if nseg == "auto":
+        # one count() job buys the size-fitted split — worth it on any
+        # corpus where this operator is worth running
+        nseg = auto_nseg(df.count(), nbits, max_hamming)
     if nseg is None:
         nseg = max_hamming + 1
     if nseg < max_hamming + 1:
