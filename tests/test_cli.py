@@ -1057,3 +1057,19 @@ def test_cli_datasheet(capsys, shard_dir):
     assert secs == {"overview", "languages"}
     ov = [r for r in rows if r["section"] == "overview"][0]
     assert ov["n_docs"] > 0 and "total_tokens" in ov
+
+
+def test_cli_span_dedup(spark, capsys, tmp_path):
+    import pandas as pd
+
+    s = [f"Sentence number {i} stands right here." for i in range(5)]
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": [" ".join(s), " ".join(s[:3]) + " A closer."]}
+    ).to_parquet(tmp_path / "docs.parquet")
+    out = tmp_path / "deduped"
+    rows = _run(capsys, ["span-dedup", str(tmp_path / "docs.parquet"),
+                         "--out", str(out)])
+    assert rows[0]["docs"] == 2
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(out)).collect()}
+    assert got[1] == " ".join(s)
+    assert got[2] == "A closer."

@@ -469,3 +469,39 @@ def test_c4_quality_filter_rules(spark):
     assert rows["js"]["drop_reasons"] == ["few_kept_lines"]
     assert rows["quote"]["keep"] is True
     assert rows["policy"]["drop_reasons"] == ["few_kept_lines"]
+
+
+def test_c4_span_dedup(spark):
+    from wimbd_spark.operators.textqc import c4_span_dedup
+
+    s = [f"Sentence number {i} stands here." for i in range(8)]
+    docs = [
+        # doc 1: the canonical copy of spans over s0..s4
+        (1, " ".join(s[0:5])),
+        # doc 2: repeats s0-s2 (duplicate span) then unique tail
+        (2, " ".join(s[0:3] + ["A fresh tail sentence appears.",
+                               "Another fresh closer lands here."])),
+        # doc 3: too few sentences for a span — untouched
+        (3, s[6] + " " + s[7]),
+        # doc 4: internal repetition of one span
+        (4, " ".join(s[5:8] + s[5:8])),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"] for r in c4_span_dedup(df).collect()}
+
+    # doc 1 holds every first occurrence → byte-identical
+    assert got[1] == " ".join(s[0:5])
+    # doc 2 lost s0-s2 (span seen first in doc 1), kept its fresh tail
+    assert got[2] == "A fresh tail sentence appears. Another fresh closer lands here."
+    # doc 3 untouched
+    assert got[3] == s[6] + " " + s[7]
+    # doc 4: first (id,start) occurrence is start=0; the repeat at
+    # start=3 dies, as do the bridging spans (starts 1-3 all duplicate
+    # nothing — they're unique) → sentences 3..5 removed
+    assert got[4] == " ".join(s[5:8])
+
+    # idempotent: a second pass changes nothing
+    again = {r["doc_id"]: r["text"] for r in c4_span_dedup(
+        spark.createDataFrame(list(got.items()), ["doc_id", "text"])
+    ).collect()}
+    assert again == got

@@ -286,6 +286,16 @@ def main(argv: list[str] | None = None) -> int:
                     "in one projection pass (keep = passes both)")
 
     sp = sub.add_parser(
+        "span-dedup",
+        help="C4 three-sentence span dedup: of every span occurring "
+        "more than once corpus-wide only the first survives",
+    )
+    common(sp)
+    sp.add_argument("--out", required=True, help="output parquet path")
+    sp.add_argument("--span-sents", type=int, default=3)
+    sp.add_argument("--id-col", default="doc_id")
+
+    sp = sub.add_parser(
         "datasheet",
         help="one-command corpus report: overview, sources, languages, "
         "quality gates, length percentiles, PII — small aggregate rows",
@@ -1281,6 +1291,16 @@ def main(argv: list[str] | None = None) -> int:
             summary = [{"kept": kept_n, "out": args.out}]
             summary += [r.asDict() for r in reasons.collect()]
             _emit(summary, args.output)
+        elif args.cmd == "span-dedup":
+            from wimbd_spark.operators.textqc import c4_span_dedup
+
+            out = c4_span_dedup(
+                df, text_col=t, id_col=args.id_col,
+                span_sents=args.span_sents,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            _emit([{"docs": n, "out": args.out}], args.output)
         elif args.cmd == "datasheet":
             from wimbd_spark.operators.report import (
                 SECTIONS,

@@ -850,3 +850,106 @@ def c4_quality_filter(
         "keep", F.size("drop_reasons") == 0
     )
     return out if keep_reasons else out.drop("drop_reasons")
+
+
+#: C4 sentence boundary: split AFTER terminal punctuation, before
+#: whitespace — punctuation stays with its sentence.
+C4_SENT_SPLIT_RE = r"(?<=[.!?])\s+"
+
+
+def c4_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_sents: int = 3,
+) -> DataFrame:
+    """C4's three-sentence span deduplication (Raffel et al. 2020
+    §2.2: "we discarded all but one of any three-sentence span
+    occurring more than once in the data set") — the remaining piece
+    of the C4 pipeline next to c4_quality_filter.
+
+    Semantics, exactly: sentences split on C4_SENT_SPLIT_RE; every
+    sliding window of ``span_sents`` consecutive sentences is hashed;
+    for each distinct span the occurrence with the smallest
+    (``id_col``, start index) SURVIVES and every sentence belonging
+    to any other occurrence is removed; text is rebuilt from the
+    surviving sentences joined with single spaces (the engine's
+    canonical whitespace form). Docs with fewer than ``span_sents``
+    sentences pass through unchanged. Two documented deviations from
+    C4's sequential scan: first-ness is the deterministic global
+    (id, start) minimum rather than ingest order, and a duplicate
+    occurrence overlapping the surviving occurrence inside the SAME
+    document still removes its sentences (the global rule is applied
+    uniformly, not sequentially).
+
+    Plan shape at scale: one explode of span windows (map-side), one
+    aggregation keyed on the span hash to elect survivors (min-struct,
+    no join — boilerplate spans with huge df stay one group each),
+    one per-doc aggregation of removal indices, one id join back.
+    """
+    sents = F.split(F.col(text_col), C4_SENT_SPLIT_RE)
+    staged = df.withColumn("_sents", sents)
+    spans = staged.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            # sequence(0, n) DESCENDS when n < 0, so short docs must
+            # yield NULL (posexplode drops the row), not sequence(0,-1)
+            F.when(
+                F.size("_sents") >= span_sents,
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.size("_sents") - span_sents
+                    ),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            "\x00",
+                            F.slice(F.col("_sents"), i + 1, span_sents),
+                        )
+                    ),
+                ),
+            )
+        ).alias("_start", "_h"),
+    )
+    w = Window.partitionBy("_h")
+    losers = (
+        spans.withColumn(
+            "_first",
+            F.min(F.struct(F.col("_id"), F.col("_start"))).over(w),
+        )
+        .filter(
+            (F.col("_id") != F.col("_first._id"))
+            | (F.col("_start") != F.col("_first._start"))
+        )
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(
+                    F.col("_start"), F.col("_start") + span_sents - 1
+                )
+            ).alias("_kill"),
+        )
+        .groupBy("_id")
+        .agg(F.collect_set("_kill").alias("_kills"))
+    )
+    out = (
+        staged.join(
+            losers, staged[id_col] == losers["_id"], "left"
+        )
+        .drop("_id")
+        .withColumn(
+            text_col,
+            F.when(F.col("_kills").isNull(), F.col(text_col)).otherwise(
+                F.concat_ws(
+                    " ",
+                    F.filter(
+                        F.col("_sents"),
+                        lambda s, i: ~F.array_contains(
+                            F.col("_kills"), i
+                        ),
+                    ),
+                )
+            ),
+        )
+        .drop("_sents", "_kills")
+    )
+    return out
