@@ -883,8 +883,10 @@ def c4_span_dedup(
     uniformly, not sequentially).
 
     Plan shape at scale: one explode of span windows (map-side), one
-    aggregation keyed on the span hash to elect survivors (min-struct,
-    no join — boilerplate spans with huge df stay one group each),
+    min-struct GROUPBY on the span hash to elect survivors — partial
+    aggregation collapses million-occurrence boilerplate spans map-side
+    before the shuffle (a Window over the hash would single-task them)
+    — one hash join to mark losers (skewed probe keys split by AQE),
     one per-doc aggregation of removal indices, one id join back.
     """
     sents = F.split(F.col(text_col), C4_SENT_SPLIT_RE)
@@ -910,12 +912,11 @@ def c4_span_dedup(
             )
         ).alias("_start", "_h"),
     )
-    w = Window.partitionBy("_h")
+    winners = spans.groupBy("_h").agg(
+        F.min(F.struct(F.col("_id"), F.col("_start"))).alias("_first")
+    )
     losers = (
-        spans.withColumn(
-            "_first",
-            F.min(F.struct(F.col("_id"), F.col("_start"))).over(w),
-        )
+        spans.join(winners, "_h")
         .filter(
             (F.col("_id") != F.col("_first._id"))
             | (F.col("_start") != F.col("_first._start"))
