@@ -597,3 +597,16 @@ def test_despan_surgery_single_fp_aggregation(raw_docs):
     # fp selection is map-side: no Python stage anywhere in the span
     # table's plan (surgery joins happen in remove_shared_spans)
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_c4_span_dedup_partial_agg_not_window(raw_docs):
+    """Survivor election must be a partial-aggregated groupBy on the
+    span hash, never a Window over it (no map-side combine → a
+    million-occurrence boilerplate span single-tasks)."""
+    from wimbd_spark.operators.textqc import c4_span_dedup
+
+    q = c4_span_dedup(raw_docs.select("doc_id", "text"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # partial + final HashAggregate pair on the hash key
+    assert plan.count("HashAggregate") >= 2
