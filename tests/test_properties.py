@@ -531,3 +531,51 @@ def test_slop_combos_cover_all_window_assignments():
             f"trial {trial}: L={L} slop={slop} toks={toks} "
             f"phrase={phrase}"
         )
+
+
+def test_c4_span_dedup_matches_python_reference(spark):
+    """c4_span_dedup vs a sequential pure-Python oracle over seeded
+    random corpora built from a small sentence pool (guaranteeing
+    duplicate spans): identical rebuilt text for every doc."""
+    import re
+
+    from wimbd_spark.operators.textqc import C4_SENT_SPLIT_RE, c4_span_dedup
+
+    rng = random.Random(SEED + 7)
+    pool = [f"Pool sentence {i} ends with meaning." for i in range(9)]
+    docs = []
+    for d in range(40):
+        k = rng.randint(0, 7)
+        docs.append((d, " ".join(rng.choice(pool) for _ in range(k))))
+
+    SPAN = 3
+
+    def py_oracle(rows):
+        # global min-(id, start) survivor per distinct span
+        occ = {}
+        for did, text in rows:
+            sents = re.split(C4_SENT_SPLIT_RE, text) if text else [""]
+            for s in range(max(len(sents) - SPAN + 1, 0)):
+                h = "\x00".join(sents[s : s + SPAN])
+                cur = occ.get(h)
+                if cur is None or (did, s) < cur:
+                    occ[h] = (did, s)
+        out = {}
+        for did, text in rows:
+            sents = re.split(C4_SENT_SPLIT_RE, text) if text else [""]
+            kill = set()
+            for s in range(max(len(sents) - SPAN + 1, 0)):
+                h = "\x00".join(sents[s : s + SPAN])
+                if occ[h] != (did, s):
+                    kill.update(range(s, s + SPAN))
+            out[did] = " ".join(
+                x for i, x in enumerate(sents) if i not in kill
+            )
+        return out
+
+    expect = py_oracle(docs)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["text"] for r in c4_span_dedup(df).collect()
+    }
+    assert got == expect
