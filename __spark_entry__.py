@@ -7101,6 +7101,108 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
 }
 
 
+def q_c4_span_dedup(spark, sf_dir):
+    """C4 three-sentence span dedup (textqc.c4_span_dedup): rebuilt
+    text per doc after removing every non-first occurrence of any
+    3-sentence span. R13 REGISTRY CANDIDATE (tests/test_r13_candidates
+    keeps the pair green) — this round's rotation window is full, so
+    it waits outside _REGISTRY."""
+    from wimbd_spark.operators.textqc import c4_span_dedup
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return c4_span_dedup(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+
+def o_c4_span_dedup():
+    # sentence split via the sentinel trick (RE2 has no lookbehind);
+    # DuckDB list lambdas index 1-based where Spark's index 0-based
+    return r"""
+      WITH sents AS (
+        SELECT doc_id, text,
+               string_split(regexp_replace(text, '([.!?])\s+',
+                            '\1' || chr(1), 'g'), chr(1)) AS s
+        FROM documents WHERE text IS NOT NULL
+      ),
+      spans AS (
+        SELECT doc_id, i - 1 AS st,
+               array_to_string(list_slice(s, i, i + 2), chr(0)) AS h
+        FROM sents, unnest(generate_series(1, len(s) - 2)) AS u(i)
+        WHERE len(s) >= 3
+      ),
+      marked AS (
+        SELECT doc_id, st,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, st)
+                 AS rn
+        FROM spans
+      ),
+      kills AS (
+        SELECT DISTINCT m.doc_id, u.k
+        FROM marked m, unnest(generate_series(m.st, m.st + 2)) AS u(k)
+        WHERE m.rn > 1
+      ),
+      agg AS (
+        SELECT doc_id, list(k) AS kill FROM kills GROUP BY doc_id
+      )
+      SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+             CASE WHEN a.kill IS NULL THEN s.text
+                  -- array_to_string(empty) is NULL in DuckDB where
+                  -- Spark's concat_ws(empty) is '' — coalesce aligns
+                  ELSE coalesce(array_to_string(
+                    list_filter(s.s,
+                                (x, i) -> NOT list_contains(a.kill, i - 1)),
+                    ' '), '')
+             END AS text
+      FROM sents s LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def q_datasheet_overview(spark, sf_dir):
+    """Datasheet overview section (operators/report.corpus_datasheet).
+    R13 REGISTRY CANDIDATE — see q_c4_span_dedup."""
+    from wimbd_spark.operators.report import corpus_datasheet
+
+    docs = _docs(spark, sf_dir)
+    return corpus_datasheet(docs, sections=("overview",))["overview"]
+
+
+def o_datasheet_overview():
+    return r"""
+      WITH t AS (
+        SELECT text,
+               CASE WHEN text IS NULL THEN 0 ELSE
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '')) END AS ntok,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE octet_length(encode(text)) END AS nb,
+               md5(coalesce(text, '')) AS h
+        FROM documents
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_text,
+             CAST(sum(ntok) AS BIGINT) AS total_tokens,
+             CAST(sum(nb) AS BIGINT) AS total_bytes,
+             CAST(max(ntok) AS BIGINT) AS max_tokens,
+             CAST(min(ntok) AS BIGINT) AS min_tokens,
+             CAST(count(*) - count(DISTINCT h) AS BIGINT)
+               AS n_exact_dup_docs
+      FROM t
+    """
+
+
+#: R13 registry candidates: (query, oracle) pairs READY for the next
+#: rotation (this round's first-50 window is saturated by the 47
+#: r9-stale queries + 3 new, and the rotation invariant requires every
+#: never-checked registry query to sit inside the window). Register by
+#: moving into _REGISTRY positions 1-50 next round.
+_R13_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
+    "c4_span_dedup_text": (q_c4_span_dedup, o_c4_span_dedup),
+    "datasheet_overview": (q_datasheet_overview, o_datasheet_overview),
+}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: top-20 trigrams."""
     return q_topk_ngrams(spark, "/root/testdata/sf0.001")

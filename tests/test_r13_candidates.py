@@ -1,0 +1,92 @@
+"""Keep the staged r13 registry candidates oracle-green before they
+rotate into _REGISTRY (the r12 window is saturated — see the
+_R13_CANDIDATES comment in __spark_entry__.py)."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _check(spark, name, sf_dir, extra_docs=None):
+    import __spark_entry__ as entry
+    from check_oracles import TABLES, rowset
+
+    fn, osql = entry._R13_CANDIDATES[name]
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        if extra_docs is not None:
+            con.sql("DROP VIEW documents")
+            con.register("documents", extra_docs.toPandas())
+        res = con.sql(osql())
+        dcols, drows = res.columns, res.fetchall()
+    finally:
+        con.close()
+    sdf = fn(spark, sf_dir) if extra_docs is None else fn(
+        spark, sf_dir
+    )
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert sorted(scols) == sorted(dcols), (scols, dcols)
+    assert len(srows) == len(drows)
+    assert rowset(scols, srows) == rowset(dcols, drows)
+
+
+@pytest.mark.parametrize("name", ["c4_span_dedup_text", "datasheet_overview"])
+def test_r13_candidates_match_duckdb(spark, name):
+    _check(spark, name, SF)
+
+
+def test_c4_span_dedup_oracle_on_duplicate_heavy_docs(spark, tmp_path):
+    """The sf tables carry no sentence punctuation (span dedup is a
+    no-op there), so ALSO pin the oracle on a corpus with real
+    duplicate spans."""
+    import random
+
+    import __spark_entry__ as entry
+    from check_oracles import rowset
+
+    rng = random.Random(77)
+    pool = [f"Oracle pool sentence {i} carries meaning." for i in range(7)]
+    rows = [
+        (d, "src0", " ".join(rng.choice(pool) for _ in range(rng.randint(0, 6))))
+        for d in range(60)
+    ]
+    sf_dir = str(tmp_path / "mini")
+    os.makedirs(sf_dir)
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    fn, osql = entry._R13_CANDIDATES["c4_span_dedup_text"]
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet/*.parquet'"
+        )
+        res = con.sql(osql())
+        dcols, drows = res.columns, res.fetchall()
+    finally:
+        con.close()
+    sdf = fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) == len(drows) == 60
+    assert rowset(sdf.columns, srows) == rowset(dcols, drows)
+    # and the corpus genuinely had duplicates to remove
+    changed = sum(
+        1 for (d, _, t0), (dd, t1) in zip(
+            sorted(rows), sorted((r[0], r[1]) for r in srows)
+        ) if t0 != t1
+    )
+    assert changed > 0
