@@ -7192,6 +7192,55 @@ def o_datasheet_overview():
     """
 
 
+def q_ivf_kfill_filtered(spark, sf_dir):
+    """Filtered ANN with k-fill escalation on the persisted IVF index:
+    a 3-id allowlist starves n_probe=1, so every query escalates until
+    all lists are probed — at which point the answer is EXACT (the
+    allowlist ranked by true cosine), which is what makes the
+    escalation oracle-checkable; the partial-fill path is pytest-
+    pinned (test_ivf_k_fill_escalation). R13 REGISTRY CANDIDATE —
+    see q_c4_span_dedup."""
+    from wimbd_spark.operators.similarity import cosine_topk_ivf_indexed
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    path = _ivf_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3)
+    allow = emb.filter(F.col("vec_id").isin(100, 200, 300)).select(
+        "vec_id"
+    )
+    out = cosine_topk_ivf_indexed(
+        spark, path, queries, k=3, n_probe=1,
+        candidates=allow, k_fill=True,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+    )
+
+
+def o_ivf_kfill_filtered():
+    # full escalation ⇒ exact: the 3 allowed ids ranked per query by
+    # (cosine DESC, neighbor_id) — no IVF structure left to mirror
+    return """
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 3),
+           c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id IN (100, 200, 300)),
+           ranked AS (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY list_cosine_similarity(qv, cv) DESC,
+                               neighbor_id ASC) AS rank
+             FROM q, c WHERE query_id <> neighbor_id
+           )
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 3
+    """
+
+
 #: R13 registry candidates: (query, oracle) pairs READY for the next
 #: rotation (this round's first-50 window is saturated by the 47
 #: r9-stale queries + 3 new, and the rotation invariant requires every
@@ -7200,6 +7249,7 @@ def o_datasheet_overview():
 _R13_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
     "c4_span_dedup_text": (q_c4_span_dedup, o_c4_span_dedup),
     "datasheet_overview": (q_datasheet_overview, o_datasheet_overview),
+    "ivf_kfill_filtered_top3": (q_ivf_kfill_filtered, o_ivf_kfill_filtered),
 }
 
 

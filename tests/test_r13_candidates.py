@@ -43,7 +43,10 @@ def _check(spark, name, sf_dir, extra_docs=None):
     assert rowset(scols, srows) == rowset(dcols, drows)
 
 
-@pytest.mark.parametrize("name", ["c4_span_dedup_text", "datasheet_overview"])
+@pytest.mark.parametrize(
+    "name",
+    ["c4_span_dedup_text", "datasheet_overview", "ivf_kfill_filtered_top3"],
+)
 def test_r13_candidates_match_duckdb(spark, name):
     _check(spark, name, SF)
 
