@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 SF = "/root/testdata/sf0.001"
 
 
-def _check(spark, name, sf_dir, extra_docs=None):
+def _check(spark, name, sf_dir):
     import __spark_entry__ as entry
     from check_oracles import TABLES, rowset
 
@@ -26,16 +26,11 @@ def _check(spark, name, sf_dir, extra_docs=None):
             con.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
-        if extra_docs is not None:
-            con.sql("DROP VIEW documents")
-            con.register("documents", extra_docs.toPandas())
         res = con.sql(osql())
         dcols, drows = res.columns, res.fetchall()
     finally:
         con.close()
-    sdf = fn(spark, sf_dir) if extra_docs is None else fn(
-        spark, sf_dir
-    )
+    sdf = fn(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     assert sorted(scols) == sorted(dcols), (scols, dcols)

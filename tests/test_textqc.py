@@ -505,3 +505,14 @@ def test_c4_span_dedup(spark):
         spark.createDataFrame(list(got.items()), ["doc_id", "text"])
     ).collect()}
     assert again == got
+
+
+def test_c4_empty_bad_words_disables_rule(spark):
+    from wimbd_spark.operators.textqc import c4_quality_filter
+
+    good_line = "This sentence has more than five words in it."
+    df = spark.createDataFrame(
+        [(1, "\n".join([good_line] * 3))], ["k", "text"]
+    )
+    r = c4_quality_filter(df, bad_words=[]).collect()[0]
+    assert r["keep"] is True  # \b()\b would have matched everything

@@ -41,18 +41,26 @@ def main(front: list[str]) -> None:
             break
     assert isinstance(reg, ast.Dict), "_REGISTRY dict literal not found"
 
-    # Source segment for each entry: from the key's start line to the
-    # value's end line (entries in this file never share a line).
+    # Source segment for each entry: from the END of the previous
+    # entry to this value's end line — interior comment blocks between
+    # entries (e.g. the per-round window markers) travel WITH the
+    # entry they precede instead of being silently deleted (r12
+    # self-review finding).
     entries: dict[str, str] = {}
     order: list[str] = []
     first_key_line = None
+    prev_end = None
     for k, v in zip(reg.keys, reg.values):
         name = ast.literal_eval(k)
         if first_key_line is None:
             first_key_line = k.lineno
-        seg = "".join(lines[k.lineno - 1 : v.end_lineno])
+            prev_end = k.lineno - 1
+        seg = "".join(lines[prev_end : v.end_lineno])
+        prev_end = v.end_lineno
         entries[name] = seg
         order.append(name)
+    # comments after the last entry, before the closing brace
+    tail = "".join(lines[prev_end : reg.end_lineno - 1])
 
     missing = [n for n in front if n not in entries]
     assert not missing, f"unknown registry names: {missing}"
@@ -65,7 +73,7 @@ def main(front: list[str]) -> None:
     body = "".join(entries[n] for n in new_order)
     post = "".join(lines[reg.end_lineno - 1 : reg.end_lineno])  # "}\n"
     new_src = (
-        "".join(lines[: reg.lineno - 1]) + pre + body + post
+        "".join(lines[: reg.lineno - 1]) + pre + body + tail + post
         + "".join(lines[reg.end_lineno :])
     )
     ENTRY.write_text(new_src)

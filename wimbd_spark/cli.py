@@ -858,8 +858,8 @@ def main(argv: list[str] | None = None) -> int:
                 DEFAULT_RECLUSTER_SKEW,
                 absorb_ivf_delta,
                 ivf_list_sizes,
-                needs_recluster,
                 recluster_ivf_index,
+                skew_triggered,
             )
 
             idx = args.paths[0]
@@ -868,18 +868,23 @@ def main(argv: list[str] | None = None) -> int:
                     "--absorb-to and --recluster-to are exclusive "
                     "(recluster consumes the delta itself)"
                 )
-            sizes = ivf_list_sizes(spark, idx).collect()
+            sizes = [
+                r["size"] for r in ivf_list_sizes(spark, idx).collect()
+            ]
             skew = (
                 args.skew_factor
                 if args.skew_factor is not None
                 else DEFAULT_RECLUSTER_SKEW
             )
+            n_cent = spark.read.parquet(f"{idx}/centroids").count()
             report = {
                 "n_lists": len(sizes),
-                "n_vectors": sum(r["size"] for r in sizes),
-                "max_list": max((r["size"] for r in sizes), default=0),
-                "needs_recluster": needs_recluster(
-                    spark, idx, skew_factor=skew
+                "n_vectors": sum(sizes),
+                "max_list": max(sizes, default=0),
+                # decided from the ALREADY-collected sizes — the lists
+                # table is scanned exactly once per maintenance run
+                "needs_recluster": skew_triggered(
+                    sizes, n_cent, skew_factor=skew
                 ),
             }
             if args.absorb_to:

@@ -47,7 +47,10 @@ def _staged(docs: DataFrame, text_col: str) -> DataFrame:
     )
     return both.select(
         "*",
-        F.size("_toks").alias("_ntok"),
+        # coalesce: tokenize(NULL) is NULL and size(NULL) is NULL —
+        # null-text docs must count 0 tokens (like _nbytes below and
+        # the DuckDB oracle), not vanish from min/max
+        F.coalesce(F.size("_toks"), F.lit(0)).alias("_ntok"),
         F.coalesce(F.octet_length(F.col(text_col)), F.lit(0)).alias(
             "_nbytes"
         ),

@@ -775,10 +775,12 @@ def cosine_topk_ivf_indexed(
     have k or EVERY list has been probed (so a short result then means
     the allowlist itself has fewer than k members — exact, not an
     artifact of probing). Escalation is per-starved-query: satisfied
-    queries keep their original-probe ranks, and the loop is bounded
-    by log2(n_centroids) rounds, each one tiny driver count over
-    |queries| rows. Geometric doubling keeps total re-scored work
-    within ~2× the final round's."""
+    queries keep their original-probe ranks, the loop is bounded by
+    log2(n_centroids) rounds, and results accumulate driver-side
+    (≤ |queries|·k rows by the small-side contract — so the k_fill
+    return is a materialized DataFrame, and no round recomputes a
+    prior round's plan). Geometric doubling keeps total re-scored
+    work within ~2× the final round's."""
     cents = spark.read.parquet(f"{path}/centroids").collect()
     if not cents:
         qt = queries.schema[id_col].dataType.simpleString()
@@ -852,8 +854,17 @@ def cosine_topk_ivf_indexed(
     out = run(queries, n_probe)
     if not k_fill:
         return out
+    # results are bounded at |queries|·k rows by the small-side
+    # contract, so accumulate them DRIVER-SIDE: each escalation round
+    # re-runs only its starved queries, nothing recomputes through a
+    # growing lineage, and the groupBy-count probe per round is free
+    # (len() on collected rows). The k_fill return is therefore
+    # materialized, not lazy.
     n_cent = len(cents)
     cur = min(n_probe, n_cent)
+    rows: dict = {}
+    for r in out.collect():
+        rows.setdefault(r["query_id"], []).append(r)
     all_ids = [
         r["query_id"]
         for r in queries.select(F.col(id_col).alias("query_id"))
@@ -861,23 +872,19 @@ def cosine_topk_ivf_indexed(
         .collect()
     ]
     while cur < n_cent:
-        counts = {
-            r["query_id"]: r["n"]
-            for r in out.groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        starved = [qid for qid in all_ids if counts.get(qid, 0) < k]
+        starved = [
+            qid for qid in all_ids if len(rows.get(qid, [])) < k
+        ]
         if not starved:
             break
         cur = min(cur * 2, n_cent)
-        redo = run(
-            queries.filter(F.col(id_col).isin(starved)), cur
-        )
-        out = out.filter(
-            ~F.col("query_id").isin(starved)
-        ).unionByName(redo)
-    return out
+        redo = run(queries.filter(F.col(id_col).isin(starved)), cur)
+        fresh: dict = {}
+        for r in redo.collect():
+            fresh.setdefault(r["query_id"], []).append(r)
+        rows.update(fresh)
+    flat = [r for rs in rows.values() for r in rs]
+    return spark.createDataFrame(flat, out.schema)
 
 
 def cosine_topk_ivf_pq_indexed(
@@ -1253,12 +1260,35 @@ def ivf_list_sizes(spark, path: str) -> DataFrame:
 #: list dominates query latency (list scan cost is linear in size).
 DEFAULT_RECLUSTER_SKEW = 4.0
 
+#: needs_recluster() floor: indexes under this many total vectors
+#: never trigger (tiny lists are noisily skewed; a rewrite buys
+#: nothing).
+MIN_RECLUSTER_ROWS = 1024
+
+
+def skew_triggered(
+    sizes: list[int],
+    n_centroids: int,
+    skew_factor: float = DEFAULT_RECLUSTER_SKEW,
+    min_rows: int = MIN_RECLUSTER_ROWS,
+) -> bool:
+    """The pure drift rule behind needs_recluster, for callers that
+    already hold the list sizes (e.g. the ivf-maintain CLI audits and
+    decides from ONE scan)."""
+    if not sizes:
+        return False
+    total = sum(sizes)
+    if total < min_rows:
+        return False
+    mean = total / max(n_centroids, 1)
+    return max(sizes) > skew_factor * mean
+
 
 def needs_recluster(
     spark,
     path: str,
     skew_factor: float = DEFAULT_RECLUSTER_SKEW,
-    min_rows: int = 1024,
+    min_rows: int = MIN_RECLUSTER_ROWS,
 ) -> bool:
     """True when the IVF index at ``path`` has drifted: the largest
     inverted list exceeds ``skew_factor`` × the mean list size (mean
@@ -1270,15 +1300,11 @@ def needs_recluster(
     data is read. Indexes under ``min_rows`` total vectors never
     trigger (tiny lists are noisily skewed and a rewrite buys
     nothing)."""
-    sizes = ivf_list_sizes(spark, path).collect()
+    sizes = [r["size"] for r in ivf_list_sizes(spark, path).collect()]
     if not sizes:
         return False
-    total = sum(r["size"] for r in sizes)
-    if total < min_rows:
-        return False
     n_cent = spark.read.parquet(f"{path}/centroids").count()
-    mean = total / max(n_cent, 1)
-    return max(r["size"] for r in sizes) > skew_factor * mean
+    return skew_triggered(sizes, n_cent, skew_factor, min_rows)
 
 
 def recluster_ivf_index(

@@ -815,13 +815,19 @@ def c4_rules(
     )
     import re as _re
 
-    bad_re = r"\b(" + "|".join(_re.escape(w) for w in bw) + r")\b"
+    if bw:
+        bad_re = r"\b(" + "|".join(_re.escape(w) for w in bw) + r")\b"
+        bad_cond = lowered.rlike(bad_re)
+    else:
+        # bad_words=[] disables the rule; building \b()\b instead
+        # would match EVERY document (empty alternation)
+        bad_cond = F.lit(False)
     lines = F.split(c, r"\n")
     n_kept = F.size(F.filter(lines, lambda l: _c4_line_kept(l, pp)))
     return [
         ("lorem_ipsum", lowered.contains("lorem ipsum")),
         ("curly_brace", c.contains("{")),
-        ("bad_word", lowered.rlike(bad_re)),
+        ("bad_word", bad_cond),
         ("few_kept_lines", n_kept < min_kept_lines),
     ]
 
