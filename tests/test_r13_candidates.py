@@ -88,3 +88,10 @@ def test_c4_span_dedup_oracle_on_duplicate_heavy_docs(spark, tmp_path):
         ) if t0 != t1
     )
     assert changed > 0
+
+
+def test_candidates_disjoint_from_registry():
+    import __spark_entry__ as entry
+
+    clash = set(entry._R13_CANDIDATES) & set(entry.queries())
+    assert not clash, f"candidate names already registered: {clash}"
