@@ -7241,6 +7241,68 @@ def o_ivf_kfill_filtered():
     """
 
 
+def q_streaming_tumbling_counts(spark, sf_dir):
+    """Streaming tumbling-window twin driven end-to-end (the replay
+    recipe of q_streaming_session_stats): events as 4 parquet
+    micro-batches through streaming.windows.tumbling_counts_stream,
+    complete-mode memory sink, far watermark (bounded replay — nothing
+    late-dropped). Tumbling assignment is per-event deterministic, so
+    the final table equals the batch tumbling aggregation. R13
+    REGISTRY CANDIDATE — see q_c4_span_dedup."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wimbd_spark.streaming.windows import tumbling_counts_stream
+
+    ev = _tbl(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    root = tempfile.mkdtemp(prefix="wimbd_stream_tumb_")
+    sink = f"tumb_replay_{uuid.uuid4().hex[:8]}"
+    try:
+        feed = f"{root}/feed"
+        ev.repartition(4).write.parquet(feed)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            tumbling_counts_stream(
+                stream, duration="1 hour", watermark="3650 days"
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table(sink).select(
+            F.col("window_start_s").cast("long").alias("window_start_s"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def o_streaming_tumbling_counts():
+    return """
+      SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600
+               AS window_start_s,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    """
+
+
 #: R13 registry candidates: (query, oracle) pairs READY for the next
 #: rotation (this round's first-50 window is saturated by the 47
 #: r9-stale queries + 3 new, and the rotation invariant requires every
@@ -7250,6 +7312,10 @@ _R13_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
     "c4_span_dedup_text": (q_c4_span_dedup, o_c4_span_dedup),
     "datasheet_overview": (q_datasheet_overview, o_datasheet_overview),
     "ivf_kfill_filtered_top3": (q_ivf_kfill_filtered, o_ivf_kfill_filtered),
+    "streaming_tumbling_counts": (
+        q_streaming_tumbling_counts,
+        o_streaming_tumbling_counts,
+    ),
 }
 
 

@@ -40,7 +40,12 @@ def _check(spark, name, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["c4_span_dedup_text", "datasheet_overview", "ivf_kfill_filtered_top3"],
+    [
+        "c4_span_dedup_text",
+        "datasheet_overview",
+        "ivf_kfill_filtered_top3",
+        "streaming_tumbling_counts",
+    ],
 )
 def test_r13_candidates_match_duckdb(spark, name):
     _check(spark, name, SF)
