@@ -968,3 +968,45 @@ def test_ivf_k_fill_escalation(spark, tmp_path):
         spark, path, queries, k=3, n_probe=4, k_fill=True
     ).collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, noop))
+
+
+def test_needs_absorb_trigger(spark, tmp_path):
+    from wimbd_spark.operators.similarity import (
+        absorb_ivf_delta,
+        build_ivf_index,
+        needs_absorb,
+    )
+    from wimbd_spark.streaming.vectors import (
+        read_vector_stream,
+        streaming_ivf_ingest,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.1 * i, 0.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivfabsorbtrig")
+    build_ivf_index(base, path, n_centroids=2)
+    assert needs_absorb(spark, path) is False  # no delta yet
+
+    newv = spark.createDataFrame(
+        [(100 + i, [0.5, 0.5, 0.1 * i, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    feed = str(tmp_path / "absorbfeed")
+    newv.coalesce(1).write.parquet(feed)
+    q = streaming_ivf_ingest(
+        read_vector_stream(spark, feed), path,
+        checkpoint=str(tmp_path / "ackpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # 5/25 = 20% delta > default 10% bar
+    assert needs_absorb(spark, path) is True
+    assert needs_absorb(spark, path, max_fraction=0.5) is False
+
+    fresh = str(tmp_path / "ivfabsorbed2")
+    absorb_ivf_delta(spark, path, fresh)
+    assert needs_absorb(spark, fresh) is False

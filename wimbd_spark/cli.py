@@ -876,6 +876,8 @@ def main(argv: list[str] | None = None) -> int:
                 if args.skew_factor is not None
                 else DEFAULT_RECLUSTER_SKEW
             )
+            from wimbd_spark.operators.similarity import needs_absorb
+
             n_cent = spark.read.parquet(f"{idx}/centroids").count()
             report = {
                 "n_lists": len(sizes),
@@ -886,6 +888,7 @@ def main(argv: list[str] | None = None) -> int:
                 "needs_recluster": skew_triggered(
                     sizes, n_cent, skew_factor=skew
                 ),
+                "needs_absorb": needs_absorb(spark, idx),
             }
             if args.absorb_to:
                 absorb_ivf_delta(spark, idx, args.absorb_to)

@@ -1214,6 +1214,30 @@ def append_to_ivf_index(
     ).partitionBy("centroid").parquet(f"{path}/lists")
 
 
+#: needs_absorb() default: fold the delta once it exceeds this
+#: fraction of the index — delta reads are row-filtered, not
+#: partition-pruned, so query cost grows with delta share.
+DEFAULT_ABSORB_FRACTION = 0.10
+
+
+def needs_absorb(
+    spark, path: str, max_fraction: float = DEFAULT_ABSORB_FRACTION
+) -> bool:
+    """True when the streaming delta tier holds more than
+    ``max_fraction`` of the index's vectors — the documented trigger
+    for absorb_ivf_delta (the delta is unioned into every query with
+    only a row-level centroid filter, so its share is pure query-cost
+    overhead). Row counts only — no vector data read. False when no
+    delta exists."""
+    if not _hadoop_exists(spark, f"{path}/delta"):
+        return False
+    n_delta = spark.read.parquet(f"{path}/delta").count()
+    if n_delta == 0:
+        return False
+    n_base = spark.read.parquet(f"{path}/lists").count()
+    return n_delta > max_fraction * (n_base + n_delta)
+
+
 def absorb_ivf_delta(
     spark, path: str, fresh_path: str, mode: str = "error"
 ) -> None:
