@@ -50,12 +50,15 @@ def main(front: list[str]) -> None:
     order: list[str] = []
     first_key_line = None
     prev_end = None
+    moved_comments: list[str] = []
     for k, v in zip(reg.keys, reg.values):
         name = ast.literal_eval(k)
         if first_key_line is None:
             first_key_line = k.lineno
             prev_end = k.lineno - 1
         seg = "".join(lines[prev_end : v.end_lineno])
+        if prev_end < k.lineno - 1:  # comment lines ride with `name`
+            moved_comments.append(name)
         prev_end = v.end_lineno
         entries[name] = seg
         order.append(name)
@@ -87,6 +90,15 @@ def main(front: list[str]) -> None:
             keys2 = [ast.literal_eval(k) for k in node.value.keys]
             assert keys2 == new_order, "rotation produced wrong order"
             print(f"rotated: {len(front)} to front, {len(keys2)} total")
+            if moved_comments:
+                # comments travel with the entry they precede, so
+                # position-specific markers ("positions 48-50 …") can
+                # land at the wrong position after a rotation — flag
+                # them for a manual pass instead of silently moving on
+                print(
+                    "REVIEW interior comments riding with: "
+                    + ", ".join(moved_comments)
+                )
             return
     raise AssertionError("reparse failed")
 

@@ -854,8 +854,12 @@ def main(argv: list[str] | None = None) -> int:
             _emit(table_summary(spark), args.output)
             return 0
         if args.cmd == "ivf-maintain":
+            from pyspark.errors import AnalysisException
+
             from wimbd_spark.operators.similarity import (
+                DEFAULT_ABSORB_FRACTION,
                 DEFAULT_RECLUSTER_SKEW,
+                _hadoop_exists,
                 absorb_ivf_delta,
                 ivf_list_sizes,
                 recluster_ivf_index,
@@ -876,19 +880,29 @@ def main(argv: list[str] | None = None) -> int:
                 if args.skew_factor is not None
                 else DEFAULT_RECLUSTER_SKEW
             )
-            from wimbd_spark.operators.similarity import needs_absorb
-
             n_cent = spark.read.parquet(f"{idx}/centroids").count()
+            # ONE lists scan per run: sum(sizes) already includes the
+            # delta tier (_read_lists), so the absorb verdict needs
+            # only the (cheap, delta-only) count — never a re-scan
+            n_total = sum(sizes)
+            n_delta = 0
+            if _hadoop_exists(spark, f"{idx}/delta"):
+                try:
+                    n_delta = spark.read.parquet(
+                        f"{idx}/delta"
+                    ).count()
+                except AnalysisException:
+                    n_delta = 0
             report = {
                 "n_lists": len(sizes),
-                "n_vectors": sum(sizes),
+                "n_vectors": n_total,
                 "max_list": max(sizes, default=0),
-                # decided from the ALREADY-collected sizes — the lists
-                # table is scanned exactly once per maintenance run
                 "needs_recluster": skew_triggered(
                     sizes, n_cent, skew_factor=skew
                 ),
-                "needs_absorb": needs_absorb(spark, idx),
+                "needs_absorb": (
+                    n_delta > DEFAULT_ABSORB_FRACTION * n_total
+                ),
             }
             if args.absorb_to:
                 absorb_ivf_delta(spark, idx, args.absorb_to)

@@ -1229,9 +1229,16 @@ def needs_absorb(
     only a row-level centroid filter, so its share is pure query-cost
     overhead). Row counts only — no vector data read. False when no
     delta exists."""
+    from pyspark.errors import AnalysisException
+
     if not _hadoop_exists(spark, f"{path}/delta"):
         return False
-    n_delta = spark.read.parquet(f"{path}/delta").count()
+    try:
+        n_delta = spark.read.parquet(f"{path}/delta").count()
+    except AnalysisException:
+        # delta dir exists but holds no readable data (failed first
+        # epoch write, manual cleanup) — nothing to absorb
+        return False
     if n_delta == 0:
         return False
     n_base = spark.read.parquet(f"{path}/lists").count()
@@ -1325,8 +1332,8 @@ def needs_recluster(
     trigger (tiny lists are noisily skewed and a rewrite buys
     nothing)."""
     sizes = [r["size"] for r in ivf_list_sizes(spark, path).collect()]
-    if not sizes:
-        return False
+    if not sizes or sum(sizes) < min_rows:
+        return False  # short-circuit before the centroids read
     n_cent = spark.read.parquet(f"{path}/centroids").count()
     return skew_triggered(sizes, n_cent, skew_factor, min_rows)
 

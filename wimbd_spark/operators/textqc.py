@@ -815,12 +815,14 @@ def c4_rules(
     )
     import re as _re
 
+    # drop empty strings BEFORE building the regex — an empty
+    # alternative ('\b(|spam)\b', or \b()\b from bad_words=[]) matches
+    # at every word boundary, flagging the entire corpus
+    bw = [w for w in bw if w]
     if bw:
         bad_re = r"\b(" + "|".join(_re.escape(w) for w in bw) + r")\b"
         bad_cond = lowered.rlike(bad_re)
     else:
-        # bad_words=[] disables the rule; building \b()\b instead
-        # would match EVERY document (empty alternation)
         bad_cond = F.lit(False)
     lines = F.split(c, r"\n")
     n_kept = F.size(F.filter(lines, lambda l: _c4_line_kept(l, pp)))
