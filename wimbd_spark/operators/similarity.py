@@ -1338,6 +1338,40 @@ def needs_recluster(
     return skew_triggered(sizes, n_cent, skew_factor, min_rows)
 
 
+def maintain_ivf_index(
+    spark,
+    path: str,
+    fresh_path: str,
+    skew_factor: float = DEFAULT_RECLUSTER_SKEW,
+    absorb_fraction: float = DEFAULT_ABSORB_FRACTION,
+    n_centroids: int | None = None,
+) -> str:
+    """The maintenance-cron body: check both triggers and perform the
+    strongest indicated action, writing any new generation at
+    ``fresh_path``. Returns what happened:
+
+    - ``"reclustered"`` — skew tripped needs_recluster: k-means re-fit
+      rewrite (consumes any delta as a side effect);
+    - ``"absorbed"`` — delta share tripped needs_absorb only:
+      fold the delta into a fresh single-tier generation;
+    - ``"ok"`` — neither trigger fired; NOTHING was written and the
+      caller must NOT repoint readers to ``fresh_path``.
+
+    Recluster wins when both fire — it is the superset action. One
+    decision pass costs one lists scan + one delta count + one
+    centroids count (the ivf-maintain CLI verb is this function with
+    reporting)."""
+    if needs_recluster(spark, path, skew_factor=skew_factor):
+        recluster_ivf_index(
+            spark, path, fresh_path, n_centroids=n_centroids
+        )
+        return "reclustered"
+    if needs_absorb(spark, path, max_fraction=absorb_fraction):
+        absorb_ivf_delta(spark, path, fresh_path)
+        return "absorbed"
+    return "ok"
+
+
 def recluster_ivf_index(
     spark,
     path: str,
