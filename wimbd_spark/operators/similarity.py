@@ -1359,8 +1359,9 @@ def maintain_ivf_index(
 
     Recluster wins when both fire — it is the superset action. One
     decision pass costs one lists scan + one delta count + one
-    centroids count (the ivf-maintain CLI verb is this function with
-    reporting)."""
+    centroids count. (The ivf-maintain CLI verb reports the same
+    trigger verdicts but only acts under explicit --absorb-to /
+    --recluster-to — operators choose when generations swap.)"""
     if needs_recluster(spark, path, skew_factor=skew_factor):
         recluster_ivf_index(
             spark, path, fresh_path, n_centroids=n_centroids
