@@ -66,8 +66,16 @@ def main():
         if os.path.exists(path):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    # staged next-round candidates ride the same gate (also pinned by
+    # tests/test_r13_candidates.py); names never collide with the
+    # registry (test-enforced)
+    for name, (fn, osql) in getattr(
+        entrymod, "_R13_CANDIDATES", {}
+    ).items():
+        qs[name] = fn
+        oracles[name] = osql()
     failures = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
