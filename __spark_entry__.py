@@ -7303,6 +7303,61 @@ def o_streaming_tumbling_counts():
     """
 
 
+def q_streaming_sliding_counts(spark, sf_dir):
+    """Streaming sliding-window twin (1 h window / 30 min slide) via
+    the same replay recipe — with session and tumbling this makes all
+    three window types driver-checkable. R13 REGISTRY CANDIDATE — see
+    q_c4_span_dedup."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from wimbd_spark.streaming.windows import sliding_counts_stream
+
+    ev = _tbl(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    root = tempfile.mkdtemp(prefix="wimbd_stream_slide_")
+    sink = f"slide_replay_{uuid.uuid4().hex[:8]}"
+    try:
+        feed = f"{root}/feed"
+        ev.repartition(4).write.parquet(feed)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            sliding_counts_stream(
+                stream,
+                duration="1 hour",
+                slide="30 minutes",
+                watermark="3650 days",
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table(sink).select(
+            F.col("window_start_s").cast("long").alias("window_start_s"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def o_streaming_sliding_counts():
+    return o_events_sliding()
+
+
 #: R13 registry candidates: (query, oracle) pairs READY for the next
 #: rotation (this round's first-50 window is saturated by the 47
 #: r9-stale queries + 3 new, and the rotation invariant requires every
@@ -7315,6 +7370,10 @@ _R13_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
     "streaming_tumbling_counts": (
         q_streaming_tumbling_counts,
         o_streaming_tumbling_counts,
+    ),
+    "streaming_sliding_counts": (
+        q_streaming_sliding_counts,
+        o_streaming_sliding_counts,
     ),
 }
 

@@ -45,6 +45,7 @@ def _check(spark, name, sf_dir):
         "datasheet_overview",
         "ivf_kfill_filtered_top3",
         "streaming_tumbling_counts",
+        "streaming_sliding_counts",
     ],
 )
 def test_r13_candidates_match_duckdb(spark, name):
