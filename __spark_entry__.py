@@ -6811,11 +6811,13 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # tools/check_oracles.py additionally covers ALL entries locally
     # every round regardless of position.
     #
-    # Round 11 window: the 42 queries last driver-checked in r7 lead
-    # (absent from both binding windows r9-dedup and r10 — the
-    # pigeonhole maximum rest for N=139), followed by this round's new
-    # queries up to position 50. Tail order = r9-checked then
-    # r10-checked, so future rotations surface the oldest first.
+    # Round 12 window: the 47 queries last driver-checked in r9 lead
+    # (absent from both binding windows r10 and r11 — the pigeonhole
+    # maximum rest for N=150), followed by this round's 3 new queries
+    # at positions 48-50 (never checked ⇒ the invariant REQUIRES them
+    # in-window, which is also why this round's other additions wait
+    # in _R13_CANDIDATES). Tail order = r10-checked then r11-checked,
+    # so future rotations surface the oldest first.
     "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
     "bm25_index_top10": (q_bm25_index, o_bm25_rank),
     "bm25_batch_top5": (q_bm25_batch, o_bm25_batch),
