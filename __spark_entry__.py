@@ -6288,6 +6288,53 @@ def o_nb_quality_scores():
     """
 
 
+def _replay_events_stream(spark, sf_dir, build, cols, prefix):
+    """The shared streaming replay harness: events as 4 parquet
+    micro-batches through ``build(stream)`` (a streaming window op),
+    complete-mode memory sink, result materialized before the temp dir
+    disappears. ``cols`` = the long-cast output projection. Used by
+    the session/tumbling/sliding window queries — every one of which
+    computes a per-event-deterministic (batching-independent) window
+    assignment, which is what makes its batch SQL a valid oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = _tbl(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    root = tempfile.mkdtemp(prefix=f"wimbd_stream_{prefix}_")
+    sink = f"{prefix}_replay_{uuid.uuid4().hex[:8]}"
+    try:
+        feed = f"{root}/feed"
+        ev.repartition(4).write.parquet(feed)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table(sink).select(
+            *[F.col(c).cast("long").alias(c) if cast else F.col(c)
+              for c, cast in cols]
+        )
+        rows = out.collect()  # materialize before the temp dir goes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_streaming_session_stats(spark, sf_dir):
     """Streaming WINDOW-tier driver surface (r11 VERDICT #4): the
     events table replayed as 4 parquet micro-batches through
@@ -6301,49 +6348,18 @@ def q_streaming_session_stats(spark, sf_dir):
     replayed row is late-dropped (complete mode keeps all state; the
     bounded-state behavior is pinned separately in
     tests/test_streaming.py::test_watermark_drops_late_events)."""
-    import shutil
-    import tempfile
-    import uuid
-
     from wimbd_spark.streaming.windows import session_window_stream
 
-    ev = _tbl(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
+    return _replay_events_stream(
+        spark,
+        sf_dir,
+        lambda s: session_window_stream(
+            s, gap="30 minutes", watermark="3650 days"
+        ),
+        [("user_id", True), ("session_start_s", True),
+         ("session_end_s", True), ("n_events", True)],
+        "sess",
     )
-    root = tempfile.mkdtemp(prefix="wimbd_stream_sess_")
-    sink = f"sess_replay_{uuid.uuid4().hex[:8]}"
-    try:
-        feed = f"{root}/feed"
-        ev.repartition(4).write.parquet(feed)
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(feed)
-        )
-        q = (
-            session_window_stream(
-                stream, gap="30 minutes", watermark="3650 days"
-            )
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{root}/ckpt")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        out = spark.table(sink).select(
-            F.col("user_id").cast("long").alias("user_id"),
-            F.col("session_start_s").cast("long").alias("session_start_s"),
-            F.col("session_end_s").cast("long").alias("session_end_s"),
-            F.col("n_events").cast("long").alias("n_events"),
-        )
-        rows = out.collect()  # materialize before the temp dir goes
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
 
 
 def o_streaming_session_stats():
@@ -7244,55 +7260,23 @@ def o_ivf_kfill_filtered():
 
 
 def q_streaming_tumbling_counts(spark, sf_dir):
-    """Streaming tumbling-window twin driven end-to-end (the replay
-    recipe of q_streaming_session_stats): events as 4 parquet
-    micro-batches through streaming.windows.tumbling_counts_stream,
-    complete-mode memory sink, far watermark (bounded replay — nothing
-    late-dropped). Tumbling assignment is per-event deterministic, so
-    the final table equals the batch tumbling aggregation. R13
-    REGISTRY CANDIDATE — see q_c4_span_dedup."""
-    import shutil
-    import tempfile
-    import uuid
-
+    """Streaming tumbling-window twin driven end-to-end through the
+    shared replay harness (_replay_events_stream). Tumbling assignment
+    is per-event deterministic, so the final table equals the batch
+    tumbling aggregation. R13 REGISTRY CANDIDATE — see
+    q_c4_span_dedup."""
     from wimbd_spark.streaming.windows import tumbling_counts_stream
 
-    ev = _tbl(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
+    return _replay_events_stream(
+        spark,
+        sf_dir,
+        lambda s: tumbling_counts_stream(
+            s, duration="1 hour", watermark="3650 days"
+        ),
+        [("window_start_s", True), ("event_type", False),
+         ("n_events", True)],
+        "tumb",
     )
-    root = tempfile.mkdtemp(prefix="wimbd_stream_tumb_")
-    sink = f"tumb_replay_{uuid.uuid4().hex[:8]}"
-    try:
-        feed = f"{root}/feed"
-        ev.repartition(4).write.parquet(feed)
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(feed)
-        )
-        q = (
-            tumbling_counts_stream(
-                stream, duration="1 hour", watermark="3650 days"
-            )
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{root}/ckpt")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        out = spark.table(sink).select(
-            F.col("window_start_s").cast("long").alias("window_start_s"),
-            "event_type",
-            F.col("n_events").cast("long").alias("n_events"),
-        )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
 
 
 def o_streaming_tumbling_counts():
@@ -7307,53 +7291,23 @@ def o_streaming_tumbling_counts():
 
 def q_streaming_sliding_counts(spark, sf_dir):
     """Streaming sliding-window twin (1 h window / 30 min slide) via
-    the same replay recipe — with session and tumbling this makes all
-    three window types driver-checkable. R13 REGISTRY CANDIDATE — see
-    q_c4_span_dedup."""
-    import shutil
-    import tempfile
-    import uuid
-
+    the shared replay harness — with session and tumbling this makes
+    all three window types driver-checkable. R13 REGISTRY CANDIDATE —
+    see q_c4_span_dedup."""
     from wimbd_spark.streaming.windows import sliding_counts_stream
 
-    ev = _tbl(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
+    return _replay_events_stream(
+        spark,
+        sf_dir,
+        lambda s: sliding_counts_stream(
+            s,
+            duration="1 hour",
+            slide="30 minutes",
+            watermark="3650 days",
+        ),
+        [("window_start_s", True), ("n_events", True)],
+        "slide",
     )
-    root = tempfile.mkdtemp(prefix="wimbd_stream_slide_")
-    sink = f"slide_replay_{uuid.uuid4().hex[:8]}"
-    try:
-        feed = f"{root}/feed"
-        ev.repartition(4).write.parquet(feed)
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(feed)
-        )
-        q = (
-            sliding_counts_stream(
-                stream,
-                duration="1 hour",
-                slide="30 minutes",
-                watermark="3650 days",
-            )
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{root}/ckpt")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        out = spark.table(sink).select(
-            F.col("window_start_s").cast("long").alias("window_start_s"),
-            F.col("n_events").cast("long").alias("n_events"),
-        )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
 
 
 def o_streaming_sliding_counts():

@@ -38,16 +38,13 @@ def _check(spark, name, sf_dir):
     assert rowset(scols, srows) == rowset(dcols, drows)
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "c4_span_dedup_text",
-        "datasheet_overview",
-        "ivf_kfill_filtered_top3",
-        "streaming_tumbling_counts",
-        "streaming_sliding_counts",
-    ],
-)
+def _candidate_names():
+    import __spark_entry__ as entry
+
+    return sorted(entry._R13_CANDIDATES)
+
+
+@pytest.mark.parametrize("name", _candidate_names())
 def test_r13_candidates_match_duckdb(spark, name):
     _check(spark, name, SF)
 

@@ -50,7 +50,7 @@ def main(front: list[str]) -> None:
     order: list[str] = []
     first_key_line = None
     prev_end = None
-    moved_comments: list[str] = []
+    commented: list[str] = []
     for k, v in zip(reg.keys, reg.values):
         name = ast.literal_eval(k)
         if first_key_line is None:
@@ -58,7 +58,7 @@ def main(front: list[str]) -> None:
             prev_end = k.lineno - 1
         seg = "".join(lines[prev_end : v.end_lineno])
         if prev_end < k.lineno - 1:  # comment lines ride with `name`
-            moved_comments.append(name)
+            commented.append(name)
         prev_end = v.end_lineno
         entries[name] = seg
         order.append(name)
@@ -69,6 +69,12 @@ def main(front: list[str]) -> None:
     assert not missing, f"unknown registry names: {missing}"
     rest = [n for n in order if n not in set(front)]
     new_order = list(front) + rest
+    # only warn for comment-carrying entries whose POSITION changed —
+    # a stationary entry's comments still describe the right place
+    moved_comments = [
+        n for n in commented
+        if new_order.index(n) != order.index(n)
+    ]
 
     # Preamble = dict-open line(s) + leading comment block, i.e.
     # everything from the dict's start line up to the first key line.

@@ -1160,10 +1160,19 @@ def _read_lists(
     centroid COLUMN — correct, but unpruned, which is the documented
     reason the delta must stay small relative to base (absorb or
     recluster folds it in)."""
+    from pyspark.errors import AnalysisException
+
     base = spark.read.parquet(f"{path}/lists")
     frames = [base]
     if _hadoop_exists(spark, f"{path}/delta"):
-        frames.append(spark.read.parquet(f"{path}/delta").drop("batch"))
+        try:
+            frames.append(
+                spark.read.parquet(f"{path}/delta").drop("batch")
+            )
+        except AnalysisException:
+            # delta dir exists but holds no readable data (failed
+            # first epoch write, manual cleanup) — same as no delta
+            pass
     out = None
     for fr in frames:
         if probed is not None:
@@ -1358,16 +1367,28 @@ def maintain_ivf_index(
       caller must NOT repoint readers to ``fresh_path``.
 
     Recluster wins when both fire — it is the superset action. One
-    decision pass costs one lists scan + one delta count + one
-    centroids count. (The ivf-maintain CLI verb reports the same
-    trigger verdicts but only acts under explicit --absorb-to /
-    --recluster-to — operators choose when generations swap.)"""
-    if needs_recluster(spark, path, skew_factor=skew_factor):
+    decision pass: one lists scan (delta included via _read_lists),
+    one delta-only count, one centroids count — both verdicts derive
+    from those three numbers, nothing is re-scanned. (The ivf-maintain
+    CLI verb reports the same trigger verdicts but only acts under
+    explicit --absorb-to / --recluster-to — operators choose when
+    generations swap.)"""
+    from pyspark.errors import AnalysisException
+
+    sizes = [r["size"] for r in ivf_list_sizes(spark, path).collect()]
+    n_cent = spark.read.parquet(f"{path}/centroids").count()
+    if skew_triggered(sizes, n_cent, skew_factor=skew_factor):
         recluster_ivf_index(
             spark, path, fresh_path, n_centroids=n_centroids
         )
         return "reclustered"
-    if needs_absorb(spark, path, max_fraction=absorb_fraction):
+    n_delta = 0
+    if _hadoop_exists(spark, f"{path}/delta"):
+        try:
+            n_delta = spark.read.parquet(f"{path}/delta").count()
+        except AnalysisException:
+            n_delta = 0
+    if n_delta > absorb_fraction * sum(sizes):
         absorb_ivf_delta(spark, path, fresh_path)
         return "absorbed"
     return "ok"
