@@ -1073,3 +1073,38 @@ def test_maintain_ivf_index_dispatch(spark, tmp_path):
         spark, p3, g3, n_centroids=8
     ) == "reclustered"
     assert os.path.exists(f"{g3}/lists")
+
+
+def test_empty_delta_dir_tolerated(spark, tmp_path):
+    """A delta dir with no readable data (failed first epoch write,
+    manual cleanup) must behave exactly like no delta: queries, size
+    audit, absorb trigger, and the maintenance dispatch all keep
+    working."""
+    import os
+
+    from wimbd_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf_indexed,
+        ivf_list_sizes,
+        maintain_ivf_index,
+        needs_absorb,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.1 * i, 0.0, 0.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivfemptydelta")
+    build_ivf_index(base, path, n_centroids=2)
+    os.makedirs(f"{path}/delta")  # exists, holds nothing
+
+    assert sum(
+        r["size"] for r in ivf_list_sizes(spark, path).collect()
+    ) == 12
+    queries = base.filter("vec_id < 2")
+    got = cosine_topk_ivf_indexed(spark, path, queries, k=2, n_probe=2)
+    assert got.count() == 4
+    assert needs_absorb(spark, path) is False
+    assert maintain_ivf_index(
+        spark, path, str(tmp_path / "nope3")
+    ) == "ok"
