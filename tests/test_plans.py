@@ -610,3 +610,56 @@ def test_c4_span_dedup_partial_agg_not_window(raw_docs):
     assert "Window" not in plan
     # partial + final HashAggregate pair on the hash key
     assert plan.count("HashAggregate") >= 2
+
+
+def test_knn_join_is_fully_distributed(spark, tmp_path):
+    """The bulk corpus-as-queries path never materializes candidates
+    on the driver: the plan holds no LocalTableScan (a collected
+    candidate list would re-enter as one, as it does by design in
+    the interactive rerank='collect' path), carries the Arrow
+    local-prune stage (MapInPandas), and the final rank arrives via
+    a Window — one centroid join + one query_id exchange."""
+    from wimbd_spark.operators.similarity import build_ivf_index, knn_join
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "knnplan")
+    build_ivf_index(emb, path, n_centroids=8)
+    out = knn_join(spark, path, emb, k=2, n_probe=2)
+    plan = explain_str(out)
+    assert "LocalTableScan" not in plan and "ExistingRDD" not in plan
+    assert "MapInPandas" in plan
+    assert "Window" in plan
+    # prune off: still no driver materialization
+    plan2 = explain_str(
+        knn_join(spark, path, emb, k=2, n_probe=2, local_prune=False)
+    )
+    assert "LocalTableScan" not in plan2 and "ExistingRDD" not in plan2
+    assert "MapInPandas" not in plan2
+
+
+def test_pq_rerank_join_no_candidate_collect(spark, tmp_path):
+    """rerank='join' keeps stage-1 candidates a DataFrame: no
+    LocalTableScan in the plan, whereas the default collect path
+    re-enters its driver-bounded candidate list as one (the
+    documented small-side contract)."""
+    from wimbd_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf_pq_rerank,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "rrplan")
+    build_ivf_index(emb, path, n_centroids=8, pq_m=8, pq_codes=16)
+    q = emb.filter(F.col("vec_id") < 3)
+    joined = cosine_topk_ivf_pq_rerank(
+        spark, path, q, k=2, n_probe=2, rerank="join"
+    )
+    pj = explain_str(joined)
+    assert "LocalTableScan" not in pj and "ExistingRDD" not in pj
+    collected = cosine_topk_ivf_pq_rerank(
+        spark, path, q, k=2, n_probe=2, rerank="collect"
+    )
+    pc = explain_str(collected)
+    # positive control: the collect path's driver-materialized
+    # candidate list re-enters the plan as a local relation
+    assert "LocalTableScan" in pc or "ExistingRDD" in pc

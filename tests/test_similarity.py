@@ -1108,3 +1108,158 @@ def test_empty_delta_dir_tolerated(spark, tmp_path):
     assert maintain_ivf_index(
         spark, path, str(tmp_path / "nope3")
     ) == "ok"
+
+
+def _knn_fixture(spark, tmp_path, name="knnj", pq=False):
+    from wimbd_spark.operators.similarity import build_ivf_index
+
+    rows = []
+    for c in range(4):
+        for i in range(12):
+            # dense vectors (no zero PQ subvector anywhere): axis
+            # direction + small floor on every dim
+            v = [0.05] * 4
+            v[c] = 1.0
+            v[(c + 1) % 4] += 0.03 * i
+            rows.append((c * 100 + i, v))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / name)
+    kw = {"pq_m": 2, "pq_codes": 4} if pq else {}
+    build_ivf_index(emb, path, n_centroids=4, **kw)
+    return emb, path
+
+
+def test_knn_join_matches_interactive(spark, tmp_path):
+    """Bulk corpus-as-queries kNN (knn_join) is row-identical to the
+    interactive cosine_topk_ivf_indexed at every probe width — same
+    probes, same exact dot scores, same (cosine DESC, id ASC) rank —
+    with and without the Arrow local-prune stage."""
+    from wimbd_spark.operators.similarity import (
+        cosine_topk_ivf_indexed,
+        knn_join,
+    )
+
+    emb, path = _knn_fixture(spark, tmp_path)
+    for np_ in (1, 2, 4):
+        inter = cosine_topk_ivf_indexed(
+            spark, path, emb, k=3, n_probe=np_
+        ).collect()
+        bulk = knn_join(spark, path, emb, k=3, n_probe=np_).collect()
+        nopr = knn_join(
+            spark, path, emb, k=3, n_probe=np_, local_prune=False
+        ).collect()
+        assert sorted(map(tuple, bulk)) == sorted(map(tuple, inter))
+        assert sorted(map(tuple, nopr)) == sorted(map(tuple, inter))
+    # n_probe="all" == exact brute force (cosine_topk over the corpus)
+    allp = knn_join(spark, path, emb, k=2, n_probe="all").collect()
+    inter = cosine_topk_ivf_indexed(
+        spark, path, emb, k=2, n_probe=4
+    ).collect()
+    assert sorted(map(tuple, allp)) == sorted(map(tuple, inter))
+
+
+def test_knn_join_min_cosine_and_validation(spark, tmp_path):
+    import pytest
+
+    from wimbd_spark.operators.similarity import knn_join
+
+    emb, path = _knn_fixture(spark, tmp_path, name="knnmc")
+    all_rows = knn_join(spark, path, emb, k=3, n_probe="all")
+    got = knn_join(spark, path, emb, k=3, n_probe="all", min_cosine=0.999)
+    # every surviving pair really clears the bar: recompute exact
+    # cosine for the survivors from the raw vectors
+    import math
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    rows = got.collect()
+    assert rows and len(rows) < len(all_rows.collect())
+    for r in rows:
+        assert (
+            cos(vecs[r["query_id"]], vecs[r["neighbor_id"]])
+            >= 0.999 - 1e-9
+        )
+    with pytest.raises(ValueError, match="k must be positive"):
+        knn_join(spark, path, emb, k=0)
+
+
+def test_knn_join_delta_duplicate_pair_counts_once(spark, tmp_path):
+    """A vector sitting in BOTH base and delta (ingested twice, not
+    yet absorbed) is scored twice by the centroid join; the dense_rank
+    scheme gives both copies the same rank and keeps one — the
+    duplicate neither shifts later neighbors' ranks nor evicts a real
+    candidate from the Arrow local prune."""
+    from wimbd_spark.operators.similarity import knn_join
+
+    emb, path = _knn_fixture(spark, tmp_path, name="knndup")
+    # copy one base row verbatim into the delta tier (same centroid
+    # assignment — the layout streaming_ivf_ingest would produce)
+    lists = spark.read.parquet(f"{path}/lists")
+    one = lists.filter(F.col("id") == 0).select("id", "uvec", "centroid")
+    one.write.parquet(f"{path}/delta/run=testdup/batch=0")
+    dup = knn_join(spark, path, emb, k=3, n_probe="all").collect()
+    # clean index for comparison
+    emb2, path2 = _knn_fixture(spark, tmp_path, name="knndup_clean")
+    clean = knn_join(spark, path2, emb2, k=3, n_probe="all").collect()
+    assert sorted(map(tuple, dup)) == sorted(map(tuple, clean))
+
+
+def test_knn_join_empty_centroids(spark, tmp_path):
+    from wimbd_spark.operators.similarity import knn_join
+
+    emb, path = _knn_fixture(spark, tmp_path, name="knnempty")
+    spark.createDataFrame(
+        [], "centroid_id int, v array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    out = knn_join(spark, path, emb, k=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank"]
+
+
+def test_pq_rerank_join_matches_collect(spark, tmp_path):
+    """rerank='join' (candidates stay a DataFrame, id pushdown via
+    the candidate join) returns the same rows as the default
+    driver-collected path."""
+    import pytest
+
+    from wimbd_spark.operators.similarity import cosine_topk_ivf_pq_rerank
+
+    emb, path = _knn_fixture(spark, tmp_path, name="rrj", pq=True)
+    q = emb.filter(F.col("vec_id") < 5)
+    rc = cosine_topk_ivf_pq_rerank(
+        spark, path, q, k=3, n_probe=2
+    ).collect()
+    rj = cosine_topk_ivf_pq_rerank(
+        spark, path, q, k=3, n_probe=2, rerank="join"
+    ).collect()
+    assert sorted(map(tuple, rc)) == sorted(map(tuple, rj))
+    with pytest.raises(ValueError, match="rerank"):
+        cosine_topk_ivf_pq_rerank(spark, path, q, rerank="driver")
+
+
+def test_recluster_with_empty_pq_codebooks_dir(spark, tmp_path):
+    """An existing-but-EMPTY pq_codebooks dir means 'no PQ sidecar'
+    on the recluster path exactly as it does on the query path
+    (r12 ADVICE: agg(max)+1 raised TypeError on the empty frame)."""
+    import os
+
+    from wimbd_spark.operators.similarity import (
+        build_ivf_index,
+        recluster_ivf_index,
+    )
+
+    emb, path = _knn_fixture(spark, tmp_path, name="remptypq")
+    spark.createDataFrame(
+        [], "s int, j int, cv array<double>"
+    ).write.parquet(f"{path}/pq_codebooks")
+    fresh = str(tmp_path / "remptypq2")
+    recluster_ivf_index(spark, path, fresh, n_centroids=4)
+    assert os.path.exists(f"{fresh}/lists")
+    assert not os.path.exists(f"{fresh}/pq_codebooks")

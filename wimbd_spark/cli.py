@@ -905,6 +905,16 @@ def main(argv: list[str] | None = None) -> int:
                 ),
             }
             if args.absorb_to:
+                # mirror the other argument-validation paths: an index
+                # with no delta tier is a usage error, not a traceback
+                # (r12 ADVICE); an explicit --absorb-to below the
+                # needs_absorb bar still runs — the flag is the
+                # operator's decision, the report row carries the bar
+                if n_delta == 0:
+                    raise SystemExit(
+                        f"ivf-maintain --absorb-to: no delta tier at "
+                        f"{idx!r} — nothing to absorb"
+                    )
                 absorb_ivf_delta(spark, idx, args.absorb_to)
                 report["absorbed_to"] = args.absorb_to
             elif args.recluster_to:

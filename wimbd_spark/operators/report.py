@@ -152,7 +152,13 @@ def corpus_datasheet(
     if "lengths" in sections:
         from wimbd_spark.operators.stats import length_percentiles
 
-        out["lengths"] = length_percentiles(docs, text_col=text_col)
+        # length=_ntok: draw from the shared staged projection like
+        # every other section (r12 ADVICE — passing the raw frame
+        # re-tokenized the corpus in a second pass). text_col is kept
+        # for the NULL-text row filter, identical semantics.
+        out["lengths"] = length_percentiles(
+            staged, text_col=text_col, length=F.col("_ntok")
+        )
     if "pii" in sections:
         from wimbd_spark.operators.pii import pii_counts
 

@@ -1027,6 +1027,7 @@ def cosine_topk_ivf_pq_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    rerank: str = "collect",
 ) -> DataFrame:
     """IVF-PQ candidate generation + EXACT cosine re-rank →
     (query_id, neighbor_id, rank) — the standard two-stage ANN recipe
@@ -1041,11 +1042,23 @@ def cosine_topk_ivf_pq_rerank(
 
     Two-stage read, both pruned: stage 1 is `cosine_topk_ivf_pq_indexed`
     (partition-pruned, codes-only). Stage 2 re-reads ONLY the candidate
-    rows' ``uvec`` — the candidate (id, centroid) pairs are bounded
-    driver metadata (≤ |queries|·n_candidates rows, the phrase-list
-    convention), so the re-rank scan carries BOTH a centroid partition
-    filter and an id pushdown, and each side of the final join is a
-    broadcast. No corpus-scale shuffle anywhere.
+    rows' ``uvec``. Two stage-2 strategies, picked by ``rerank``:
+
+    - ``"collect"`` (default): the candidate (id, centroid) pairs are
+      bounded driver metadata (≤ |queries|·n_candidates rows, the
+      phrase-list convention), so the re-rank scan carries BOTH a
+      centroid partition filter and an id pushdown, and each side of
+      the final join is a broadcast. The right call for interactive /
+      eval-batch query sets.
+    - ``"join"``: candidates NEVER touch the driver — they stay a
+      DataFrame and the id pushdown is the candidate join itself
+      (lists ⋈ candidates on id; AQE broadcasts the candidate side
+      when it is small). No static centroid pruning — deriving the
+      probed set without a collect would recompute stage 1 — so the
+      lists read is a full (columns-pruned) scan filtered by the
+      join. The right call when |queries|·n_candidates outgrows
+      driver memory: the corpus-as-queries regime (bulk semantic
+      dedup; see `knn_join` for the one-stage exact-scored form).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -1053,6 +1066,10 @@ def cosine_topk_ivf_pq_rerank(
         n_candidates = max(10 * k, 50)
     if n_candidates < k:
         raise ValueError("n_candidates must be >= k")
+    if rerank not in ("collect", "join"):
+        raise ValueError(
+            f"rerank must be 'collect' or 'join', got {rerank!r}"
+        )
     cand = cosine_topk_ivf_pq_indexed(
         spark,
         path,
@@ -1064,6 +1081,36 @@ def cosine_topk_ivf_pq_rerank(
         exclude_self=exclude_self,
         _with_centroid=True,
     ).select("query_id", "neighbor_id", "centroid")
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        _unit(_to_double(F.col(vec_col))).alias("_qv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    if rerank == "join":
+        vecs = _read_lists(spark, path, columns=["id", "uvec"]).select(
+            F.col("id").alias("neighbor_id"), "uvec"
+        )
+        scored = (
+            cand.select("query_id", "neighbor_id")
+            .join(vecs, "neighbor_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                dot(F.col("_qv"), F.col("uvec")).alias("cosine"),
+            )
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
     pairs = cand.collect()  # bounded: <= |queries| * n_candidates
     if not pairs:
         qt = queries.schema[id_col].dataType.simpleString()
@@ -1076,10 +1123,6 @@ def cosine_topk_ivf_pq_rerank(
         _read_lists(spark, path, probed=cents)  # partition pruning
         .filter(F.col("id").isin(ids))  # row-group pruning
         .select(F.col("id").alias("neighbor_id"), "uvec")
-    )
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("query_id"),
-        _unit(_to_double(F.col(vec_col))).alias("_qv"),
     )
     cand_df = spark.createDataFrame(
         [(r["query_id"], r["neighbor_id"]) for r in pairs],
@@ -1095,12 +1138,139 @@ def cosine_topk_ivf_pq_rerank(
             dot(F.col("_qv"), F.col("uvec")).alias("cosine"),
         )
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def knn_join(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 2,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    min_cosine: float | None = None,
+    local_prune: bool = True,
+) -> DataFrame:
+    """Bulk k-NN JOIN against a persisted IVF index: every row of
+    ``queries`` — which may be the ENTIRE corpus — gets its top-``k``
+    exact-cosine neighbors from its ``n_probe`` nearest inverted
+    lists. (query_id, neighbor_id, rank), fully distributed: unlike
+    the interactive `cosine_topk_ivf_indexed` (broadcast query side,
+    driver-collected probe set, driver-accumulated k_fill rounds —
+    all bounded by the small-query-side contract), NOTHING here
+    touches the driver except the centroid table (≤ n_centroids rows
+    by construction). This is the corpus-as-queries path: SemDeDup /
+    dataset-distillation over the full corpus via the index instead
+    of per-cluster self-joins.
+
+    Plan shape (the 100 TB audit):
+    - queries explode to n_probe rows each (map-side; centroid argmax
+      against the broadcast centroid literal), then ONE shuffle join
+      with the lists on ``centroid``. No static partition pruning —
+      a corpus-sized query set probes every list anyway, and deriving
+      the probed set would cost a full extra pass over the queries;
+      hot centroids are skew-join territory, which AQE splits.
+    - ``local_prune`` (default on) cuts the top-k shuffle from
+      |queries|·n_probe·avg_list_size scored rows to ≤ batch-local
+      |queries|·k: an Arrow-batched per-batch top-k (mapInPandas)
+      IMMEDIATELY after the join, exact by construction — a global
+      top-k row is top-k within every subset it appears in, and the
+      batch prune uses the same (cosine DESC, neighbor_id ASC) order
+      as the final rank. collect_list-style aggregation cannot
+      express this (partial aggregation concatenates, it never
+      truncates), which is what makes this the one justified Python
+      hop in the ANN tier.
+    - one final shuffle on query_id for the exact global rank.
+
+    ``min_cosine`` filters scored pairs before BOTH shuffles — for
+    near-dup mining (pairs above a bar) it does most of the volume
+    reduction. ``n_probe="all"`` probes every list, making the result
+    EXACT brute-force top-k (the oracle form).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    if not cents:
+        qt = queries.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id {qt}, neighbor_id {qt}, rank long"
+        )
+    if n_probe == "all":
+        n_probe = len(cents)
+    cent_arr = _centroid_literal(
+        [{"centroid_id": r["centroid_id"], "_cent": r["v"]} for r in cents]
+    )
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        _unit(_to_double(F.col(vec_col))).alias("_qv"),
+    ).withColumn(
+        "centroid",
+        F.explode(
+            F.transform(
+                _nearest_centroids(F.col("_qv"), cent_arr, n_probe),
+                lambda c: c["cid"],
+            )
+        ),
+    )
+    lists = _read_lists(spark, path, columns=["centroid", "id", "uvec"])
+    scored = q.join(lists, "centroid").select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        dot(F.col("_qv"), F.col("uvec")).alias("cosine"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    if min_cosine is not None:
+        scored = scored.filter(F.col("cosine") >= F.lit(min_cosine))
+    # A query probing two lists that share a vector (delta tier not
+    # yet absorbed) double-scores the pair. The interactive path
+    # dropDuplicates()es — a full-volume shuffle that would defeat
+    # local_prune here. Instead: copies of a pair carry BITWISE-equal
+    # cosine (same _qv, same stored uvec, same expression), so
+    # dense_rank over (cosine, neighbor_id) gives every copy the rank
+    # row_number would give the deduplicated pair, and distinct pairs
+    # always differ in neighbor_id — one cheap dropDuplicates on the
+    # ≤ |queries|·k survivors replaces the corpus-scale one.
+    if local_prune:
+        out_schema = scored.schema
+
+        def _batch_topk(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                yield (
+                    # within-batch dedup so a double-scored pair
+                    # occupies ONE of the k slots, never two (a dup
+                    # evicting a real candidate would break the
+                    # prune-is-exact argument)
+                    pdf.drop_duplicates(["query_id", "neighbor_id"])
+                    .sort_values(
+                        ["cosine", "neighbor_id"],
+                        ascending=[False, True],
+                        kind="mergesort",
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+        scored = scored.mapInPandas(_batch_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.dense_rank().over(w))
         .filter(F.col("rank") <= k)
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
@@ -1167,7 +1337,10 @@ def _read_lists(
     if _hadoop_exists(spark, f"{path}/delta"):
         try:
             frames.append(
-                spark.read.parquet(f"{path}/delta").drop("batch")
+                # drop ignores absent columns, so both the flat
+                # batch=<epoch> layout and the run-namespaced
+                # run=<ckpt-id>/batch=<epoch> layout read cleanly
+                spark.read.parquet(f"{path}/delta").drop("batch", "run")
             )
         except AnalysisException:
             # delta dir exists but holds no readable data (failed
@@ -1459,10 +1632,14 @@ def recluster_ivf_index(
         [{"centroid_id": cid, "_cent": v} for cid, v in fitted]
     )
     cb = None
-    if _hadoop_exists(spark, f"{path}/pq_codebooks"):
-        old_cb = spark.read.parquet(f"{path}/pq_codebooks")
-        m = old_cb.agg(F.max("s")).collect()[0][0] + 1
-        n_codes = old_cb.agg(F.max("j")).collect()[0][0] + 1
+    # _load_codebooks (not a raw read) so an existing-but-EMPTY
+    # pq_codebooks dir means "no PQ sidecar" here exactly as it does
+    # on the query path (r12 ADVICE: agg(max)+1 on an empty frame
+    # raised TypeError where _load_codebooks returns None)
+    old_cb = _load_codebooks(spark, path)
+    if old_cb is not None:
+        m = len(old_cb)
+        n_codes = len(old_cb[0])
         cb = pq_codebooks(
             corpus, m=m, n_codes=n_codes, id_col="id", vec_col="uvec"
         )

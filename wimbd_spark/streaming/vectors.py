@@ -5,7 +5,7 @@ this is the LSM-shaped maintenance story for a stream-fed ANN index,
 mirroring the text side's streaming_phrase_index + compact cycle:
 
     build_ivf_index(corpus, path)             # base generation
-    streaming_ivf_ingest(stream, path, ckpt)  # delta/batch=<epoch>
+    streaming_ivf_ingest(stream, path, ckpt)  # delta/run=<id>/batch=<e>
     ... queries see base ∪ delta transparently (_read_lists) ...
     absorb_ivf_delta(path, fresh)             # fold delta into base
     needs_recluster(path) → recluster_ivf_index(path, fresh)
@@ -13,10 +13,16 @@ mirroring the text side's streaming_phrase_index + compact cycle:
 
 Each micro-batch assigns its vectors against the index's STORED
 centroids (and PQ-encodes against the stored codebooks when present)
-then OVERWRITES its own ``delta/batch=<epoch>`` directory — the
-exactly-once epoch-sink pattern shared with the other foreachBatch
-gates: at-least-once redelivery of an epoch rewrites the same
-directory instead of duplicating vectors.
+then OVERWRITES its own ``delta/run=<ckpt-id>/batch=<epoch>``
+directory — the exactly-once epoch-sink pattern shared with the other
+foreachBatch gates: at-least-once redelivery of an epoch rewrites the
+same directory instead of duplicating vectors. Epoch ids are
+CHECKPOINT-scoped, so the run dir is namespaced by a sha1 digest of
+the checkpoint path (two streams with different checkpoints never
+collide) and ingest REFUSES to start when its run dir holds data but
+the checkpoint has no offset log — a deleted/reset checkpoint
+restarts epochs at 0, and overwriting batch=0 would silently destroy
+previously ingested vectors (r12 ADVICE).
 
 Why a delta tier instead of appending to the partitioned lists: a
 centroid-partitioned append touches (and creates a small file in)
@@ -71,8 +77,15 @@ def streaming_ivf_ingest(
     """Ingest a vector stream into the IVF index at ``path``: per
     micro-batch, assign against the stored centroids (+ PQ-encode
     against the stored codebooks when the index has them) and write
-    the assignment to ``path``/delta/batch=<epoch> (overwrite —
-    exactly-once under redelivery). Centroids/codebooks are loaded
+    the assignment to ``path``/delta/run=<ckpt-id>/batch=<epoch>
+    (overwrite — exactly-once under redelivery; the run dir is a sha1
+    digest of ``checkpoint``, so epoch ids only ever overwrite data
+    written under the SAME offset log). Refuses to start when the run
+    dir holds batches but ``checkpoint`` has no offset log (reset
+    checkpoint ⇒ epochs restart at 0 ⇒ batch=0 would be silently
+    destroyed), and when a legacy flat ``delta/batch=*`` layout is
+    present (absorb it first — mixed layouts break partition
+    discovery). Centroids/codebooks are loaded
     ONCE at stream start and reused every batch (frozen by the append
     contract, so reloading per batch would buy nothing and cost a
     driver read each trigger). Returns the StreamingQuery.
@@ -83,13 +96,38 @@ def streaming_ivf_ingest(
     needs_recluster sees delta rows too, so a drifting stream trips
     the re-fit trigger without any extra accounting.
     """
+    import hashlib
+
     from wimbd_spark.operators.similarity import (
         _assign_rows,
         _centroid_literal,
+        _hadoop_exists,
         _load_codebooks,
     )
 
     spark = vectors.sparkSession
+    run_id = hashlib.sha1(
+        checkpoint.rstrip("/").encode("utf-8")
+    ).hexdigest()[:12]
+    run_dir = f"{path}/delta/run={run_id}"
+    if _hadoop_exists(spark, f"{path}/delta/batch=0"):
+        raise ValueError(
+            f"streaming_ivf_ingest: legacy flat delta layout at "
+            f"{path!r}/delta — absorb_ivf_delta it into a fresh "
+            "generation before starting a run-namespaced stream "
+            "(mixed delta layouts break partition discovery)"
+        )
+    if _hadoop_exists(spark, run_dir) and not _hadoop_exists(
+        spark, f"{checkpoint}/offsets"
+    ):
+        raise ValueError(
+            f"streaming_ivf_ingest: {run_dir!r} already holds delta "
+            f"batches but checkpoint {checkpoint!r} has no offset log "
+            "— a reset checkpoint restarts epochs at 0 and would "
+            "silently overwrite previously ingested vectors. Absorb "
+            "the existing delta (absorb_ivf_delta) or resume with "
+            "the original checkpoint."
+        )
     cents = spark.read.parquet(f"{path}/centroids").collect()
     if not cents:
         raise ValueError(
@@ -104,7 +142,7 @@ def streaming_ivf_ingest(
     def _ingest(batch_df: DataFrame, epoch: int) -> None:
         _assign_rows(batch_df, cent_arr, cb, id_col, vec_col).write.mode(
             "overwrite"
-        ).parquet(f"{path}/delta/batch={epoch}")
+        ).parquet(f"{run_dir}/batch={epoch}")
 
     return (
         vectors.writeStream.foreachBatch(_ingest)
