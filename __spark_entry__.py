@@ -2470,6 +2470,75 @@ def o_ivf_index_topk():
     """
 
 
+def q_knn_join_bulk(spark, sf_dir):
+    """Corpus-as-queries bulk k-NN (similarity.knn_join): EVERY row of
+    the embeddings table gets its top-2 neighbors from its 2 nearest
+    inverted lists of the persisted IVF index — fully distributed (no
+    driver-side candidate materialization, no broadcast query side;
+    plan-pinned in tests/test_plans.py). The bulk twin of
+    ivf_index_topk: same index, same probe semantics, query side is
+    the whole corpus instead of 5 interactive ids."""
+    from wimbd_spark.operators.similarity import knn_join
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    path = _ivf_index(spark, sf_dir)
+    out = knn_join(spark, path, emb, k=2, n_probe=2)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+    )
+
+
+def o_knn_join_bulk():
+    # the o_ivf_index_topk IVF mirror with the WHOLE table as queries:
+    # centroids = 8 smallest (hash32(id), id); assignment = argmax
+    # cosine (tie → smaller cid); each query probes its top-2
+    # centroids; rank by (cosine DESC, neighbor_id) within candidates
+    return """
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings
+        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                 vec_id
+        LIMIT 8
+      ),
+      assigned AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+               (SELECT c.cid FROM cents c
+                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                         DESC, c.cid
+                LIMIT 1) AS centroid
+        FROM embeddings e
+      ),
+      probes AS (
+        SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, p.cid
+        FROM embeddings q, LATERAL (
+          SELECT cid FROM cents
+          ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], cv)
+                   DESC, cid
+          LIMIT 2
+        ) p
+      ),
+      scored AS (
+        SELECT pr.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(pr.qv, a.v) AS cos
+        FROM probes pr JOIN assigned a ON a.centroid = pr.cid
+        WHERE a.vec_id <> pr.query_id
+      ),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+      )
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 2
+    """
+
+
 # ------------------------------------ beyond-reference: text analysis
 
 _STOP_EN = "'the','a','of','and','to','in','is','it'"
@@ -6818,6 +6887,201 @@ def o_template_decontaminate():
     """
 
 
+def q_c4_span_dedup(spark, sf_dir):
+    """C4 three-sentence span dedup (textqc.c4_span_dedup): rebuilt
+    text per doc after removing every non-first occurrence of any
+    3-sentence span. Promoted into the r13 driver window after a
+    staged round (r12) with the oracle locally verified green."""
+    from wimbd_spark.operators.textqc import c4_span_dedup
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return c4_span_dedup(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+
+def o_c4_span_dedup():
+    # sentence split via the sentinel trick (RE2 has no lookbehind);
+    # DuckDB list lambdas index 1-based where Spark's index 0-based
+    return r"""
+      WITH sents AS (
+        SELECT doc_id, text,
+               string_split(regexp_replace(text, '([.!?])\s+',
+                            '\1' || chr(1), 'g'), chr(1)) AS s
+        FROM documents WHERE text IS NOT NULL
+      ),
+      spans AS (
+        SELECT doc_id, i - 1 AS st,
+               array_to_string(list_slice(s, i, i + 2), chr(0)) AS h
+        FROM sents, unnest(generate_series(1, len(s) - 2)) AS u(i)
+        WHERE len(s) >= 3
+      ),
+      marked AS (
+        SELECT doc_id, st,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, st)
+                 AS rn
+        FROM spans
+      ),
+      kills AS (
+        SELECT DISTINCT m.doc_id, u.k
+        FROM marked m, unnest(generate_series(m.st, m.st + 2)) AS u(k)
+        WHERE m.rn > 1
+      ),
+      agg AS (
+        SELECT doc_id, list(k) AS kill FROM kills GROUP BY doc_id
+      )
+      SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+             CASE WHEN a.kill IS NULL THEN s.text
+                  -- array_to_string(empty) is NULL in DuckDB where
+                  -- Spark's concat_ws(empty) is '' — coalesce aligns
+                  ELSE coalesce(array_to_string(
+                    list_filter(s.s,
+                                (x, i) -> NOT list_contains(a.kill, i - 1)),
+                    ' '), '')
+             END AS text
+      FROM sents s LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def q_datasheet_overview(spark, sf_dir):
+    """Datasheet overview section (operators/report.corpus_datasheet).
+    Promoted into the r13 driver window (staged + verified in
+    r12)."""
+    from wimbd_spark.operators.report import corpus_datasheet
+
+    docs = _docs(spark, sf_dir)
+    return corpus_datasheet(docs, sections=("overview",))["overview"]
+
+
+def o_datasheet_overview():
+    return r"""
+      WITH t AS (
+        SELECT text,
+               CASE WHEN text IS NULL THEN 0 ELSE
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '')) END AS ntok,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE octet_length(encode(text)) END AS nb,
+               md5(coalesce(text, '')) AS h
+        FROM documents
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_text,
+             CAST(sum(ntok) AS BIGINT) AS total_tokens,
+             CAST(sum(nb) AS BIGINT) AS total_bytes,
+             CAST(max(ntok) AS BIGINT) AS max_tokens,
+             CAST(min(ntok) AS BIGINT) AS min_tokens,
+             CAST(count(*) - count(DISTINCT h) AS BIGINT)
+               AS n_exact_dup_docs
+      FROM t
+    """
+
+
+def q_ivf_kfill_filtered(spark, sf_dir):
+    """Filtered ANN with k-fill escalation on the persisted IVF index:
+    a 3-id allowlist starves n_probe=1, so every query escalates until
+    all lists are probed — at which point the answer is EXACT (the
+    allowlist ranked by true cosine), which is what makes the
+    escalation oracle-checkable; the partial-fill path is pytest-
+    pinned (test_ivf_k_fill_escalation). Promoted into the r13
+    driver window (staged + verified in r12)."""
+    from wimbd_spark.operators.similarity import cosine_topk_ivf_indexed
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    path = _ivf_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3)
+    allow = emb.filter(F.col("vec_id").isin(100, 200, 300)).select(
+        "vec_id"
+    )
+    out = cosine_topk_ivf_indexed(
+        spark, path, queries, k=3, n_probe=1,
+        candidates=allow, k_fill=True,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+    )
+
+
+def o_ivf_kfill_filtered():
+    # full escalation ⇒ exact: the 3 allowed ids ranked per query by
+    # (cosine DESC, neighbor_id) — no IVF structure left to mirror
+    return """
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 3),
+           c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id IN (100, 200, 300)),
+           ranked AS (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY list_cosine_similarity(qv, cv) DESC,
+                               neighbor_id ASC) AS rank
+             FROM q, c WHERE query_id <> neighbor_id
+           )
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 3
+    """
+
+
+def q_streaming_tumbling_counts(spark, sf_dir):
+    """Streaming tumbling-window twin driven end-to-end through the
+    shared replay harness (_replay_events_stream). Tumbling assignment
+    is per-event deterministic, so the final table equals the batch
+    tumbling aggregation. Promoted into the r13 driver window
+    (staged + verified in r12)."""
+    from wimbd_spark.streaming.windows import tumbling_counts_stream
+
+    return _replay_events_stream(
+        spark,
+        sf_dir,
+        lambda s: tumbling_counts_stream(
+            s, duration="1 hour", watermark="3650 days"
+        ),
+        [("window_start_s", True), ("event_type", False),
+         ("n_events", True)],
+        "tumb",
+    )
+
+
+def o_streaming_tumbling_counts():
+    return """
+      SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600
+               AS window_start_s,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    """
+
+
+def q_streaming_sliding_counts(spark, sf_dir):
+    """Streaming sliding-window twin (1 h window / 30 min slide) via
+    the shared replay harness — with session and tumbling this makes
+    all three window types driver-checkable. Promoted into the r13
+    driver window (staged + verified in r12)."""
+    from wimbd_spark.streaming.windows import sliding_counts_stream
+
+    return _replay_events_stream(
+        spark,
+        sf_dir,
+        lambda s: sliding_counts_stream(
+            s,
+            duration="1 hour",
+            slide="30 minutes",
+            watermark="3650 days",
+        ),
+        [("window_start_s", True), ("n_events", True)],
+        "slide",
+    )
+
+
+def o_streaming_sliding_counts():
+    return o_events_sliding()
+
+
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # ROTATION POLICY (round-robin): the driver records correctness
     # rows for the FIRST 50 entries only; with N registry queries every
@@ -6827,105 +7091,115 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # tools/check_oracles.py additionally covers ALL entries locally
     # every round regardless of position.
     #
-    # Round 12 window: the 47 queries last driver-checked in r9 lead
-    # (absent from both binding windows r10 and r11 — the pigeonhole
-    # maximum rest for N=150), followed by this round's 3 new queries
-    # at positions 48-50 (never checked ⇒ the invariant REQUIRES them
-    # in-window, which is also why this round's other additions wait
-    # in _R13_CANDIDATES). Tail order = r10-checked then r11-checked,
-    # so future rotations surface the oldest first.
-    "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
-    "bm25_index_top10": (q_bm25_index, o_bm25_rank),
-    "bm25_batch_top5": (q_bm25_batch, o_bm25_batch),
-    "bm25_batch_indexed_top5": (q_bm25_batch_indexed, o_bm25_batch),
-    "nb_quality_scores_src0": (q_nb_quality_scores, o_nb_quality_scores),
-    "hybrid_rrf_top10": (q_hybrid_rrf, o_hybrid_rrf),
-    "more_like_this_top10": (q_more_like_this, o_more_like_this),
-    "temperature_mixture_weights": (
-        q_temperature_mixture,
-        o_temperature_mixture,
+    # Round 13 window: the 5 promoted r13 candidates (verified green
+    # by the r12 judge) and this round's new knn_join_bulk_top2 lead
+    # — all six never driver-checked, so the invariant REQUIRES them
+    # in-window — followed by 44 of the 50 queries last driver-checked
+    # in r10 (absent from both binding windows r11 and r12). The 6
+    # r10-checked queries that did not fit lead the tail, so r14's
+    # rotation surfaces the oldest first; then the r11-checked cohort,
+    # then the r12-checked cohort.
+    "c4_span_dedup_text": (q_c4_span_dedup, o_c4_span_dedup),
+    "datasheet_overview": (q_datasheet_overview, o_datasheet_overview),
+    "ivf_kfill_filtered_top3": (q_ivf_kfill_filtered, o_ivf_kfill_filtered),
+    "streaming_tumbling_counts": (
+        q_streaming_tumbling_counts,
+        o_streaming_tumbling_counts,
     ),
-    "kmeans_assign_k8_i2": (q_kmeans_assign, o_kmeans_assign),
-    "events_asof_attribution": (
-        q_events_asof_attribution,
-        o_events_asof_attribution,
+    "streaming_sliding_counts": (
+        q_streaming_sliding_counts,
+        o_streaming_sliding_counts,
     ),
-    "events_click_window_hist": (
-        q_events_click_window_hist,
-        o_events_click_window_hist,
+    "knn_join_bulk_top2": (q_knn_join_bulk, o_knn_join_bulk),
+    "bpe_train_roundtrip": (q_bpe_train_roundtrip, o_bpe_train_roundtrip),
+    "ivf_pq_rerank_top3": (q_ivf_pq_rerank, o_ivf_pq_rerank),
+    "more_like_this_indexed_top10": (
+        q_more_like_this_indexed,
+        o_more_like_this,
     ),
-    "winnow_fingerprints_head": (
-        q_winnow_fingerprints_head,
-        o_winnow_fingerprints_head,
+    "ngram_spectrum_n2": (q_ngram_spectrum, o_ngram_spectrum),
+    "top_pmi_bigrams_k20": (q_top_pmi_bigrams, o_top_pmi_bigrams),
+    "hybrid_rrf_filtered_top10": (
+        q_hybrid_rrf_filtered,
+        o_hybrid_rrf_filtered,
     ),
-    "winnow_overlap_src0_src1": (q_winnow_overlap, o_winnow_overlap),
-    "bloom_decontaminate_src0": (
-        q_bloom_decontaminate,
-        o_bloom_decontaminate,
+    "events_asof_next_click": (
+        q_events_asof_next_click,
+        o_events_asof_next_click,
     ),
-    "contamination_slop1_indexed": (
-        q_contamination_slop1_indexed,
-        o_contamination_slop1_indexed,
+    "events_asof_nearest_click": (
+        q_events_asof_nearest_click,
+        o_events_asof_nearest_click,
     ),
-    "pq_ann_topk": (q_pq_ann_topk, o_pq_ann_topk),
-    "ivf_pq_topk": (q_ivf_pq_topk, o_ivf_pq_topk),
-    "contamination_tokens_slop1": (
-        q_contamination_tokens_slop1,
-        o_contamination_tokens_slop1,
+    "url_normalized": (q_url_normalized, o_url_normalized),
+    "url_dedup_keepfirst": (q_url_dedup_keepfirst, o_url_dedup_keepfirst),
+    "phrase_ac_counts": (q_phrase_ac_counts, o_phrase_batch_counts),
+    "topk_ngrams_by_source_n2_k5": (
+        q_topk_ngrams_by_source,
+        o_topk_ngrams_by_source,
     ),
-    "quality_funnel_by_source": (
-        q_quality_funnel_by,
-        o_quality_funnel_by,
+    "shared_span_coverage": (q_shared_span_coverage, o_shared_span_coverage),
+    "zipf_fit_unigrams": (q_zipf_fit, o_zipf_fit),
+    "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
+    "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
+    "weighted_sample_chars_k50": (
+        q_weighted_sample_chars,
+        o_weighted_sample_chars,
     ),
-    "simhash62_pairs": (q_simhash62_pairs, o_simhash62_pairs),
-    "multimodal_bytes_meta": (
-        q_multimodal_bytes_meta,
-        o_multimodal_bytes_meta,
+    "weighted_sample_by_source_k10": (
+        q_weighted_sample_by_source,
+        o_weighted_sample_by_source,
     ),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, o_ngram_jaccard_pairs),
-    "unique_ngrams_approx": (q_unique_ngrams_approx, o_unique_ngrams_approx),
-    "corpus_stats": (q_corpus_stats, o_corpus_stats),
-    "length_percentiles": (q_length_percentiles, o_length_percentiles),
-    "quality_scores": (q_quality_scores, o_quality_scores),
-    "repetition_scores": (q_repetition_scores, o_repetition_scores),
-    "repeated_spans_k8": (q_repeated_spans, o_repeated_spans),
-    "dedup_lines_within_doc": (q_dedup_lines, o_dedup_lines),
-    "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
-    "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
-    "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
-    "find_examples": (q_find_examples, o_find_examples),
-    "semantic_dedup_drops": (q_semantic_dedup_drops, o_semantic_dedup_drops),
-    "embedding_cosine_pairs_lsh_auto": (
-        q_embedding_cosine_pairs_lsh_auto,
-        o_embedding_cosine_pairs_lsh_auto,
+    "kmeans_cluster_stats_k8_i2": (q_kmeans_stats, o_kmeans_stats),
+    "events_json_stats": (q_events_json_stats, o_events_json_stats),
+    "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
+    "simhash16": (q_simhash, o_simhash),
+    "simhash62": (q_simhash62, o_simhash62),
+    "embedding_cosine_pairs_lsh": (
+        q_embedding_cosine_pairs_lsh,
+        o_embedding_cosine_pairs_lsh,
     ),
-    "source_log_odds": (q_source_log_odds, o_source_log_odds),
-    "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
-    "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
-    "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
-    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
-    "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
-    "mixture_sample": (q_mixture_sample, o_mixture_sample),
-    "pack_documents_512": (q_pack_documents, o_pack_documents),
-    "neardup_cluster_dedup": (
-        q_neardup_cluster_dedup,
-        o_neardup_cluster_dedup,
+    "langid_counts": (q_langid_counts, o_langid_counts),
+    "doc_fingerprints": (q_fingerprints, o_fingerprints),
+    "token_counts": (q_token_counts, o_token_counts),
+    "pii_extraction": (q_pii_extraction, o_pii_extraction),
+    "taxonomy_counts": (q_taxonomy_counts, o_taxonomy_counts),
+    "demographic_cooccurrence": (
+        q_demographic_cooccurrence,
+        o_demographic_cooccurrence,
     ),
-    "lang_counts": (q_lang_counts, o_lang_counts),
-    "token_length_dist": (q_token_length_dist, o_token_length_dist),
-    "pricing_summary": (q_pricing_summary, o_pricing_summary),
-    # --- round-12 additions (positions 48-50 of the driver window;
-    # never driver-checked, so the rotation invariant REQUIRES them
-    # in-window — the 47 r9-stale queries above fill the rest) ---
-    "template_decontaminate_src0": (
-        q_template_decontaminate,
-        o_template_decontaminate,
+    "sample_by_hash": (q_sample_by_hash, o_sample_by_hash),
+    "id_lookup": (q_id_lookup, o_id_lookup),
+    "length_dist_normalized": (
+        q_length_dist_normalized,
+        o_length_dist_normalized,
     ),
-    "streaming_session_stats": (
-        q_streaming_session_stats,
-        o_streaming_session_stats,
+    "url_analysis": (q_url_analysis, o_url_analysis),
+    "search_locations": (q_search_locations, o_search_locations),
+    "orders_rollup": (q_orders_rollup, o_orders_rollup),
+    "script_profile": (q_script_profile, o_script_profile),
+    "tfidf_top3_terms": (q_tfidf_top3_terms, o_tfidf_top3_terms),
+    "lm_ppl_scores": (q_lm_ppl_scores, o_lm_ppl_scores),
+    "perplexity_filter_31": (q_perplexity_filter_31, o_perplexity_filter_31),
+    "domain_blocklist_filter": (
+        q_domain_blocklist_filter,
+        o_domain_blocklist_filter,
     ),
-    "c4_filter_report": (q_c4_filter_report, o_c4_filter_report),
+    "search_snippets_w20": (q_search_snippets, o_search_snippets),
+    "topk_ngrams_2pass_n2_k20": (q_topk_ngrams_2pass, o_topk_ngrams_2pass),
+    "dsir_log_weights_src0": (q_dsir_log_weights, o_dsir_log_weights),
+    "unimax_mixture_weights": (q_unimax_allocation, o_unimax_allocation),
+    "quality_funnel_report": (q_quality_funnel, o_quality_funnel),
+    "cluster_balanced_sample_q3": (
+        q_cluster_balanced_sample,
+        o_cluster_balanced_sample,
+    ),
+    "top_orders_by_revenue": (
+        q_top_orders_by_revenue,
+        o_top_orders_by_revenue,
+    ),
+    "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
+    "events_tumbling_1h": (q_events_tumbling, o_events_tumbling),
     "phrase_count_filtered": (
         q_phrase_count_filtered,
         o_phrase_count_filtered,
@@ -7001,10 +7275,7 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         q_decontaminate_ac_src0,
         o_decontaminate_ac_src0,
     ),
-    "top_npmi_bigrams_k20": (
-        q_top_npmi_bigrams,
-        o_top_npmi_bigrams,
-    ),
+    "top_npmi_bigrams_k20": (q_top_npmi_bigrams, o_top_npmi_bigrams),
     "streaming_decontaminate_src0": (
         q_streaming_decontaminate_src0,
         o_decontaminate_ngrams,
@@ -7019,319 +7290,113 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         o_ann_cosine_filtered_topk,
     ),
     "resize_dims_check": (q_resize_dims_check, o_resize_dims_check),
-    "bpe_train_roundtrip": (q_bpe_train_roundtrip, o_bpe_train_roundtrip),
-    "ivf_pq_rerank_top3": (q_ivf_pq_rerank, o_ivf_pq_rerank),
-    "more_like_this_indexed_top10": (q_more_like_this_indexed, o_more_like_this),
-    "ngram_spectrum_n2": (q_ngram_spectrum, o_ngram_spectrum),
-    "top_pmi_bigrams_k20": (q_top_pmi_bigrams, o_top_pmi_bigrams),
-    "hybrid_rrf_filtered_top10": (q_hybrid_rrf_filtered, o_hybrid_rrf_filtered),
-    "events_asof_next_click": (q_events_asof_next_click, o_events_asof_next_click),
-    "events_asof_nearest_click": (
-        q_events_asof_nearest_click,
-        o_events_asof_nearest_click,
-    ),
-    "url_normalized": (q_url_normalized, o_url_normalized),
-    "url_dedup_keepfirst": (q_url_dedup_keepfirst, o_url_dedup_keepfirst),
-    "phrase_ac_counts": (q_phrase_ac_counts, o_phrase_batch_counts),
-    "topk_ngrams_by_source_n2_k5": (
-        q_topk_ngrams_by_source,
-        o_topk_ngrams_by_source,
-    ),
-    "shared_span_coverage": (q_shared_span_coverage, o_shared_span_coverage),
-    "zipf_fit_unigrams": (q_zipf_fit, o_zipf_fit),
-    "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
-    "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
-    "weighted_sample_chars_k50": (
-        q_weighted_sample_chars,
-        o_weighted_sample_chars,
-    ),
-    "weighted_sample_by_source_k10": (
-        q_weighted_sample_by_source,
-        o_weighted_sample_by_source,
-    ),
-    "kmeans_cluster_stats_k8_i2": (q_kmeans_stats, o_kmeans_stats),
-    "events_json_stats": (q_events_json_stats, o_events_json_stats),
-    "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
-    "simhash16": (q_simhash, o_simhash),
-    "simhash62": (q_simhash62, o_simhash62),
-    "embedding_cosine_pairs_lsh": (
-        q_embedding_cosine_pairs_lsh,
-        o_embedding_cosine_pairs_lsh,
-    ),
-    "langid_counts": (q_langid_counts, o_langid_counts),
-    "doc_fingerprints": (q_fingerprints, o_fingerprints),
-    "token_counts": (q_token_counts, o_token_counts),
-    "pii_extraction": (q_pii_extraction, o_pii_extraction),
-    "taxonomy_counts": (q_taxonomy_counts, o_taxonomy_counts),
-    "demographic_cooccurrence": (
-        q_demographic_cooccurrence,
-        o_demographic_cooccurrence,
-    ),
-    "sample_by_hash": (q_sample_by_hash, o_sample_by_hash),
-    "id_lookup": (q_id_lookup, o_id_lookup),
-    "length_dist_normalized": (
-        q_length_dist_normalized,
-        o_length_dist_normalized,
-    ),
-    "url_analysis": (q_url_analysis, o_url_analysis),
-    "search_locations": (q_search_locations, o_search_locations),
-    "orders_rollup": (q_orders_rollup, o_orders_rollup),
-    "script_profile": (q_script_profile, o_script_profile),
-    "tfidf_top3_terms": (q_tfidf_top3_terms, o_tfidf_top3_terms),
-    "lm_ppl_scores": (q_lm_ppl_scores, o_lm_ppl_scores),
-    "perplexity_filter_31": (q_perplexity_filter_31, o_perplexity_filter_31),
-    "domain_blocklist_filter": (
-        q_domain_blocklist_filter,
-        o_domain_blocklist_filter,
-    ),
-    "search_snippets_w20": (q_search_snippets, o_search_snippets),
-    "topk_ngrams_2pass_n2_k20": (
-        q_topk_ngrams_2pass,
-        o_topk_ngrams_2pass,
-    ),
-    "dsir_log_weights_src0": (
-        q_dsir_log_weights,
-        o_dsir_log_weights,
-    ),
-    "unimax_mixture_weights": (
-        q_unimax_allocation,
-        o_unimax_allocation,
-    ),
-    "quality_funnel_report": (
-        q_quality_funnel,
-        o_quality_funnel,
-    ),
-    "cluster_balanced_sample_q3": (
-        q_cluster_balanced_sample,
-        o_cluster_balanced_sample,
-    ),
-    "top_orders_by_revenue": (
-        q_top_orders_by_revenue,
-        o_top_orders_by_revenue,
-    ),
-    "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
-    "events_tumbling_1h": (q_events_tumbling, o_events_tumbling),
     "session_stats_30m_gap": (q_session_stats, o_session_stats),
     "embedding_cosine_pairs": (
         q_embedding_cosine_pairs,
         o_embedding_cosine_pairs,
     ),
+    "bm25_rank_top10": (q_bm25_rank, o_bm25_rank),
+    "bm25_index_top10": (q_bm25_index, o_bm25_rank),
+    "bm25_batch_top5": (q_bm25_batch, o_bm25_batch),
+    "bm25_batch_indexed_top5": (q_bm25_batch_indexed, o_bm25_batch),
+    "nb_quality_scores_src0": (q_nb_quality_scores, o_nb_quality_scores),
+    "hybrid_rrf_top10": (q_hybrid_rrf, o_hybrid_rrf),
+    "more_like_this_top10": (q_more_like_this, o_more_like_this),
+    "temperature_mixture_weights": (
+        q_temperature_mixture,
+        o_temperature_mixture,
+    ),
+    "kmeans_assign_k8_i2": (q_kmeans_assign, o_kmeans_assign),
+    "events_asof_attribution": (
+        q_events_asof_attribution,
+        o_events_asof_attribution,
+    ),
+    "events_click_window_hist": (
+        q_events_click_window_hist,
+        o_events_click_window_hist,
+    ),
+    "winnow_fingerprints_head": (
+        q_winnow_fingerprints_head,
+        o_winnow_fingerprints_head,
+    ),
+    "winnow_overlap_src0_src1": (q_winnow_overlap, o_winnow_overlap),
+    "bloom_decontaminate_src0": (q_bloom_decontaminate, o_bloom_decontaminate),
+    "contamination_slop1_indexed": (
+        q_contamination_slop1_indexed,
+        o_contamination_slop1_indexed,
+    ),
+    "pq_ann_topk": (q_pq_ann_topk, o_pq_ann_topk),
+    "ivf_pq_topk": (q_ivf_pq_topk, o_ivf_pq_topk),
+    "contamination_tokens_slop1": (
+        q_contamination_tokens_slop1,
+        o_contamination_tokens_slop1,
+    ),
+    "quality_funnel_by_source": (q_quality_funnel_by, o_quality_funnel_by),
+    "simhash62_pairs": (q_simhash62_pairs, o_simhash62_pairs),
+    "multimodal_bytes_meta": (
+        q_multimodal_bytes_meta,
+        o_multimodal_bytes_meta,
+    ),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, o_ngram_jaccard_pairs),
+    "unique_ngrams_approx": (q_unique_ngrams_approx, o_unique_ngrams_approx),
+    "corpus_stats": (q_corpus_stats, o_corpus_stats),
+    "length_percentiles": (q_length_percentiles, o_length_percentiles),
+    "quality_scores": (q_quality_scores, o_quality_scores),
+    "repetition_scores": (q_repetition_scores, o_repetition_scores),
+    "repeated_spans_k8": (q_repeated_spans, o_repeated_spans),
+    "dedup_lines_within_doc": (q_dedup_lines, o_dedup_lines),
+    "dedup_exact_keepfirst": (q_dedup_keep_first, o_dedup_keep_first),
+    "duplicate_stats_by_source": (q_duplicate_stats, o_duplicate_stats),
+    "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
+    "find_examples": (q_find_examples, o_find_examples),
+    "semantic_dedup_drops": (q_semantic_dedup_drops, o_semantic_dedup_drops),
+    "embedding_cosine_pairs_lsh_auto": (
+        q_embedding_cosine_pairs_lsh_auto,
+        o_embedding_cosine_pairs_lsh_auto,
+    ),
+    "source_log_odds": (q_source_log_odds, o_source_log_odds),
+    "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
+    "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
+    "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
+    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
+    "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
+    "mixture_sample": (q_mixture_sample, o_mixture_sample),
+    "pack_documents_512": (q_pack_documents, o_pack_documents),
+    "neardup_cluster_dedup": (
+        q_neardup_cluster_dedup,
+        o_neardup_cluster_dedup,
+    ),
+    "lang_counts": (q_lang_counts, o_lang_counts),
+    "token_length_dist": (q_token_length_dist, o_token_length_dist),
+    "pricing_summary": (q_pricing_summary, o_pricing_summary),
+    "template_decontaminate_src0": (
+        q_template_decontaminate,
+        o_template_decontaminate,
+    ),
+    "streaming_session_stats": (
+        q_streaming_session_stats,
+        o_streaming_session_stats,
+    ),
+    "c4_filter_report": (q_c4_filter_report, o_c4_filter_report),
 }
 
 
-def q_c4_span_dedup(spark, sf_dir):
-    """C4 three-sentence span dedup (textqc.c4_span_dedup): rebuilt
-    text per doc after removing every non-first occurrence of any
-    3-sentence span. R13 REGISTRY CANDIDATE (tests/test_r13_candidates
-    keeps the pair green) — this round's rotation window is full, so
-    it waits outside _REGISTRY."""
-    from wimbd_spark.operators.textqc import c4_span_dedup
-
-    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
-    return c4_span_dedup(docs).select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
-    )
-
-
-def o_c4_span_dedup():
-    # sentence split via the sentinel trick (RE2 has no lookbehind);
-    # DuckDB list lambdas index 1-based where Spark's index 0-based
-    return r"""
-      WITH sents AS (
-        SELECT doc_id, text,
-               string_split(regexp_replace(text, '([.!?])\s+',
-                            '\1' || chr(1), 'g'), chr(1)) AS s
-        FROM documents WHERE text IS NOT NULL
-      ),
-      spans AS (
-        SELECT doc_id, i - 1 AS st,
-               array_to_string(list_slice(s, i, i + 2), chr(0)) AS h
-        FROM sents, unnest(generate_series(1, len(s) - 2)) AS u(i)
-        WHERE len(s) >= 3
-      ),
-      marked AS (
-        SELECT doc_id, st,
-               row_number() OVER (PARTITION BY h ORDER BY doc_id, st)
-                 AS rn
-        FROM spans
-      ),
-      kills AS (
-        SELECT DISTINCT m.doc_id, u.k
-        FROM marked m, unnest(generate_series(m.st, m.st + 2)) AS u(k)
-        WHERE m.rn > 1
-      ),
-      agg AS (
-        SELECT doc_id, list(k) AS kill FROM kills GROUP BY doc_id
-      )
-      SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
-             CASE WHEN a.kill IS NULL THEN s.text
-                  -- array_to_string(empty) is NULL in DuckDB where
-                  -- Spark's concat_ws(empty) is '' — coalesce aligns
-                  ELSE coalesce(array_to_string(
-                    list_filter(s.s,
-                                (x, i) -> NOT list_contains(a.kill, i - 1)),
-                    ' '), '')
-             END AS text
-      FROM sents s LEFT JOIN agg a USING (doc_id)
-    """
-
-
-def q_datasheet_overview(spark, sf_dir):
-    """Datasheet overview section (operators/report.corpus_datasheet).
-    R13 REGISTRY CANDIDATE — see q_c4_span_dedup."""
-    from wimbd_spark.operators.report import corpus_datasheet
-
-    docs = _docs(spark, sf_dir)
-    return corpus_datasheet(docs, sections=("overview",))["overview"]
-
-
-def o_datasheet_overview():
-    return r"""
-      WITH t AS (
-        SELECT text,
-               CASE WHEN text IS NULL THEN 0 ELSE
-                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                                 x -> x <> '')) END AS ntok,
-               CASE WHEN text IS NULL THEN 0
-                    ELSE octet_length(encode(text)) END AS nb,
-               md5(coalesce(text, '')) AS h
-        FROM documents
-      )
-      SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_null_text,
-             CAST(sum(ntok) AS BIGINT) AS total_tokens,
-             CAST(sum(nb) AS BIGINT) AS total_bytes,
-             CAST(max(ntok) AS BIGINT) AS max_tokens,
-             CAST(min(ntok) AS BIGINT) AS min_tokens,
-             CAST(count(*) - count(DISTINCT h) AS BIGINT)
-               AS n_exact_dup_docs
-      FROM t
-    """
-
-
-def q_ivf_kfill_filtered(spark, sf_dir):
-    """Filtered ANN with k-fill escalation on the persisted IVF index:
-    a 3-id allowlist starves n_probe=1, so every query escalates until
-    all lists are probed — at which point the answer is EXACT (the
-    allowlist ranked by true cosine), which is what makes the
-    escalation oracle-checkable; the partial-fill path is pytest-
-    pinned (test_ivf_k_fill_escalation). R13 REGISTRY CANDIDATE —
-    see q_c4_span_dedup."""
-    from wimbd_spark.operators.similarity import cosine_topk_ivf_indexed
-
-    emb = _tbl(spark, sf_dir, "embeddings")
-    path = _ivf_index(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 3)
-    allow = emb.filter(F.col("vec_id").isin(100, 200, 300)).select(
-        "vec_id"
-    )
-    out = cosine_topk_ivf_indexed(
-        spark, path, queries, k=3, n_probe=1,
-        candidates=allow, k_fill=True,
-    )
-    return out.select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("neighbor_id").cast("long").alias("neighbor_id"),
-        "rank",
-    )
-
-
-def o_ivf_kfill_filtered():
-    # full escalation ⇒ exact: the 3 allowed ids ranked per query by
-    # (cosine DESC, neighbor_id) — no IVF structure left to mirror
-    return """
-      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                 FROM embeddings WHERE vec_id < 3),
-           c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
-                 FROM embeddings WHERE vec_id IN (100, 200, 300)),
-           ranked AS (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY list_cosine_similarity(qv, cv) DESC,
-                               neighbor_id ASC) AS rank
-             FROM q, c WHERE query_id <> neighbor_id
-           )
-      SELECT CAST(query_id AS BIGINT) AS query_id,
-             CAST(neighbor_id AS BIGINT) AS neighbor_id,
-             CAST(rank AS BIGINT) AS rank
-      FROM ranked WHERE rank <= 3
-    """
-
-
-def q_streaming_tumbling_counts(spark, sf_dir):
-    """Streaming tumbling-window twin driven end-to-end through the
-    shared replay harness (_replay_events_stream). Tumbling assignment
-    is per-event deterministic, so the final table equals the batch
-    tumbling aggregation. R13 REGISTRY CANDIDATE — see
-    q_c4_span_dedup."""
-    from wimbd_spark.streaming.windows import tumbling_counts_stream
-
-    return _replay_events_stream(
-        spark,
-        sf_dir,
-        lambda s: tumbling_counts_stream(
-            s, duration="1 hour", watermark="3650 days"
-        ),
-        [("window_start_s", True), ("event_type", False),
-         ("n_events", True)],
-        "tumb",
-    )
-
-
-def o_streaming_tumbling_counts():
-    return """
-      SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600
-               AS window_start_s,
-             event_type,
-             CAST(COUNT(*) AS BIGINT) AS n_events
-      FROM events GROUP BY 1, 2
-    """
-
-
-def q_streaming_sliding_counts(spark, sf_dir):
-    """Streaming sliding-window twin (1 h window / 30 min slide) via
-    the shared replay harness — with session and tumbling this makes
-    all three window types driver-checkable. R13 REGISTRY CANDIDATE —
-    see q_c4_span_dedup."""
-    from wimbd_spark.streaming.windows import sliding_counts_stream
-
-    return _replay_events_stream(
-        spark,
-        sf_dir,
-        lambda s: sliding_counts_stream(
-            s,
-            duration="1 hour",
-            slide="30 minutes",
-            watermark="3650 days",
-        ),
-        [("window_start_s", True), ("n_events", True)],
-        "slide",
-    )
-
-
-def o_streaming_sliding_counts():
-    return o_events_sliding()
-
-
-#: R13 registry candidates: (query, oracle) pairs READY for the next
-#: rotation (this round's first-50 window is saturated by the 47
-#: r9-stale queries + 3 new, and the rotation invariant requires every
-#: never-checked registry query to sit inside the window). Register by
-#: moving into _REGISTRY positions 1-50 next round.
-_R13_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
-    "c4_span_dedup_text": (q_c4_span_dedup, o_c4_span_dedup),
-    "datasheet_overview": (q_datasheet_overview, o_datasheet_overview),
-    "ivf_kfill_filtered_top3": (q_ivf_kfill_filtered, o_ivf_kfill_filtered),
-    "streaming_tumbling_counts": (
-        q_streaming_tumbling_counts,
-        o_streaming_tumbling_counts,
-    ),
-    "streaming_sliding_counts": (
-        q_streaming_sliding_counts,
-        o_streaming_sliding_counts,
-    ),
+#: R14 registry candidates: (query, oracle) pairs READY for the next
+#: rotation — this round's first-50 window is saturated (5 promoted
+#: r13 candidates + knn_join_bulk_top2 + 44 r10-stale queries), and
+#: the rotation invariant requires every never-checked registry query
+#: to sit inside the window, so new rows stage here with their
+#: oracles pinned by tests/test_r14_candidates.py until r14 rotates
+#: them in.
+_R14_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
 }
+
+
+def staged_candidates() -> dict[str, tuple[Callable, Callable]]:
+    """The CURRENT round's staged (query, oracle) pairs — the round-
+    agnostic accessor tests and tools use, so each rotation only
+    renames the literal above."""
+    return _R14_CANDIDATES
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,6 +1,8 @@
-"""Keep the staged r13 registry candidates oracle-green before they
-rotate into _REGISTRY (the r12 window is saturated — see the
-_R13_CANDIDATES comment in __spark_entry__.py)."""
+"""Keep the staged r14 registry candidates oracle-green before they
+rotate into _REGISTRY (the r13 window is saturated — see the
+_R14_CANDIDATES comment in __spark_entry__.py). Collected via the
+round-agnostic entry.staged_candidates() accessor; an EMPTY staged
+dict is fine (parametrize yields no cases)."""
 
 import os
 import sys
@@ -19,7 +21,7 @@ def _check(spark, name, sf_dir):
     import __spark_entry__ as entry
     from check_oracles import TABLES, rowset
 
-    fn, osql = entry._R13_CANDIDATES[name]
+    fn, osql = entry.staged_candidates()[name]
     con = duckdb.connect()
     try:
         for t in TABLES:
@@ -41,11 +43,11 @@ def _check(spark, name, sf_dir):
 def _candidate_names():
     import __spark_entry__ as entry
 
-    return sorted(entry._R13_CANDIDATES)
+    return sorted(entry.staged_candidates())
 
 
 @pytest.mark.parametrize("name", _candidate_names())
-def test_r13_candidates_match_duckdb(spark, name):
+def test_staged_candidates_match_duckdb(spark, name):
     _check(spark, name, SF)
 
 
@@ -69,7 +71,8 @@ def test_c4_span_dedup_oracle_on_duplicate_heavy_docs(spark, tmp_path):
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
     docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
 
-    fn, osql = entry._R13_CANDIDATES["c4_span_dedup_text"]
+    # promoted into _REGISTRY in r13 — pin the registry pair itself
+    fn, osql = entry._REGISTRY["c4_span_dedup_text"]
     con = duckdb.connect()
     try:
         con.sql(
@@ -96,5 +99,5 @@ def test_c4_span_dedup_oracle_on_duplicate_heavy_docs(spark, tmp_path):
 def test_candidates_disjoint_from_registry():
     import __spark_entry__ as entry
 
-    clash = set(entry._R13_CANDIDATES) & set(entry.queries())
+    clash = set(entry.staged_candidates()) & set(entry.queries())
     assert not clash, f"candidate names already registered: {clash}"

@@ -69,11 +69,11 @@ def main():
     qs = dict(entrymod.queries())
     oracles = dict(entrymod.oracle_sql())
     # staged next-round candidates ride the same gate (also pinned by
-    # tests/test_r13_candidates.py); names never collide with the
+    # tests/test_r14_candidates.py); names never collide with the
     # registry (test-enforced)
     for name, (fn, osql) in getattr(
-        entrymod, "_R13_CANDIDATES", {}
-    ).items():
+        entrymod, "staged_candidates", dict
+    )().items():
         qs[name] = fn
         oracles[name] = osql()
     failures = []
