@@ -712,3 +712,34 @@ def test_simhash_pairs_auto_nseg_parity(spark):
         ).collect()
     }
     assert auto == classic
+
+
+def test_simhash_pairs_default_is_auto(spark):
+    """The DEFAULT path is the size-fitted blocking (r12 VERDICT: a
+    production caller must get the scale-safe split without opting
+    in): below the crossover auto resolves to the classic
+    max_hamming+1 segments, so default == nseg=None == explicit
+    classic on a small corpus — and nseg=None stays the count-free
+    explicit opt-out."""
+    from wimbd_spark.operators.neardup import auto_nseg, simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    # small corpus: the fitted split IS the classic one
+    assert auto_nseg(30, 16, 2) == 3
+    default = simhash_pairs(docs, max_hamming=2, nbits=16).collect()
+    classic = simhash_pairs(
+        docs, max_hamming=2, nbits=16, nseg=None
+    ).collect()
+    explicit = simhash_pairs(
+        docs, max_hamming=2, nbits=16, nseg=3
+    ).collect()
+    assert (
+        sorted(map(tuple, default))
+        == sorted(map(tuple, classic))
+        == sorted(map(tuple, explicit))
+    )
+    # the billion-doc caller gets widened keys by default
+    assert auto_nseg(10**9, 62, 6) > 7

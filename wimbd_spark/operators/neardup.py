@@ -1113,7 +1113,7 @@ def simhash_pairs(
     max_hamming: int = 2,
     sig_col: str | None = None,
     nbits: int = 16,
-    nseg: int | str | None = None,
+    nseg: int | str | None = "auto",
 ) -> DataFrame:
     """ALL pairs at SimHash Hamming distance ≤ max_hamming — complete,
     not a lossy candidate generator.
@@ -1129,18 +1129,21 @@ def simhash_pairs(
     (combination, composite value) blocks — never globally —
     and `distinct` folds pairs found via several combinations.
 
-    ``nseg`` defaults to max_hamming + 1 (the classic single-segment
-    pigeonhole: C(h+1, h) = h+1 blockings keyed on one segment each).
-    THE DEFAULT IS NOT PRODUCTION-SAFE AT WIDE RADII: within-block
+    ``nseg`` DEFAULTS TO "auto" (r12 VERDICT): auto_nseg fits the
+    segment count to the corpus size with one count() job, so a
+    caller on 10⁹ docs gets the scale-safe wide-key blocking without
+    opting in; below the crossover auto resolves to the classic
+    max_hamming + 1 split (C(h+1, h) = h+1 blockings keyed on one
+    segment each), which ``nseg=None`` also selects explicitly —
+    count-free, but NOT production-safe at wide radii: within-block
     join cost is ~N²·C/2^w for composite width w and C combinations,
     so at nbits=62, max_hamming=6 the classic split leaves w ≈ 9-bit
     keys — N²·7/512 is quadratic on a 10⁹-doc corpus. Raising nseg
     trades explode volume for key width: nseg=8 gives C(8,6→2)=28
     composite ~15.5-bit keys (N²·28/46341, ~23× less join work, and
-    every extra segment buys another ~7.75 bits). Pick nseg so that
-    N²·C(nseg,h)/2^((nseg-h)·nbits/nseg) stays sub-quadratic at your
-    N — or pass ``nseg="auto"`` to have auto_nseg fit it to the
-    corpus size (one count() job); C(nseg, max_hamming) is capped at
+    every extra segment buys another ~7.75 bits). Every nseg returns
+    the identical pair set (parity-pinned), so the choice is pure
+    cost; C(nseg, max_hamming) is capped at
     MAX_PIGEONHOLE_COMBINATIONS.
 
     ``nbits`` selects the signature width: 16 (simhash16, oracle-
