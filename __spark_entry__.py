@@ -6357,14 +6357,23 @@ def o_nb_quality_scores():
     """
 
 
-def _replay_events_stream(spark, sf_dir, build, cols, prefix):
+def _replay_events_stream(
+    spark, sf_dir, build, cols, prefix,
+    output_mode="complete", finalize=None,
+):
     """The shared streaming replay harness: events as 4 parquet
     micro-batches through ``build(stream)`` (a streaming window op),
-    complete-mode memory sink, result materialized before the temp dir
-    disappears. ``cols`` = the long-cast output projection. Used by
-    the session/tumbling/sliding window queries — every one of which
-    computes a per-event-deterministic (batching-independent) window
-    assignment, which is what makes its batch SQL a valid oracle."""
+    memory sink, result materialized before the temp dir disappears.
+    ``cols`` = the long-cast output projection. Used by the session/
+    tumbling/sliding window queries — every one of which computes a
+    per-event-deterministic (batching-independent) window assignment,
+    which is what makes its batch SQL a valid oracle.
+
+    ``output_mode="update"`` supports stateful operators that cannot
+    run complete-mode (applyInPandasWithState): the memory sink then
+    APPENDS each batch's updated rows, and ``finalize`` reduces that
+    update log to the final state (e.g. max of a monotone running
+    total per key) — batching-independent whenever the reduction is."""
     import shutil
     import tempfile
     import uuid
@@ -6386,7 +6395,7 @@ def _replay_events_stream(spark, sf_dir, build, cols, prefix):
             build(stream)
             .writeStream.format("memory")
             .queryName(sink)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", f"{root}/ckpt")
             .start()
         )
@@ -6394,7 +6403,10 @@ def _replay_events_stream(spark, sf_dir, build, cols, prefix):
             q.processAllAvailable()
         finally:
             q.stop()
-        out = spark.table(sink).select(
+        tbl = spark.table(sink)
+        if finalize is not None:
+            tbl = finalize(tbl)
+        out = tbl.select(
             *[F.col(c).cast("long").alias(c) if cast else F.col(c)
               for c, cast in cols]
         )
@@ -7381,6 +7393,40 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
 }
 
 
+def q_streaming_stateful_counts(spark, sf_dir):
+    """The custom-stateful streaming surface driven end-to-end
+    (streaming.windows.stateful_user_counts — applyInPandasWithState
+    per-user running totals) through the shared replay harness in
+    UPDATE mode: the memory sink appends each micro-batch's updated
+    (user_id, total_events) rows, and the final state is the max of
+    the monotone running total per user — batching-independent, so
+    the batch per-user count is a valid oracle. R14 REGISTRY
+    CANDIDATE (tests/test_r14_candidates keeps the pair green) —
+    this round's rotation window is full, so it waits outside
+    _REGISTRY."""
+    from wimbd_spark.streaming.windows import stateful_user_counts
+
+    return _replay_events_stream(
+        spark,
+        sf_dir,
+        lambda s: stateful_user_counts(s),
+        [("user_id", True), ("total_events", True)],
+        "stateful",
+        output_mode="update",
+        finalize=lambda t: t.groupBy("user_id").agg(
+            F.max("total_events").alias("total_events")
+        ),
+    )
+
+
+def o_streaming_stateful_counts():
+    return """
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(COUNT(*) AS BIGINT) AS total_events
+      FROM events GROUP BY user_id
+    """
+
+
 #: R14 registry candidates: (query, oracle) pairs READY for the next
 #: rotation — this round's first-50 window is saturated (5 promoted
 #: r13 candidates + knn_join_bulk_top2 + 44 r10-stale queries), and
@@ -7389,6 +7435,10 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
 #: oracles pinned by tests/test_r14_candidates.py until r14 rotates
 #: them in.
 _R14_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
+    "streaming_stateful_user_counts": (
+        q_streaming_stateful_counts,
+        o_streaming_stateful_counts,
+    ),
 }
 
 
