@@ -1073,3 +1073,75 @@ def test_cli_span_dedup(spark, capsys, tmp_path):
     got = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(out)).collect()}
     assert got[1] == " ".join(s)
     assert got[2] == "A closer."
+
+
+def test_cli_report_datasheet(capsys):
+    """The one-command datasheet (r12 VERDICT #6): every section row
+    arrives as a JSON line tagged with its section, and the overview
+    totals match the corpus."""
+    rows = _run(
+        capsys,
+        ["report", "/root/testdata/sf0.001/documents.parquet"],
+    )
+    by_section = {}
+    for r in rows:
+        by_section.setdefault(r["section"], []).append(r)
+    # pii is absent here: sf0.001 holds no PII occurrences, so its
+    # section emits zero rows (covered with hits in test_report.py)
+    assert {
+        "overview", "sources", "languages", "quality",
+        "quality_rules", "lengths",
+    } <= set(by_section)
+    ov = by_section["overview"][0]
+    assert ov["n_docs"] == 500
+    assert ov["total_tokens"] > 0
+    assert len(by_section["lengths"]) == 5  # one row per percentile
+
+
+def test_cli_report_sections_subset(capsys):
+    rows = _run(
+        capsys,
+        [
+            "report", "/root/testdata/sf0.001/documents.parquet",
+            "--sections", "overview,sources",
+        ],
+    )
+    assert {r["section"] for r in rows} == {"overview", "sources"}
+
+
+def test_cli_report_unknown_section():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown datasheet sections"):
+        main(
+            [
+                "report", "/root/testdata/sf0.001/documents.parquet",
+                "--sections", "nope",
+            ]
+        )
+
+
+def test_cli_ivf_maintain_absorb_without_delta_is_clean_error(tmp_path):
+    """--absorb-to on an index with no delta tier exits with a usage
+    error instead of a raw ValueError traceback (r12 ADVICE)."""
+    import pandas as pd
+    import pytest
+
+    pd.DataFrame(
+        {
+            "vec_id": list(range(8)),
+            "embedding": [[1.0, 0.01 * i, 0.0, 0.0] for i in range(8)],
+        }
+    ).to_parquet(tmp_path / "emb.parquet")
+    from wimbd_spark.operators.similarity import build_ivf_index
+    from wimbd_spark.session import get_spark
+
+    spark = get_spark(app_name="t", master="local[2]")
+    idx = str(tmp_path / "idx")
+    build_ivf_index(
+        spark.read.parquet(str(tmp_path / "emb.parquet")),
+        idx,
+        n_centroids=2,
+    )
+    with pytest.raises(SystemExit, match="nothing to absorb"):
+        main(["ivf-maintain", idx, "--absorb-to", str(tmp_path / "g2")])

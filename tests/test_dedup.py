@@ -437,16 +437,48 @@ def test_decontaminate_by_ngrams_slop(spark):
         ).collect()
     }
     assert flags == {0: True, 1: True, 2: False, 3: False, 4: False}
-    # guards: combo blow-up (trigrams at slop=40: C(42,2)=861 > 512)
-    # and overlong + slop both raise
+    # combo blow-up (trigrams at slop=40: C(42,2)=861 > 512) no
+    # longer raises — the over-budget length routes through the scan
+    # predicate (r12 VERDICT #5) with identical doc-level semantics:
+    # in-order subsequence within a 43-token window
     ev3 = spark.createDataFrame([("quick brown fox",)], ["phrase"])
-    with pytest.raises(ValueError, match="budget"):
-        decontaminate_by_ngrams(train, ev3, slop=40)
+    kept_scan = sorted(
+        r["doc_id"]
+        for r in decontaminate_by_ngrams(train, ev3, slop=40).collect()
+    )
+    assert kept_scan == [2, 3, 4]
+    # overlong + slop routes to the scan predicate too (contains is
+    # contiguous-only): a no-match suite keeps everything...
     long_ev = spark.createDataFrame(
         [(" ".join(f"w{i}" for i in range(40)),)], ["phrase"]
     )
-    with pytest.raises(ValueError, match="contiguous-only"):
-        decontaminate_by_ngrams(train, long_ev, slop=1)
+    kept_long = sorted(
+        r["doc_id"]
+        for r in decontaminate_by_ngrams(train, long_ev, slop=1).collect()
+    )
+    assert kept_long == [0, 1, 2, 3, 4]
+    # ...and a genuinely slop-matching overlong phrase drops its doc
+    long_train = train.unionByName(
+        spark.createDataFrame(
+            [
+                (
+                    5,
+                    " ".join(
+                        f"w{i}" + (" XX" if i == 20 else "")
+                        for i in range(40)
+                    ),
+                )
+            ],
+            ["doc_id", "text"],
+        )
+    )
+    kept_hit = sorted(
+        r["doc_id"]
+        for r in decontaminate_by_ngrams(
+            long_train, long_ev, slop=1
+        ).collect()
+    )
+    assert kept_hit == [0, 1, 2, 3, 4]
 
 
 def test_decontaminate_ac_routing_and_parity(spark):
@@ -559,3 +591,71 @@ def test_decontaminate_ac_flag_parity_duplicate_ids(spark):
     key = lambda r: (r.doc_id, r.text, r.contaminated)
     assert sorted(map(key, got_ac)) == sorted(map(key, got_gram))
     assert sum(r.contaminated for r in got_ac) == 2
+
+
+def test_slop_budget_split_rule():
+    from wimbd_spark.operators.dedup import _slop_budget_split
+
+    # slop=1: cost of length L is C(L, L-1) = L; cheapest-first
+    gram, scan = _slop_budget_split([2, 3, 9], 1, 6)
+    assert gram == [2, 3] and scan == [9]
+    # everything fits
+    gram, scan = _slop_budget_split([2, 3], 1, 512)
+    assert gram == [2, 3] and scan == []
+    # nothing fits
+    gram, scan = _slop_budget_split([13], 3, 100)  # C(15,12)=455
+    assert gram == [] and scan == [13]
+
+
+def test_decontaminate_slop_hatch_matches_gram_plan(spark, monkeypatch):
+    """The scan-predicate fallback is row-identical to the gram plan:
+    shrink the combination budget so one length routes to the scan
+    while the other keeps the explode, and compare against the pure
+    gram route under the default budget (budgeted path unchanged,
+    r12 VERDICT #5 done-criteria)."""
+    import wimbd_spark.index as idx
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha x beta gamma"),
+            (2, "one two three four five"),
+            (3, "one two x three four"),
+            (4, "beta alpha delta gamma"),
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [("alpha beta",), ("one two three four",)], ["phrase"]
+    )
+    want = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_by_ngrams(
+            train, ev, mode="flag", slop=1
+        ).collect()
+    }
+    # slop=1 costs: L=2 → 2, L=4 → 4; budget 3 → L=2 gram, L=4 scan
+    monkeypatch.setattr(idx, "MAX_SLOP_COMBINATIONS", 3)
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_by_ngrams(
+            train, ev, mode="flag", slop=1
+        ).collect()
+    }
+    assert got == want
+    assert want == {0: True, 1: True, 2: True, 3: True, 4: False, 5: False}
+    # drop mode agrees
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate_by_ngrams(train, ev, slop=1).collect()
+    )
+    assert kept == [4, 5]
+    # the expression budget still bounds the hatch
+    monkeypatch.setattr(idx, "MAX_SLOP_COMBINATIONS", 0)
+    import wimbd_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "SCAN_SLOP_MAX_PHRASES", 1)
+    with pytest.raises(ValueError, match="expression budget"):
+        decontaminate_by_ngrams(train, ev, slop=1)

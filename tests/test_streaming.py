@@ -1370,3 +1370,156 @@ def test_session_window_append_emits_finalized(spark, tmp_path):
         assert 2 not in rows  # user 2's session is still open
     finally:
         q.stop()
+
+
+def test_streaming_contamination_hits_slop_hatch(spark, tmp_path, monkeypatch):
+    """Over-budget slop no longer raises in the audit stream: the
+    over-budget length routes through the scan predicate at stream
+    setup and the hit set matches the all-gram route under the
+    default budget (r12 VERDICT #5). Scan-routed phrases emit one
+    row per (doc, phrase) — dropDuplicates both sides for the
+    comparison."""
+    import wimbd_spark.index as idx
+    from wimbd_spark.streaming import (
+        eval_gram_table,
+        read_doc_stream,
+        streaming_contamination_hits,
+    )
+
+    d = str(tmp_path / "docs_hatch")
+    _write_batch(
+        d,
+        [
+            _doc(1, "alpha beta gamma delta"),
+            _doc(2, "alpha x beta gamma"),
+            _doc(3, "one two x three four"),
+            _doc(4, "beta alpha delta"),
+        ],
+        "b0.json",
+    )
+    ev = spark.createDataFrame(
+        [("alpha beta",), ("one two three four",)], ["phrase"]
+    )
+    grams = eval_gram_table(ev)
+
+    def run(name):
+        out = streaming_contamination_hits(
+            read_doc_stream(spark, d), grams, slop=1
+        )
+        q = _run_to_memory(
+            out.select("doc_id", "phrase").dropDuplicates(), name, "append"
+        )
+        try:
+            q.processAllAvailable()
+            return sorted(
+                {(r["doc_id"], r["phrase"])
+                 for r in spark.sql(f"select * from {name}").collect()}
+            )
+        finally:
+            q.stop()
+
+    want = run("hatch_all_gram")
+    # slop=1 costs: L=2 → 2, L=4 → 4; budget 3 → L=4 via the scan hatch
+    monkeypatch.setattr(idx, "MAX_SLOP_COMBINATIONS", 3)
+    got = run("hatch_mixed")
+    assert got == want
+    assert want == [
+        (1, "alpha beta"),
+        (2, "alpha beta"),
+        (3, "one two three four"),
+    ]
+
+
+def test_streaming_ivf_ingest_reset_checkpoint_guard(spark, tmp_path):
+    """Epoch ids are checkpoint-scoped (r12 ADVICE): delta batches
+    land under delta/run=<ckpt-digest>/, a restart with the SAME
+    checkpoint resumes cleanly, and a RESET checkpoint (run dir holds
+    data, no offset log) refuses to start instead of silently
+    overwriting batch=0. A legacy flat delta layout also refuses."""
+    import glob
+    import shutil
+
+    import pytest
+
+    from wimbd_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_list_sizes,
+    )
+    from wimbd_spark.streaming.vectors import (
+        read_vector_stream,
+        streaming_ivf_ingest,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.1 * i, 0.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivfguard")
+    build_ivf_index(base, path, n_centroids=2)
+    feed = str(tmp_path / "guardfeed")
+    ckpt = str(tmp_path / "guardckpt")
+    spark.createDataFrame(
+        [(100, [0.5, 0.5, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.mode("append").parquet(feed)
+    q = streaming_ivf_ingest(
+        read_vector_stream(spark, feed, max_files_per_trigger=1),
+        path, checkpoint=ckpt,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # run-namespaced layout, readable through _read_lists
+    runs = glob.glob(f"{path}/delta/run=*/batch=*")
+    assert runs, "delta batches must land under delta/run=<id>/"
+    assert sum(
+        r["size"] for r in ivf_list_sizes(spark, path).collect()
+    ) == 9
+    # same checkpoint, more data: resumes (offset log present)
+    spark.createDataFrame(
+        [(101, [0.0, 1.0, 0.1, 0.0])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.mode("append").parquet(feed)
+    q = streaming_ivf_ingest(
+        read_vector_stream(spark, feed, max_files_per_trigger=1),
+        path, checkpoint=ckpt,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(
+        r["size"] for r in ivf_list_sizes(spark, path).collect()
+    ) == 10
+    # reset checkpoint + existing run dir: refuse, data intact
+    shutil.rmtree(ckpt)
+    with pytest.raises(ValueError, match="no offset log"):
+        streaming_ivf_ingest(
+            read_vector_stream(spark, feed), path, checkpoint=ckpt
+        )
+    assert sum(
+        r["size"] for r in ivf_list_sizes(spark, path).collect()
+    ) == 10
+    # a DIFFERENT checkpoint is a different run namespace: starts fine
+    q = streaming_ivf_ingest(
+        read_vector_stream(spark, feed, max_files_per_trigger=1),
+        path, checkpoint=str(tmp_path / "guardckpt2"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(glob.glob(f"{path}/delta/run=*")) == 2
+    # legacy flat layout refuses before any write
+    path2 = str(tmp_path / "ivfguard2")
+    build_ivf_index(base, path2, n_centroids=2)
+    spark.createDataFrame(
+        [(200, [0.5, 0.5, 0.0, 0.0], 0)],
+        "id long, uvec array<double>, centroid int",
+    ).write.parquet(f"{path2}/delta/batch=0")
+    with pytest.raises(ValueError, match="legacy flat delta"):
+        streaming_ivf_ingest(
+            read_vector_stream(spark, feed), path2,
+            checkpoint=str(tmp_path / "guardckpt3"),
+        )

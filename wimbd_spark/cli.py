@@ -297,6 +297,7 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "datasheet",
+        aliases=["report"],
         help="one-command corpus report: overview, sources, languages, "
         "quality gates, length percentiles, PII — small aggregate rows",
     )
@@ -305,6 +306,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated subset of "
                     "overview,sources,languages,quality,lengths,pii "
                     "(default: all) — sections are independent jobs")
+    sp.add_argument("--source-field", default="source",
+                    help="per-source section grouping column")
 
     sp = sub.add_parser(
         "neardup", help="near-duplicate pairs (minhash-LSH or exact jaccard)"
@@ -1333,7 +1336,7 @@ def main(argv: list[str] | None = None) -> int:
             out.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
             _emit([{"docs": n, "out": args.out}], args.output)
-        elif args.cmd == "datasheet":
+        elif args.cmd in ("datasheet", "report"):
             from wimbd_spark.operators.report import (
                 SECTIONS,
                 corpus_datasheet,
@@ -1344,7 +1347,10 @@ def main(argv: list[str] | None = None) -> int:
                 if args.sections
                 else SECTIONS
             )
-            sheets = corpus_datasheet(df, text_col=t, sections=secs)
+            sheets = corpus_datasheet(
+                df, text_col=t, source_col=args.source_field,
+                sections=secs,
+            )
             rows = []
             for sec, sdf in sheets.items():
                 for r in sdf.collect():

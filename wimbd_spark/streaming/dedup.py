@@ -357,21 +357,43 @@ def streaming_contamination_hits(
         raise ValueError("eval_grams is empty — nothing to match")
     cap = GRAM_JOIN_MAX_PHRASE_TOKENS
     short_lengths = [L for L in lengths if L <= cap]
-    if slop and short_lengths and (
-        slop_combination_count(short_lengths, slop)
-        > MAX_SLOP_COMBINATIONS
-    ):
-        raise ValueError(
-            f"slop={slop} over phrase lengths {short_lengths} exceeds "
-            f"the {MAX_SLOP_COMBINATIONS}-combination map-side budget"
+    scan_lengths: list[int] = []
+    if slop:
+        # the slop escape hatch (r12 VERDICT #5), mirroring the batch
+        # operator: lengths past the map-side combination budget (and
+        # overlong phrases, whose contains match is contiguous-only)
+        # route through the scan predicate instead of raising; the
+        # routed phrases are collected ONCE at stream setup like the
+        # lengths themselves (static side). Scan-routed phrases emit
+        # ONE audit row per (doc, phrase) — the same existence
+        # convention the overlong-contains path below already uses.
+        from wimbd_spark.operators.dedup import (
+            SCAN_SLOP_MAX_PHRASES,
+            _scan_slop_matches,
+            _slop_budget_split,
         )
-    if slop and lengths[-1] > cap:
-        raise ValueError(
-            f"phrases longer than {cap} tokens match via normalized-"
-            "text contains (contiguous-only) — incompatible with "
-            "slop>0"
+
+        short_lengths, scan_lengths = _slop_budget_split(
+            short_lengths, slop, MAX_SLOP_COMBINATIONS
         )
+        scan_lengths = scan_lengths + [L for L in lengths if L > cap]
     parts = []
+    if scan_lengths:
+        sphr = [
+            " ".join(r["_toks"])
+            for r in eval_grams.filter(F.col("_L").isin(scan_lengths))
+            .select("_toks")
+            .collect()
+        ]
+        if len(sphr) > SCAN_SLOP_MAX_PHRASES:
+            raise ValueError(
+                f"slop={slop} routes {len(sphr)} phrases (lengths "
+                f"{scan_lengths}) to the scan predicate — over the "
+                f"{SCAN_SLOP_MAX_PHRASES}-phrase expression budget"
+            )
+        parts.append(
+            _scan_slop_matches(docs, sphr, text_col, tokenizer, slop)
+        )
     if short_lengths:
         grams = _text_grams(
             docs, short_lengths, text_col, tokenizer, slop=slop
@@ -385,7 +407,7 @@ def streaming_contamination_hits(
             .withColumn("phrase", F.array_join(F.col("_toks"), " "))
             .drop("_L", "_toks")
         )
-    if lengths[-1] > cap:
+    if lengths[-1] > cap and not slop:
         # overlong phrases skip the gram explode (map-side output
         # scales with max L): token-aligned containment == substring
         # containment on space-normalized text, one broadcast
