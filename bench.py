@@ -152,6 +152,10 @@ HEADLINE = [
     # heaviest queries LAST (r4 finding: the 240s pre-fix contamination
     # sweep inflated later queries ~2-5x via GC/cache pressure; keeping
     # heavy work at the tail isolates the shared prefix round-to-round)
+    # r13 addition: corpus-as-queries bulk kNN (2000 queries x 2
+    # probes against the IVF index; isolated warm best-of-3 2.6 s —
+    # over the 2 s bar, so it rides the heavy tail; SCALE.md row)
+    "knn_join_bulk_top2",
     "contamination_rate_indexed",
 ]
 

@@ -138,3 +138,26 @@ def test_new_headline_queries_have_scale_rows():
         "headline additions need an isolated warm best-of-3 SCALE.md "
         f"row before joining the benched set: {missing}"
     )
+
+
+def test_bench_detail_carries_loadavg_fields():
+    """Round-over-round comparisons normalize for box load (the r12
+    driver run recorded loadavg 10.3 and a uniform ~1.5x slowdown —
+    load noise, not regression). The committed detail sidecar must
+    carry BOTH loadavg fields so the same-box A/B reading stays
+    possible, and the bench code must keep writing them (r12 VERDICT
+    #8)."""
+    import inspect
+    import json
+    from pathlib import Path
+
+    import bench
+
+    detail = json.loads(
+        (
+            Path(__file__).resolve().parent.parent / "BENCH_DETAIL.json"
+        ).read_text()
+    )
+    assert "loadavg_start" in detail and "loadavg_end" in detail
+    src = inspect.getsource(bench.main)
+    assert '"loadavg_start"' in src and '"loadavg_end"' in src

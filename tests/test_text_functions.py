@@ -309,3 +309,29 @@ def test_url_normalize_idempotent_property(spark):
     ).collect()
     bad = [(r.u, r.n1, r.n2) for r in rows if r.n1 != r.n2]
     assert not bad, bad
+
+
+def test_psl_snapshot_sanity():
+    """The vendored public-suffix list carries its snapshot header and
+    still holds a set of long-stable multi-level rules — a truncated
+    or mangled refresh fails here loudly instead of silently turning
+    url_suffix into a TLD-only bucketer (r12 VERDICT #7)."""
+    import os
+
+    import wimbd_spark.functions.text as t
+
+    path = os.path.join(
+        os.path.dirname(t.__file__), "..", "data",
+        "public_suffix_list.dat",
+    )
+    head = open(path, encoding="utf-8").read(4096)
+    assert "SNAPSHOT" in head and "2026-08-13" in head
+    exact, wc, exc = t._load_psl()
+    for rule in ("co.uk", "com.au", "co.jp", "com.br", "co.kr",
+                 "github.io", "org.uk"):
+        assert rule in exact, f"stable PSL rule {rule!r} missing"
+    assert "bd" in wc          # wildcard *.bd
+    assert "www.ck" in exc     # exception !www.ck
+    # size floor: the real list is ~14k lines / >9k rules; a stub
+    # (the pre-r7 state) was ~50
+    assert len(exact) > 5_000
