@@ -2539,6 +2539,102 @@ def o_knn_join_bulk():
     """
 
 
+_IVF_MIRROR_CTES = """
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings
+        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                 vec_id
+        LIMIT 8
+      ),
+      assigned AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+               (SELECT c.cid FROM cents c
+                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                         DESC, c.cid
+                LIMIT 1) AS centroid
+        FROM embeddings e
+      ),
+      probes AS (
+        SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, p.cid
+        FROM embeddings q, LATERAL (
+          SELECT cid FROM cents
+          ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], cv)
+                   DESC, cid
+          LIMIT 2
+        ) p
+      ),
+      scored AS (
+        SELECT pr.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(pr.qv, a.v) AS cos
+        FROM probes pr JOIN assigned a ON a.centroid = pr.cid
+      )
+"""  #: the shared DuckDB mirror of the 8-centroid/2-probe IVF walk
+#: (o_knn_join_bulk's CTE chain, factored for the bulk-tier family)
+
+
+def q_ivf_threshold_pairs(spark, sf_dir):
+    """Threshold near-dup pairs via the persisted IVF index
+    (similarity.cosine_pairs_ivf): all id_a < id_b with cosine >= 0.45
+    witnessed by a shared probed list — the no-top-k bulk shape (no
+    rank window anywhere; threshold filters before the only shuffle).
+    Cosine values excluded from the output (engines differ in the last
+    ulp; τ=0.45 has a >=5e-4 membership margin in the testdata). R14
+    REGISTRY CANDIDATE — waits in _R14_CANDIDATES for the rotation."""
+    from wimbd_spark.operators.similarity import cosine_pairs_ivf
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    path = _ivf_index(spark, sf_dir)
+    return cosine_pairs_ivf(spark, path, emb, 0.45, n_probe=2).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+def o_ivf_threshold_pairs():
+    return (
+        _IVF_MIRROR_CTES
+        + """
+      SELECT DISTINCT CAST(query_id AS BIGINT) AS id_a,
+             CAST(neighbor_id AS BIGINT) AS id_b
+      FROM scored
+      WHERE query_id < neighbor_id AND cos >= 0.45
+    """
+    )
+
+
+def q_semantic_dedup_ivf(spark, sf_dir):
+    """Bulk SemDeDup drop list via the persisted IVF index
+    (similarity.semantic_duplicates_ivf): a vector drops iff a
+    smaller-id 0.45-neighbor sits in its 2 probed lists; dup_of is
+    the smallest such neighbor. The corpus-as-queries dedup workload
+    end-to-end (one groupBy-min shuffle over the >=τ survivors, no
+    window, no driver state). R14 REGISTRY CANDIDATE."""
+    from wimbd_spark.operators.similarity import semantic_duplicates_ivf
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    path = _ivf_index(spark, sf_dir)
+    return semantic_duplicates_ivf(
+        spark, path, emb, threshold=0.45, n_probe=2
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("dup_of").cast("long").alias("dup_of"),
+    )
+
+
+def o_semantic_dedup_ivf():
+    return (
+        _IVF_MIRROR_CTES
+        + """
+      SELECT CAST(query_id AS BIGINT) AS vec_id,
+             CAST(MIN(neighbor_id) AS BIGINT) AS dup_of
+      FROM scored
+      WHERE neighbor_id < query_id AND cos >= 0.45
+      GROUP BY query_id
+    """
+    )
+
+
 # ------------------------------------ beyond-reference: text analysis
 
 _STOP_EN = "'the','a','of','and','to','in','is','it'"
@@ -7439,6 +7535,8 @@ _R14_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
         q_streaming_stateful_counts,
         o_streaming_stateful_counts,
     ),
+    "ivf_threshold_pairs": (q_ivf_threshold_pairs, o_ivf_threshold_pairs),
+    "semantic_dedup_ivf_drops": (q_semantic_dedup_ivf, o_semantic_dedup_ivf),
 }
 
 

@@ -1263,3 +1263,88 @@ def test_recluster_with_empty_pq_codebooks_dir(spark, tmp_path):
     recluster_ivf_index(spark, path, fresh, n_centroids=4)
     assert os.path.exists(f"{fresh}/lists")
     assert not os.path.exists(f"{fresh}/pq_codebooks")
+
+
+def test_cosine_pairs_ivf_matches_brute_force(spark, tmp_path):
+    """Threshold pairs via the index at n_probe='all' equal the exact
+    cosine_pairs over the raw vectors; at partial probe they are the
+    subset witnessed by shared probed lists (never a superset, never
+    a wrong cosine)."""
+    import math
+
+    from wimbd_spark.operators.similarity import cosine_pairs_ivf
+
+    emb, path = _knn_fixture(spark, tmp_path, name="cpivf")
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    want = sorted(
+        (a, b)
+        for a in vecs
+        for b in vecs
+        if a < b and cos(vecs[a], vecs[b]) >= 0.98
+    )
+    got = cosine_pairs_ivf(spark, path, emb, 0.98, n_probe="all")
+    rows = got.collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in rows) == want
+    for r in rows:
+        assert abs(r["cosine"] - cos(vecs[r["id_a"]], vecs[r["id_b"]])) < 1e-9
+    partial = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_ivf(spark, path, emb, 0.98, n_probe=2).collect()
+    }
+    assert partial <= set(want)
+
+
+def test_semantic_duplicates_ivf_rule(spark, tmp_path):
+    """Bulk SemDeDup drop rule: x drops iff a smaller-id ε-neighbor
+    sits in its probed lists; dup_of is the smallest such neighbor.
+    At n_probe='all' this equals the global smaller-id rule; duplicate
+    base∪delta scoring collapses in the min."""
+    import math
+
+    from wimbd_spark.operators.similarity import semantic_duplicates_ivf
+
+    emb, path = _knn_fixture(spark, tmp_path, name="sdivf")
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    t = 0.98
+    want = {}
+    for b in vecs:
+        mates = [a for a in vecs if a < b and cos(vecs[a], vecs[b]) >= t]
+        if mates:
+            want[b] = min(mates)
+    got = {
+        r["vec_id"]: r["dup_of"]
+        for r in semantic_duplicates_ivf(
+            spark, path, emb, threshold=t, n_probe="all"
+        ).collect()
+    }
+    assert got == want and want  # rule holds and fixture has dups
+    # the dedup story end-to-end: anti-join keeps exactly the rest
+    drops = semantic_duplicates_ivf(
+        spark, path, emb, threshold=t, n_probe="all"
+    )
+    kept = emb.join(drops, "vec_id", "left_anti").count()
+    assert kept == len(vecs) - len(want)
+    # duplicate rows in the delta tier do not change the answer
+    lists = spark.read.parquet(f"{path}/lists")
+    lists.limit(5).select("id", "uvec", "centroid").write.parquet(
+        f"{path}/delta/run=sd/batch=0"
+    )
+    again = {
+        r["vec_id"]: r["dup_of"]
+        for r in semantic_duplicates_ivf(
+            spark, path, emb, threshold=t, n_probe="all"
+        ).collect()
+    }
+    assert again == want

@@ -1149,6 +1149,129 @@ def cosine_topk_ivf_pq_rerank(
     )
 
 
+def _ivf_scored_stream(
+    spark, path: str, queries: DataFrame, n_probe, id_col: str,
+    vec_col: str,
+) -> DataFrame | None:
+    """The shared distributed candidate stream of the bulk tier:
+    (query_id, neighbor_id, cosine) for every query row against its
+    ``n_probe`` nearest inverted lists — map-side probe explode
+    against the broadcast centroid literal, ONE shuffle join with the
+    lists on ``centroid``, exact dot on the stored unit vectors. A
+    pair may appear twice when a vector sits in base AND the
+    unabsorbed delta (bitwise-equal cosine — every consumer handles
+    the duplicate without a corpus-scale dropDuplicates). None when
+    the index has an empty centroid table. Driver footprint:
+    the centroid table only (≤ n_centroids rows by construction)."""
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    if not cents:
+        return None
+    if n_probe == "all":
+        n_probe = len(cents)
+    cent_arr = _centroid_literal(
+        [{"centroid_id": r["centroid_id"], "_cent": r["v"]} for r in cents]
+    )
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        _unit(_to_double(F.col(vec_col))).alias("_qv"),
+    ).withColumn(
+        "centroid",
+        F.explode(
+            F.transform(
+                _nearest_centroids(F.col("_qv"), cent_arr, n_probe),
+                lambda c: c["cid"],
+            )
+        ),
+    )
+    lists = _read_lists(spark, path, columns=["centroid", "id", "uvec"])
+    return q.join(lists, "centroid").select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        dot(F.col("_qv"), F.col("uvec")).alias("cosine"),
+    )
+
+
+def cosine_pairs_ivf(
+    spark,
+    path: str,
+    queries: DataFrame,
+    threshold: float,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ALL (id_a < id_b, cosine) pairs at cosine ≥ ``threshold``
+    between ``queries`` and the indexed corpus — the THRESHOLD form
+    of `knn_join` for near-dup mining: no top-k, so there is no rank
+    window at all. The threshold filters the scored stream before its
+    ONLY shuffle (the canonical-pair distinct over the ≥-threshold
+    survivors — tiny at any real bar), making this the cheapest bulk
+    shape in the ANN tier: probe explode → centroid join → filter →
+    distinct. Self-pairs drop via the strict a < b canonicalization.
+    Pass the indexed corpus itself as ``queries`` for self-join
+    near-dup mining (`cosine_pairs_lsh`'s role, served by the
+    persisted index instead of an in-plan LSH)."""
+    scored = _ivf_scored_stream(
+        spark, path, queries, n_probe, id_col, vec_col
+    )
+    if scored is None:
+        qt = queries.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"id_a {qt}, id_b {qt}, cosine double"
+        )
+    return (
+        scored.filter(F.col("query_id") < F.col("neighbor_id"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cosine",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def semantic_duplicates_ivf(
+    spark,
+    path: str,
+    queries: DataFrame,
+    threshold: float = 0.7,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bulk SemDeDup via the persisted IVF index: the rows to DROP →
+    (``id_col``, dup_of), where a vector is a duplicate iff a
+    SMALLER-id ε-neighbor (cosine ≥ threshold) exists in its
+    ``n_probe`` probed lists, and dup_of is the smallest such
+    neighbor (the audit trail — `semantic_duplicates`' contract with
+    "cluster-mate" generalized to "probed-list mate"; n_probe=1 over
+    the index's own assignment IS the cluster-local rule).
+
+    This is the corpus-as-queries workload the interactive tier
+    cannot serve (r12 VERDICT): pass the indexed corpus itself as
+    ``queries``. Plan: the shared scored stream filtered to
+    smaller-id candidates ≥ threshold, then ONE groupBy(query) min —
+    a partial-aggregating shuffle of only the ≥-threshold survivors;
+    no window, no driver state, and base∪delta double-scored pairs
+    collapse in the min. Drop the duplicates with one anti-join:
+    ``corpus.join(drops, id_col, "left_anti")``."""
+    scored = _ivf_scored_stream(
+        spark, path, queries, n_probe, id_col, vec_col
+    )
+    if scored is None:
+        qt = queries.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"`{id_col}` {qt}, dup_of {qt}"
+        )
+    return (
+        scored.filter(F.col("neighbor_id") < F.col("query_id"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .groupBy(F.col("query_id").alias(id_col))
+        .agg(F.min("neighbor_id").alias("dup_of"))
+    )
+
+
 def knn_join(
     spark,
     path: str,
@@ -1199,35 +1322,14 @@ def knn_join(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    cents = spark.read.parquet(f"{path}/centroids").collect()
-    if not cents:
+    scored = _ivf_scored_stream(
+        spark, path, queries, n_probe, id_col, vec_col
+    )
+    if scored is None:  # empty centroid table
         qt = queries.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
             [], f"query_id {qt}, neighbor_id {qt}, rank long"
         )
-    if n_probe == "all":
-        n_probe = len(cents)
-    cent_arr = _centroid_literal(
-        [{"centroid_id": r["centroid_id"], "_cent": r["v"]} for r in cents]
-    )
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("query_id"),
-        _unit(_to_double(F.col(vec_col))).alias("_qv"),
-    ).withColumn(
-        "centroid",
-        F.explode(
-            F.transform(
-                _nearest_centroids(F.col("_qv"), cent_arr, n_probe),
-                lambda c: c["cid"],
-            )
-        ),
-    )
-    lists = _read_lists(spark, path, columns=["centroid", "id", "uvec"])
-    scored = q.join(lists, "centroid").select(
-        "query_id",
-        F.col("id").alias("neighbor_id"),
-        dot(F.col("_qv"), F.col("uvec")).alias("cosine"),
-    )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     if min_cosine is not None:
