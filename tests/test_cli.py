@@ -1145,3 +1145,66 @@ def test_cli_ivf_maintain_absorb_without_delta_is_clean_error(tmp_path):
     )
     with pytest.raises(SystemExit, match="nothing to absorb"):
         main(["ivf-maintain", idx, "--absorb-to", str(tmp_path / "g2")])
+
+
+def _vec_parquet(tmp_path, name="emb.parquet", n=48):
+    import pandas as pd
+
+    rows = []
+    for c in range(4):
+        for i in range(n // 4):
+            v = [0.05] * 4
+            v[c] = 1.0
+            v[(c + 1) % 4] += 0.03 * i
+            rows.append((c * 100 + i, v))
+    pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+    ).to_parquet(tmp_path / name)
+    return str(tmp_path / name)
+
+
+def test_cli_ann_bulk(capsys, tmp_path):
+    """`ann --bulk`: the corpus-as-queries knn_join path — builds the
+    index on first use, returns per-query ranked neighbors for EVERY
+    corpus row; --min-cosine thins the pairs."""
+    emb = _vec_parquet(tmp_path)
+    idx = str(tmp_path / "bulkidx")
+    rows = _run(
+        capsys,
+        ["ann", emb, "--method", "ivf", "--index", idx, "--bulk",
+         "-k", "2", "--n-probe", "2", "--n-centroids", "4"],
+    )
+    qids = {r["query_id"] for r in rows}
+    assert len(qids) == 48 and all(r["rank"] <= 2 for r in rows)
+    rows2 = _run(
+        capsys,
+        ["ann", emb, "--method", "ivf", "--index", idx, "--bulk",
+         "-k", "2", "--n-probe", "2", "--min-cosine", "0.999"],
+    )
+    assert 0 < len(rows2) < len(rows)
+    with pytest.raises(SystemExit, match="--bulk requires --index"):
+        main(["ann", emb, "--bulk"])
+    with pytest.raises(SystemExit, match="composes with none"):
+        main(["ann", emb, "--index", idx, "--method", "ivf", "--bulk",
+              "--k-fill"])
+
+
+def test_cli_semdedup_index(capsys, tmp_path):
+    """`semdedup --index`: the bulk IVF SemDeDup path — drop rows
+    carry (id, dup_of); --keep-out writes the survivors."""
+    emb = _vec_parquet(tmp_path)
+    idx = str(tmp_path / "sdidx")
+    rows = _run(
+        capsys,
+        ["semdedup", emb, "--index", idx, "--threshold", "0.999",
+         "--n-probe", "4", "--n-centroids-index", "4"],
+    )
+    assert rows and all(r["dup_of"] < r["vec_id"] for r in rows)
+    out = str(tmp_path / "sdkept")
+    rep = _run(
+        capsys,
+        ["semdedup", emb, "--index", idx, "--threshold", "0.999",
+         "--keep-out", out],
+    )
+    assert rep[0]["kept"] + rep[0]["dropped"] == 48
+    assert rep[0]["dropped"] == len(rows)

@@ -663,3 +663,35 @@ def test_pq_rerank_join_no_candidate_collect(spark, tmp_path):
     # positive control: the collect path's driver-materialized
     # candidate list re-enters the plan as a local relation
     assert "LocalTableScan" in pc or "ExistingRDD" in pc
+
+
+def test_knn_join_pq_codes_only_stage1_no_driver_candidates(
+    spark, tmp_path
+):
+    """knn_join_pq's plan: no driver candidate materialization
+    (LocalTableScan/ExistingRDD absent) and the stage-1 lists read
+    never touches the full-precision uvec column — only the rerank's
+    second lists scan does (codes-only IO is the whole point)."""
+    import re
+
+    from wimbd_spark.operators.similarity import (
+        build_ivf_index,
+        knn_join_pq,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "kjpqplan")
+    build_ivf_index(emb, path, n_centroids=8, pq_m=8, pq_codes=16)
+    plan = explain_str(knn_join_pq(spark, path, emb, k=2, n_probe=2))
+    assert "LocalTableScan" not in plan and "ExistingRDD" not in plan
+    assert "MapInPandas" in plan
+    # exactly one lists scan reads uvec (the rerank); the stage-1
+    # scan reads codes+rn2 only
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    lists_scans = [sc for sc in schemas if "codes" in sc or "uvec" in sc]
+    with_uvec = [sc for sc in lists_scans if "uvec" in sc]
+    codes_only = [
+        sc for sc in lists_scans if "codes" in sc and "uvec" not in sc
+    ]
+    assert len(with_uvec) == 1, lists_scans
+    assert codes_only, lists_scans

@@ -1348,3 +1348,33 @@ def test_semantic_duplicates_ivf_rule(spark, tmp_path):
         ).collect()
     }
     assert again == want
+
+
+def test_knn_join_pq_matches_interactive_rerank(spark, tmp_path):
+    """knn_join_pq (codes-only distributed stage 1 + join rerank) is
+    row-identical to cosine_topk_ivf_pq_rerank at equal parameters —
+    same 6-dp-rounded ADC scores, same tie-break, same exact rerank —
+    for both a small query set and the whole corpus."""
+    import pytest
+
+    from wimbd_spark.operators.similarity import (
+        cosine_topk_ivf_pq_rerank,
+        knn_join_pq,
+    )
+
+    emb, path = _knn_fixture(spark, tmp_path, name="kjpq", pq=True)
+    small = emb.filter(F.col("vec_id") < 5)
+    for qset in (small, emb):
+        inter = cosine_topk_ivf_pq_rerank(
+            spark, path, qset, k=3, n_candidates=6, n_probe=2
+        ).collect()
+        bulk = knn_join_pq(
+            spark, path, qset, k=3, n_candidates=6, n_probe=2
+        ).collect()
+        assert sorted(map(tuple, bulk)) == sorted(map(tuple, inter))
+    # validation: a plain (non-PQ) index refuses with a pointer
+    emb2, plain = _knn_fixture(spark, tmp_path, name="kjpq_plain")
+    with pytest.raises(ValueError, match="no pq_codebooks"):
+        knn_join_pq(spark, plain, emb2)
+    with pytest.raises(ValueError, match="n_candidates"):
+        knn_join_pq(spark, path, emb, k=5, n_candidates=3)

@@ -557,6 +557,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--keep-out", default=None,
                     help="write surviving rows parquet here "
                     "(default: emit the DROP rows)")
+    sp.add_argument("--index", default=None,
+                    help="persisted IVF index path: the bulk corpus-"
+                    "as-queries path (semantic_duplicates_ivf — drop "
+                    "rows with a smaller-id ε-neighbor in their "
+                    "probed lists; no driver candidate state), built "
+                    "here on first use")
+    sp.add_argument("--n-probe", type=int, default=4,
+                    help="probed lists per vector (--index)")
+    sp.add_argument("--n-centroids-index", type=int, default=None,
+                    help="centroid count when building --index "
+                    "(default auto_ncentroids)")
 
     sp = sub.add_parser(
         "ann",
@@ -606,6 +617,16 @@ def main(argv: list[str] | None = None) -> int:
                     "query until k neighbors are found or every list "
                     "is probed (fills filtered queries whose "
                     "allowlist falls outside the probe set)")
+    sp.add_argument("--bulk", action="store_true",
+                    help="with --index: the corpus-as-queries path "
+                    "(knn_join — distributed probe join + Arrow "
+                    "local top-k, zero driver candidate state; use "
+                    "when the query set is corpus-sized)")
+    sp.add_argument("--n-probe", type=int, default=4,
+                    help="probed lists per query (--bulk)")
+    sp.add_argument("--min-cosine", type=float, default=None,
+                    help="with --bulk: drop scored pairs below this "
+                    "cosine BEFORE the shuffles (near-dup mining)")
     sp.add_argument("--out", default=None,
                     help="write neighbor rows parquet here")
 
@@ -1737,6 +1758,48 @@ def main(argv: list[str] | None = None) -> int:
                 vec_col=args.vec_col,
                 n_centroids=args.n_centroids,
             )
+            if args.index:
+                from wimbd_spark.operators.similarity import (
+                    _hadoop_exists,
+                    build_ivf_index,
+                    semantic_duplicates_ivf,
+                )
+
+                if not _hadoop_exists(
+                    spark, args.index + "/centroids"
+                ):
+                    build_ivf_index(
+                        df, args.index,
+                        id_col=args.id_col, vec_col=args.vec_col,
+                        n_centroids=args.n_centroids_index,
+                    )
+                drops = semantic_duplicates_ivf(
+                    spark, args.index, df,
+                    threshold=args.threshold, n_probe=args.n_probe,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+                if args.keep_out:
+                    kept = df.join(drops, args.id_col, "left_anti")
+                    kept.write.mode("overwrite").parquet(args.keep_out)
+                    kept_n = spark.read.parquet(args.keep_out).count()
+                    total = df.count()
+                    _emit(
+                        [{
+                            "kept": kept_n,
+                            "dropped": total - kept_n,
+                            "out": args.keep_out,
+                        }],
+                        args.output,
+                    )
+                else:
+                    _emit(
+                        [
+                            r.asDict()
+                            for r in drops.orderBy(args.id_col).collect()
+                        ],
+                        args.output,
+                    )
+                return 0
             if args.keep_out:
                 kept = drop_semantic_duplicates(df, **kw)
                 kept.write.mode("overwrite").parquet(args.keep_out)
@@ -1774,6 +1837,16 @@ def main(argv: list[str] | None = None) -> int:
             kw = dict(k=args.topk, id_col=args.id_col, vec_col=args.vec_col)
             if args.index and args.method != "ivf":
                 raise SystemExit("--index requires --method ivf")
+            if args.bulk and not args.index:
+                raise SystemExit("--bulk requires --index")
+            if args.min_cosine is not None and not args.bulk:
+                raise SystemExit("--min-cosine requires --bulk")
+            if args.bulk and (args.rerank or args.k_fill or args.filter):
+                raise SystemExit(
+                    "--bulk composes with none of --rerank/--k-fill/"
+                    "--filter (those are the interactive small-query "
+                    "paths)"
+                )
             if args.rerank and not args.index:
                 raise SystemExit("--rerank requires --index")
             if args.k_fill and not args.index:
@@ -1823,7 +1896,17 @@ def main(argv: list[str] | None = None) -> int:
                         pq_m=args.pq_m if args.rerank else None,
                         pq_codes=args.pq_codes,
                     )
-                if args.rerank:
+                if args.bulk:
+                    from wimbd_spark.operators.similarity import (
+                        knn_join,
+                    )
+
+                    res = knn_join(
+                        spark, args.index, queries,
+                        n_probe=args.n_probe,
+                        min_cosine=args.min_cosine, **kw
+                    )
+                elif args.rerank:
                     from wimbd_spark.operators.similarity import (
                         cosine_topk_ivf_pq_rerank,
                     )

@@ -1381,6 +1381,171 @@ def knn_join(
     )
 
 
+def knn_join_pq(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 2,
+    n_candidates: int | None = None,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Bulk two-stage k-NN join — `cosine_topk_ivf_pq_rerank`'s
+    semantics (PQ codes select ``n_candidates`` per query, exact
+    cosine over their full-precision vectors decides the final
+    top-k) at `knn_join`'s scale contract: queries may be the ENTIRE
+    corpus, and nothing but the centroid/codebook tables (both ≤
+    a few thousand rows by construction) ever touches the driver.
+
+    Why this exists next to `knn_join`: the exact bulk path reads
+    every probed list's full ``uvec`` (8·dim bytes/row — at 768-dim
+    that is the dominant IO at 100 TB). Stage 1 here reads ONLY
+    (id, codes, rn2) — m bytes + a double per candidate, a ~50-100×
+    scan reduction — and stage 2 re-reads ``uvec`` for just the
+    surviving ``n_candidates`` per query via the candidate join (id
+    pushdown by join, the rerank="join" strategy; AQE broadcasts the
+    candidate side when it is small).
+
+    Plan shape: stage 1 = per-query ADC lookup tables (m·n_codes
+    dots against the broadcast codebook literal, computed map-side —
+    carrying the table through the ONE centroid shuffle join costs
+    ~m·n_codes doubles per probe row but makes per-pair scoring m
+    lookups instead of dim multiplies), Arrow local prune, dense_rank
+    ≤ n_candidates. Stage 2 = candidates ⋈ lists(uvec) ⋈ queries,
+    exact dot, one rank window. Same rounding (6 dp) and tie-break
+    as the interactive PQ path, so the candidate set is IDENTICAL to
+    cosine_topk_ivf_pq_rerank's at equal parameters (parity-pinned).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if n_candidates is None:
+        n_candidates = max(10 * k, 50)
+    if n_candidates < k:
+        raise ValueError("n_candidates must be >= k")
+    cb = _load_codebooks(spark, path)
+    if cb is None:
+        raise ValueError(
+            f"index at {path} has no pq_codebooks — rebuild with "
+            "build_ivf_index(..., pq_m=) or use knn_join (exact)"
+        )
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    if not cents:
+        qt = queries.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id {qt}, neighbor_id {qt}, rank long"
+        )
+    if n_probe == "all":
+        n_probe = len(cents)
+    d = len(cb[0][0])
+    cent_arr = _centroid_literal(
+        [{"centroid_id": r["centroid_id"], "_cent": r["v"]} for r in cents]
+    )
+    qv = _unit(_to_double(F.col(vec_col)))
+
+    def qtable_for(s: int) -> Column:
+        return F.transform(
+            _cb_literal(cb[s]),
+            lambda cv: dot(F.slice(qv, s * d + 1, d), cv),
+        )
+
+    q = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.array(*[qtable_for(s) for s in range(len(cb))]).alias(
+                "_qt"
+            ),
+            qv.alias("_qv"),
+        )
+        .withColumn(
+            "centroid",
+            F.explode(
+                F.transform(
+                    _nearest_centroids(F.col("_qv"), cent_arr, n_probe),
+                    lambda c: c["cid"],
+                )
+            ),
+        )
+        .drop("_qv")  # codes-only stage: never shuffle the vector
+    )
+    lists = _read_lists(
+        spark, path, columns=["centroid", "id", "codes", "rn2"]
+    )
+    sdot = F.lit(0.0)
+    for s in range(len(cb)):
+        sdot = sdot + F.element_at(
+            F.element_at(F.col("_qt"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+    scored = q.join(lists, "centroid").select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        # same 6-dp rounding as the interactive PQ path — the
+        # candidate sets must be identical at equal parameters
+        F.round(sdot / F.sqrt(F.col("rn2")), 6).alias("approx_cosine"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    out_schema = scored.schema
+
+    def _batch_topc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.drop_duplicates(["query_id", "neighbor_id"])
+                .sort_values(
+                    ["approx_cosine", "neighbor_id"],
+                    ascending=[False, True],
+                    kind="mergesort",
+                )
+                .groupby("query_id", sort=False)
+                .head(n_candidates)
+            )
+
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.mapInPandas(_batch_topc, out_schema)
+        .withColumn("_r", F.dense_rank().over(w1))
+        .filter(F.col("_r") <= n_candidates)
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    vecs = _read_lists(spark, path, columns=["id", "uvec"]).select(
+        F.col("id").alias("neighbor_id"), "uvec"
+    )
+    q2 = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        _unit(_to_double(F.col(vec_col))).alias("_qv"),
+    )
+    rescored = (
+        cand.join(vecs, "neighbor_id")
+        .join(q2, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("_qv"), F.col("uvec")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.dense_rank().over(w2))
+        .filter(F.col("rank") <= k)
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def _hadoop_exists(spark, p: str) -> bool:
     jvm = spark._jvm
     hp = jvm.org.apache.hadoop.fs.Path(p)
