@@ -102,5 +102,25 @@ print("full-probe answers are generation-invariant:",
       == sorted(map(tuple, cosine_topk_ivf_indexed(
           spark, gen3, queries, k=3, n_probe=16).collect())))
 
+print("\n== 6. bulk tier: corpus-as-queries against the fresh index ==")
+from wimbd_spark.operators.similarity import (  # noqa: E402
+    knn_join,
+    knn_join_pq,
+    semantic_duplicates_ivf,
+)
+
+# every corpus vector -> its 2 nearest neighbors; nothing on the
+# driver but the centroid table (plan-pinned in tests/test_plans.py)
+bulk = knn_join(spark, gen3, emb, k=2, n_probe=4)
+print(f"knn_join rows: {bulk.count()} (= 2 x corpus, minus starved)")
+# codes-only stage 1 (gen3 kept its PQ sidecar through the rebuild)
+bulk_pq = knn_join_pq(spark, gen3, emb, k=2, n_probe=4)
+print(f"knn_join_pq rows: {bulk_pq.count()}")
+# bulk SemDeDup: drop vectors with a smaller-id 0.99-neighbor in
+# their probed lists; keep the rest with one anti-join
+drops = semantic_duplicates_ivf(spark, gen3, emb, threshold=0.99, n_probe=4)
+kept = emb.join(drops, "vec_id", "left_anti")
+print(f"semantic dedup at 0.99: dropped {drops.count()}, kept {kept.count()}")
+
 spark.stop()
 print("\ndone.")

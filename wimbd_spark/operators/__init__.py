@@ -53,11 +53,15 @@ from wimbd_spark.operators.lm import (
 )
 from wimbd_spark.operators.similarity import (
     cluster_balanced_sample,
+    cosine_pairs_ivf,
     cosine_topk,
     cosine_topk_ivf_pq_indexed,
     cosine_topk_lsh,
     cosine_topk_pq,
+    knn_join,
+    knn_join_pq,
     pq_codebooks,
+    semantic_duplicates_ivf,
 )
 from wimbd_spark.operators.urlfilter import (
     filter_by_domain_blocklist,
@@ -176,6 +180,8 @@ __all__ = [
     "minhash_signatures", "simhash16", "simhash_pairs",
     "cosine_topk", "cosine_topk_lsh", "cosine_topk_pq", "pq_codebooks",
     "cosine_topk_ivf_pq_indexed",
+    "knn_join", "knn_join_pq", "cosine_pairs_ivf",
+    "semantic_duplicates_ivf",
     "doc_fingerprint", "langid_heuristic", "quality_scores",
     "token_count", "token_count_bpe_ish",
     "pack_documents", "pack_stats", "packed_sequences",
