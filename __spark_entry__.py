@@ -4997,8 +4997,13 @@ def q_simhash62_pairs(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" zzvariant")).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(variants)
+    # nseg=None pins the classic h+1 split: sf0.01/sf0.1 sit far below
+    # the measured ~1-4M-doc crossover (SCALE.md), and the r13 library
+    # default nseg="auto" would spend a corpus count() job here only
+    # to resolve to the same 7 segments
     return simhash_pairs(
-        corpus, max_hamming=SIMHASH_PAIRS_MAX_HAMMING, nbits=62
+        corpus, max_hamming=SIMHASH_PAIRS_MAX_HAMMING, nbits=62,
+        nseg=None,
     ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
