@@ -2399,6 +2399,57 @@ def o_ivf_pq_rerank():
     """
 
 
+def q_knn_join_pq_bulk(spark, sf_dir):
+    """Corpus-as-queries two-stage k-NN (similarity.knn_join_pq):
+    every embeddings row gets PQ-coded candidates (codes-only stage-1
+    scan, per-query ADC tables, no driver candidate state — the bulk
+    twin of ivf_pq_rerank_top3) then an exact join-based re-rank to
+    top-3. Oracle = the proven full PQ mirror with the query
+    restriction lifted plus the exact re-rank tail. R14 REGISTRY
+    CANDIDATE — waits in _R14_CANDIDATES for the rotation."""
+    from wimbd_spark.operators.similarity import knn_join_pq
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    path = _ivfpq_index(spark, sf_dir)
+    out = knn_join_pq(
+        spark, path, emb, k=3, n_candidates=50, n_probe=2
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+    )
+
+
+def o_knn_join_pq_bulk():
+    # o_ivf_pq_topk's mirror with ALL queries (drop the vec_id < 5
+    # probe restriction), candidates at rank <= 50, exact re-rank
+    # tail — the o_ivf_pq_rerank composition, bulk form
+    base = o_ivf_pq_topk().rsplit("SELECT CAST(query_id", 1)[0]
+    base = base.replace("WHERE q.vec_id < 5", "")
+    return f"""{base.rstrip()},
+      cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 50),
+      rerank AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_cosine_similarity(qe.embedding::DOUBLE[],
+                                      ne.embedding::DOUBLE[]) AS cos
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+      ),
+      final AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM rerank
+      )
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(neighbor_id AS BIGINT) AS neighbor_id,
+             CAST(rank AS BIGINT) AS rank
+      FROM final WHERE rank <= 3
+    """
+
+
 def q_ivf_index_topk(spark, sf_dir):
     """Build-once/query-many ANN (similarity.build_ivf_index /
     cosine_topk_ivf_indexed): inverted lists materialized as a
@@ -7542,6 +7593,7 @@ _R14_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
     ),
     "ivf_threshold_pairs": (q_ivf_threshold_pairs, o_ivf_threshold_pairs),
     "semantic_dedup_ivf_drops": (q_semantic_dedup_ivf, o_semantic_dedup_ivf),
+    "knn_join_pq_bulk_top3": (q_knn_join_pq_bulk, o_knn_join_pq_bulk),
 }
 
 
