@@ -7579,6 +7579,70 @@ def o_streaming_stateful_counts():
     """
 
 
+def q_decontaminate_slop_hatch(spark, sf_dir):
+    """Overlong-phrase slop decontamination through the scan-predicate
+    escape hatch (r13): 33-token eval phrases (> the 32-token gram
+    cap) at slop=1 cannot ride the gram explode (combination budget)
+    or the contains path (contiguous-only), so decontaminate_by_ngrams
+    routes them through the search tier's windowed scan predicate —
+    this row gates that route end-to-end. Output: the flagged train
+    doc ids. R14 REGISTRY CANDIDATE."""
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = tokenize(F.col("text"))
+    ev = (
+        docs.filter(
+            (F.col("source") == "src0")
+            & (F.size(toks) >= 33)
+            & (F.col("doc_id") % 3 == 0)
+        )
+        .select(F.array_join(F.slice(toks, 1, 33), " ").alias("phrase"))
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    flagged = decontaminate_by_ngrams(train, ev, slop=1, mode="flag")
+    return (
+        flagged.filter(F.col("contaminated"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def o_decontaminate_slop_hatch():
+    # in-order-within-34-token-window for a 33-token phrase, anchored
+    # at the first matched position: contiguous (k=0/33 edges) or one
+    # gap after k matched tokens; a truncated list_slice never equals
+    # the fixed-length phrase slice, so no bounds guards needed
+    return r"""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      ev AS (
+        SELECT DISTINCT list_slice(t, 1, 33) AS p FROM toks
+        WHERE source = 'src0' AND len(t) >= 33 AND doc_id % 3 = 0
+      ),
+      hits AS (
+        SELECT DISTINCT tr.doc_id
+        FROM toks tr, ev
+        WHERE tr.source <> 'src0' AND len(tr.t) >= 33
+          AND EXISTS (
+            SELECT 1
+            FROM unnest(generate_series(1, len(tr.t) - 32)) AS u(i),
+                 unnest(generate_series(0, 33)) AS g(k)
+            WHERE list_slice(tr.t, i, i + k - 1) = list_slice(ev.p, 1, k)
+              AND list_slice(tr.t, i + k + 1, i + 33)
+                  = list_slice(ev.p, k + 1, 33)
+          )
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id FROM hits
+    """
+
+
 #: R14 registry candidates: (query, oracle) pairs READY for the next
 #: rotation — this round's first-50 window is saturated (5 promoted
 #: r13 candidates + knn_join_bulk_top2 + 44 r10-stale queries), and
@@ -7594,6 +7658,10 @@ _R14_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
     "ivf_threshold_pairs": (q_ivf_threshold_pairs, o_ivf_threshold_pairs),
     "semantic_dedup_ivf_drops": (q_semantic_dedup_ivf, o_semantic_dedup_ivf),
     "knn_join_pq_bulk_top3": (q_knn_join_pq_bulk, o_knn_join_pq_bulk),
+    "decontaminate_slop_hatch_src0": (
+        q_decontaminate_slop_hatch,
+        o_decontaminate_slop_hatch,
+    ),
 }
 
 
