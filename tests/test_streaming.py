@@ -1523,3 +1523,75 @@ def test_streaming_ivf_ingest_reset_checkpoint_guard(spark, tmp_path):
             read_vector_stream(spark, feed), path2,
             checkpoint=str(tmp_path / "guardckpt3"),
         )
+
+
+def test_stateful_user_counts_timeout_expires_state(spark, tmp_path):
+    """timeout_ms bounds the state store: a key's state expires after
+    the processing-time horizon (its hasTimedOut callback emits the
+    final total and removes it) and a later event for the same key
+    starts the count over — the unbounded-key safety the NoTimeout
+    form lacks. ProcessingTimeTimeout keeps the engine scheduling
+    state-cleanup triggers forever, so processAllAvailable never
+    settles for this query shape — the test polls the memory sink
+    with a deadline instead (the production pattern is a real trigger
+    interval, not processAllAvailable)."""
+    import time
+
+    from wimbd_spark.streaming import read_event_stream, stateful_user_counts
+
+    def _poll(predicate, deadline_s=60):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            rows = spark.sql("select * from ttl_state").collect()
+            if predicate(rows):
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(
+            f"condition not reached in {deadline_s}s: "
+            f"{spark.sql('select * from ttl_state').collect()}"
+        )
+
+    d = str(tmp_path / "ttl_events")
+    _write_batch(d, [_ev(1, 0, 1), _ev(2, 5, 1)], "b0.json")
+    # NOT _run_to_memory: its processAllAvailable never returns under
+    # ProcessingTimeTimeout (see docstring)
+    q = (
+        stateful_user_counts(
+            read_event_stream(spark, d, max_files_per_trigger=1),
+            timeout_ms=2000,
+        )
+        .writeStream.format("memory")
+        .queryName("ttl_state")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        # both events counted
+        _poll(
+            lambda rows: any(
+                r["user_id"] == 1 and r["total_events"] == 2 for r in rows
+            )
+        )
+        # horizon passes with no new data: the cleanup trigger fires
+        # hasTimedOut, which re-emits the final total (a second
+        # total=2 row in the update log) and removes the state
+        _poll(
+            lambda rows: sum(
+                1
+                for r in rows
+                if r["user_id"] == 1 and r["total_events"] == 2
+            )
+            >= 2
+        )
+        # a later event restarts the count at 1 — never 3
+        _write_batch(d, [_ev(3, 60, 1)], "b1.json")
+        rows = _poll(
+            lambda rows: any(
+                r["user_id"] == 1 and r["total_events"] == 1 for r in rows
+            )
+        )
+        assert not any(
+            r["user_id"] == 1 and r["total_events"] == 3 for r in rows
+        )
+    finally:
+        q.stop()

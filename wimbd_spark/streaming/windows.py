@@ -140,17 +140,36 @@ def stateful_user_counts(
 ) -> DataFrame:
     """Custom stateful operator: running per-user event totals via
     applyInPandasWithState — the template for arbitrary per-key state
-    machines (fraud scoring, rate limiting, dedup-within-horizon)."""
+    machines (fraud scoring, rate limiting, dedup-within-horizon).
+
+    ``timeout_ms`` bounds the state store (the 100 TB requirement for
+    an unbounded key space): each key's state expires
+    ``timeout_ms`` of processing time after its last event, emitting
+    a final (user_id, total) row, and a later event for the same key
+    starts the count over. None = totals over the whole stream
+    lifetime — state grows with DISTINCT keys, which is fine for a
+    bounded user population and wrong for, e.g., per-URL keys."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, batches, state: GroupState):
         import pandas as pd
 
+        if timeout_ms is not None and state.hasTimedOut:
+            # horizon passed with no new events: emit the final total
+            # and drop the state — the next event starts from zero
+            total = state.get[0] if state.exists else 0
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "total_events": [total]}
+            )
+            return
         n = 0
         for pdf in batches:
             n += len(pdf)
         total = (state.get[0] if state.exists else 0) + n
         state.update((total,))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "total_events": [total]}
         )
@@ -160,5 +179,7 @@ def stateful_user_counts(
         outputStructType=USER_COUNT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )
