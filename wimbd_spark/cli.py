@@ -1768,10 +1768,19 @@ def main(argv: list[str] | None = None) -> int:
                 if not _hadoop_exists(
                     spark, args.index + "/centroids"
                 ):
+                    from wimbd_spark.operators.similarity import (
+                        auto_ncentroids,
+                    )
+
+                    n_cent = (
+                        args.n_centroids_index
+                        if args.n_centroids_index is not None
+                        else auto_ncentroids(df.count())
+                    )
                     build_ivf_index(
                         df, args.index,
                         id_col=args.id_col, vec_col=args.vec_col,
-                        n_centroids=args.n_centroids_index,
+                        n_centroids=n_cent,
                     )
                 drops = semantic_duplicates_ivf(
                     spark, args.index, df,
