@@ -695,3 +695,27 @@ def test_knn_join_pq_codes_only_stage1_no_driver_candidates(
     ]
     assert len(with_uvec) == 1, lists_scans
     assert codes_only, lists_scans
+
+
+def test_bulk_threshold_forms_no_window_no_driver_state(spark, tmp_path):
+    """cosine_pairs_ivf and semantic_duplicates_ivf never rank: no
+    Window anywhere in their plans (the >=t filter before their only
+    shuffle is what makes them ~2.5x cheaper than ranked kNN at equal
+    probes — SCALE.md r13), and like knn_join they materialize
+    nothing on the driver."""
+    from wimbd_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_pairs_ivf,
+        semantic_duplicates_ivf,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "thrplan")
+    build_ivf_index(emb, path, n_centroids=8)
+    for df in (
+        cosine_pairs_ivf(spark, path, emb, 0.9, n_probe=2),
+        semantic_duplicates_ivf(spark, path, emb, 0.9, n_probe=2),
+    ):
+        plan = explain_str(df)
+        assert "Window" not in plan
+        assert "LocalTableScan" not in plan and "ExistingRDD" not in plan
