@@ -1184,7 +1184,7 @@ def test_cli_ann_bulk(capsys, tmp_path):
     assert 0 < len(rows2) < len(rows)
     with pytest.raises(SystemExit, match="--bulk requires --index"):
         main(["ann", emb, "--bulk"])
-    with pytest.raises(SystemExit, match="composes with none"):
+    with pytest.raises(SystemExit, match="composes with neither"):
         main(["ann", emb, "--index", idx, "--method", "ivf", "--bulk",
               "--k-fill"])
 
@@ -1208,3 +1208,23 @@ def test_cli_semdedup_index(capsys, tmp_path):
     )
     assert rep[0]["kept"] + rep[0]["dropped"] == 48
     assert rep[0]["dropped"] == len(rows)
+
+
+def test_cli_ann_bulk_rerank(capsys, tmp_path):
+    """`ann --bulk --rerank N`: the codes-only two-stage bulk path
+    (knn_join_pq) — builds a PQ index on first use via --rerank's
+    pq_m wiring, returns ranked exact-rerank neighbors for every
+    corpus row."""
+    emb = _vec_parquet(tmp_path)
+    idx = str(tmp_path / "bulkpqidx")
+    rows = _run(
+        capsys,
+        ["ann", emb, "--method", "ivf", "--index", idx, "--bulk",
+         "--rerank", "6", "-k", "2", "--n-probe", "2",
+         "--n-centroids", "4", "--pq-m", "2", "--pq-codes", "4"],
+    )
+    assert len({r["query_id"] for r in rows}) == 48
+    assert all(r["rank"] <= 2 for r in rows)
+    with pytest.raises(SystemExit, match="min-cosine applies"):
+        main(["ann", emb, "--method", "ivf", "--index", idx, "--bulk",
+              "--rerank", "6", "--min-cosine", "0.5"])

@@ -621,7 +621,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --index: the corpus-as-queries path "
                     "(knn_join — distributed probe join + Arrow "
                     "local top-k, zero driver candidate state; use "
-                    "when the query set is corpus-sized)")
+                    "when the query set is corpus-sized); with "
+                    "--rerank N, the codes-only two-stage form "
+                    "(knn_join_pq; index must be built with PQ)")
     sp.add_argument("--n-probe", type=int, default=4,
                     help="probed lists per query (--bulk)")
     sp.add_argument("--min-cosine", type=float, default=None,
@@ -1850,11 +1852,16 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--bulk requires --index")
             if args.min_cosine is not None and not args.bulk:
                 raise SystemExit("--min-cosine requires --bulk")
-            if args.bulk and (args.rerank or args.k_fill or args.filter):
+            if args.bulk and (args.k_fill or args.filter):
                 raise SystemExit(
-                    "--bulk composes with none of --rerank/--k-fill/"
+                    "--bulk composes with neither --k-fill nor "
                     "--filter (those are the interactive small-query "
                     "paths)"
+                )
+            if args.bulk and args.rerank and args.min_cosine is not None:
+                raise SystemExit(
+                    "--min-cosine applies to the exact --bulk path "
+                    "only (the PQ stage scores approximately)"
                 )
             if args.rerank and not args.index:
                 raise SystemExit("--rerank requires --index")
@@ -1905,7 +1912,21 @@ def main(argv: list[str] | None = None) -> int:
                         pq_m=args.pq_m if args.rerank else None,
                         pq_codes=args.pq_codes,
                     )
-                if args.bulk:
+                if args.bulk and args.rerank:
+                    # bulk + rerank = the codes-only two-stage path
+                    # (stage 1 reads (id, codes, rn2) only; stage 2
+                    # re-reads uvec for the surviving candidates via
+                    # the join-based id pushdown)
+                    from wimbd_spark.operators.similarity import (
+                        knn_join_pq,
+                    )
+
+                    res = knn_join_pq(
+                        spark, args.index, queries,
+                        n_candidates=args.rerank,
+                        n_probe=args.n_probe, **kw
+                    )
+                elif args.bulk:
                     from wimbd_spark.operators.similarity import (
                         knn_join,
                     )
