@@ -1595,3 +1595,78 @@ def test_stateful_user_counts_timeout_expires_state(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_streaming_ivf_dedup_ingest_gate(spark, tmp_path):
+    """Dedup-on-ingest: a micro-batch vector that ε-matches the base
+    index, an EARLIER batch's survivor, or a smaller-id batch-mate is
+    dropped; genuinely new vectors land in the delta tier. Earlier
+    epochs gate later ones because the lists listing re-resolves per
+    batch."""
+    from wimbd_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_list_sizes,
+    )
+    from wimbd_spark.streaming.vectors import (
+        read_vector_stream,
+        streaming_ivf_dedup_ingest,
+    )
+
+    base_rows = []
+    for c in range(4):
+        for i in range(6):
+            v = [0.05] * 4
+            v[c] = 1.0
+            v[(c + 1) % 4] += 0.2 * i
+            base_rows.append((c * 100 + i, v))
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "dedupingest")
+    build_ivf_index(base, path, n_centroids=4)
+
+    feed = str(tmp_path / "ddfeed")
+    # b0: 9000 ≈ base vec 0 (ε-dup of base → dropped); 9001 and 9002
+    # are near-identical batch-mates (keep-min-id → 9002 dropped);
+    # 9003 genuinely new
+    b0 = spark.createDataFrame(
+        [
+            (9000, [1.0, 0.05, 0.05, 0.0501]),
+            (9001, [0.5, 0.5, 0.5, 0.5]),
+            (9002, [0.5001, 0.5, 0.5, 0.5]),
+            (9003, [-1.0, 0.05, 0.05, 0.05]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    # b1: 9100 ≈ b0 survivor 9001 (dropped via the delta); 9101 new
+    b1 = spark.createDataFrame(
+        [
+            (9100, [0.5, 0.5001, 0.5, 0.5]),
+            (9101, [0.05, -1.0, 0.05, 0.05]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    b0.coalesce(1).write.mode("append").parquet(feed)
+    b1.coalesce(1).write.mode("append").parquet(feed)
+    q = streaming_ivf_dedup_ingest(
+        read_vector_stream(spark, feed, max_files_per_trigger=1),
+        path,
+        checkpoint=str(tmp_path / "ddckpt"),
+        threshold=0.999,
+        n_probe=4,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from wimbd_spark.operators.similarity import _read_lists
+
+    ids = {
+        r["id"]
+        for r in _read_lists(spark, path, columns=["id"]).collect()
+    }
+    assert 9001 in ids and 9003 in ids and 9101 in ids
+    assert 9000 not in ids and 9002 not in ids and 9100 not in ids
+    assert sum(
+        r["size"] for r in ivf_list_sizes(spark, path).collect()
+    ) == 24 + 3

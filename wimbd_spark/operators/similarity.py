@@ -1151,7 +1151,7 @@ def cosine_topk_ivf_pq_rerank(
 
 def _ivf_scored_stream(
     spark, path: str, queries: DataFrame, n_probe, id_col: str,
-    vec_col: str,
+    vec_col: str, _cent_arr=None, _n_cents: int | None = None,
 ) -> DataFrame | None:
     """The shared distributed candidate stream of the bulk tier:
     (query_id, neighbor_id, cosine) for every query row against its
@@ -1162,15 +1162,22 @@ def _ivf_scored_stream(
     unabsorbed delta (bitwise-equal cosine — every consumer handles
     the duplicate without a corpus-scale dropDuplicates). None when
     the index has an empty centroid table. Driver footprint:
-    the centroid table only (≤ n_centroids rows by construction)."""
-    cents = spark.read.parquet(f"{path}/centroids").collect()
-    if not cents:
-        return None
+    the centroid table only (≤ n_centroids rows by construction).
+    Callers that hold a frozen centroid literal (the streaming gates)
+    pass ``_cent_arr``/``_n_cents`` to skip the per-call read."""
+    if _cent_arr is not None:
+        cent_arr, n_cents = _cent_arr, _n_cents
+    else:
+        cents = spark.read.parquet(f"{path}/centroids").collect()
+        if not cents:
+            return None
+        n_cents = len(cents)
+        cent_arr = _centroid_literal(
+            [{"centroid_id": r["centroid_id"], "_cent": r["v"]}
+             for r in cents]
+        )
     if n_probe == "all":
-        n_probe = len(cents)
-    cent_arr = _centroid_literal(
-        [{"centroid_id": r["centroid_id"], "_cent": r["v"]} for r in cents]
-    )
+        n_probe = n_cents
     q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         _unit(_to_double(F.col(vec_col))).alias("_qv"),

@@ -36,6 +36,7 @@ next absorb/recluster folds it into partition-pruned base lists.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -67,6 +68,42 @@ def read_vector_stream(
     return reader.format(fmt).load(path)
 
 
+def _delta_run_dir(spark, path: str, checkpoint: str) -> str:
+    """Checkpoint-scoped delta run dir + the two start-time guards
+    shared by the vector ingest gates: refuse a legacy flat
+    ``delta/batch=*`` layout (mixed layouts break partition
+    discovery) and refuse a RESET checkpoint over an existing run dir
+    (epoch ids restart at 0 — overwriting batch=0 would silently
+    destroy previously ingested vectors, r12 ADVICE)."""
+    import hashlib
+
+    from wimbd_spark.operators.similarity import _hadoop_exists
+
+    run_id = hashlib.sha1(
+        checkpoint.rstrip("/").encode("utf-8")
+    ).hexdigest()[:12]
+    run_dir = f"{path}/delta/run={run_id}"
+    if _hadoop_exists(spark, f"{path}/delta/batch=0"):
+        raise ValueError(
+            f"legacy flat delta layout at {path!r}/delta — "
+            "absorb_ivf_delta it into a fresh generation before "
+            "starting a run-namespaced stream (mixed delta layouts "
+            "break partition discovery)"
+        )
+    if _hadoop_exists(spark, run_dir) and not _hadoop_exists(
+        spark, f"{checkpoint}/offsets"
+    ):
+        raise ValueError(
+            f"{run_dir!r} already holds delta batches but checkpoint "
+            f"{checkpoint!r} has no offset log — a reset checkpoint "
+            "restarts epochs at 0 and would silently overwrite "
+            "previously ingested vectors. Absorb the existing delta "
+            "(absorb_ivf_delta) or resume with the original "
+            "checkpoint."
+        )
+    return run_dir
+
+
 def streaming_ivf_ingest(
     vectors: DataFrame,
     path: str,
@@ -96,38 +133,14 @@ def streaming_ivf_ingest(
     needs_recluster sees delta rows too, so a drifting stream trips
     the re-fit trigger without any extra accounting.
     """
-    import hashlib
-
     from wimbd_spark.operators.similarity import (
         _assign_rows,
         _centroid_literal,
-        _hadoop_exists,
         _load_codebooks,
     )
 
     spark = vectors.sparkSession
-    run_id = hashlib.sha1(
-        checkpoint.rstrip("/").encode("utf-8")
-    ).hexdigest()[:12]
-    run_dir = f"{path}/delta/run={run_id}"
-    if _hadoop_exists(spark, f"{path}/delta/batch=0"):
-        raise ValueError(
-            f"streaming_ivf_ingest: legacy flat delta layout at "
-            f"{path!r}/delta — absorb_ivf_delta it into a fresh "
-            "generation before starting a run-namespaced stream "
-            "(mixed delta layouts break partition discovery)"
-        )
-    if _hadoop_exists(spark, run_dir) and not _hadoop_exists(
-        spark, f"{checkpoint}/offsets"
-    ):
-        raise ValueError(
-            f"streaming_ivf_ingest: {run_dir!r} already holds delta "
-            f"batches but checkpoint {checkpoint!r} has no offset log "
-            "— a reset checkpoint restarts epochs at 0 and would "
-            "silently overwrite previously ingested vectors. Absorb "
-            "the existing delta (absorb_ivf_delta) or resume with "
-            "the original checkpoint."
-        )
+    run_dir = _delta_run_dir(spark, path, checkpoint)
     cents = spark.read.parquet(f"{path}/centroids").collect()
     if not cents:
         raise ValueError(
@@ -146,6 +159,94 @@ def streaming_ivf_ingest(
 
     return (
         vectors.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def streaming_ivf_dedup_ingest(
+    vectors: DataFrame,
+    path: str,
+    checkpoint: str,
+    threshold: float = 0.99,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Dedup-on-ingest: `streaming_ivf_ingest` with an ε-gate — each
+    micro-batch drops vectors that are semantic duplicates (cosine ≥
+    ``threshold``) of anything ALREADY IN the index (base ∪ delta as
+    of the batch) or of a smaller-id batch-mate, then ingests only the
+    survivors into the delta tier. The production vector-pipeline
+    front door: the index never accumulates ε-duplicates, so no
+    offline semantic-dedup pass over the delta is needed later.
+
+    Plan per micro-batch (batches are small by construction):
+    - within-batch: exact `cosine_pairs` keep-min-id (all-pairs over
+      the batch only — never the index);
+    - vs-index: the batch probes its ``n_probe`` nearest lists
+      (shared `_ivf_scored_stream`; the lists LISTING re-resolves
+      every epoch, so earlier epochs' survivors gate later ones) and
+      drops on any ≥-threshold neighbor with a DIFFERENT id;
+    - survivors assign + write to delta/run=<ckpt-id>/batch=<epoch>
+      (overwrite — exactly-once under redelivery; the same-id
+      exclusion is what makes redelivery idempotent: a replayed
+      batch's own earlier write never ε-matches it OUT, and two batch
+      survivors are never ε-close by the within-batch gate).
+
+    Same frozen-centroid/codebook and run-dir contracts as
+    `streaming_ivf_ingest`. Returns the StreamingQuery.
+    """
+    from wimbd_spark.operators.similarity import (
+        _assign_rows,
+        _centroid_literal,
+        _ivf_scored_stream,
+        _load_codebooks,
+        cosine_pairs,
+    )
+
+    spark = vectors.sparkSession
+    run_dir = _delta_run_dir(spark, path, checkpoint)
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    if not cents:
+        raise ValueError(
+            f"streaming_ivf_dedup_ingest: no centroids at {path!r} — "
+            "build the base generation with build_ivf_index first"
+        )
+    cent_arr = _centroid_literal(
+        [{"centroid_id": r["centroid_id"], "_cent": r["v"]} for r in cents]
+    )
+    n_cents = len(cents)
+    cb = _load_codebooks(spark, path)
+
+    def _gate(batch_df: DataFrame, epoch: int) -> None:
+        surv = batch_df.filter(F.col(vec_col).isNotNull())
+        drops_b = (
+            cosine_pairs(
+                surv, threshold=threshold, id_col=id_col, vec_col=vec_col
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        surv = surv.join(drops_b, id_col, "left_anti")
+        scored = _ivf_scored_stream(
+            spark, path, surv, n_probe, id_col, vec_col,
+            _cent_arr=cent_arr, _n_cents=n_cents,
+        )
+        drops_i = (
+            scored.filter(F.col("neighbor_id") != F.col("query_id"))
+            .filter(F.col("cosine") >= F.lit(threshold))
+            .select(F.col("query_id").alias(id_col))
+            .distinct()
+        )
+        surv = surv.join(drops_i, id_col, "left_anti")
+        _assign_rows(surv, cent_arr, cb, id_col, vec_col).write.mode(
+            "overwrite"
+        ).parquet(f"{run_dir}/batch={epoch}")
+
+    return (
+        vectors.writeStream.foreachBatch(_gate)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .start()
