@@ -2405,8 +2405,8 @@ def q_knn_join_pq_bulk(spark, sf_dir):
     scan, per-query ADC tables, no driver candidate state — the bulk
     twin of ivf_pq_rerank_top3) then an exact join-based re-rank to
     top-3. Oracle = the proven full PQ mirror with the query
-    restriction lifted plus the exact re-rank tail. R14 REGISTRY
-    CANDIDATE — waits in _R14_CANDIDATES for the rotation."""
+    restriction lifted plus the exact re-rank tail. Promoted to _REGISTRY
+    in the r14 rotation (staged + judge-verified in r13)."""
     from wimbd_spark.operators.similarity import knn_join_pq
 
     emb = _tbl(spark, sf_dir, "embeddings")
@@ -2630,8 +2630,8 @@ def q_ivf_threshold_pairs(spark, sf_dir):
     witnessed by a shared probed list — the no-top-k bulk shape (no
     rank window anywhere; threshold filters before the only shuffle).
     Cosine values excluded from the output (engines differ in the last
-    ulp; τ=0.45 has a >=5e-4 membership margin in the testdata). R14
-    REGISTRY CANDIDATE — waits in _R14_CANDIDATES for the rotation."""
+    ulp; τ=0.45 has a >=5e-4 membership margin in the testdata). Promoted to
+    _REGISTRY in the r14 rotation (staged + judge-verified in r13)."""
     from wimbd_spark.operators.similarity import cosine_pairs_ivf
 
     emb = _tbl(spark, sf_dir, "embeddings")
@@ -7246,6 +7246,104 @@ def o_streaming_sliding_counts():
     return o_events_sliding()
 
 
+def q_streaming_stateful_counts(spark, sf_dir):
+    """The custom-stateful streaming surface driven end-to-end
+    (streaming.windows.stateful_user_counts — applyInPandasWithState
+    per-user running totals) through the shared replay harness in
+    UPDATE mode: the memory sink appends each micro-batch's updated
+    (user_id, total_events) rows, and the final state is the max of
+    the monotone running total per user — batching-independent, so
+    the batch per-user count is a valid oracle. R14 REGISTRY
+    CANDIDATE (tests/test_r14_candidates keeps the pair green) —
+    this round's rotation window is full, so it waits outside
+    _REGISTRY."""
+    from wimbd_spark.streaming.windows import stateful_user_counts
+
+    return _replay_events_stream(
+        spark,
+        sf_dir,
+        lambda s: stateful_user_counts(s),
+        [("user_id", True), ("total_events", True)],
+        "stateful",
+        output_mode="update",
+        finalize=lambda t: t.groupBy("user_id").agg(
+            F.max("total_events").alias("total_events")
+        ),
+    )
+
+
+def o_streaming_stateful_counts():
+    return """
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(COUNT(*) AS BIGINT) AS total_events
+      FROM events GROUP BY user_id
+    """
+
+
+def q_decontaminate_slop_hatch(spark, sf_dir):
+    """Overlong-phrase slop decontamination through the scan-predicate
+    escape hatch (r13): 33-token eval phrases (> the 32-token gram
+    cap) at slop=1 cannot ride the gram explode (combination budget)
+    or the contains path (contiguous-only), so decontaminate_by_ngrams
+    routes them through the search tier's windowed scan predicate —
+    this row gates that route end-to-end. Output: the flagged train
+    doc ids. R14 REGISTRY CANDIDATE."""
+    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = tokenize(F.col("text"))
+    ev = (
+        docs.filter(
+            (F.col("source") == "src0")
+            & (F.size(toks) >= 33)
+            & (F.col("doc_id") % 3 == 0)
+        )
+        .select(F.array_join(F.slice(toks, 1, 33), " ").alias("phrase"))
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    flagged = decontaminate_by_ngrams(train, ev, slop=1, mode="flag")
+    return (
+        flagged.filter(F.col("contaminated"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def o_decontaminate_slop_hatch():
+    # in-order-within-34-token-window for a 33-token phrase, anchored
+    # at the first matched position: contiguous (k=0/33 edges) or one
+    # gap after k matched tokens; a truncated list_slice never equals
+    # the fixed-length phrase slice, so no bounds guards needed
+    return r"""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      ev AS (
+        SELECT DISTINCT list_slice(t, 1, 33) AS p FROM toks
+        WHERE source = 'src0' AND len(t) >= 33 AND doc_id % 3 = 0
+      ),
+      hits AS (
+        SELECT DISTINCT tr.doc_id
+        FROM toks tr, ev
+        WHERE tr.source <> 'src0' AND len(tr.t) >= 33
+          AND EXISTS (
+            SELECT 1
+            FROM unnest(generate_series(1, len(tr.t) - 32)) AS u(i),
+                 unnest(generate_series(0, 33)) AS g(k)
+            WHERE list_slice(tr.t, i, i + k - 1) = list_slice(ev.p, 1, k)
+              AND list_slice(tr.t, i + k + 1, i + 33)
+                  = list_slice(ev.p, k + 1, 33)
+          )
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id FROM hits
+    """
+
+
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # ROTATION POLICY (round-robin): the driver records correctness
     # rows for the FIRST 50 entries only; with N registry queries every
@@ -7255,103 +7353,25 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # tools/check_oracles.py additionally covers ALL entries locally
     # every round regardless of position.
     #
-    # Round 13 window: the 5 promoted r13 candidates (verified green
-    # by the r12 judge) and this round's new knn_join_bulk_top2 lead
-    # — all six never driver-checked, so the invariant REQUIRES them
-    # in-window — followed by 44 of the 50 queries last driver-checked
-    # in r10 (absent from both binding windows r11 and r12). The 6
-    # r10-checked queries that did not fit lead the tail, so r14's
-    # rotation surfaces the oldest first; then the r11-checked cohort,
-    # then the r12-checked cohort.
-    "c4_span_dedup_text": (q_c4_span_dedup, o_c4_span_dedup),
-    "datasheet_overview": (q_datasheet_overview, o_datasheet_overview),
-    "ivf_kfill_filtered_top3": (q_ivf_kfill_filtered, o_ivf_kfill_filtered),
-    "streaming_tumbling_counts": (
-        q_streaming_tumbling_counts,
-        o_streaming_tumbling_counts,
+    # Round 14 window: the 5 promoted r14 candidates (verified green by
+    # the r13 judge and tests/test_r15_candidates.py's predecessor) —
+    # never driver-checked, so the invariant REQUIRES them in-window —
+    # then the 6 queries whose last driver row is r10 (absent from the
+    # r11/r12/r13 windows), then 39 of the 50 queries last checked in
+    # r11. The 11 r11-checked queries that did not fit lead the tail so
+    # r15's rotation surfaces the oldest first; then the r12 cohort,
+    # then the r13 cohort.
+    "streaming_stateful_user_counts": (
+        q_streaming_stateful_counts,
+        o_streaming_stateful_counts,
     ),
-    "streaming_sliding_counts": (
-        q_streaming_sliding_counts,
-        o_streaming_sliding_counts,
+    "ivf_threshold_pairs": (q_ivf_threshold_pairs, o_ivf_threshold_pairs),
+    "semantic_dedup_ivf_drops": (q_semantic_dedup_ivf, o_semantic_dedup_ivf),
+    "knn_join_pq_bulk_top3": (q_knn_join_pq_bulk, o_knn_join_pq_bulk),
+    "decontaminate_slop_hatch_src0": (
+        q_decontaminate_slop_hatch,
+        o_decontaminate_slop_hatch,
     ),
-    "knn_join_bulk_top2": (q_knn_join_bulk, o_knn_join_bulk),
-    "bpe_train_roundtrip": (q_bpe_train_roundtrip, o_bpe_train_roundtrip),
-    "ivf_pq_rerank_top3": (q_ivf_pq_rerank, o_ivf_pq_rerank),
-    "more_like_this_indexed_top10": (
-        q_more_like_this_indexed,
-        o_more_like_this,
-    ),
-    "ngram_spectrum_n2": (q_ngram_spectrum, o_ngram_spectrum),
-    "top_pmi_bigrams_k20": (q_top_pmi_bigrams, o_top_pmi_bigrams),
-    "hybrid_rrf_filtered_top10": (
-        q_hybrid_rrf_filtered,
-        o_hybrid_rrf_filtered,
-    ),
-    "events_asof_next_click": (
-        q_events_asof_next_click,
-        o_events_asof_next_click,
-    ),
-    "events_asof_nearest_click": (
-        q_events_asof_nearest_click,
-        o_events_asof_nearest_click,
-    ),
-    "url_normalized": (q_url_normalized, o_url_normalized),
-    "url_dedup_keepfirst": (q_url_dedup_keepfirst, o_url_dedup_keepfirst),
-    "phrase_ac_counts": (q_phrase_ac_counts, o_phrase_batch_counts),
-    "topk_ngrams_by_source_n2_k5": (
-        q_topk_ngrams_by_source,
-        o_topk_ngrams_by_source,
-    ),
-    "shared_span_coverage": (q_shared_span_coverage, o_shared_span_coverage),
-    "zipf_fit_unigrams": (q_zipf_fit, o_zipf_fit),
-    "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
-    "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
-    "weighted_sample_chars_k50": (
-        q_weighted_sample_chars,
-        o_weighted_sample_chars,
-    ),
-    "weighted_sample_by_source_k10": (
-        q_weighted_sample_by_source,
-        o_weighted_sample_by_source,
-    ),
-    "kmeans_cluster_stats_k8_i2": (q_kmeans_stats, o_kmeans_stats),
-    "events_json_stats": (q_events_json_stats, o_events_json_stats),
-    "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
-    "simhash16": (q_simhash, o_simhash),
-    "simhash62": (q_simhash62, o_simhash62),
-    "embedding_cosine_pairs_lsh": (
-        q_embedding_cosine_pairs_lsh,
-        o_embedding_cosine_pairs_lsh,
-    ),
-    "langid_counts": (q_langid_counts, o_langid_counts),
-    "doc_fingerprints": (q_fingerprints, o_fingerprints),
-    "token_counts": (q_token_counts, o_token_counts),
-    "pii_extraction": (q_pii_extraction, o_pii_extraction),
-    "taxonomy_counts": (q_taxonomy_counts, o_taxonomy_counts),
-    "demographic_cooccurrence": (
-        q_demographic_cooccurrence,
-        o_demographic_cooccurrence,
-    ),
-    "sample_by_hash": (q_sample_by_hash, o_sample_by_hash),
-    "id_lookup": (q_id_lookup, o_id_lookup),
-    "length_dist_normalized": (
-        q_length_dist_normalized,
-        o_length_dist_normalized,
-    ),
-    "url_analysis": (q_url_analysis, o_url_analysis),
-    "search_locations": (q_search_locations, o_search_locations),
-    "orders_rollup": (q_orders_rollup, o_orders_rollup),
-    "script_profile": (q_script_profile, o_script_profile),
-    "tfidf_top3_terms": (q_tfidf_top3_terms, o_tfidf_top3_terms),
-    "lm_ppl_scores": (q_lm_ppl_scores, o_lm_ppl_scores),
-    "perplexity_filter_31": (q_perplexity_filter_31, o_perplexity_filter_31),
-    "domain_blocklist_filter": (
-        q_domain_blocklist_filter,
-        o_domain_blocklist_filter,
-    ),
-    "search_snippets_w20": (q_search_snippets, o_search_snippets),
-    "topk_ngrams_2pass_n2_k20": (q_topk_ngrams_2pass, o_topk_ngrams_2pass),
-    "dsir_log_weights_src0": (q_dsir_log_weights, o_dsir_log_weights),
     "unimax_mixture_weights": (q_unimax_allocation, o_unimax_allocation),
     "quality_funnel_report": (q_quality_funnel, o_quality_funnel),
     "cluster_balanced_sample_q3": (
@@ -7542,126 +7562,106 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
         o_streaming_session_stats,
     ),
     "c4_filter_report": (q_c4_filter_report, o_c4_filter_report),
+    "c4_span_dedup_text": (q_c4_span_dedup, o_c4_span_dedup),
+    "datasheet_overview": (q_datasheet_overview, o_datasheet_overview),
+    "ivf_kfill_filtered_top3": (q_ivf_kfill_filtered, o_ivf_kfill_filtered),
+    "streaming_tumbling_counts": (
+        q_streaming_tumbling_counts,
+        o_streaming_tumbling_counts,
+    ),
+    "streaming_sliding_counts": (
+        q_streaming_sliding_counts,
+        o_streaming_sliding_counts,
+    ),
+    "knn_join_bulk_top2": (q_knn_join_bulk, o_knn_join_bulk),
+    "bpe_train_roundtrip": (q_bpe_train_roundtrip, o_bpe_train_roundtrip),
+    "ivf_pq_rerank_top3": (q_ivf_pq_rerank, o_ivf_pq_rerank),
+    "more_like_this_indexed_top10": (
+        q_more_like_this_indexed,
+        o_more_like_this,
+    ),
+    "ngram_spectrum_n2": (q_ngram_spectrum, o_ngram_spectrum),
+    "top_pmi_bigrams_k20": (q_top_pmi_bigrams, o_top_pmi_bigrams),
+    "hybrid_rrf_filtered_top10": (
+        q_hybrid_rrf_filtered,
+        o_hybrid_rrf_filtered,
+    ),
+    "events_asof_next_click": (
+        q_events_asof_next_click,
+        o_events_asof_next_click,
+    ),
+    "events_asof_nearest_click": (
+        q_events_asof_nearest_click,
+        o_events_asof_nearest_click,
+    ),
+    "url_normalized": (q_url_normalized, o_url_normalized),
+    "url_dedup_keepfirst": (q_url_dedup_keepfirst, o_url_dedup_keepfirst),
+    "phrase_ac_counts": (q_phrase_ac_counts, o_phrase_batch_counts),
+    "topk_ngrams_by_source_n2_k5": (
+        q_topk_ngrams_by_source,
+        o_topk_ngrams_by_source,
+    ),
+    "shared_span_coverage": (q_shared_span_coverage, o_shared_span_coverage),
+    "zipf_fit_unigrams": (q_zipf_fit, o_zipf_fit),
+    "bm25_filtered_top10": (q_bm25_filtered, o_bm25_filtered),
+    "bm25_filtered_indexed_top10": (q_bm25_filtered_indexed, o_bm25_filtered),
+    "weighted_sample_chars_k50": (
+        q_weighted_sample_chars,
+        o_weighted_sample_chars,
+    ),
+    "weighted_sample_by_source_k10": (
+        q_weighted_sample_by_source,
+        o_weighted_sample_by_source,
+    ),
+    "kmeans_cluster_stats_k8_i2": (q_kmeans_stats, o_kmeans_stats),
+    "events_json_stats": (q_events_json_stats, o_events_json_stats),
+    "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
+    "simhash16": (q_simhash, o_simhash),
+    "simhash62": (q_simhash62, o_simhash62),
+    "embedding_cosine_pairs_lsh": (
+        q_embedding_cosine_pairs_lsh,
+        o_embedding_cosine_pairs_lsh,
+    ),
+    "langid_counts": (q_langid_counts, o_langid_counts),
+    "doc_fingerprints": (q_fingerprints, o_fingerprints),
+    "token_counts": (q_token_counts, o_token_counts),
+    "pii_extraction": (q_pii_extraction, o_pii_extraction),
+    "taxonomy_counts": (q_taxonomy_counts, o_taxonomy_counts),
+    "demographic_cooccurrence": (
+        q_demographic_cooccurrence,
+        o_demographic_cooccurrence,
+    ),
+    "sample_by_hash": (q_sample_by_hash, o_sample_by_hash),
+    "id_lookup": (q_id_lookup, o_id_lookup),
+    "length_dist_normalized": (
+        q_length_dist_normalized,
+        o_length_dist_normalized,
+    ),
+    "url_analysis": (q_url_analysis, o_url_analysis),
+    "search_locations": (q_search_locations, o_search_locations),
+    "orders_rollup": (q_orders_rollup, o_orders_rollup),
+    "script_profile": (q_script_profile, o_script_profile),
+    "tfidf_top3_terms": (q_tfidf_top3_terms, o_tfidf_top3_terms),
+    "lm_ppl_scores": (q_lm_ppl_scores, o_lm_ppl_scores),
+    "perplexity_filter_31": (q_perplexity_filter_31, o_perplexity_filter_31),
+    "domain_blocklist_filter": (
+        q_domain_blocklist_filter,
+        o_domain_blocklist_filter,
+    ),
+    "search_snippets_w20": (q_search_snippets, o_search_snippets),
+    "topk_ngrams_2pass_n2_k20": (q_topk_ngrams_2pass, o_topk_ngrams_2pass),
+    "dsir_log_weights_src0": (q_dsir_log_weights, o_dsir_log_weights),
 }
 
 
-def q_streaming_stateful_counts(spark, sf_dir):
-    """The custom-stateful streaming surface driven end-to-end
-    (streaming.windows.stateful_user_counts — applyInPandasWithState
-    per-user running totals) through the shared replay harness in
-    UPDATE mode: the memory sink appends each micro-batch's updated
-    (user_id, total_events) rows, and the final state is the max of
-    the monotone running total per user — batching-independent, so
-    the batch per-user count is a valid oracle. R14 REGISTRY
-    CANDIDATE (tests/test_r14_candidates keeps the pair green) —
-    this round's rotation window is full, so it waits outside
-    _REGISTRY."""
-    from wimbd_spark.streaming.windows import stateful_user_counts
-
-    return _replay_events_stream(
-        spark,
-        sf_dir,
-        lambda s: stateful_user_counts(s),
-        [("user_id", True), ("total_events", True)],
-        "stateful",
-        output_mode="update",
-        finalize=lambda t: t.groupBy("user_id").agg(
-            F.max("total_events").alias("total_events")
-        ),
-    )
-
-
-def o_streaming_stateful_counts():
-    return """
-      SELECT CAST(user_id AS BIGINT) AS user_id,
-             CAST(COUNT(*) AS BIGINT) AS total_events
-      FROM events GROUP BY user_id
-    """
-
-
-def q_decontaminate_slop_hatch(spark, sf_dir):
-    """Overlong-phrase slop decontamination through the scan-predicate
-    escape hatch (r13): 33-token eval phrases (> the 32-token gram
-    cap) at slop=1 cannot ride the gram explode (combination budget)
-    or the contains path (contiguous-only), so decontaminate_by_ngrams
-    routes them through the search tier's windowed scan predicate —
-    this row gates that route end-to-end. Output: the flagged train
-    doc ids. R14 REGISTRY CANDIDATE."""
-    from wimbd_spark.operators.dedup import decontaminate_by_ngrams
-
-    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
-    toks = tokenize(F.col("text"))
-    ev = (
-        docs.filter(
-            (F.col("source") == "src0")
-            & (F.size(toks) >= 33)
-            & (F.col("doc_id") % 3 == 0)
-        )
-        .select(F.array_join(F.slice(toks, 1, 33), " ").alias("phrase"))
-        .distinct()
-    )
-    train = docs.filter(F.col("source") != "src0").select(
-        "doc_id", "text"
-    )
-    flagged = decontaminate_by_ngrams(train, ev, slop=1, mode="flag")
-    return (
-        flagged.filter(F.col("contaminated"))
-        .select(F.col("doc_id").cast("long").alias("doc_id"))
-    )
-
-
-def o_decontaminate_slop_hatch():
-    # in-order-within-34-token-window for a 33-token phrase, anchored
-    # at the first matched position: contiguous (k=0/33 edges) or one
-    # gap after k matched tokens; a truncated list_slice never equals
-    # the fixed-length phrase slice, so no bounds guards needed
-    return r"""
-      WITH toks AS (
-        SELECT doc_id, source,
-               list_filter(regexp_split_to_array(trim(text), '\s+'),
-                           x -> x <> '') AS t
-        FROM documents WHERE text IS NOT NULL
-      ),
-      ev AS (
-        SELECT DISTINCT list_slice(t, 1, 33) AS p FROM toks
-        WHERE source = 'src0' AND len(t) >= 33 AND doc_id % 3 = 0
-      ),
-      hits AS (
-        SELECT DISTINCT tr.doc_id
-        FROM toks tr, ev
-        WHERE tr.source <> 'src0' AND len(tr.t) >= 33
-          AND EXISTS (
-            SELECT 1
-            FROM unnest(generate_series(1, len(tr.t) - 32)) AS u(i),
-                 unnest(generate_series(0, 33)) AS g(k)
-            WHERE list_slice(tr.t, i, i + k - 1) = list_slice(ev.p, 1, k)
-              AND list_slice(tr.t, i + k + 1, i + 33)
-                  = list_slice(ev.p, k + 1, 33)
-          )
-      )
-      SELECT CAST(doc_id AS BIGINT) AS doc_id FROM hits
-    """
-
-
-#: R14 registry candidates: (query, oracle) pairs READY for the next
-#: rotation — this round's first-50 window is saturated (5 promoted
-#: r13 candidates + knn_join_bulk_top2 + 44 r10-stale queries), and
+#: R15 registry candidates: (query, oracle) pairs READY for the next
+#: rotation — the r14 first-50 window is saturated (5 promoted r14
+#: candidates + the 6 r10-stale queries + 39 of the r11 cohort), and
 #: the rotation invariant requires every never-checked registry query
 #: to sit inside the window, so new rows stage here with their
-#: oracles pinned by tests/test_r14_candidates.py until r14 rotates
+#: oracles pinned by tests/test_r15_candidates.py until r15 rotates
 #: them in.
-_R14_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
-    "streaming_stateful_user_counts": (
-        q_streaming_stateful_counts,
-        o_streaming_stateful_counts,
-    ),
-    "ivf_threshold_pairs": (q_ivf_threshold_pairs, o_ivf_threshold_pairs),
-    "semantic_dedup_ivf_drops": (q_semantic_dedup_ivf, o_semantic_dedup_ivf),
-    "knn_join_pq_bulk_top3": (q_knn_join_pq_bulk, o_knn_join_pq_bulk),
-    "decontaminate_slop_hatch_src0": (
-        q_decontaminate_slop_hatch,
-        o_decontaminate_slop_hatch,
-    ),
+_R15_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
 }
 
 
@@ -7669,7 +7669,7 @@ def staged_candidates() -> dict[str, tuple[Callable, Callable]]:
     """The CURRENT round's staged (query, oracle) pairs — the round-
     agnostic accessor tests and tools use, so each rotation only
     renames the literal above."""
-    return _R14_CANDIDATES
+    return _R15_CANDIDATES
 
 
 def entry(spark: SparkSession) -> DataFrame:

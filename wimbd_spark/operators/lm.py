@@ -191,3 +191,209 @@ def perplexity_filter(
         .select(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def bigram_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """Train the bigram half of an interpolated bigram LM →
+    (prev, token, pml) where pml = c(prev, token) / c(prev ·) is the
+    maximum-likelihood conditional probability of ``token`` following
+    ``prev``. Unseen contexts/continuations carry NO row — the
+    interpolation in `bigram_score` supplies their mass from the
+    unigram model, so the table stays bounded by the corpus's
+    observed-bigram count (CCNet's KenLM models are n-gram count
+    tables of exactly this shape).
+
+    Plan: pairs are built INSIDE the token array (transform over
+    indices — no self-join, no window), then ONE explode + ONE
+    groupBy(prev, token); the context totals are a reaggregation of
+    those bigram counts joined back on ``prev``. Two narrow shuffles
+    over (string, string) pairs; document rows never shuffle.
+    """
+    from wimbd_spark.functions.text import tokenize
+
+    tok = tokenizer if tokenizer is not None else tokenize
+    pairs = (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(tok(F.col(text_col)).alias("_toks"))
+        .select(
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.col("_toks"),
+                        lambda t, i: F.struct(
+                            F.element_at(F.col("_toks"), i).alias("prev"),
+                            t.alias("token"),
+                        ),
+                    ),
+                    # element_at is 1-based: index i (0-based position
+                    # of t) IS the previous token; i=0 yields NULL
+                    # (element_at(_, 0) errors under ANSI, so gate it)
+                    lambda p, i: i > F.lit(0),
+                )
+            ).alias("p")
+        )
+        .select("p.prev", "p.token")
+    )
+    bcounts = pairs.groupBy("prev", "token").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    ctotals = bcounts.groupBy("prev").agg(F.sum("_c").alias("_cc"))
+    return bcounts.join(ctotals, "prev").select(
+        "prev",
+        "token",
+        (F.col("_c").cast("double") / F.col("_cc").cast("double")).alias(
+            "pml"
+        ),
+    )
+
+
+def bigram_score(
+    df: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer=None,
+    broadcast_lm: bool = False,
+) -> DataFrame:
+    """Score every doc under an INTERPOLATED bigram LM → (id_col,
+    n_tokens, bits_per_token, ppl).
+
+    Per-position probability:
+      - first token:  p = p_uni(t)           (no context exists)
+      - later tokens: p = lam * pml(t|prev) + (1-lam) * p_uni(t)
+    where pml comes from `bigram_lm` (0 when the bigram is unseen —
+    pure backoff to the unigram) and p_uni from `unigram_lm`, whose
+    add-alpha NULL-token row guarantees p > 0 for every token. This is
+    the Jelinek-Mercer fixed-weight interpolation CCNet-class filters
+    use; ``lam`` in [0, 1) (lam = 1 would zero unseen-bigram mass and
+    produce infinite bits).
+
+    Plan: pairs are built inside the token array (no window), exploded
+    once, then TWO hash joins — (prev, token) against the bigram table
+    and token against the unigram vocabulary — and one groupBy(doc).
+    Pass ``broadcast_lm=True`` when both model tables fit the
+    broadcast threshold to make both joins map-side; otherwise the
+    shuffle carries (id, prev, token) triples only, never full rows.
+    Docs with NULL text or zero tokens get n_tokens = 0 and NULL
+    scores (kept — gating is the caller's policy).
+    """
+    from wimbd_spark.functions.text import tokenize
+
+    if not (0.0 <= lam < 1.0):
+        raise ValueError(
+            f"lam must be in [0, 1): lam={lam} (1 zeroes unseen-bigram "
+            f"mass -> infinite bits; interpolation needs unigram mass)"
+        )
+    tok = tokenizer if tokenizer is not None else tokenize
+    vocab = uni.filter(F.col("token").isNotNull()).select(
+        "token", F.col("logp").alias("_logp_u")
+    )
+    bitab = bi.select("prev", "token", "pml")
+    if broadcast_lm:
+        vocab = F.broadcast(vocab)
+        bitab = F.broadcast(bitab)
+    unseen = F.broadcast(
+        uni.filter(F.col("token").isNull()).select(
+            F.col("logp").alias("_unseen")
+        )
+    )
+    pairs = (
+        df.select(F.col(id_col), tok(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.col("_toks"),
+                    # element_at is 1-based, i is 0-based: index i is
+                    # the PREVIOUS token; guard i=0 (ANSI element_at
+                    # rejects index 0) with an explicit NULL context.
+                    lambda t, i: F.struct(
+                        F.when(
+                            i > F.lit(0),
+                            F.element_at(F.col("_toks"), i),
+                        ).alias("prev"),
+                        t.alias("token"),
+                    ),
+                )
+            ).alias("_pos", "p"),
+        )
+        .select(F.col(id_col), "_pos", "p.prev", "p.token")
+    )
+    p_uni = F.pow(
+        F.lit(2.0), F.coalesce(F.col("_logp_u"), F.col("_unseen"))
+    )
+    p = F.when(F.col("prev").isNull(), p_uni).otherwise(
+        F.lit(lam) * F.coalesce(F.col("pml"), F.lit(0.0))
+        + F.lit(1.0 - lam) * p_uni
+    )
+    scored = (
+        pairs.join(bitab, ["prev", "token"], "left")
+        .join(vocab, "token", "left")
+        .join(unseen)  # 1-row broadcast: a constant column, no shuffle
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(-F.log2(p)).alias("bits_per_token"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.col("bits_per_token"),
+            F.pow(F.lit(2.0), F.col("bits_per_token")).alias("ppl"),
+        )
+    )
+
+
+def bigram_perplexity_filter(
+    df: DataFrame,
+    max_ppl: float,
+    uni: DataFrame | None = None,
+    bi: DataFrame | None = None,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    tokenizer=None,
+    broadcast_lm: bool = False,
+) -> DataFrame:
+    """CCNet-fidelity quality gate: keep docs whose perplexity under
+    the interpolated bigram LM is ≤ ``max_ppl``. With no model given,
+    both halves train on ``df`` itself (self-perplexity). Supply
+    ``uni``/``bi`` together (a bigram table is meaningless without the
+    unigram that carries its backoff mass). Zero-token docs score NULL
+    and are dropped, matching `perplexity_filter`.
+    """
+    if (uni is None) != (bi is None):
+        raise ValueError(
+            "bigram_perplexity_filter: pass BOTH uni and bi (the "
+            "interpolation needs the unigram's backoff mass) or "
+            "neither (self-train on df)"
+        )
+    if uni is None:
+        uni = unigram_lm(df, text_col=text_col, alpha=alpha, tokenizer=tokenizer)
+        bi = bigram_lm(df, text_col=text_col, tokenizer=tokenizer)
+    keep = (
+        bigram_score(
+            df.select(id_col, text_col),
+            uni,
+            bi,
+            lam=lam,
+            id_col=id_col,
+            text_col=text_col,
+            tokenizer=tokenizer,
+            broadcast_lm=broadcast_lm,
+        )
+        .filter(F.col("ppl") <= max_ppl)
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
