@@ -7654,6 +7654,126 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
 }
 
 
+_SQL_BIGRAM_SCORED = """
+      bgdocs AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS arr
+        FROM documents WHERE text IS NOT NULL
+      ), bgpos AS (
+        SELECT doc_id, source, arr,
+               unnest(generate_series(1, len(arr))) AS i
+        FROM bgdocs
+      ), bgpairs AS (
+        SELECT doc_id, source, arr[i] AS token,
+               CASE WHEN i = 1 THEN NULL ELSE arr[i - 1] END AS prev
+        FROM bgpos
+      ), bgtrain AS (
+        SELECT * FROM bgpairs WHERE source <> 'src0'
+      ), bguc AS (
+        SELECT token, count(*) AS c FROM bgtrain GROUP BY token
+      ), bgut AS (
+        SELECT sum(c) AS n, count(*) AS v FROM bguc
+      ), bgbc AS (
+        SELECT prev, token, count(*) AS c FROM bgtrain
+        WHERE prev IS NOT NULL GROUP BY prev, token
+      ), bgcc AS (
+        SELECT prev, sum(c) AS cc FROM bgbc GROUP BY prev
+      ), bgscored AS (
+        -- p_uni mirrors the Spark model table: logp is stored then
+        -- re-exponentiated, so pow(2, log2(x)) keeps the engines
+        -- bit-aligned; 0.30000000000000004 is the IEEE double the
+        -- Python-side 1.0 - 0.7 produces.
+        SELECT p.doc_id, count(*) AS n_tokens,
+               avg(-log2(
+                 CASE WHEN p.prev IS NULL
+                      THEN pow(2, log2((coalesce(u.c, 0) + 0.5)
+                               / (bgut.n + 0.5 * (bgut.v + 1))))
+                      ELSE 0.7::DOUBLE
+                             * coalesce(b.c::DOUBLE / cc.cc::DOUBLE, 0)
+                           + 0.30000000000000004::DOUBLE
+                             * pow(2, log2((coalesce(u.c, 0) + 0.5)
+                                   / (bgut.n + 0.5 * (bgut.v + 1))))
+                 END)) AS bpt
+        FROM bgpairs p
+        LEFT JOIN bguc u USING (token)
+        LEFT JOIN bgbc b ON b.prev = p.prev AND b.token = p.token
+        LEFT JOIN bgcc cc ON cc.prev = p.prev, bgut
+        GROUP BY p.doc_id
+      )
+"""
+
+
+def q_bigram_ppl_scores_src0(spark, sf_dir):
+    """CCNet-fidelity interpolated-bigram LM scoring (lm.bigram_lm +
+    lm.bigram_score): train the unigram+bigram halves on the non-src0
+    corpus slice, score EVERY doc — so the row exercises all three
+    probability branches (seen bigram, backoff-to-unigram, unseen
+    token) against the oracle. lam = 0.7, alpha = 0.5. R15 REGISTRY
+    CANDIDATE — waits in _R15_CANDIDATES for the rotation."""
+    from wimbd_spark.operators.lm import bigram_lm, bigram_score, unigram_lm
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("source") != "src0")
+    out = bigram_score(
+        docs,
+        unigram_lm(train, alpha=0.5),
+        bigram_lm(train),
+        lam=0.7,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("bits_per_token", 6).alias("bits_per_token"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
+def o_bigram_ppl_scores_src0():
+    return f"""
+      WITH {_SQL_BIGRAM_SCORED}
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+             round(s.bpt, 6) AS bits_per_token,
+             round(pow(2, s.bpt), 6) AS ppl
+      FROM documents d LEFT JOIN bgscored s USING (doc_id)
+    """
+
+
+def q_bigram_ppl_filter_32(spark, sf_dir):
+    """Interpolated-bigram perplexity gate
+    (lm.bigram_perplexity_filter): keep docs whose ppl under the
+    non-src0-trained bigram LM is <= 32 — the threshold sits in a
+    measured gap of the fixture ppl distribution (nearest values
+    31.75 / 32.04 at sf0.01, 31.92 / 32.27 at sf0.001), so engine
+    float noise cannot flip a doc across it. R15 REGISTRY CANDIDATE —
+    waits in _R15_CANDIDATES for the rotation."""
+    from wimbd_spark.operators.lm import (
+        bigram_lm,
+        bigram_perplexity_filter,
+        unigram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("source") != "src0")
+    kept = bigram_perplexity_filter(
+        docs,
+        max_ppl=32.0,
+        uni=unigram_lm(train, alpha=0.5),
+        bi=bigram_lm(train),
+        lam=0.7,
+    )
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def o_bigram_ppl_filter_32():
+    return f"""
+      WITH {_SQL_BIGRAM_SCORED}
+      SELECT CAST(doc_id AS BIGINT) AS doc_id
+      FROM bgscored WHERE pow(2, bpt) <= 32.0
+    """
+
+
 #: R15 registry candidates: (query, oracle) pairs READY for the next
 #: rotation — the r14 first-50 window is saturated (5 promoted r14
 #: candidates + the 6 r10-stale queries + 39 of the r11 cohort), and
@@ -7662,6 +7782,11 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
 #: oracles pinned by tests/test_r15_candidates.py until r15 rotates
 #: them in.
 _R15_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
+    "bigram_ppl_scores_src0": (
+        q_bigram_ppl_scores_src0,
+        o_bigram_ppl_scores_src0,
+    ),
+    "bigram_ppl_filter_32": (q_bigram_ppl_filter_32, o_bigram_ppl_filter_32),
 }
 
 

@@ -620,6 +620,56 @@ def test_streaming_perplexity_gate_matches_batch(spark, tmp_path):
         streaming_perplexity_gate(corpus, lm_map, max_ppl=0)
 
 
+def test_streaming_bigram_perplexity_gate_matches_batch(spark, tmp_path):
+    """The interpolated-bigram gate (r13 VERDICT item 2) agrees with
+    lm.bigram_perplexity_filter row-for-row on a real stream: seen
+    bigrams score low, gibberish (unseen tokens + bigrams) scores
+    high, zero-token docs are dropped."""
+    from wimbd_spark.operators.lm import (
+        bigram_lm,
+        bigram_perplexity_filter,
+        unigram_lm,
+    )
+    from wimbd_spark.streaming import (
+        bigram_map_table,
+        read_doc_stream,
+        streaming_bigram_perplexity_gate,
+    )
+
+    rows = [(i, "the cat sat on the mat again") for i in range(6)] + [
+        (50, "the mat sat"),  # seen tokens, one unseen bigram (backoff)
+        (99, "xq zv jk wp qm nb vc"),  # fully unseen
+        (100, ""),  # zero tokens: dropped (no evidence of language)
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    train = corpus.filter("doc_id < 50")
+    uni, bi = unigram_lm(train), bigram_lm(train)
+    lm_map = bigram_map_table(uni, bi)
+
+    d = str(tmp_path / "docs_bppl")
+    _write_batch(d, [_doc(i, t) for i, t in rows], "b0.json")
+    out = streaming_bigram_perplexity_gate(
+        read_doc_stream(spark, d), lm_map, max_ppl=20.0, lam=0.7
+    )
+    q = _run_to_memory(out.select("doc_id"), "bppl_stream", "append")
+    got = sorted(
+        r["doc_id"] for r in spark.sql("select * from bppl_stream").collect()
+    )
+    q.stop()
+    assert got == list(range(6)) + [50]
+    batch = sorted(
+        r["doc_id"]
+        for r in bigram_perplexity_filter(
+            corpus, max_ppl=20.0, uni=uni, bi=bi, lam=0.7
+        ).collect()
+    )
+    assert got == batch
+    with pytest.raises(ValueError):
+        streaming_bigram_perplexity_gate(corpus, lm_map, max_ppl=0)
+    with pytest.raises(ValueError, match="lam"):
+        streaming_bigram_perplexity_gate(corpus, lm_map, max_ppl=5.0, lam=1.0)
+
+
 def test_streaming_url_filter_matches_batch(spark, tmp_path):
     from pyspark.sql.types import (
         LongType,

@@ -47,6 +47,9 @@ from wimbd_spark.operators.neardup import (
     simhash_pairs,
 )
 from wimbd_spark.operators.lm import (
+    bigram_lm,
+    bigram_perplexity_filter,
+    bigram_score,
     lm_score,
     perplexity_filter,
     unigram_lm,
@@ -173,6 +176,7 @@ __all__ = [
     "overlap",
     "cross_jaccard_pairs", "fuzzy_decontaminate",
     "unigram_lm", "lm_score", "perplexity_filter",
+    "bigram_lm", "bigram_score", "bigram_perplexity_filter",
     "filter_by_domain_blocklist", "host_suffixes", "tfidf_top_terms",
     "gram_novelty", "script_profile",
     "drop_near_duplicates", "neardup_components",

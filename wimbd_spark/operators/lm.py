@@ -224,15 +224,20 @@ def bigram_lm(
                 F.filter(
                     F.transform(
                         F.col("_toks"),
+                        # element_at is 1-based, i is 0-based: index i
+                        # IS the previous token. ANSI element_at
+                        # rejects index 0 EAGERLY (the filter below
+                        # runs after the transform), so clamp the
+                        # index total and discard the i=0 struct.
                         lambda t, i: F.struct(
-                            F.element_at(F.col("_toks"), i).alias("prev"),
+                            F.element_at(
+                                F.col("_toks"), F.greatest(i, F.lit(1))
+                            ).alias("prev"),
                             t.alias("token"),
+                            i.alias("_i"),
                         ),
                     ),
-                    # element_at is 1-based: index i (0-based position
-                    # of t) IS the previous token; i=0 yields NULL
-                    # (element_at(_, 0) errors under ANSI, so gate it)
-                    lambda p, i: i > F.lit(0),
+                    lambda p: p["_i"] > F.lit(0),
                 )
             ).alias("p")
         )
@@ -311,12 +316,16 @@ def bigram_score(
                 F.transform(
                     F.col("_toks"),
                     # element_at is 1-based, i is 0-based: index i is
-                    # the PREVIOUS token; guard i=0 (ANSI element_at
-                    # rejects index 0) with an explicit NULL context.
+                    # the PREVIOUS token. ANSI element_at rejects
+                    # index 0 and a CASE's untaken branch may still
+                    # evaluate under codegen, so clamp the index total
+                    # (greatest(i, 1)) and NULL the context at i = 0.
                     lambda t, i: F.struct(
                         F.when(
                             i > F.lit(0),
-                            F.element_at(F.col("_toks"), i),
+                            F.element_at(
+                                F.col("_toks"), F.greatest(i, F.lit(1))
+                            ),
                         ).alias("prev"),
                         t.alias("token"),
                     ),

@@ -587,6 +587,112 @@ def streaming_perplexity_gate(
     )
 
 
+#: Key separator for the folded bigram map: NUL never appears in a
+#: whitespace-tokenized token, so concat(prev, NUL, token) is injective.
+_BIGRAM_SEP = "\x00"
+
+
+def bigram_map_table(uni: DataFrame, bi: DataFrame) -> DataFrame:
+    """Fold an interpolated bigram LM (lm.unigram_lm + lm.bigram_lm)
+    into ONE row (vocab: map<string,double>, unseen: double,
+    bivocab: map<string,double>) — the static side of
+    streaming_bigram_perplexity_gate. ``bivocab`` keys are
+    concat(prev, NUL, token) (NUL cannot occur inside a token, so the
+    key is injective); values are the ML conditional pml. Same
+    single-JVM-row bound as lm_map_table — observed-bigram tables to
+    tens of millions of entries; CCNet-scale Wikipedia bigram models
+    fit, full web-crawl 5-gram models belong in the batch join path."""
+    bifold = (
+        bi.groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.concat_ws(
+                            _BIGRAM_SEP, F.col("prev"), F.col("token")
+                        ).alias("k"),
+                        F.col("pml").alias("v"),
+                    )
+                )
+            ).alias("bivocab")
+        )
+    )
+    return lm_map_table(uni).crossJoin(bifold)
+
+
+def streaming_bigram_perplexity_gate(
+    docs: DataFrame,
+    lm_map: DataFrame,
+    max_ppl: float,
+    lam: float = 0.7,
+    text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """CCNet-fidelity perplexity-gate-on-ingest: keep stream docs whose
+    INTERPOLATED-BIGRAM perplexity under a static pre-trained model is
+    ≤ ``max_ppl`` — the streaming twin of lm.bigram_perplexity_filter
+    (p = lam·pml(t|prev) + (1−lam)·p_uni(t); first token pure unigram).
+
+    ``lm_map`` is the one-row fold from `bigram_map_table`. Like
+    streaming_perplexity_gate the score is a pure per-row expression —
+    a transform over the token array with broadcast map lookups — so
+    the gate is STATELESS (no watermark, no state store). Batch rows
+    through the same function agree with bigram_score + threshold
+    row-for-row (tested). Zero-token docs are DROPPED (no evidence of
+    language), and the threshold is compared in log space (sum of bits
+    vs n·log2(max_ppl)) to avoid 2^x overflow on adversarial streams.
+    """
+    from wimbd_spark.functions.text import tokenize
+
+    if max_ppl <= 0:
+        raise ValueError("max_ppl must be > 0")
+    if not (0.0 <= lam < 1.0):
+        raise ValueError(
+            f"lam must be in [0, 1): lam={lam} (1 zeroes unseen-bigram "
+            f"mass -> infinite bits)"
+        )
+    tok = tokenizer if tokenizer is not None else tokenize
+    import math
+
+    gated = docs.join(F.broadcast(lm_map)).withColumn(
+        "_toks", tok(F.col(text_col))
+    )
+
+    # element_at is 1-based and i is 0-based, so index i IS the
+    # previous token; ANSI element_at rejects index 0, and a CASE does
+    # not guarantee its untaken branch is never evaluated under
+    # codegen, so the index is clamped total (greatest(i, 1)) and the
+    # CASE discards the clamped lookup's value at i = 0.
+    def _bits(t, i):
+        p_uni = F.pow(
+            F.lit(2.0),
+            F.coalesce(F.element_at(F.col("vocab"), t), F.col("unseen")),
+        )
+        prev = F.element_at(F.col("_toks"), F.greatest(i, F.lit(1)))
+        pml = F.coalesce(
+            F.element_at(
+                F.col("bivocab"),
+                F.concat(prev, F.lit(_BIGRAM_SEP), t),
+            ),
+            F.lit(0.0),
+        )
+        p = F.when(i == F.lit(0), p_uni).otherwise(
+            F.lit(lam) * pml + F.lit(1.0 - lam) * p_uni
+        )
+        return -F.log2(p)
+
+    bits_sum = F.aggregate(
+        F.transform(F.col("_toks"), _bits),
+        F.lit(0.0),
+        lambda acc, b: acc + b,
+    )
+    n = F.size(F.col("_toks"))
+    keep = (n > 0) & (
+        bits_sum <= n.cast("double") * F.lit(math.log2(max_ppl))
+    )
+    return gated.filter(keep).drop("_toks", "vocab", "unseen", "bivocab")
+
+
 def blocked_domain_table(blocklist: DataFrame, domain_col: str = "domain") -> DataFrame:
     """Fold a domain blocklist into ONE row (blocked:
     map<string,boolean>) — the static side of streaming_url_filter.
