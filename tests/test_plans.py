@@ -624,7 +624,7 @@ def test_knn_join_is_fully_distributed(spark, tmp_path):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     path = str(tmp_path / "knnplan")
     build_ivf_index(emb, path, n_centroids=8)
-    out = knn_join(spark, path, emb, k=2, n_probe=2)
+    out = knn_join(spark, path, emb, k=2, n_probe=2, local_prune=True)
     plan = explain_str(out)
     assert "LocalTableScan" not in plan and "ExistingRDD" not in plan
     assert "MapInPandas" in plan
@@ -635,6 +635,14 @@ def test_knn_join_is_fully_distributed(spark, tmp_path):
     )
     assert "LocalTableScan" not in plan2 and "ExistingRDD" not in plan2
     assert "MapInPandas" not in plan2
+    # local_prune='auto' (the default) routes on the deployment: the
+    # test session master is local[*], where SCALE.md r13 measured the
+    # Arrow hop as a pure cost (+6 s/sf1) — so auto must skip it here
+    plan3 = explain_str(knn_join(spark, path, emb, k=2, n_probe=2))
+    assert "MapInPandas" not in plan3
+    assert "LocalTableScan" not in plan3 and "ExistingRDD" not in plan3
+    with pytest.raises(ValueError, match="local_prune"):
+        knn_join(spark, path, emb, k=2, local_prune="yes")
 
 
 def test_pq_rerank_join_no_candidate_collect(spark, tmp_path):

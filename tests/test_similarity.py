@@ -1146,7 +1146,9 @@ def test_knn_join_matches_interactive(spark, tmp_path):
         inter = cosine_topk_ivf_indexed(
             spark, path, emb, k=3, n_probe=np_
         ).collect()
-        bulk = knn_join(spark, path, emb, k=3, n_probe=np_).collect()
+        bulk = knn_join(
+            spark, path, emb, k=3, n_probe=np_, local_prune=True
+        ).collect()
         nopr = knn_join(
             spark, path, emb, k=3, n_probe=np_, local_prune=False
         ).collect()

@@ -1279,6 +1279,20 @@ def semantic_duplicates_ivf(
     )
 
 
+def _is_local_master(spark) -> bool:
+    """True when the session runs single-JVM (master ``local`` /
+    ``local[N]`` / ``local[*]`` / ``local-cluster[...]`` all share one
+    box): every "shuffle" is a same-machine disk/memory exchange, so
+    volume-reduction hops that only pay across a network (knn_join's
+    Arrow local prune — SCALE.md r13 measured it at +6 s/sf1 locally)
+    should route themselves off."""
+    try:
+        master = spark.sparkContext.master or ""
+    except Exception:  # session without a live context: assume cluster
+        return False
+    return master.startswith("local")
+
+
 def knn_join(
     spark,
     path: str,
@@ -1289,7 +1303,7 @@ def knn_join(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     min_cosine: float | None = None,
-    local_prune: bool = True,
+    local_prune: bool | str = "auto",
 ) -> DataFrame:
     """Bulk k-NN JOIN against a persisted IVF index: every row of
     ``queries`` — which may be the ENTIRE corpus — gets its top-``k``
@@ -1310,7 +1324,7 @@ def knn_join(
       a corpus-sized query set probes every list anyway, and deriving
       the probed set would cost a full extra pass over the queries;
       hot centroids are skew-join territory, which AQE splits.
-    - ``local_prune`` (default on) cuts the top-k shuffle from
+    - ``local_prune`` cuts the top-k shuffle from
       |queries|·n_probe·avg_list_size scored rows to ≤ batch-local
       |queries|·k: an Arrow-batched per-batch top-k (mapInPandas)
       IMMEDIATELY after the join, exact by construction — a global
@@ -1319,7 +1333,14 @@ def knn_join(
       as the final rank. collect_list-style aggregation cannot
       express this (partial aggregation concatenates, it never
       truncates), which is what makes this the one justified Python
-      hop in the ANN tier.
+      hop in the ANN tier. The Arrow hop only PAYS when the rank
+      shuffle it shrinks crosses a network (SCALE.md r13: +6 s at sf1
+      on one box, where "shuffle" is a local disk/memory exchange),
+      so the default is ``"auto"``: prune on a cluster master, skip
+      it when the session master is ``local[*]`` (single-JVM —
+      exactly the deployment where the measured cost lives). Pass
+      True/False to pin either plan; results are row-identical
+      (parity-pinned) because the prune is exact.
     - one final shuffle on query_id for the exact global rank.
 
     ``min_cosine`` filters scored pairs before BOTH shuffles — for
@@ -1329,6 +1350,13 @@ def knn_join(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if local_prune == "auto":
+        local_prune = not _is_local_master(spark)
+    elif not isinstance(local_prune, bool):
+        raise ValueError(
+            f"local_prune must be True, False or 'auto', got "
+            f"{local_prune!r}"
+        )
     scored = _ivf_scored_stream(
         spark, path, queries, n_probe, id_col, vec_col
     )
