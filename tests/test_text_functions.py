@@ -335,3 +335,62 @@ def test_psl_snapshot_sanity():
     # size floor: the real list is ~14k lines / >9k rules; a stub
     # (the pre-r7 state) was ~50
     assert len(exact) > 5_000
+
+
+def test_tokenize_words_jvm_twin_differential(spark):
+    """The JVM regex twin (r13 VERDICT item 5) is value-identical to
+    the Pandas-UDF char loop on a deterministic differential corpus
+    covering every automaton branch: ASCII word runs + mids, non-ASCII
+    letters/digits/marks, Katakana joins (incl. the block's non-letter
+    members ・ ゠), Hiragana/Han per-char breaks, underscore bridges,
+    emoji, and the ASCII fast branch's guard boundary (word-mid-word
+    across the ASCII/non-ASCII line)."""
+    import random
+
+    from wimbd_spark.functions.text import tokenize_words
+
+    curated = [
+        "You can follow any responses to this entry through the RSS"
+        " 2.0 feed",
+        "Hi, there.", "don't stop", "U.S.A. is", "1,000.5!",
+        "foo_bar...", "汉字 カタカナ abc", "a.b", "a'1", "1.a", "a._",
+        "", "   ", "naïve café 🚀 日本語", "don’t", "_", "か_a",
+        "カ_a", "0_・걸", "e.g. i.e.", "3.14159", "a:b", "a：b",
+        "м.и.р", "٣٤٥", "१.२", "a·b", "ｱｲｳ", "x́", "á.b́",
+        "word. Next", "end.", "don’", "カ・カ", "゠ヽｰ",
+    ]
+    rng = random.Random(20260816)
+    alphabet = (
+        list("abcXYZ019_.,;:'’·—!?#%&*()[]{}\"\\/<>~`^|  \t\n")
+        + list("αβγДж中文字カタひら한글ﷺ🚀😀é́ñ٣४ｱ.’‧・")
+        + ["́", "‍", "゠", "ヽ", "ｰ"]
+    )
+    fuzz = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(curated + fuzz)], ["id", "t"]
+    )
+    bad = (
+        df.select(
+            "id",
+            tokenize_words(F.col("t")).alias("jvm"),
+            tokenize_words(F.col("t"), engine="python").alias("py"),
+        )
+        .filter("NOT (jvm <=> py)")
+        .collect()
+    )
+    assert bad == [], [(r["id"], r["jvm"], r["py"]) for r in bad[:5]]
+    # NULL passes through both engines
+    row = spark.range(1).select(
+        tokenize_words(F.lit(None).cast("string")).alias("j"),
+        tokenize_words(
+            F.lit(None).cast("string"), engine="python"
+        ).alias("p"),
+    ).collect()[0]
+    assert row["j"] is None and row["p"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="engine"):
+        tokenize_words(F.lit("x"), engine="rust")

@@ -1,7 +1,9 @@
 """Column-level text/URL/hash functions — the engine's scalar surface.
 
 Everything here is a pure ``Column`` expression (JVM-side, whole-stage
-codegen) except ``tokenize_words``, which is a Pandas UDF for Unicode
+codegen) — including ``tokenize_words``, whose UAX-29 segmentation
+runs as one Java regex by default (r14); its original Pandas-UDF char
+loop remains as the verified ``engine="python"`` twin for Unicode
 word-boundary parity with the reference tokenizer (src/tokens.rs:8-17).
 
 Reference parity map (file:line relative to /root/reference):
@@ -191,15 +193,94 @@ def _uax29_words_loop(t: str) -> list[str]:
     return out
 
 
-def tokenize_words(text: Column | str) -> Column:
-    """Unicode word-boundary tokenizer (Pandas UDF, Arrow-batched).
+# --- JVM twin of _uax29_words: the whole segmentation as ONE Java
+# regex for regexp_extract_all, so tokenize_words stays inside
+# whole-stage codegen instead of paying an Arrow round-trip per batch
+# (r13 VERDICT item 5 — the last Python-rate operator on a parity
+# path). The automaton is the char loop's, written with single-char
+# lookbehinds:
+#   token := W0 cont*  |  any other non-space char (its own token)
+#   cont  := AL/NU after an AL/NU/EX char        (WB5/8/9/10/13a/b)
+#          | KA after a KA/EX char               (WB13/13a/b)
+#          | EX after anything in-token          (joins every class)
+#          | MidLetter/MidNumLet + AL after AL   (WB6/7)
+#          | MidNum/MidNumLet + NU after NU      (WB11/12)
+# Mid units consume mid + follower TOGETHER so the next iteration's
+# lookbehind lands on a word char, mirroring the loop's j += 2.
+_KA_R = r"\x{30A0}-\x{30FF}\x{31F0}-\x{31FF}\x{FF66}-\x{FF9D}"
+_IDEO_R = (
+    r"\x{3040}-\x{309F}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}"
+    r"\x{F900}-\x{FAFF}"
+)
+_J_AL = rf"[\p{{L}}\p{{Mn}}\p{{Mc}}\p{{Nl}}&&[^{_KA_R}{_IDEO_R}]]"
+_J_ALNU = rf"[\p{{L}}\p{{Mn}}\p{{Mc}}\p{{Nl}}\p{{Nd}}&&[^{_KA_R}{_IDEO_R}]]"
+_J_ALNUEX = (
+    rf"[\p{{L}}\p{{Mn}}\p{{Mc}}\p{{Nl}}\p{{Nd}}_&&[^{_KA_R}{_IDEO_R}]]"
+)
+# NB: the char loop classes the Katakana BLOCKS as KA before looking
+# at the category, so non-letter block members (・ U+30FB Po, ゠ U+30A0
+# Pd) are word chars too — the raw ranges ride in the union here.
+_J_W0 = rf"[\p{{L}}\p{{Mn}}\p{{Mc}}\p{{Nl}}\p{{Nd}}_{_KA_R}&&[^{_IDEO_R}]]"
+_J_KA = rf"[{_KA_R}]"
+_J_KAEX = rf"[{_KA_R}_]"
+_J_MIDNUMLET = r".'\x{2019}\x{2024}\x{FE52}\x{FF0E}\x{FF07}"
+_J_MIDL = rf"[:\x{{B7}}\x{{2027}}\x{{5F4}}\x{{FE55}}\x{{FF1A}}{_J_MIDNUMLET}]"
+_J_MIDN = rf"[,;\x{{66C}}\x{{FE50}}\x{{FE54}}\x{{FF0C}}\x{{FF1B}}{_J_MIDNUMLET}]"
+# ASCII fast branch, tried FIRST: one possessive run (plus python-
+# identical ASCII mid rules) ending in a guard that proves the full
+# automaton could not extend the match — the next char is not a word
+# char (letters/digits/marks/_/Katakana-block, minus ideographs) and
+# not a mid+joiner two-char unit. Sentence-final "word." stays on the
+# fast branch (the '.' fails both guard alternatives); "don’t" falls
+# through to the automaton, which joins it. Quantifiers throughout
+# are possessive (++/*+): the automaton is deterministic, so saved
+# backtracking states are pure overhead (measured ~20%).
+_J_GUARD = rf"(?!{_J_W0}|{_J_MIDL}{_J_AL}|{_J_MIDN}\p{{Nd}})"
+_J_ASCII_FAST = (
+    r"[A-Za-z0-9_]++"
+    r"(?:(?:(?<=[A-Za-z])[:.'](?=[A-Za-z])|(?<=[0-9])[.,;'](?=[0-9]))"
+    r"[A-Za-z0-9_]++)*+" + _J_GUARD
+)
+_UAX29_JAVA_PATTERN = (
+    rf"{_J_ASCII_FAST}"
+    rf"|{_J_W0}"
+    rf"(?:(?<={_J_ALNUEX}){_J_ALNU}"
+    rf"|(?<={_J_KAEX}){_J_KA}"
+    rf"|_"
+    rf"|(?<={_J_AL}){_J_MIDL}{_J_AL}"
+    rf"|(?<=\p{{Nd}}){_J_MIDN}\p{{Nd}})*+"
+    rf"|[^\s]"
+)
+
+
+def tokenize_words(text: Column | str, engine: str = "jvm") -> Column:
+    """Unicode word-boundary tokenizer.
 
     UAX-29 word segmentation matching src/tokens.rs:8-17
     (split_word_bounds + drop whitespace-only segments): "2.0", "RSS",
     "don't" stay single tokens, standalone punctuation is kept as its
-    own token, CJK ideographs segment per-character. Slow path — prefer
-    ``tokenize`` unless the workload needs word-boundary semantics.
+    own token, CJK ideographs segment per-character, Katakana runs
+    join.
+
+    ``engine="jvm"`` (default) evaluates the segmentation as ONE Java
+    regex inside whole-stage codegen (regexp_extract_all) — no Python
+    workers, no Arrow transfer; value-identical to the char loop on
+    the src/tokens.rs goldens and three differential corpora (tested:
+    0 mismatches / 37k docs). Measured (SCALE.md r14): **2.4× faster
+    on ASCII-dominant text** (the guarded fast branch — real web
+    corpora), ~2.5× SLOWER on densely non-ASCII text, where the
+    automaton branch's per-char lookbehinds lose to the memoized
+    Python char loop. Pass ``engine="python"`` for CJK-dense corpora;
+    both engines are value-identical everywhere.
     """
+    if engine == "jvm":
+        return F.regexp_extract_all(
+            _col(text), F.lit(_UAX29_JAVA_PATTERN), F.lit(0)
+        )
+    if engine != "python":
+        raise ValueError(
+            f"engine must be 'jvm' or 'python', got {engine!r}"
+        )
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
