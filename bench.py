@@ -165,6 +165,11 @@ def main() -> None:
     from wimbd_spark.session import get_spark
 
     spark = get_spark(app_name="wimbd-spark-bench")
+    # Silence executor WARN chatter (log4j root level -> ERROR): the
+    # driver's 2000-byte tail capture otherwise fills with WindowExec
+    # no-partition warnings, every one of which is lint-verified
+    # bounded (tests/test_window_lint.py) — noise, not signal.
+    spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     # cost-model variants benched but not driver-registered (their
     # correctness rides an oracle-gated registry twin)

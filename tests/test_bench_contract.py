@@ -161,3 +161,20 @@ def test_bench_detail_carries_loadavg_fields():
     assert "loadavg_start" in detail and "loadavg_end" in detail
     src = inspect.getsource(bench.main)
     assert '"loadavg_start"' in src and '"loadavg_end"' in src
+
+
+def test_bench_session_silences_warn_chatter():
+    """r13 VERDICT (bench log hygiene): the bench session must set the
+    log level to ERROR right after creation, so the driver's ~2000-byte
+    stdout tail carries the JSON line instead of WindowExec
+    no-partition warnings (every such window is lint-verified bounded
+    — tests/test_window_lint.py — so WARN there is pure noise). Pinned
+    on the source so a refactor that drops the call fails here."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert 'setLogLevel("ERROR")' in src
+    # the call must come before the first query/prepare work
+    assert src.index("setLogLevel") < src.index("prepare_benchmark")
