@@ -7774,6 +7774,178 @@ def o_bigram_ppl_filter_32():
     """
 
 
+def q_streaming_ivf_dedup(spark, sf_dir):
+    """Streaming vector dedup-on-ingest driver surface (r13 gate,
+    r13 VERDICT item 7): base IVF index over the even-id embeddings,
+    odd-id vectors replayed as ONE micro-batch through
+    streaming.vectors.streaming_ivf_dedup_ingest (threshold 0.45,
+    n_probe 2), delta-tier survivors read back. Single-batch feed
+    makes the gate's survivor set closed-form: drop any odd vector
+    with a smaller-id 0.45-batch-mate (exact all-pairs within the
+    batch), then any within-batch survivor with a >=0.45 base
+    neighbor sharing one of its 2 probed lists — both mirrored in the
+    oracle below. R15 REGISTRY CANDIDATE — waits in _R15_CANDIDATES
+    for the rotation."""
+    import shutil
+    import tempfile
+
+    from wimbd_spark.operators.similarity import build_ivf_index
+    from wimbd_spark.streaming.vectors import streaming_ivf_dedup_ingest
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    feed_rows = emb.filter(F.col("vec_id") % 2 == 1)
+    # degenerate guard: the gate refuses an empty base index by
+    # contract; an empty corpus means an empty feed anyway
+    if base.limit(1).count() == 0:
+        return spark.createDataFrame([], "vec_id long")
+    root = tempfile.mkdtemp(prefix="wimbd_stream_ivfdedup_")
+    try:
+        idx = f"{root}/idx"
+        build_ivf_index(base, idx, n_centroids=8)
+        feed = f"{root}/feed"
+        feed_rows.coalesce(1).write.parquet(feed)
+        stream = (
+            spark.readStream.schema(feed_rows.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = streaming_ivf_dedup_ingest(
+            stream, idx, f"{root}/ckpt", threshold=0.45, n_probe=2
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = [
+            (int(r["id"]),)
+            for r in spark.read.parquet(f"{idx}/delta")
+            .select("id")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "vec_id long"
+    ) if rows else spark.createDataFrame([], "vec_id long")
+
+
+def o_streaming_ivf_dedup():
+    return """
+      WITH sbase AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 2 = 0
+      ), sfeed AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 2 = 1
+      ), scents AS (
+        SELECT vec_id AS cid, v AS cv FROM sbase
+        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                 vec_id
+        LIMIT 8
+      ), sdrops_b AS (
+        SELECT DISTINCT b.vec_id
+        FROM sfeed a JOIN sfeed b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+      ), ssurv1 AS (
+        SELECT * FROM sfeed
+        WHERE vec_id NOT IN (SELECT vec_id FROM sdrops_b)
+      ), sassigned AS (
+        SELECT b.vec_id, b.v,
+               (SELECT c.cid FROM scents c
+                ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid
+                LIMIT 1) AS centroid
+        FROM sbase b
+      ), sprobes AS (
+        SELECT s.vec_id AS query_id, s.v AS qv, p.cid
+        FROM ssurv1 s, LATERAL (
+          SELECT cid FROM scents
+          ORDER BY list_cosine_similarity(s.v, cv) DESC, cid
+          LIMIT 2
+        ) p
+      ), sdrops_i AS (
+        SELECT DISTINCT pr.query_id AS vec_id
+        FROM sprobes pr JOIN sassigned a ON a.centroid = pr.cid
+        WHERE list_cosine_similarity(pr.qv, a.v) >= 0.45
+      )
+      SELECT CAST(vec_id AS BIGINT) AS vec_id FROM ssurv1
+      WHERE vec_id NOT IN (SELECT vec_id FROM sdrops_i)
+    """
+
+
+def q_phrase_retrieval_allhits(spark, sf_dir):
+    """E5 all-hits retrieval (search.get_documents_containing_phrases
+    with num_documents=None — the reference's PIT + search_after
+    pagination loop replaced by plain partition streaming): every doc
+    containing either phrase, no limit, no sort. R15 REGISTRY
+    CANDIDATE — waits in _R15_CANDIDATES for the rotation."""
+    hits = get_documents_containing_phrases(
+        _docs(spark, sf_dir),
+        ["table scan", "hash join"],
+        num_documents=None,
+    )
+    return hits.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
+def o_phrase_retrieval_allhits():
+    return f"""
+      WITH tok AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM tok
+      WHERE {_sql_phrase_match("table scan")}
+         OR {_sql_phrase_match("hash join")}
+    """
+
+
+def q_topk_ngrams_2pass_by_src(spark, sf_dir):
+    """Grouped heavy-hitter top-k (heavyhitters.topk_ngrams_2pass_by):
+    per-source top-5 trigrams via per-(partition, group) Misra-Gries
+    summaries + bounded merge + exact broadcast recount — the
+    bounded-shuffle twin of topk_ngrams_by, counts exact. Capacity
+    50k >= the per-source distinct-trigram count at sf0.01/sf0.1, so
+    the exact grouped top-k SQL is a full-strength oracle. R15
+    REGISTRY CANDIDATE — waits in _R15_CANDIDATES for the rotation."""
+    from wimbd_spark.operators.heavyhitters import topk_ngrams_2pass_by
+
+    return topk_ngrams_2pass_by(
+        _docs(spark, sf_dir), n=3, k=5, capacity=50_000
+    ).select(
+        "source",
+        "ngram",
+        F.col("count").cast("long").alias("count"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def o_topk_ngrams_2pass_by_src():
+    return """
+      WITH toks AS (
+        SELECT source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      grams AS (
+        SELECT source, array_to_string(list_slice(t, i, i+2), ' ') AS ngram
+        FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+      ),
+      c AS (SELECT source, ngram, count(*) AS cnt
+            FROM grams GROUP BY source, ngram),
+      r AS (SELECT source, ngram, cnt,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY cnt DESC, ngram ASC) AS rank
+            FROM c)
+      SELECT source, ngram, CAST(cnt AS BIGINT) AS count,
+             CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5
+    """
+
+
 #: R15 registry candidates: (query, oracle) pairs READY for the next
 #: rotation — the r14 first-50 window is saturated (5 promoted r14
 #: candidates + the 6 r10-stale queries + 39 of the r11 cohort), and
@@ -7787,6 +7959,18 @@ _R15_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
         o_bigram_ppl_scores_src0,
     ),
     "bigram_ppl_filter_32": (q_bigram_ppl_filter_32, o_bigram_ppl_filter_32),
+    "streaming_ivf_dedup_drops": (
+        q_streaming_ivf_dedup,
+        o_streaming_ivf_dedup,
+    ),
+    "phrase_retrieval_allhits": (
+        q_phrase_retrieval_allhits,
+        o_phrase_retrieval_allhits,
+    ),
+    "topk_ngrams_2pass_by_src": (
+        q_topk_ngrams_2pass_by_src,
+        o_topk_ngrams_2pass_by_src,
+    ),
 }
 
 

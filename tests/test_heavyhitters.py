@@ -110,3 +110,58 @@ def test_chunked_compaction_single_oversized_batch():
     for g, c in true.items():
         if c > n_items / cap:
             assert g in summary, g
+
+
+def test_grouped_matches_exact_grouped_with_large_capacity(spark, documents):
+    """topk_ngrams_2pass_by == topk.topk_ngrams_by bit-for-bit when
+    capacity >= per-(partition, group) distinct grams — the grouped
+    twin of the global exactness condition."""
+    from wimbd_spark.operators.heavyhitters import topk_ngrams_2pass_by
+    from wimbd_spark.operators.topk import topk_ngrams_by
+
+    exact = topk_ngrams_by(documents, 2, 5).select(
+        "source", "ngram", "count", F.col("rank").cast("int").alias("rank")
+    )
+    two_pass = topk_ngrams_2pass_by(
+        documents, n=2, k=5, capacity=50_000
+    ).select(
+        "source", "ngram", "count", F.col("rank").cast("int").alias("rank")
+    )
+    key = lambda r: (r[0], r[3])
+    assert sorted(_rows(two_pass), key=key) == sorted(_rows(exact), key=key)
+
+
+def test_grouped_partition_layout_independent(spark, documents):
+    from wimbd_spark.operators.heavyhitters import topk_ngrams_2pass_by
+
+    base = topk_ngrams_2pass_by(documents, n=1, k=4, capacity=50_000)
+    reshuffled = topk_ngrams_2pass_by(
+        documents.repartition(7), n=1, k=4, capacity=50_000
+    )
+    key = lambda r: (r[0], r[3])
+    assert sorted(_rows(base), key=key) == sorted(_rows(reshuffled), key=key)
+
+
+def test_grouped_heavy_hitter_survives_eviction_per_group(spark):
+    """Each group keeps its own counter table: a 40%-mass gram in a
+    tiny-capacity run survives eviction in BOTH groups even when the
+    groups' token streams interleave within one partition."""
+    from wimbd_spark.operators.heavyhitters import topk_ngrams_2pass_by
+
+    rows = []
+    for g in ("a", "b"):
+        toks = [f"{g}hot" if i % 5 < 2 else f"{g}w{i}" for i in range(1000)]
+        rows.append((g, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["source", "text"]).coalesce(1)
+    out = topk_ngrams_2pass_by(df, n=1, k=1, capacity=16)
+    got = {(r["source"], r["ngram"], r["count"]) for r in out.collect()}
+    assert got == {("a", "ahot", 400), ("b", "bhot", 400)}
+
+
+def test_grouped_rejects_bad_parameters(spark, documents):
+    from wimbd_spark.operators.heavyhitters import topk_ngrams_2pass_by
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        topk_ngrams_2pass_by(documents, n=1, k=0)
+    with pytest.raises(ValueError, match="capacity"):
+        topk_ngrams_2pass_by(documents, n=1, k=5, capacity=2)

@@ -51,6 +51,33 @@ def test_staged_candidates_match_duckdb(spark, name):
     _check(spark, name, SF)
 
 
+@pytest.fixture(scope="module")
+def degenerate_dirs(tmp_path_factory):
+    """0-row and 1-row carves of every table (byte-identical schemas,
+    like tests/test_degenerate.py) — staged rows must survive the
+    degenerate sweep BEFORE promotion puts them in front of it
+    (knn_join_pq_bulk_top3 hit this in r14: an empty index's empty
+    pq_codebooks sidecar read as 'no sidecar' and raised)."""
+    import pyarrow.parquet as pq
+
+    from check_oracles import TABLES
+
+    out = []
+    for label, n in (("empty", 0), ("onedoc", 1)):
+        d = str(tmp_path_factory.mktemp(f"stg_{label}"))
+        for t in TABLES:
+            tab = pq.read_table(f"{SF}/{t}.parquet")
+            pq.write_table(tab.slice(0, n), f"{d}/{t}.parquet")
+        out.append(d)
+    return out
+
+
+@pytest.mark.parametrize("name", _candidate_names())
+def test_staged_candidates_survive_degenerate(spark, name, degenerate_dirs):
+    for d in degenerate_dirs:
+        _check(spark, name, d)
+
+
 def test_c4_span_dedup_oracle_on_duplicate_heavy_docs(spark, tmp_path):
     """The sf tables carry no sentence punctuation (span dedup is a
     no-op there), so ALSO pin the oracle on a corpus with real

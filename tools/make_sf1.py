@@ -115,5 +115,57 @@ def main() -> None:
     print(f"done → {DST}")
 
 
+# --- production-dim ANN rehearsal data (r13 VERDICT item 4) --------
+HD_DIM = int(os.environ.get("SF1_HD_DIM", "256"))
+HD_ROWS = int(os.environ.get("SF1_HD_ROWS", "200000"))
+HD_CLUSTERS = 64
+
+
+def make_hd_embeddings() -> None:
+    """Write ``embeddings_hd.parquet``: HD_ROWS vectors at HD_DIM dims
+    (default 200k × 256) with real cluster structure — the shape the
+    PQ story's crossover claim needs (SCALE.md r13: at 64 dims exact
+    beats PQ; codes-only reads should win when uvec IO is 8·dim
+    bytes/row). Deterministic (fixed seed), cluster = centroid +
+    Gaussian noise, labels kept so filtered-ANN queries work. Pure
+    driver-side numpy (≈200 MB), written via one createDataFrame of
+    arrow batches per chunk to keep peak memory flat."""
+    import numpy as np
+    import pandas as pd
+
+    from wimbd_spark.session import get_spark
+
+    spark = get_spark(app_name="make-sf1-hd")
+    rng = np.random.default_rng(20260816)
+    cents = rng.standard_normal((HD_CLUSTERS, HD_DIM)).astype(np.float32)
+    out = f"{DST}/embeddings_hd.parquet"
+    os.makedirs(DST, exist_ok=True)
+    chunk = 20000
+    mode = "overwrite"
+    for lo in range(0, HD_ROWS, chunk):
+        n = min(chunk, HD_ROWS - lo)
+        labels = rng.integers(0, HD_CLUSTERS, size=n)
+        vecs = cents[labels] + 0.35 * rng.standard_normal(
+            (n, HD_DIM)
+        ).astype(np.float32)
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(lo, lo + n, dtype=np.int64),
+                "embedding": list(vecs),
+                "label": labels.astype(np.int32),
+            }
+        )
+        spark.createDataFrame(pdf).repartition(8).write.mode(
+            mode
+        ).parquet(out)
+        mode = "append"
+        print(f"hd embeddings: {lo + n}/{HD_ROWS}")
+    spark.stop()
+    print(f"done → {out} ({HD_ROWS} × {HD_DIM})")
+
+
 if __name__ == "__main__":
-    main()
+    if "--hd" in sys.argv:
+        make_hd_embeddings()
+    else:
+        main()

@@ -149,7 +149,11 @@ from wimbd_spark.operators.compare import (
     vocab_cosine,
     vocab_stats,
 )
-from wimbd_spark.operators.heavyhitters import ngram_summary, topk_ngrams_2pass
+from wimbd_spark.operators.heavyhitters import (
+    ngram_summary,
+    topk_ngrams_2pass,
+    topk_ngrams_2pass_by,
+)
 from wimbd_spark.operators.dsir import (
     dsir_log_weights,
     dsir_top_fraction,
@@ -195,7 +199,7 @@ __all__ = [
     "dedup_lines_within_doc",
     "gram_overlap", "js_divergence", "log_odds_tokens",
     "token_freq_spectrum", "vocab_cosine", "vocab_stats",
-    "ngram_summary", "topk_ngrams_2pass",
+    "ngram_summary", "topk_ngrams_2pass", "topk_ngrams_2pass_by",
     "dsir_log_weights", "dsir_top_fraction", "fit_log_ratio",
     "hashed_feature_counts",
     "temperature_allocation", "unimax_allocation", "quality_funnel", "quality_funnel_by",

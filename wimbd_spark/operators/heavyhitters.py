@@ -166,3 +166,123 @@ def topk_ngrams_2pass(
         # (src/cmd/topk.rs:226-235) — applied to the EXACT recounts
         exact = exact.filter(F.col("count") >= threshold)
     return _ranked(exact, k, ascending=False)
+
+
+def _misra_gries_partition_by(
+    batches: Iterator[pd.DataFrame], capacity: int
+) -> Iterator[pd.DataFrame]:
+    """Per-(partition, group) Misra-Gries summaries over (g, grams)
+    rows — one ``capacity``-counter table per group value seen in the
+    partition, same chunked-compaction bound as the global pass (peak
+    <= 2 * capacity counters PER GROUP; the grouped operator documents
+    the groups × capacity memory envelope)."""
+    from collections import Counter
+
+    import numpy as np
+
+    tables: dict = {}
+    for pdf in batches:
+        for g, grams in zip(pdf["g"], pdf["grams"]):
+            counts = tables.get(g)
+            if counts is None:
+                counts = tables[g] = Counter()
+            stream = iter(grams)
+            while True:
+                chunk = list(islice(stream, capacity))
+                if not chunk:
+                    break
+                counts.update(chunk)
+                excess = len(counts) - capacity
+                if excess > 0:
+                    vals = np.fromiter(
+                        counts.values(), dtype="int64", count=len(counts)
+                    )
+                    d = int(np.partition(vals, excess - 1)[excess - 1])
+                    counts = Counter(
+                        {k: c - d for k, c in counts.items() if c > d}
+                    )
+                    tables[g] = counts
+    for g, counts in tables.items():
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "g": g,
+                    "ngram": list(counts.keys()),
+                    "lb": list(counts.values()),
+                }
+            )
+
+
+def topk_ngrams_2pass_by(
+    df: DataFrame,
+    n: int,
+    k: int,
+    by: str = "source",
+    capacity: int = 100_000,
+    candidate_factor: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Grouped heavy-hitter top-k n-grams → (by, ngram, count, rank),
+    counts EXACT — the bounded-shuffle twin of `topk.topk_ngrams_by`
+    exactly as `topk_ngrams_2pass` is the twin of `topk.topk_ngrams`:
+    run "wimbd topk once per dataset" in one job WITHOUT shuffling the
+    per-group distinct-gram stream.
+
+    Plan: pass 1 keeps one Misra-Gries table per (partition, group)
+    (memory envelope: groups × 2 × capacity counters per partition —
+    ``by`` is a LOW-CARDINALITY partition key like source/lang by
+    contract); the merge shuffle carries <= partitions × groups ×
+    capacity summary rows; per-group candidates come from a rank
+    window over that bounded summary (<= candidate_factor * k each);
+    pass 2 recounts ONLY candidates via a broadcast (by, ngram)
+    semi-join. Same exactness condition as the global operator:
+    capacity >= per-(partition, group) distinct grams ⇒ bit-identical
+    to the exact grouped operator at any partition layout.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if capacity < k:
+        raise ValueError(
+            f"capacity ({capacity}) must be >= k ({k}) or candidates "
+            "cannot cover the answer"
+        )
+    from pyspark.sql import Window
+
+    grams_arr = df.select(
+        F.col(by).alias("g"),
+        ngram_strings(tokenize(F.col(text_col)), n).alias("grams"),
+    )
+    partials = grams_arr.mapInPandas(
+        lambda it: _misra_gries_partition_by(it, capacity),
+        schema=f"g {df.schema[by].dataType.simpleString()}, "
+        "ngram string, lb long",
+    )
+    summary = partials.groupBy("g", "ngram").agg(F.sum("lb").alias("lb"))
+    cand_k = max(candidate_factor * k, k)
+    wc = Window.partitionBy("g").orderBy(
+        F.col("lb").desc(), F.col("ngram").asc()
+    )
+    candidates = (
+        summary.withColumn("_r", F.row_number().over(wc))
+        .filter(F.col("_r") <= cand_k)
+        .select("g", "ngram")
+    )
+    grams = df.select(
+        F.col(by).alias("g"),
+        F.explode(ngram_strings(tokenize(F.col(text_col)), n)).alias(
+            "ngram"
+        ),
+    )
+    exact = (
+        grams.join(F.broadcast(candidates), ["g", "ngram"])
+        .groupBy("g", "ngram")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    w = Window.partitionBy("g").orderBy(
+        F.col("count").desc(), F.col("ngram").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumnRenamed("g", by)
+    )

@@ -1459,17 +1459,21 @@ def knn_join_pq(
         n_candidates = max(10 * k, 50)
     if n_candidates < k:
         raise ValueError("n_candidates must be >= k")
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    if not cents:
+        # empty index: a PQ build over an empty corpus writes an empty
+        # pq_codebooks sidecar, indistinguishable from "no sidecar" —
+        # the empty-result contract must win over the missing-PQ raise
+        # (degenerate-corpus rule, r6 VERDICT item 5)
+        qt = queries.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id {qt}, neighbor_id {qt}, rank long"
+        )
     cb = _load_codebooks(spark, path)
     if cb is None:
         raise ValueError(
             f"index at {path} has no pq_codebooks — rebuild with "
             "build_ivf_index(..., pq_m=) or use knn_join (exact)"
-        )
-    cents = spark.read.parquet(f"{path}/centroids").collect()
-    if not cents:
-        qt = queries.schema[id_col].dataType.simpleString()
-        return spark.createDataFrame(
-            [], f"query_id {qt}, neighbor_id {qt}, rank long"
         )
     if n_probe == "all":
         n_probe = len(cents)
