@@ -465,6 +465,40 @@ def test_cli_ppl_filter(spark, tmp_path, capsys):
     assert rows[0]["kept"] == 8
 
 
+def test_cli_ppl_filter_bigram(spark, tmp_path, capsys):
+    """--order 2 routes to the interpolated bigram gate; --save-lm
+    writes the unigram/ + bigram/ layout and --lm reloads it."""
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat again") for i in range(8)]
+        + [(99, "xq zv jk wp qm nb vc")],
+        ["doc_id", "text"],
+    )
+    tp = str(tmp_path / "docs")
+    docs.write.parquet(tp)
+    out, lm_out = str(tmp_path / "kept"), str(tmp_path / "lm2")
+    # self-trained bigram: the 8 repeated docs score ppl 1.909, the
+    # gibberish doc 2.332 (its singleton bigrams interpolate high but
+    # the rare unigram mass still separates it) — 2.1 splits them
+    rows = _run(capsys, [
+        "ppl-filter", tp, "--max-ppl", "2.1", "--order", "2",
+        "--save-lm", lm_out, "--out", out,
+    ])
+    assert rows[0]["input"] == 9 and rows[0]["kept"] == 8
+    assert rows[0]["order"] == 2
+    assert 99 not in {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    }
+    import os
+
+    assert os.path.exists(f"{lm_out}/unigram")
+    assert os.path.exists(f"{lm_out}/bigram")
+    rows = _run(capsys, [
+        "ppl-filter", tp, "--max-ppl", "2.1", "--order", "2",
+        "--lm", lm_out, "--out", str(tmp_path / "kept2"),
+    ])
+    assert rows[0]["kept"] == 8
+
+
 def test_cli_url_filter(spark, tmp_path, capsys):
     docs = spark.createDataFrame(
         [

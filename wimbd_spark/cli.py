@@ -248,15 +248,26 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser(
         "ppl-filter",
         help="CCNet-style perplexity gate: keep docs scoring <= "
-        "--max-ppl under a unigram LM (self-trained by default)",
+        "--max-ppl under a unigram (--order 1, default) or "
+        "interpolated bigram (--order 2) LM, self-trained by default",
     )
     common(sp)
     sp.add_argument("--max-ppl", type=float, required=True)
+    sp.add_argument("--order", type=int, choices=(1, 2), default=1,
+                    help="LM order: 1 = add-alpha unigram, 2 = "
+                    "Jelinek-Mercer interpolated bigram (CCNet "
+                    "fidelity; backoff mass from the unigram half)")
+    sp.add_argument("--lam", type=float, default=0.7,
+                    help="order-2 interpolation weight on the bigram "
+                    "ML term, in [0, 1)")
     sp.add_argument("--lm", default=None,
-                    help="saved (token, logp) model parquet; default: "
-                    "train on the input corpus itself")
+                    help="saved model parquet; order 1: a (token, "
+                    "logp) table, order 2: a directory holding "
+                    "unigram/ and bigram/ tables. Default: train on "
+                    "the input corpus itself")
     sp.add_argument("--save-lm", default=None,
-                    help="write the trained model parquet here")
+                    help="write the trained model here (same layout "
+                    "as --lm expects)")
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--out", required=True, help="output parquet path")
 
@@ -1251,31 +1262,57 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.cmd == "ppl-filter":
             from wimbd_spark.operators.lm import (
-                lm_score,
+                bigram_lm,
+                bigram_perplexity_filter,
                 perplexity_filter,
                 unigram_lm,
             )
 
-            # lm stays None for the self-trained path (materialized
-            # only via --save-lm) so perplexity_filter skips the
-            # model-validation count that would re-run a lazy build;
-            # caller-supplied / reloaded parquet models ARE validated
-            lm = spark.read.parquet(args.lm) if args.lm else None
-            if args.save_lm:
-                if lm is None:
-                    lm = unigram_lm(df, text_col=t)
-                lm.write.mode("overwrite").parquet(args.save_lm)
-                lm = spark.read.parquet(args.save_lm)
             before = df.count()
-            kept = perplexity_filter(
-                df, max_ppl=args.max_ppl, lm=lm,
-                id_col=args.id_col, text_col=t,
-            )
+            if args.order == 2:
+                # order-2 model layout: <dir>/unigram + <dir>/bigram
+                uni = bi = None
+                if args.lm:
+                    uni = spark.read.parquet(f"{args.lm}/unigram")
+                    bi = spark.read.parquet(f"{args.lm}/bigram")
+                if args.save_lm:
+                    if uni is None:
+                        uni = unigram_lm(df, text_col=t)
+                        bi = bigram_lm(df, text_col=t)
+                    uni.write.mode("overwrite").parquet(
+                        f"{args.save_lm}/unigram"
+                    )
+                    bi.write.mode("overwrite").parquet(
+                        f"{args.save_lm}/bigram"
+                    )
+                    uni = spark.read.parquet(f"{args.save_lm}/unigram")
+                    bi = spark.read.parquet(f"{args.save_lm}/bigram")
+                kept = bigram_perplexity_filter(
+                    df, max_ppl=args.max_ppl, uni=uni, bi=bi,
+                    lam=args.lam, id_col=args.id_col, text_col=t,
+                )
+            else:
+                # lm stays None for the self-trained path
+                # (materialized only via --save-lm) so
+                # perplexity_filter skips the model-validation count
+                # that would re-run a lazy build; caller-supplied /
+                # reloaded parquet models ARE validated
+                lm = spark.read.parquet(args.lm) if args.lm else None
+                if args.save_lm:
+                    if lm is None:
+                        lm = unigram_lm(df, text_col=t)
+                    lm.write.mode("overwrite").parquet(args.save_lm)
+                    lm = spark.read.parquet(args.save_lm)
+                kept = perplexity_filter(
+                    df, max_ppl=args.max_ppl, lm=lm,
+                    id_col=args.id_col, text_col=t,
+                )
             kept.write.mode("overwrite").parquet(args.out)
             after = spark.read.parquet(args.out).count()
             _emit(
                 [{"input": before, "kept": after,
-                  "removed": before - after, "max_ppl": args.max_ppl}],
+                  "removed": before - after, "max_ppl": args.max_ppl,
+                  "order": args.order}],
                 args.output,
             )
         elif args.cmd == "url-filter":
