@@ -1374,6 +1374,17 @@ def test_knn_join_pq_matches_interactive_rerank(spark, tmp_path):
             spark, path, qset, k=3, n_candidates=6, n_probe=2
         ).collect()
         assert sorted(map(tuple, bulk)) == sorted(map(tuple, inter))
+    # adc strategies are bit-identical: "table" precomputes the ADC
+    # lookup table per query, "recon" evaluates the same dot lazily
+    # per pair (r14 — the table is join-carried row weight at 8-bit
+    # codebooks); "auto" must equal both
+    for mode in ("table", "recon"):
+        rows = knn_join_pq(
+            spark, path, emb, k=3, n_candidates=6, n_probe=2, adc=mode
+        ).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, inter))
+    with pytest.raises(ValueError, match="adc"):
+        knn_join_pq(spark, path, emb, adc="magic")
     # validation: a plain (non-PQ) index refuses with a pointer
     emb2, plain = _knn_fixture(spark, tmp_path, name="kjpq_plain")
     with pytest.raises(ValueError, match="no pq_codebooks"):

@@ -34,7 +34,8 @@ Q_ROWS = int(os.environ.get("HD_Q_ROWS", "2000"))
 K = 3
 N_PROBE = 4
 N_CENTROIDS = 64
-PQ_M = 32
+PQ_M = int(os.environ.get("HD_PQ_M", "32"))
+PQ_CODES = int(os.environ.get("HD_PQ_CODES", "16"))
 REPS = int(os.environ.get("HD_REPS", "3"))
 
 
@@ -68,7 +69,7 @@ def main() -> None:
     t0 = time.time()
     if not os.path.exists(IDX):
         build_ivf_index(
-            emb, IDX, n_centroids=N_CENTROIDS, pq_m=PQ_M, pq_codes=16
+            emb, IDX, n_centroids=N_CENTROIDS, pq_m=PQ_M, pq_codes=PQ_CODES
         )
         print(f"index build (ivf+pq): {time.time() - t0:.1f}s")
 
@@ -112,7 +113,7 @@ def main() -> None:
     )
 
     print()
-    print(f"| shape ({n}×{dim}, k={K}, n_probe={N_PROBE}) | exact | pq | pq/exact |")
+    print(f"| shape ({n}×{dim}, k={K}, n_probe={N_PROBE}, pq {PQ_M}x{PQ_CODES}) | exact | pq | pq/exact |")
     print("|---|---|---|---|")
     print(
         f"| bulk knn_join, {Q_ROWS} queries | {t_exact:.1f}s "

@@ -1426,6 +1426,7 @@ def knn_join_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    adc: str = "auto",
 ) -> DataFrame:
     """Bulk two-stage k-NN join — `cosine_topk_ivf_pq_rerank`'s
     semantics (PQ codes select ``n_candidates`` per query, exact
@@ -1483,19 +1484,40 @@ def knn_join_pq(
     )
     qv = _unit(_to_double(F.col(vec_col)))
 
+    n_codes = len(cb[0])
+    if adc == "auto":
+        # The per-query ADC table is m x n_codes doubles CARRIED
+        # THROUGH the centroid shuffle join and materialized per
+        # JOINED ROW — at 8-bit codebooks (32 x 256 = 64 KB/row) that
+        # multiplies the join's row-buffer traffic by the candidate
+        # count and dominated a measured r14 rehearsal (SCALE.md).
+        # "recon" ships the dim-double query vector instead and
+        # evaluates each table entry lazily per pair (bit-identical
+        # arithmetic: the same dot over the same operands); choose it
+        # whenever the table (m·n_codes doubles) is wider than the
+        # vector (m·d doubles), i.e. n_codes > d.
+        adc = "recon" if n_codes > d else "table"
+    if adc not in ("table", "recon"):
+        raise ValueError(
+            f"adc must be 'table', 'recon' or 'auto', got {adc!r}"
+        )
+
     def qtable_for(s: int) -> Column:
         return F.transform(
             _cb_literal(cb[s]),
             lambda cv: dot(F.slice(qv, s * d + 1, d), cv),
         )
 
+    stage1_cols = (
+        [F.array(*[qtable_for(s) for s in range(len(cb))]).alias("_qt")]
+        if adc == "table"
+        else [qv.alias("_q")]
+    )
     q = (
         queries.filter(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("query_id"),
-            F.array(*[qtable_for(s) for s in range(len(cb))]).alias(
-                "_qt"
-            ),
+            *stage1_cols,
             qv.alias("_qv"),
         )
         .withColumn(
@@ -1507,17 +1529,29 @@ def knn_join_pq(
                 )
             ),
         )
-        .drop("_qv")  # codes-only stage: never shuffle the vector
+        .drop("_qv")  # codes-only stage: never shuffle a second copy
     )
     lists = _read_lists(
         spark, path, columns=["centroid", "id", "codes", "rn2"]
     )
     sdot = F.lit(0.0)
     for s in range(len(cb)):
-        sdot = sdot + F.element_at(
-            F.element_at(F.col("_qt"), s + 1),
-            F.element_at(F.col("codes"), s + 1) + 1,
-        )
+        if adc == "table":
+            sdot = sdot + F.element_at(
+                F.element_at(F.col("_qt"), s + 1),
+                F.element_at(F.col("codes"), s + 1) + 1,
+            )
+        else:
+            # the SAME dot the table entry holds, evaluated lazily:
+            # dot(q_subvector, codebook[s][code]) — operands and
+            # order identical, so results are bit-equal to "table"
+            sdot = sdot + dot(
+                F.slice(F.col("_q"), s * d + 1, d),
+                F.element_at(
+                    _cb_literal(cb[s]),
+                    F.element_at(F.col("codes"), s + 1) + 1,
+                ),
+            )
     scored = q.join(lists, "centroid").select(
         "query_id",
         F.col("id").alias("neighbor_id"),
