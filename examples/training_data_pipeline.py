@@ -80,6 +80,13 @@ lm_score(clean, lm).orderBy(F.desc("ppl")).show(3)
 clean = perplexity_filter(clean, max_ppl=40.0, lm=lm)
 print(f"perplexity gate: kept {clean.count()} docs")
 
+print("== 5d. bigram gate (CCNet fidelity: interpolated bigram LM) ==")
+from wimbd_spark.operators.lm import bigram_lm, bigram_score
+
+bi = bigram_lm(docs)  # the conditional half; `lm` above is the backoff
+bigram_score(clean, lm, bi, lam=0.7).orderBy(F.desc("ppl")).show(3)
+# (gate with bigram_perplexity_filter(clean, max_ppl=..., uni=lm, bi=bi))
+
 print("== 6. source mixture: down/up-sample per source, epoch-tagged ==")
 from wimbd_spark.operators.keycount import mixture_sample
 
