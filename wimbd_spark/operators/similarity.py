@@ -945,6 +945,11 @@ def cosine_topk_ivf_pq_indexed(
         [{"centroid_id": r["centroid_id"], "_cent": r["v"]} for r in cents]
     )
     qv = _unit(_to_double(F.col(vec_col)))
+    # wide codebooks ride one broadcast row instead of plan literals
+    # (r14: 65k-literal trees cost ~100 s of analysis/codegen per
+    # stage — see _cb_expr)
+    n_codes = len(cb[0])
+    wide_cb = len(cb) * n_codes * d > _CB_LITERAL_MAX_DOUBLES
 
     def qtable_for(s: int) -> Column:
         return F.transform(
@@ -952,26 +957,83 @@ def cosine_topk_ivf_pq_indexed(
             lambda cv: dot(F.slice(qv, s * d + 1, d), cv),
         )
 
-    q = (
-        queries.filter(F.col(vec_col).isNotNull())
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.array(*[qtable_for(s) for s in range(len(cb))]).alias(
-                "_qt"
-            ),
-            qv.alias("_qv"),
+    base = queries.filter(F.col(vec_col).isNotNull())
+    if wide_cb:
+        # Wide codebooks (m*n_codes*d literal doubles past the plan
+        # budget): the expression form is pathological BOTH ways —
+        # literals poison every stage's analysis/codegen (~100 s at
+        # 32x256x8, r14), and a column-borne codebook is re-evaluated
+        # per lambda ITERATION inside the qtable transform (no CSE in
+        # interpreted higher-order lambdas; measured 857 CPU-s for 16
+        # query rows). This path is INTERACTIVE (small query side by
+        # contract — it already collects the probed-centroid set), so
+        # compute the ADC table per query on the driver with the SAME
+        # fold order as `dot` (bit-identical doubles) and ship it as
+        # broadcast DATA.
+        import math
+
+        qt_rows = []
+        for r in base.select(id_col, vec_col).collect():
+            v = [float(x) for x in r[vec_col]]
+            nrm = 0.0
+            for x in v:
+                nrm = nrm + x * x
+            nrm = math.sqrt(nrm)
+            u = [x / nrm for x in v]
+            flat = []
+            for s in range(len(cb)):
+                for book_cv in cb[s]:
+                    acc = 0.0
+                    for kk in range(d):
+                        acc = acc + u[s * d + kk] * float(book_cv[kk])
+                    flat.append(acc)
+            qt_rows.append((r[id_col], flat))
+        qid_t = queries.schema[id_col].dataType.simpleString()
+        qt_df = spark.createDataFrame(
+            qt_rows, f"query_id {qid_t}, _qt array<double>"
         )
-        .withColumn(
-            "centroid",
-            F.explode(
-                F.transform(
-                    _nearest_centroids(F.col("_qv"), cent_arr, n_probe),
-                    lambda c: c["cid"],
-                )
-            ),
+        q = (
+            base.select(F.col(id_col).alias("query_id"), qv.alias("_qv"))
+            .withColumn(
+                "centroid",
+                F.explode(
+                    F.transform(
+                        _nearest_centroids(
+                            F.col("_qv"), cent_arr, n_probe
+                        ),
+                        lambda c: c["cid"],
+                    )
+                ),
+            )
+            .drop("_qv")
+            .join(F.broadcast(qt_df), "query_id")
         )
-        .drop("_qv")
-    )
+    else:
+        q = (
+            base.select(
+                F.col(id_col).alias("query_id"),
+                # FLAT m*n_codes layout: the per-pair lookup is then a
+                # scalar element_at — element_at on the nested form
+                # copies the whole n_codes subspace row per term per
+                # pair
+                F.flatten(
+                    F.array(*[qtable_for(s) for s in range(len(cb))])
+                ).alias("_qt"),
+                qv.alias("_qv"),
+            )
+            .withColumn(
+                "centroid",
+                F.explode(
+                    F.transform(
+                        _nearest_centroids(
+                            F.col("_qv"), cent_arr, n_probe
+                        ),
+                        lambda c: c["cid"],
+                    )
+                ),
+            )
+            .drop("_qv")
+        )
     probed = sorted(
         {r["centroid"] for r in q.select("centroid").distinct().collect()}
     )
@@ -982,8 +1044,10 @@ def cosine_topk_ivf_pq_indexed(
     sdot = F.lit(0.0)
     for s in range(len(cb)):
         sdot = sdot + F.element_at(
-            F.element_at(F.col("_qt"), s + 1),
-            F.element_at(F.col("codes"), s + 1) + 1,
+            F.col("_qt"),
+            F.lit(s * n_codes)
+            + F.element_at(F.col("codes"), s + 1)
+            + 1,
         )
     scored = (
         F.broadcast(q)
@@ -1502,24 +1566,44 @@ def knn_join_pq(
             f"adc must be 'table', 'recon' or 'auto', got {adc!r}"
         )
 
+    cb_prep, cb_entry, cb_drop = _cb_expr(spark, cb)
+
     def qtable_for(s: int) -> Column:
+        # iterate code INDICES so both codebook strategies share one
+        # form; dot operands/order identical to the literal transform.
+        # References the ALIASED _qv column — a captured unit(...)
+        # expression re-evaluates per lambda iteration (O(dim²·codes)
+        # per row, measured r14)
         return F.transform(
-            _cb_literal(cb[s]),
-            lambda cv: dot(F.slice(qv, s * d + 1, d), cv),
+            F.sequence(F.lit(0), F.lit(n_codes - 1)),
+            lambda j: dot(
+                F.slice(F.col("_qv"), s * d + 1, d), cb_entry(s, j)
+            ),
         )
 
     stage1_cols = (
-        [F.array(*[qtable_for(s) for s in range(len(cb))]).alias("_qt")]
+        # FLAT m*n_codes layout — scalar element_at per pair (the
+        # nested form copies a subspace row per term per pair)
+        [
+            F.flatten(
+                F.array(*[qtable_for(s) for s in range(len(cb))])
+            ).alias("_qt")
+        ]
         if adc == "table"
-        else [qv.alias("_q")]
+        else [F.col("_qv").alias("_q")]
     )
-    q = (
-        queries.filter(F.col(vec_col).isNotNull())
+    q_base = (
+        (
+            cb_prep(queries.filter(F.col(vec_col).isNotNull()))
+            if adc == "table"
+            else queries.filter(F.col(vec_col).isNotNull())
+        )
         .select(
             F.col(id_col).alias("query_id"),
-            *stage1_cols,
             qv.alias("_qv"),
+            *(cb_drop if adc == "table" else []),
         )
+        .select("query_id", *stage1_cols, "_qv")
         .withColumn(
             "centroid",
             F.explode(
@@ -1531,6 +1615,7 @@ def knn_join_pq(
         )
         .drop("_qv")  # codes-only stage: never shuffle a second copy
     )
+    q = q_base
     lists = _read_lists(
         spark, path, columns=["centroid", "id", "codes", "rn2"]
     )
@@ -1538,8 +1623,10 @@ def knn_join_pq(
     for s in range(len(cb)):
         if adc == "table":
             sdot = sdot + F.element_at(
-                F.element_at(F.col("_qt"), s + 1),
-                F.element_at(F.col("codes"), s + 1) + 1,
+                F.col("_qt"),
+                F.lit(s * n_codes)
+                + F.element_at(F.col("codes"), s + 1)
+                + 1,
             )
         else:
             # the SAME dot the table entry holds, evaluated lazily:
@@ -1547,12 +1634,16 @@ def knn_join_pq(
             # order identical, so results are bit-equal to "table"
             sdot = sdot + dot(
                 F.slice(F.col("_q"), s * d + 1, d),
-                F.element_at(
-                    _cb_literal(cb[s]),
-                    F.element_at(F.col("codes"), s + 1) + 1,
-                ),
+                cb_entry(s, F.element_at(F.col("codes"), s + 1)),
             )
-    scored = q.join(lists, "centroid").select(
+    joined = q.join(lists, "centroid")
+    if adc == "recon" and cb_drop:
+        # attach the broadcast codebook row AFTER the shuffle join:
+        # the one-row nested-loop broadcast fuses into the projection
+        # stage below, so no shuffle ever carries the codebook column
+        # (attaching it to q OOMed — it became per-joined-row data)
+        joined = cb_prep(joined)
+    scored = joined.select(
         "query_id",
         F.col("id").alias("neighbor_id"),
         # same 6-dp rounding as the interactive PQ path — the
@@ -2111,6 +2202,59 @@ def _cb_literal(book: list) -> Column:
     corpus-size-bound instead."""
     return F.array(
         *[F.array(*[F.lit(float(x)) for x in cv]) for cv in book]
+    )
+
+
+#: Above this many total codebook doubles, the literal form's plan
+#: tree itself becomes the bottleneck (r14 rehearsal: m=32 ×
+#: n_codes=256 × d=8 = 65k literals cost ~100 s of analysis/codegen
+#: PER STAGE and poisoned every downstream job) — ship the codebooks
+#: as DATA instead: one broadcast row, element_at lookups.
+_CB_LITERAL_MAX_DOUBLES = 4096
+
+
+def _cb_expr(spark, cb: list):
+    """Strategy shim for referencing the PQ codebooks in expressions:
+    returns ``(prep, entry_for, cleanup)`` where ``prep(df)`` attaches
+    whatever the strategy needs to ``df``, ``entry_for(s, code)`` is
+    the d-double codeword Column for 0-based ``code`` (a Column) in
+    subspace ``s``, and ``cleanup`` names columns to drop afterwards.
+
+    Small codebooks stay plan literals (zero join, measured cheaper
+    at m=8/n_codes=16). Wide ones ride ONE broadcast row as a FLAT
+    array<double>: the plan stays O(m) nodes regardless of n_codes,
+    and each lookup is a d-element slice — NOT element_at on a nested
+    array, which copies the whole 2048-double subspace array per
+    evaluated pair (measured r14: that copy capped bulk scoring at
+    ~14k pairs/s; the flat slice removes it)."""
+    n_codes, d = len(cb[0]), len(cb[0][0])
+    total = sum(len(book) * len(book[0]) for book in cb)
+    if total <= _CB_LITERAL_MAX_DOUBLES:
+        return (
+            (lambda df: df),
+            (
+                lambda s, code: F.element_at(
+                    _cb_literal(cb[s]), code + 1
+                )
+            ),
+            [],
+        )
+    flat = [
+        float(x) for book in cb for cv in book for x in cv
+    ]
+    cb_df = spark.createDataFrame([(flat,)], "_cbflat array<double>")
+
+    def entry_for(s: int, code: Column) -> Column:
+        return F.slice(
+            F.col("_cbflat"),
+            (F.lit(s * n_codes) + code) * F.lit(d) + F.lit(1),
+            d,
+        )
+
+    return (
+        lambda df: df.crossJoin(F.broadcast(cb_df)),
+        entry_for,
+        ["_cbflat"],
     )
 
 
