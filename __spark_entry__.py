@@ -7344,6 +7344,298 @@ def o_decontaminate_slop_hatch():
     """
 
 
+_SQL_BIGRAM_SCORED = """
+      bgdocs AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS arr
+        FROM documents WHERE text IS NOT NULL
+      ), bgpos AS (
+        SELECT doc_id, source, arr,
+               unnest(generate_series(1, len(arr))) AS i
+        FROM bgdocs
+      ), bgpairs AS (
+        SELECT doc_id, source, arr[i] AS token,
+               CASE WHEN i = 1 THEN NULL ELSE arr[i - 1] END AS prev
+        FROM bgpos
+      ), bgtrain AS (
+        SELECT * FROM bgpairs WHERE source <> 'src0'
+      ), bguc AS (
+        SELECT token, count(*) AS c FROM bgtrain GROUP BY token
+      ), bgut AS (
+        SELECT sum(c) AS n, count(*) AS v FROM bguc
+      ), bgbc AS (
+        SELECT prev, token, count(*) AS c FROM bgtrain
+        WHERE prev IS NOT NULL GROUP BY prev, token
+      ), bgcc AS (
+        SELECT prev, sum(c) AS cc FROM bgbc GROUP BY prev
+      ), bgscored AS (
+        -- p_uni mirrors the Spark model table: logp is stored then
+        -- re-exponentiated, so pow(2, log2(x)) keeps the engines
+        -- bit-aligned; 0.30000000000000004 is the IEEE double the
+        -- Python-side 1.0 - 0.7 produces.
+        SELECT p.doc_id, count(*) AS n_tokens,
+               avg(-log2(
+                 CASE WHEN p.prev IS NULL
+                      THEN pow(2, log2((coalesce(u.c, 0) + 0.5)
+                               / (bgut.n + 0.5 * (bgut.v + 1))))
+                      ELSE 0.7::DOUBLE
+                             * coalesce(b.c::DOUBLE / cc.cc::DOUBLE, 0)
+                           + 0.30000000000000004::DOUBLE
+                             * pow(2, log2((coalesce(u.c, 0) + 0.5)
+                                   / (bgut.n + 0.5 * (bgut.v + 1))))
+                 END)) AS bpt
+        FROM bgpairs p
+        LEFT JOIN bguc u USING (token)
+        LEFT JOIN bgbc b ON b.prev = p.prev AND b.token = p.token
+        LEFT JOIN bgcc cc ON cc.prev = p.prev, bgut
+        GROUP BY p.doc_id
+      )
+"""
+
+
+def q_bigram_ppl_scores_src0(spark, sf_dir):
+    """CCNet-fidelity interpolated-bigram LM scoring (lm.bigram_lm +
+    lm.bigram_score): train the unigram+bigram halves on the non-src0
+    corpus slice, score EVERY doc — so the row exercises all three
+    probability branches (seen bigram, backoff-to-unigram, unseen
+    token) against the oracle. lam = 0.7, alpha = 0.5. R15 REGISTRY
+    CANDIDATE — promoted to _REGISTRY in the r15 rotation."""
+    from wimbd_spark.operators.lm import bigram_lm, bigram_score, unigram_lm
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("source") != "src0")
+    out = bigram_score(
+        docs,
+        unigram_lm(train, alpha=0.5),
+        bigram_lm(train),
+        lam=0.7,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("bits_per_token", 6).alias("bits_per_token"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
+def o_bigram_ppl_scores_src0():
+    return f"""
+      WITH {_SQL_BIGRAM_SCORED}
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+             round(s.bpt, 6) AS bits_per_token,
+             round(pow(2, s.bpt), 6) AS ppl
+      FROM documents d LEFT JOIN bgscored s USING (doc_id)
+    """
+
+
+def q_bigram_ppl_filter_32(spark, sf_dir):
+    """Interpolated-bigram perplexity gate
+    (lm.bigram_perplexity_filter): keep docs whose ppl under the
+    non-src0-trained bigram LM is <= 32 — the threshold sits in a
+    measured gap of the fixture ppl distribution (nearest values
+    31.75 / 32.04 at sf0.01, 31.92 / 32.27 at sf0.001), so engine
+    float noise cannot flip a doc across it. R15 REGISTRY CANDIDATE —
+    promoted to _REGISTRY in the r15 rotation."""
+    from wimbd_spark.operators.lm import (
+        bigram_lm,
+        bigram_perplexity_filter,
+        unigram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("source") != "src0")
+    kept = bigram_perplexity_filter(
+        docs,
+        max_ppl=32.0,
+        uni=unigram_lm(train, alpha=0.5),
+        bi=bigram_lm(train),
+        lam=0.7,
+    )
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def o_bigram_ppl_filter_32():
+    return f"""
+      WITH {_SQL_BIGRAM_SCORED}
+      SELECT CAST(doc_id AS BIGINT) AS doc_id
+      FROM bgscored WHERE pow(2, bpt) <= 32.0
+    """
+
+
+def q_streaming_ivf_dedup(spark, sf_dir):
+    """Streaming vector dedup-on-ingest driver surface (r13 gate,
+    r13 VERDICT item 7): base IVF index over the even-id embeddings,
+    odd-id vectors replayed as ONE micro-batch through
+    streaming.vectors.streaming_ivf_dedup_ingest (threshold 0.45,
+    n_probe 2), delta-tier survivors read back. Single-batch feed
+    makes the gate's survivor set closed-form: drop any odd vector
+    with a smaller-id 0.45-batch-mate (exact all-pairs within the
+    batch), then any within-batch survivor with a >=0.45 base
+    neighbor sharing one of its 2 probed lists — both mirrored in the
+    oracle below. R15 REGISTRY CANDIDATE — promoted to _REGISTRY
+    in the r15 rotation."""
+    import shutil
+    import tempfile
+
+    from wimbd_spark.operators.similarity import build_ivf_index
+    from wimbd_spark.streaming.vectors import streaming_ivf_dedup_ingest
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    feed_rows = emb.filter(F.col("vec_id") % 2 == 1)
+    # degenerate guard: the gate refuses an empty base index by
+    # contract; an empty corpus means an empty feed anyway
+    if base.limit(1).count() == 0:
+        return spark.createDataFrame([], "vec_id long")
+    root = tempfile.mkdtemp(prefix="wimbd_stream_ivfdedup_")
+    try:
+        idx = f"{root}/idx"
+        build_ivf_index(base, idx, n_centroids=8)
+        feed = f"{root}/feed"
+        feed_rows.coalesce(1).write.parquet(feed)
+        stream = (
+            spark.readStream.schema(feed_rows.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = streaming_ivf_dedup_ingest(
+            stream, idx, f"{root}/ckpt", threshold=0.45, n_probe=2
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = [
+            (int(r["id"]),)
+            for r in spark.read.parquet(f"{idx}/delta")
+            .select("id")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "vec_id long"
+    ) if rows else spark.createDataFrame([], "vec_id long")
+
+
+def o_streaming_ivf_dedup():
+    return """
+      WITH sbase AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 2 = 0
+      ), sfeed AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 2 = 1
+      ), scents AS (
+        SELECT vec_id AS cid, v AS cv FROM sbase
+        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                 vec_id
+        LIMIT 8
+      ), sdrops_b AS (
+        SELECT DISTINCT b.vec_id
+        FROM sfeed a JOIN sfeed b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+      ), ssurv1 AS (
+        SELECT * FROM sfeed
+        WHERE vec_id NOT IN (SELECT vec_id FROM sdrops_b)
+      ), sassigned AS (
+        SELECT b.vec_id, b.v,
+               (SELECT c.cid FROM scents c
+                ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid
+                LIMIT 1) AS centroid
+        FROM sbase b
+      ), sprobes AS (
+        SELECT s.vec_id AS query_id, s.v AS qv, p.cid
+        FROM ssurv1 s, LATERAL (
+          SELECT cid FROM scents
+          ORDER BY list_cosine_similarity(s.v, cv) DESC, cid
+          LIMIT 2
+        ) p
+      ), sdrops_i AS (
+        SELECT DISTINCT pr.query_id AS vec_id
+        FROM sprobes pr JOIN sassigned a ON a.centroid = pr.cid
+        WHERE list_cosine_similarity(pr.qv, a.v) >= 0.45
+      )
+      SELECT CAST(vec_id AS BIGINT) AS vec_id FROM ssurv1
+      WHERE vec_id NOT IN (SELECT vec_id FROM sdrops_i)
+    """
+
+
+def q_phrase_retrieval_allhits(spark, sf_dir):
+    """E5 all-hits retrieval (search.get_documents_containing_phrases
+    with num_documents=None — the reference's PIT + search_after
+    pagination loop replaced by plain partition streaming): every doc
+    containing either phrase, no limit, no sort. R15 REGISTRY
+    CANDIDATE — promoted to _REGISTRY in the r15 rotation."""
+    hits = get_documents_containing_phrases(
+        _docs(spark, sf_dir),
+        ["table scan", "hash join"],
+        num_documents=None,
+    )
+    return hits.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
+def o_phrase_retrieval_allhits():
+    return f"""
+      WITH tok AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM tok
+      WHERE {_sql_phrase_match("table scan")}
+         OR {_sql_phrase_match("hash join")}
+    """
+
+
+def q_topk_ngrams_2pass_by_src(spark, sf_dir):
+    """Grouped heavy-hitter top-k (heavyhitters.topk_ngrams_2pass_by):
+    per-source top-5 trigrams via per-(partition, group) Misra-Gries
+    summaries + bounded merge + exact broadcast recount — the
+    bounded-shuffle twin of topk_ngrams_by, counts exact. Capacity
+    50k >= the per-source distinct-trigram count at sf0.01/sf0.1, so
+    the exact grouped top-k SQL is a full-strength oracle. R15
+    REGISTRY CANDIDATE — promoted to _REGISTRY in the r15 rotation."""
+    from wimbd_spark.operators.heavyhitters import topk_ngrams_2pass_by
+
+    return topk_ngrams_2pass_by(
+        _docs(spark, sf_dir), n=3, k=5, capacity=50_000
+    ).select(
+        "source",
+        "ngram",
+        F.col("count").cast("long").alias("count"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def o_topk_ngrams_2pass_by_src():
+    return """
+      WITH toks AS (
+        SELECT source,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      grams AS (
+        SELECT source, array_to_string(list_slice(t, i, i+2), ' ') AS ngram
+        FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)
+        WHERE len(t) >= 3
+      ),
+      c AS (SELECT source, ngram, count(*) AS cnt
+            FROM grams GROUP BY source, ngram),
+      r AS (SELECT source, ngram, cnt,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY cnt DESC, ngram ASC) AS rank
+            FROM c)
+      SELECT source, ngram, CAST(cnt AS BIGINT) AS count,
+             CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5
+    """
+
+
 _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # ROTATION POLICY (round-robin): the driver records correctness
     # rows for the FIRST 50 entries only; with N registry queries every
@@ -7353,103 +7645,30 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # tools/check_oracles.py additionally covers ALL entries locally
     # every round regardless of position.
     #
-    # Round 14 window: the 5 promoted r14 candidates (verified green by
-    # the r13 judge and tests/test_r15_candidates.py's predecessor) —
-    # never driver-checked, so the invariant REQUIRES them in-window —
-    # then the 6 queries whose last driver row is r10 (absent from the
-    # r11/r12/r13 windows), then 39 of the 50 queries last checked in
-    # r11. The 11 r11-checked queries that did not fit lead the tail so
-    # r15's rotation surfaces the oldest first; then the r12 cohort,
-    # then the r13 cohort.
-    "streaming_stateful_user_counts": (
-        q_streaming_stateful_counts,
-        o_streaming_stateful_counts,
+    # Round 15 window: the 5 promoted r15 candidates (verified green
+    # by the r14 judge and tests/test_r15_candidates.py — never
+    # driver-checked, so the invariant REQUIRES them in-window), then
+    # the 11-query r11 cohort at its 4-round revisit bound, then 34
+    # of the 50 queries last checked in r12. The 16 r12 queries that
+    # did not fit lead the tail so r16's rotation surfaces the oldest
+    # first; then the r13 cohort, then the r14 cohort.
+    "bigram_ppl_scores_src0": (
+        q_bigram_ppl_scores_src0,
+        o_bigram_ppl_scores_src0,
     ),
-    "ivf_threshold_pairs": (q_ivf_threshold_pairs, o_ivf_threshold_pairs),
-    "semantic_dedup_ivf_drops": (q_semantic_dedup_ivf, o_semantic_dedup_ivf),
-    "knn_join_pq_bulk_top3": (q_knn_join_pq_bulk, o_knn_join_pq_bulk),
-    "decontaminate_slop_hatch_src0": (
-        q_decontaminate_slop_hatch,
-        o_decontaminate_slop_hatch,
+    "bigram_ppl_filter_32": (q_bigram_ppl_filter_32, o_bigram_ppl_filter_32),
+    "streaming_ivf_dedup_drops": (
+        q_streaming_ivf_dedup,
+        o_streaming_ivf_dedup,
     ),
-    "unimax_mixture_weights": (q_unimax_allocation, o_unimax_allocation),
-    "quality_funnel_report": (q_quality_funnel, o_quality_funnel),
-    "cluster_balanced_sample_q3": (
-        q_cluster_balanced_sample,
-        o_cluster_balanced_sample,
+    "phrase_retrieval_allhits": (
+        q_phrase_retrieval_allhits,
+        o_phrase_retrieval_allhits,
     ),
-    "top_orders_by_revenue": (
-        q_top_orders_by_revenue,
-        o_top_orders_by_revenue,
+    "topk_ngrams_2pass_by_src": (
+        q_topk_ngrams_2pass_by_src,
+        o_topk_ngrams_2pass_by_src,
     ),
-    "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
-    "events_tumbling_1h": (q_events_tumbling, o_events_tumbling),
-    "phrase_count_filtered": (
-        q_phrase_count_filtered,
-        o_phrase_count_filtered,
-    ),
-    "top2_orders_per_customer": (
-        q_top2_orders_per_customer,
-        o_top2_orders_per_customer,
-    ),
-    "topk_ngrams_n3_k20": (q_topk_ngrams, o_topk_ngrams),
-    "botk_ngrams_n1_k20": (q_botk_ngrams, o_botk_ngrams),
-    "unique_ngrams_n2": (q_unique_ngrams, o_unique_ngrams),
-    "count_sequences": (q_count_sequences, o_count_sequences),
-    "search_regex_counts": (q_search_regex, o_search_regex),
-    "topk_ngrams_n10_k10": (q_topk_ngrams_n10, o_topk_ngrams_n10),
-    "char_length_dist": (q_char_length_dist, o_char_length_dist),
-    "url_host_counts": (q_url_host_counts, o_url_host_counts),
-    "pii_kind_counts": (q_pii_kind_counts, o_pii_kind_counts),
-    "source_counts": (q_source_counts, o_source_counts),
-    "top_purchase_users": (q_top_purchase_users, o_top_purchase_users),
-    "top_customers": (q_top_customers, o_top_customers),
-    "events_sliding_1h_30m": (q_events_sliding, o_events_sliding),
-    "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
-    "orders_by_year_priority": (
-        q_orders_by_year_priority,
-        o_orders_by_year_priority,
-    ),
-    "contaminated_examples": (
-        q_contaminated_examples,
-        o_contaminated_examples,
-    ),
-    "gram_overlap_src0_src1": (q_gram_overlap, o_gram_overlap),
-    "decontaminate_ngrams_src0": (
-        q_decontaminate_ngrams,
-        o_decontaminate_ngrams,
-    ),
-    "phrase_df_counts": (q_phrase_df_counts, o_phrase_df_counts),
-    "cross_jaccard_src0": (q_cross_jaccard_src0, o_cross_jaccard_src0),
-    "fuzzy_decontaminate_src0": (
-        q_fuzzy_decontaminate_src0,
-        o_fuzzy_decontaminate_src0,
-    ),
-    "gram_novelty_n4": (q_gram_novelty, o_gram_novelty),
-    "vocab_stats_by_source": (
-        q_vocab_stats_by_source,
-        o_vocab_stats_by_source,
-    ),
-    "stratified_sample_k5": (q_stratified_sample_k5, o_stratified_sample_k5),
-    "contamination_rate_indexed": (
-        q_contamination_rate_indexed,
-        o_contamination_rate_indexed,
-    ),
-    "contamination_rate": (q_contamination_rate, o_contamination_rate),
-    "contamination_rate_tokens": (
-        q_contamination_rate_tokens,
-        o_contamination_rate_tokens,
-    ),
-    "phrase_batch_counts": (q_phrase_batch_counts, o_phrase_batch_counts),
-    "phrase_index_counts": (q_phrase_index_counts, o_phrase_index_counts),
-    "phrase_doc_counts": (q_phrase_doc_counts, o_phrase_doc_counts),
-    "phrase_retrieval_top10": (q_phrase_retrieval, o_phrase_retrieval),
-    "phrase_slop_count": (q_phrase_slop_count, o_phrase_slop_count),
-    "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
-    "decontaminate_src0": (q_decontaminate, o_decontaminate),
-    "pii_redaction": (q_pii_redaction, o_pii_redaction),
-    "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
-    "jpeg_decode_check": (q_jpeg_decode_check, o_jpeg_decode_check),
     "ivf_index_topk": (q_ivf_index_topk, o_ivf_index_topk),
     "remove_shared_spans_keepfirst": (
         q_remove_shared_spans,
@@ -7651,334 +7870,113 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "search_snippets_w20": (q_search_snippets, o_search_snippets),
     "topk_ngrams_2pass_n2_k20": (q_topk_ngrams_2pass, o_topk_ngrams_2pass),
     "dsir_log_weights_src0": (q_dsir_log_weights, o_dsir_log_weights),
+    "streaming_stateful_user_counts": (
+        q_streaming_stateful_counts,
+        o_streaming_stateful_counts,
+    ),
+    "ivf_threshold_pairs": (q_ivf_threshold_pairs, o_ivf_threshold_pairs),
+    "semantic_dedup_ivf_drops": (q_semantic_dedup_ivf, o_semantic_dedup_ivf),
+    "knn_join_pq_bulk_top3": (q_knn_join_pq_bulk, o_knn_join_pq_bulk),
+    "decontaminate_slop_hatch_src0": (
+        q_decontaminate_slop_hatch,
+        o_decontaminate_slop_hatch,
+    ),
+    "unimax_mixture_weights": (q_unimax_allocation, o_unimax_allocation),
+    "quality_funnel_report": (q_quality_funnel, o_quality_funnel),
+    "cluster_balanced_sample_q3": (
+        q_cluster_balanced_sample,
+        o_cluster_balanced_sample,
+    ),
+    "top_orders_by_revenue": (
+        q_top_orders_by_revenue,
+        o_top_orders_by_revenue,
+    ),
+    "nation_revenue_europe": (q_nation_revenue, o_nation_revenue),
+    "events_tumbling_1h": (q_events_tumbling, o_events_tumbling),
+    "phrase_count_filtered": (
+        q_phrase_count_filtered,
+        o_phrase_count_filtered,
+    ),
+    "top2_orders_per_customer": (
+        q_top2_orders_per_customer,
+        o_top2_orders_per_customer,
+    ),
+    "topk_ngrams_n3_k20": (q_topk_ngrams, o_topk_ngrams),
+    "botk_ngrams_n1_k20": (q_botk_ngrams, o_botk_ngrams),
+    "unique_ngrams_n2": (q_unique_ngrams, o_unique_ngrams),
+    "count_sequences": (q_count_sequences, o_count_sequences),
+    "search_regex_counts": (q_search_regex, o_search_regex),
+    "topk_ngrams_n10_k10": (q_topk_ngrams_n10, o_topk_ngrams_n10),
+    "char_length_dist": (q_char_length_dist, o_char_length_dist),
+    "url_host_counts": (q_url_host_counts, o_url_host_counts),
+    "pii_kind_counts": (q_pii_kind_counts, o_pii_kind_counts),
+    "source_counts": (q_source_counts, o_source_counts),
+    "top_purchase_users": (q_top_purchase_users, o_top_purchase_users),
+    "top_customers": (q_top_customers, o_top_customers),
+    "events_sliding_1h_30m": (q_events_sliding, o_events_sliding),
+    "word_overlap_src0_src1": (q_word_overlap, o_word_overlap),
+    "orders_by_year_priority": (
+        q_orders_by_year_priority,
+        o_orders_by_year_priority,
+    ),
+    "contaminated_examples": (
+        q_contaminated_examples,
+        o_contaminated_examples,
+    ),
+    "gram_overlap_src0_src1": (q_gram_overlap, o_gram_overlap),
+    "decontaminate_ngrams_src0": (
+        q_decontaminate_ngrams,
+        o_decontaminate_ngrams,
+    ),
+    "phrase_df_counts": (q_phrase_df_counts, o_phrase_df_counts),
+    "cross_jaccard_src0": (q_cross_jaccard_src0, o_cross_jaccard_src0),
+    "fuzzy_decontaminate_src0": (
+        q_fuzzy_decontaminate_src0,
+        o_fuzzy_decontaminate_src0,
+    ),
+    "gram_novelty_n4": (q_gram_novelty, o_gram_novelty),
+    "vocab_stats_by_source": (
+        q_vocab_stats_by_source,
+        o_vocab_stats_by_source,
+    ),
+    "stratified_sample_k5": (q_stratified_sample_k5, o_stratified_sample_k5),
+    "contamination_rate_indexed": (
+        q_contamination_rate_indexed,
+        o_contamination_rate_indexed,
+    ),
+    "contamination_rate": (q_contamination_rate, o_contamination_rate),
+    "contamination_rate_tokens": (
+        q_contamination_rate_tokens,
+        o_contamination_rate_tokens,
+    ),
+    "phrase_batch_counts": (q_phrase_batch_counts, o_phrase_batch_counts),
+    "phrase_index_counts": (q_phrase_index_counts, o_phrase_index_counts),
+    "phrase_doc_counts": (q_phrase_doc_counts, o_phrase_doc_counts),
+    "phrase_retrieval_top10": (q_phrase_retrieval, o_phrase_retrieval),
+    "phrase_slop_count": (q_phrase_slop_count, o_phrase_slop_count),
+    "unigram_ttf": (q_unigram_ttf, o_unigram_ttf),
+    "decontaminate_src0": (q_decontaminate, o_decontaminate),
+    "pii_redaction": (q_pii_redaction, o_pii_redaction),
+    "dedup_paragraphs": (q_dedup_paragraphs, o_dedup_paragraphs),
+    "jpeg_decode_check": (q_jpeg_decode_check, o_jpeg_decode_check),
 }
 
 
-_SQL_BIGRAM_SCORED = """
-      bgdocs AS (
-        SELECT doc_id, source,
-               list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                           x -> x <> '') AS arr
-        FROM documents WHERE text IS NOT NULL
-      ), bgpos AS (
-        SELECT doc_id, source, arr,
-               unnest(generate_series(1, len(arr))) AS i
-        FROM bgdocs
-      ), bgpairs AS (
-        SELECT doc_id, source, arr[i] AS token,
-               CASE WHEN i = 1 THEN NULL ELSE arr[i - 1] END AS prev
-        FROM bgpos
-      ), bgtrain AS (
-        SELECT * FROM bgpairs WHERE source <> 'src0'
-      ), bguc AS (
-        SELECT token, count(*) AS c FROM bgtrain GROUP BY token
-      ), bgut AS (
-        SELECT sum(c) AS n, count(*) AS v FROM bguc
-      ), bgbc AS (
-        SELECT prev, token, count(*) AS c FROM bgtrain
-        WHERE prev IS NOT NULL GROUP BY prev, token
-      ), bgcc AS (
-        SELECT prev, sum(c) AS cc FROM bgbc GROUP BY prev
-      ), bgscored AS (
-        -- p_uni mirrors the Spark model table: logp is stored then
-        -- re-exponentiated, so pow(2, log2(x)) keeps the engines
-        -- bit-aligned; 0.30000000000000004 is the IEEE double the
-        -- Python-side 1.0 - 0.7 produces.
-        SELECT p.doc_id, count(*) AS n_tokens,
-               avg(-log2(
-                 CASE WHEN p.prev IS NULL
-                      THEN pow(2, log2((coalesce(u.c, 0) + 0.5)
-                               / (bgut.n + 0.5 * (bgut.v + 1))))
-                      ELSE 0.7::DOUBLE
-                             * coalesce(b.c::DOUBLE / cc.cc::DOUBLE, 0)
-                           + 0.30000000000000004::DOUBLE
-                             * pow(2, log2((coalesce(u.c, 0) + 0.5)
-                                   / (bgut.n + 0.5 * (bgut.v + 1))))
-                 END)) AS bpt
-        FROM bgpairs p
-        LEFT JOIN bguc u USING (token)
-        LEFT JOIN bgbc b ON b.prev = p.prev AND b.token = p.token
-        LEFT JOIN bgcc cc ON cc.prev = p.prev, bgut
-        GROUP BY p.doc_id
-      )
-"""
-
-
-def q_bigram_ppl_scores_src0(spark, sf_dir):
-    """CCNet-fidelity interpolated-bigram LM scoring (lm.bigram_lm +
-    lm.bigram_score): train the unigram+bigram halves on the non-src0
-    corpus slice, score EVERY doc — so the row exercises all three
-    probability branches (seen bigram, backoff-to-unigram, unseen
-    token) against the oracle. lam = 0.7, alpha = 0.5. R15 REGISTRY
-    CANDIDATE — waits in _R15_CANDIDATES for the rotation."""
-    from wimbd_spark.operators.lm import bigram_lm, bigram_score, unigram_lm
-
-    docs = _docs(spark, sf_dir)
-    train = docs.filter(F.col("source") != "src0")
-    out = bigram_score(
-        docs,
-        unigram_lm(train, alpha=0.5),
-        bigram_lm(train),
-        lam=0.7,
-    )
-    return out.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round("bits_per_token", 6).alias("bits_per_token"),
-        F.round("ppl", 6).alias("ppl"),
-    )
-
-
-def o_bigram_ppl_scores_src0():
-    return f"""
-      WITH {_SQL_BIGRAM_SCORED}
-      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-             CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
-             round(s.bpt, 6) AS bits_per_token,
-             round(pow(2, s.bpt), 6) AS ppl
-      FROM documents d LEFT JOIN bgscored s USING (doc_id)
-    """
-
-
-def q_bigram_ppl_filter_32(spark, sf_dir):
-    """Interpolated-bigram perplexity gate
-    (lm.bigram_perplexity_filter): keep docs whose ppl under the
-    non-src0-trained bigram LM is <= 32 — the threshold sits in a
-    measured gap of the fixture ppl distribution (nearest values
-    31.75 / 32.04 at sf0.01, 31.92 / 32.27 at sf0.001), so engine
-    float noise cannot flip a doc across it. R15 REGISTRY CANDIDATE —
-    waits in _R15_CANDIDATES for the rotation."""
-    from wimbd_spark.operators.lm import (
-        bigram_lm,
-        bigram_perplexity_filter,
-        unigram_lm,
-    )
-
-    docs = _docs(spark, sf_dir)
-    train = docs.filter(F.col("source") != "src0")
-    kept = bigram_perplexity_filter(
-        docs,
-        max_ppl=32.0,
-        uni=unigram_lm(train, alpha=0.5),
-        bi=bigram_lm(train),
-        lam=0.7,
-    )
-    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
-
-
-def o_bigram_ppl_filter_32():
-    return f"""
-      WITH {_SQL_BIGRAM_SCORED}
-      SELECT CAST(doc_id AS BIGINT) AS doc_id
-      FROM bgscored WHERE pow(2, bpt) <= 32.0
-    """
-
-
-def q_streaming_ivf_dedup(spark, sf_dir):
-    """Streaming vector dedup-on-ingest driver surface (r13 gate,
-    r13 VERDICT item 7): base IVF index over the even-id embeddings,
-    odd-id vectors replayed as ONE micro-batch through
-    streaming.vectors.streaming_ivf_dedup_ingest (threshold 0.45,
-    n_probe 2), delta-tier survivors read back. Single-batch feed
-    makes the gate's survivor set closed-form: drop any odd vector
-    with a smaller-id 0.45-batch-mate (exact all-pairs within the
-    batch), then any within-batch survivor with a >=0.45 base
-    neighbor sharing one of its 2 probed lists — both mirrored in the
-    oracle below. R15 REGISTRY CANDIDATE — waits in _R15_CANDIDATES
-    for the rotation."""
-    import shutil
-    import tempfile
-
-    from wimbd_spark.operators.similarity import build_ivf_index
-    from wimbd_spark.streaming.vectors import streaming_ivf_dedup_ingest
-
-    emb = _tbl(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("vec_id") % 2 == 0)
-    feed_rows = emb.filter(F.col("vec_id") % 2 == 1)
-    # degenerate guard: the gate refuses an empty base index by
-    # contract; an empty corpus means an empty feed anyway
-    if base.limit(1).count() == 0:
-        return spark.createDataFrame([], "vec_id long")
-    root = tempfile.mkdtemp(prefix="wimbd_stream_ivfdedup_")
-    try:
-        idx = f"{root}/idx"
-        build_ivf_index(base, idx, n_centroids=8)
-        feed = f"{root}/feed"
-        feed_rows.coalesce(1).write.parquet(feed)
-        stream = (
-            spark.readStream.schema(feed_rows.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(feed)
-        )
-        q = streaming_ivf_dedup_ingest(
-            stream, idx, f"{root}/ckpt", threshold=0.45, n_probe=2
-        )
-        q.processAllAvailable()
-        q.stop()
-        rows = [
-            (int(r["id"]),)
-            for r in spark.read.parquet(f"{idx}/delta")
-            .select("id")
-            .collect()
-        ]
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "vec_id long"
-    ) if rows else spark.createDataFrame([], "vec_id long")
-
-
-def o_streaming_ivf_dedup():
-    return """
-      WITH sbase AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        WHERE vec_id % 2 = 0
-      ), sfeed AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        WHERE vec_id % 2 = 1
-      ), scents AS (
-        SELECT vec_id AS cid, v AS cv FROM sbase
-        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
-                 vec_id
-        LIMIT 8
-      ), sdrops_b AS (
-        SELECT DISTINCT b.vec_id
-        FROM sfeed a JOIN sfeed b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) >= 0.45
-      ), ssurv1 AS (
-        SELECT * FROM sfeed
-        WHERE vec_id NOT IN (SELECT vec_id FROM sdrops_b)
-      ), sassigned AS (
-        SELECT b.vec_id, b.v,
-               (SELECT c.cid FROM scents c
-                ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid
-                LIMIT 1) AS centroid
-        FROM sbase b
-      ), sprobes AS (
-        SELECT s.vec_id AS query_id, s.v AS qv, p.cid
-        FROM ssurv1 s, LATERAL (
-          SELECT cid FROM scents
-          ORDER BY list_cosine_similarity(s.v, cv) DESC, cid
-          LIMIT 2
-        ) p
-      ), sdrops_i AS (
-        SELECT DISTINCT pr.query_id AS vec_id
-        FROM sprobes pr JOIN sassigned a ON a.centroid = pr.cid
-        WHERE list_cosine_similarity(pr.qv, a.v) >= 0.45
-      )
-      SELECT CAST(vec_id AS BIGINT) AS vec_id FROM ssurv1
-      WHERE vec_id NOT IN (SELECT vec_id FROM sdrops_i)
-    """
-
-
-def q_phrase_retrieval_allhits(spark, sf_dir):
-    """E5 all-hits retrieval (search.get_documents_containing_phrases
-    with num_documents=None — the reference's PIT + search_after
-    pagination loop replaced by plain partition streaming): every doc
-    containing either phrase, no limit, no sort. R15 REGISTRY
-    CANDIDATE — waits in _R15_CANDIDATES for the rotation."""
-    hits = get_documents_containing_phrases(
-        _docs(spark, sf_dir),
-        ["table scan", "hash join"],
-        num_documents=None,
-    )
-    return hits.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "source"
-    )
-
-
-def o_phrase_retrieval_allhits():
-    return f"""
-      WITH tok AS (
-        SELECT doc_id, source,
-               list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                           x -> x <> '') AS t
-        FROM documents WHERE text IS NOT NULL
-      )
-      SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM tok
-      WHERE {_sql_phrase_match("table scan")}
-         OR {_sql_phrase_match("hash join")}
-    """
-
-
-def q_topk_ngrams_2pass_by_src(spark, sf_dir):
-    """Grouped heavy-hitter top-k (heavyhitters.topk_ngrams_2pass_by):
-    per-source top-5 trigrams via per-(partition, group) Misra-Gries
-    summaries + bounded merge + exact broadcast recount — the
-    bounded-shuffle twin of topk_ngrams_by, counts exact. Capacity
-    50k >= the per-source distinct-trigram count at sf0.01/sf0.1, so
-    the exact grouped top-k SQL is a full-strength oracle. R15
-    REGISTRY CANDIDATE — waits in _R15_CANDIDATES for the rotation."""
-    from wimbd_spark.operators.heavyhitters import topk_ngrams_2pass_by
-
-    return topk_ngrams_2pass_by(
-        _docs(spark, sf_dir), n=3, k=5, capacity=50_000
-    ).select(
-        "source",
-        "ngram",
-        F.col("count").cast("long").alias("count"),
-        F.col("rank").cast("int").alias("rank"),
-    )
-
-
-def o_topk_ngrams_2pass_by_src():
-    return """
-      WITH toks AS (
-        SELECT source,
-               list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                           x -> x <> '') AS t
-        FROM documents WHERE text IS NOT NULL
-      ),
-      grams AS (
-        SELECT source, array_to_string(list_slice(t, i, i+2), ' ') AS ngram
-        FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)
-        WHERE len(t) >= 3
-      ),
-      c AS (SELECT source, ngram, count(*) AS cnt
-            FROM grams GROUP BY source, ngram),
-      r AS (SELECT source, ngram, cnt,
-                   row_number() OVER (PARTITION BY source
-                                      ORDER BY cnt DESC, ngram ASC) AS rank
-            FROM c)
-      SELECT source, ngram, CAST(cnt AS BIGINT) AS count,
-             CAST(rank AS INT) AS rank
-      FROM r WHERE rank <= 5
-    """
-
-
-#: R15 registry candidates: (query, oracle) pairs READY for the next
-#: rotation — the r14 first-50 window is saturated (5 promoted r14
-#: candidates + the 6 r10-stale queries + 39 of the r11 cohort), and
-#: the rotation invariant requires every never-checked registry query
-#: to sit inside the window, so new rows stage here with their
-#: oracles pinned by tests/test_r15_candidates.py until r15 rotates
-#: them in.
-_R15_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
-    "bigram_ppl_scores_src0": (
-        q_bigram_ppl_scores_src0,
-        o_bigram_ppl_scores_src0,
-    ),
-    "bigram_ppl_filter_32": (q_bigram_ppl_filter_32, o_bigram_ppl_filter_32),
-    "streaming_ivf_dedup_drops": (
-        q_streaming_ivf_dedup,
-        o_streaming_ivf_dedup,
-    ),
-    "phrase_retrieval_allhits": (
-        q_phrase_retrieval_allhits,
-        o_phrase_retrieval_allhits,
-    ),
-    "topk_ngrams_2pass_by_src": (
-        q_topk_ngrams_2pass_by_src,
-        o_topk_ngrams_2pass_by_src,
-    ),
-}
+#: R16 registry candidates: (query, oracle) pairs READY for the next
+#: rotation — the r15 first-50 window is saturated (5 promoted r15
+#: candidates + the full 11-query r11 cohort at its revisit bound +
+#: 34 of the r12 cohort), and the rotation invariant requires every
+#: never-checked registry query to sit inside the window, so new rows
+#: stage here with their oracles pinned by
+#: tests/test_r16_candidates.py until r16 rotates them in.
+_R16_CANDIDATES: dict[str, tuple[Callable, Callable]] = {}
 
 
 def staged_candidates() -> dict[str, tuple[Callable, Callable]]:
     """The CURRENT round's staged (query, oracle) pairs — the round-
     agnostic accessor tests and tools use, so each rotation only
     renames the literal above."""
-    return _R15_CANDIDATES
+    return _R16_CANDIDATES
 
 
 def entry(spark: SparkSession) -> DataFrame:

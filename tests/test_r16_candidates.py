@@ -1,6 +1,6 @@
-"""Keep the staged r15 registry candidates oracle-green before they
-rotate into _REGISTRY (the r14 window is saturated — see the
-_R15_CANDIDATES comment in __spark_entry__.py). Collected via the
+"""Keep the staged r16 registry candidates oracle-green before they
+rotate into _REGISTRY (the r15 window is saturated — see the
+_R16_CANDIDATES comment in __spark_entry__.py). Collected via the
 round-agnostic entry.staged_candidates() accessor; an EMPTY staged
 dict is fine (parametrize yields no cases)."""
 
