@@ -167,3 +167,63 @@ def test_bigram_score_broadcast_parity(corpus, train):
             assert a[k] is None
         else:
             assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_bigram_score_validates_unseen_fallback_row(spark, corpus, train):
+    """ADVICE r14 (medium): a caller-supplied unigram table without
+    exactly one 'token IS NULL' fallback row must raise — a missing
+    row made the 1-row unseen cross-join empty and silently scored
+    every doc as n_tokens=0/NULL, so bigram_perplexity_filter dropped
+    the ENTIRE corpus with no error."""
+    bi = bigram_lm(train)
+    no_null = spark.createDataFrame(
+        [("a", -1.0), ("b", -2.0)], ["token", "logp"]
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        bigram_score(corpus, no_null, bi)
+    two_null = no_null.unionByName(
+        spark.createDataFrame(
+            [(None, -9.0), (None, -8.0)], schema=no_null.schema
+        )
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        bigram_score(corpus, two_null, bi)
+    # the filter wrapper validates caller-supplied models too
+    with pytest.raises(ValueError, match="exactly one"):
+        bigram_perplexity_filter(corpus, max_ppl=50.0, uni=no_null, bi=bi)
+
+
+def test_bigram_score_validates_duplicate_bigram_keys(spark, corpus, train):
+    """Duplicate (prev, token) rows in a caller-supplied bigram table
+    multiply matching pair rows through the left join and corrupt
+    n_tokens — must raise, including duplicate NULL-bearing keys."""
+    uni = unigram_lm(train)
+    dup = spark.createDataFrame(
+        [("a", "b", 0.5), ("a", "b", 0.5)], ["prev", "token", "pml"]
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        bigram_score(corpus, uni, dup)
+    dup_null = spark.createDataFrame(
+        [(None, "b", 0.5), (None, "b", 0.25)],
+        "prev string, token string, pml double",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        bigram_score(corpus, uni, dup_null)
+
+
+def test_bigram_score_validate_accepts_good_model(spark, corpus, train, tmp_path):
+    """A materialized model straight from unigram_lm/bigram_lm passes
+    validation, and validate_lm=True changes no values vs False."""
+    unigram_lm(train).write.parquet(str(tmp_path / "uni"))
+    bigram_lm(train).write.parquet(str(tmp_path / "bi"))
+    uni = spark.read.parquet(str(tmp_path / "uni"))
+    bi = spark.read.parquet(str(tmp_path / "bi"))
+    a = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in bigram_score(corpus, uni, bi, validate_lm=True).collect()
+    }
+    b = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in bigram_score(corpus, uni, bi, validate_lm=False).collect()
+    }
+    assert a == b

@@ -1391,3 +1391,71 @@ def test_knn_join_pq_matches_interactive_rerank(spark, tmp_path):
         knn_join_pq(spark, plain, emb2)
     with pytest.raises(ValueError, match="n_candidates"):
         knn_join_pq(spark, path, emb, k=5, n_candidates=3)
+
+
+def test_ivf_pq_wide_cb_zero_norm_and_query_guard(spark, tmp_path, monkeypatch):
+    """ADVICE r14 (low) + VERDICT r14 item 4, both on the wide-codebook
+    driver-side ADC strategy of cosine_topk_ivf_pq_indexed:
+
+    - a zero-norm (all-zero) query vector crashed BOTH strategies
+      (ZeroDivisionError in the wide path's driver loop, ANSI
+      DIVIDE_BY_ZERO in the narrow path's _unit) — such queries have
+      no direction, so both strategies now skip them like NULL
+      vectors and must agree: no rows for that query, same rows for
+      the others;
+    - the path collects the query set to build ADC tables, so a bulk
+      corpus-as-queries call would silently OOM the driver — above
+      _ADC_WIDE_MAX_QUERIES it must raise, pointing at knn_join_pq."""
+    import math
+    import random
+
+    import wimbd_spark.operators.similarity as sim
+    from wimbd_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf_pq_indexed,
+    )
+
+    rng = random.Random(17)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfpq_wide")
+    build_ivf_index(emb, path, n_centroids=2, pq_m=2, pq_codes=4)
+    queries = spark.createDataFrame(
+        [(0, rows[0][1]), (1, rows[1][1]), (999, [0.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+
+    narrow = cosine_topk_ivf_pq_indexed(
+        spark, path, queries, k=3, n_probe=2
+    ).collect()
+    # force the wide (broadcast-data ADC) strategy on the same input
+    monkeypatch.setattr(sim, "_CB_LITERAL_MAX_DOUBLES", 1)
+    wide = cosine_topk_ivf_pq_indexed(
+        spark, path, queries, k=3, n_probe=2
+    ).collect()
+
+    def keyed(rs):
+        return sorted(
+            (
+                r["query_id"],
+                r["neighbor_id"],
+                None if r["approx_cosine"] is None
+                else round(r["approx_cosine"], 9)
+                if not math.isnan(r["approx_cosine"])
+                else "nan",
+                r["rank"],
+            )
+            for r in rs
+        )
+
+    assert keyed(wide) == keyed(narrow)
+    # the zero-norm query is skipped on both paths (cosine undefined);
+    # the well-formed query still answers
+    assert not [r for r in wide if r["query_id"] == 999]
+    assert not [r for r in narrow if r["query_id"] == 999]
+    assert len([r for r in wide if r["query_id"] == 0]) == 3
+
+    # bulk misuse raises loudly instead of collecting the corpus
+    monkeypatch.setattr(sim, "_ADC_WIDE_MAX_QUERIES", 1)
+    with pytest.raises(ValueError, match="knn_join_pq"):
+        cosine_topk_ivf_pq_indexed(spark, path, queries, k=3, n_probe=2)

@@ -1720,3 +1720,48 @@ def test_streaming_ivf_dedup_ingest_gate(spark, tmp_path):
     assert sum(
         r["size"] for r in ivf_list_sizes(spark, path).collect()
     ) == 24 + 3
+
+
+def test_streaming_bigram_gate_nul_bearing_tokens(spark):
+    """ADVICE r14: tokenize splits on \\s+ and \\x00 is NOT whitespace,
+    so dirty web text can carry NUL inside tokens. The old
+    concat(prev, NUL, token) fold collided ("a\\x00b","c") with
+    ("a","b\\x00c") — duplicate map keys THROW at build time under the
+    default mapKeyDedupPolicy=EXCEPTION, and near-misses looked up the
+    wrong pml. The struct-keyed fold must build cleanly and agree with
+    the batch scorer row-for-row on exactly that corpus."""
+    from wimbd_spark.operators.lm import (
+        bigram_lm,
+        bigram_perplexity_filter,
+        unigram_lm,
+    )
+    from wimbd_spark.streaming import (
+        bigram_map_table,
+        streaming_bigram_perplexity_gate,
+    )
+
+    rows = [
+        (1, "a\x00b c"),
+        (2, "a b\x00c"),
+        (3, "a\x00b c a b\x00c"),
+        (4, "zz qq ww"),  # unseen filler so the gate has something to drop
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    train = corpus.filter("doc_id <= 3")
+    uni, bi = unigram_lm(train), bigram_lm(train)
+    # the fold itself is the old failure point (duplicate-key throw)
+    lm_map = bigram_map_table(uni, bi)
+    got = sorted(
+        r["doc_id"]
+        for r in streaming_bigram_perplexity_gate(
+            corpus, lm_map, max_ppl=10.0, lam=0.7
+        ).collect()
+    )
+    batch = sorted(
+        r["doc_id"]
+        for r in bigram_perplexity_filter(
+            corpus, max_ppl=10.0, uni=uni, bi=bi, lam=0.7
+        ).collect()
+    )
+    assert got == batch
+    assert 4 not in got and got  # gate kept seen docs, dropped gibberish

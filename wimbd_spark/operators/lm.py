@@ -265,6 +265,7 @@ def bigram_score(
     text_col: str = "text",
     tokenizer=None,
     broadcast_lm: bool = False,
+    validate_lm: bool = True,
 ) -> DataFrame:
     """Score every doc under an INTERPOLATED bigram LM → (id_col,
     n_tokens, bits_per_token, ppl).
@@ -287,6 +288,18 @@ def bigram_score(
     shuffle carries (id, prev, token) triples only, never full rows.
     Docs with NULL text or zero tokens get n_tokens = 0 and NULL
     scores (kept — gating is the caller's policy).
+
+    Like `lm_score`, caller-supplied models are VALIDATED by default:
+    ``uni`` must carry exactly one ``token IS NULL`` fallback row (a
+    missing row would make the 1-row ``unseen`` cross-join empty and
+    silently score the ENTIRE corpus as n_tokens = 0 / NULL — the gate
+    in `bigram_perplexity_filter` would then drop everything with no
+    error), and ``bi`` must have no duplicate (prev, token) rows
+    (duplicates multiply the matching pair rows through the left join
+    and corrupt n_tokens). Self-trained LAZY builds pass
+    ``validate_lm=False`` — counting a lazy plan would re-run the full
+    LM build as a separate job; `unigram_lm`/`bigram_lm` satisfy both
+    invariants by construction.
     """
     from wimbd_spark.functions.text import tokenize
 
@@ -295,6 +308,34 @@ def bigram_score(
             f"lam must be in [0, 1): lam={lam} (1 zeroes unseen-bigram "
             f"mass -> infinite bits; interpolation needs unigram mass)"
         )
+    if validate_lm:
+        n_unseen = uni.filter(F.col("token").isNull()).count()
+        if n_unseen != 1:
+            raise ValueError(
+                f"bigram_score: the unigram table must contain exactly "
+                f"one 'token IS NULL' fallback row (the unseen-token "
+                f"logp); found {n_unseen}. A missing row would "
+                f"silently score every document as empty; extra rows "
+                f"would duplicate token rows. Build the table with "
+                f"unigram_lm, or append a (NULL, floor_logp) row to a "
+                f"hand-built model."
+            )
+        # groupBy treats NULL keys as equal, so duplicate NULL-bearing
+        # rows are caught too; one model-sized job.
+        n_dup = (
+            bi.groupBy("prev", "token")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"bigram_score: the bigram table has {n_dup} duplicate "
+                f"(prev, token) groups — each duplicate multiplies the "
+                f"matching token rows through the join and corrupts "
+                f"n_tokens. Build the table with bigram_lm, or dedup a "
+                f"hand-built model on (prev, token) first."
+            )
     tok = tokenizer if tokenizer is not None else tokenize
     vocab = uni.filter(F.col("token").isNotNull()).select(
         "token", F.col("logp").alias("_logp_u")
@@ -388,7 +429,8 @@ def bigram_perplexity_filter(
             "interpolation needs the unigram's backoff mass) or "
             "neither (self-train on df)"
         )
-    if uni is None:
+    self_trained = uni is None
+    if self_trained:
         uni = unigram_lm(df, text_col=text_col, alpha=alpha, tokenizer=tokenizer)
         bi = bigram_lm(df, text_col=text_col, tokenizer=tokenizer)
     keep = (
@@ -401,6 +443,12 @@ def bigram_perplexity_filter(
             text_col=text_col,
             tokenizer=tokenizer,
             broadcast_lm=broadcast_lm,
+            # unigram_lm/bigram_lm satisfy the model invariants by
+            # construction; counting their LAZY plans would re-run the
+            # full LM builds. Caller-supplied (materialized) models ARE
+            # validated — a NULL-row-less uni or duplicate-keyed bi
+            # would otherwise silently gate out the entire corpus.
+            validate_lm=not self_trained,
         )
         .filter(F.col("ppl") <= max_ppl)
         .select(id_col)

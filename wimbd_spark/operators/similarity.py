@@ -957,7 +957,15 @@ def cosine_topk_ivf_pq_indexed(
             lambda cv: dot(F.slice(qv, s * d + 1, d), cv),
         )
 
-    base = queries.filter(F.col(vec_col).isNotNull())
+    # zero-norm (all-zero / empty) query vectors have no direction —
+    # cosine is undefined, and unguarded they CRASH either strategy
+    # (ANSI DIVIDE_BY_ZERO in the JVM literal path's _unit,
+    # ZeroDivisionError in the wide path's driver loop). Skip them
+    # like NULL vectors so both strategies agree: no rows emitted.
+    base = queries.filter(
+        F.col(vec_col).isNotNull()
+        & F.exists(F.col(vec_col), lambda x: x != F.lit(0.0))
+    )
     if wide_cb:
         # Wide codebooks (m*n_codes*d literal doubles past the plan
         # budget): the expression form is pathological BOTH ways —
@@ -972,14 +980,38 @@ def cosine_topk_ivf_pq_indexed(
         # broadcast DATA.
         import math
 
+        # bounded collect: limit(N+1) caps driver memory even when the
+        # caller mistakenly hands the corpus as the query side; the
+        # raise routes them to the bulk path instead of a silent OOM
+        probe = base.select(id_col, vec_col).limit(
+            _ADC_WIDE_MAX_QUERIES + 1
+        ).collect()
+        if len(probe) > _ADC_WIDE_MAX_QUERIES:
+            raise ValueError(
+                f"cosine_topk_ivf_pq_indexed: wide-codebook ADC builds "
+                f"per-query lookup tables on the driver and is "
+                f"INTERACTIVE-only (> {_ADC_WIDE_MAX_QUERIES} query "
+                f"rows found). For bulk corpus-as-queries kNN use "
+                f"knn_join_pq, which computes the ADC tables "
+                f"distributed (recon strategy) with zero driver "
+                f"candidate state."
+            )
         qt_rows = []
-        for r in base.select(id_col, vec_col).collect():
+        for r in probe:
             v = [float(x) for x in r[vec_col]]
             nrm = 0.0
             for x in v:
                 nrm = nrm + x * x
             nrm = math.sqrt(nrm)
-            u = [x / nrm for x in v]
+            # all-zero queries are filtered upstream (see `base`), but
+            # sub-normal components can still underflow x*x to 0.0
+            # (x=1e-200 passes the exists filter, x*x == 0.0): emit
+            # NaN table entries like the JVM path's float division
+            # does instead of crashing the job with ZeroDivisionError
+            if nrm == 0.0:
+                u = [float("nan")] * len(v)
+            else:
+                u = [x / nrm for x in v]
             flat = []
             for s in range(len(cb)):
                 for book_cv in cb[s]:
@@ -2211,6 +2243,15 @@ def _cb_literal(book: list) -> Column:
 #: PER STAGE and poisoned every downstream job) — ship the codebooks
 #: as DATA instead: one broadcast row, element_at lookups.
 _CB_LITERAL_MAX_DOUBLES = 4096
+
+#: cosine_topk_ivf_pq_indexed's wide-codebook strategy builds the ADC
+#: lookup tables on the DRIVER (the interactive contract — it already
+#: collects the probed-centroid set), so the query side must stay
+#: small: above this many query rows the collect would silently OOM
+#: the driver, and the bulk corpus-as-queries shape belongs in
+#: `knn_join_pq` (recon ADC, zero driver candidate state) — raise
+#: loudly instead.
+_ADC_WIDE_MAX_QUERIES = 10_000
 
 
 def _cb_expr(spark, cb: list):

@@ -587,18 +587,27 @@ def streaming_perplexity_gate(
     )
 
 
-#: Key separator for the folded bigram map: NUL never appears in a
-#: whitespace-tokenized token, so concat(prev, NUL, token) is injective.
-_BIGRAM_SEP = "\x00"
+def _bigram_key(prev, token):
+    """Struct key for the folded bigram map. An earlier revision used
+    concat(prev, NUL, token) on the claim that NUL never appears in a
+    whitespace-tokenized token — false: ``tokenize`` splits on \\s+ and
+    \\x00 is NOT whitespace, so dirty web text (the stated CCNet use
+    case) can carry NUL inside tokens, colliding concat keys (wrong pml
+    lookups) and making duplicate map keys THROW at build time under
+    the default spark.sql.mapKeyDedupPolicy=EXCEPTION. A struct key is
+    injective for arbitrary token bytes and matches the batch path's
+    (prev, token) join equality exactly. Field names must agree between
+    build and lookup — element_at type-checks them."""
+    return F.struct(prev.alias("p"), token.alias("t"))
 
 
 def bigram_map_table(uni: DataFrame, bi: DataFrame) -> DataFrame:
     """Fold an interpolated bigram LM (lm.unigram_lm + lm.bigram_lm)
     into ONE row (vocab: map<string,double>, unseen: double,
-    bivocab: map<string,double>) — the static side of
+    bivocab: map<struct<p,t>,double>) — the static side of
     streaming_bigram_perplexity_gate. ``bivocab`` keys are
-    concat(prev, NUL, token) (NUL cannot occur inside a token, so the
-    key is injective); values are the ML conditional pml. Same
+    (prev, token) STRUCTS (injective for arbitrary token content —
+    see `_bigram_key`); values are the ML conditional pml. Same
     single-JVM-row bound as lm_map_table — observed-bigram tables to
     tens of millions of entries; CCNet-scale Wikipedia bigram models
     fit, full web-crawl 5-gram models belong in the batch join path."""
@@ -608,8 +617,8 @@ def bigram_map_table(uni: DataFrame, bi: DataFrame) -> DataFrame:
             F.map_from_entries(
                 F.collect_list(
                     F.struct(
-                        F.concat_ws(
-                            _BIGRAM_SEP, F.col("prev"), F.col("token")
+                        _bigram_key(
+                            F.col("prev"), F.col("token")
                         ).alias("k"),
                         F.col("pml").alias("v"),
                     )
@@ -670,10 +679,7 @@ def streaming_bigram_perplexity_gate(
         )
         prev = F.element_at(F.col("_toks"), F.greatest(i, F.lit(1)))
         pml = F.coalesce(
-            F.element_at(
-                F.col("bivocab"),
-                F.concat(prev, F.lit(_BIGRAM_SEP), t),
-            ),
+            F.element_at(F.col("bivocab"), _bigram_key(prev, t)),
             F.lit(0.0),
         )
         p = F.when(i == F.lit(0), p_uni).otherwise(
