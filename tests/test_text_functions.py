@@ -394,3 +394,51 @@ def test_tokenize_words_jvm_twin_differential(spark):
 
     with _pytest.raises(ValueError, match="engine"):
         tokenize_words(F.lit("x"), engine="rust")
+
+
+def test_tokenizer_engine_router(spark):
+    """VERDICT r14 item 5: engine='auto' routing — sample the corpus,
+    measure character-level ASCII fraction, pick jvm for ASCII-dominant
+    text and python for CJK-dense text (the jvm default lost up to
+    ~1.7x there, SCALE.md r15). Both engines are value-identical, so
+    only the choice is asserted — plus value parity of the wrapper."""
+    from pyspark.sql import functions as F
+
+    from wimbd_spark.functions.text import (
+        tokenize_words,
+        tokenize_words_auto,
+        tokenizer_engine_for,
+    )
+
+    web = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog 2.0")
+         for i in range(20)],
+        "id long, text string",
+    )
+    assert tokenizer_engine_for(web) == "jvm"
+
+    dense = spark.createDataFrame(
+        [(i, "一丁丂七二三四五" * 40)
+         for i in range(20)],
+        "id long, text string",
+    )
+    assert tokenizer_engine_for(dense) == "python"
+
+    # NULL-only / empty corpora fall back to the jvm default
+    nulls = spark.createDataFrame(
+        [(1, None)], "id long, text string"
+    )
+    assert tokenizer_engine_for(nulls) == "jvm"
+    assert tokenizer_engine_for(nulls.filter("id < 0")) == "jvm"
+
+    # wrapper parity: auto output == both engines on mixed text
+    mixed = spark.createDataFrame(
+        [(1, "don't stop 2.0 一二三 カタカナ")],
+        "id long, text string",
+    )
+    auto = mixed.select(tokenize_words_auto(mixed).alias("t")).first()["t"]
+    for eng in ("jvm", "python"):
+        ref = mixed.select(
+            tokenize_words(F.col("text"), engine=eng).alias("t")
+        ).first()["t"]
+        assert auto == ref

@@ -270,8 +270,9 @@ def tokenize_words(text: Column | str, engine: str = "jvm") -> Column:
     on ASCII-dominant text** (the guarded fast branch — real web
     corpora), ~2.5× SLOWER on densely non-ASCII text, where the
     automaton branch's per-char lookbehinds lose to the memoized
-    Python char loop. Pass ``engine="python"`` for CJK-dense corpora;
-    both engines are value-identical everywhere.
+    Python char loop. Pass ``engine="python"`` for CJK-dense corpora,
+    or let `tokenize_words_auto` sample the corpus and route; both
+    engines are value-identical everywhere.
     """
     if engine == "jvm":
         return F.regexp_extract_all(
@@ -288,6 +289,74 @@ def tokenize_words(text: Column | str, engine: str = "jvm") -> Column:
         return s.map(lambda t: _uax29_words(t) if t is not None else None)
 
     return _tok(_col(text))
+
+
+#: Route `tokenize_words` engines by SAMPLED character-level ASCII
+#: fraction. Measured (SCALE.md r15, 8 cores): the JVM regex wins on
+#: every space-separated mix down to ~33% ASCII chars (0.48-0.82× the
+#: Python loop's time) — its guarded ASCII fast branch plus zero
+#: Arrow transfer — and only loses on DENSE unbroken CJK runs
+#: (0.80-0.91+ non-ASCII chars: 1.2-1.7× slower, the per-char
+#: lookbehind automaton against the memoized char loop). The
+#: crossover sits near 20-25% ASCII, so below this fraction the
+#: router picks the Python engine. Both engines are value-identical
+#: everywhere (goldens + 37k-doc differential, r14), so routing is
+#: purely a cost decision.
+_AUTO_ASCII_CUTOFF = 0.25
+
+#: Sample size for the router: ~1k docs bounds the probe to one
+#: sub-second job while the corpus-level ASCII fraction (web corpora
+#: are overwhelmingly mono-script per source) converges far earlier.
+_AUTO_SAMPLE_DOCS = 1024
+
+
+def tokenizer_engine_for(
+    df,
+    text_col: str = "text",
+    sample_docs: int = _AUTO_SAMPLE_DOCS,
+    ascii_cutoff: float = _AUTO_ASCII_CUTOFF,
+) -> str:
+    """Pick the cheaper `tokenize_words` engine for THIS corpus:
+    sample ``sample_docs`` docs, measure the character-level ASCII
+    fraction, return ``"jvm"`` at/above ``ascii_cutoff`` else
+    ``"python"`` (see `_AUTO_ASCII_CUTOFF` for the measured basis).
+    One small job against the first partitions (a limit, not a full
+    scan); empty/NULL-only corpora route to the jvm default."""
+    row = (
+        df.select(F.col(text_col).alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        .limit(sample_docs)
+        .agg(
+            F.sum(F.length("_t")).alias("_total"),
+            F.sum(
+                F.length(
+                    F.regexp_replace("_t", r"[\x00-\x7F]", "")
+                )
+            ).alias("_nonascii"),
+        )
+        .first()
+    )
+    if not row["_total"]:
+        return "jvm"
+    ascii_frac = 1.0 - row["_nonascii"] / row["_total"]
+    return "jvm" if ascii_frac >= ascii_cutoff else "python"
+
+
+def tokenize_words_auto(
+    df,
+    text_col: str = "text",
+    sample_docs: int = _AUTO_SAMPLE_DOCS,
+) -> Column:
+    """`tokenize_words` with the engine chosen per-corpus by
+    `tokenizer_engine_for` — removes the only residual perf footgun
+    on the parity path (the jvm default losing up to ~1.7× on
+    CJK-dense corpora). Engine choice needs a DataFrame to sample,
+    which a bare Column expression cannot supply — hence this
+    df-level wrapper rather than an ``engine="auto"`` literal."""
+    return tokenize_words(
+        F.col(text_col),
+        engine=tokenizer_engine_for(df, text_col, sample_docs),
+    )
 
 
 def ngrams(tokens: Column | str, n: int) -> Column:
