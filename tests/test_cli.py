@@ -1130,6 +1130,9 @@ def test_cli_report_datasheet(capsys):
     assert ov["n_docs"] == 500
     assert ov["total_tokens"] > 0
     assert len(by_section["lengths"]) == 5  # one row per percentile
+    # the CCNet-fidelity number is visible in the one-command report
+    q = by_section["quality"][0]
+    assert q["uni_ppl_median"] > 0 and q["bi_ppl_median"] > 0
 
 
 def test_cli_report_sections_subset(capsys):

@@ -74,8 +74,12 @@ def corpus_datasheet(
     - sources     — per-``source_col``: docs, tokens (skipped when the
                     corpus has no source column)
     - languages   — langid_heuristic counts
-    - quality     — kept counts for the Gopher and C4 gates plus
-                    per-rule drop counts (gate:rule rows)
+    - quality     — kept counts for the Gopher and C4 gates, median
+                    self-perplexity under the unigram AND interpolated
+                    bigram LM (the CCNet-fidelity gate's number — a
+                    curator reads the bigram median directly against a
+                    ppl-filter threshold), plus per-rule drop counts
+                    (gate:rule rows)
     - lengths     — exact token-length percentiles
     - pii         — occurrence totals per PII kind
 
@@ -147,7 +151,43 @@ def corpus_datasheet(
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy(F.desc("n_docs"), "rule")
         )
-        out["quality"] = kept
+        # self-perplexity medians (unigram + interpolated bigram):
+        # the quality gates above are rule counts; these two numbers
+        # are the MODEL-side signal (r14 VERDICT item 6 — the CCNet
+        # gate's bigram ppl belongs in the one-command report). Each
+        # is its own train+score plan over the corpus — heavier than
+        # the rule scan, still aggregate-only output; skip the
+        # section at 100 TB if rules alone suffice.
+        from wimbd_spark.operators.lm import (
+            bigram_lm,
+            bigram_score,
+            lm_score,
+            unigram_lm,
+        )
+
+        idc = next(
+            (c for c in ("doc_id", "id") if c in docs.columns), None
+        )
+        scored_src = docs.select(
+            (
+                F.col(idc) if idc else F.monotonically_increasing_id()
+            ).alias("_rid"),
+            F.col(text_col),
+        )
+        uni = unigram_lm(scored_src, text_col=text_col)
+        bi = bigram_lm(scored_src, text_col=text_col)
+        # validate_lm=False: both models are self-trained lazy builds
+        # (exactly one NULL row / distinct keys by construction);
+        # percentile ignores the NULL scores of zero-token docs
+        u_med = lm_score(
+            scored_src, uni, id_col="_rid", text_col=text_col,
+            validate_lm=False,
+        ).agg(F.percentile("ppl", 0.5).alias("uni_ppl_median"))
+        b_med = bigram_score(
+            scored_src, uni, bi, id_col="_rid", text_col=text_col,
+            validate_lm=False,
+        ).agg(F.percentile("ppl", 0.5).alias("bi_ppl_median"))
+        out["quality"] = kept.crossJoin(u_med).crossJoin(b_med)
         out["quality_rules"] = reasons
     if "lengths" in sections:
         from wimbd_spark.operators.stats import length_percentiles
