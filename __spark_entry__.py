@@ -7962,6 +7962,246 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
 }
 
 
+def _ivfpq_wide_index(spark, sf_dir) -> str:
+    """Build (memoized per sf_dir) an IVF index whose PQ codebooks
+    exceed the literal-plan budget: pq_m=8 x pq_codes=128 x subdim 8
+    = 8192 doubles > _CB_LITERAL_MAX_DOUBLES (4096), so the read path
+    MUST take the r14 broadcast-data ADC strategy
+    (similarity.py `wide_cb`). Kept separate from _ivfpq_index so the
+    narrow/literal strategy stays covered too."""
+    from wimbd_spark.operators.similarity import build_ivf_index
+
+    path = _index_path(sf_dir, "ivfpqwide")
+    if path not in _BUILT_INDEX_PATHS:
+        build_ivf_index(
+            _tbl(spark, sf_dir, "embeddings"),
+            path,
+            n_centroids=8,
+            pq_m=8,
+            pq_codes=128,
+        )
+        _BUILT_INDEX_PATHS.add(path)
+    return path
+
+
+def q_ivf_pq_wide_cb_topk(spark, sf_dir):
+    """The IVF-PQ read path at a WIDE codebook (8x128 codes x 8-dim
+    subvectors = 8192 doubles, past the 4096 literal-plan budget): the
+    driver computes per-query ADC tables with the same fold order as
+    the JVM dot and ships them as one broadcast row
+    (similarity.py:952, r14) instead of poisoning every stage with
+    65k-literal plans. Same proven oracle mirror as ivf_pq_topk with
+    the codebook sample widened to 128 — r14 VERDICT item 3 flagged
+    that this strategy had pytest parity but no registry row. R16
+    REGISTRY CANDIDATE — waits in _R16_CANDIDATES for the rotation."""
+    from wimbd_spark.operators.similarity import cosine_topk_ivf_pq_indexed
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    path = _ivfpq_wide_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivf_pq_indexed(spark, path, queries, k=5, n_probe=2)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "approx_cosine",
+        "rank",
+    )
+
+
+def o_ivf_pq_wide_cb_topk():
+    # o_ivf_pq_topk's mirror with the codebook sample widened to 128
+    # entries per subspace (the only LIMIT 16 in that SQL is the samp
+    # CTE); everything downstream — encode, ADC scoring, rounding,
+    # rank — is unchanged, which is exactly the claim under test: the
+    # wide-codebook broadcast strategy is bit-identical to the
+    # literal strategy, only the plan shape differs.
+    base = o_ivf_pq_topk()
+    assert base.count("LIMIT 16") == 1
+    return base.replace("LIMIT 16", "LIMIT 128")
+
+
+def q_topk_ngrams_2pass_by_lang(spark, sf_dir):
+    """Grouped heavy-hitter top-k over a SECOND group key
+    (heavyhitters.topk_ngrams_2pass_by(by="lang")): per-language top-5
+    bigrams. The r15 row pinned by="source" (20 groups); this one
+    exercises the group-key genericity (different column, different
+    cardinality, n=2) against the exact grouped SQL. Capacity 50k >=
+    the per-lang distinct-bigram count at sf0.01/sf0.1, so the oracle
+    is full-strength. R16 REGISTRY CANDIDATE — waits in
+    _R16_CANDIDATES for the rotation."""
+    from wimbd_spark.operators.heavyhitters import topk_ngrams_2pass_by
+
+    return topk_ngrams_2pass_by(
+        _docs(spark, sf_dir), n=2, k=5, by="lang", capacity=50_000
+    ).select(
+        "lang",
+        "ngram",
+        F.col("count").cast("long").alias("count"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def o_topk_ngrams_2pass_by_lang():
+    return """
+      WITH toks AS (
+        SELECT lang,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      grams AS (
+        SELECT lang, array_to_string(list_slice(t, i, i+1), ' ') AS ngram
+        FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+        WHERE len(t) >= 2
+      ),
+      c AS (SELECT lang, ngram, count(*) AS cnt
+            FROM grams GROUP BY lang, ngram),
+      r AS (SELECT lang, ngram, cnt,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY cnt DESC, ngram ASC) AS rank
+            FROM c)
+      SELECT lang, ngram, CAST(cnt AS BIGINT) AS count,
+             CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5
+    """
+
+
+def _bigram_model_src1(spark, sf_dir) -> str:
+    """Materialize (memoized per sf_dir) the interpolated-bigram model
+    trained on the non-src1 slice to parquet — the CLI --lm layout
+    (<dir>/unigram + <dir>/bigram). Reading it back makes the model
+    CALLER-SUPPLIED, so bigram_score's r15 validation (exactly one
+    NULL unigram fallback row, no duplicate (prev, token) bigram keys)
+    runs on the real path instead of being skipped as self-trained."""
+    from wimbd_spark.operators.lm import bigram_lm, unigram_lm
+
+    path = _index_path(sf_dir, "bigram_lm_src1")
+    if path not in _BUILT_INDEX_PATHS:
+        train = _docs(spark, sf_dir).filter(F.col("source") != "src1")
+        unigram_lm(train, alpha=0.5).write.mode("overwrite").parquet(
+            f"{path}/unigram"
+        )
+        bigram_lm(train).write.mode("overwrite").parquet(f"{path}/bigram")
+        _BUILT_INDEX_PATHS.add(path)
+    return path
+
+
+def q_bigram_ppl_matmodel_src1(spark, sf_dir):
+    """Interpolated-bigram scoring under a MATERIALIZED external model
+    (the CLI `ppl-filter --order 2 --lm <dir>` shape): the model
+    parquet is written once from the non-src1 slice, read back, and
+    passed to bigram_score with validation ON — the exact path the r14
+    ADVICE flagged (a malformed hand-built model used to silently
+    score the corpus empty; now it raises, and a WELL-formed one must
+    still score identically to the lazy build). R16 REGISTRY
+    CANDIDATE — waits in _R16_CANDIDATES for the rotation."""
+    from wimbd_spark.operators.lm import bigram_score
+
+    path = _bigram_model_src1(spark, sf_dir)
+    uni = spark.read.parquet(f"{path}/unigram")
+    bi = spark.read.parquet(f"{path}/bigram")
+    out = bigram_score(_docs(spark, sf_dir), uni, bi, lam=0.7)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("bits_per_token", 6).alias("bits_per_token"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
+def o_bigram_ppl_matmodel_src1():
+    return f"""
+      WITH {_SQL_BIGRAM_SCORED.replace("'src0'", "'src1'")}
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+             round(s.bpt, 6) AS bits_per_token,
+             round(pow(2, s.bpt), 6) AS ppl
+      FROM documents d LEFT JOIN bgscored s USING (doc_id)
+    """
+
+
+def q_datasheet_ppl_medians(spark, sf_dir):
+    """The datasheet quality section's model-side numbers (r15:
+    operators/report.py appends median self-perplexity under the
+    unigram AND interpolated-bigram LM to the one-command report).
+    Runs the REAL datasheet section — gopher/C4 gates included, their
+    counts covered by their own oracle rows — and checks the two
+    medians plus the doc count against a direct DuckDB mirror
+    (self-trained models, percentile-continuous median both engines).
+    R16 REGISTRY CANDIDATE — waits in _R16_CANDIDATES for the
+    rotation."""
+    from wimbd_spark.operators.report import corpus_datasheet
+
+    q = corpus_datasheet(
+        _docs(spark, sf_dir), sections=("quality",)
+    )["quality"]
+    return q.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("uni_ppl_median", 6).alias("uni_ppl_median"),
+        F.round("bi_ppl_median", 6).alias("bi_ppl_median"),
+    )
+
+
+def o_datasheet_ppl_medians():
+    # lmscored = the proven self-trained unigram mirror; bgscored =
+    # the proven bigram mirror with the train restriction dropped
+    # (datasheet models self-train on the whole corpus). median() in
+    # DuckDB and percentile(0.5) in Spark both interpolate
+    # continuously; zero-token docs carry no score row in either
+    # engine.
+    selftrain_bigram = _SQL_BIGRAM_SCORED.replace(
+        "WHERE source <> 'src0'", ""
+    )
+    return f"""
+      WITH {_SQL_LM_SCORED}, {selftrain_bigram}
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT round(median(pow(2, bpt)), 6) FROM lmscored)
+               AS uni_ppl_median,
+             (SELECT round(median(pow(2, bpt)), 6) FROM bgscored)
+               AS bi_ppl_median
+    """
+
+
+def q_boilerplate_scrub_static(spark, sf_dir):
+    """Static-blocklist boilerplate removal
+    (winnow.boilerplate_fingerprints -> remove_spans_by_fingerprint):
+    the cross-document fingerprint table is materialized from the
+    corpus, then every winnow-witnessed shared span is excised by a
+    stateless mapInPandas scrub — the ingest-gate half of span
+    removal (works on streams; zero state store). On the corpus the
+    blocklist came from, output text equals
+    remove_shared_spans(keep='none') row for row, so the oracle IS
+    that row's proven SQL. Neither operator had a registry row
+    before. R16 REGISTRY CANDIDATE — waits in _R16_CANDIDATES for
+    the rotation."""
+    from wimbd_spark.functions.text import doc_hash
+    from wimbd_spark.operators.winnow import (
+        boilerplate_fingerprints,
+        remove_spans_by_fingerprint,
+    )
+
+    docs = _docs(spark, sf_dir)
+    fps = boilerplate_fingerprints(docs, k=3, w=4, min_docs=2)
+    out = remove_spans_by_fingerprint(docs, fps, k=3, w=4)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(
+            F.size(tokenize(F.col("text"))), F.lit(-1)
+        ).cast("long").alias("n_tokens_after"),
+        doc_hash(F.col("text")).alias("text_hash"),
+    )
+
+
+def o_boilerplate_scrub_static():
+    # the scrub against a self-derived min_docs=2 blocklist is
+    # keep='none' shared-span removal with the fp->multi-doc decision
+    # precomputed — same marking rule, same surgery; reuse that row's
+    # proven mirror verbatim.
+    return o_remove_shared_spans_none()
+
+
+
+
 #: R16 registry candidates: (query, oracle) pairs READY for the next
 #: rotation — the r15 first-50 window is saturated (5 promoted r15
 #: candidates + the full 11-query r11 cohort at its revisit bound +
@@ -7969,7 +8209,22 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
 #: never-checked registry query to sit inside the window, so new rows
 #: stage here with their oracles pinned by
 #: tests/test_r16_candidates.py until r16 rotates them in.
-_R16_CANDIDATES: dict[str, tuple[Callable, Callable]] = {}
+_R16_CANDIDATES: dict[str, tuple[Callable, Callable]] = {
+    "ivf_pq_wide_cb_topk": (q_ivf_pq_wide_cb_topk, o_ivf_pq_wide_cb_topk),
+    "topk_ngrams_2pass_by_lang": (
+        q_topk_ngrams_2pass_by_lang,
+        o_topk_ngrams_2pass_by_lang,
+    ),
+    "bigram_ppl_matmodel_src1": (
+        q_bigram_ppl_matmodel_src1,
+        o_bigram_ppl_matmodel_src1,
+    ),
+    "datasheet_ppl_medians": (q_datasheet_ppl_medians, o_datasheet_ppl_medians),
+    "boilerplate_scrub_static": (
+        q_boilerplate_scrub_static,
+        o_boilerplate_scrub_static,
+    ),
+}
 
 
 def staged_candidates() -> dict[str, tuple[Callable, Callable]]:
