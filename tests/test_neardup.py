@@ -743,3 +743,92 @@ def test_simhash_pairs_default_is_auto(spark):
     )
     # the billion-doc caller gets widened keys by default
     assert auto_nseg(10**9, 62, 6) > 7
+
+
+def test_simhash_bits_engine_parity(spark):
+    """r15 optimization: the Arrow/numpy signature engine must be
+    bit-identical to the pure-Catalyst expression form on every width
+    and on edge rows (NULL text → NULL, zero tokens → 0, unicode and
+    repeated tokens)."""
+    from wimbd_spark.operators.neardup import simhash_bits
+
+    rows = [
+        (1, "alpha beta gamma alpha"),
+        (2, "один два три 四五六 七"),
+        (3, ""),
+        (4, "   "),
+        (5, None),
+        (6, "x"),
+        (7, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for nbits in (1, 16, 31, 32, 33, 62):
+        a = {
+            r["doc_id"]: r["sh"]
+            for r in df.select(
+                "doc_id",
+                simhash_bits(F.col("text"), nbits, engine="expr").alias(
+                    "sh"
+                ),
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: r["sh"]
+            for r in df.select(
+                "doc_id",
+                simhash_bits(F.col("text"), nbits, engine="arrow").alias(
+                    "sh"
+                ),
+            ).collect()
+        }
+        assert a == b, f"nbits={nbits}: {a} != {b}"
+    with pytest.raises(ValueError, match="engine"):
+        simhash_bits(F.col("text"), 62, engine="bogus")
+    # shingle_n > 1 parity too (the arrow path dedups in Python)
+    a = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id",
+            simhash_bits(F.col("text"), 62, shingle_n=2, engine="expr")
+            .alias("sh"),
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id",
+            simhash_bits(F.col("text"), 62, shingle_n=2, engine="arrow")
+            .alias("sh"),
+        ).collect()
+    }
+    assert a == b
+
+
+def test_simhash_pairs_canonical_filter_no_duplicates(spark):
+    """r15 optimization: pairs reachable via SEVERAL agreeing
+    combinations must still come out exactly once (the distinct()
+    shuffle was replaced by a first-agreeing-combination filter).
+    Identical signatures agree on EVERY combination — the strongest
+    duplication pressure."""
+    from wimbd_spark.operators.neardup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [(i, "same text for every doc here") for i in range(12)]
+        + [(100, "something utterly different qq ww ee rr tt yy")],
+        "doc_id long, text string",
+    )
+    out = simhash_pairs(df, max_hamming=6, nbits=62, nseg=None)
+    rows = [tuple(r) for r in out.collect()]
+    assert len(rows) == len(set(rows))  # no duplicated pairs
+    # all C(12,2) identical-signature pairs present, at hamming 0
+    assert sum(1 for r in rows if r[2] == 0) == 66
+    # and the wide-nseg route (different combination structure)
+    # yields the same pair set
+    wide = [
+        tuple(r)
+        for r in simhash_pairs(
+            df, max_hamming=6, nbits=62, nseg=9
+        ).collect()
+    ]
+    assert len(wide) == len(set(wide))
+    assert set(wide) == set(rows)

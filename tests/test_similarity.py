@@ -1459,3 +1459,35 @@ def test_ivf_pq_wide_cb_zero_norm_and_query_guard(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(sim, "_ADC_WIDE_MAX_QUERIES", 1)
     with pytest.raises(ValueError, match="knn_join_pq"):
         cosine_topk_ivf_pq_indexed(spark, path, queries, k=3, n_probe=2)
+
+
+def test_lit_doubles_bit_identical(spark):
+    """r15 optimization: the one-parser-call literal builders must be
+    bit-identical to the per-element F.lit form (incl. subnormals,
+    ±0.0, extremes) — they carry the PQ codebooks and LSH planes."""
+    import struct
+
+    from wimbd_spark.operators.similarity import (
+        _lit_double_matrix,
+        _lit_doubles,
+    )
+
+    vals = [
+        0.0, -0.0, 1.0, -1.5, 1e-300, 4.9e-324, 1.7976931348623157e308,
+        -2.2250738585072014e-308, 0.1, 1 / 3, float("nan"),
+        float("inf"), float("-inf"), 12345678.9, 1e-5,
+    ]
+    df = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in vals]).alias("a"),
+        _lit_doubles(vals).alias("b"),
+        _lit_double_matrix([vals, vals[:3]]).alias("m"),
+    )
+    assert df.schema["b"].dataType.simpleString() == "array<double>"
+    assert (
+        df.schema["m"].dataType.simpleString() == "array<array<double>>"
+    )
+    row = df.collect()[0]
+    pack = lambda x: struct.pack("<d", x)
+    assert [pack(x) for x in row["a"]] == [pack(x) for x in row["b"]]
+    assert [pack(x) for x in row["m"][0]] == [pack(x) for x in row["a"]]
+    assert row["m"][1] == row["a"][:3]

@@ -60,11 +60,13 @@ def l2sq(a: Column, b: Column) -> Column:
 
 
 def _cent_literal(cents: list[tuple[int, list[float]]]) -> Column:
+    from wimbd_spark.operators.similarity import _lit_doubles
+
     return F.array(
         *[
             F.struct(
                 F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in v]).alias("v"),
+                _lit_doubles(v).alias("v"),
             )
             for cid, v in cents
         ]

@@ -30,6 +30,41 @@ def _to_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _d_sql(x) -> str:
+    """SQL double literal for one Python float — repr() is the
+    shortest round-trip decimal, so the JVM parses back the exact
+    same 64-bit value (bit-identical, incl. subnormals and ±0.0)."""
+    import math
+
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return "CAST('%sInfinity' AS DOUBLE)" % ("" if x > 0 else "-")
+    return repr(x) + "D"
+
+
+def _lit_doubles(values) -> Column:
+    """array<double> literal built in ONE parser call (F.expr) —
+    value-identical to ``F.array(*[F.lit(float(x)) for x in values])``
+    but without the per-element py4j round trip (~0.5-1 ms each;
+    the per-element form cost 1.4-2.1 s PER QUERY at PQ codebook
+    widths m=8 × n_codes=16 × d=8, measured r15)."""
+    return F.expr("array(" + ",".join(_d_sql(x) for x in values) + ")")
+
+
+def _lit_double_matrix(rows) -> Column:
+    """array<array<double>> literal in one parser call (see
+    ``_lit_doubles``)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_d_sql(x) for x in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -140,7 +175,7 @@ def sign_sketch(vec: Column, planes: list[list[float]]) -> Column:
     """LSH bucket id: bit_p = sign(vec · plane_p)."""
     total = F.lit(0)
     for p, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
+        arr = _lit_doubles(plane)
         bit = F.when(dot(vec, arr) > 0, F.lit(2**p)).otherwise(F.lit(0))
         total = total + bit
     return total.cast("long")
@@ -179,7 +214,7 @@ def _centroid_literal(cents: list) -> Column:
         *[
             F.struct(
                 F.lit(r["centroid_id"]).alias("cid"),
-                F.array(*[F.lit(x) for x in r["_cent"]]).alias("v"),
+                _lit_doubles(r["_cent"]).alias("v"),
             )
             for r in cents
         ]
@@ -2232,9 +2267,7 @@ def _cb_literal(book: list) -> Column:
     expression trees. The unrolled form compiled ~6 s of fixed plan
     overhead at m=8, n_codes=16 (measured r8); this form is
     corpus-size-bound instead."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in cv]) for cv in book]
-    )
+    return _lit_double_matrix(book)
 
 
 #: Above this many total codebook doubles, the literal form's plan
@@ -2332,8 +2365,8 @@ def _pq_recon_norm2(codes: Column, codebooks: list) -> Column:
     (subspaces are orthogonal coordinate blocks)."""
     total = F.lit(0.0)
     for s, book in enumerate(codebooks):
-        norms = F.array(
-            *[F.lit(float(sum(x * x for x in cv))) for cv in book]
+        norms = _lit_doubles(
+            [float(sum(x * x for x in cv)) for cv in book]
         )
         total = total + F.element_at(norms, F.element_at(codes, s + 1) + 1)
     return total
