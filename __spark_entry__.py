@@ -47,18 +47,41 @@ from wimbd_spark.search import (
 
 # ---------------------------------------------------------------- helpers
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from wimbd_spark.session import rebalance_small_input
-
-    return rebalance_small_input(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-    )
+#: Per-process memo of the lazily-evaluated table DataFrames (the
+#: PLAN, never results): building one costs ~90-150 ms of driver time
+#: (parquet footer/schema read + partition probe) and the bench's 102
+#: queries each rebuilt it 1-3 times — ~20 s of pure plan-construction
+#: overhead per bench pass (measured r15). The DataFrame is immutable
+#: and unexecuted; every action still computes from the parquet files
+#: (nothing is persisted or cached — the memo key carries the file
+#: mtime+size so a rewritten table invalidates it, and the Spark
+#: applicationId so a new session never reuses a dead session's plan).
+_TBL_MEMO: dict = {}
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os as _os
+
     from wimbd_spark.session import load_tables
 
-    return load_tables(spark, sf_dir, names=[name], register_views=False)[name]
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = _os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None
+    key = (spark.sparkContext.applicationId, path, stamp)
+    df = _TBL_MEMO.get(key)
+    if df is None:
+        df = load_tables(
+            spark, sf_dir, names=[name], register_views=False
+        )[name]
+        _TBL_MEMO[key] = df
+    return df
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tbl(spark, sf_dir, "documents")
 
 
 # DuckDB token/ngram CTE template (mirrors wimbd_spark.functions.text
@@ -840,8 +863,17 @@ def q_top_orders_by_revenue(spark, sf_dir):
     sel_orders = orders.join(
         F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
     ).select("o_orderkey")
+    # broadcast the REDUCED order-key set explicitly: without the hint
+    # the static planner picked BuildLeft and broadcast LINEITEM — the
+    # big side — because the filtered join's size estimate is unknown
+    # (r15; plans/r15/top_orders_by_revenue_before.txt shows the
+    # BroadcastExchange over the lineitem scan)
     return (
-        li.join(sel_orders, li["l_orderkey"] == F.col("o_orderkey"), "inner")
+        li.join(
+            F.broadcast(sel_orders),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "inner",
+        )
         .groupBy(F.col("o_orderkey").cast("long").alias("o_orderkey"))
         .agg(
             F.sum(
@@ -3406,15 +3438,11 @@ def q_contamination_rate_tokens(spark, sf_dir):
     from wimbd_spark.operators.dedup import contamination_rate_ngrams
 
     docs = _docs(spark, sf_dir)
-    evalset = (
-        docs.filter(F.col("source") == "src0")
-        .select(
-            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
-                "phrase"
-            )
+    evalset = docs.filter(F.col("source") == "src0").select(
+        F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+            "phrase"
         )
-        .distinct()
-    )
+    )  # no .distinct(): the operator dedups internally (r15)
     corpus = docs.filter(F.col("source") != "src0")
     out = contamination_rate_ngrams(evalset, corpus, "phrase")
     return out.select(
@@ -3438,18 +3466,17 @@ def q_contamination_rate_indexed(spark, sf_dir):
     from wimbd_spark.operators.dedup import contamination_rate_indexed
 
     docs = _docs(spark, sf_dir)
-    evalset = (
-        docs.filter(F.col("source") == "src0")
-        .select(
-            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
-                "phrase"
-            )
+    evalset = docs.filter(F.col("source") == "src0").select(
+        F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+            "phrase"
         )
-        .distinct()
-    )
+    )  # no .distinct(): the operator dedups internally (r15)
     corpus = docs.filter(F.col("source") != "src0")
     idx = _phrase_index(spark, sf_dir, docs=corpus, name="contam")
-    out = contamination_rate_indexed(idx, evalset, "phrase")
+    # lengths=[4]: every eval phrase is a 4-gram by construction —
+    # skips the operator's lengths-probe job (r15 optimization); the
+    # operator distincts internally, so no caller-side distinct
+    out = contamination_rate_indexed(idx, evalset, "phrase", lengths=[4])
     return out.select(
         F.col("contaminated").cast("long").alias("contaminated"),
         F.col("total").cast("long").alias("total"),
@@ -3496,18 +3523,17 @@ def q_contamination_slop1_indexed(spark, sf_dir):
     from wimbd_spark.operators.dedup import contamination_rate_indexed
 
     docs = _docs(spark, sf_dir)
-    evalset = (
-        docs.filter(F.col("source") == "src0")
-        .select(
-            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
-                "phrase"
-            )
+    evalset = docs.filter(F.col("source") == "src0").select(
+        F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+            "phrase"
         )
-        .distinct()
-    )
+    )  # no .distinct(): the operator dedups internally (r15)
     corpus = docs.filter(F.col("source") != "src0")
     idx = _phrase_index(spark, sf_dir, docs=corpus, name="contam")
-    out = contamination_rate_indexed(idx, evalset, "phrase", slop=1)
+    # lengths=[4] skips the probe job; internal distinct covers dedup
+    out = contamination_rate_indexed(
+        idx, evalset, "phrase", slop=1, lengths=[4]
+    )
     return out.select(
         F.col("contaminated").cast("long").alias("contaminated"),
         F.col("total").cast("long").alias("total"),
@@ -3558,15 +3584,11 @@ def q_contamination_tokens_slop1(spark, sf_dir):
     from wimbd_spark.operators.dedup import contamination_rate_ngrams
 
     docs = _docs(spark, sf_dir)
-    evalset = (
-        docs.filter(F.col("source") == "src0")
-        .select(
-            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
-                "phrase"
-            )
+    evalset = docs.filter(F.col("source") == "src0").select(
+        F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+            "phrase"
         )
-        .distinct()
-    )
+    )  # no .distinct(): the operator dedups internally (r15)
     corpus = docs.filter(F.col("source") != "src0")
     out = contamination_rate_ngrams(evalset, corpus, "phrase", slop=1)
     return out.select(
@@ -3591,22 +3613,19 @@ def q_phrase_df_counts(spark, sf_dir):
     from wimbd_spark.index import count_documents_for_each_phrase_df
 
     docs = _docs(spark, sf_dir)
-    evalset = (
-        docs.filter(F.col("source") == "src0")
-        .select(
-            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
-                "phrase"
-            )
+    evalset = docs.filter(F.col("source") == "src0").select(
+        F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+            "phrase"
         )
-        .distinct()
-    )
+    )  # no .distinct(): the operator dedups internally (r15)
     idx = _phrase_index(
         spark,
         sf_dir,
         docs=docs.filter(F.col("source") != "src0"),
         name="contam",
     )
-    out = count_documents_for_each_phrase_df(idx, evalset)
+    # lengths=[4] skips the probe job (every phrase is a 4-gram)
+    out = count_documents_for_each_phrase_df(idx, evalset, lengths=[4])
     return out.select(
         "phrase", F.col("count").cast("long").alias("count")
     )
@@ -3696,15 +3715,11 @@ def q_streaming_decontaminate_src0(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    evalset = (
-        docs.filter(F.col("source") == "src0")
-        .select(
-            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
-                "phrase"
-            )
+    evalset = docs.filter(F.col("source") == "src0").select(
+        F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+            "phrase"
         )
-        .distinct()
-    )
+    )  # no .distinct(): the operator dedups internally (r15)
     train = docs.filter(F.col("source") != "src0")
     root = tempfile.mkdtemp(prefix="wimbd_stream_decon_")
     try:
@@ -3742,15 +3757,11 @@ def q_decontaminate_ngrams(spark, sf_dir):
     from wimbd_spark.operators.dedup import decontaminate_by_ngrams
 
     docs = _docs(spark, sf_dir)
-    evalset = (
-        docs.filter(F.col("source") == "src0")
-        .select(
-            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
-                "phrase"
-            )
+    evalset = docs.filter(F.col("source") == "src0").select(
+        F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+            "phrase"
         )
-        .distinct()
-    )
+    )  # no .distinct(): the operator dedups internally (r15)
     train = docs.filter(F.col("source") != "src0")
     out = decontaminate_by_ngrams(train, evalset)
     return out.select(
@@ -3815,7 +3826,9 @@ def q_decontaminate_ac_src0(spark, sf_dir):
     for part in parts[1:]:
         ev = ev.unionByName(part)
     train = docs.filter(F.col("source") != "src0")
-    out = decontaminate_by_ngrams(train, ev.distinct(), method="ac")
+    # no caller-side distinct: the operator distincts the token
+    # arrays internally (one pass instead of two, r15 optimization)
+    out = decontaminate_by_ngrams(train, ev, method="ac")
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"), "source"
     )
@@ -3862,22 +3875,19 @@ def q_contaminated_examples(spark, sf_dir):
     from wimbd_spark.index import contaminated_examples
 
     docs = _docs(spark, sf_dir)
-    evalset = (
-        docs.filter(F.col("source") == "src0")
-        .select(
-            F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
-                "phrase"
-            )
+    evalset = docs.filter(F.col("source") == "src0").select(
+        F.explode(ngram_strings(tokenize(F.col("text")), 4)).alias(
+            "phrase"
         )
-        .distinct()
-    )
+    )  # no .distinct(): the operator dedups internally (r15)
     idx = _phrase_index(
         spark,
         sf_dir,
         docs=docs.filter(F.col("source") != "src0"),
         name="contam",
     )
-    out = contaminated_examples(idx, evalset, k=2)
+    # lengths=[4] skips the probe job (every phrase is a 4-gram)
+    out = contaminated_examples(idx, evalset, k=2, lengths=[4])
     return out.select(
         "phrase",
         F.col("doc_id").cast("long").alias("doc_id"),

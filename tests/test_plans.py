@@ -361,10 +361,14 @@ def test_unique_ngrams_hll_no_gram_repartition(spark):
     plan = explain_str(
         entry.bench_only_queries()["bench_unique_ngrams_hll"](spark, SF)
     )
-    # no key-hashed exchange at all: the only shuffles allowed are the
-    # harness's round-robin small-input rebalance and the
+    # no GRAM-key exchange: the only shuffles allowed are the
+    # harness's small-input rebalance (doc_id-hashed since r15 — the
+    # keyless form paid a sort-before-shuffle) and the
     # SinglePartition sketch merge
-    assert "hashpartitioning" not in plan
+    import re as _re
+
+    keyed = _re.findall(r"hashpartitioning\((\w+)", plan)
+    assert all(k == "doc_id" for k in keyed), keyed
 
 
 def test_dsir_single_doc_shuffle_no_join_back(spark, raw_docs):

@@ -745,24 +745,40 @@ def count_documents_for_each_phrase_indexed(
             flat.append(ph)
     spark = index.sparkSession
     m = phrase_matches_batch(index, flat, slop, analyzer)
-    pid2gid = spark.createDataFrame(pid_gid, schema="pid int, gid int")
     gmeta = spark.createDataFrame(
         [(gid, len(g), names[gid]) for gid, g in enumerate(groups)],
         schema="gid int, nm int, phrase string",
     )
-    counts = (
-        m.join(F.broadcast(pid2gid), "pid")
-        .groupBy("gid", "doc_id")
-        .agg(F.countDistinct("pid").alias("_np"))
-        .join(F.broadcast(gmeta.select("gid", "nm")), "gid")
-        .filter(F.col("_np") == F.col("nm"))
-        .groupBy("gid")
-        .agg(F.count(F.lit(1)).alias("count"))
-    )
+    if all(len(g) == 1 for g in groups):
+        # singleton groups (the msearch-batch shape): pid == gid and
+        # phrase_matches_batch already emits one row per (pid,
+        # doc_id) — its final aggregation is keyed on exactly that —
+        # so per-phrase counts are ONE groupBy; the general path's
+        # countDistinct + membership joins are pure overhead (r15)
+        counts = m.groupBy(F.col("pid").alias("gid")).agg(
+            F.count(F.lit(1)).alias("count")
+        )
+    else:
+        pid2gid = spark.createDataFrame(
+            pid_gid, schema="pid int, gid int"
+        )
+        counts = (
+            m.join(F.broadcast(pid2gid), "pid")
+            .groupBy("gid", "doc_id")
+            .agg(F.countDistinct("pid").alias("_np"))
+            .join(F.broadcast(gmeta.select("gid", "nm")), "gid")
+            .filter(F.col("_np") == F.col("nm"))
+            .groupBy("gid")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
     return (
         gmeta.select("gid", "phrase")
         .join(counts, "gid", "left")
         .select("phrase", F.coalesce("count", F.lit(0)).alias("count"))
+        # the result is one row per phrase — sort it in ONE partition
+        # instead of paying a range exchange (+ its boundary-sampling
+        # pass) on a ≤batch-size result (r15)
+        .coalesce(1)
         .orderBy("phrase")
     )
 
@@ -773,6 +789,7 @@ def count_documents_for_each_phrase_df(
     phrase_col: str = "phrase",
     tokenizer=None,
     slop: int = 0,
+    lengths: list[int] | None = None,
 ) -> DataFrame:
     """(phrase, count) for EVERY distinct phrase in a phrase DATAFRAME
     — the eval-scale twin of count_documents_for_each_phrase_indexed.
@@ -792,24 +809,30 @@ def count_documents_for_each_phrase_df(
     vocabulary-pruned postings (corpus_grams_from_postings) → one hash
     join on the (L, token-array) key → groupBy(phrase) count. Zero-hit
     phrases report 0. The only driver-collected state is the set of
-    distinct phrase LENGTHS (a handful of ints).
+    distinct phrase LENGTHS (a handful of ints) — and ``lengths``
+    skips even that probe job when the caller knows the COMPLETE
+    length set (an n-gram eval set has exactly one; a wrong list
+    silently zero-counts phrases of the missing lengths).
     """
     tok = tokenizer if tokenizer is not None else tokenize
+    _base = phrases_df.select(F.col(phrase_col).alias("phrase")).filter(
+        F.col("phrase").isNotNull() & (F.trim(F.col("phrase")) != "")
+    )
     evp = (
-        phrases_df.select(F.col(phrase_col).alias("phrase"))
-        .filter(
-            F.col("phrase").isNotNull() & (F.trim(F.col("phrase")) != "")
-        )
-        .distinct()
+        _base.distinct()
         .withColumn("_toks", tok(F.col("phrase")))
         .withColumn("_L", F.size("_toks"))
     )
-    all_lengths = sorted(
-        r["_L"]
-        for r in evp.filter(F.col("_L") >= 1)
-        .select("_L")
-        .distinct()
-        .collect()
+    all_lengths = (
+        sorted(L for L in set(lengths) if L >= 1)
+        if lengths is not None
+        else sorted(
+            r["_L"]
+            for r in evp.filter(F.col("_L") >= 1)
+            .select("_L")
+            .distinct()
+            .collect()
+        )
     )
     cap = GRAM_JOIN_MAX_PHRASE_TOKENS
     lengths = [L for L in all_lengths if L <= cap]
@@ -826,7 +849,12 @@ def count_documents_for_each_phrase_df(
         )
     else:
         evs = evp.filter(F.col("_L") <= cap)
-        vocab = evs.select(F.explode("_toks").alias("token"))
+        # vocabulary prune from the PRE-distinct phrase rows — same
+        # distinct token set, no phrase-level distinct exchange in
+        # the prune branch (r15; see contamination_rate_indexed)
+        vocab = _base.select(
+            F.explode(tok(F.col("phrase"))).alias("token")
+        )
         cg = corpus_grams_from_postings(
             index, lengths, with_doc=True, vocab=vocab, slop=slop
         )
@@ -882,6 +910,7 @@ def contaminated_examples(
     phrase_col: str = "phrase",
     tokenizer=None,
     slop: int = 0,
+    lengths: list[int] | None = None,
 ) -> DataFrame:
     """(phrase, doc_id, rank) — up to ``k`` example documents per
     distinct eval phrase, the audit companion to the contamination
@@ -901,16 +930,18 @@ def contaminated_examples(
     reconstruction). ≤ GRAM_JOIN_MAX_PHRASE_TOKENS tokens per phrase
     (longer phrases: route through
     get_documents_containing_phrases_indexed per phrase).
+    ``lengths`` (the complete distinct token-length set of the
+    phrases, when the caller knows it) skips the lengths-probe job —
+    see count_documents_for_each_phrase_df.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     tok = tokenizer if tokenizer is not None else tokenize
+    _base = phrases_df.select(F.col(phrase_col).alias("phrase")).filter(
+        F.col("phrase").isNotNull() & (F.trim(F.col("phrase")) != "")
+    )
     evp = (
-        phrases_df.select(F.col(phrase_col).alias("phrase"))
-        .filter(
-            F.col("phrase").isNotNull() & (F.trim(F.col("phrase")) != "")
-        )
-        .distinct()
+        _base.distinct()
         .withColumn("_toks", tok(F.col("phrase")))
         .withColumn("_L", F.size("_toks"))
         .filter(
@@ -918,15 +949,26 @@ def contaminated_examples(
             & (F.col("_L") <= GRAM_JOIN_MAX_PHRASE_TOKENS)
         )
     )
-    lengths = sorted(
-        r["_L"] for r in evp.select("_L").distinct().collect()
+    lengths = (
+        sorted(
+            L
+            for L in set(lengths)
+            if 1 <= L <= GRAM_JOIN_MAX_PHRASE_TOKENS
+        )
+        if lengths is not None
+        else sorted(
+            r["_L"] for r in evp.select("_L").distinct().collect()
+        )
     )
     if not lengths:
         spark = index.sparkSession
         return spark.createDataFrame(
             [], schema="phrase string, doc_id long, rank int"
         )
-    vocab = evp.select(F.explode("_toks").alias("token"))
+    # vocabulary prune from the PRE-distinct phrase rows — same
+    # distinct token set, no phrase-level distinct exchange in the
+    # prune branch (r15; see contamination_rate_indexed)
+    vocab = _base.select(F.explode(tok(F.col("phrase"))).alias("token"))
     cg = corpus_grams_from_postings(
         index, lengths, with_doc=True, vocab=vocab, slop=slop
     )

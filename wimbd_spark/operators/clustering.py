@@ -73,6 +73,24 @@ def _cent_literal(cents: list[tuple[int, list[float]]]) -> Column:
     )
 
 
+def _cluster_col(
+    centroids: list[tuple[int, list[float]]], vec_col: str
+) -> Column:
+    """argmin-squared-L2 centroid id of ``vec_col`` (ties to the
+    smaller cluster id) as a pure Column — shared by assignment and
+    the fit loop so the update pass can attach the cluster WITHOUT
+    re-joining the corpus against its own assignment (r15: the old
+    join-back added one self-join per Lloyd iteration)."""
+    v = _to_double(F.col(vec_col))
+    scored = F.transform(
+        _cent_literal(centroids),
+        lambda c: F.struct(
+            l2sq(v, c["v"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    return F.array_min(scored)["cid"]
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -81,16 +99,9 @@ def assign_clusters(
 ) -> DataFrame:
     """(id_col, cluster): each vector's argmin-squared-L2 centroid,
     ties to the smaller cluster id. Map-only projection."""
-    v = _to_double(F.col(vec_col))
-    scored = F.transform(
-        _cent_literal(centroids),
-        lambda c: F.struct(
-            l2sq(v, c["v"]).alias("d"), c["cid"].alias("cid")
-        ),
-    )
     return df.select(
         F.col(id_col),
-        F.array_min(scored)["cid"].alias("cluster"),
+        _cluster_col(centroids, vec_col).alias("cluster"),
     )
 
 
@@ -116,11 +127,12 @@ def kmeans_fit(
     if not cents:
         return []
     for _ in range(n_iter):
-        assigned = assign_clusters(df, cents, id_col, vec_col)
+        # cluster attached as a map-only expression — no join of the
+        # corpus against its own assignment (r15); the iteration is
+        # scan → assign → posexplode → partial-agg → k×dim shuffle
         comp = (
-            df.join(assigned, id_col)
-            .select(
-                F.col("cluster"),
+            df.select(
+                _cluster_col(cents, vec_col).alias("cluster"),
                 F.posexplode(_to_double(F.col(vec_col))).alias(
                     "pos", "val"
                 ),

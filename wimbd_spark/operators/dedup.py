@@ -923,23 +923,46 @@ def decontaminate_by_ngrams(
         .distinct()
     )
     if method == "ac" or (method == "auto" and ac_eligible):
-        # one small aggregate decides the route: distinct-phrase count
-        # per length (eval sets are small; this replaces the gram
-        # path's lengths collect below when AC is taken)
-        per_len = {
-            r["_L"]: r["_n"]
-            for r in evg.groupBy("_L")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .collect()
-        }
-        n = sum(per_len.values())
-        cap_probe = _gram_cap()
-        n_short_lengths = sum(1 for L in per_len if L <= cap_probe)
-        n_over = sum(c for L, c in per_len.items() if L > cap_probe)
-        gram_multiplier_bites = (
-            n_short_lengths >= _AC_DECON_MIN_LENGTHS
-            or n_over > _AC_DECON_MAX_OVERLONG
-        )
+        ac_phrases: list[str] | None = None
+        if method == "ac":
+            # the automaton is pinned: ONE bounded collect yields both
+            # the routing count and the pattern list (the previous
+            # per-length probe + pattern collect ran the whole eval
+            # distinct pipeline TWICE — measured ~2.4 s per call, r15)
+            rows = (
+                evg.select("_toks")
+                .limit(_AC_DECON_MAX_PHRASES + 1)
+                .collect()
+            )
+            n = len(rows)
+            if n > _AC_DECON_MAX_PHRASES:
+                raise ValueError(
+                    f"method='ac' got more than "
+                    f"{_AC_DECON_MAX_PHRASES} distinct phrases; the "
+                    f"automaton budget is [1, {_AC_DECON_MAX_PHRASES}]"
+                    " — use method='gram' beyond it (the gram join "
+                    "never materializes the phrase set in one process)"
+                )
+            ac_phrases = [" ".join(r["_toks"]) for r in rows]
+        else:
+            # auto: one small aggregate decides the route WITHOUT
+            # collecting phrases (the set may be gram-route huge)
+            per_len = {
+                r["_L"]: r["_n"]
+                for r in evg.groupBy("_L")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            }
+            n = sum(per_len.values())
+            cap_probe = _gram_cap()
+            n_short_lengths = sum(1 for L in per_len if L <= cap_probe)
+            n_over = sum(
+                c for L, c in per_len.items() if L > cap_probe
+            )
+            gram_multiplier_bites = (
+                n_short_lengths >= _AC_DECON_MIN_LENGTHS
+                or n_over > _AC_DECON_MAX_OVERLONG
+            )
         if n == 0:
             # nothing to match (empty/blank eval set) — same contract
             # as the gram path's empty-lengths return below
@@ -951,20 +974,15 @@ def decontaminate_by_ngrams(
             and n >= _AC_DECON_MIN_PHRASES
             and gram_multiplier_bites
         ):
-            if n > _AC_DECON_MAX_PHRASES:
-                raise ValueError(
-                    f"method='ac' got {n} distinct phrases; the "
-                    f"automaton budget is [1, {_AC_DECON_MAX_PHRASES}]"
-                    " — use method='gram' beyond it (the gram join "
-                    "never materializes the phrase set in one process)"
-                )
             from wimbd_spark.operators.multipattern import (
                 matching_doc_ids_ac,
             )
 
             hits = matching_doc_ids_ac(
                 train.select(id_col, text_col),
-                [
+                ac_phrases
+                if ac_phrases is not None
+                else [
                     " ".join(r["_toks"])
                     for r in evg.select("_toks").collect()
                 ],
@@ -1317,6 +1335,7 @@ def contamination_rate_indexed(
     slop: int = 0,
     analyzer=None,
     tokenizer=None,
+    lengths: list[int] | None = None,
 ) -> DataFrame:
     """Token-aligned contamination from the POSTING INDEX: fraction of
     distinct eval phrases matching ≥1 corpus doc → single row
@@ -1352,6 +1371,15 @@ def contamination_rate_indexed(
     slot-join path (index.phrase_matches_batch), which collects the
     phrase list — interactive-batch territory, not eval-scale.
 
+    ``lengths``: the COMPLETE set of distinct token lengths of the
+    eval phrases, when the caller knows it (an n-gram eval set has
+    exactly one). Skips the lengths-probe job — otherwise a full
+    pass over the eval pipeline runs just to learn which L-gram
+    reconstructions to build (measured ~1-1.5 s per sweep, r15). A
+    WRONG lengths list silently drops phrases of the missing
+    lengths from matching (they still count in ``total``) — pass it
+    only when provably complete.
+
     The substring-semantics scan twin is `contamination_rate` (use it
     when no index exists or substring matching is wanted).
     """
@@ -1362,11 +1390,10 @@ def contamination_rate_indexed(
     )
 
     spark = eval_df.sparkSession
-    phrases = (
-        eval_df.select(F.col(phrase_col).alias("_p"))
-        .filter(F.col("_p").isNotNull() & (F.trim(F.col("_p")) != ""))
-        .distinct()
+    _base = eval_df.select(F.col(phrase_col).alias("_p")).filter(
+        F.col("_p").isNotNull() & (F.trim(F.col("_p")) != "")
     )
+    phrases = _base.distinct()
     if analyzer is None:
         from wimbd_spark.index import (
             GRAM_JOIN_MAX_PHRASE_TOKENS,
@@ -1377,12 +1404,16 @@ def contamination_rate_indexed(
         evp = phrases.withColumn("_toks", tok(F.col("_p"))).withColumn(
             "_L", F.size("_toks")
         )
-        all_lengths = sorted(
-            r["_L"]
-            for r in evp.filter(F.col("_L") >= 1)
-            .select("_L")
-            .distinct()
-            .collect()
+        all_lengths = (
+            sorted(L for L in set(lengths) if L >= 1)
+            if lengths is not None
+            else sorted(
+                r["_L"]
+                for r in evp.filter(F.col("_L") >= 1)
+                .select("_L")
+                .distinct()
+                .collect()
+            )
         )
         cap = GRAM_JOIN_MAX_PHRASE_TOKENS
         lengths = [L for L in all_lengths if L <= cap]
@@ -1400,7 +1431,15 @@ def contamination_rate_indexed(
             n_hit, n_tot = 0, evp.count()
         else:
             evs = evp.filter(F.col("_L") <= cap)
-            vocab = evs.select(F.explode("_toks").alias("token"))
+            # vocabulary prune from the PRE-distinct phrases: the
+            # distinct token set is identical (dedup of tokens of all
+            # instances == dedup of tokens of distinct phrases) and
+            # the token-level distinct inside the prune collapses
+            # map-side — the phrase-level distinct exchange was being
+            # recomputed just to feed the prune (r15 optimization)
+            vocab = _base.select(
+                F.explode(tok(F.col("_p"))).alias("token")
+            )
             cg = corpus_grams_from_postings(
                 index, lengths, vocab=vocab, slop=slop
             )

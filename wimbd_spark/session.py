@@ -24,6 +24,22 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
+#: Tables whose per-row work is CPU-bound interpreted compute (text
+#: tokenization / n-gram explodes, vector higher-order functions) —
+#: these run at ~1-10 MB/s/core, so a sub-core-count scan partition
+#: serializes minutes of work and the rebalance shuffle always pays.
+#: Relational/event tables run through whole-stage-codegen'd
+#: filters/aggs at ~GB/s/core: for them a full-row rebalance shuffle
+#: costs MORE than just processing the small partition in place
+#: (measured r15: lineitem agg 0.31 s unrebalanced vs 1.21 s
+#: rebalanced at sf0.1), and at real scale the scan splits large
+#: files itself — so they are no longer rebalanced on load. The hash
+#: key avoids keyless repartition's sort-before-shuffle tax.
+REBALANCE_KEYS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
 
 def get_spark(
     app_name: str = "wimbd-spark",
@@ -66,16 +82,29 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def rebalance_small_input(df: DataFrame) -> DataFrame:
+def rebalance_small_input(df: DataFrame, key: str | None = None) -> DataFrame:
     """Spread a tiny input (fewer partitions than cores) across the
     cluster. CPU-bound text operators (tokenize/ngram explode) are
     otherwise serialized on one core when the source is a single small
     file. At real scale (many files / large row groups) the scan
     already yields >= defaultParallelism partitions and this is a
     no-op — no shuffle is added on the 100 TB path.
+
+    ``key``: hash-partition on this column instead of round-robin.
+    Keyless ``repartition(n)`` locally SORTS its whole input first
+    (spark.sql.execution.sortBeforeRepartition, on by default since
+    SPARK-23207, so retried tasks reproduce the same row placement) —
+    measured at ~40% of the repartition cost on a 600k-row table
+    (r15). Hashing a unique id column spreads just as evenly, needs
+    no sort, and is deterministic under retries by construction
+    (guide: derive synthetic keys from data, not from rand()).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if key is not None:
+            from pyspark.sql import functions as F
+
+            return df.repartition(target, F.col(key))
         return df.repartition(target)
     return df
 
@@ -100,8 +129,8 @@ def load_tables(
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
-        if rebalance:
-            df = rebalance_small_input(df)
+        if rebalance and name in REBALANCE_KEYS:
+            df = rebalance_small_input(df, key=REBALANCE_KEYS[name])
         if name == "events":
             # Normalize the TIMESTAMP(NANOS) column to a microsecond
             # TIMESTAMP (ltz) whose epoch equals the file's wall-clock
