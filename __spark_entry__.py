@@ -569,7 +569,14 @@ def _phrase_index(spark, sf_dir, docs=None, name="phrase"):
             docs if docs is not None else _docs(spark, sf_dir), path
         )
         _BUILT_INDEX_PATHS.add(path)
-    return load_phrase_index(spark, path)
+    # memoize the loaded PLAN like _tbl does (~90 ms of parquet
+    # footer/schema reads per query construction; never results)
+    key = (spark.sparkContext.applicationId, path, "index")
+    df = _TBL_MEMO.get(key)
+    if df is None:
+        df = load_phrase_index(spark, path)
+        _TBL_MEMO[key] = df
+    return df
 
 
 def prepare_benchmark(spark, sf_dir) -> dict:

@@ -456,3 +456,32 @@ def test_batch_filters_match_per_query_filters(filtered_df, tmp_path):
     assert sorted(
         [(r.query, r.doc_id, r.score, r.rank) for r in got_idx], key=key
     ) == sorted(want, key=key)
+
+
+def test_index_manifest_local_matches_hadoop_walk(spark, tmp_path):
+    """r15 optimization: the os.walk fast path of
+    _index_data_manifest must produce a byte-identical manifest to
+    the Hadoop RemoteIterator walk (a mismatch would spuriously
+    rebuild the _doclens sidecar on every query)."""
+    import json
+
+    from wimbd_spark.operators.bm25 import _index_data_manifest
+
+    root = tmp_path / "idx"
+    (root / "centroid=0").mkdir(parents=True)
+    (root / "_hidden").mkdir()
+    (root / "a.parquet").write_bytes(b"xx")
+    (root / "centroid=0" / "part-0.parquet").write_bytes(b"yyy")
+    (root / "_hidden" / "skip.parquet").write_bytes(b"z")
+    (root / ".crc").write_bytes(b"z")
+
+    local = _index_data_manifest(spark, str(root))
+
+    # force the Hadoop walk by handing a file:// URI (the local fast
+    # path strips file: but the scheme check uses "://")
+    jvm_manifest = _index_data_manifest(spark, "file://" + str(root))
+    assert local == jvm_manifest
+    assert json.loads(local) == [
+        ["a.parquet", 2],
+        ["centroid=0/part-0.parquet", 3],
+    ]

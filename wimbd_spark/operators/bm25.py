@@ -40,6 +40,8 @@ Spark-first, 100 TB posture:
 
 from __future__ import annotations
 
+from os.path import isdir as _os_isdir
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -261,8 +263,33 @@ def _index_data_manifest(spark: SparkSession, index_path: str) -> str:
     the `_doclens` sidecar itself, `_spark_metadata`, ...) excluded.
     Pure filesystem-metadata listing — the same listing any parquet
     scan of the index performs, so this is cheap at any index size
-    and works on every Hadoop-supported filesystem."""
+    and works on every Hadoop-supported filesystem. Local paths list
+    through os.walk (byte-identical manifest, no per-file py4j round
+    trip — the Hadoop RemoteIterator walk cost ~0.15 s per probe on a
+    32-file index, r15); any other scheme takes the Hadoop walk."""
     import json as _json
+
+    local = index_path
+    if local.startswith("file:"):
+        local = local[len("file:"):]
+    if "://" not in local and _os_isdir(local):
+        import os as _os2
+
+        entries = []
+        for dirpath, dirnames, filenames in _os2.walk(local):
+            dirnames[:] = [
+                d for d in dirnames if not d.startswith(("_", "."))
+            ]
+            for fn in filenames:
+                if fn.startswith(("_", ".")):
+                    continue
+                full = _os2.path.join(dirpath, fn)
+                rel = _os2.path.relpath(full, local).replace(
+                    _os2.sep, "/"
+                )
+                entries.append([rel, _os2.path.getsize(full)])
+        entries.sort()
+        return _json.dumps(entries, separators=(",", ":"))
 
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(index_path)

@@ -65,6 +65,24 @@ def _lit_double_matrix(rows) -> Column:
     )
 
 
+def _lit_double_cube(books) -> Column:
+    """array<array<array<double>>> literal (all PQ subspace codebooks
+    as ONE plan node) in one parser call (see ``_lit_doubles``)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(_d_sql(x) for x in cv) + ")"
+                for cv in book
+            )
+            + ")"
+            for book in books
+        )
+        + ")"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -986,12 +1004,6 @@ def cosine_topk_ivf_pq_indexed(
     n_codes = len(cb[0])
     wide_cb = len(cb) * n_codes * d > _CB_LITERAL_MAX_DOUBLES
 
-    def qtable_for(s: int) -> Column:
-        return F.transform(
-            _cb_literal(cb[s]),
-            lambda cv: dot(F.slice(qv, s * d + 1, d), cv),
-        )
-
     # zero-norm (all-zero / empty) query vectors have no direction —
     # cosine is undefined, and unguarded they CRASH either strategy
     # (ANSI DIVIDE_BY_ZERO in the JVM literal path's _unit,
@@ -1083,9 +1095,7 @@ def cosine_topk_ivf_pq_indexed(
                 # scalar element_at — element_at on the nested form
                 # copies the whole n_codes subspace row per term per
                 # pair
-                F.flatten(
-                    F.array(*[qtable_for(s) for s in range(len(cb))])
-                ).alias("_qt"),
+                F.flatten(_qtables_nested(qv, cb, d)).alias("_qt"),
                 qv.alias("_qv"),
             )
             .withColumn(
@@ -2260,6 +2270,22 @@ def _pq_lloyd_step(corpus: DataFrame, cb: list, vec_col: str) -> list:
     return new
 
 
+def _qtables_nested(qv: Column, cb: list, d: int) -> Column:
+    """Per-subspace ADC lookup tables (array<array<double>>):
+    qtable[s][j] = dot(q subvector s, cb[s][j]) — one transform over a
+    single codebook-cube literal instead of m unrolled per-subspace
+    trees (the unrolled form cost ~1.4 s of py4j round trips per query
+    at m=8 × n_codes=16, r15). Values and fold order identical."""
+    cb_all = _lit_double_cube(cb)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(cb) - 1)),
+        lambda s: F.transform(
+            F.element_at(cb_all, s + 1),
+            lambda cv: dot(F.slice(qv, s * F.lit(d) + 1, d), cv),
+        ),
+    )
+
+
 def _cb_literal(book: list) -> Column:
     """One subspace codebook as a literal array<array<double>> — a
     single plan node, so downstream argmin/dot run as ONE transform
@@ -2339,11 +2365,16 @@ def pq_encode_col(vec: Column, codebooks: list) -> Column:
     folds into the plan as literals; encoding is map-only."""
     m = len(codebooks)
     d = len(codebooks[0][0])
+    # all subspaces in ONE transform over a single codebook-cube
+    # literal: the previous per-subspace unrolling rebuilt the same
+    # lambda tree m times through py4j (~0.5 s per call at m=8, r15);
+    # per-element values and tie-breaks are identical.
+    cb_all = _lit_double_cube(codebooks)
 
-    def code_for(s: int) -> Column:
-        sub = F.slice(vec, s * d + 1, d)
+    def code_for(s: Column) -> Column:
+        sub = F.slice(vec, s * F.lit(d) + 1, d)
         scored = F.transform(
-            _cb_literal(codebooks[s]),
+            F.element_at(cb_all, s + 1),
             lambda cv, j: F.struct(
                 F.aggregate(
                     F.zip_with(
@@ -2357,19 +2388,28 @@ def pq_encode_col(vec: Column, codebooks: list) -> Column:
         )
         return F.array_sort(scored)[0]["j"]
 
-    return F.array(*[code_for(s) for s in range(m)])
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
 
 
 def _pq_recon_norm2(codes: Column, codebooks: list) -> Column:
     """|x̂|² of the PQ reconstruction — decomposes as Σ_s |cb[s][code_s]|²
     (subspaces are orthogonal coordinate blocks)."""
-    total = F.lit(0.0)
-    for s, book in enumerate(codebooks):
-        norms = _lit_doubles(
+    norms = _lit_double_matrix(
+        [
             [float(sum(x * x for x in cv)) for cv in book]
-        )
-        total = total + F.element_at(norms, F.element_at(codes, s + 1) + 1)
-    return total
+            for book in codebooks
+        ]
+    )
+    # one aggregate over the subspace indexes — same left-to-right
+    # fold order as the unrolled "+" chain (bit-identical doubles)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(norms, s + 1), F.element_at(codes, s + 1) + 1
+        ),
+    )
 
 
 def cosine_topk_pq(
@@ -2427,17 +2467,7 @@ def cosine_topk_pq(
     enc = enc.withColumn("_rn2", _pq_recon_norm2(F.col("_codes"), cb))
 
     qv = _unit(_to_double(F.col(vec_col)))
-
-    def qtable_for(s: int) -> Column:
-        # closure factory, NOT a default-arg lambda: a second lambda
-        # parameter (even defaulted) makes pyspark treat it as the
-        # (element, index) form and bind the index column over it
-        return F.transform(
-            _cb_literal(cb[s]),
-            lambda cv: dot(F.slice(qv, s * d + 1, d), cv),
-        )
-
-    qtables = F.array(*[qtable_for(s) for s in range(len(cb))])
+    qtables = _qtables_nested(qv, cb, d)
     q = F.broadcast(
         queries.filter(F.col(vec_col).isNotNull()).select(
             F.col(qid).alias("query_id"), qtables.alias("_qt")

@@ -184,7 +184,12 @@ def shared_span_coverage(
     fingerprints, never the corpus). Docs with no shared spans keep a
     zero row (left join against the corpus id/token table).
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    # persist the tiny (id, pos, fp) table: it feeds BOTH the
+    # multi-doc aggregation and the marking join — unpersisted, the
+    # map-side winnow selection (per-window HOF mins over every
+    # document) runs twice (r15). ContextCleaner reclaims the blocks
+    # when the plan is garbage collected.
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).persist()
     multi = (
         fps.groupBy("fp")
         .agg(F.count_distinct(id_col).alias("__nd"))
@@ -266,7 +271,9 @@ def shared_spans(
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (cross-document)")
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    # persisted for the same agg+join double-reference as
+    # shared_span_coverage (r15)
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).persist()
     agg = fps.groupBy("fp").agg(
         F.count_distinct(id_col).alias("__nd"),
         F.min(id_col).alias("__keep_id"),
