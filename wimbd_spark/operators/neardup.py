@@ -1022,7 +1022,9 @@ _SIMHASH_HASH_CACHE: dict = {}
 _SIMHASH_HASH_CACHE_MAX = 1 << 20
 
 
-def _simhash_bits_arrow(sh: Column, nbits: int) -> Column:
+def _simhash_bits_arrow(
+    raw_split: Column, nbits: int, shingle_n: int
+) -> Column:
     """Vectorized (Arrow + numpy) evaluation of the simhash_bits
     vote, bit-for-bit identical to the expression form (parity-
     pinned): per shingle s and half k, bit j of
@@ -1034,7 +1036,18 @@ def _simhash_bits_arrow(sh: Column, nbits: int) -> Column:
     for the rest of the job); here each Arrow batch is one numpy
     bit-matrix + one segmented reduce. md5 values are memoized per
     process (see _SIMHASH_HASH_CACHE), so repeated vocabulary costs
-    one hash ever."""
+    one hash ever.
+
+    ``raw_split`` must be the LAMBDA-FREE ``split(trim(text), '\\s+')``
+    — empty-token filtering and shingle assembly happen in Python
+    (identical strings by construction: same slice bounds, same
+    single-space join as functions.text.ngram_strings). A pandas_udf
+    whose argument embeds a higher-order-function lambda is NOT
+    reliably extracted into ArrowEvalPython (whether extraction
+    happens depends on JVM expression-id alignment; when it does not,
+    execution dies with INTERNAL_ERROR "Cannot evaluate expression" —
+    reproduced deterministically r15), so no HOF may appear in the
+    argument."""
 
     nh = (nbits + 31) // 32
 
@@ -1065,11 +1078,25 @@ def _simhash_bits_arrow(sh: Column, nbits: int) -> Column:
         # then one bit matrix + segmented reduce for the whole batch
         per_doc: list = []
         flat: list = []
-        for toks in tok_s:
-            if toks is None:
-                per_doc.append(None)
+        for arr in tok_s:
+            if arr is None:
+                # expression-form NULL semantics differ by width:
+                # shingle_n == 1 propagates NULL (aggregate over a
+                # NULL array), shingle_n > 1 goes through
+                # ngram_strings, whose WHEN/OTHERWISE maps a NULL
+                # token array to the EMPTY gram array → signature 0
+                per_doc.append(None if shingle_n == 1 else 0)
                 continue
-            uniq = set(toks)
+            toks = [t for t in arr if t != ""]
+            if shingle_n == 1:
+                uniq = set(toks)
+            elif len(toks) >= shingle_n:
+                uniq = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+            else:
+                uniq = set()
             per_doc.append(len(uniq))
             flat.extend(packed(t) for t in uniq)
         if not flat:
@@ -1102,7 +1129,7 @@ def _simhash_bits_arrow(sh: Column, nbits: int) -> Column:
                 i += 1
         return pd.Series(out, dtype="object").astype("Int64")
 
-    return _sig(sh)
+    return _sig(raw_split)
 
 
 def simhash_bits(
@@ -1139,14 +1166,11 @@ def simhash_bits(
         raise ValueError(f"unknown engine {engine!r}")
     c = F.col(text) if isinstance(text, str) else text
     if engine == "arrow":
-        # dedup happens in Python (set()) — skip the JVM
-        # array_distinct/array_sort, the vote sum is order-free
-        raw = (
-            tokenize(c)
-            if shingle_n == 1
-            else ngram_strings(tokenize(c), shingle_n)
+        # lambda-free argument (see _simhash_bits_arrow): the JVM does
+        # trim+split, Python drops empties / builds shingles / dedups
+        return _simhash_bits_arrow(
+            F.split(F.trim(c), r"\s+"), nbits, shingle_n
         )
-        return _simhash_bits_arrow(raw, nbits)
     sh = (
         F.array_sort(F.array_distinct(tokenize(c)))
         if shingle_n == 1
