@@ -387,39 +387,35 @@ def corpus_grams_from_postings(
         .rowsBetween(Window.currentRow, max_l + slop - 1)
     )
     ahead = F.collect_list(F.struct(F.col("_pos"), F.col("token"))).over(w)
-    first_pos = F.element_at(F.col("_ahead"), 1)["_pos"]
+    # The candidate-gram expressions are generated as ONE SQL string
+    # parsed in a single round trip: building them through the Column
+    # DSL cost hundreds of py4j calls per (L, combo) — measured ~0.9 s
+    # of driver time per slop=1 sweep (r15). The parsed tree is the
+    # same Catalyst expression the DSL produced (element_at /
+    # GetStructField / CaseWhen / named_struct / transform∘slice).
+    first_pos = "element_at(_ahead, 1)._pos"
 
-    def gram(L: int) -> Column:
-        ok = (F.size(F.col("_ahead")) >= L) & (
-            F.element_at(F.col("_ahead"), L)["_pos"] - first_pos
-            == F.lit(L - 1)
+    def gram(L: int) -> str:
+        ok = (
+            f"size(_ahead) >= {L} AND"
+            f" element_at(_ahead, {L})._pos - {first_pos} = {L - 1}"
         )
-        return F.when(
-            ok,
-            F.struct(
-                F.lit(L).alias("_L"),
-                F.transform(
-                    F.slice(F.col("_ahead"), 1, L), lambda s: s["token"]
-                ).alias("_toks"),
-            ),
+        toks = f"transform(slice(_ahead, 1, {L}), s -> s.token)"
+        return (
+            f"CASE WHEN {ok}"
+            f" THEN named_struct('_L', {L}, '_toks', {toks}) END"
         )
 
-    def gram_combo(L: int, combo: tuple[int, ...]) -> Column:
-        ok = (F.size(F.col("_ahead")) >= combo[-1]) & (
-            F.element_at(F.col("_ahead"), combo[-1])["_pos"] - first_pos
-            <= F.lit(L + slop - 1)
+    def gram_combo(L: int, combo: tuple[int, ...]) -> str:
+        ok = (
+            f"size(_ahead) >= {combo[-1]} AND"
+            f" element_at(_ahead, {combo[-1]})._pos - {first_pos}"
+            f" <= {L + slop - 1}"
         )
-        return F.when(
-            ok,
-            F.struct(
-                F.lit(L).alias("_L"),
-                F.array(
-                    *[
-                        F.element_at(F.col("_ahead"), i)["token"]
-                        for i in combo
-                    ]
-                ).alias("_toks"),
-            ),
+        toks = ", ".join(f"element_at(_ahead, {i}).token" for i in combo)
+        return (
+            f"CASE WHEN {ok}"
+            f" THEN named_struct('_L', {L}, '_toks', array({toks})) END"
         )
 
     if slop == 0:
@@ -430,14 +426,11 @@ def corpus_grams_from_postings(
         ]
     out = (
         tokpos.withColumn("_ahead", ahead)
-        .select(
+        .selectExpr(
             "doc_id",
-            F.explode(
-                F.filter(
-                    F.array(*gram_cols),
-                    lambda s: s.isNotNull(),
-                )
-            ).alias("_g"),
+            "explode(filter(array("
+            + ", ".join(gram_cols)
+            + "), s -> s IS NOT NULL)) AS _g",
         )
         .select("doc_id", F.col("_g._L").alias("_L"), F.col("_g._toks").alias("_toks"))
     )
