@@ -840,29 +840,30 @@ def neardup_components(
         from pyspark import StorageLevel
         from pyspark.sql.types import StructField, StructType
 
-        p2 = pairs.select("id_a", "id_b").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        try:
-            if p2.count() <= local_edge_limit:
-                rows = _local_union_find(
-                    [(r[0], r[1]) for r in p2.collect()]
-                )
-                if stats is not None:
-                    stats["rounds"] = 0
-                    stats["converged"] = True
-                    stats["mode"] = "local-union-find"
-                schema = StructType(
-                    [
-                        StructField("id", id_type, False),
-                        StructField("comp", id_type, False),
-                    ]
-                )
-                return spark.createDataFrame(rows, schema)
-            pairs = p2  # big graph: iterate from the cached pairs
-        finally:
-            if pairs is not p2:
-                p2.unpersist()
+        p2 = pairs.select("id_a", "id_b")
+        # ONE bounded action decides the mode AND delivers the edges:
+        # limit(N+1).collect() returns the complete edge set when it
+        # fits (collect order does not matter to union-find) — the
+        # previous persist + count() + collect() shape materialized
+        # the pair pipeline once and then read it back twice (r15,
+        # ~0.3 s per call at sf0.1). Oversized graphs discard the
+        # probe rows and iterate from a cached copy as before.
+        head = p2.limit(local_edge_limit + 1).collect()
+        if len(head) <= local_edge_limit:
+            rows = _local_union_find([(r[0], r[1]) for r in head])
+            if stats is not None:
+                stats["rounds"] = 0
+                stats["converged"] = True
+                stats["mode"] = "local-union-find"
+            schema = StructType(
+                [
+                    StructField("id", id_type, False),
+                    StructField("comp", id_type, False),
+                ]
+            )
+            return spark.createDataFrame(rows, schema)
+        # big graph: iterate from the cached pairs
+        pairs = p2.persist(StorageLevel.MEMORY_AND_DISK)
     if stats is not None:
         stats["mode"] = "distributed"
 
