@@ -320,6 +320,7 @@ def corpus_grams_from_postings(
     with_doc: bool = False,
     vocab: DataFrame | None = None,
     slop: int = 0,
+    match_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct token L-gram keys of the INDEXED corpus for every L in
     ``lengths``, reconstructed from postings alone (positions →
@@ -434,6 +435,19 @@ def corpus_grams_from_postings(
         )
         .select("doc_id", F.col("_g._L").alias("_L"), F.col("_g._toks").alias("_toks"))
     )
+    if match_keys is not None:
+        # Semi-join the RAW candidate stream against the query keys
+        # BEFORE deduplication (guide §3: pre-filter the big side) —
+        # the dedup exchange is then bounded by the candidates that
+        # can actually match instead of the corpus gram set (the
+        # planner broadcasts small key sets; measured −0.5 s per
+        # contamination sweep at sf0.1, and at scale the corpus-wide
+        # gram distinct is the operator's largest shuffle). The output
+        # then only contains grams ∈ match_keys: callers must use it
+        # solely for membership/joins against exactly that key set.
+        out = out.join(
+            match_keys.select("_L", "_toks"), ["_L", "_toks"], "left_semi"
+        )
     if with_doc:
         return out.dropDuplicates(["doc_id", "_L", "_toks"])
     return out.select("_L", "_toks").distinct()
@@ -461,7 +475,8 @@ def _phrase_matches_gram_join(
         schema="token string",
     )
     cg = corpus_grams_from_postings(
-        index, lengths, with_doc=True, vocab=vocab, slop=slop
+        index, lengths, with_doc=True, vocab=vocab, slop=slop,
+        match_keys=qdf,
     )
     return cg.join(F.broadcast(qdf), ["_L", "_toks"]).select("pid", "doc_id")
 
@@ -811,10 +826,19 @@ def count_documents_for_each_phrase_df(
     _base = phrases_df.select(F.col(phrase_col).alias("phrase")).filter(
         F.col("phrase").isNotNull() & (F.trim(F.col("phrase")) != "")
     )
+    # evp feeds several plan subtrees (hit join, zero-restore join,
+    # match-keys prune, vocabulary prune) whose differing column
+    # pruning defeats exchange reuse — persist the distinct phrase
+    # table once so the eval pipeline executes once (r15). The result
+    # is lazy, so the cache is released by the ContextCleaner when the
+    # returned plan is dropped (the winnow-fingerprint pattern).
+    from pyspark import StorageLevel
+
     evp = (
         _base.distinct()
         .withColumn("_toks", tok(F.col("phrase")))
         .withColumn("_L", F.size("_toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     all_lengths = (
         sorted(L for L in set(lengths) if L >= 1)
@@ -842,14 +866,14 @@ def count_documents_for_each_phrase_df(
         )
     else:
         evs = evp.filter(F.col("_L") <= cap)
-        # vocabulary prune from the PRE-distinct phrase rows — same
-        # distinct token set, no phrase-level distinct exchange in
-        # the prune branch (r15; see contamination_rate_indexed)
-        vocab = _base.select(
-            F.explode(tok(F.col("phrase"))).alias("token")
-        )
+        # vocabulary prune from the CACHED in-cap phrase table —
+        # tokens of matching grams ⊆ tokens of in-cap phrases, and
+        # reading _toks from the persisted evp costs no extra
+        # tokenize/scan (see contamination_rate_indexed)
+        vocab = evs.select(F.explode(F.col("_toks")).alias("token"))
         cg = corpus_grams_from_postings(
-            index, lengths, with_doc=True, vocab=vocab, slop=slop
+            index, lengths, with_doc=True, vocab=vocab, slop=slop,
+            match_keys=evs,
         )
         hits = (
             evs.join(cg, ["_L", "_toks"])
@@ -933,6 +957,11 @@ def contaminated_examples(
     _base = phrases_df.select(F.col(phrase_col).alias("phrase")).filter(
         F.col("phrase").isNotNull() & (F.trim(F.col("phrase")) != "")
     )
+    # persisted for the same multi-subtree reuse reason as
+    # count_documents_for_each_phrase_df (lazy result — the
+    # ContextCleaner reclaims the cache when the plan is dropped)
+    from pyspark import StorageLevel
+
     evp = (
         _base.distinct()
         .withColumn("_toks", tok(F.col("phrase")))
@@ -941,6 +970,7 @@ def contaminated_examples(
             (F.col("_L") >= 1)
             & (F.col("_L") <= GRAM_JOIN_MAX_PHRASE_TOKENS)
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     lengths = (
         sorted(
@@ -958,12 +988,13 @@ def contaminated_examples(
         return spark.createDataFrame(
             [], schema="phrase string, doc_id long, rank int"
         )
-    # vocabulary prune from the PRE-distinct phrase rows — same
-    # distinct token set, no phrase-level distinct exchange in the
-    # prune branch (r15; see contamination_rate_indexed)
-    vocab = _base.select(F.explode(tok(F.col("phrase"))).alias("token"))
+    # vocabulary prune from the CACHED valid-length phrase table —
+    # tokens of matching grams ⊆ tokens of these phrases, read from
+    # the persisted evp (see contamination_rate_indexed)
+    vocab = evp.select(F.explode(F.col("_toks")).alias("token"))
     cg = corpus_grams_from_postings(
-        index, lengths, with_doc=True, vocab=vocab, slop=slop
+        index, lengths, with_doc=True, vocab=vocab, slop=slop,
+        match_keys=evp,
     )
     w = (
         Window.partitionBy("phrase")

@@ -1401,8 +1401,20 @@ def contamination_rate_indexed(
         )
 
         tok = tokenizer if tokenizer is not None else tokenize
-        evp = phrases.withColumn("_toks", tok(F.col("_p"))).withColumn(
-            "_L", F.size("_toks")
+        # The distinct tokenized phrase table is referenced by THREE
+        # plan subtrees (the hit join, the match-keys prune, the
+        # vocabulary prune) whose differing column pruning defeats
+        # exchange reuse — without a persist the eval pipeline (scan +
+        # explode + distinct) executes once per subtree (r15). One
+        # bounded persist (distinct phrases only) collapses them; it
+        # is released before returning (the rate row is collected
+        # eagerly below).
+        from pyspark import StorageLevel
+
+        evp = (
+            phrases.withColumn("_toks", tok(F.col("_p")))
+            .withColumn("_L", F.size("_toks"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         all_lengths = (
             sorted(L for L in set(lengths) if L >= 1)
@@ -1427,49 +1439,55 @@ def contamination_rate_indexed(
             # its cost doesn't grow with slop)
             cap = 0
             lengths = []
-        if not lengths:
-            n_hit, n_tot = 0, evp.count()
-        else:
-            evs = evp.filter(F.col("_L") <= cap)
-            # vocabulary prune from the PRE-distinct phrases: the
-            # distinct token set is identical (dedup of tokens of all
-            # instances == dedup of tokens of distinct phrases) and
-            # the token-level distinct inside the prune collapses
-            # map-side — the phrase-level distinct exchange was being
-            # recomputed just to feed the prune (r15 optimization)
-            vocab = _base.select(
-                F.explode(tok(F.col("_p"))).alias("token")
-            )
-            cg = corpus_grams_from_postings(
-                index, lengths, vocab=vocab, slop=slop
-            )
-            # cg is distinct on the gram key → left join is 1:≤1, so
-            # ONE aggregation job yields both counts; overlong phrases
-            # stay in the total (no cg row of their length can match)
-            row = (
-                evp.join(
-                    cg.withColumn("_hit", F.lit(1)),
-                    ["_L", "_toks"],
-                    "left",
+        try:
+            if not lengths:
+                n_hit, n_tot = 0, evp.count()
+            else:
+                evs = evp.filter(F.col("_L") <= cap)
+                # vocabulary prune from the CACHED in-cap phrase
+                # table: tokens of matching grams ⊆ tokens of in-cap
+                # phrases, so the prune stays correct, and reading
+                # _toks from the persisted evp costs no extra
+                # tokenize/scan (overlong-phrase tokens are not
+                # needed — their matching runs on the slot-join
+                # fallback below)
+                vocab = evs.select(
+                    F.explode(F.col("_toks")).alias("token")
                 )
-                .agg(
-                    F.count("_hit").alias("_c"),
-                    F.count(F.lit(1)).alias("_t"),
+                cg = corpus_grams_from_postings(
+                    index, lengths, vocab=vocab, slop=slop,
+                    match_keys=evs,
                 )
-                .collect()[0]
-            )
-            n_hit, n_tot = row["_c"], row["_t"]
-        if all_lengths and all_lengths[-1] > cap:
-            if tokenizer is not None:
-                raise ValueError(
-                    f"phrases longer than {cap} tokens fall back "
-                    "to the slot-join path, which tokenizes driver-"
-                    "side with the DEFAULT analyzer — incompatible "
-                    "with a custom tokenizer=; chunk long phrases "
-                    "through phrase_matches_batch with a matching "
-                    "analyzer instead"
+                # cg is distinct on the gram key → left join is 1:≤1,
+                # so ONE aggregation job yields both counts; overlong
+                # phrases stay in the total (no cg row of their
+                # length can match)
+                row = (
+                    evp.join(
+                        cg.withColumn("_hit", F.lit(1)),
+                        ["_L", "_toks"],
+                        "left",
+                    )
+                    .agg(
+                        F.count("_hit").alias("_c"),
+                        F.count(F.lit(1)).alias("_t"),
+                    )
+                    .collect()[0]
                 )
-            n_hit += _overlong_phrase_hits(index, evp, cap, slop)
+                n_hit, n_tot = row["_c"], row["_t"]
+            if all_lengths and all_lengths[-1] > cap:
+                if tokenizer is not None:
+                    raise ValueError(
+                        f"phrases longer than {cap} tokens fall back "
+                        "to the slot-join path, which tokenizes "
+                        "driver-side with the DEFAULT analyzer — "
+                        "incompatible with a custom tokenizer=; chunk "
+                        "long phrases through phrase_matches_batch "
+                        "with a matching analyzer instead"
+                    )
+                n_hit += _overlong_phrase_hits(index, evp, cap, slop)
+        finally:
+            evp.unpersist()
         return _rate_row(spark, n_hit, n_tot)
     # custom analyzer: the batched slot-join fallback. The phrase list
     # is collected (the reference's msearch client shape); acceptable
