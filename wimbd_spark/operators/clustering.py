@@ -60,16 +60,22 @@ def l2sq(a: Column, b: Column) -> Column:
 
 
 def _cent_literal(cents: list[tuple[int, list[float]]]) -> Column:
-    from wimbd_spark.operators.similarity import _lit_doubles
+    # one parser call for the whole centroid array — the per-centroid
+    # struct/_lit_doubles DSL build cost ~0.4 s per call through py4j
+    # (×3 per fit: seed assign + one per iteration; r15). Literal
+    # types match the DSL form: SQL integer literals resolve int/bigint
+    # by magnitude exactly like F.lit, doubles via repr round-trip.
+    from wimbd_spark.operators.similarity import _d_sql
 
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                _lit_doubles(v).alias("v"),
-            )
+    return F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cid', {int(cid)}, 'v', array("
+            + ",".join(_d_sql(x) for x in v)
+            + "))"
             for cid, v in cents
-        ]
+        )
+        + ")"
     )
 
 
@@ -122,46 +128,83 @@ def kmeans_fit(
         raise ValueError("n_clusters must be >= 1")
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
-    seeds = _centroid_rows(df, id_col, vec_col, n_clusters)
-    cents = [(r["centroid_id"], list(r["_cent"])) for r in seeds]
-    if not cents:
-        return []
-    for _ in range(n_iter):
-        # cluster attached as a map-only expression — no join of the
-        # corpus against its own assignment (r15); the iteration is
-        # scan → assign → posexplode → partial-agg → k×dim shuffle
-        comp = (
-            df.select(
-                _cluster_col(cents, vec_col).alias("cluster"),
-                F.posexplode(_to_double(F.col(vec_col))).alias(
-                    "pos", "val"
-                ),
+    from pyspark import StorageLevel
+
+    # The fit runs 1 + n_iter inherently sequential jobs (seed pick,
+    # then one assign+update per Lloyd round) over the SAME projected
+    # input — persist the parsed (id, double-vector) projection once
+    # so every job after the first reads decoded vectors from cache
+    # instead of re-scanning and re-parsing the source (r15).
+    # _to_double on the cached double arrays is a no-op cast, so all
+    # downstream values are unchanged. Released before returning (all
+    # actions here are eager collects).
+    proj = df.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias(vec_col)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seeds = _centroid_rows(proj, id_col, vec_col, n_clusters)
+        cents = [(r["centroid_id"], list(r["_cent"])) for r in seeds]
+        if not cents:
+            return []
+        # Per-dimension aggregate COLUMNS instead of the former
+        # posexplode: the explode materialized N×dim records into a
+        # hash aggregate keyed on (cluster, pos) — measured ~0.65 s
+        # per iteration at sf0.1 vs 0.15 s for the bare assign scan
+        # (r15). One groupBy(cluster) with dim sum/count accumulators
+        # computes the identical cells: the same per-element
+        # round→decimal(20,9)→sum (exact, order-independent), and the
+        # same per-position row count (rows with size > p — exactly
+        # the rows posexplode emitted for pos p, NULL elements
+        # included). Expressions parse as one SQL string (py4j).
+        dim = max(len(old) for _, old in cents)
+        # ALL 2×dim accumulators ride one parsed struct expression —
+        # 2×dim separate F.expr calls cost ~1 s of py4j at dim 64
+        cells_expr = F.expr(
+            "struct("
+            + ", ".join(
+                f"sum(CAST(round(element_at(_v, {p + 1}),"
+                f" {SUM_SCALE}) AS DECIMAL(20,9))) AS s{p}"
+                for p in range(dim)
             )
-            .groupBy("cluster", "pos")
-            .agg(
-                F.sum(
-                    F.round(F.col("val"), SUM_SCALE).cast(
-                        "decimal(20,9)"
-                    )
-                ).alias("s"),
-                F.count(F.lit(1)).alias("n"),
+            + ", "
+            + ", ".join(
+                f"sum(CASE WHEN size(_v) > {p} THEN 1 ELSE 0 END)"
+                f" AS n{p}"
+                for p in range(dim)
             )
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in comp:
-            by_cid.setdefault(r["cluster"], {})[r["pos"]] = float(
-                r["s"]
-            ) / r["n"]
-        cents = [
-            (
-                cid,
-                [by_cid[cid][p] for p in range(len(old))]
-                if cid in by_cid
-                else old,  # empty cluster keeps its centroid
+            + ")"
+        ).alias("_c")
+        for _ in range(n_iter):
+            # cluster attached as a map-only expression — no join of
+            # the corpus against its own assignment (r15); the
+            # iteration is scan → assign → partial-agg → k-row shuffle
+            comp = (
+                proj.select(
+                    _cluster_col(cents, vec_col).alias("cluster"),
+                    _to_double(F.col(vec_col)).alias("_v"),
+                )
+                .groupBy("cluster")
+                .agg(cells_expr)
+                .collect()
             )
-            for cid, old in cents
-        ]
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in comp:
+                cells = by_cid.setdefault(r["cluster"], {})
+                c = r["_c"]
+                for p in range(dim):
+                    if c[f"n{p}"]:
+                        cells[p] = float(c[f"s{p}"]) / c[f"n{p}"]
+            cents = [
+                (
+                    cid,
+                    [by_cid[cid][p] for p in range(len(old))]
+                    if cid in by_cid
+                    else old,  # empty cluster keeps its centroid
+                )
+                for cid, old in cents
+            ]
+    finally:
+        proj.unpersist()
     return cents
 
 
