@@ -45,6 +45,7 @@ from pyspark.sql.window import Window
 
 from wimbd_spark.functions.text import tokenize
 from wimbd_spark.search import analyze_phrase
+from wimbd_spark.session import parquet_plan
 
 
 def build_phrase_index(
@@ -118,7 +119,8 @@ def build_phrase_index(
 
 
 def load_phrase_index(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    # memoized lazy plan (never results) — see session.parquet_plan
+    return parquet_plan(spark, path)
 
 
 def streaming_phrase_index(

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from wimbd_spark.functions.text import tokenize
+from wimbd_spark.session import parquet_plan
 
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
@@ -381,7 +382,7 @@ def _load_doclens(spark: SparkSession, index_path: str) -> DataFrame:
         )
         if recorded != _index_data_manifest(spark, index_path):
             build_doclen_stats(spark, index_path)
-    return spark.read.parquet(path)
+    return parquet_plan(spark, path)
 
 
 def bm25_topk_indexed(

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from wimbd_spark.functions.text import hash32
+from wimbd_spark.session import parquet_plan
 
 
 def _to_double(vec: Column) -> Column:
@@ -834,7 +835,7 @@ def cosine_topk_ivf_indexed(
     return is a materialized DataFrame, and no round recomputes a
     prior round's plan). Geometric doubling keeps total re-scored
     work within ~2× the final round's."""
-    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cents = parquet_plan(spark, f"{path}/centroids").collect()
     if not cents:
         qt = queries.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
@@ -965,13 +966,13 @@ def cosine_topk_ivf_pq_indexed(
     built with ``pq_m`` (raises otherwise).
     """
     try:
-        cb_rows = spark.read.parquet(f"{path}/pq_codebooks").collect()
+        cb_rows = parquet_plan(spark, f"{path}/pq_codebooks").collect()
     except Exception as exc:
         raise ValueError(
             f"index at {path} has no pq_codebooks — rebuild with "
             "build_ivf_index(..., pq_m=)"
         ) from exc
-    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cents = parquet_plan(spark, f"{path}/centroids").collect()
     if not cents:
         # empty index (never reads the partitioned lists: an empty
         # partitionBy write leaves no partition dirs to infer from)
@@ -1309,7 +1310,7 @@ def _ivf_scored_stream(
     if _cent_arr is not None:
         cent_arr, n_cents = _cent_arr, _n_cents
     else:
-        cents = spark.read.parquet(f"{path}/centroids").collect()
+        cents = parquet_plan(spark, f"{path}/centroids").collect()
         if not cents:
             return None
         n_cents = len(cents)
@@ -1601,7 +1602,7 @@ def knn_join_pq(
         n_candidates = max(10 * k, 50)
     if n_candidates < k:
         raise ValueError("n_candidates must be >= k")
-    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cents = parquet_plan(spark, f"{path}/centroids").collect()
     if not cents:
         # empty index: a PQ build over an empty corpus writes an empty
         # pq_codebooks sidecar, indistinguishable from "no sidecar" —
@@ -1800,7 +1801,7 @@ def _load_codebooks(spark, path: str):
     sidecar."""
     if not _hadoop_exists(spark, f"{path}/pq_codebooks"):
         return None
-    rows = spark.read.parquet(f"{path}/pq_codebooks").collect()
+    rows = parquet_plan(spark, f"{path}/pq_codebooks").collect()
     if not rows:
         return None
     by_s: dict = {}
@@ -1840,7 +1841,7 @@ def _read_lists(
     recluster folds it in)."""
     from pyspark.errors import AnalysisException
 
-    base = spark.read.parquet(f"{path}/lists")
+    base = parquet_plan(spark, f"{path}/lists")
     frames = [base]
     if _hadoop_exists(spark, f"{path}/delta"):
         try:
@@ -1848,7 +1849,7 @@ def _read_lists(
                 # drop ignores absent columns, so both the flat
                 # batch=<epoch> layout and the run-namespaced
                 # run=<ckpt-id>/batch=<epoch> layout read cleanly
-                spark.read.parquet(f"{path}/delta").drop("batch", "run")
+                parquet_plan(spark, f"{path}/delta").drop("batch", "run")
             )
         except AnalysisException:
             # delta dir exists but holds no readable data (failed
@@ -1889,7 +1890,7 @@ def append_to_ivf_index(
     `needs_recluster` is the trigger and `ivf_list_sizes` the audit.
     """
     spark = df.sparkSession
-    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cents = parquet_plan(spark, f"{path}/centroids").collect()
     if not cents:
         raise ValueError(
             f"append_to_ivf_index: no centroids at {path!r} — the index "
@@ -1931,7 +1932,7 @@ def needs_absorb(
         return False
     if n_delta == 0:
         return False
-    n_base = spark.read.parquet(f"{path}/lists").count()
+    n_base = parquet_plan(spark, f"{path}/lists").count()
     return n_delta > max_fraction * (n_base + n_delta)
 
 

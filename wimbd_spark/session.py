@@ -109,6 +109,42 @@ def rebalance_small_input(df: DataFrame, key: str | None = None) -> DataFrame:
     return df
 
 
+#: Per-process memo of lazily-planned parquet reads (the PLAN, never
+#: results): spark.read.parquet costs ~70-150 ms of driver time per
+#: call (footer/schema read, partition discovery), and index-backed
+#: operators issue 2-4 such reads per query. The DataFrame is
+#: immutable and unexecuted — every action still computes from the
+#: files. The key carries the Spark applicationId (a new session never
+#: reuses a dead session's plan) and a freshness stamp of the path
+#: plus its DIRECT children (mtime+size), which catches every write
+#: pattern Spark producers have: new/removed part files change the
+#: directory, partition-dir writes change that child's mtime. Only
+#: local paths are memoized; other filesystems read fresh every call.
+_PARQUET_PLAN_MEMO: dict = {}
+
+
+def parquet_plan(spark: SparkSession, path: str) -> DataFrame:
+    import os
+
+    try:
+        st = os.stat(path)
+        children = tuple(
+            sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in os.scandir(path)
+            )
+        )
+        stamp = (st.st_mtime_ns, st.st_size, children)
+    except OSError:
+        return spark.read.parquet(path)
+    key = (spark.sparkContext.applicationId, path, stamp)
+    df = _PARQUET_PLAN_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _PARQUET_PLAN_MEMO[key] = df
+    return df
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,
