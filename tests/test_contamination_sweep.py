@@ -595,3 +595,46 @@ def test_contaminated_examples_slop(spark, tmp_path):
         for r in contaminated_examples(idx, ev, slop=1).collect()
     }
     assert slop1 == {("quick brown", 1), ("quick brown", 2)}
+
+
+# ------------------------------------------------ match_keys bounding
+
+
+@pytest.mark.parametrize("slop", [0, 1])
+@pytest.mark.parametrize("with_doc", [True, False])
+def test_match_keys_equals_full_reconstruction_filtered(
+    spark, index, slop, with_doc
+):
+    # match_keys= semi-joins the raw candidate stream BEFORE the dedup
+    # exchange (r15 finding 13). The result set must equal the full
+    # reconstruction filtered to the same keys — including a key that
+    # matches nothing (bounded, never inventing rows).
+    keys = spark.createDataFrame(
+        [
+            (2, ["table", "scan"]),
+            (2, ["query", "plan"]),
+            (3, ["no", "such", "gram"]),
+        ],
+        schema="_L int, _toks array<string>",
+    )
+    full = corpus_grams_from_postings(
+        index, [2, 3], with_doc=with_doc, slop=slop
+    ).join(keys, ["_L", "_toks"], "left_semi")
+    bounded = corpus_grams_from_postings(
+        index, [2, 3], with_doc=with_doc, slop=slop, match_keys=keys
+    )
+
+    def rows(df):
+        if with_doc:
+            return sorted(
+                (r["doc_id"], r["_L"], tuple(r["_toks"]))
+                for r in df.collect()
+            )
+        return sorted(
+            (r["_L"], tuple(r["_toks"])) for r in df.collect()
+        )
+
+    got = rows(bounded)
+    assert got == rows(full)
+    assert len(got) > 0  # the fixture corpus matches some keys
+    assert all(toks != ("no", "such", "gram") for *_, toks in got)
