@@ -832,15 +832,18 @@ def count_documents_for_each_phrase_df(
     # match-keys prune, vocabulary prune) whose differing column
     # pruning defeats exchange reuse — persist the distinct phrase
     # table once so the eval pipeline executes once (r15). The result
-    # is lazy, so the cache is released by the ContextCleaner when the
-    # returned plan is dropped (the winnow-fingerprint pattern).
+    # is lazy, so the cache can't be released in-call; scoped_persist
+    # bounds the session-wide accumulation (see session.py — the
+    # CacheManager never reclaims Dataset persists on its own).
     from pyspark import StorageLevel
 
-    evp = (
+    from wimbd_spark.session import scoped_persist
+
+    evp = scoped_persist(
         _base.distinct()
         .withColumn("_toks", tok(F.col("phrase")))
-        .withColumn("_L", F.size("_toks"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("_L", F.size("_toks")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     all_lengths = (
         sorted(L for L in set(lengths) if L >= 1)
@@ -960,19 +963,21 @@ def contaminated_examples(
         F.col("phrase").isNotNull() & (F.trim(F.col("phrase")) != "")
     )
     # persisted for the same multi-subtree reuse reason as
-    # count_documents_for_each_phrase_df (lazy result — the
-    # ContextCleaner reclaims the cache when the plan is dropped)
+    # count_documents_for_each_phrase_df (lazy result — released by
+    # the scoped_persist FIFO, see session.py)
     from pyspark import StorageLevel
 
-    evp = (
+    from wimbd_spark.session import scoped_persist
+
+    evp = scoped_persist(
         _base.distinct()
         .withColumn("_toks", tok(F.col("phrase")))
         .withColumn("_L", F.size("_toks"))
         .filter(
             (F.col("_L") >= 1)
             & (F.col("_L") <= GRAM_JOIN_MAX_PHRASE_TOKENS)
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ),
+        StorageLevel.MEMORY_AND_DISK,
     )
     lengths = (
         sorted(

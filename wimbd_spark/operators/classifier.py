@@ -81,16 +81,17 @@ def fit_nb_classifier(
         counts.filter((F.col("cp") + F.col("cn")) >= min_count)
         .orderBy((F.col("cp") + F.col("cn")).desc(), F.col("token").asc())
         .limit(max_vocab)
-        # persisted: totals AND the weight projection both read vocab —
-        # without the cache each consumer re-runs the corpus token
-        # aggregation (the double-subtree hazard fit_log_ratio
-        # documents). The cached block is ≤ max_vocab narrow rows
-        # (~100 KB at the default) — bounded, unlike the corpus-sized
-        # tf cache the r5 tfidf leak removed; long-lived applications
-        # fitting many models can reclaim via Spark's LRU or
-        # spark.catalog.clearCache()
-        .persist()
     )
+    # persisted: totals AND the weight projection both read vocab —
+    # without the cache each consumer re-runs the corpus token
+    # aggregation (the double-subtree hazard fit_log_ratio
+    # documents). The cached block is ≤ max_vocab narrow rows
+    # (~100 KB at the default) — bounded, and released by the
+    # scoped_persist FIFO (session.py) rather than lingering for the
+    # session lifetime.
+    from wimbd_spark.session import scoped_persist
+
+    vocab = scoped_persist(vocab)
     # smoothing totals over the SELECTED vocab (one tiny agg over
     # ≤ max_vocab rows), broadcast back as a one-row crossJoin
     totals = vocab.agg(
@@ -177,7 +178,9 @@ def nb_top_fraction(
     if not (0.0 < fraction <= 1.0):
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
     if not scores.is_cached:
-        scores = scores.persist()
+        from wimbd_spark.session import scoped_persist
+
+        scores = scoped_persist(scores)
     n = scores.count()
     k = max(1, int(n * fraction)) if n else 0
     return scores.orderBy(

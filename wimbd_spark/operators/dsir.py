@@ -157,7 +157,9 @@ def dsir_top_fraction(
     if not (0.0 < fraction <= 1.0):
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
     if not weights.is_cached:
-        weights = weights.persist()
+        from wimbd_spark.session import scoped_persist
+
+        weights = scoped_persist(weights)
     n = weights.count()
     k = max(1, int(n * fraction)) if n else 0
     return weights.orderBy(

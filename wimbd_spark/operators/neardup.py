@@ -498,8 +498,10 @@ def ngram_jaccard_pairs(
             raise ValueError("prefix_filter requires threshold > 0")
         from pyspark import StorageLevel
 
+        from wimbd_spark.session import scoped_persist
+
         # sh feeds candidate generation AND both verification sides
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = scoped_persist(sh, StorageLevel.MEMORY_AND_DISK)
         # ⌈τn⌉ with a downward epsilon so float error can only LENGTHEN
         # the prefix (shortening it would break complete recall)
         pref = sh.select(
@@ -725,8 +727,11 @@ def minhash_dedup_pairs(
     """
     from pyspark import StorageLevel
 
-    sh = _shingle_table(df, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from wimbd_spark.session import scoped_persist
+
+    sh = scoped_persist(
+        _shingle_table(df, id_col, text_col, shingle_n),
+        StorageLevel.MEMORY_AND_DISK,
     )
     sigs = sh.select(
         F.col(id_col), *_minhash_from_hashes(F.col("hs"), num_hashes)
@@ -1331,9 +1336,11 @@ def simhash_pairs(
     # (the physical plan otherwise computes every signature TWICE —
     # once on the stream side, once inside the join's build side;
     # measured as ~half the operator's cost, r15). persist() keeps
-    # lineage (fault-tolerant recompute) and the ContextCleaner
-    # unpersists the blocks when the plan is garbage collected.
-    s = s.persist()
+    # lineage (fault-tolerant recompute); the cache entry is released
+    # by the scoped_persist FIFO (session.py).
+    from wimbd_spark.session import scoped_persist
+
+    s = scoped_persist(s)
     from itertools import combinations
 
     def _segval(i):

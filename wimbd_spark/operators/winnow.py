@@ -187,9 +187,13 @@ def shared_span_coverage(
     # persist the tiny (id, pos, fp) table: it feeds BOTH the
     # multi-doc aggregation and the marking join — unpersisted, the
     # map-side winnow selection (per-window HOF mins over every
-    # document) runs twice (r15). ContextCleaner reclaims the blocks
-    # when the plan is garbage collected.
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).persist()
+    # document) runs twice (r15). Released by the scoped_persist FIFO
+    # (session.py) — the CacheManager never reclaims it on its own.
+    from wimbd_spark.session import scoped_persist
+
+    fps = scoped_persist(
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    )
     multi = (
         fps.groupBy("fp")
         .agg(F.count_distinct(id_col).alias("__nd"))
@@ -273,7 +277,11 @@ def shared_spans(
         raise ValueError("min_docs must be >= 2 (cross-document)")
     # persisted for the same agg+join double-reference as
     # shared_span_coverage (r15)
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).persist()
+    from wimbd_spark.session import scoped_persist
+
+    fps = scoped_persist(
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    )
     agg = fps.groupBy("fp").agg(
         F.count_distinct(id_col).alias("__nd"),
         F.min(id_col).alias("__keep_id"),

@@ -137,11 +137,50 @@ def parquet_plan(spark: SparkSession, path: str) -> DataFrame:
         stamp = (st.st_mtime_ns, st.st_size, children)
     except OSError:
         return spark.read.parquet(path)
-    key = (spark.sparkContext.applicationId, path, stamp)
-    df = _PARQUET_PLAN_MEMO.get(key)
-    if df is None:
-        df = spark.read.parquet(path)
-        _PARQUET_PLAN_MEMO[key] = df
+    key = (spark.sparkContext.applicationId, path)
+    hit = _PARQUET_PLAN_MEMO.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    df = spark.read.parquet(path)
+    # One entry per (app, path): a rewrite REPLACES the stale plan
+    # instead of accumulating one memo entry per historical stamp.
+    _PARQUET_PLAN_MEMO[key] = (stamp, df)
+    return df
+
+
+#: Dataset-level ``persist()`` entries live in the JVM CacheManager
+#: until an EXPLICIT ``unpersist()`` — the ContextCleaner never
+#: reclaims them (it cleans unreferenced RDDs; the CacheManager holds
+#: each InMemoryRelation strongly, which in turn pins the cached RDD).
+#: Operators that return a LAZY plan reading a persisted intermediate
+#: therefore can't release it in-call, and across a long session those
+#: entries accumulate: every later query's planner compares its plan
+#: tree against every live cache entry, and the stale blocks squat in
+#: the block manager (measured r15: ~+8 s over a 102-query bench run,
+#: with plan-heavy phrase/AC queries reading +0.3-1.2 s each).
+#: ``scoped_persist`` bounds the leak: persists are registered FIFO
+#: and the oldest is released once more than _SCOPED_PERSIST_CAP are
+#: live. The cap (4) exceeds the largest number of concurrently-needed
+#: persists in any single operator (3, neardup_components), so the
+#: CURRENT query's caches always survive its own execution; entries
+#: from PREVIOUS queries are evicted as new ones register. Re-running
+#: an old lazy result after its cache was evicted recomputes the
+#: subtree — correct, just no longer cache-accelerated.
+_SCOPED_PERSIST_CAP = 4
+_SCOPED_PERSISTS: list = []
+
+
+def scoped_persist(df: DataFrame, level=None) -> DataFrame:
+    df = df.persist() if level is None else df.persist(level)
+    _SCOPED_PERSISTS.append(df)
+    while len(_SCOPED_PERSISTS) > _SCOPED_PERSIST_CAP:
+        old = _SCOPED_PERSISTS.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            # a stopped/replaced SparkContext can no longer unpersist —
+            # dropping the reference is all that's left to do
+            pass
     return df
 
 
