@@ -1,0 +1,189 @@
+"""Bit-parity pins for the r15 vector-math restructurings: the
+unrolled codegen dot (``dot_attrs``), the unrolled ``sign_sketch``,
+and the lambda-bound ``_unit`` must produce BIT-identical doubles to
+their generic-fold twins for every input shape — matched widths,
+non-unrolled widths, length mismatches, NULLs, NaN/Inf, ±0.0,
+empty arrays."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StructField,
+    StructType,
+)
+
+from wimbd_spark.operators.similarity import (
+    _DOT_UNROLL_DIMS,
+    _d_sql,
+    _fold_dot_sql,
+    _lit_doubles,
+    _unit,
+    dot,
+    dot_attrs,
+    sign_sketch,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("a", ArrayType(DoubleType()), True),
+        StructField("b", ArrayType(DoubleType()), True),
+    ]
+)
+
+NAN = float("nan")
+INF = float("inf")
+
+
+def _vec(seed: int, d: int) -> list:
+    return [math.sin(seed * 0.7 + i * 1.3) for i in range(d)]
+
+
+def _edge_rows():
+    rows = []
+    # the unrolled width, a non-unrolled width, and tiny widths
+    for d in sorted({*_DOT_UNROLL_DIMS, 3, 7, 96}):
+        rows.append((_vec(1, d), _vec(2, d)))
+    rows += [
+        (None, _vec(3, 64)),  # NULL side
+        (_vec(4, 64), None),
+        (None, None),
+        ([], []),  # empty
+        (_vec(5, 64), _vec(6, 32)),  # length mismatch (zip_with pads)
+        ([0.0, -0.0] * 32, [-0.0, 0.0] * 32),  # signed-zero fold edge
+        ([NAN] + _vec(7, 63), _vec(8, 64)),  # NaN propagation
+        ([INF, -INF] + _vec(9, 62), _vec(10, 64)),  # Inf arithmetic
+        ([1e308] * 64, [1e308] * 64),  # overflow -> Inf identically
+        ([5e-324, -5e-324] * 32, [1.0] * 64),  # subnormals
+    ]
+    return rows
+
+
+def test_dot_attrs_bit_identical_to_fold(spark):
+    df = spark.createDataFrame(_edge_rows(), SCHEMA)
+    out = df.select(
+        dot(F.col("a"), F.col("b")).alias("f"),
+        dot_attrs("a", "b").alias("u"),
+    )
+    bad = out.filter(
+        "(f IS NULL) <> (u IS NULL) OR f <> u OR hash(f) <> hash(u)"
+    ).count()
+    assert bad == 0
+    # NaN rows: both must be NaN (NaN <> NaN is false, check apart)
+    nan_rows = out.filter("isnan(f) OR isnan(u)").collect()
+    assert all(
+        math.isnan(r["f"]) and math.isnan(r["u"]) for r in nan_rows
+    )
+
+
+def test_dot_attrs_unrolled_branch_actually_taken(spark):
+    """The width-matched plan must contain the flat chain, not just
+    the fold (guards the CASE wiring — a typo'd guard would silently
+    run the slow branch everywhere and still pass parity)."""
+    assert 64 in _DOT_UNROLL_DIMS
+    df = spark.createDataFrame([(_vec(1, 64), _vec(2, 64))], SCHEMA)
+    plan = (
+        df.select(dot_attrs("a", "b").alias("d"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "CASE WHEN" in plan and "aggregate(" in plan
+
+
+def _norm0(v) -> bool:
+    """True when the captured-norm division would divide by zero —
+    ANSI mode makes BOTH _unit forms throw there (see the companion
+    throw-parity test)."""
+    if v is None or not v:
+        return False
+    s = math.fsum(x * x for x in v)
+    return s == 0.0 or math.sqrt(s) == 0.0
+
+
+def test_unit_bit_identical_to_captured_form(spark):
+    rows = [(r[0],) for r in _edge_rows() if not _norm0(r[0])]
+    schema = StructType(
+        [StructField("a", ArrayType(DoubleType()), True)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    # the r14 captured-norm form, rebuilt verbatim
+    n = F.sqrt(
+        F.aggregate(
+            F.col("a"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    old = F.transform(F.col("a"), lambda x: x / n)
+    out = df.select(old.alias("o"), _unit(F.col("a")).alias("u"))
+    bad = out.filter(
+        "(o IS NULL) <> (u IS NULL) OR size(o) <> size(u) "
+        "OR hash(o) <> hash(u)"
+    ).count()
+    assert bad == 0
+
+
+def test_unit_zero_norm_throws_in_both_forms(spark):
+    """ANSI divide-by-zero on a zero-norm vector: the lambda-bound
+    _unit must fail exactly like the r14 captured form (both raise),
+    not silently diverge."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import ArithmeticException
+
+    df = spark.createDataFrame(
+        [([0.0] * 8,)],
+        StructType([StructField("a", ArrayType(DoubleType()), True)]),
+    )
+    n = F.sqrt(
+        F.aggregate(
+            F.col("a"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    old = F.transform(F.col("a"), lambda x: x / n)
+    for col in (old, _unit(F.col("a"))):
+        with pytest.raises((Py4JJavaError, ArithmeticException)):
+            df.select(col.alias("u")).collect()
+
+
+def test_sign_sketch_matches_fold_loop(spark):
+    planes = [_vec(100 + p, 64) for p in range(16)]
+    rows = [(v,) for v, _ in _edge_rows()]
+    schema = StructType(
+        [StructField("a", ArrayType(DoubleType()), True)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    # the r14 per-plane F.when loop, rebuilt verbatim
+    total = F.lit(0)
+    for p, plane in enumerate(planes):
+        arr = _lit_doubles(plane)
+        total = total + F.when(
+            dot(F.col("a"), arr) > 0, F.lit(2**p)
+        ).otherwise(F.lit(0))
+    out = df.select(
+        total.cast("long").alias("o"),
+        sign_sketch("a", planes).alias("u"),
+    )
+    assert out.filter("o <> u OR (o IS NULL) <> (u IS NULL)").count() == 0
+
+
+def test_sign_sketch_empty_planes(spark):
+    df = spark.createDataFrame(
+        [(_vec(1, 8),)],
+        StructType([StructField("a", ArrayType(DoubleType()), True)]),
+    )
+    assert df.select(sign_sketch("a", []).alias("s")).first()["s"] == 0
+
+
+def test_d_sql_round_trips(spark):
+    vals = [0.0, -0.0, NAN, INF, -INF, 5e-324, -5e-324, 1.7976931348623157e308, 1/3]
+    got = spark.sql(
+        "SELECT " + ", ".join(
+            f"{_d_sql(v)} AS c{i}" for i, v in enumerate(vals)
+        )
+    ).first()
+    import struct
+
+    for i, v in enumerate(vals):
+        assert struct.pack("d", got[f"c{i}"]) == struct.pack("d", v)
