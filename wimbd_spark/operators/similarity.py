@@ -278,40 +278,28 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
 
 def sign_sketch(vec_name: str, planes: list[list[float]]) -> Column:
     """LSH bucket id: bit_p = sign(vec · plane_p), over the array
-    column named ``vec_name``.
+    column named ``vec_name``. Same expression tree as the r14
+    ``F.when(dot(vec, arr) > 0, 2**p)`` loop (fold dots against the
+    literal planes, int bit literals, NULL→0 bits, one final cast to
+    long), emitted as ONE parsed SQL string.
 
-    Emitted as ONE parsed SQL string with every plane dot unrolled
-    against its literal components when the row's vector width
-    matches the planes' (the hyperplanes are Python lists, so the
-    width is known exactly); rows of any other width — and NULL —
-    take a generic-fold twin of the same bit sum. Identical values to
-    the r14 ``F.when(dot(vec, arr) > 0, 2**p)`` loop: same products
-    summed left-to-right (see ``_unrolled_dot_sql``), same int bit
-    literals, same NULL→0 bit semantics, one final cast to long."""
+    Deliberately NOT unrolled like ``dot_attrs``: an n_planes × dim
+    unrolled bit sum was measured at 6.5 s of janino compilation plus
+    ~0.7 s of per-build Catalyst analysis at 6×64 (r15) — a fixed
+    driver tax on EVERY query build that swamps the per-row win at
+    any realistic sketch width; the fold branches compile to tiny
+    CodegenFallback stubs instead."""
     if not planes:
         return F.lit(0).cast("long")
     v = _bt(vec_name)
-    d = len(planes[0])
-
-    def bit_sum(unrolled: bool) -> str:
-        bits = []
-        for p, plane in enumerate(planes):
-            if unrolled and len(plane) == d:
-                ds = "0D + " + " + ".join(
-                    f"{v}[{i}]*{_d_sql(x)}" for i, x in enumerate(plane)
-                )
-            else:
-                arr = "array(" + ",".join(_d_sql(x) for x in plane) + ")"
-                ds = _fold_dot_sql(v, arr)
-            bits.append(
-                f"(CASE WHEN ({ds}) > 0D THEN {2 ** p} ELSE 0 END)"
-            )
-        return " + ".join(bits)
-
-    return F.expr(
-        f"CAST(CASE WHEN size({v}) = {d} THEN {bit_sum(True)} "
-        f"ELSE {bit_sum(False)} END AS BIGINT)"
-    )
+    bits = []
+    for p, plane in enumerate(planes):
+        arr = "array(" + ",".join(_d_sql(x) for x in plane) + ")"
+        bits.append(
+            f"(CASE WHEN ({_fold_dot_sql(v, arr)}) > 0D "
+            f"THEN {2 ** p} ELSE 0 END)"
+        )
+    return F.expr(f"CAST({' + '.join(bits)} AS BIGINT)")
 
 
 def _centroid_rows(

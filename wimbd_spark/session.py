@@ -67,6 +67,17 @@ def get_spark(
             shuffle_partitions if shuffle_partitions is not None else int(cpus)
         ),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Generated-code cache (static conf, default 100 entries):
+        # an analytics session runs MANY distinct query shapes (the
+        # ES-parity usage: one long-lived session, ad-hoc queries),
+        # each producing several codegen units — at >100 live units
+        # the LRU thrashes and every re-run pays full janino
+        # compilation again. Sized to hold a working set of ~hundreds
+        # of query shapes; cost is class metadata (MBs). Same effect
+        # on any cluster (driver and executors each hold this cache).
+        "spark.sql.codegen.cache.maxEntries": os.environ.get(
+            "WIMBD_CODEGEN_CACHE_ENTRIES", "4096"
+        ),
         # pandas-written parquet uses TIMESTAMP(NANOS); read as long and
         # rebuild timestamps in load_tables (Spark has no ns timestamps).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
