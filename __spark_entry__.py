@@ -8256,8 +8256,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_topk_ngrams(spark, "/root/testdata/sf0.001")
 
 
+def _query_scoped(fn):
+    """Wrap a declared query so it starts from a clean scoped-persist
+    registry: a new top-level query can never reuse a PREVIOUS query's
+    intra-query caches (every declared query rebuilds its plan from
+    the parquet files), but until released those stale cached tables
+    squat in executor storage memory — the unified memory manager
+    protects cached blocks down to spark.memory.storageFraction, so
+    concurrent execution SPILLS instead of evicting them (measured
+    r15: 4 stale entries made unrelated queries 3-5x slower; dropping
+    them restored parity instantly). Results are untouched: this
+    releases only cache entries, never data, and the wrapped query
+    re-registers whatever it persists for its own execution."""
+    import functools
+
+    from wimbd_spark.session import release_scoped_persists
+
+    @functools.wraps(fn)
+    def wrapper(spark, sf_dir):
+        release_scoped_persists()
+        return fn(spark, sf_dir)
+
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _query_scoped(fn) for name, (fn, _) in _REGISTRY.items()}
 
 
 def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -8266,8 +8290,8 @@ def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     correctness rides the twin's driver row), so registering it would
     only dilute the 50-row correctness window with duplicate plans."""
     return {
-        "bench_unique_ngrams_hll": q_unique_ngrams_hll,
-        "bench_topk_2pass_tight": q_topk_2pass_tight,
+        "bench_unique_ngrams_hll": _query_scoped(q_unique_ngrams_hll),
+        "bench_topk_2pass_tight": _query_scoped(q_topk_2pass_tight),
     }
 
 

@@ -61,3 +61,30 @@ def test_evicted_plan_still_computes(spark):
 def test_level_none_uses_default_persist(spark):
     df = S.scoped_persist(_mk(spark, 200))
     assert df.storageLevel.useMemory
+
+
+def test_release_scoped_persists_empties_registry(spark):
+    dfs = [S.scoped_persist(_mk(spark, i)) for i in range(3)]
+    for df in dfs:
+        df.count()
+    n = S.release_scoped_persists()
+    assert n == 3
+    assert S._SCOPED_PERSISTS == []
+    assert not any(df.is_cached for df in dfs)
+    # released lazy plans still recompute correctly
+    assert dfs[0].count() == 10
+
+
+def test_registry_queries_release_previous_persists(spark):
+    """Every declared query starts from a clean scoped-persist
+    registry (the _query_scoped wrapper): stale cached tables from
+    completed queries squeeze executor storage memory — measured r15:
+    4 stale entries made unrelated queries 3-5x slower."""
+    import __spark_entry__ as e
+
+    leftover = S.scoped_persist(_mk(spark, 100))
+    leftover.count()
+    assert leftover.is_cached
+    qs = e.queries()
+    qs["source_counts"](spark, "/root/testdata/sf0.001").collect()
+    assert not leftover.is_cached
