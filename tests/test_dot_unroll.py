@@ -187,3 +187,45 @@ def test_d_sql_round_trips(spark):
 
     for i, v in enumerate(vals):
         assert struct.pack("d", got[f"c{i}"]) == struct.pack("d", v)
+
+
+def test_nearest_centroids_bit_identical_to_captured_form(spark):
+    """The lambda-bound _nearest_centroids must rank and score
+    bit-identically to the r14 captured-cosine form on edge vectors."""
+    from wimbd_spark.operators.similarity import (
+        _centroid_literal,
+        _nearest_centroids,
+        cosine,
+    )
+
+    cents = [
+        {"centroid_id": i, "_cent": _vec(50 + i, 64)} for i in range(16)
+    ]
+    cent_arr = _centroid_literal(cents)
+    rows = [(r[0],) for r in _edge_rows() if r[0] and not _norm0(r[0])]
+    schema = StructType(
+        [StructField("a", ArrayType(DoubleType()), True)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    old = F.slice(
+        F.array_sort(
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    (-cosine(F.col("a"), c["v"])).alias("neg"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        4,
+    )
+    out = df.select(
+        old.alias("o"),
+        _nearest_centroids(F.col("a"), cent_arr, 4).alias("u"),
+    )
+    # hash() compares full nested struct values incl. the neg doubles
+    bad = out.filter(
+        "(o IS NULL) <> (u IS NULL) OR hash(o) <> hash(u)"
+    ).count()
+    assert bad == 0

@@ -358,14 +358,38 @@ def _deterministic_centroids(
 
 def _nearest_centroids(vec: Column, cent_arr: Column, n: int) -> Column:
     """Top-``n`` centroids by cosine (ties → smallest cid), as an array
-    of struct<neg, cid> — pure collection expressions, no UDF."""
-    scored = F.transform(
-        cent_arr,
-        lambda c: F.struct(
-            (-cosine(vec, c["v"])).alias("neg"), c["cid"].alias("cid")
+    of struct<neg, cid> — pure collection expressions, no UDF.
+
+    The query vector and its norm are BOUND once per row as lambda
+    variables instead of captured inside the per-centroid lambda:
+    interpreted HOF lambdas re-evaluate captured subtrees on every
+    invocation, so the captured form recomputed ``norm(vec)`` (an
+    O(dim) fold) and the ``vec`` subtree itself once PER CENTROID —
+    O(n_centroids × dim) redundant work per row on every IVF
+    assignment/probe path (same bug class as ``_unit``, r15). Same
+    arithmetic on the same values in the same order → bit-identical:
+    cosine(vec, c.v) ≡ dot(p.v, c.v) / (p.nv * norm(c.v)) with
+    p.v = vec, p.nv = norm(vec)."""
+    pair = F.array(F.struct(vec.alias("v"), norm(vec).alias("nv")))
+    scored_sorted = F.transform(
+        pair,
+        lambda p: F.slice(
+            F.array_sort(
+                F.transform(
+                    cent_arr,
+                    lambda c: F.struct(
+                        (
+                            -(dot(p["v"], c["v"]) / (p["nv"] * norm(c["v"])))
+                        ).alias("neg"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            ),
+            1,
+            n,
         ),
     )
-    return F.slice(F.array_sort(scored), 1, n)
+    return F.element_at(scored_sorted, F.lit(1))
 
 
 def cosine_topk_ivf(
