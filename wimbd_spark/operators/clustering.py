@@ -86,15 +86,29 @@ def _cluster_col(
     smaller cluster id) as a pure Column — shared by assignment and
     the fit loop so the update pass can attach the cluster WITHOUT
     re-joining the corpus against its own assignment (r15: the old
-    join-back added one self-join per Lloyd iteration)."""
-    v = _to_double(F.col(vec_col))
-    scored = F.transform(
-        _cent_literal(centroids),
-        lambda c: F.struct(
-            l2sq(v, c["v"]).alias("d"), c["cid"].alias("cid")
-        ),
+    join-back added one self-join per Lloyd iteration).
+
+    The cast-to-double vector is BOUND once per row as a lambda
+    variable: interpreted HOF lambdas re-evaluate captured subtrees
+    per invocation, so the captured form re-ran the `_to_double`
+    transform once PER CENTROID (k × dim casts per row — the same
+    bug class as similarity._unit, r15). Same distances on the same
+    values → bit-identical argmin. Deliberately NOT unrolled into a
+    flat chain: each Lloyd iteration carries a different centroid
+    literal, so every iteration would pay the measured multi-second
+    janino compile of a k×dim expression (the sign_sketch lesson)."""
+    scored_min = F.transform(
+        F.array(_to_double(F.col(vec_col))),
+        lambda vv: F.array_min(
+            F.transform(
+                _cent_literal(centroids),
+                lambda c: F.struct(
+                    l2sq(vv, c["v"]).alias("d"), c["cid"].alias("cid")
+                ),
+            )
+        )["cid"],
     )
-    return F.array_min(scored)["cid"]
+    return F.element_at(scored_min, F.lit(1))
 
 
 def assign_clusters(
