@@ -2402,14 +2402,25 @@ def _qtables_nested(qv: Column, cb: list, d: int) -> Column:
     qtable[s][j] = dot(q subvector s, cb[s][j]) — one transform over a
     single codebook-cube literal instead of m unrolled per-subspace
     trees (the unrolled form cost ~1.4 s of py4j round trips per query
-    at m=8 × n_codes=16, r15). Values and fold order identical."""
+    at m=8 × n_codes=16, r15). Values and fold order identical.
+
+    ``qv`` is BOUND once per row as a lambda variable: callers pass
+    the unit-normalize subtree directly, and a captured subtree
+    re-evaluates per lambda invocation — m × n_codes unit-normalize
+    folds per query row otherwise (the `_unit` bug class, r15)."""
     cb_all = _lit_double_cube(cb)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(len(cb) - 1)),
-        lambda s: F.transform(
-            F.element_at(cb_all, s + 1),
-            lambda cv: dot(F.slice(qv, s * F.lit(d) + 1, d), cv),
+    return F.element_at(
+        F.transform(
+            F.array(qv),
+            lambda q: F.transform(
+                F.sequence(F.lit(0), F.lit(len(cb) - 1)),
+                lambda s: F.transform(
+                    F.element_at(cb_all, s + 1),
+                    lambda cv: dot(F.slice(q, s * F.lit(d) + 1, d), cv),
+                ),
+            ),
         ),
+        F.lit(1),
     )
 
 
