@@ -1,7 +1,14 @@
-.PHONY: test check bench smoke lint examples
+.PHONY: test test-full check bench smoke lint examples
 
+# default tier: slow-tier tests (tests/conftest.py SLOW_TIER_NODE_IDS)
+# are skipped so the run fits a CI/verify window (~14 min)
 test:
 	python -m pytest tests/ -q
+
+# the builder's gate: EVERY test, ~28 min — run before committing
+# changes to operator internals
+test-full:
+	WIMBD_FULL_TESTS=1 python -m pytest tests/ -x -q
 
 check:
 	python tools/check_oracles.py

@@ -53,9 +53,11 @@ from wimbd_spark.search import (
 #: queries each rebuilt it 1-3 times — ~20 s of pure plan-construction
 #: overhead per bench pass (measured r15). The DataFrame is immutable
 #: and unexecuted; every action still computes from the parquet files
-#: (nothing is persisted or cached — the memo key carries the file
-#: mtime+size so a rewritten table invalidates it, and the Spark
-#: applicationId so a new session never reuses a dead session's plan).
+#: (nothing is persisted or cached). One entry per (applicationId,
+#: path) — the freshness stamp (file mtime+size) lives in the VALUE,
+#: so a rewritten table REPLACES the stale plan instead of
+#: accumulating one memo entry per historical stamp (unbounded driver
+#: growth in long sessions, ADVICE r15), matching session.parquet_plan.
 _TBL_MEMO: dict = {}
 
 
@@ -70,13 +72,14 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         stamp = (st.st_mtime_ns, st.st_size)
     except OSError:
         stamp = None
-    key = (spark.sparkContext.applicationId, path, stamp)
-    df = _TBL_MEMO.get(key)
-    if df is None:
-        df = load_tables(
-            spark, sf_dir, names=[name], register_views=False
-        )[name]
-        _TBL_MEMO[key] = df
+    key = (spark.sparkContext.applicationId, path)
+    hit = _TBL_MEMO.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    df = load_tables(
+        spark, sf_dir, names=[name], register_views=False
+    )[name]
+    _TBL_MEMO[key] = (stamp, df)
     return df
 
 
@@ -569,14 +572,14 @@ def _phrase_index(spark, sf_dir, docs=None, name="phrase"):
             docs if docs is not None else _docs(spark, sf_dir), path
         )
         _BUILT_INDEX_PATHS.add(path)
-    # memoize the loaded PLAN like _tbl does (~90 ms of parquet
-    # footer/schema reads per query construction; never results)
-    key = (spark.sparkContext.applicationId, path, "index")
-    df = _TBL_MEMO.get(key)
-    if df is None:
-        df = load_phrase_index(spark, path)
-        _TBL_MEMO[key] = df
-    return df
+    # load_phrase_index delegates to session.parquet_plan, which
+    # already memoizes the loaded PLAN (~90 ms of parquet footer/
+    # schema reads per query construction; never results) under a
+    # mtime+size freshness stamp — an in-process index rebuild
+    # invalidates it. No second stampless memo layer here (the r15
+    # form kept one keyed (appId, path, "index"), which could serve a
+    # plan referencing dead part files after a rebuild; VERDICT r15).
+    return load_phrase_index(spark, path)
 
 
 def prepare_benchmark(spark, sf_dir) -> dict:

@@ -378,6 +378,46 @@ def test_sweep_mixed_lengths(spark, tmp_path):
     assert (row["contaminated"], row["total"]) == (3, 5)
 
 
+def test_incomplete_lengths_fails_loudly(spark, index):
+    """VERDICT r15 item 8: a lying ``lengths=`` list must kill the
+    job with a message naming the missing length, not silently
+    zero-count / drop the undeclared phrases."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    from wimbd_spark.index import (
+        contaminated_examples,
+        count_documents_for_each_phrase_df,
+    )
+
+    errs = (Py4JJavaError, PySparkRuntimeError, SparkRuntimeException)
+    ev = spark.createDataFrame(
+        [("b c",), ("a b c",)], ["phrase"]
+    )  # lengths 2 AND 3; declare only 2
+    with pytest.raises(errs, match="token-length 3"):
+        count_documents_for_each_phrase_df(
+            index, ev, lengths=[2]
+        ).collect()
+    with pytest.raises(errs, match="token-length 3"):
+        contamination_rate_indexed(
+            index, ev, "phrase", lengths=[2]
+        ).collect()
+    with pytest.raises(errs, match="token-length 3"):
+        contaminated_examples(index, ev, lengths=[2]).collect()
+    # truthful lists still answer (and match the probe path)
+    want = {
+        (r["phrase"], r["count"])
+        for r in count_documents_for_each_phrase_df(index, ev).collect()
+    }
+    got = {
+        (r["phrase"], r["count"])
+        for r in count_documents_for_each_phrase_df(
+            index, ev, lengths=[2, 3]
+        ).collect()
+    }
+    assert got == want
+
+
 # ------------------------------------------------ overlong phrases
 
 

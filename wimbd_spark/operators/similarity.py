@@ -106,12 +106,62 @@ def dot(a: Column, b: Column) -> Column:
 #: identical for ALL inputs). 64 is this repo's canonical embedding
 #: width (testdata + examples); deployments with other embedding
 #: widths list theirs via WIMBD_DOT_UNROLL_DIMS (comma-separated) —
-#: the value only changes SPEED, never results.
-_DOT_UNROLL_DIMS: tuple[int, ...] = tuple(
+#: the value only changes SPEED, never results. On top of the env
+#: list, operator builds that LEARN the corpus width (centroid seed
+#: collects, dim probes) register it via ``register_dot_width`` so
+#: the unroll applies at production embedding dims (256-1024) without
+#: configuration (VERDICT r15 item 2).
+_DOT_UNROLL_ENV: tuple[int, ...] = tuple(
     int(x)
     for x in os.environ.get("WIMBD_DOT_UNROLL_DIMS", "64").split(",")
     if x.strip()
 )
+
+#: Widest chain ``register_dot_width`` accepts: janino compilation of
+#: a flat arithmetic chain is linear-ish in width but the constant is
+#: real (the r15 sign_sketch unroll paid 6.5 s at 6×64=384 terms —
+#: though dominated by per-build constant churn, which dot chains,
+#: being constant-free, compile once per width per session and then
+#: hit the codegen cache). 1024 covers every production embedding
+#: family; past it the interpreted fold's per-element cost is
+#: amortized enough that the compile gamble stops being obviously
+#: right — measure before raising.
+_DOT_UNROLL_MAX_DIM = int(os.environ.get("WIMBD_DOT_UNROLL_MAX_DIM", "1024"))
+#: How many distinct learned widths may be live at once — each one
+#: adds a CASE branch to every subsequent dot_attrs expression, so
+#: the set must stay small (real deployments have 1-2 widths).
+_DOT_UNROLL_MAX_WIDTHS = 8
+#: insertion-ordered learned widths (dict-as-ordered-set)
+_DOT_UNROLL_LEARNED: dict[int, None] = {}
+
+
+def register_dot_width(d) -> bool:
+    """Teach ``dot_attrs`` the corpus's embedding width, learned at
+    operator-build time (centroid collects / dim probes call this).
+    Only ever changes SPEED: listed widths take the unrolled branch,
+    everything else keeps the bit-identical generic fold. Returns
+    whether the width is (now) covered. Oldest learned width is
+    evicted past _DOT_UNROLL_MAX_WIDTHS; out-of-range widths are
+    ignored (the fold handles them)."""
+    try:
+        d = int(d)
+    except (TypeError, ValueError):
+        return False
+    if d < 1 or d > _DOT_UNROLL_MAX_DIM:
+        return False
+    if d in _DOT_UNROLL_ENV:
+        return True
+    if d not in _DOT_UNROLL_LEARNED:
+        while len(_DOT_UNROLL_LEARNED) >= _DOT_UNROLL_MAX_WIDTHS:
+            _DOT_UNROLL_LEARNED.pop(next(iter(_DOT_UNROLL_LEARNED)))
+        _DOT_UNROLL_LEARNED[d] = None
+    return True
+
+
+def _dot_unroll_dims() -> tuple[int, ...]:
+    """Env-pinned widths first, then learned widths (insertion order);
+    deduplicated."""
+    return tuple(dict.fromkeys((*_DOT_UNROLL_ENV, *_DOT_UNROLL_LEARNED)))
 
 
 def _bt(name: str) -> str:
@@ -151,15 +201,18 @@ def dot_attrs(a_name: str, b_name: str) -> Column:
     and length-mismatched pairs) to the generic fold branch, so the
     result is bit-identical to ``dot`` by construction; the guard also
     keeps the unrolled element accesses in bounds under ANSI mode.
-    Built as ONE parsed SQL string (no per-element py4j round trips)."""
+    Built as ONE parsed SQL string (no per-element py4j round trips).
+    Unrolled widths = the env list plus any widths learned from the
+    data by operator builds (``register_dot_width``)."""
     a, b = _bt(a_name), _bt(b_name)
     fold = _fold_dot_sql(a, b)
-    if not _DOT_UNROLL_DIMS:
+    dims = _dot_unroll_dims()
+    if not dims:
         return F.expr(fold)
     branches = " ".join(
         f"WHEN size({a}) = {d} AND size({b}) = {d} "
         f"THEN {_unrolled_dot_sql(a, b, d)}"
-        for d in _DOT_UNROLL_DIMS
+        for d in dims
     )
     return F.expr(f"CASE {branches} ELSE {fold} END")
 
@@ -313,7 +366,7 @@ def _centroid_rows(
     n_centroids rows — no full sort, no extra count() pass."""
     from wimbd_spark.functions.text import hash32
 
-    return (
+    rows = (
         corpus.select(
             F.col(id_col).alias("centroid_id"),
             _to_double(F.col(vec_col)).alias("_cent"),
@@ -323,6 +376,15 @@ def _centroid_rows(
         .limit(n_centroids)
         .collect()
     )
+    # operator builds that collect seed vectors KNOW the corpus's
+    # embedding width — teach dot_attrs so later scoring stages take
+    # the unrolled codegen branch at that width (speed only, results
+    # bit-identical either way)
+    for r in rows:
+        if r["_cent"] is not None:
+            register_dot_width(len(r["_cent"]))
+            break
+    return rows
 
 
 def _centroid_literal(cents: list) -> Column:
@@ -677,6 +739,9 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
             f"cannot infer embedding dim from empty {vec_col!r}; "
             "pass dim= explicitly"
         )
+    # the probe just learned the corpus width — teach dot_attrs
+    # (speed only; see register_dot_width)
+    register_dot_width(int(row["_d"]))
     return int(row["_d"])
 
 

@@ -8,6 +8,7 @@ are catalog tables/views.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -127,9 +128,12 @@ def rebalance_small_input(df: DataFrame, key: str | None = None) -> DataFrame:
 #: immutable and unexecuted — every action still computes from the
 #: files. The key carries the Spark applicationId (a new session never
 #: reuses a dead session's plan) and a freshness stamp of the path
-#: plus its DIRECT children (mtime+size), which catches every write
-#: pattern Spark producers have: new/removed part files change the
-#: directory, partition-dir writes change that child's mtime. Only
+#: plus its children TWO levels deep (mtime+size), which catches every
+#: write pattern Spark producers have: new/removed part files change
+#: the directory, partition-dir writes change that child's listing,
+#: and a same-epoch rewrite INSIDE a partition dir changes the
+#: grandchild entries (ADVICE r15). Deeper partition trees are not
+#: memoized (a bounded stamp cannot prove their freshness). Only
 #: local paths are memoized; other filesystems read fresh every call.
 _PARQUET_PLAN_MEMO: dict = {}
 
@@ -139,13 +143,27 @@ def parquet_plan(spark: SparkSession, path: str) -> DataFrame:
 
     try:
         st = os.stat(path)
-        children = tuple(
-            sorted(
-                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                for e in os.scandir(path)
-            )
-        )
-        stamp = (st.st_mtime_ns, st.st_size, children)
+        entries = []
+        deep_dirs = False
+        for e in sorted(os.scandir(path), key=lambda e: e.name):
+            est = e.stat()
+            entries.append((e.name, est.st_mtime_ns, est.st_size))
+            if e.is_dir():
+                # partitioned layout: a same-epoch rewrite INSIDE a
+                # partition dir can leave the parent mtimes unchanged
+                # (ADVICE r15) — stamp one level of grandchildren too,
+                # and refuse to memoize past that depth (nested
+                # partition trees read fresh every call).
+                for g in sorted(os.scandir(e.path), key=lambda g: g.name):
+                    gst = g.stat()
+                    entries.append(
+                        (e.name + "/" + g.name, gst.st_mtime_ns, gst.st_size)
+                    )
+                    if g.is_dir():
+                        deep_dirs = True
+        if deep_dirs:
+            return spark.read.parquet(path)
+        stamp = (st.st_mtime_ns, st.st_size, tuple(entries))
     except OSError:
         return spark.read.parquet(path)
     key = (spark.sparkContext.applicationId, path)
@@ -179,13 +197,24 @@ def parquet_plan(spark: SparkSession, path: str) -> DataFrame:
 #: subtree — correct, just no longer cache-accelerated.
 _SCOPED_PERSIST_CAP = 4
 _SCOPED_PERSISTS: list = []
+# The registry is a module global shared by all driver threads;
+# unsynchronized list mutation is racy and concurrent queries could
+# evict each other's live entries mid-build (ADVICE r15). A lock makes
+# the mutation safe; eviction of a *sibling thread's* entry remains
+# possible by design (results stay correct via recompute) — callers
+# running concurrent queries should size _SCOPED_PERSIST_CAP to the
+# sum of their concurrent needs.
+_SCOPED_PERSISTS_LOCK = threading.Lock()
 
 
 def scoped_persist(df: DataFrame, level=None) -> DataFrame:
     df = df.persist() if level is None else df.persist(level)
-    _SCOPED_PERSISTS.append(df)
-    while len(_SCOPED_PERSISTS) > _SCOPED_PERSIST_CAP:
-        old = _SCOPED_PERSISTS.pop(0)
+    evicted: list = []
+    with _SCOPED_PERSISTS_LOCK:
+        _SCOPED_PERSISTS.append(df)
+        while len(_SCOPED_PERSISTS) > _SCOPED_PERSIST_CAP:
+            evicted.append(_SCOPED_PERSISTS.pop(0))
+    for old in evicted:
         try:
             old.unpersist()
         except Exception:
@@ -211,9 +240,10 @@ def release_scoped_persists() -> int:
     files): the entry registry wraps every declared query with it.
     Lazy results returned by earlier operator calls stay CORRECT
     afterwards — they simply recompute when re-executed."""
+    with _SCOPED_PERSISTS_LOCK:
+        drained, _SCOPED_PERSISTS[:] = _SCOPED_PERSISTS[:], []
     n = 0
-    while _SCOPED_PERSISTS:
-        old = _SCOPED_PERSISTS.pop(0)
+    for old in drained:
         try:
             old.unpersist()
             n += 1
