@@ -1531,6 +1531,251 @@ def _ivf_scored_stream(
     )
 
 
+#: Target rows per GEMM slab — bounds the (slab × list-block) score
+#: matrix a block task holds (~4M cells ≈ 32 MB of doubles + one temp).
+_GEMM_SLAB_CELLS = 4_000_000
+
+#: Upper bound on the list-side salt: each salt step replicates the
+#: query side once, so the probe-exploded query shuffle grows linearly
+#: in it. 16× replication of (id, unit-vec) rows is the most the
+#: parallelism win has ever justified locally; env-tunable for odd
+#: deployments (the value only changes SPEED, never results).
+_GEMM_MAX_SALT = int(os.environ.get("WIMBD_KNN_GEMM_MAX_SALT", "16"))
+
+
+#: Estimated scored-row volume (|queries|·n_probe·avg_list, with the
+#: bulk tier's corpus-as-queries shape assumed) below which "auto"
+#: keeps the classic row stream: the block path's fixed costs (one
+#: clean-probe job, Python worker spin-up, two cogroup exchanges)
+#: measured ~0.5 s locally, which ~16M codegen'd row-dots also cost —
+#: the crossover. Env-tunable; only ever changes SPEED.
+_GEMM_MIN_BLOCK_VOLUME = int(
+    os.environ.get("WIMBD_KNN_GEMM_MIN_BLOCK", str(16_000_000))
+)
+
+
+def _dir_bytes(spark, p: str) -> int:
+    """Total bytes under a path — driver-side filesystem metadata, no
+    Spark job (the job-free size signal the GEMM auto-gate needs)."""
+    try:
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(hp).getLength())
+    except Exception:
+        return 0
+
+
+def _gemm_dirty_expr(unit_col, dim: int):
+    """1 when a vector is off-``dim`` or carries a NULL/NaN element.
+    NULL elements make the JVM fold return NULL and NaN sorts LARGEST
+    under Spark orderings but LAST under numpy's — both diverge from
+    the numpy block prune, so dirty corpora keep the classic
+    row-stream (bit-exact legacy) instead."""
+    return F.when(F.size(unit_col) != dim, F.lit(1)).otherwise(
+        F.when(
+            F.exists(unit_col, lambda x: x.isNull() | F.isnan(x)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+
+
+def _gemm_clean_probe(
+    q_side: DataFrame, q_col, l_side: DataFrame, l_col, dim: int
+) -> bool:
+    """ONE map-only aggregation over both sides deciding GEMM
+    eligibility (see _gemm_dirty_expr)."""
+    dirty = (
+        q_side.select(_gemm_dirty_expr(q_col, dim).alias("_d"))
+        .unionAll(l_side.select(_gemm_dirty_expr(l_col, dim).alias("_d")))
+        .agg(F.max("_d").alias("_d"))
+        .collect()
+    )
+    return not dirty or not dirty[0]["_d"]
+
+
+def _ivf_block_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool,
+    min_cosine: float | None,
+    cent_arr,
+    n_cents: int,
+    dim: int,
+    force: bool = False,
+) -> DataFrame | None:
+    """Block-matrix scored-and-pruned candidate stream for the bulk
+    top-k tier: (query_id, neighbor_id, cosine), at most ``k`` rows
+    per (query, centroid-block) — the exact local prune computed with
+    vectorized numpy instead of 10⁸ row-at-a-time codegen'd dots.
+
+    Why this is safe (the parity argument, pinned in tests):
+    - cosines are BIT-IDENTICAL to the classic stream: the block dot
+      accumulates dimension-by-dimension (``S += Q[:,p]·L[:,p]``),
+      which performs the same IEEE multiplies and left-associated
+      adds in the same order as dot_attrs' ``0D + a0*b0 + a1*b1…``
+      chain (numpy ufuncs never fuse into FMA);
+    - the per-block top-k keeps every row the global rank ≤ k window
+      could keep (a global top-k row is top-k within every subset it
+      appears in, same (cosine DESC, neighbor_id ASC) order — the
+      local_prune argument), so the downstream window output is
+      row-identical;
+    - eligibility is decided job-free first (a lists-bytes volume
+      estimate — below the measured crossover the classic stream's
+      codegen'd dots beat the block path's fixed costs) and then by
+      ONE fused map-only probe job (_gemm_clean_probe): NULL/NaN
+      elements or off-``dim`` vectors route the whole call to the
+      classic stream, whose fold semantics (NULL dot, Spark NaN
+      ordering) the numpy path does not replicate.
+
+    Scale shape: the list side is salted into ``P`` hash sub-lists
+    (deterministic pmod of the stored id — retry-safe) and the
+    probe-exploded query side is replicated per salt, so one cogroup
+    task holds (queries probing centroid c) × (sub-list of c) — the
+    block-matrix join. P is derived from the session parallelism and
+    capped (_GEMM_MAX_SALT): clusters with real centroid counts get
+    P=1 (no replication); the pathological few-lists case (this
+    repo's 8-centroid fixture index) gets its parallelism back.
+    Nothing touches the driver beyond the centroid table and the two
+    probe flags.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_probe == "all":
+        n_probe = n_cents
+    if not force:
+        # job-free size gate: estimate the scored-row volume the block
+        # path would vectorize from the lists' on-disk bytes (doubles
+        # barely compress, so bytes/(8·dim) ≈ rows; the bulk tier's
+        # contract is corpus-scale query sides, so |queries| ≈ |lists|)
+        # — below the crossover the classic stream's codegen'd dots
+        # beat the block path's fixed costs, and the clean-probe job
+        # never runs
+        n_est = max(
+            _dir_bytes(spark, f"{path}/lists"),
+            0,
+        ) // max(1, 8 * dim)
+        if n_est * n_probe * (n_est // max(1, n_cents)) < (
+            _GEMM_MIN_BLOCK_VOLUME
+        ):
+            return None
+    q_base = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        _unit(_to_double(F.col(vec_col))).alias("_qv"),
+    )
+    lists = _read_lists(spark, path, columns=["centroid", "id", "uvec"])
+    if not _gemm_clean_probe(
+        q_base, F.col("_qv"), lists, F.col("uvec"), dim
+    ):
+        return None
+    par = spark.sparkContext.defaultParallelism or 1
+    n_salt = max(1, min(_GEMM_MAX_SALT, -(-2 * par // max(1, n_cents))))
+    q = q_base.withColumn(
+        "centroid",
+        F.explode(
+            F.transform(
+                _nearest_centroids(F.col("_qv"), cent_arr, n_probe),
+                lambda c: c["cid"],
+            )
+        ),
+    ).withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    ll = lists.withColumn(
+        "_salt", F.pmod(F.xxhash64("id"), F.lit(n_salt)).cast("int")
+    )
+    qt = queries.schema[id_col].dataType.simpleString()
+    nt = lists.schema["id"].dataType.simpleString()
+    out_schema = f"query_id {qt}, neighbor_id {nt}, cosine double"
+    kk = int(k)
+    excl_self = bool(exclude_self)
+    min_cos = None if min_cosine is None else float(min_cosine)
+    ndim = int(dim)
+
+    def _block(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        # a vector sitting in base AND an unabsorbed delta of the SAME
+        # list lands twice in one block with bitwise-equal uvec — keep
+        # one so a duplicate never occupies two of the k slots
+        right = right.drop_duplicates(subset=["id"])
+        qids = left["query_id"].to_numpy()
+        nids = right["id"].to_numpy()
+        Q = np.stack(left["_qv"].to_numpy())
+        L = np.stack(right["uvec"].to_numpy())
+        m, n = len(qids), len(nids)
+        slab = max(1, _GEMM_SLAB_CELLS // max(1, n))
+        sel_q, sel_n, sel_c = [], [], []
+        S = np.empty((min(slab, m), n))
+        T = np.empty_like(S)
+        for s0 in range(0, m, slab):
+            s1 = min(s0 + slab, m)
+            r = s1 - s0
+            Sv, Tv = S[:r], T[:r]
+            Sv.fill(0.0)
+            Qs = Q[s0:s1]
+            # dimension-sequential accumulation == the JVM fold's
+            # left-associated adds — bit-identical doubles
+            for p in range(ndim):
+                np.multiply(Qs[:, p : p + 1], L[None, :, p], out=Tv)
+                np.add(Sv, Tv, out=Sv)
+            excl = np.zeros((r, n), dtype=bool)
+            if excl_self:
+                excl |= qids[s0:s1, None] == nids[None, :]
+            if min_cos is not None:
+                excl |= ~(Sv >= min_cos)
+            W = np.where(excl, -np.inf, Sv)
+            if kk < n:
+                part = np.argpartition(-W, kk - 1, axis=1)[:, :kk]
+                kthv = W[np.arange(r)[:, None], part].min(axis=1)
+            else:
+                kthv = W.min(axis=1)
+            cand = (W >= kthv[:, None]) & ~excl
+            for i in range(r):
+                idx = np.nonzero(cand[i])[0]
+                if idx.size == 0:
+                    continue
+                if idx.size > kk:
+                    order = np.lexsort((nids[idx], -Sv[i, idx]))
+                    idx = idx[order[:kk]]
+                sel_q.append(np.full(idx.size, qids[s0 + i]))
+                sel_n.append(nids[idx])
+                sel_c.append(Sv[i, idx])
+        if not sel_q:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype=qids.dtype),
+                    "neighbor_id": pd.Series(dtype=nids.dtype),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(sel_q),
+                "neighbor_id": np.concatenate(sel_n),
+                "cosine": np.concatenate(sel_c),
+            }
+        )
+
+    return (
+        q.groupby("centroid", "_salt")
+        .cogroup(ll.groupby("centroid", "_salt"))
+        .applyInPandas(_block, out_schema)
+    )
+
+
 def cosine_pairs_ivf(
     spark,
     path: str,
@@ -1637,6 +1882,7 @@ def knn_join(
     exclude_self: bool = True,
     min_cosine: float | None = None,
     local_prune: bool | str = "auto",
+    block_gemm: bool | str = "auto",
 ) -> DataFrame:
     """Bulk k-NN JOIN against a persisted IVF index: every row of
     ``queries`` — which may be the ENTIRE corpus — gets its top-``k``
@@ -1680,6 +1926,19 @@ def knn_join(
     near-dup mining (pairs above a bar) it does most of the volume
     reduction. ``n_probe="all"`` probes every list, making the result
     EXACT brute-force top-k (the oracle form).
+
+    ``block_gemm`` (default "auto") routes clean corpora — uniform
+    vector width, no NULL/NaN elements, verified by one fused
+    map-only probe job — through the block-matrix scorer
+    (_ivf_block_topk): the |queries|·n_probe·avg_list row-at-a-time
+    dot stage becomes per-(centroid, sub-list) vectorized numpy
+    blocks with an exact in-block top-k, so the rank window only
+    ever sees ≤ |queries|·n_probe·salt·k rows. Cosines are
+    bit-identical (same IEEE ops in the same order — see the helper's
+    parity argument) and the output is row-identical (parity-pinned);
+    dirty corpora fall back to the classic row stream, whose NULL/NaN
+    semantics numpy does not replicate. True forces it (raises on the
+    probe instead of falling back), False pins the classic plan.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -1690,18 +1949,51 @@ def knn_join(
             f"local_prune must be True, False or 'auto', got "
             f"{local_prune!r}"
         )
-    scored = _ivf_scored_stream(
-        spark, path, queries, n_probe, id_col, vec_col
-    )
-    if scored is None:  # empty centroid table
+    if block_gemm not in (True, False, "auto"):
+        raise ValueError(
+            f"block_gemm must be True, False or 'auto', got "
+            f"{block_gemm!r}"
+        )
+    cents = parquet_plan(spark, f"{path}/centroids").collect()
+    if not cents:  # empty centroid table
         qt = queries.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
             [], f"query_id {qt}, neighbor_id {qt}, rank long"
         )
-    if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
-    if min_cosine is not None:
-        scored = scored.filter(F.col("cosine") >= F.lit(min_cosine))
+    n_cents = len(cents)
+    cent_arr = _centroid_literal(
+        [{"centroid_id": r["centroid_id"], "_cent": r["v"]} for r in cents]
+    )
+    scored = None
+    if block_gemm in (True, "auto"):
+        scored = _ivf_block_topk(
+            spark, path, queries, k, n_probe, id_col, vec_col,
+            exclude_self, min_cosine, cent_arr, n_cents,
+            dim=len(cents[0]["v"]), force=block_gemm is True,
+        )
+        if scored is None and block_gemm is True:
+            raise ValueError(
+                "block_gemm=True needs uniform-width vectors with no "
+                "NULL/NaN element on both sides — the clean probe "
+                "failed; use block_gemm='auto' (or False) to route "
+                "dirty corpora down the classic row stream"
+            )
+    if scored is not None:
+        # the block prune already applied exclude_self / min_cosine
+        # and keeps ≤ k rows per (query, centroid-block); fall through
+        # to the exact global rank window over the pruned survivors
+        local_prune = False
+    else:
+        scored = _ivf_scored_stream(
+            spark, path, queries, n_probe, id_col, vec_col,
+            _cent_arr=cent_arr, _n_cents=n_cents,
+        )
+        if exclude_self:
+            scored = scored.filter(
+                F.col("query_id") != F.col("neighbor_id")
+            )
+        if min_cosine is not None:
+            scored = scored.filter(F.col("cosine") >= F.lit(min_cosine))
     # A query probing two lists that share a vector (delta tier not
     # yet absorbed) double-scores the pair. The interactive path
     # dropDuplicates()es — a full-volume shuffle that would defeat
