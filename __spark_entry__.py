@@ -7672,6 +7672,34 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     # of the 50 queries last checked in r12. The 16 r12 queries that
     # did not fit lead the tail so r16's rotation surfaces the oldest
     # first; then the r13 cohort, then the r14 cohort.
+    "embedding_cosine_pairs_lsh_auto": (
+        q_embedding_cosine_pairs_lsh_auto,
+        o_embedding_cosine_pairs_lsh_auto,
+    ),
+    "source_log_odds": (q_source_log_odds, o_source_log_odds),
+    "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
+    "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
+    "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
+    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
+    "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
+    "mixture_sample": (q_mixture_sample, o_mixture_sample),
+    "pack_documents_512": (q_pack_documents, o_pack_documents),
+    "neardup_cluster_dedup": (
+        q_neardup_cluster_dedup,
+        o_neardup_cluster_dedup,
+    ),
+    "lang_counts": (q_lang_counts, o_lang_counts),
+    "token_length_dist": (q_token_length_dist, o_token_length_dist),
+    "pricing_summary": (q_pricing_summary, o_pricing_summary),
+    "template_decontaminate_src0": (
+        q_template_decontaminate,
+        o_template_decontaminate,
+    ),
+    "streaming_session_stats": (
+        q_streaming_session_stats,
+        o_streaming_session_stats,
+    ),
+    "c4_filter_report": (q_c4_filter_report, o_c4_filter_report),
     "bigram_ppl_scores_src0": (
         q_bigram_ppl_scores_src0,
         o_bigram_ppl_scores_src0,
@@ -7773,34 +7801,6 @@ _REGISTRY: dict[str, tuple[Callable, Callable | None]] = {
     "multi_overlap_tokens": (q_multi_overlap, o_multi_overlap),
     "find_examples": (q_find_examples, o_find_examples),
     "semantic_dedup_drops": (q_semantic_dedup_drops, o_semantic_dedup_drops),
-    "embedding_cosine_pairs_lsh_auto": (
-        q_embedding_cosine_pairs_lsh_auto,
-        o_embedding_cosine_pairs_lsh_auto,
-    ),
-    "source_log_odds": (q_source_log_odds, o_source_log_odds),
-    "vocab_cosine_src0_src1": (q_vocab_cosine, o_vocab_cosine),
-    "lsh_neardup_pairs": (q_lsh_neardup_pairs, o_lsh_neardup_pairs),
-    "extreme_token_docs": (q_extreme_docs, o_extreme_docs),
-    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
-    "token_freq_spectrum": (q_token_freq_spectrum, o_token_freq_spectrum),
-    "mixture_sample": (q_mixture_sample, o_mixture_sample),
-    "pack_documents_512": (q_pack_documents, o_pack_documents),
-    "neardup_cluster_dedup": (
-        q_neardup_cluster_dedup,
-        o_neardup_cluster_dedup,
-    ),
-    "lang_counts": (q_lang_counts, o_lang_counts),
-    "token_length_dist": (q_token_length_dist, o_token_length_dist),
-    "pricing_summary": (q_pricing_summary, o_pricing_summary),
-    "template_decontaminate_src0": (
-        q_template_decontaminate,
-        o_template_decontaminate,
-    ),
-    "streaming_session_stats": (
-        q_streaming_session_stats,
-        o_streaming_session_stats,
-    ),
-    "c4_filter_report": (q_c4_filter_report, o_c4_filter_report),
     "c4_span_dedup_text": (q_c4_span_dedup, o_c4_span_dedup),
     "datasheet_overview": (q_datasheet_overview, o_datasheet_overview),
     "ivf_kfill_filtered_top3": (q_ivf_kfill_filtered, o_ivf_kfill_filtered),
