@@ -173,6 +173,33 @@ def test_winnow_matches_reference_impl(spark, text):
     assert got == _py_winnow(text, 3, 4)
 
 
+@pytest.mark.parametrize("k,w", [(3, 4), (2, 7), (1, 2)])
+def test_winnow_engine_parity(spark, documents, k, w):
+    """The Arrow engine (JVM gram hashes + numpy per-window argmin)
+    must return the exact multiset of rows the pure-expression engine
+    returns — including NULL text, sub-w docs, whitespace runs, and
+    tie-heavy all-equal-hash docs (rightmost-tie rule)."""
+    extra = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, "a b"),
+            (900003, "x x x x x x x x x x"),
+            (900004, "  padded   whitespace    run   ok   end  x "),
+        ],
+        "doc_id bigint, text string",
+    )
+    df = documents.select("doc_id", "text").unionByName(extra)
+    arrow = winnow_fingerprints(df, k=k, w=w, engine="arrow")
+    expr = winnow_fingerprints(df, k=k, w=w, engine="expr")
+    assert arrow.exceptAll(expr).count() == 0
+    assert expr.exceptAll(arrow).count() == 0
+
+
+def test_winnow_fingerprints_rejects_bad_engine(spark, documents):
+    with pytest.raises(ValueError, match="engine"):
+        winnow_fingerprints(documents, engine="nope")
+
+
 def test_winnow_shared_substring_guarantee(spark):
     # any shared run of >= w + k - 1 tokens must share a fingerprint
     base = "alpha beta gamma delta epsilon zeta".split()

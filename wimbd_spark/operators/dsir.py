@@ -109,9 +109,17 @@ def dsir_log_weights(
     deterministic at any partitioning."""
     if buckets <= 0:
         raise ValueError(f"buckets must be positive, got {buckets}")
+    from wimbd_spark.session import scoped_persist
+
+    # Each counts table feeds fit_log_ratio TWICE (the full-outer join
+    # side and its own total); unpersisted, each total re-executed the
+    # whole corpus gram scan — the before-plan held FIVE parquet scans
+    # (target counts, raw counts, both totals, the scoring explode).
+    # The tables are at most ``buckets`` rows — persisting them is
+    # free at any corpus size and drops the two total-recompute scans.
     ratio = fit_log_ratio(
-        hashed_feature_counts(target, buckets, text_col),
-        hashed_feature_counts(df, buckets, text_col),
+        scoped_persist(hashed_feature_counts(target, buckets, text_col)),
+        scoped_persist(hashed_feature_counts(df, buckets, text_col)),
         buckets,
     )
     # explode_outer keeps featureless docs as a single null-gram row

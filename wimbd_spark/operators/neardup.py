@@ -1333,9 +1333,6 @@ def simhash_pairs(
             else simhash_bits(F.col(text_col), nbits)
         )
     )
-    s = df.select(F.col(id_col), sig.alias("sh")).filter(
-        F.col("sh").isNotNull()
-    )
     # materialize the tiny (id, sh) table so the self-join's two
     # branches read it instead of re-running the signature pipeline
     # (the physical plan otherwise computes every signature TWICE —
@@ -1343,9 +1340,19 @@ def simhash_pairs(
     # measured as ~half the operator's cost, r15). persist() keeps
     # lineage (fault-tolerant recompute); the cache entry is released
     # by the scoped_persist FIFO (session.py).
+    #
+    # The sh-isNotNull filter is applied ABOVE the persist, not below:
+    # filtering on the UDF-computed column inside the cached plan made
+    # the optimizer push an extra isnotnull probe BELOW the load
+    # rebalance and re-evaluate the Arrow signature UDF a second time
+    # above it (two ArrowEvalPython nodes per union branch, guide
+    # §4.4 shape; the exchange also carried full text instead of the
+    # 8-byte signature). Filtered rows are the same either way — the
+    # cache just stores the (rare) null-signature rows too.
     from wimbd_spark.session import scoped_persist
 
-    s = scoped_persist(s)
+    s = scoped_persist(df.select(F.col(id_col), sig.alias("sh")))
+    s = s.filter(F.col("sh").isNotNull())
     from itertools import combinations
 
     def _segval(i):

@@ -177,19 +177,25 @@ def top_pmi_bigrams(
         raise ValueError(
             f"rank_by must be 'pmi' or 'npmi', got {rank_by!r}"
         )
+    from wimbd_spark.session import scoped_persist
+
     toks = tokenize(F.col(text_col))
-    uni = (
+    # The unigram table feeds THREE consumers (w1 join, w2 join, the
+    # corpus token total) and the bigram table TWO (scored pairs, the
+    # bigram-slot total); unpersisted, Catalyst re-executes the full
+    # scan → tokenize → explode → aggregate chain once per consumer —
+    # the before-plan showed FIVE parquet scans of the corpus for one
+    # query. Both tables are vocabulary-sized, far smaller than the
+    # gram stream that builds them.
+    uni = scoped_persist(
         df.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    bi = ngram_counts(df, 2, text_col).filter(
-        F.col("count") >= F.lit(min_count)
-    )
+    bi_all = scoped_persist(ngram_counts(df, 2, text_col))
+    bi = bi_all.filter(F.col("count") >= F.lit(min_count))
     n_uni = F.broadcast(uni.agg(F.sum("wc").alias("_tu")))
-    n_bi = F.broadcast(
-        ngram_counts(df, 2, text_col).agg(F.sum("count").alias("_tb"))
-    )
+    n_bi = F.broadcast(bi_all.agg(F.sum("count").alias("_tb")))
     parts = F.split(F.col("ngram"), " ", 2)
     pairs = bi.select(
         parts.getItem(0).alias("w1"),

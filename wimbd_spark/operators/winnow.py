@@ -92,14 +92,129 @@ def winnow_select(text: Column | str, k: int = 3, w: int = 4) -> Column:
     return let(hashes, build)
 
 
+def _winnow_rows_arrow(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """Exploded (id_col, pos, fp) winnow rows, vectorized.
+
+    Two-stage split of winnow_select along the §4.2 boundary: the JVM
+    computes the per-gram hash array (tokenize → ngram_strings →
+    hash32 — one md5 per gram, the exact fingerprint values of the
+    expression form, so there is NO hash-parity surface), and a
+    mapInArrow stage does the per-window rightmost-argmin over the
+    int64 hash arrays in numpy (sliding_window_view over the Arrow
+    list buffers, zero-copy). The expression form's interpreted
+    per-window lambda re-evaluates its slice/reverse/array_min
+    subtree three times per window (plans/r16/
+    remove_shared_spans_keepfirst_before.txt operator (7)); here each
+    document is one vectorized argmin.
+
+    Parity with winnow_select (pinned in tests): rightmost tie via
+    argmin over the REVERSED window axis; adjacent-run dedupe on the
+    selected position (equal consecutive picks share pos AND fp since
+    fp = h[pos]); documents with NULL text or fewer than w gram
+    hashes emit nothing (the expression form's empty array, dropped
+    by the explode). Only (id, hashes) crosses the Python boundary —
+    never text.
+    """
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    hashes = F.transform(
+        ngram_strings(tokenize(F.col(text_col)), k), lambda g: hash32(g)
+    )
+    src = df.select(F.col(id_col), hashes.alias("__h"))
+    id_field = src.schema.fields[0]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("pos", IntegerType(), False),
+            StructField("fp", LongType(), True),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for batch in batches:
+            ids = batch.column(0)
+            hl = batch.column(1)
+            if isinstance(hl, pa.ChunkedArray):  # pragma: no cover
+                hl = hl.combine_chunks()
+            # list<int64> decomposes into absolute offsets + a flat
+            # values buffer (offsets are into the UNsliced values
+            # array, so this pairing survives batch slicing)
+            offs = hl.offsets.to_numpy(zero_copy_only=False)
+            vals = hl.values.to_numpy(zero_copy_only=False)
+            valid = (
+                pa.compute.is_valid(hl).to_numpy(zero_copy_only=False)
+                if hl.null_count
+                else None
+            )
+            take_idx = []
+            pos_out = []
+            fp_out = []
+            for i in range(len(hl)):
+                if valid is not None and not valid[i]:
+                    continue
+                s, e = offs[i], offs[i + 1]
+                m = e - s
+                if m < w:
+                    continue
+                h = vals[s:e]
+                win = sliding_window_view(h, w)
+                rel = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+                p0 = np.arange(m - w + 1, dtype=np.int64) + rel
+                keep = np.ones(p0.shape, dtype=bool)
+                keep[1:] = p0[1:] != p0[:-1]
+                sel = p0[keep]
+                take_idx.append(np.full(sel.size, i, dtype=np.int64))
+                pos_out.append(sel + 1)
+                fp_out.append(h[sel])
+            if not take_idx:
+                continue
+            ti = np.concatenate(take_idx)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(ti)),
+                    pa.array(
+                        np.concatenate(pos_out).astype(np.int32),
+                        type=pa.int32(),
+                    ),
+                    pa.array(np.concatenate(fp_out), type=pa.int64()),
+                ],
+                names=[id_col, "pos", "fp"],
+            )
+
+    return src.mapInArrow(gen, out_schema)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     w: int = 4,
+    engine: str = "arrow",
 ) -> DataFrame:
-    """One row per selected fingerprint: (id_col, pos, fp)."""
+    """One row per selected fingerprint: (id_col, pos, fp).
+
+    ``engine``: "arrow" (default) runs the per-window argmin
+    vectorized in numpy over Arrow batches (_winnow_rows_arrow — the
+    gram hashes themselves stay JVM md5, so fingerprint values are
+    identical by construction); "expr" keeps the pure-Catalyst
+    winnow_select explode (no Python workers). Bit-identical rows
+    (parity-pinned in tests)."""
+    if engine not in ("arrow", "expr"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "arrow":
+        return _winnow_rows_arrow(df, id_col, text_col, k, w)
     return df.select(
         F.col(id_col),
         F.explode(winnow_select(F.col(text_col), k=k, w=w)).alias("__s"),
