@@ -758,6 +758,188 @@ def auto_nbits(n_rows: int, target_bucket: int = 256, max_bits: int = 24) -> int
     return max(1, min(max_bits, math.ceil(math.log2(max(2.0, n_rows / target_bucket)))))
 
 
+def _df_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate of a DataFrame — driver-side plan
+    statistics, no Spark job (for parquet-backed plans this is the
+    file-size-derived estimate; the job-free signal the LSH block
+    gate needs, mirroring _dir_bytes for path-backed inputs)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 0
+
+
+def _lsh_clean_probe(base: DataFrame, dim: int) -> tuple[bool, int]:
+    """ONE map-only aggregation returning (clean, exact row count) —
+    the count rides the same job so the block gate can resolve the
+    byte-estimate's ambiguity for free (and the scan warms the
+    persisted base either path uses)."""
+    row = base.select(
+        _gemm_dirty_expr(F.col("_v"), dim).alias("_d")
+    ).agg(
+        F.max("_d").alias("_d"), F.count(F.lit(1)).alias("_n")
+    ).collect()[0]
+    return (not row["_d"], int(row["_n"]))
+
+
+def _lsh_block_pairs(
+    df: DataFrame,
+    base: DataFrame,
+    threshold: float,
+    id_col: str,
+    nbits: int,
+    dim: int,
+    multiprobe: bool,
+    force: bool = False,
+    n_rows: int | None = None,
+) -> DataFrame | None:
+    """Block-matrix verification for cosine_pairs_lsh: per LSH bucket,
+    score (home rows × probe rows) in vectorized numpy instead of
+    per-candidate codegen'd dots, emitting exactly the classic join's
+    (id_a < id_b, cosine ≥ τ) survivors.
+
+    Parity (same argument as _ivf_block_topk, pinned in tests):
+    - cosines accumulate dimension-sequentially (``S += Q[:,p]·L[:,p]``)
+      — the same IEEE multiplies and left-associated adds as
+      dot_attrs' unrolled chain, bit-identical doubles;
+    - the candidate structure is reproduced exactly: a pair meets only
+      where the HOME bucket of `a` equals one of `b`'s probes, each
+      probe value is pairwise-distinct per row, and `id_a < id_b`
+      keeps one orientation — at most one cell per pair, no dedup;
+    - eligibility: a job-free volume estimate (below the GEMM
+      crossover the classic codegen'd join wins — sf0.1 stays on it),
+      then ONE map-only clean probe; NULL/NaN/ragged vectors route
+      the call back to the classic stream whose fold semantics numpy
+      does not replicate. Rows whose bucket is NULL (NULL vector)
+      never join in the classic plan and are filtered here.
+
+    Scale shape: the probe side is salted by hash(id) and the home
+    side replicated per salt (only when 2^nbits < 2·parallelism —
+    auto-sized sketches grow buckets with n, so real corpora get
+    salt 1), so one cogroup task holds one (bucket, salt) block.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_probes = (nbits + 1) if multiprobe else 1
+
+    def _vol(n: int) -> int:
+        return n * n_probes * (n >> nbits)
+
+    if not force and n_rows is not None:
+        # exact size known (auto-nbits already paid the count job)
+        if _vol(n_rows) < _GEMM_MIN_BLOCK_VOLUME:
+            return None
+    elif not force:
+        # job-free byte gate, as a LOWER bound only: parquet compresses
+        # double arrays up to ~8×, so est_rows under-counts by up to
+        # ~8× and the quadratic volume by up to ~64×. Below MIN/64 the
+        # true volume cannot reach the crossover — classic, no job.
+        # Above it, ONE map-only probe job (which doubles as the clean
+        # check and warms the persisted base) resolves the exact count.
+        est_rows = _df_bytes(df) // max(1, 8 * dim)
+        if _vol(est_rows) < _GEMM_MIN_BLOCK_VOLUME // 64:
+            return None
+    clean, n_exact = _lsh_clean_probe(base, dim)
+    if not clean:
+        return None
+    if not force and n_rows is None and _vol(n_exact) < (
+        _GEMM_MIN_BLOCK_VOLUME
+    ):
+        return None
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism or 1
+    n_salt = max(1, min(_GEMM_MAX_SALT, -(-2 * par // (1 << nbits))))
+    live = base.filter(F.col("_b0").isNotNull())
+    home = live.select(
+        "_id", "_v", F.col("_b0").alias("bucket")
+    ).withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("_b0"),
+            *[
+                F.col("_b0").bitwiseXOR(F.lit(2**p)).cast("long")
+                for p in range(nbits)
+            ],
+        )
+    else:
+        probes = F.array(F.col("_b0"))
+    # fresh aliases (_idb/_vb): both cogroup sides derive from the
+    # same `live` plan, and attributes sharing the left side's exprIds
+    # are deduplicated out of the right side's schema — the Python
+    # function would receive only (bucket, _salt)
+    probe = live.select(
+        F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.explode(probes).alias("bucket"),
+    ).withColumn(
+        "_salt", F.pmod(F.xxhash64("_idb"), F.lit(n_salt)).cast("int")
+    )
+    idt = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {idt}, id_b {idt}, cosine double"
+    thr = float(threshold)
+    ndim = int(dim)
+
+    def _block(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="object"),
+                "id_b": pd.Series(dtype="object"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        aids = left["_id"].to_numpy()
+        bids = right["_idb"].to_numpy()
+        Q = np.stack(left["_v"].to_numpy())
+        L = np.stack(right["_vb"].to_numpy())
+        m, n = len(aids), len(bids)
+        slab = max(1, _GEMM_SLAB_CELLS // max(1, n))
+        sel_a, sel_b, sel_c = [], [], []
+        S = np.empty((min(slab, m), n))
+        T = np.empty_like(S)
+        for s0 in range(0, m, slab):
+            s1 = min(s0 + slab, m)
+            r = s1 - s0
+            Sv, Tv = S[:r], T[:r]
+            Sv.fill(0.0)
+            Qs = Q[s0:s1]
+            # dimension-sequential accumulation == the JVM fold's
+            # left-associated adds — bit-identical doubles
+            for p in range(ndim):
+                np.multiply(Qs[:, p : p + 1], L[None, :, p], out=Tv)
+                np.add(Sv, Tv, out=Sv)
+            mask = (Sv >= thr) & (
+                aids[s0:s1, None] < bids[None, :]
+            )
+            ia, ib = np.nonzero(mask)
+            if ia.size == 0:
+                continue
+            sel_a.append(aids[s0 + ia])
+            sel_b.append(bids[ib])
+            sel_c.append(Sv[ia, ib])
+        if not sel_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(sel_a),
+                "id_b": np.concatenate(sel_b),
+                "cosine": np.concatenate(sel_c),
+            }
+        )
+
+    return (
+        home.groupby("bucket", "_salt")
+        .cogroup(probe.groupby("bucket", "_salt"))
+        .applyInPandas(_block, out_schema)
+    )
+
+
 def cosine_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.45,
@@ -766,6 +948,7 @@ def cosine_pairs_lsh(
     nbits: int | None = 6,
     dim: int | None = 64,
     multiprobe: bool = True,
+    block_gemm: bool | str = "auto",
 ) -> DataFrame:
     """Approximate embedding near-dup pairs at scale: candidates share
     a sign-sketch bucket (plus 1-bit-flip probes), exact cosine
@@ -781,16 +964,53 @@ def cosine_pairs_lsh(
     hyperplane dimensionality from the first row (one driver read);
     an explicit dim that mismatches the vectors silently collapses
     every row into bucket 0 (see _infer_dim).
+
+    ``block_gemm`` (default "auto") routes large clean collections
+    through the block-matrix verifier (_lsh_block_pairs): candidate
+    volume is ~n²·probes/2^nbits dots, and past the GEMM crossover
+    scoring each bucket as one vectorized numpy block beats
+    per-candidate codegen'd dots. Output rows and cosine doubles are
+    BIT-IDENTICAL (parity-pinned); dirty collections (NULL/NaN
+    elements, ragged widths) keep the classic join. True forces the
+    block path (raises if the clean probe fails), False pins classic.
     """
+    if block_gemm not in (True, False, "auto"):
+        raise ValueError(
+            f"block_gemm must be True, False or 'auto', got "
+            f"{block_gemm!r}"
+        )
     if dim is None:
         dim = _infer_dim(df, vec_col)
+    n_rows = None
     if nbits is None:
-        nbits = auto_nbits(df.count())
+        n_rows = df.count()
+        nbits = auto_nbits(n_rows)
     planes = [_hyperplane(p, dim) for p in range(nbits)]
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        _unit(_to_double(F.col(vec_col))).alias("_v"),
-    ).withColumn("_b0", sign_sketch("_v", planes))
+    from wimbd_spark.session import scoped_persist
+
+    # the (id, unit vector, home bucket) projection feeds BOTH sides
+    # of either verification path — persisted, the scan + unit
+    # normalization + sign sketch run once instead of twice
+    base = scoped_persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            _unit(_to_double(F.col(vec_col))).alias("_v"),
+        ).withColumn("_b0", sign_sketch("_v", planes))
+    )
+    if block_gemm in (True, "auto"):
+        out = _lsh_block_pairs(
+            df, base, threshold, id_col, nbits, dim, multiprobe,
+            force=block_gemm is True, n_rows=n_rows,
+        )
+        if out is not None:
+            return out
+        if block_gemm is True:
+            raise ValueError(
+                "block_gemm=True needs uniform-width vectors with no "
+                "NULL/NaN element — the clean probe failed; use "
+                "block_gemm='auto' (or False) to route dirty "
+                "collections down the classic join"
+            )
     if multiprobe:
         probes = F.array(
             F.col("_b0"),
