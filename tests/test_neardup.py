@@ -832,3 +832,46 @@ def test_simhash_pairs_canonical_filter_no_duplicates(spark):
     ]
     assert len(wide) == len(set(wide))
     assert set(wide) == set(rows)
+
+
+def test_shingle_table_engine_parity(spark, documents):
+    """Arrow (map-side Python md5, np.unique sets, zero shuffle) vs
+    classic explode → codegen hash32 → collect_set: identical rows,
+    including NULL text, sub-n docs, and whitespace runs."""
+    from wimbd_spark.operators.neardup import _shingle_table
+
+    extra = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, "a b"),
+            (900003, "x x x x x"),
+            (900004, "  pad   run  ok tail  z "),
+        ],
+        "doc_id bigint, text string",
+    )
+    df = documents.select("doc_id", "text").unionByName(extra)
+    for n in (1, 3):
+        a = _shingle_table(df, "doc_id", "text", n, engine="arrow")
+        e = _shingle_table(df, "doc_id", "text", n, engine="expr")
+        assert a.exceptAll(e).count() == 0
+        assert e.exceptAll(a).count() == 0
+
+
+def test_pairs_from_sigs_mapside_dedup_parity(documents):
+    """Uncapped (max_bucket_size=None) first-agreeing-band emission
+    must yield exactly the distinct() pair set."""
+    from wimbd_spark.operators.neardup import (
+        _pairs_from_sigs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(documents, num_hashes=4)
+    fast = _pairs_from_sigs(sigs, "doc_id", 4, 2, max_bucket_size=None)
+    # the legacy shape: explicit distinct over all agreeing bands
+    legacy = _pairs_from_sigs(
+        sigs, "doc_id", 4, 2, max_bucket_size=10**9
+    )
+    assert fast.exceptAll(legacy).count() == 0
+    assert legacy.exceptAll(fast).count() == 0
+    # and no duplicate pairs slipped through the map-side filter
+    assert fast.count() == fast.distinct().count()

@@ -100,21 +100,142 @@ def minhash_signatures(
     ).filter(F.col("mh0").isNotNull())
 
 
-def _shingle_table(
+#: Per-process memo of gram string → hash32 for the Arrow shingle
+#: engine — same rationale as _SIMHASH_HASH_CACHE (md5 is pure, worker
+#: processes are reused, vocabulary is Zipfian). No salt dimension:
+#: shingle hashes are unsalted hash32, so the gram string alone keys.
+_SHINGLE_HASH_CACHE: dict = {}
+_SHINGLE_HASH_CACHE_MAX = 1 << 20
+
+
+def _shingle_table_arrow(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
-    """(id, hs: sorted distinct shingle hashes) via explode → top-level
-    hash → collect_set.
+    """(id, hs) built map-side in one mapInArrow stage — ZERO shuffle.
 
-    Same values as the per-row `shingle_hashes` expression, different
-    physical tradeoff: lambdas inside higher-order functions are NOT
-    whole-stage-codegen'd (interpreted md5 per element, measured 3.4×
-    slower), while the exploded hash is a codegen'd projection. Cost:
-    one shuffle of (id, hash64) pairs — which also leaves the table
-    hash-partitioned on id, exactly what the downstream Jaccard joins
-    key on. For a shuffle-free signature-only pass use
+    The expression/explode forms trade differently: per-row HOF md5 is
+    interpreted (measured 3.4× slower than codegen), and the explode
+    form gets codegen'd md5 back only by paying a corpus-wide
+    (id, hash) shuffle + collect_set. Hashing the grams in Python
+    (memoized per process — one md5 per vocabulary gram, not per
+    occurrence) removes both: each document's sorted distinct hash set
+    is built in-process (np.unique) and the stage stays map-only.
+    Values are identical by construction: same whitespace tokenize,
+    same " "-joined gram strings (the simhash Arrow engine's
+    parity-pinned recipe), same md5-prefix hash32.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__t")
+    )
+    id_field = src.schema.fields[0]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("hs", ArrayType(LongType(), False), False),
+        ]
+    )
+    n = int(shingle_n)
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        cache = _SHINGLE_HASH_CACHE
+
+        def h32(g: str) -> int:
+            v = cache.get(g)
+            if v is None:
+                if len(cache) >= _SHINGLE_HASH_CACHE_MAX:
+                    cache.clear()
+                v = int.from_bytes(
+                    hashlib.md5(g.encode()).digest()[:4], "big"
+                )
+                cache[g] = v
+            return v
+
+        for batch in batches:
+            ids = batch.column(0)
+            tl = batch.column(1).to_pylist()
+            take_idx: list = []
+            sets: list = []
+            lens: list = []
+            for i, arr in enumerate(tl):
+                if arr is None:
+                    continue
+                toks = [t for t in arr if t != ""]
+                if len(toks) < n:
+                    continue
+                if n == 1:
+                    uniq = set(toks)
+                else:
+                    uniq = {
+                        " ".join(toks[j : j + n])
+                        for j in range(len(toks) - n + 1)
+                    }
+                hs = np.unique(
+                    np.fromiter(
+                        (h32(g) for g in uniq), dtype=np.int64,
+                        count=len(uniq),
+                    )
+                )
+                take_idx.append(i)
+                sets.append(hs)
+                lens.append(hs.size)
+            if not take_idx:
+                continue
+            offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+            np.cumsum(lens, out=offsets[1:])
+            values = (
+                np.concatenate(sets)
+                if sets
+                else np.empty(0, dtype=np.int64)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(take_idx, type=pa.int64())),
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(values, type=pa.int64()),
+                    ),
+                ],
+                names=[id_col, "hs"],
+            )
+
+    return src.mapInArrow(gen, out_schema)
+
+
+def _shingle_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    engine: str = "arrow",
+) -> DataFrame:
+    """(id, hs: sorted distinct shingle hashes).
+
+    ``engine="arrow"`` (default) builds each document's hash set
+    map-side in one mapInArrow stage — no shuffle at all (see
+    _shingle_table_arrow). ``engine="expr"`` keeps the classic
+    explode → codegen'd hash32 → collect_set plan: one shuffle of
+    (id, hash64) pairs, which leaves the table hash-partitioned on id
+    (useful when a downstream join keys on id and the corpus dwarfs
+    executor Python throughput). Identical rows (parity-pinned).
+    For a pure-expression signature-only pass use
     `minhash_signatures` (per-row expression).
     """
+    if engine not in ("arrow", "expr"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "arrow":
+        return _shingle_table_arrow(df, id_col, text_col, shingle_n)
     toks = tokenize(F.col(text_col))
     return (
         df.select(
@@ -190,26 +311,36 @@ def lsh_bucket_sizes(
 
 
 def _banded_buckets(
-    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    with_vector: bool = False,
 ) -> DataFrame:
+    """(id, band, bh[, _bhs]) — one row per (doc, band). With
+    ``with_vector`` each row also carries the doc's FULL band-hash
+    vector (bands × 8 B), which lets the pair enumeration emit each
+    pair only from its first agreeing band instead of paying a
+    distinct() exchange over the whole pair set."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be a multiple of bands")
     rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
+
+    def band_hash(b: int):
         parts = [
             F.col(f"mh{b * rows_per_band + r}").cast("string")
             for r in range(rows_per_band)
         ]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                hash32(F.concat_ws(":", *parts)).alias("bh"),
-            )
-        )
-    return sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, "b.band", "b.bh")
+        return hash32(F.concat_ws(":", *parts))
+
+    vec = F.array(*[band_hash(b) for b in range(bands)])
+    out = sigs.select(F.col(id_col), vec.alias("_bhs")).select(
+        F.col(id_col),
+        "_bhs",
+        F.posexplode("_bhs").alias("band", "bh"),
+    )
+    cols = [id_col, "band", "bh"] + (["_bhs"] if with_vector else [])
+    return out.select(*cols)
 
 
 def _pairs_from_sigs(
@@ -219,7 +350,20 @@ def _pairs_from_sigs(
     bands: int,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
-    buckets = _banded_buckets(sigs, id_col, num_hashes, bands)
+    # Uncapped: each member row carries its full band-hash vector
+    # (bands × 8 B) so a pair found in several bands is emitted ONLY
+    # from its first agreeing band — a map-side filter after the pair
+    # explode instead of a distinct() exchange over the whole pair set
+    # (the first-agreeing-combination trick simhash_pairs uses; bands
+    # ≤ num_hashes, so the WHEN chain is a few comparisons per
+    # candidate). With a bucket cap this filter would be WRONG: a
+    # pair's first agreeing band can be a bucket the cap dropped while
+    # a later band kept the pair — survival of another band's bucket
+    # is not knowable map-side, so the capped branch keeps distinct().
+    dedup_mapside = max_bucket_size is None
+    buckets = _banded_buckets(
+        sigs, id_col, num_hashes, bands, with_vector=dedup_mapside
+    )
     # ONE exchange on (band, bh): count → filter → gather → pair-explode
     # all share the same hash partitioning. Dropping degenerate buckets
     # BEFORE collect_set bounds the agg buffer at max_bucket_size ids —
@@ -238,24 +382,66 @@ def _pairs_from_sigs(
             .filter(F.col("_sz") <= max_bucket_size)
             .drop("_sz")
         )
+    if not dedup_mapside:
+        grouped = (
+            buckets.groupBy("band", "bh")
+            .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("_ids"))
+            .filter(F.size("_ids") >= 2)
+        )
+        # Two-step explode bounds per-row memory at O(bucket), not
+        # O(bucket²): posexplode hands each member its own row, then a
+        # second explode streams that member's partners from the array
+        # tail — no row ever holds the full C(n, 2) pair list.
+        member = grouped.select(
+            "_ids", F.posexplode("_ids").alias("_i", "id_a")
+        )
+        return (
+            member.select(
+                "id_a",
+                F.explode(
+                    F.slice(
+                        F.col("_ids"),
+                        F.col("_i") + F.lit(2),
+                        F.size("_ids"),
+                    )
+                ).alias("id_b"),
+            )
+            .distinct()
+        )
     grouped = (
         buckets.groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("_ids"))
-        .filter(F.size("_ids") >= 2)
-    )
-    # Two-step explode bounds per-row memory at O(bucket), not
-    # O(bucket²): posexplode hands each member its own row, then a
-    # second explode streams that member's partners from the array
-    # tail — no row ever holds the full C(n, 2) pair list.
-    member = grouped.select("_ids", F.posexplode("_ids").alias("_i", "id_a"))
-    return (
-        member.select(
-            "id_a",
-            F.explode(
-                F.slice(F.col("_ids"), F.col("_i") + F.lit(2), F.size("_ids"))
-            ).alias("id_b"),
+        .agg(
+            F.array_sort(
+                F.collect_set(
+                    F.struct(F.col(id_col).alias("id"), F.col("_bhs"))
+                )
+            ).alias("_ms")
         )
-        .distinct()
+        .filter(F.size("_ms") >= 2)
+    )
+    member = grouped.select(
+        "band", "_ms", F.posexplode("_ms").alias("_i", "_a")
+    )
+    paired = member.select(
+        "band",
+        F.col("_a.id").alias("id_a"),
+        F.col("_a._bhs").alias("_ba"),
+        F.explode(
+            F.slice(F.col("_ms"), F.col("_i") + F.lit(2), F.size("_ms"))
+        ).alias("_b"),
+    )
+    first_band = None
+    for j in range(bands):
+        agree = F.element_at(F.col("_ba"), j + 1) == F.element_at(
+            F.col("_b._bhs"), j + 1
+        )
+        first_band = (
+            F.when(agree, F.lit(j))
+            if first_band is None
+            else first_band.when(agree, F.lit(j))
+        )
+    return paired.filter(F.col("band") == first_band).select(
+        "id_a", F.col("_b.id").alias("id_b")
     )
 
 
