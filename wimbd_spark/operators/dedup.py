@@ -270,12 +270,21 @@ def repeated_spans(
             lambda a: F.md5(F.array_join(a, " ")),
         ),
     )
-    grams = (
+    from pyspark import StorageLevel
+
+    from wimbd_spark.session import scoped_persist
+
+    # the (id, pos, gram-hash) stream feeds BOTH the repeat count and
+    # the semi-join back; unpersisted, the corpus is scanned and the
+    # O(n·k) slice+md5 gram pass runs twice. Disk-backed (gram-stream
+    # sized).
+    grams = scoped_persist(
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col),
             F.posexplode(gram_hashes).alias("pos", "_gh"),
-        )
+        ),
+        StorageLevel.MEMORY_AND_DISK,
     )
     rep = (
         grams.groupBy("_gh")

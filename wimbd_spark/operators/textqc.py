@@ -593,7 +593,15 @@ def gram_novelty(
         raise ValueError("n must be >= 1")
     tok = tokenizer if tokenizer is not None else tokenize
     toks = tok(F.col(text_col))
-    grams = (
+    from pyspark import StorageLevel
+
+    from wimbd_spark.session import scoped_persist
+
+    # the gram table feeds BOTH the document-frequency count and the
+    # join-back side; unpersisted, the corpus is scanned, tokenized,
+    # exploded and md5-hashed twice (the before-plan's duplicated
+    # Generate subtrees). Disk-backed: the table is gram-stream-sized.
+    grams = scoped_persist(
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col),
@@ -601,7 +609,8 @@ def gram_novelty(
                 F.array_distinct(ngram_strings(toks, n))
             ).alias("_g"),
         )
-        .select(F.col(id_col), F.md5("_g").alias("_h"))
+        .select(F.col(id_col), F.md5("_g").alias("_h")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     dfreq = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
