@@ -218,22 +218,27 @@ def _shingle_table(
     id_col: str,
     text_col: str,
     shingle_n: int,
-    engine: str = "arrow",
+    engine: str = "auto",
 ) -> DataFrame:
     """(id, hs: sorted distinct shingle hashes).
 
-    ``engine="arrow"`` (default) builds each document's hash set
-    map-side in one mapInArrow stage — no shuffle at all (see
+    ``engine="arrow"`` builds each document's hash set map-side in
+    one mapInArrow stage — no shuffle at all (see
     _shingle_table_arrow). ``engine="expr"`` keeps the classic
     explode → codegen'd hash32 → collect_set plan: one shuffle of
     (id, hash64) pairs, which leaves the table hash-partitioned on id
     (useful when a downstream join keys on id and the corpus dwarfs
-    executor Python throughput). Identical rows (parity-pinned).
-    For a pure-expression signature-only pass use
-    `minhash_signatures` (per-row expression).
+    executor Python throughput). ``"auto"`` (default) picks by input
+    size (session.resolve_text_engine): the Arrow stage's fixed
+    Python cost loses on tiny corpora (measured +0.7 s/query at
+    sf0.1) and the removed corpus-token exchange is what matters at
+    scale. Identical rows any engine (parity-pinned). For a
+    pure-expression signature-only pass use `minhash_signatures`
+    (per-row expression).
     """
-    if engine not in ("arrow", "expr"):
-        raise ValueError(f"unknown engine {engine!r}")
+    from wimbd_spark.session import resolve_text_engine
+
+    engine = resolve_text_engine(df, engine)
     if engine == "arrow":
         return _shingle_table_arrow(df, id_col, text_col, shingle_n)
     toks = tokenize(F.col(text_col))

@@ -224,6 +224,50 @@ def scoped_persist(df: DataFrame, level=None) -> DataFrame:
     return df
 
 
+#: Plan-stats byte threshold above which text operators with an Arrow
+#: engine (winnow fingerprint selection, shingle-set building) pick it
+#: over the pure-expression plan. The Arrow stage costs ~0.5 s of fixed
+#: Python-worker overhead per query locally and wins only once the
+#: per-token interpreted-HOF savings exceed that; parquet text
+#: compresses ~5-10×, so 2 MiB on-disk ≈ 10-20 MB of raw text ≈ the
+#: measured local crossover (sf0.1 regressed 0.4-0.7 s/query on
+#: arrow-always; sf1 won 2.5-3.5×). Results are engine-independent
+#: (parity-pinned), so the gate is pure cost routing; tune per
+#: deployment via WIMBD_ARROW_TEXT_MIN_BYTES.
+ARROW_TEXT_MIN_BYTES = int(
+    os.environ.get("WIMBD_ARROW_TEXT_MIN_BYTES", str(2 * 1024 * 1024))
+)
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate of a DataFrame — driver-side plan
+    statistics, NO Spark job (file-size-derived for parquet-backed
+    plans). The job-free signal for engine auto-gates; 0 on failure
+    (callers treat 0 as small)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 0
+
+
+def resolve_text_engine(df: DataFrame, engine: str) -> str:
+    """Resolve ``engine="auto"`` for text operators with an Arrow fast
+    path: "arrow" past ARROW_TEXT_MIN_BYTES of estimated input, else
+    "expr". Explicit "arrow"/"expr" pass through; anything else
+    raises."""
+    if engine == "auto":
+        return (
+            "arrow"
+            if plan_size_bytes(df) >= ARROW_TEXT_MIN_BYTES
+            else "expr"
+        )
+    if engine not in ("arrow", "expr"):
+        raise ValueError(f"unknown engine {engine!r}")
+    return engine
+
+
 def release_scoped_persists() -> int:
     """Unpersist EVERY live scoped persist and empty the registry;
     returns how many were released.
