@@ -177,7 +177,11 @@ def top_pmi_bigrams(
         raise ValueError(
             f"rank_by must be 'pmi' or 'npmi', got {rank_by!r}"
         )
-    from wimbd_spark.session import scoped_persist
+    from wimbd_spark.session import (
+        ARROW_TEXT_MIN_BYTES,
+        plan_size_bytes,
+        scoped_persist,
+    )
 
     toks = tokenize(F.col(text_col))
     # The unigram table feeds THREE consumers (w1 join, w2 join, the
@@ -186,13 +190,21 @@ def top_pmi_bigrams(
     # scan → tokenize → explode → aggregate chain once per consumer —
     # the before-plan showed FIVE parquet scans of the corpus for one
     # query. Both tables are vocabulary-sized, far smaller than the
-    # gram stream that builds them.
-    uni = scoped_persist(
+    # gram stream that builds them. Scale-gated (same job-free byte
+    # signal as the Arrow text engines): on tiny corpora the five
+    # redundant branches run concurrently inside one job and beat the
+    # cache-build barrier (+0.2 s at sf0.1), past the threshold the
+    # shared table wins 5× (sf1: top_npmi 7.0 s → 1.4 s).
+    share = plan_size_bytes(df) >= ARROW_TEXT_MIN_BYTES
+    uni = (
         df.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    bi_all = scoped_persist(ngram_counts(df, 2, text_col))
+    bi_all = ngram_counts(df, 2, text_col)
+    if share:
+        uni = scoped_persist(uni)
+        bi_all = scoped_persist(bi_all)
     bi = bi_all.filter(F.col("count") >= F.lit(min_count))
     n_uni = F.broadcast(uni.agg(F.sum("wc").alias("_tu")))
     n_bi = F.broadcast(bi_all.agg(F.sum("count").alias("_tb")))
