@@ -1376,14 +1376,30 @@ def cosine_topk_ivf_pq_indexed(
     probed lists with the build-time codebooks. Requires an index
     built with ``pq_m`` (raises otherwise).
     """
-    try:
-        cb_rows = parquet_plan(spark, f"{path}/pq_codebooks").collect()
-    except Exception as exc:
-        raise ValueError(
-            f"index at {path} has no pq_codebooks — rebuild with "
-            "build_ivf_index(..., pq_m=)"
-        ) from exc
-    cents = parquet_plan(spark, f"{path}/centroids").collect()
+    # The two metadata reads are independent collect jobs the driver
+    # used to run back-to-back; overlapping them from a 2-thread pool
+    # (guide §2.6 — actions are only sequential because driver code
+    # calls them sequentially) halves the interactive path's fixed
+    # metadata latency. Both tables are ≤ a few thousand rows by
+    # construction.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cb = pool.submit(
+            lambda: parquet_plan(spark, f"{path}/pq_codebooks").collect()
+        )
+        f_ct = pool.submit(
+            lambda: parquet_plan(spark, f"{path}/centroids").collect()
+        )
+        try:
+            cb_rows = f_cb.result()
+        except Exception as exc:
+            f_ct.cancel()
+            raise ValueError(
+                f"index at {path} has no pq_codebooks — rebuild with "
+                "build_ivf_index(..., pq_m=)"
+            ) from exc
+        cents = f_ct.result()
     if not cents:
         # empty index (never reads the partitioned lists: an empty
         # partitionBy write leaves no partition dirs to infer from)
