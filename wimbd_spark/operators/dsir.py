@@ -109,28 +109,46 @@ def dsir_log_weights(
     deterministic at any partitioning."""
     if buckets <= 0:
         raise ValueError(f"buckets must be positive, got {buckets}")
+    from pyspark import StorageLevel
+
     from wimbd_spark.session import scoped_persist
 
-    # Each counts table feeds fit_log_ratio TWICE (the full-outer join
-    # side and its own total); unpersisted, each total re-executed the
-    # whole corpus gram scan — the before-plan held FIVE parquet scans
-    # (target counts, raw counts, both totals, the scoring explode).
-    # The tables are at most ``buckets`` rows — persisting them is
-    # free at any corpus size and drops the two total-recompute scans.
-    ratio = fit_log_ratio(
-        scoped_persist(hashed_feature_counts(target, buckets, text_col)),
-        scoped_persist(hashed_feature_counts(df, buckets, text_col)),
-        buckets,
-    )
     # explode_outer keeps featureless docs as a single null-gram row
     # (null bucket → no ratio match → sum skips it → coalesce 0), so
     # ONE groupBy(id) shuffle covers every document — no corpus-wide
     # join-back, and each gram occurrence contributes its bucket's
-    # ratio once (the Σ m_b·ratio_b multiplicities, implicitly)
-    doc_grams = df.select(
-        F.col(id_col),
-        F.explode_outer(_feature_grams(text_col)).alias("g"),
-    ).select(id_col, F.pmod(hash32("g"), F.lit(buckets)).alias("bucket"))
+    # ratio once (the Σ m_b·ratio_b multiplicities, implicitly).
+    # Persisted (disk-backed — gram-stream-sized): the stream is ALSO
+    # the raw model's input, see below.
+    doc_grams = scoped_persist(
+        df.select(
+            F.col(id_col),
+            F.explode_outer(_feature_grams(text_col)).alias("g"),
+        ).select(
+            id_col, F.pmod(hash32("g"), F.lit(buckets)).alias("bucket")
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    # The raw model counts the SAME gram stream the scoring pass
+    # explodes (hashed_feature_counts(df) = the non-outer explode —
+    # exactly doc_grams minus its null-bucket featureless-doc rows),
+    # so it reads the cache instead of re-scanning, re-tokenizing and
+    # re-hashing the whole pool: the r15 plan held FIVE corpus scans
+    # (target counts, raw counts, both totals, scoring), the
+    # persisted-counts form three, this one TWO (target + the shared
+    # stream). Each counts table still feeds fit_log_ratio twice
+    # (join side + its total) and stays ≤ ``buckets`` rows —
+    # persisting them keeps the totals free.
+    raw_counts = (
+        doc_grams.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    ratio = fit_log_ratio(
+        scoped_persist(hashed_feature_counts(target, buckets, text_col)),
+        scoped_persist(raw_counts),
+        buckets,
+    )
     return (
         doc_grams.join(F.broadcast(ratio), "bucket", "left")
         .groupBy(id_col)
