@@ -69,14 +69,29 @@ def quality_funnel(
 
     Always returns exactly five rows (zeros on an empty corpus).
     """
+    from pyspark import StorageLevel
+
+    from wimbd_spark.session import scoped_persist
+
     c = F.col(text_col)
     f1, f2, f3 = stage_flags(c, min_tokens, max_tokens, lang)
-    flagged = df.select(
-        F.col(id_col),
-        c.alias("_text"),
-        f1.alias("_f1"),
-        f2.alias("_f2"),
-        f3.alias("_f3"),
+    # Narrow flag projection, computed ONCE: the two consumers (the
+    # conditional count aggregation and the survivor-only dedup
+    # window) otherwise each re-run tokenize + the langid stopword
+    # profile over the corpus. The dedup stage only needs the md5 KEY,
+    # never the text, so the persisted rows are ~50 B regardless of
+    # document size — at any scale caching this beats a second
+    # tokenize+langid scan (the two-SCAN shape itself stays: shuffling
+    # non-survivors would still be worse, see the module docstring).
+    flagged = scoped_persist(
+        df.select(
+            F.col(id_col),
+            F.md5(c).alias("_h"),
+            f1.alias("_f1"),
+            f2.alias("_f2"),
+            f3.alias("_f3"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
     )
     counts = flagged.agg(
         F.count(F.lit(1)).alias("s0"),
@@ -86,7 +101,7 @@ def quality_funnel(
     )
     # dedup stage: keep-first among stage-3 survivors (same key and
     # order as operators/dedup.py dedup_keep_first)
-    w = Window.partitionBy(F.md5("_text")).orderBy(F.col(id_col).asc())
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
     s4 = (
         flagged.filter(F.col("_f3"))
         .withColumn("_rn", F.row_number().over(w))
@@ -127,15 +142,24 @@ def quality_funnel_by(
     keyed (group, md5). Groups with no surviving duplicates still get
     all five rows; a group whose every doc fails stage 3 gets s4=0.
     """
+    from pyspark import StorageLevel
+
+    from wimbd_spark.session import scoped_persist
+
     c = F.col(text_col)
     f1, f2, f3 = stage_flags(c, min_tokens, max_tokens, lang)
-    flagged = df.select(
-        F.col(group_col),
-        F.col(id_col),
-        c.alias("_text"),
-        f1.alias("_f1"),
-        f2.alias("_f2"),
-        f3.alias("_f3"),
+    # same narrow persisted flag projection as quality_funnel: one
+    # tokenize+langid pass feeds both aggregations, md5 key only
+    flagged = scoped_persist(
+        df.select(
+            F.col(group_col),
+            F.col(id_col),
+            F.md5(c).alias("_h"),
+            f1.alias("_f1"),
+            f2.alias("_f2"),
+            f3.alias("_f3"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
     )
     counts = flagged.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("s0"),
@@ -143,7 +167,7 @@ def quality_funnel_by(
         F.coalesce(F.sum(F.col("_f2").cast("long")), F.lit(0)).alias("s2"),
         F.coalesce(F.sum(F.col("_f3").cast("long")), F.lit(0)).alias("s3"),
     )
-    w = Window.partitionBy(group_col, F.md5("_text")).orderBy(
+    w = Window.partitionBy(group_col, "_h").orderBy(
         F.col(id_col).asc()
     )
     s4 = (
