@@ -65,3 +65,22 @@ def test_force_block_raises_on_dirty(spark, emb):
 def test_bad_block_gemm_value(spark, emb):
     with pytest.raises(ValueError, match="block_gemm"):
         cosine_pairs_lsh(emb, block_gemm="yes")
+
+
+def test_block_matches_classic_string_ids(spark, emb):
+    """id ordering must agree between the JVM (UTF8String byte order)
+    and the numpy object-array compare (codepoint order) — identical
+    for UTF-8, pinned here so a future id-type change can't silently
+    diverge the block path."""
+    s = emb.withColumn(
+        "vec_id",
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")),
+    )
+    blk = cosine_pairs_lsh(
+        s, threshold=0.45, nbits=6, dim=64, block_gemm=True
+    )
+    cls = cosine_pairs_lsh(
+        s, threshold=0.45, nbits=6, dim=64, block_gemm=False
+    )
+    assert blk.exceptAll(cls).count() == 0
+    assert cls.exceptAll(blk).count() == 0
